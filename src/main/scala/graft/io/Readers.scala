@@ -1,0 +1,61 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Table readers (SURVEY §2.1, §7.1).
+  *
+  * All warehouse tables are parquet at `{sfDir}/{name}.parquet`
+  * (TESTDATA.md). Parquet is self-describing; Catalyst pushes
+  * predicates and prunes columns at the scan, so readers stay thin —
+  * no schema declaration needed on this path.
+  *
+  * CSV/JSON ingest with declared schema + malformed-row quarantine is
+  * the reference-class ETL's core competency (SURVEY §0.1): implemented
+  * here as PERMISSIVE-mode reads capturing corrupt records in a
+  * dedicated column so downstream can split good/bad rows.
+  */
+object Readers {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4.1 cannot map
+      // to TimestampType directly (PARQUET_TYPE_ILLEGAL). Read it as raw
+      // nanos (legacy long mapping) and truncate to microseconds — the
+      // same precision DuckDB lands on when it reads NANOS, so the
+      // oracle agrees (SURVEY §1.2).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+
+  /** Schema-enforced CSV ingest with quarantine column. Malformed rows
+    * land with all data columns NULL and the raw line preserved in
+    * `_corrupt_record`; callers split on `_corrupt_record IS NULL`.
+    */
+  def csvWithQuarantine(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    spark.read
+      .schema(withCorrupt)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+  }
+
+  /** Schema-enforced JSON-lines ingest with the same quarantine contract. */
+  def jsonWithQuarantine(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+}

@@ -1,0 +1,267 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Determinism._
+import graft.io.Readers.table
+
+/** Relational core: scans, projection/filter, joins, aggregation,
+  * sort/limit/set ops (SURVEY §2.1–§2.4, §2.6).
+  *
+  * Every query is a pure plan builder `(SparkSession, sfDir) => DataFrame`
+  * — no actions, no state. Determinism discipline per SURVEY §7.4: every
+  * result ends ORDER BY a unique column set (or by ALL output columns
+  * when rows can be fully identical — identical rows make tie order
+  * irrelevant to byte equality), and money aggregates go through
+  * `Determinism.dec/dsum` (exact decimal, final double).
+  *
+  * Scale posture (100 TB): filters sit directly on scans so Catalyst
+  * pushes them into parquet row-group skipping; small dims (region,
+  * nation, part, supplier) are broadcast explicitly; large⋈large joins
+  * shuffle on their natural keys and rely on AQE for skew/coalesce.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- §2.1
+
+  /** Full lineitem scan, count-preserving projection. */
+  val scanParquet: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .transform(orderedByAll)
+
+  /** Reads exactly 2 of lineitem's 11 columns — column pruning must
+    * reach the parquet scan (ReadSchema shows only these two).
+    */
+  val scanParquetPruned: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .select("l_partkey", "l_extendedprice")
+      .transform(orderedByAll)
+
+  // ---------------------------------------------------------------- §2.2
+
+  /** Select + alias + cast: double→decimal(18,4), timestamp→date. */
+  val projectRenameCast: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("orderkey"),
+        col("o_totalprice").cast(Money).as("totalprice_dec"),
+        col("o_orderdate").cast("date").as("orderdate"),
+        upper(col("o_orderpriority")).as("priority"))
+      .orderBy("orderkey")
+
+  /** Compound predicate: ship-date range AND discount band AND NOT flag. */
+  val filterCompound: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        !(col("l_returnflag") === "R"))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_returnflag")
+      .transform(orderedByAll)
+
+  /** IN-list, LIKE prefix, BETWEEN on part. */
+  val filterInLikeBetween: Q = (s, dir) =>
+    table(s, dir, "part")
+      .filter(
+        col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+        col("p_name").like("%bolt%") &&
+        col("p_size").between(5, 25))
+      .select("p_partkey", "p_name", "p_brand", "p_size")
+      .orderBy("p_partkey")
+
+  /** Three-valued logic over injected NULLs: IS [NOT] NULL and null-safe
+    * equality. NULLs are derived (nullif) since source data has none.
+    */
+  val filterNullSemantics: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_returnflag"), lit("N")).as("flag_n"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_n"))
+      .filter(col("flag_n").isNull || col("disc_n").isNotNull)
+      .withColumn("flag_is_a", col("flag_n") <=> lit("A"))
+      .transform(orderedByAll)
+
+  /** CASE WHEN price bands → labels (211-style categorical standardization). */
+  val caseWhenBucketing: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .when(col("o_totalprice") < 300000, "large")
+          .otherwise("jumbo").as("price_band"))
+      .groupBy("price_band")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("price_band")
+
+  // ---------------------------------------------------------------- §2.3
+
+  /** lineitem ⋈ part — small dimension broadcast explicitly. */
+  val joinBroadcastInner: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .join(broadcast(table(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "p_name", "p_brand", "l_quantity", "p_retailprice")
+      .transform(orderedByAll)
+
+  /** orders ⋈ lineitem — both large, shuffle (sort-merge) on orderkey.
+    * At 100 TB both sides are fact-scale; no broadcast hint on purpose.
+    */
+  val joinShuffleInner: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select("o_orderkey", "l_linenumber", "o_custkey", "o_totalprice", "l_extendedprice")
+      .transform(orderedByAll)
+
+  /** customer ⟕ orders: order count per customer including zeros. */
+  val joinLeftOuter: Q = (s, dir) =>
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** Full outer on key domains with gaps: event users vs customers. */
+  val joinFullOuter: Q = (s, dir) => {
+    val eventUsers = table(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val custOrders = table(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    eventUsers
+      .join(custOrders, col("user_id") === col("o_custkey"), "full")
+      .select(
+        coalesce(col("user_id"), col("o_custkey")).as("ukey"),
+        col("n_events"), col("n_orders"))
+      .orderBy("ukey")
+  }
+
+  /** Customers having ≥1 order (EXISTS). */
+  val joinLeftSemi: Q = (s, dir) =>
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Customers with no orders (NOT EXISTS). */
+  val joinLeftAnti: Q = (s, dir) =>
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** region × nation cross join (tiny × tiny) with post-filter. */
+  val joinCross: Q = (s, dir) =>
+    table(s, dir, "region")
+      .crossJoin(table(s, dir, "nation"))
+      .filter(col("r_regionkey") =!= col("n_regionkey"))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  /** Non-equi theta join on a filtered slice → broadcast nested loop.
+    * Inputs are pre-filtered small so the quadratic stays bounded; at
+    * scale this is the pattern: never BNLJ two unfiltered fact tables.
+    */
+  val joinThetaRange: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 49 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val p = table(s, dir, "part")
+      .filter(col("p_size") === 1)
+      .select("p_partkey", "p_retailprice")
+    li.join(broadcast(p),
+        col("p_retailprice") >= col("l_extendedprice") * 0.009 &&
+        col("p_retailprice") <= col("l_extendedprice") * 0.011)
+      .select("l_orderkey", "l_linenumber", "p_partkey", "l_extendedprice", "p_retailprice")
+      .transform(orderedByAll)
+  }
+
+  /** Multiway star rollup (TPC-H Q5 shape): region⋈nation⋈customer⋈
+    * orders⋈lineitem revenue per (region, nation) for 1996–1997 orders.
+    * Dims broadcast; orders⋈lineitem shuffles on orderkey; AQE handles
+    * runtime sizing. This is also the flagship `SparkEntry.entry`.
+    */
+  val joinMultiwayStar: Q = (s, dir) => {
+    val o = table(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val li = table(s, dir, "lineitem")
+    val c = table(s, dir, "customer")
+    val n = broadcast(table(s, dir, "nation"))
+    val r = broadcast(table(s, dir, "region"))
+    o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsumProduct(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Self-join pair generation: same-user event pairs within 1 hour.
+    * Equi on user_id (shuffle once) + time-band condition; id ordering
+    * avoids mirrored pairs. At scale: the equi key carries the shuffle,
+    * the band is evaluated post-match — never a pure theta self-join.
+    */
+  val joinSelfDedup: Q = (s, dir) => {
+    val e = table(s, dir, "events").select("event_id", "ts", "user_id")
+    val a = e.select(col("event_id").as("a_id"), col("ts").as("a_ts"), col("user_id"))
+    val b = e.select(col("event_id").as("b_id"), col("ts").as("b_ts"), col("user_id").as("b_user"))
+    a.join(b,
+        col("user_id") === col("b_user") &&
+        col("a_id") < col("b_id") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("a_id"), col("b_id"), col("a_ts"), col("b_ts"))
+      .orderBy("user_id", "a_id", "b_id")
+  }
+
+  // ---------------------------------------------------------------- §2.4
+
+  /** TPC-H Q1 shape: exact decimal sums, deterministic averages. */
+  val aggGroupbyBasic: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumProduct(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+        dsumProduct(col("l_extendedprice"),
+          (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ------------------------------------------------------------- exports
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> scanParquet,
+    "scan_parquet_pruned" -> scanParquetPruned,
+    "project_rename_cast" -> projectRenameCast,
+    "filter_compound" -> filterCompound,
+    "filter_in_like_between" -> filterInLikeBetween,
+    "filter_null_semantics" -> filterNullSemantics,
+    "case_when_bucketing" -> caseWhenBucketing,
+    "join_broadcast_inner" -> joinBroadcastInner,
+    "join_shuffle_inner" -> joinShuffleInner,
+    "join_left_outer" -> joinLeftOuter,
+    "join_full_outer" -> joinFullOuter,
+    "join_left_semi" -> joinLeftSemi,
+    "join_left_anti" -> joinLeftAnti,
+    "join_cross" -> joinCross,
+    "join_theta_range" -> joinThetaRange,
+    "join_multiway_star" -> joinMultiwayStar,
+    "join_self_dedup" -> joinSelfDedup,
+    "agg_groupby_basic" -> aggGroupbyBasic,
+  )
+}
