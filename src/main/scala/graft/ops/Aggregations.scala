@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Determinism._
+import graft.io.Readers.table
+
+/** Aggregation surface beyond the basic group-by (SURVEY §2.4):
+  * distinct (exact + HLL), grouping sets / rollup / cube, conditional
+  * aggregation, sorted collect, pivot, exact percentiles.
+  *
+  * Scale posture: every aggregate here is partial+final hash agg (map-
+  * side combine comes free with `groupBy().agg`); `countDistinct` uses
+  * Catalyst's expand rewrite (two-phase, no driver collect); pivot uses
+  * an explicit value list so the planner never runs a distinct job to
+  * discover columns (at 100 TB that discovery scan would be a full pass).
+  */
+object Aggregations {
+
+  import Relational.Q
+
+  /** Exact distinct users per event type (expand + two-phase agg). */
+  val aggCountDistinct: Q = (s, dir) =>
+    table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** HLL distinct per type — approximate, so never oracle'd (SURVEY
+    * §7.4); bounds vs exact are asserted in the unit spec.
+    */
+  val aggApproxDistinct: Q = (s, dir) =>
+    table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("n_users_approx"))
+      .orderBy("event_type")
+
+  /** Revenue by (nation), (mktsegment), (nation,mktsegment), () —
+    * GROUPING SETS with grouping flags to disambiguate NULL-as-ALL.
+    */
+  val aggGroupingSets: Q = (s, dir) => {
+    val base = table(s, dir, "orders")
+      .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+    base.groupingSets(
+        Seq(Seq(col("n_name")), Seq(col("c_mktsegment")),
+            Seq(col("n_name"), col("c_mktsegment")), Seq()),
+        col("n_name"), col("c_mktsegment"))
+      .agg(
+        grouping(col("n_name")).cast("int").as("g_n"),
+        grouping(col("c_mktsegment")).cast("int").as("g_m"),
+        dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .transform(orderedByAll)
+  }
+
+  /** Year → year+month rollup of order totals. */
+  val aggRollup: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        col("o_totalprice"))
+      .rollup("y", "m")
+      .agg(
+        grouping(col("y")).cast("int").as("g_y"),
+        grouping(col("m")).cast("int").as("g_m"),
+        dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .transform(orderedByAll)
+
+  /** Cube over returnflag × linestatus. */
+  val aggCube: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_f"),
+        grouping(col("l_linestatus")).cast("int").as("g_s"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_items"))
+      .transform(orderedByAll)
+
+  /** Conditional aggregation — `sum/count(CASE WHEN …)` per group
+    * (pivot-by-hand; the 211 category-count idiom).
+    */
+  val aggFiltered: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", lit(1))).as("n_finished"),
+        count(when(col("o_orderstatus") === "O", lit(1))).as("n_open"),
+        sum(when(col("o_totalprice") > 200000, dec(col("o_totalprice"))))
+          .cast("double").as("rev_big"),
+        count(lit(1)).as("n_total"))
+      .orderBy("o_orderpriority")
+
+  /** Per-customer sorted list of order keys — collect_list is
+    * partition-order-nondeterministic, sort_array restores determinism.
+    */
+  val aggCollectSorted: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("custkey")
+
+  /** Event counts per month pivoted by event_type. The value list is
+    * explicit (FIXTURES.md: 5 types) so no discovery-distinct job runs;
+    * nulls from empty cells coalesce to 0 to match COUNT FILTER.
+    */
+  val aggPivot: Q = (s, dir) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = table(s, dir, "events")
+      .select(date_trunc("month", col("ts")).cast("date").as("month"), col("event_type"))
+      .groupBy("month")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("month") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("month")
+  }
+
+  /** Exact percentiles (sort-based, interpolated) of order totals per
+    * priority. Interpolation arithmetic is engine-specific in the last
+    * ULP, so values are rounded to 4 decimals before output (SURVEY
+    * §7.4 float discipline).
+    */
+  val aggPercentileExact: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  val queries: Map[String, Q] = Map(
+    "agg_count_distinct" -> aggCountDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_filtered" -> aggFiltered,
+    "agg_collect_sorted" -> aggCollectSorted,
+    "agg_pivot" -> aggPivot,
+    "agg_percentile_exact" -> aggPercentileExact,
+  )
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.Determinism._
+import graft.io.Readers.table
+
+/** Sort / limit / top-k / set operations (SURVEY §2.6).
+  *
+  * Scale posture: global sorts are range-partitioned by Spark (sampled
+  * boundaries — no single-node sort); `orderBy().limit(k)` plans as
+  * TakeOrderedAndProject (per-partition top-k + driver merge of k·p
+  * rows, never a full global sort); set ops are hash-partitioned
+  * aggregates/joins under the hood.
+  */
+object SetSort {
+
+  import Relational.Q
+
+  /** Global multi-key sort, mixed directions, explicit null placement.
+    * NULLs injected via nullif (source has none); Spark's asc default
+    * is nulls-first and DuckDB's is nulls-last, so both sides pin
+    * NULLS FIRST / LAST explicitly (SURVEY §7.4).
+    */
+  val sortMultikeyNulls: Q = (s, dir) =>
+    table(s, dir, "part")
+      .select(col("p_partkey"), nullif(col("p_brand"), lit("Brand#3")).as("brand_n"),
+        col("p_size"), col("p_retailprice"))
+      .orderBy(col("brand_n").desc_nulls_first, col("p_size").asc,
+        col("p_partkey").asc)
+
+  /** Global top-20 by price, unique-key tiebreak → TakeOrderedAndProject. */
+  val limitTopkGlobal: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private def sliceA(s: org.apache.spark.sql.SparkSession, dir: String) =
+    table(s, dir, "events")
+      .filter(col("value") > 90)
+      .select("event_id", "user_id", "event_type", "value")
+
+  private def sliceB(s: org.apache.spark.sql.SparkSession, dir: String) =
+    table(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select("event_id", "user_id", "event_type", "value")
+
+  /** UNION ALL of two overlapping event slices (duplicates kept). */
+  val setUnionAll: Q = (s, dir) =>
+    sliceA(s, dir).unionByName(sliceB(s, dir)).transform(orderedByAll)
+
+  /** UNION DISTINCT of the same slices (hash-dedup). */
+  val setUnionDistinct: Q = (s, dir) =>
+    sliceA(s, dir).unionByName(sliceB(s, dir)).distinct().transform(orderedByAll)
+
+  /** Customers with orders in both 1996 and 1997 (INTERSECT = distinct). */
+  val setIntersect: Q = (s, dir) => {
+    val o = table(s, dir, "orders")
+    val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey").as("custkey"))
+    val y97 = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey").as("custkey"))
+    y96.intersect(y97).orderBy("custkey")
+  }
+
+  /** Customers with orders in 1996 but not 1997 (EXCEPT = distinct). */
+  val setExcept: Q = (s, dir) => {
+    val o = table(s, dir, "orders")
+    val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey").as("custkey"))
+    val y97 = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey").as("custkey"))
+    y96.except(y97).orderBy("custkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sort_multikey_nulls" -> sortMultikeyNulls,
+    "limit_topk_global" -> limitTopkGlobal,
+    "set_union_all" -> setUnionAll,
+    "set_union_distinct" -> setUnionDistinct,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+  )
+}

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Determinism._
+import graft.io.Readers.table
+
+/** Window functions (SURVEY §2.5): ranking, lag/lead, running and
+  * moving frames, first/last.
+  *
+  * Scale posture: every window is PARTITION BY'd on a real key (user,
+  * customer, nation) so state stays per-partition — except the moving-
+  * range window, which runs over a *pre-aggregated daily* relation whose
+  * cardinality is bounded by the calendar (≤ tens of thousands of rows
+  * at any data scale), making a global range frame safe.
+  *
+  * Determinism: every window ORDER BY ends in a unique tiebreaker
+  * (orderkey / event_id / suppkey) — rank-vs-tie behavior is only
+  * exercised by value-ranking functions whose results depend on values,
+  * not row order (SURVEY §7.4).
+  */
+object Windows {
+
+  import Relational.Q
+
+  /** Top-3 orders per customer by totalprice (latest-record-wins /
+    * top-k idiom). Unique tiebreak on orderkey.
+    */
+  val winRowNumberTopk: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** rank / dense_rank / percent_rank / cume_dist over supplier
+    * balances per nation (value-determined, tie-safe) + ntile(4) over a
+    * fully tiebroken ordering (ntile is row-order-dependent).
+    */
+  val winRankDense: Q = (s, dir) => {
+    val byBal = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").desc)
+    val byBalKey = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    table(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+        rank().over(byBal).as("rnk"),
+        dense_rank().over(byBal).as("drnk"),
+        percent_rank().over(byBal).as("prnk"),
+        cume_dist().over(byBal).as("cdist"),
+        ntile(4).over(byBalKey).as("quartile"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Per-user event deltas: value − lag(value) and the gap to the
+    * previous event in exact integer microseconds (no float time math).
+    */
+  val winLagLead: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    table(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta_value"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** Running revenue per customer ordered by orderdate — exact decimal
+    * prefix sums, each cast to double at the row.
+    */
+  val winRunningSum: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_rev"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** 7-day moving revenue: pre-aggregate to daily (calendar-bounded
+    * cardinality), then RANGE frame over epoch-day ordering.
+    */
+  val winMovingRange: Q = (s, dir) => {
+    val daily = table(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      .withColumn("day", unix_date(col("d")))
+    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    daily
+      .select(col("d"),
+        col("rev").cast("double").as("day_rev"),
+        sum(col("rev")).over(w).cast("double").as("mov7_rev"))
+      .orderBy("d")
+  }
+
+  /** First/last event value per user by time, explicit full frame
+    * (default frame would stop at CURRENT ROW for last).
+    */
+  val winFirstLast: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(s, dir, "events")
+      .select(col("user_id"),
+        first(col("value")).over(w).as("first_value"),
+        last(col("value")).over(w).as("last_value"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "win_row_number_topk" -> winRowNumberTopk,
+    "win_rank_dense" -> winRankDense,
+    "win_lag_lead" -> winLagLead,
+    "win_running_sum" -> winRunningSum,
+    "win_moving_range" -> winMovingRange,
+    "win_first_last" -> winFirstLast,
+  )
+}

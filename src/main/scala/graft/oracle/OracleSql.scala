@@ -168,5 +168,211 @@ object OracleSql {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
   )
 
-  val sql: Map[String, String] = relational
+  private val aggregations: Map[String, String] = Map(
+    "agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT n_name, c_mktsegment,
+        |       CAST(GROUPING(n_name) AS INT) AS g_n,
+        |       CAST(GROUPING(c_mktsegment) AS INT) AS g_m,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), (n_name, c_mktsegment), ())
+        |ORDER BY n_name NULLS LAST, c_mktsegment NULLS LAST, g_n NULLS LAST,
+        |  g_m NULLS LAST, revenue NULLS LAST, n_orders NULLS LAST""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+        |       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+        |       CAST(GROUPING(CAST(EXTRACT(year FROM o_orderdate) AS INT)) AS INT) AS g_y,
+        |       CAST(GROUPING(CAST(EXTRACT(month FROM o_orderdate) AS INT)) AS INT) AS g_m,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP (1, 2)
+        |ORDER BY y NULLS LAST, m NULLS LAST, g_y NULLS LAST, g_m NULLS LAST,
+        |  revenue NULLS LAST, n_orders NULLS LAST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_f,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_s,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST, g_f NULLS LAST,
+        |  g_s NULLS LAST, sum_price NULLS LAST, n_items NULLS LAST""".stripMargin,
+
+    "agg_filtered" ->
+      """SELECT o_orderpriority,
+        |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+        |       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+        |       CAST(SUM(CASE WHEN o_totalprice > 200000
+        |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_big,
+        |       count(*) AS n_total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_collect_sorted" ->
+      """SELECT o_custkey AS custkey,
+        |       list_sort(array_agg(o_orderkey)) AS orderkeys,
+        |       count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+        |       count(*) FILTER (WHERE event_type = 'click') AS click,
+        |       count(*) FILTER (WHERE event_type = 'error') AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
+
+    "agg_percentile_exact" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_custom_aggregator" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "udf_scalar_normalize" ->
+      """SELECT doc_id,
+        |       lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_text,
+        |       length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+  )
+
+  private val windows: Map[String, String] = Map(
+    "win_row_number_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "win_rank_dense" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal,
+        |       rank() OVER wv AS rnk,
+        |       dense_rank() OVER wv AS drnk,
+        |       percent_rank() OVER wv AS prnk,
+        |       cume_dist() OVER wv AS cdist,
+        |       ntile(4) OVER wk AS quartile
+        |FROM supplier
+        |WINDOW wv AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC),
+        |       wk AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT user_id, event_id, ts, value,
+        |       value - lag(value, 1) OVER w AS delta_value,
+        |       epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
+        |       lead(event_id, 1) OVER w AS next_event_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS running_rev
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "win_moving_range" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT d, CAST(rev AS DOUBLE) AS day_rev,
+        |       CAST(SUM(rev) OVER (ORDER BY day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov7_rev
+        |FROM daily
+        |ORDER BY d""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT DISTINCT user_id,
+        |       first_value(value) OVER w AS first_value,
+        |       last_value(value) OVER w AS last_value,
+        |       first_value(event_type) OVER w AS first_type,
+        |       last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin,
+  )
+
+  private val setSort: Map[String, String] = Map(
+    "sort_multikey_nulls" ->
+      """SELECT p_partkey, nullif(p_brand, 'Brand#3') AS brand_n, p_size, p_retailprice
+        |FROM part
+        |ORDER BY brand_n DESC NULLS FIRST, p_size ASC, p_partkey ASC""".stripMargin,
+
+    "limit_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "set_union_all" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, event_type, value FROM events WHERE value > 90
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'click')
+        |ORDER BY event_id NULLS LAST, user_id NULLS LAST, event_type NULLS LAST,
+        |  value NULLS LAST""".stripMargin,
+
+    "set_union_distinct" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, event_type, value FROM events WHERE value > 90
+        |  UNION
+        |  SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'click')
+        |ORDER BY event_id NULLS LAST, user_id NULLS LAST, event_type NULLS LAST,
+        |  value NULLS LAST""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+        |ORDER BY custkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+        |ORDER BY custkey""".stripMargin,
+  )
+
+  val sql: Map[String, String] =
+    relational ++ aggregations ++ windows ++ setSort
 }
