@@ -8,7 +8,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Aggregations.queries ++
-      ops.Windows.queries ++ ops.SetSort.queries ++ ops.Udx.queries
+      ops.Windows.queries ++ ops.SetSort.queries ++ ops.Udx.queries ++
+      ops.Scalar.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = oracle.OracleSql.sql

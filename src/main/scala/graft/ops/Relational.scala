@@ -224,6 +224,28 @@ object Relational {
       .orderBy("user_id", "a_id", "b_id")
   }
 
+  /** As-of join: for each event, the latest order of the same user with
+    * o_orderdate <= ts. The equi key (user) carries the shuffle; the
+    * time inequality is applied post-match and latest-wins resolves via
+    * row_number with a unique orderkey tiebreak. Tie semantics are
+    * pinned explicitly because DuckDB's native ASOF JOIN leaves
+    * equal-timestamp winners unspecified — the oracle mirrors this
+    * window formulation instead (SURVEY §7.3.4).
+    */
+  val joinAsof: Q = (s, dir) => {
+    val e = table(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val o = table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey").as("asof_orderkey"), col("o_orderdate").as("asof_orderdate"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- §2.4
 
   /** TPC-H Q1 shape: exact decimal sums, deterministic averages. */
@@ -262,6 +284,7 @@ object Relational {
     "join_theta_range" -> joinThetaRange,
     "join_multiway_star" -> joinMultiwayStar,
     "join_self_dedup" -> joinSelfDedup,
+    "join_asof" -> joinAsof,
     "agg_groupby_basic" -> aggGroupbyBasic,
   )
 }

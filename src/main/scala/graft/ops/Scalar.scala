@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+
+import graft.Determinism._
+import graft.io.Readers.table
+
+/** Scalar function surface (SURVEY §2.7): string cleaning, regex,
+  * fuzzy match, datetime parts, decimal/float math, conditionals,
+  * array ops + higher-order functions, JSON extraction.
+  *
+  * All built-ins — codegen'd, pushdown-friendly; no UDFs in this module
+  * (SURVEY §4). Regex patterns stay in the Java∩RE2 subset; transcendental
+  * results (ln/pow) are rounded before output because libm last-ULP
+  * behavior differs between engines (SURVEY §7.4).
+  */
+object Scalar {
+
+  import Relational.Q
+
+  /** The 211 cleaning kernel: trim/case-fold, whitespace collapse,
+    * empty→NULL, zero-padded codes, concat_ws, substring, split.
+    */
+  val strCleanStandardize: Q = (s, dir) =>
+    table(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        trim(lower(col("c_name"))).as("clean_name"),
+        upper(col("c_mktsegment")).as("seg_u"),
+        nullif(trim(col("c_mktsegment")), lit("")).as("seg_n"),
+        lpad(col("c_nationkey").cast("string"), 4, "0").as("nation_code"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("name_seg"),
+        substring(col("c_name"), 1, 9).as("name_prefix"),
+        regexp_replace(col("c_name"), "\\s+", " ").as("name_ws"),
+        split(col("c_name"), "#").as("name_parts"))
+      .orderBy("c_custkey")
+
+  /** Token extraction from part type/name via regexp_extract (group
+    * refs; patterns always match so empty-vs-NULL no-match divergence
+    * between engines never triggers).
+    */
+  val strRegexpExtract: Q = (s, dir) =>
+    table(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "^([A-Za-z]+)", 1).as("type_first"),
+        regexp_extract(col("p_type"), "([A-Za-z]+)$", 1).as("type_last"),
+        regexp_extract(col("p_name"), "([0-9]+)", 1).as("name_digits"))
+      .orderBy("p_partkey")
+
+  /** Fuzzy supplier-name match within edit distance 1 (dedup aid).
+    * Small-dim self-pair via broadcast; at 100 TB this needs a blocking
+    * key (e.g. name prefix) before the pairwise distance — the pattern
+    * here already joins on a cheap equi block (same name length ±0 is
+    * too strict for real typos, so block on first 9 chars).
+    */
+  val strLevenshtein: Q = (s, dir) => {
+    val a = table(s, dir, "supplier")
+      .select(col("s_suppkey").as("a_key"), col("s_name").as("a_name"),
+        substring(col("s_name"), 1, 9).as("blk"))
+    val b = table(s, dir, "supplier")
+      .select(col("s_suppkey").as("b_key"), col("s_name").as("b_name"),
+        substring(col("s_name"), 1, 9).as("blk"))
+    a.join(broadcast(b), Seq("blk"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 1)
+      .select("a_key", "b_key", "a_name", "b_name", "dist")
+      .orderBy("a_key", "b_key")
+  }
+
+  /** Datetime part extraction and arithmetic over orderdates, UTC. */
+  val datePartsTrunc: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+        date_add(col("o_orderdate").cast("date"), 30).as("d_plus30"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"))
+      .orderBy("o_orderkey")
+
+  /** Decimal-exact money arithmetic + double math. The revenue chain
+    * (18,2)×(18,4)×(18,4) stays exact; ln is rounded (libm ULP).
+    */
+  val mathDecimalArith: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount"))
+          * rate(lit(1.0) + col("l_tax"))).cast("double").as("revenue"),
+        (dec(col("l_extendedprice")) * lit(new java.math.BigDecimal("0.1")))
+          .cast(Money).cast("double").as("tenth_rounded"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"))
+      .transform(orderedByAll)
+
+  /** coalesce / nullif / greatest / least over sparse (derived-NULL)
+    * columns.
+    */
+  val condCoalesceLeast: Q = (s, dir) =>
+    table(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg_or_other"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor0"),
+        least(col("c_acctbal"), lit(1000.0)).as("bal_cap1k"),
+        nullif(col("c_nationkey"), lit(5)).as("nation_n5"))
+      .orderBy("c_custkey")
+
+  /** Tokenize → explode (generator) → per-doc aggregate, joined back to
+    * row-level array ops (size / distinct / contains / slice).
+    */
+  val arrayExplodeOps: Q = (s, dir) => {
+    val tok = table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    val agg = tok
+      .select(col("doc_id"), explode(col("tokens")).as("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("token")).as("n_distinct"))
+    tok.join(agg, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        size(col("tokens")).as("n_tokens_sz"),
+        array_contains(col("tokens"), "the").as("has_the"),
+        slice(col("tokens"), 1, 3).as("first3"))
+      .orderBy("doc_id")
+  }
+
+  /** Higher-order functions over embedding vectors: transform (x²,
+    * widened to double first so both engines square exact f64),
+    * filter (>0), aggregate (sequential fold → deterministic sum).
+    */
+  val arrayHigherOrder: Q = (s, dir) =>
+    table(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")).as("squares"),
+        filter(col("embedding"), x => x > 0f).as("positives"),
+        aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")).as("sum_emb"),
+        size(col("embedding")).as("dim"))
+      .orderBy("vec_id")
+
+  /** Parse events.props JSON, extract the integer field, group by it. */
+  val mapFromJsonProps: Q = (s, dir) =>
+    table(s, dir, "events")
+      .select(
+        from_json(col("props"), MapType(StringType, IntegerType)).getItem("k").as("k"),
+        col("value"), col("event_id"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        min(col("event_id")).as("first_event"))
+      .orderBy("k")
+
+  val queries: Map[String, Q] = Map(
+    "str_clean_standardize" -> strCleanStandardize,
+    "str_regexp_extract" -> strRegexpExtract,
+    "str_levenshtein" -> strLevenshtein,
+    "date_parts_trunc" -> datePartsTrunc,
+    "math_decimal_arith" -> mathDecimalArith,
+    "cond_coalesce_least" -> condCoalesceLeast,
+    "array_explode_ops" -> arrayExplodeOps,
+    "array_higher_order" -> arrayHigherOrder,
+    "map_from_json_props" -> mapFromJsonProps,
+  )
+}

@@ -168,6 +168,123 @@ object OracleSql {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
   )
 
+  private val asof: Map[String, String] = Map(
+    "join_asof" ->
+      """SELECT event_id, user_id, ts, asof_orderkey, asof_orderdate
+        |FROM (SELECT e.event_id, e.user_id, e.ts,
+        |             o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+        |             row_number() OVER (PARTITION BY e.event_id
+        |                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |      FROM events e JOIN orders o
+        |        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+  )
+
+  private val scalarFns: Map[String, String] = Map(
+    "str_clean_standardize" ->
+      """SELECT c_custkey,
+        |       trim(lower(c_name)) AS clean_name,
+        |       upper(c_mktsegment) AS seg_u,
+        |       nullif(trim(c_mktsegment), '') AS seg_n,
+        |       lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_code,
+        |       concat_ws('|', c_name, c_mktsegment) AS name_seg,
+        |       substring(c_name, 1, 9) AS name_prefix,
+        |       regexp_replace(c_name, '\s+', ' ', 'g') AS name_ws,
+        |       string_split(c_name, '#') AS name_parts
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "str_regexp_extract" ->
+      """SELECT p_partkey,
+        |       regexp_extract(p_type, '^([A-Za-z]+)', 1) AS type_first,
+        |       regexp_extract(p_type, '([A-Za-z]+)$', 1) AS type_last,
+        |       regexp_extract(p_name, '([0-9]+)', 1) AS name_digits
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "str_levenshtein" ->
+      """SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+        |       a.s_name AS a_name, b.s_name AS b_name,
+        |       levenshtein(a.s_name, b.s_name) AS dist
+        |FROM supplier a JOIN supplier b
+        |  ON substring(a.s_name, 1, 9) = substring(b.s_name, 1, 9)
+        | AND a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY a_key, b_key""".stripMargin,
+
+    "date_parts_trunc" ->
+      """SELECT o_orderkey,
+        |       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+        |       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+        |       CAST(EXTRACT(dow FROM o_orderdate) AS INT) + 1 AS dow,
+        |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |       CAST(o_orderdate AS DATE) + 30 AS d_plus30,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "math_decimal_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |            * CAST(1.0 - l_discount AS DECIMAL(18,4))
+        |            * CAST(1.0 + l_tax AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 0.1, 2)
+        |            AS DOUBLE) AS tenth_rounded,
+        |       abs(l_discount - 0.05) AS disc_dev,
+        |       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |       l_quantity * l_quantity AS qty_sq,
+        |       round(ln(l_extendedprice), 6) AS ln_price
+        |FROM lineitem
+        |ORDER BY l_orderkey NULLS LAST, l_linenumber NULLS LAST, revenue NULLS LAST,
+        |  tenth_rounded NULLS LAST, disc_dev NULLS LAST, price_ceil NULLS LAST,
+        |  price_floor NULLS LAST, qty_sq NULLS LAST, ln_price NULLS LAST""".stripMargin,
+
+    "cond_coalesce_least" ->
+      """SELECT c_custkey,
+        |       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+        |       greatest(c_acctbal, 0.0) AS bal_floor0,
+        |       least(c_acctbal, 1000.0) AS bal_cap1k,
+        |       nullif(c_nationkey, 5) AS nation_n5
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "array_explode_ops" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct
+        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |        GROUP BY doc_id)
+        |SELECT tok.doc_id, agg.n_tokens, agg.n_distinct,
+        |       len(tok.tokens) AS n_tokens_sz,
+        |       list_contains(tok.tokens, 'the') AS has_the,
+        |       list_slice(tok.tokens, 1, 3) AS first3
+        |FROM tok JOIN agg ON tok.doc_id = agg.doc_id
+        |ORDER BY tok.doc_id""".stripMargin,
+
+    "array_higher_order" ->
+      """SELECT vec_id,
+        |       list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS squares,
+        |       list_filter(embedding, x -> x > 0) AS positives,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                   list_transform(embedding, x -> CAST(x AS DOUBLE))),
+        |                   (acc, x) -> acc + x) AS sum_emb,
+        |       len(embedding) AS dim
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "map_from_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |       count(*) AS n_events,
+        |       min(value) AS min_value,
+        |       max(value) AS max_value,
+        |       min(event_id) AS first_event
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY k""".stripMargin,
+  )
+
   private val aggregations: Map[String, String] = Map(
     "agg_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
@@ -374,5 +491,5 @@ object OracleSql {
   )
 
   val sql: Map[String, String] =
-    relational ++ aggregations ++ windows ++ setSort
+    relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort
 }
