@@ -1,0 +1,243 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Readers.table
+
+/** LLM-data-pipeline operators (SURVEY §2.8, north star): exact and
+  * near deduplication, embedding similarity search, text analytics,
+  * multimodal (text ⋈ vector) joins.
+  *
+  * Scale posture is the whole point of this module:
+  *  - exact dedup is a hash groupBy (shuffle on the content hash — at
+  *    100 TB the hash is 64 hex chars, not the document body);
+  *  - MinHash-LSH turns O(n²) near-dup search into per-band equi-joins
+  *    (shuffle key = (band, band_hash)); candidate verification touches
+  *    only LSH-colliding pairs;
+  *  - similarity search broadcasts the probe set (K vectors) and scans
+  *    the corpus once — no corpus×corpus product; the pairwise variant
+  *    blocks on `label` so the quadratic term is per-block;
+  *  - all folds over float vectors run index-sequential in double so
+  *    results are bitwise-deterministic (SURVEY §7.4).
+  */
+object Llm {
+
+  import Relational.Q
+
+  // ------------------------------------------------------------- helpers
+
+  /** Canonical text: trim, collapse whitespace, lower. */
+  private def normText(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Widen float vector to double (exact). */
+  private def asDouble(v: Column): Column =
+    transform(v, x => x.cast("double"))
+
+  /** Sequential left fold sum — bitwise deterministic. */
+  private def foldSum(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm of a double vector. */
+  private def norm2(v: Column): Column = foldSum(transform(v, x => x * x))
+
+  /** Dot product of two double vectors (index-sequential fold). */
+  private def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x * y))
+
+  // ------------------------------------------------------------- §2.8
+
+  /** Exact near-copy removal: normalize → sha256 → min doc_id wins. */
+  val dedupExactHash: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"), sha2(normText(col("text")), 256).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** Snapshot-upsert semantics (the CKAN-loader equivalent): latest
+    * event per (user, type) by ts, unique event_id tiebreak.
+    */
+  val dedupLatestWins: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    table(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * shingle (word 3-grams) → 16 MinHash values (xxhash64 with per-
+    * permutation salt — seeded, deterministic) → 4 bands × 4 rows →
+    * equi-join on (band, band_hash) → exact Jaccard ≥ 0.3 verification
+    * on candidates only. No oracle (hash-seeded; recall/precision vs
+    * brute-force Jaccard is unit-tested at sf0.001 instead — SURVEY
+    * §7.3.2).
+    */
+  val dedupMinhashLsh: Q = (s, dir) => {
+    val nPerm = 16
+    val bands = 4
+    val rowsPerBand = nPerm / bands
+
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+      .withColumn("shingles", array_distinct(
+        // word 3-grams: toks[i] ⊕ toks[i+1] ⊕ toks[i+2]
+        transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2), element_at(col("toks"), i + 3)))))
+      .filter(size(col("shingles")) > 0)
+
+    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val minhashes = (0 until nPerm).map(i => min(xxhash64(col("sh"), lit(i))).as(s"s$i"))
+    val sigs = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
+
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i")): _*)
+          .as("bh")).as(s"b$b")
+    }
+    val banded = sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+
+    val shingleSets = docs.select(col("doc_id"), col("shingles"))
+    cand
+      .join(shingleSets.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
+      .join(shingleSets.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+      .filter(col("jaccard") >= 0.3)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Brute-force cosine top-5 per probe vector (K=5 probes broadcast
+    * against one corpus scan). The scale path for large K is IVF/LSH
+    * bucketing; brute force is the exactness baseline.
+    */
+  val simCosineTopk: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("p_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("p_id"))
+      .withColumn("sim", dot(col("v"), col("pv")) / (sqrt(col("nrm")) * sqrt(col("pnrm"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("p_id", "rank", "vec_id", "sim")
+      .orderBy("p_id", "rank")
+  }
+
+  /** All same-label pairs with cosine > 0.3 — label blocking keeps the
+    * pairwise product per-block (sub-quadratic overall).
+    */
+  val simPairwiseThreshold: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val a = emb.select(col("label"), col("vec_id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_n"))
+    val b = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"),
+      col("v").as("b_v"), col("nrm").as("b_n"))
+    a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .withColumn("sim", dot(col("a_v"), col("b_v")) / (sqrt(col("a_n")) * sqrt(col("b_n"))))
+      .filter(col("sim") > 0.3)
+      .select("label", "a_id", "b_id", "sim")
+      .orderBy("label", "a_id", "b_id")
+  }
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Tokenize → stopword-filter → top-5 terms per language. */
+  val textTokenizeStats: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token").asc)
+    table(s, dir, "documents")
+      .select(col("lang"), explode(split(normText(col("text")), " ")).as("token"))
+      .filter(!col("token").isin(stopwords: _*) && col("token") =!= "")
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("lang", "rank", "token", "n")
+      .orderBy("lang", "rank")
+  }
+
+  /** TF-IDF per (doc, term), top-3 terms per doc. tfidf = tf·ln(N/df)
+    * is rounded to 6 decimals BEFORE ranking (libm ULP discipline,
+    * SURVEY §7.4) with a term tiebreak.
+    */
+  val textTfidfTopterms: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val terms = docs
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Per-(lang, source) doc stats: counts, exact avg length, histogram
+    * buckets. n_chars is integral, so sum/count division is exact.
+    */
+  val textLangPartitionStats: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        count(when(col("n_chars") < 80, lit(1))).as("n_short"),
+        count(when(col("n_chars") >= 80 && col("n_chars") < 100, lit(1))).as("n_mid"),
+        count(when(col("n_chars") >= 100, lit(1))).as("n_long"))
+      .orderBy("lang", "source")
+
+  /** Documents ⋈ embeddings: one relation carrying text + vector +
+    * label (the multimodal-column surface; inner join — FIXTURES.md
+    * notes the tables intentionally diverge in cardinality at sf0.1).
+    */
+  val multimodalJoin: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .join(table(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("label"), size(col("embedding")).as("dim"),
+        substring(col("text"), 1, 20).as("text_prefix"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact_hash" -> dedupExactHash,
+    "dedup_latest_wins" -> dedupLatestWins,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "sim_cosine_topk" -> simCosineTopk,
+    "sim_pairwise_threshold" -> simPairwiseThreshold,
+    "text_tokenize_stats" -> textTokenizeStats,
+    "text_tfidf_topterms" -> textTfidfTopterms,
+    "text_lang_partition_stats" -> textLangPartitionStats,
+    "multimodal_join" -> multimodalJoin,
+  )
+}

@@ -490,6 +490,110 @@ object OracleSql {
         |ORDER BY custkey""".stripMargin,
   )
 
+  private val llm: Map[String, String] = Map(
+    "dedup_exact_hash" ->
+      """SELECT sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY keep_id""".stripMargin,
+
+    "dedup_latest_wins" ->
+      """SELECT user_id, event_type, event_id, ts, value
+        |FROM (SELECT user_id, event_type, event_id, ts, value,
+        |             row_number() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "sim_cosine_topk" ->
+      """WITH en AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         list_reduce(list_prepend(0.0,
+        |           list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                          x -> x * x)), (a, b) -> a + b) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS p_id, v AS pv, nrm AS pnrm FROM en WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT p.p_id, en.vec_id,
+        |         list_reduce(list_prepend(0.0,
+        |           list_transform(en.v, (x, i) -> x * p.pv[i])), (a, b) -> a + b)
+        |           / (sqrt(en.nrm) * sqrt(p.pnrm)) AS sim
+        |  FROM en CROSS JOIN p WHERE en.vec_id <> p.p_id),
+        |ranked AS (
+        |  SELECT p_id, vec_id, sim,
+        |         row_number() OVER (PARTITION BY p_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM pairs)
+        |SELECT p_id, rank, vec_id, sim FROM ranked WHERE rank <= 5
+        |ORDER BY p_id, rank""".stripMargin,
+
+    "sim_pairwise_threshold" ->
+      """WITH en AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         list_reduce(list_prepend(0.0,
+        |           list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                          x -> x * x)), (a, b) -> a + b) AS nrm
+        |  FROM embeddings)
+        |SELECT label, a_id, b_id, sim FROM (
+        |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |         list_reduce(list_prepend(0.0,
+        |           list_transform(a.v, (x, i) -> x * b.v[i])), (p, q) -> p + q)
+        |           / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim
+        |  FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE sim > 0.3
+        |ORDER BY label, a_id, b_id""".stripMargin,
+
+    "text_tokenize_stats" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(
+        |           lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, count(*) AS n FROM tok
+        |      WHERE token NOT IN ('the','a','an','and','or','of','to','in','is','it')
+        |        AND token <> ''
+        |      GROUP BY 1, 2),
+        |r AS (SELECT lang, token, n,
+        |             row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+        |      FROM c)
+        |SELECT lang, rank, token, n FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+
+    "text_tfidf_topterms" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(
+        |           lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, rank, term, tfidf FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) DESC,
+        |                    tf.term) AS rank
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "text_lang_partition_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |       count(CASE WHEN n_chars < 80 THEN 1 END) AS n_short,
+        |       count(CASE WHEN n_chars >= 80 AND n_chars < 100 THEN 1 END) AS n_mid,
+        |       count(CASE WHEN n_chars >= 100 THEN 1 END) AS n_long
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "multimodal_join" ->
+      """SELECT doc_id, lang, source, n_chars, label,
+        |       len(embedding) AS dim, substring(text, 1, 20) AS text_prefix
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+  )
+
   val sql: Map[String, String] =
-    relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort
+    relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++ llm
 }
