@@ -1,0 +1,34 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY §2.1 `sink_parquet_partitioned`).
+  *
+  * Date-partitioned parquet is the 100 TB default layout: partition
+  * pruning turns time-range scans into directory listings, and
+  * downstream dynamic partition pruning applies on join keys. Writers
+  * must repartition by the partition column first, or every task
+  * writes a file into every date directory (small-file explosion at
+  * scale).
+  */
+object Sinks {
+
+  /** Write `df` partitioned by the date of `tsCol` and return the
+    * partition column name added.
+    */
+  def writePartitionedByDate(df: DataFrame, tsCol: String, path: String): String = {
+    df.withColumn("dt", to_date(col(tsCol)))
+      .repartition(col("dt"))
+      .write.mode("overwrite").partitionBy("dt").parquet(path)
+    "dt"
+  }
+
+  /** Read a date-partitioned dataset back, optionally pruned to one day
+    * (the filter lands in PartitionFilters, not a data scan).
+    */
+  def readPartitioned(spark: SparkSession, path: String, day: Option[String]): DataFrame = {
+    val base = spark.read.parquet(path)
+    day.map(d => base.filter(col("dt") === lit(d))).getOrElse(base)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Determinism._
+import graft.io.Readers.table
+
+/** Streaming surface (SURVEY §2.9), Structured-Streaming-first.
+  *
+  * Each windowed aggregation is a pure `DataFrame => DataFrame` plan
+  * builder applied to EITHER a batch events table (the oracle'd path
+  * below — Spark guarantees `window()`/`session_window()` batch
+  * results equal their streaming accumulation) OR a `readStream`/
+  * `MemoryStream` source (unit specs + `streamingGraph` here). The
+  * runtime-only semantics — watermark late-drop, stateful dedup,
+  * stream-static join, foreachBatch upsert — live in builders below
+  * and are asserted in `StreamingSpec` with MemoryStream injections
+  * (no batch oracle can see them; SURVEY §5.3).
+  *
+  * Scale posture: every stateful op keys its state by (window,
+  * event_type) or (user, session) — state is hash-partitioned across
+  * executors; watermarks bound state size (without one, a 100 TB
+  * stream accretes unbounded window state).
+  */
+object Streaming {
+
+  import Relational.Q
+
+  // ------------------------------------------------ shared plan builders
+
+  /** Per-hour tumbling counts/sums by event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** 1-hour windows sliding every 15 minutes: count + exact avg. */
+  def slidingAvg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
+        davg(col("value")).as("avg_value"))
+      .select(col("window.start").as("ws"), col("n_events"),
+        col("sum_value"), col("avg_value"))
+
+  /** Per-user sessions with a 30-minute inactivity gap. Spark's
+    * session end = last event ts + gap; the oracle mirrors that
+    * explicitly (gaps-and-islands — SURVEY §2.9).
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** 10-minute watermark + tumbling agg: in streaming mode, events
+    * later than (max seen ts − 10 min) past a finalized window are
+    * dropped. Pure runtime semantics — asserted via MemoryStream.
+    */
+  def watermarkedTumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n_events"))
+
+  /** Stateful dedup on event_id bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Enrich a stream with a static dimension (broadcast-able). */
+  def enrichWithCustomers(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(broadcast(customers),
+      events("user_id") === customers("c_custkey"), "left")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("c_name"), col("c_mktsegment"))
+
+  /** Latest-wins merge of updates into a snapshot keyed by
+    * (user_id, event_type) — the CKAN-DataStore-upsert analogue.
+    */
+  def upsertLatest(snapshot: DataFrame, updates: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    snapshot.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Micro-batch upsert sink: each batch merges into a parquet
+    * snapshot, latest row per key wins. Materializes the merge to a
+    * temp dir before swapping so the lazily-read current snapshot is
+    * never overwritten mid-read. At scale the swap would be a
+    * transactional table commit; the merge shape (union + windowed
+    * latest-wins, state partitioned by key) is the part that carries.
+    */
+  def foreachBatchUpsert(stream: DataFrame, snapshotPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(snapshotPath)
+        val merged =
+          if (fs.exists(dst)) upsertLatest(spark.read.parquet(snapshotPath), batch.toDF())
+          else upsertLatest(batch.toDF().limit(0), batch.toDF())
+        val tmp = snapshotPath + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .start()
+
+  // ------------------------------------------------------ oracle'd twins
+
+  val streamTumblingCounts: Q = (s, dir) =>
+    tumblingCounts(table(s, dir, "events")).orderBy("ws", "event_type")
+
+  val streamSlidingAvg: Q = (s, dir) =>
+    slidingAvg(table(s, dir, "events")).orderBy("ws")
+
+  val streamSessionWindows: Q = (s, dir) =>
+    sessionWindows(table(s, dir, "events")).orderBy("user_id", "session_start")
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling_counts" -> streamTumblingCounts,
+    "stream_sliding_avg" -> streamSlidingAvg,
+    "stream_session_windows" -> streamSessionWindows,
+  )
+}

@@ -594,6 +594,50 @@ object OracleSql {
         |ORDER BY doc_id""".stripMargin,
   )
 
+  private val streaming: Map[String, String] = Map(
+    "stream_tumbling_counts" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY ws, event_type""".stripMargin,
+
+    "stream_sliding_avg" ->
+      """WITH expanded AS (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+        |           - k * (INTERVAL 15 MINUTE) AS ws, value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+        |SELECT ws, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM expanded
+        |GROUP BY ws
+        |ORDER BY ws""".stripMargin,
+
+    "stream_session_windows" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM numbered
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+  )
+
   val sql: Map[String, String] =
-    relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++ llm
+    relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++
+      llm ++ streaming
 }

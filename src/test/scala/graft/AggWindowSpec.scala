@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.Encoders
+
+/** Aggregation and window adversarial cases: empty input, rank ties,
+  * UDAF exactness vs manual decimal math, HLL error bounds.
+  */
+class AggWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupBy on empty input yields zero groups (not a zero row)") {
+    val df = Seq.empty[(String, Double)].toDF("k", "v")
+    assert(df.groupBy("k").agg(sum("v")).count() === 0)
+  }
+
+  test("global agg on empty input: count=0, sum=null") {
+    val df = Seq.empty[(String, Double)].toDF("k", "v")
+    val r = df.agg(count(lit(1)), sum("v")).collect().head
+    assert(r.getLong(0) === 0 && r.isNullAt(1))
+  }
+
+  test("rank vs dense_rank vs row_number on ties") {
+    val df = Seq(("a", 10), ("b", 10), ("c", 5)).toDF("id", "v")
+    val w = Window.orderBy(col("v").desc)
+    val r = df.select(col("id"), rank().over(w).as("r"), dense_rank().over(w).as("d"))
+      .orderBy("id").as[(String, Int, Int)].collect()
+    assert(r.toSeq === Seq(("a", 1, 1), ("b", 1, 1), ("c", 3, 2)))
+  }
+
+  test("weighted-avg UDAF equals exact decimal formula across partitioning") {
+    val data = Seq(("A", 10.25, 2.0), ("A", 20.75, 3.0), ("B", 5.33, 1.0),
+      ("A", 7.11, 4.0), ("B", 9.99, 7.0))
+    for (parts <- Seq(1, 4)) {
+      val df = spark.createDataFrame(data).toDF("k", "p", "q").repartition(parts)
+      val wavg = udaf(ops.Udx.WeightedAvgPrice,
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+      val got = df.groupBy("k").agg(wavg(col("p"), col("q")).as("w"))
+        .orderBy("k").as[(String, Double)].collect().toSeq
+      val expect = data.groupBy(_._1).view.mapValues { rows =>
+        val num = rows.map(r => BigDecimal(r._2.toString) * BigDecimal(r._3.toString)).sum
+        val den = rows.map(r => BigDecimal(r._3.toString)).sum
+        num.toDouble / den.toDouble
+      }.toSeq.sortBy(_._1)
+      assert(got === expect, s"parts=$parts")
+    }
+  }
+
+  test("approx_count_distinct within declared rsd of exact") {
+    val df = (1 to 5000).map(i => i % 937).toDF("v")
+    val approx = df.agg(approx_count_distinct(col("v"), 0.05)).as[Long].collect().head
+    assert(math.abs(approx - 937.0) / 937.0 < 0.15) // 3× rsd guard band
+  }
+
+  test("running sum final row equals group total (decimal-exact)") {
+    val df = Seq((1, "2024-01-01", 10.10), (1, "2024-01-02", 0.20), (1, "2024-01-03", 5.03))
+      .toDF("k", "d", "v")
+    val w = Window.partitionBy("k").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val last = df.select(sum(col("v").cast(Determinism.Money)).over(w).as("rs"))
+      .agg(max("rs")).collect().head.getDecimal(0)
+    assert(BigDecimal(last) === BigDecimal("15.33"))
+  }
+}

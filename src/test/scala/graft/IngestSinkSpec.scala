@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-enforced ingest with quarantine + partitioned sink
+  * (SURVEY §2.1 `ingest_csv_schema` / `ingest_json_lines` /
+  * `sink_parquet_partitioned` — fixture-backed, so unit-tested rather
+  * than driver-oracle'd).
+  */
+class IngestSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String) = {
+    val d = Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit(); d.getAbsolutePath
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("name", StringType),
+    StructField("amount", DoubleType)))
+
+  test("CSV ingest quarantines malformed rows, keeps good ones typed") {
+    val dir = tmpDir("csv")
+    Files.writeString(java.nio.file.Paths.get(dir, "in.csv"),
+      "id,name,amount\n1,alice,10.5\nnotint,bob,2.5\n2,carol,7.25\n3,dave,notadouble\n")
+    val df = io.Readers.csvWithQuarantine(spark, s"$dir/in.csv", schema).cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() === 2)
+    assert(bad.count() === 2)
+    assert(good.select("id").as[Int].collect().toSet === Set(1, 2))
+    // raw line preserved for the quarantine channel
+    assert(bad.select("_corrupt_record").as[String].collect().exists(_.contains("notint")))
+  }
+
+  test("JSONL ingest quarantines syntax + type errors") {
+    val dir = tmpDir("json")
+    Files.writeString(java.nio.file.Paths.get(dir, "in.jsonl"),
+      """{"id": 1, "name": "alice", "amount": 10.5}
+        |{"id": "x", "name": "bob", "amount": 2.5}
+        |this is not json
+        |{"id": 3, "name": "carol", "amount": 1.0}
+        |""".stripMargin)
+    val df = io.Readers.jsonWithQuarantine(spark, s"$dir/in.jsonl", schema).cache()
+    assert(df.filter(col("_corrupt_record").isNull).count() === 2)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() === 2)
+  }
+
+  test("partitioned parquet sink: round-trip, dt directories, pruned read") {
+    val dir = tmpDir("sink") + "/out"
+    val df = Seq(
+      (1L, ts("2024-03-01 10:00:00"), 5.0), (2L, ts("2024-03-01 23:00:00"), 6.0),
+      (3L, ts("2024-03-02 00:30:00"), 7.0)).toDF("id", "ts", "v")
+    io.Sinks.writePartitionedByDate(df, "ts", dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("dt=2024-03-01", "dt=2024-03-02"))
+    val all = io.Sinks.readPartitioned(spark, dir, None)
+    assert(all.count() === 3)
+    val oneDay = io.Sinks.readPartitioned(spark, dir, Some("2024-03-01"))
+    assert(oneDay.select("id").as[Long].collect().toSet === Set(1L, 2L))
+    // the day filter must land as a partition filter, not a data filter
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("dt"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-op semantics on planted fixtures: exact-dedup grouping +
+  * idempotence, MinHash-LSH recall vs brute-force Jaccard, cosine
+  * properties (SURVEY §5.4).
+  *
+  * The ops under test are `(SparkSession, sfDir) => DataFrame` plan
+  * builders reading `{dir}/documents.parquet` etc., so fixtures are
+  * written as parquet to a temp dir shaped like a scale-factor dir.
+  */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fixtureDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("llmfix").toString
+    val docs = Seq(
+      // pair (1,2): exact duplicates modulo whitespace/case
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", "s1", 60L),
+      (2L, "The  quick Brown fox jumps over the lazy dog near the river bank today", "en", "s1", 60L),
+      // pair (3,4): near-duplicates (one word changed)
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu", "en", "s2", 70L),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu xi", "en", "s2", 70L),
+      // distinct
+      (5L, "one two three four five six seven eight nine ten eleven twelve thirteen", "en", "s3", 71L),
+      (6L, "completely different words appear here with no overlap whatsoever in any shingle", "de", "s3", 80L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$d/documents.parquet")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0), (2L, Array(0.6f, 0.8f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.0f, 0.0f), 0), (4L, Array(0.0f, 0.0f, 2.0f), 1),
+      (5L, Array(0.0f, 1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    emb.coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("exact dedup groups normalized duplicates, min id wins") {
+    val r = ops.Llm.dedupExactHash(spark, fixtureDir)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(r(1L) === 2L) // docs 1+2 collapse, keeper is min id
+    assert(r(3L) === 1L && r(4L) === 1L) // near-dups do NOT collapse exactly
+  }
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val once = ops.Llm.dedupExactHash(spark, fixtureDir).select("text_hash", "keep_id")
+    val again = once.groupBy("text_hash").agg(min("keep_id").as("keep_id"))
+    assert(once.count() === again.count())
+  }
+
+  test("MinHash-LSH finds exact and near duplicate pairs (recall vs brute force)") {
+    val got = ops.Llm.dedupMinhashLsh(spark, fixtureDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), "exact-dup pair must be found")
+    assert(got.contains((3L, 4L)), "near-dup pair (jaccard ~0.71) must be found")
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L || p._1 == 6L || p._2 == 6L),
+      "distinct docs must not pair")
+  }
+
+  test("cosine similarity: bounds, symmetry, known geometry") {
+    val r = ops.Llm.simPairwiseThreshold(spark, fixtureDir)
+      .select("a_id", "b_id", "sim").as[(Long, Long, Double)].collect()
+    r.foreach { case (_, _, s) => assert(s >= -1.0 - 1e-12 && s <= 1.0 + 1e-12) }
+    // label 0: vec1=(1,0,0), vec2=(0.6,0.8,0) → cos = 0.6 (> τ=0.3);
+    // vec1·vec3 = -1 (excluded); vec2·vec3 = -0.6 (excluded)
+    val m = r.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m.keySet === Set((1L, 2L)))
+    // inputs are float32 on disk → 0.6/0.8 are not exact; f32 epsilon bound
+    assert(math.abs(m((1L, 2L)) - 0.6) < 1e-6)
+  }
+
+  test("latest-wins dedup is idempotent and keeps max ts per key") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "click", 2.0, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 7L, "click", 3.0, "{}"), // ts tie → higher id wins
+      (4L, ts("2024-01-01 09:00:00"), 8L, "view", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val once = ops.Streaming.upsertLatest(events.limit(0), events)
+    val twice = ops.Streaming.upsertLatest(once, once.limit(0))
+    assert(once.count() === 2)
+    val byKey = once.select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(byKey(7L) === 3L && byKey(8L) === 4L)
+    assert(twice.count() === once.count())
+  }
+}

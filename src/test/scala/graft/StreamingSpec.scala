@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming runtime semantics via MemoryStream (SURVEY §5.3):
+  * batch-vs-stream agreement, watermark late-drop, stateful dedup,
+  * stream-static join, foreachBatch upsert. These behaviors only exist
+  * in the streaming runtime — no batch oracle can observe them.
+  */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+  event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ev(id: Long, t: String, u: Long = 1L, typ: String = "click",
+      v: Double = 1.0) = Ev(id, ts(t), u, typ, v, "{}")
+
+  test("tumbling counts: streaming accumulation equals batch twin") {
+    val rows = Seq(
+      ev(1, "2024-01-01 10:05:00", 1), ev(2, "2024-01-01 10:55:00", 2),
+      ev(3, "2024-01-01 11:05:00", 1, "view"), ev(4, "2024-01-01 11:20:00", 2),
+      ev(5, "2024-01-01 13:00:00", 3, "view", 2.5))
+    val stream = MemoryStream[Ev]
+    val q = ops.Streaming.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    try {
+      stream.addData(rows.take(2)); q.processAllAvailable()
+      stream.addData(rows.drop(2)); q.processAllAvailable()
+      val streamed = spark.table("tumb").orderBy("ws", "event_type").collect().toSeq
+      val batch = ops.Streaming.tumblingCounts(rows.toDF())
+        .orderBy("ws", "event_type").collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("session windows: streaming equals batch twin (30-min gap)") {
+    val rows = Seq(
+      ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:20:00", 1), // same session
+      ev(3, "2024-01-01 11:30:00", 1),                                  // gap > 30m → new
+      ev(4, "2024-01-01 10:00:00", 2))
+    val stream = MemoryStream[Ev]
+    val q = ops.Streaming.sessionWindows(stream.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try {
+      stream.addData(rows); q.processAllAvailable()
+      val streamed = spark.table("sess").orderBy("user_id", "session_start").collect().toSeq
+      val batch = ops.Streaming.sessionWindows(rows.toDF())
+        .orderBy("user_id", "session_start").collect().toSeq
+      assert(streamed === batch)
+      assert(batch.length === 3)
+    } finally q.stop()
+  }
+
+  test("watermark drops late events from closed windows (append mode)") {
+    val stream = MemoryStream[Ev]
+    val q = ops.Streaming.watermarkedTumbling(stream.toDF())
+      .writeStream.format("memory").queryName("wm").outputMode("append").start()
+    try {
+      // batch 1: one event in the 10:00 window; max ts 11:25 → watermark 11:15
+      stream.addData(Seq(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 11:25:00")))
+      q.processAllAvailable()
+      // batch 2: a late event for the (now closed) 10:00 window — must be dropped —
+      // plus an event advancing the watermark past 12:00
+      stream.addData(Seq(ev(3, "2024-01-01 10:10:00"), ev(4, "2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      // batch 3: advance watermark past 13:00 so the 11:00/12:00 windows emit
+      stream.addData(Seq(ev(5, "2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("wm")
+        .select(col("ws").cast("string"), col("n_events")).as[(String, Long)]
+        .collect().toMap
+      assert(out("2024-01-01 10:00:00") === 1L, "late event must not be counted")
+      assert(out("2024-01-01 11:00:00") === 1L)
+      assert(out("2024-01-01 12:00:00") === 1L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedupes by event_id across batches") {
+    val stream = MemoryStream[Ev]
+    val q = ops.Streaming.dedupWithinWatermark(stream.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      stream.addData(Seq(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30")))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(1, "2024-01-01 10:01:00"), ev(2, "2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      assert(spark.table("dd").select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches events with customer dim") {
+    val customers = Seq((1L, "Alice", "BUILDING"), (2L, "Bob", "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+    val stream = MemoryStream[Ev]
+    val q = ops.Streaming.enrichWithCustomers(stream.toDF(), customers)
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      stream.addData(Seq(ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:01:00", 99)))
+      q.processAllAvailable()
+      val r = spark.table("enr").select("user_id", "c_name").as[(Long, Option[String])]
+        .collect().toMap
+      assert(r(1L) === Some("Alice"))
+      assert(r(99L) === None, "unmatched stream rows survive the left join")
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert: snapshot holds latest row per key across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString
+    val snap = s"$dir/snapshot"
+    val stream = MemoryStream[Ev]
+    val q = ops.Streaming.foreachBatchUpsert(stream.toDF(), snap, s"$dir/ckpt")
+    try {
+      stream.addData(Seq(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:00:00", 2, "click", 2.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(3, "2024-01-01 11:00:00", 1, "click", 9.0))) // supersedes ev1
+      q.processAllAvailable()
+      val r = spark.read.parquet(snap)
+        .select("user_id", "event_id", "value").as[(Long, Long, Double)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      assert(r(1L) === (3L, 9.0), "second batch must supersede first for user 1")
+      assert(r(2L) === (2L, 2.0))
+    } finally q.stop()
+  }
+}
