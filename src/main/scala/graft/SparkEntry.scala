@@ -9,7 +9,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Aggregations.queries ++
       ops.Windows.queries ++ ops.SetSort.queries ++ ops.Udx.queries ++
-      ops.Scalar.queries ++ ops.Llm.queries ++ ops.Streaming.queries
+      ops.Scalar.queries ++ ops.Llm.queries ++ ops.Llm2.queries ++
+      ops.Streaming.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = oracle.OracleSql.sql

@@ -1,0 +1,257 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.io.Readers.table
+
+/** Training-data-pipeline operators beyond SURVEY §2.8's core set:
+  * language-ID, quality scoring, token counting, document
+  * fingerprinting, SimHash near-dup, n-gram Jaccard, IVF-style ANN,
+  * binary-column metadata (north star: BASELINE.json:6).
+  *
+  * Scale posture mirrors §2.8: everything is one scan + hash
+  * partitioned aggregation; pairwise ops are blocked (lang /
+  * simhash-band / IVF-cluster) so no unblocked O(n²) exists.
+  */
+object Llm2 {
+
+  import Relational.Q
+
+  private def toks(c: Column): Column =
+    split(lower(regexp_replace(trim(c), "\\s+", " ")), " ")
+
+  // ------------------------------------------------------- language ID
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "das", "nicht", "ein"),
+    "en" -> Seq("the", "and", "of", "is", "with", "that", "this"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour"))
+
+  /** N-gram/marker-token language ID. Scores = marker-token hits per
+    * language + CJK codepoint count for zh; argmax with alphabetical
+    * tie-break, 'und' when nothing scores. The heuristic is
+    * deterministic and SQL-expressible, so it IS oracle-checked on the
+    * driver corpus; discriminative power is asserted on real-language
+    * fixtures in the unit spec (the synthetic corpus shares one
+    * vocabulary across langs).
+    */
+  val textLangId: Q = (s, dir) => {
+    val t = toks(col("text"))
+    val scores = langMarkers.map { case (lang, ms) =>
+      size(filter(t, x => x.isin(ms.map(lit(_)): _*))).as(s"s_$lang")
+    }
+    val sZh = size(split(col("text"), "[一-鿿]")) - 1
+    val mx = greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh"))
+    table(s, dir, "documents")
+      .select(col("doc_id") +: scores :+ sZh.as("s_zh"): _*)
+      .withColumn("pred_lang",
+        when(col("s_zh") > 0, "zh") // CJK presence dominates
+          .when(mx === 0, "und")
+          .when(col("s_de") === mx, "de")
+          .when(col("s_en") === mx, "en")
+          .when(col("s_es") === mx, "es")
+          .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------- quality scoring
+
+  private val qStopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Heuristic quality score: token count, mean token length, stopword
+    * ratio, non-alnum ratio. All components are exact int ratios; the
+    * blended score is rounded to 6 (SURVEY §7.4).
+    */
+  val textQualityScore: Q = (s, dir) => {
+    val t = toks(col("text"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        size(t).as("n_tokens"),
+        size(filter(t, x => x.isin(qStopwords.map(lit(_)): _*))).as("n_stop"))
+      .withColumn("avg_token_len",
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens")))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("nonalnum_ratio",
+        (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+          .cast("double") / length(col("text")))
+      .withColumn("quality", round(
+        least(col("n_tokens").cast("double") / 20.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - col("stop_ratio")) * 0.3 +
+          (lit(1.0) - col("nonalnum_ratio")) * 0.3, 6))
+      .select("doc_id", "n_tokens", "n_stop", "avg_token_len", "stop_ratio",
+        "nonalnum_ratio", "quality")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------ token counts
+
+  /** Whitespace token count + BPE-ish piece count (letter runs, digit
+    * runs, punctuation runs — the pre-tokenizer split a byte-pair
+    * encoder would see).
+    */
+  val textTokenCount: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).as("bpe_pieces"),
+        (length(col("text")).cast("double") / 4.0).as("est_llm_tokens"))
+      .orderBy("doc_id")
+
+  // -------------------------------------------------- doc fingerprinting
+
+  /** Polynomial rolling hash over the normalized character stream,
+    * mod 1e9+7 — a content fingerprint computable identically in any
+    * engine (no engine-specific hash), sequential fold → deterministic.
+    */
+  val textFingerprint: Q = (s, dir) => {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        aggregate(
+          transform(sequence(lit(1), length(norm)), i => ascii(norm.substr(i, lit(1)))),
+          lit(0L), (h, c) => (h * lit(31L) + c.cast("long")) % lit(1000000007L))
+          .as("fingerprint"),
+        length(norm).as("n_chars_norm"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------- n-gram Jaccard
+
+  /** Token-bigram Jaccard near-dup pairs within a language block —
+    * the exact (non-probabilistic) counterpart to MinHash; fully
+    * SQL-expressible so it carries an oracle. Blocked by lang to keep
+    * the pairwise product per-block.
+    */
+  val dedupNgramJaccard: Q = (s, dir) => {
+    val grams = array_distinct(
+      transform(sequence(lit(0), size(toks(col("text"))) - 2),
+        i => concat_ws(" ", element_at(toks(col("text")), i + 1),
+          element_at(toks(col("text")), i + 2))))
+    val d = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), grams.as("grams"))
+      .filter(size(col("grams")) > 0)
+    val a = d.select(col("lang"), col("doc_id").as("a_id"), col("grams").as("a_g"))
+    val b = d.select(col("lang").as("b_lang"), col("doc_id").as("b_id"), col("grams").as("b_g"))
+    a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a_g"), col("b_g"))).cast("double") /
+          size(array_union(col("a_g"), col("b_g"))).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("lang", "a_id", "b_id", "jaccard")
+      .orderBy("lang", "a_id", "b_id")
+  }
+
+  // ---------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash near-dup pairs over word-bigram features:
+    * per-feature xxhash64 → bitwise majority vote → 8×8-bit band
+    * blocking → Hamming ≤ 7 verification via bit_count(xor). 8 bands
+    * guarantee a clean-band collision for any pair within the
+    * threshold (pigeonhole). Bigram features (not unigrams) so that
+    * shared-vocabulary-but-reordered documents don't collide; the 8/64
+    * threshold suits short documents, where one changed token out of
+    * ~50 flips ~6 sign bits (classic web-scale SimHash uses 3/64 only
+    * because its feature sets are thousands of tokens). Engine-seeded
+    * hash → no oracle (like MinHash); recall is unit-tested on planted
+    * near-dups.
+    */
+  val dedupSimhash: Q = (s, dir) => {
+    val bigrams = array_distinct(
+      transform(sequence(lit(0), size(toks(col("text"))) - 2),
+        i => concat_ws(" ", element_at(toks(col("text")), i + 1),
+          element_at(toks(col("text")), i + 2))))
+    val d = table(s, dir, "documents")
+      .select(col("doc_id"), explode(bigrams).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v$i"))
+    val sig = d.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .withColumn("simhash",
+        (0 until 64).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _))
+      .select("doc_id", "simhash")
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 8).map(k =>
+          struct(lit(k).as("band"),
+            shiftright(col("simhash"), k * 8).bitwiseAND(0xFFL).as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.band").as("band"), col("e.bv").as("bv"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash").as("a_sh"), col("b.simhash").as("b_sh"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+      .filter(col("hamming") <= 7)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  // ------------------------------------------------------------- ANN
+
+  /** IVF-style approximate nearest neighbor: deterministic coarse
+    * centroids (vec_id < 8), nearest-centroid assignment, probe search
+    * confined to the probe's own cluster. The scale path for ANN —
+    * cluster assignment shards the corpus so each query touches 1/C of
+    * it. Recall vs brute force is unit-tested; no oracle (rows-only).
+    */
+  val simAnnIvf: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val simToC = aggregate(zip_with(col("v"), col("cv"), (x, y) => x * y),
+      lit(0.0), (a, x) => a + x) / (col("nrm") * col("cnrm"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id").asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("csim", simToC)
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cluster"))
+    val probes = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("p_id"), col("v").as("pv"), col("nrm").as("pnrm"),
+        col("cluster").as("p_cluster"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes),
+        col("cluster") === col("p_cluster") && col("vec_id") =!= col("p_id"))
+      .withColumn("sim",
+        aggregate(zip_with(col("v"), col("pv"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+          / (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select("p_id", "rank", "vec_id", "sim")
+      .orderBy("p_id", "rank")
+  }
+
+  // ------------------------------------------------- binary metadata
+
+  /** Opaque-binary column surface: bytes + typed metadata extracted
+    * without decoding (octet length, content digest). The decode /
+    * resize / frame-sample stubs live in `ops.Multimodal` (the image
+    * libs are absent here — SURVEY environment) with the Spark-side
+    * plumbing real and unit-tested.
+    */
+  val multimodalBinaryMeta: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("digest"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "text_lang_id" -> textLangId,
+    "text_quality_score" -> textQualityScore,
+    "text_token_count" -> textTokenCount,
+    "text_fingerprint" -> textFingerprint,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_simhash" -> dedupSimhash,
+    "sim_ann_ivf" -> simAnnIvf,
+    "multimodal_binary_meta" -> multimodalBinaryMeta,
+  )
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing (north star:
+  * BASELINE.json:6).
+  *
+  * Media are carried as opaque `binary` columns plus typed metadata
+  * structs. The actual codec step is STUBBED — the container has no
+  * image/audio libraries (builder-prompt environment note) — behind a
+  * deterministic header parser, so every Spark-side concern the
+  * operator has at 100 TB is real and tested: schema, per-partition
+  * batch iteration (one decoder instantiation per partition, the same
+  * shape a Pandas-UDF/mapInPandas pipeline has), null/corrupt-input
+  * handling, and partition-count preservation.
+  *
+  * Header format for the fake codec (12 bytes, big-endian):
+  * magic "GFTI" | uint16 width | uint16 height | uint8 channels |
+  * uint8 format tag | 2 reserved. Anything shorter/wrong-magic decodes
+  * to null metadata (the quarantine path).
+  */
+object Multimodal {
+
+  case class MediaMeta(width: Int, height: Int, channels: Int, format: String)
+
+  /** STUB decoder — deterministic header parse, no codec. A real
+    * deployment swaps only this function body for an actual library
+    * call; the pipeline around it is unchanged.
+    */
+  def decodeMeta(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (!(bytes(0) == 'G' && bytes(1) == 'F' && bytes(2) == 'T' && bytes(3) == 'I')) return None
+    val w = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+    val h = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+    val c = bytes(8) & 0xff
+    val fmt = (bytes(9) & 0xff) match {
+      case 0 => "raw"; case 1 => "jpeg-like"; case 2 => "png-like"; case _ => "unknown"
+    }
+    Some(MediaMeta(w, h, c, fmt))
+  }
+
+  /** Encode a header for tests / synthetic fixtures. */
+  def encodeHeader(w: Int, h: Int, c: Int, fmtTag: Int, payload: Array[Byte]): Array[Byte] = {
+    val hdr = Array[Byte]('G', 'F', 'T', 'I',
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      c.toByte, fmtTag.toByte, 0, 0)
+    hdr ++ payload
+  }
+
+  /** Attach decoded metadata to an (id, bytes) relation. Runs the
+    * decoder per partition over an iterator — the decoder is
+    * instantiated once per partition, never per row, and never leaves
+    * the executor (no collect).
+    */
+  def withDecodedMeta(media: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder setup would happen here (stub: none)
+      it.map { case (id, bytes) =>
+        val m = decodeMeta(bytes)
+        (id, bytes, m.map(_.width), m.map(_.height), m.map(_.channels), m.map(_.format))
+      }
+    }.toDF("media_id", "bytes", "width", "height", "channels", "format")
+  }
+
+  /** "Resize" stub: emits the target dims + a payload slice whose size
+    * is proportional to the pixel ratio — the data-movement shape of a
+    * real resize (output smaller than input, computed per row in the
+    * executor).
+    */
+  def resizeStub(media: Dataset[(Long, Array[Byte])], targetW: Int, targetH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        decodeMeta(bytes) match {
+          case Some(m) if m.width > 0 && m.height > 0 =>
+            val ratio = math.min(1.0,
+              (targetW.toLong * targetH).toDouble / (m.width.toLong * m.height))
+            val body = bytes.drop(12)
+            val keep = math.max(1, (body.length * ratio).toInt)
+            (id, encodeHeader(targetW, targetH, m.channels, 0, body.take(keep)), true)
+          case _ => (id, null: Array[Byte], false)
+        }
+      }
+    }.toDF("media_id", "resized", "ok")
+  }
+
+  /** Frame-sample stub for video-like payloads: every `stride`-th
+    * fixed-size chunk of the payload becomes a "frame" row (generator
+    * shape: one input row → N output rows, flatMap not collect).
+    */
+  def sampleFrames(media: Dataset[(Long, Array[Byte])], frameSize: Int, stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { case (id, bytes) =>
+      if (decodeMeta(bytes).isEmpty) Iterator.empty
+      else bytes.drop(12).grouped(frameSize).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (chunk, idx) => (id, idx, chunk) }
+    }.toDF("media_id", "frame_idx", "frame_bytes")
+  }
+}

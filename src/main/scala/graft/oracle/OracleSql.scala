@@ -637,7 +637,103 @@ object OracleSql {
         |ORDER BY user_id, session_start""".stripMargin,
   )
 
+  private val llm2: Map[String, String] = Map(
+    "text_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks,
+        |         text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','und','ist','das','nicht','ein'))) AS INT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','with','that','this'))) AS INT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','una'))) AS INT) AS s_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','les','et','est','une','dans','pour'))) AS INT) AS s_fr,
+        |    CAST(len(regexp_extract_all(text, '[一-鿿]')) AS INT) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |       CASE WHEN s_zh > 0 THEN 'zh'
+        |            WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |            ELSE 'fr' END AS pred_lang
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS INT) AS n_tokens,
+        |         CAST(len(list_filter(toks,
+        |           x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS INT) AS n_stop,
+        |         CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |           / len(toks) AS avg_token_len,
+        |         CAST(len(list_filter(toks,
+        |           x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |           / len(toks) AS stop_ratio,
+        |         CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |           / length(text) AS nonalnum_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_stop, avg_token_len, stop_ratio, nonalnum_ratio,
+        |       round(least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
+        |             + (1.0 - stop_ratio) * 0.3
+        |             + (1.0 - nonalnum_ratio) * 0.3, 6) AS quality
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpe_pieces,
+        |       CAST(length(text) AS DOUBLE) / 4.0 AS est_llm_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(generate_series(1, length(norm)),
+        |           i -> CAST(ascii(substring(norm, i, 1)) AS BIGINT))),
+        |         (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint,
+        |       CAST(length(norm) AS INT) AS n_chars_norm
+        |FROM n
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i + 1])) AS grams
+        |  FROM (SELECT doc_id, lang,
+        |          string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 2)
+        |SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |         / len(list_distinct(a.grams || b.grams)) AS jaccard
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / len(list_distinct(a.grams || b.grams)) >= 0.5
+        |ORDER BY a.lang, a_id, b_id""".stripMargin,
+
+    "multimodal_binary_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       md5(text) AS digest
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+  )
+
   val sql: Map[String, String] =
     relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++
-      llm ++ streaming
+      llm ++ streaming ++ llm2
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the extended training-data ops on planted fixtures:
+  * language-ID discrimination on real-language text, SimHash recall,
+  * IVF-ANN recall vs brute force, fingerprint sensitivity, multimodal
+  * decode/resize/frame plumbing.
+  */
+class Llm2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fixtureDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("llm2fix").toString
+    Seq(
+      (1L, "the cat is on the roof and the dog is with that other cat in this house", "en", "s1", 70L),
+      (2L, "el perro y la gata de que los vecinos hablan y una casa de la calle", "es", "s1", 67L),
+      (3L, "der hund und die katze ist nicht das problem und ein haus ist der ort", "de", "s1", 69L),
+      (4L, "le chien et les chats est une belle chose dans la rue et pour la vie", "fr", "s1", 68L),
+      (5L, "数据 处理 引擎 在 集群 上 运行", "zh", "s2", 14L),
+      (6L, "qqq www eee rrr ttt yyy uuu iii", "en", "s2", 31L),
+      // simhash near-dup pair: one bigram feature differs out of 101
+      // (vote margins widen with doc length; short docs flip more bits)
+      (7L, (1 to 101).map(i => s"tok$i").mkString(" ") + " nu", "en", "s3", 70L),
+      (8L, (1 to 101).map(i => s"tok$i").mkString(" ") + " xi", "en", "s3", 70L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    // two tight clusters far apart + probes inside them
+    val vecs = Seq(
+      (0L, Array(10f, 0f, 0f), 0), (1L, Array(0f, 10f, 0f), 1),
+      (10L, Array(9.8f, 0.5f, 0f), 0), (11L, Array(9.9f, -0.4f, 0f), 0),
+      (12L, Array(0.3f, 9.7f, 0f), 1), (13L, Array(-0.2f, 9.9f, 0f), 1),
+      (14L, Array(9.7f, 0.1f, 0.2f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    vecs.coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("language ID discriminates real-language text, CJK dominates, und fallback") {
+    val r = ops.Llm2.textLangId(spark, fixtureDir)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(r(1L) === "en"); assert(r(2L) === "es"); assert(r(3L) === "de")
+    assert(r(4L) === "fr"); assert(r(5L) === "zh"); assert(r(6L) === "und")
+  }
+
+  test("quality score bounded [0,1], degenerate text scores lower than clean text") {
+    val r = ops.Llm2.textQualityScore(spark, fixtureDir)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    r.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
+  }
+
+  test("fingerprint: identical normalized text → same fp; one-char change → different fp") {
+    val d = java.nio.file.Files.createTempDirectory("fp").toString
+    Seq((1L, "abc def", "en", "s", 7L), (2L, "ABC   def", "en", "s", 9L),
+      (3L, "abc deg", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val r = ops.Llm2.textFingerprint(spark, d)
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    assert(r(1L) === r(2L), "case/whitespace-normalized texts share a fingerprint")
+    assert(r(1L) !== r(3L), "single char change must move the fingerprint")
+  }
+
+  test("SimHash pairs the planted near-duplicate and nothing else") {
+    val got = ops.Llm2.dedupSimhash(spark, fixtureDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((7L, 8L)), "near-dup pair (12/13 shared tokens) must collide")
+    assert(!got.exists(p => Set(1L, 2L, 3L, 4L, 5L)(p._1)), "distinct docs must not pair")
+  }
+
+  test("IVF ANN recall: cluster-confined top-k equals brute force on clustered data") {
+    val ann = ops.Llm2.simAnnIvf(spark, fixtureDir)
+      .select("p_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // probe 0 lives in the x-cluster: nearest are 11, 14, 10 (by cosine)
+    assert(ann(0L).toSet === Set(10L, 11L, 14L))
+    // probe 1 lives in the y-cluster: nearest are 12, 13
+    assert(ann(1L).toSet === Set(12L, 13L))
+  }
+
+  test("multimodal: decode stub parses header, quarantines corrupt bytes") {
+    val media = Seq(
+      (1L, ops.Multimodal.encodeHeader(640, 480, 3, 1, Array.fill[Byte](100)(7))),
+      (2L, ops.Multimodal.encodeHeader(64, 64, 1, 2, Array.fill[Byte](10)(1))),
+      (3L, Array[Byte](1, 2, 3)), // too short → quarantine
+      (4L, "JUNKJUNKJUNKJUNK".getBytes) // wrong magic → quarantine
+    ).toDS()
+    val r = ops.Multimodal.withDecodedMeta(media)
+    val byId = r.select("media_id", "width", "format")
+      .as[(Long, Option[Int], Option[String])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(1L) === ((Some(640), Some("jpeg-like"))))
+    assert(byId(2L) === ((Some(64), Some("png-like"))))
+    assert(byId(3L) === ((None, None)))
+    assert(byId(4L) === ((None, None)))
+  }
+
+  test("multimodal: resize shrinks payload proportionally; frame sampling strides") {
+    val payload = Array.tabulate[Byte](1000)(i => (i % 127).toByte)
+    val media = Seq((1L, ops.Multimodal.encodeHeader(100, 100, 3, 0, payload))).toDS()
+    val resized = ops.Multimodal.resizeStub(media, 10, 10).collect().head
+    assert(resized.getBoolean(2))
+    val outBytes = resized.getAs[Array[Byte]]("resized")
+    assert(outBytes.length === 12 + 10, "1% pixel ratio keeps 10 of 1000 payload bytes")
+    val frames = ops.Multimodal.sampleFrames(media, frameSize = 100, stride = 2)
+    assert(frames.count() === 5, "10 chunks, every 2nd sampled")
+    assert(frames.select(max("frame_idx")).as[Int].collect().head === 8)
+  }
+}
