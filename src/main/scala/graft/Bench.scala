@@ -8,8 +8,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM (codegen, shuffle, parquet reader paths) so the
+    // first timed query doesn't absorb session init + JIT cost.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = spark.range(0, 200000).select(col("id"), (col("id") % 97).as("k"))
+      w.groupBy("k").count().count()
+      w.join(w.limit(1000), "id").count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.TextExpressions.{CosineSim, WordShingles}
+
+/** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
+  * registers the native expressions so they resolve by name from both
+  * the Column API (`call_function`) and SQL. This is the supported
+  * public seam for custom Catalyst expressions — no private Spark API
+  * is touched.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, Literal(n: Int, _)) => WordShingles(text, n)
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(text, n) expects a string column and an int literal")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => CosineSim(a, b)
+        case _ => throw new IllegalArgumentException("cosine_sim(a, b) expects two array columns")
+      }))
+  }
+}

@@ -47,6 +47,10 @@ object Llm {
   private def dot(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x * y))
 
+  /** Codegen'd cosine (bit-identical to dot/(√n·√n) HOF fold). */
+  private def cos(a: Column, b: Column): Column =
+    graft.functions.TextExpressions.cosineSim(a, b)
+
   // ------------------------------------------------------------- §2.8
 
   /** Exact near-copy removal: normalize → sha256 → min doc_id wins. */
@@ -85,12 +89,8 @@ object Llm {
     val rowsPerBand = nPerm / bands
 
     val docs = table(s, dir, "documents")
-      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
-      .withColumn("shingles", array_distinct(
-        // word 3-grams: toks[i] ⊕ toks[i+1] ⊕ toks[i+2]
-        transform(sequence(lit(0), size(col("toks")) - 3),
-          i => concat_ws(" ", element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2), element_at(col("toks"), i + 3)))))
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.wordShingles(col("text"), 3).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
     val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
@@ -132,14 +132,13 @@ object Llm {
   val simCosineTopk: Q = (s, dir) => {
     val emb = table(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm2(col("v")))
     val probes = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("p_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+      .select(col("vec_id").as("p_id"), col("v").as("pv"))
     val w = Window.partitionBy(col("p_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     emb.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("p_id"))
-      .withColumn("sim", dot(col("v"), col("pv")) / (sqrt(col("nrm")) * sqrt(col("pnrm"))))
+      .withColumn("sim", cos(col("v"), col("pv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("p_id", "rank", "vec_id", "sim")
@@ -152,12 +151,11 @@ object Llm {
   val simPairwiseThreshold: Q = (s, dir) => {
     val emb = table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm2(col("v")))
-    val a = emb.select(col("label"), col("vec_id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_n"))
+    val a = emb.select(col("label"), col("vec_id").as("a_id"), col("v").as("a_v"))
     val b = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"),
-      col("v").as("b_v"), col("nrm").as("b_n"))
+      col("v").as("b_v"))
     a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
-      .withColumn("sim", dot(col("a_v"), col("b_v")) / (sqrt(col("a_n")) * sqrt(col("b_n"))))
+      .withColumn("sim", cos(col("a_v"), col("b_v")))
       .filter(col("sim") > 0.3)
       .select("label", "a_id", "b_id", "sim")
       .orderBy("label", "a_id", "b_id")

@@ -121,23 +121,34 @@ object Llm2 {
 
   /** Token-bigram Jaccard near-dup pairs within a language block —
     * the exact (non-probabilistic) counterpart to MinHash; fully
-    * SQL-expressible so it carries an oracle. Blocked by lang to keep
-    * the pairwise product per-block.
+    * SQL-expressible so it carries an oracle.
+    *
+    * Shape: inverted-index set-similarity join. Explode distinct grams
+    * → equi-join docs on (lang, gram) → count shared grams per pair →
+    * |A∩B| / (|A| + |B| − |A∩B|). The shuffle key is the gram, never a
+    * doc×doc product — pair cost is Σ_g df(g)², bounded by feature
+    * document-frequency, not corpus size². (A blocked nested-loop
+    * variant with per-pair array_intersect was 35× slower at sf0.1 and
+    * would not survive any scale-up.)
     */
   val dedupNgramJaccard: Q = (s, dir) => {
-    val grams = array_distinct(
-      transform(sequence(lit(0), size(toks(col("text"))) - 2),
-        i => concat_ws(" ", element_at(toks(col("text")), i + 1),
-          element_at(toks(col("text")), i + 2))))
+    val grams = graft.functions.TextExpressions.wordShingles(col("text"), 2)
     val d = table(s, dir, "documents")
       .select(col("doc_id"), col("lang"), grams.as("grams"))
       .filter(size(col("grams")) > 0)
-    val a = d.select(col("lang"), col("doc_id").as("a_id"), col("grams").as("a_g"))
-    val b = d.select(col("lang").as("b_lang"), col("doc_id").as("b_id"), col("grams").as("b_g"))
-    a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+      .select(col("doc_id"), col("lang"), size(col("grams")).as("gsz"), col("grams"))
+    val inv = d.select(col("lang"), col("doc_id"), col("gsz"),
+      explode(col("grams")).as("gram"))
+    val a = inv.select(col("lang"), col("gram"),
+      col("doc_id").as("a_id"), col("gsz").as("a_sz"))
+    val b = inv.select(col("lang").as("b_lang"), col("gram").as("b_gram"),
+      col("doc_id").as("b_id"), col("gsz").as("b_sz"))
+    a.join(b, col("lang") === col("b_lang") && col("gram") === col("b_gram") &&
+        col("a_id") < col("b_id"))
+      .groupBy(col("lang"), col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+      .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
-        size(array_intersect(col("a_g"), col("b_g"))).cast("double") /
-          size(array_union(col("a_g"), col("b_g"))).cast("double"))
+        col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select("lang", "a_id", "b_id", "jaccard")
       .orderBy("lang", "a_id", "b_id")
@@ -158,10 +169,7 @@ object Llm2 {
     * near-dups.
     */
   val dedupSimhash: Q = (s, dir) => {
-    val bigrams = array_distinct(
-      transform(sequence(lit(0), size(toks(col("text"))) - 2),
-        i => concat_ws(" ", element_at(toks(col("text")), i + 1),
-          element_at(toks(col("text")), i + 2))))
+    val bigrams = graft.functions.TextExpressions.wordShingles(col("text"), 2)
     val d = table(s, dir, "documents")
       .select(col("doc_id"), explode(bigrams).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
@@ -197,32 +205,26 @@ object Llm2 {
     * it. Recall vs brute force is unit-tested; no oracle (rows-only).
     */
   val simAnnIvf: Q = (s, dir) => {
+    val cosineSim = graft.functions.TextExpressions.cosineSim _
     val emb = table(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
     val cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val simToC = aggregate(zip_with(col("v"), col("cv"), (x, y) => x * y),
-      lit(0.0), (a, x) => a + x) / (col("nrm") * col("cnrm"))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id").asc)
     val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("csim", simToC)
+      .withColumn("csim", cosineSim(col("v"), col("cv")))
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cluster"))
+      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
     val probes = assigned.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("p_id"), col("v").as("pv"), col("nrm").as("pnrm"),
-        col("cluster").as("p_cluster"))
+      .select(col("vec_id").as("p_id"), col("v").as("pv"), col("cluster").as("p_cluster"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("p_id")).orderBy(col("sim").desc, col("vec_id").asc)
     assigned.join(broadcast(probes),
         col("cluster") === col("p_cluster") && col("vec_id") =!= col("p_id"))
-      .withColumn("sim",
-        aggregate(zip_with(col("v"), col("pv"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
-          / (col("nrm") * col("pnrm")))
+      .withColumn("sim", cosineSim(col("v"), col("pv")))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= 3)
       .select("p_id", "rank", "vec_id", "sim")

@@ -1,0 +1,71 @@
+package graft
+
+/** Physical-plan audits (SURVEY §7.5 scale posture as code-review
+  * rules): filters reach the parquet scan, column pruning reaches the
+  * reader, small dims broadcast, large-large joins sort-merge, top-k
+  * never global-sorts. These are the properties that decide whether a
+  * plan survives a 100 TB scale-up, asserted against the real planner.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): String =
+    q(spark, dir).queryExecution.executedPlan.toString
+
+  test("filter_compound pushes predicates into the parquet scan") {
+    val p = plan(ops.Relational.filterCompound)
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate"), p)
+  }
+
+  test("scan_parquet_pruned reads only the two projected columns") {
+    val p = plan(ops.Relational.scanParquetPruned)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_partkey") && readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_quantity") && !readSchema.contains("l_shipdate"),
+      s"pruning failed: $readSchema")
+  }
+
+  test("join_broadcast_inner broadcasts the dimension side") {
+    val p = plan(ops.Relational.joinBroadcastInner)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("join_shuffle_inner: broadcast at small scale, shuffle join once sides are large") {
+    // at sf0.001 the planner rightly broadcasts tiny orders …
+    assert(!plan(ops.Relational.joinShuffleInner).contains("BroadcastNestedLoopJoin"))
+    // … and falls back to a shuffle join when nothing is broadcastable
+    // (the situation this query is in at 100 TB)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(ops.Relational.joinShuffleInner)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("limit_topk_global plans TakeOrderedAndProject (no full global sort)") {
+    val p = plan(ops.SetSort.limitTopkGlobal)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("multiway star keeps dimension joins broadcast") {
+    val p = plan(ops.Relational.joinMultiwayStar)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("cosine_sim participates in whole-stage codegen") {
+    val df = ops.Llm.simPairwiseThreshold(spark, dir)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val p = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark whole-stage-codegen stages in the plan tree;
+    // the expression must sit inside one (not a fallback project)
+    val cosLine = p.linesIterator.find(_.contains("cosine_sim(")).getOrElse("")
+    assert(cosLine.contains("*("), s"cosine_sim not in a codegen stage: $cosLine")
+  }
+
+  test("aggregations are two-phase (partial + final hash agg)") {
+    val p = plan(ops.Aggregations.aggCountDistinct)
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final agg")
+  }
+}
