@@ -121,6 +121,37 @@ object Streaming {
       }
       .start()
 
+  /** Per-user cumulative stats carried in CUSTOM state via
+    * `flatMapGroupsWithState` — the arbitrary-stateful-processing
+    * surface (beyond built-in windows). State is one small record per
+    * user, hash-partitioned by the group key and exact (BigDecimal
+    * sum, so partition/batch order cannot change the emitted double).
+    * In batch mode the same code runs with empty initial state, which
+    * makes the result equal to a plain group-by — that equivalence is
+    * the oracle; cross-batch state accumulation is asserted in
+    * `StreamingSpec`.
+    */
+  case class UserAgg(n: Long, sum: BigDecimal)
+
+  def customStateStats(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserAgg, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        var st = state.getOption.getOrElse(UserAgg(0L, BigDecimal(0)))
+        rows.foreach { case (_, v) =>
+          st = UserAgg(st.n + 1,
+            st.sum + BigDecimal(java.math.BigDecimal.valueOf(v)))
+        }
+        state.update(st)
+        Iterator((user, st.n, st.sum.toDouble))
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
   // ------------------------------------------------------ oracle'd twins
 
   val streamTumblingCounts: Q = (s, dir) =>
@@ -132,9 +163,13 @@ object Streaming {
   val streamSessionWindows: Q = (s, dir) =>
     sessionWindows(table(s, dir, "events")).orderBy("user_id", "session_start")
 
+  val streamCustomState: Q = (s, dir) =>
+    customStateStats(table(s, dir, "events")).orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling_counts" -> streamTumblingCounts,
     "stream_sliding_avg" -> streamSlidingAvg,
     "stream_session_windows" -> streamSessionWindows,
+    "stream_custom_state" -> streamCustomState,
   )
 }

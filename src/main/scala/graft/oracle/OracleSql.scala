@@ -615,6 +615,13 @@ object OracleSql {
         |GROUP BY ws
         |ORDER BY ws""".stripMargin,
 
+    "stream_custom_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     "stream_session_windows" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

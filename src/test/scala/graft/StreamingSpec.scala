@@ -107,6 +107,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState accumulates per-user state across batches") {
+    val stream = MemoryStream[Ev]
+    val q = ops.Streaming.customStateStats(stream.toDF())
+      .writeStream.format("memory").queryName("cst").outputMode("append").start()
+    try {
+      stream.addData(Seq(ev(1, "2024-01-01 10:00:00", 1, "click", 1.5),
+        ev(2, "2024-01-01 10:01:00", 1, "click", 2.25)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(3, "2024-01-01 11:00:00", 1, "click", 4.0)))
+      q.processAllAvailable()
+      // append emits one snapshot row per (user, batch); the LAST row for
+      // user 1 must carry the cumulative state: 3 events, 7.75 total
+      val rows = spark.table("cst")
+        .select("user_id", "n_events", "sum_value").as[(Long, Long, Double)].collect()
+      assert(rows.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet ===
+        Set((2L, 3.75), (3L, 7.75)), "state must carry across micro-batches")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert: snapshot holds latest row per key across batches") {
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString
     val snap = s"$dir/snapshot"
