@@ -18,6 +18,11 @@ object Bench {
       val w = spark.range(0, 200000).select(col("id"), (col("id") % 97).as("k"))
       w.groupBy("k").count().count()
       w.join(w.limit(1000), "id").count()
+      // JSON parser (Jackson) class-load + JIT — ~3 s on first use otherwise
+      w.limit(50000)
+        .select(from_json(concat(lit("{\"k\": "), col("k"), lit("}")),
+          new org.apache.spark.sql.types.StructType().add("k", "int")).getField("k"))
+        .agg(count(lit(1))).count()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
