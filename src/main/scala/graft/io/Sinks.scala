@@ -31,4 +31,18 @@ object Sinks {
     val base = spark.read.parquet(path)
     day.map(d => base.filter(col("dt") === lit(d))).getOrElse(base)
   }
+
+  /** Write a table bucketed (and sorted) by its join key. Two tables
+    * bucketed the same way join with NO shuffle exchange on either
+    * side — at 100 TB this converts every recurring fact⋈fact join on
+    * the bucket key from a full-network shuffle into a local merge.
+    * Bucketing metadata lives in the session catalog, hence
+    * `saveAsTable` rather than a path write.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
 }

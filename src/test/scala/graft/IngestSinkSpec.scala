@@ -64,4 +64,25 @@ class IngestSinkSpec extends SparkSpec {
     val plan = oneDay.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("dt"))
   }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val left = (1L to 2000L).map(k => (k, s"l$k")).toDF("k", "lv")
+    val right = (1L to 2000L).map(k => (k, k * 2.5)).toDF("k", "rv")
+    io.Sinks.writeBucketed(left, "bt_left", "k", 8)
+    io.Sinks.writeBucketed(right, "bt_right", "k", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle path
+    try {
+      val j = spark.table("bt_left").join(spark.table("bt_right"), "k")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(j.count() === 2000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bt_left")
+      spark.sql("DROP TABLE IF EXISTS bt_right")
+    }
+  }
 }
