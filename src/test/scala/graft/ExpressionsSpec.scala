@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Edge-case coverage for the native expressions themselves (custom
+  * code gets adversarial tests; built-ins don't need them).
+  */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TextExpressions.{cosineSim, wordShingles}
+
+  test("word_shingles: normalization, ordering, distinctness") {
+    val df = Seq(
+      (1L, "  The   QUICK brown   fox  "), // messy whitespace + case
+      (2L, "a b a b a b"),                 // repeated bigrams collapse
+      (3L, "solo"),                        // fewer tokens than n
+      (4L, ""),                            // empty
+      (5L, "x y z")
+    ).toDF("id", "t")
+    val r = df.select(col("id"), wordShingles(col("t"), 2).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(r(1L) === Seq("the quick", "quick brown", "brown fox"))
+    assert(r(2L) === Seq("a b", "b a")) // distinct, first-occurrence order
+    assert(r(3L) === Seq.empty)
+    assert(r(4L) === Seq.empty)
+    assert(r(5L) === Seq("x y", "y z"))
+  }
+
+  test("word_shingles null input yields null (not a crash)") {
+    val df = Seq((1L, Option.empty[String]), (2L, Some("a b c"))).toDF("id", "t")
+    val r = df.select(col("id"), wordShingles(col("t"), 2).as("s")).collect()
+    assert(r.find(_.getLong(0) == 1L).get.isNullAt(1))
+    assert(!r.find(_.getLong(0) == 2L).get.isNullAt(1))
+  }
+
+  test("cosine_sim: identity = 1, orthogonal = 0, opposite = -1, null propagates") {
+    val df = Seq(
+      (1L, Some(Array(1.0, 0.0)), Some(Array(1.0, 0.0))),
+      (2L, Some(Array(1.0, 0.0)), Some(Array(0.0, 1.0))),
+      (3L, Some(Array(1.0, 0.0)), Some(Array(-1.0, 0.0))),
+      (4L, None: Option[Array[Double]], Some(Array(1.0, 0.0)))
+    ).toDF("id", "a", "b")
+    val r = df.select(col("id"), cosineSim(col("a"), col("b")).as("c")).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(r(1L) === Some(1.0))
+    assert(r(2L) === Some(0.0))
+    assert(r(3L) === Some(-1.0))
+    assert(r(4L) === None)
+  }
+
+  test("expressions resolve from SQL via GraftExtensions registration") {
+    val out = spark.sql(
+      """SELECT word_shingles('one two three', 2) AS s,
+        |       cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c""".stripMargin)
+      .collect().head
+    assert(out.getSeq[String](0) === Seq("one two", "two three"))
+    assert(out.getDouble(1) === 1.0)
+  }
+
+  test("cosine_sim matches the HOF formulation bit-for-bit on real vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .limit(50)
+    val a = emb.select(col("vec_id").as("ai"), col("v").as("av"))
+    val b = emb.select(col("vec_id").as("bi"), col("v").as("bv"))
+    val pairs = a.crossJoin(b).filter(col("ai") < col("bi"))
+    val hof = aggregate(zip_with(col("av"), col("bv"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x) /
+      (sqrt(aggregate(transform(col("av"), x => x * x), lit(0.0), (acc, x) => acc + x)) *
+       sqrt(aggregate(transform(col("bv"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+    val diff = pairs.select(cosineSim(col("av"), col("bv")).as("e"), hof.as("h"))
+      .filter(col("e") =!= col("h")) // bitwise-exact equality expected
+      .count()
+    assert(diff === 0)
+  }
+}

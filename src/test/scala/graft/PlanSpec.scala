@@ -7,6 +7,7 @@ package graft
   * plan survives a 100 TB scale-up, asserted against the real planner.
   */
 class PlanSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
 
   private val dir = "/root/testdata/sf0.001"
   private def plan(q: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): String =
@@ -61,6 +62,20 @@ class PlanSpec extends SparkSpec {
     // the expression must sit inside one (not a fallback project)
     val cosLine = p.linesIterator.find(_.contains("cosine_sim(")).getOrElse("")
     assert(cosLine.contains("*("), s"cosine_sim not in a codegen stage: $cosLine")
+  }
+
+  test("dynamic partition pruning fires on a partitioned fact ⋈ filtered dim") {
+    val tmp = java.nio.file.Files.createTempDirectory("dpp").toString + "/fact"
+    import spark.implicits._
+    val fact = (1 to 1000).map(i => (i.toLong, s"2024-0${i % 3 + 1}-01", i * 1.0))
+      .toDF("id", "dt", "v")
+    fact.write.mode("overwrite").partitionBy("dt").parquet(tmp)
+    val dim = Seq(("2024-01-01", "jan")).toDF("dt", "label")
+    val j = spark.read.parquet(tmp)
+      .join(dim.filter(col("label") === "jan"), "dt")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(dt"),
+      s"expected dynamic partition pruning:\n$plan")
   }
 
   test("aggregations are two-phase (partial + final hash agg)") {
