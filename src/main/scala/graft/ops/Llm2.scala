@@ -231,6 +231,46 @@ object Llm2 {
       .orderBy("p_id", "rank")
   }
 
+  /** Random-hyperplane (sign) LSH near-neighbor pairs — the other
+    * scale path for similarity search next to IVF. 16 deterministic
+    * Gaussian hyperplanes (seeded JVM RNG, fixed at build time) → sign
+    * bits via the codegen'd cosine expression → 4×4-bit band blocking
+    * → exact cosine verification on bucket-colliding pairs only.
+    * For cos θ ≈ 0.99 pairs, P(≥1 clean band) ≈ 1−(1−0.955⁴)⁴ ≈ 0.999;
+    * recall decays along the LSH S-curve for weaker pairs (that is the
+    * approximation contract). Seeded geometry → no oracle; planted-
+    * cluster recall is unit-tested.
+    */
+  val simLshHyperplane: Q = (s, dir) => {
+    val cosineSim = graft.functions.TextExpressions.cosineSim _
+    val rnd = new scala.util.Random(42)
+    val hyperplanes = Array.fill(16)(Array.fill(64)(rnd.nextGaussian()))
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val bits = hyperplanes.zipWithIndex.map { case (hp, k) =>
+      // sign(v·hp) == sign(cos(v,hp)); hyperplane literal is truncated
+      // to the data's dim by the expression's min-length guard
+      when(cosineSim(col("v"), lit(hp)) > 0, lit(1L << k)).otherwise(0L)
+    }
+    val sig = emb.withColumn("sig", bits.reduce(_ + _))
+    val banded = sig.select(col("vec_id"), col("v"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 4).bitwiseAND(0xFL).as("bv"))): _*)).as("e"))
+      .select(col("vec_id"), col("v"), col("e.band").as("band"), col("e.bv").as("bv"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.v").as("a_v"), col("b.v").as("b_v"))
+      .distinct()
+    cand.withColumn("sim", cosineSim(col("a_v"), col("b_v")))
+      .filter(col("sim") > 0.4)
+      .select("a_id", "b_id", "sim")
+      .orderBy("a_id", "b_id")
+  }
+
   // ------------------------------------------------- binary metadata
 
   /** Opaque-binary column surface: bytes + typed metadata extracted
@@ -254,6 +294,7 @@ object Llm2 {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "sim_ann_ivf" -> simAnnIvf,
+    "sim_lsh_hyperplane" -> simLshHyperplane,
     "multimodal_binary_meta" -> multimodalBinaryMeta,
   )
 }

@@ -78,6 +78,25 @@ class Llm2Spec extends SparkSpec {
     assert(ann(1L).toSet === Set(12L, 13L))
   }
 
+  test("hyperplane LSH recalls a tight cosine cluster, skips unrelated vectors") {
+    val d = java.nio.file.Files.createTempDirectory("lsh").toString
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val nearA = base.clone(); nearA(0) = base(0) + 0.01f       // cos ≈ 0.9999
+    val nearB = base.clone(); nearB(1) = base(1) - 0.01f
+    val far = Array.tabulate(64)(i => math.cos(i * 1.3).toFloat) // unrelated
+    Seq((1L, base, 0), (2L, nearA, 0), (3L, nearB, 0), (4L, far, 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    Seq((1L, "x", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val pairs = ops.Llm2.simLshHyperplane(spark, d)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"tight cluster must be recalled, got $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated vector must not pair")
+  }
+
   test("multimodal: decode stub parses header, quarantines corrupt bytes") {
     val media = Seq(
       (1L, ops.Multimodal.encodeHeader(640, 480, 3, 1, Array.fill[Byte](100)(7))),
