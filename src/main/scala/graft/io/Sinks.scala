@@ -32,6 +32,25 @@ object Sinks {
     day.map(d => base.filter(col("dt") === lit(d))).getOrElse(base)
   }
 
+  /** Tabular CSV export (the reference class's output surface —
+    * SURVEY §0.1 "tabular export"). Quotes/escapes RFC-4180-style,
+    * explicit null marker, UTC timestamps; one file per partition —
+    * `coalesce` upstream if a single file is required (driver-side
+    * single-file writes don't scale; at 100 TB exports stay sharded).
+    */
+  def exportCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite")
+      .option("header", header.toString)
+      .option("nullValue", "")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .csv(path)
+
+  /** JSON-lines export (one object per row, schema-carrying). */
+  def exportJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .json(path)
+
   /** Write a table bucketed (and sorted) by its join key. Two tables
     * bucketed the same way join with NO shuffle exchange on either
     * side — at 100 TB this converts every recurring fact⋈fact join on

@@ -65,6 +65,23 @@ class IngestSinkSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("dt"))
   }
 
+  test("CSV/JSONL export round-trips through the matching ingest reader") {
+    val dir = tmpDir("export")
+    val df = Seq((1, "al,ice \"q\"", 10.5), (2, null.asInstanceOf[String], 7.25))
+      .toDF("id", "name", "amount")
+    io.Sinks.exportCsv(df, s"$dir/csv")
+    val backCsv = io.Readers.csvWithQuarantine(spark, s"$dir/csv", schema).cache()
+    assert(backCsv.filter(col("_corrupt_record").isNotNull).count() === 0,
+      "exported CSV must re-ingest cleanly (quotes, commas, nulls)")
+    assert(backCsv.select("id", "name", "amount").orderBy("id")
+      .as[(Int, Option[String], Double)].collect().toSeq ===
+      Seq((1, Some("al,ice \"q\""), 10.5), (2, None, 7.25)))
+    io.Sinks.exportJsonl(df, s"$dir/jsonl")
+    val backJson = io.Readers.jsonWithQuarantine(spark, s"$dir/jsonl", schema).cache()
+    assert(backJson.filter(col("_corrupt_record").isNotNull).count() === 0)
+    assert(backJson.count() === 2)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val left = (1L to 2000L).map(k => (k, s"l$k")).toDF("k", "lv")
     val right = (1L to 2000L).map(k => (k, k * 2.5)).toDF("k", "rv")
