@@ -130,6 +130,13 @@ object Llm2 {
     * document-frequency, not corpus size². (A blocked nested-loop
     * variant with per-pair array_intersect was 35× slower at sf0.1 and
     * would not survive any scale-up.)
+    *
+    * Known limit: a single ultra-hot gram's df² pairs materialize
+    * under one join key, which one task owns (AQE cannot split inside
+    * a key group). At 100 TB the remedy is two-level pair generation
+    * for grams above a df threshold (bucket each hot gram's doc list
+    * into √df chunks, join chunk pairs) — not needed at current scale
+    * (~8 s at sf0.1).
     */
   val dedupNgramJaccard: Q = (s, dir) => {
     val grams = graft.functions.TextExpressions.wordShingles(col("text"), 2)
