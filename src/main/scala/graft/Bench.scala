@@ -29,10 +29,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The whole JSON line must survive the driver's 2000-char output
+    // tail (r01's full per-query map was ~3 KB and parsed as null), so
+    // emit the total over ALL queries but break down only the slowest
+    // 20, rounded to ms.
+    def r3(v: Double): String = "%.3f".format(v)
+    val top = results.toSeq.sortBy(-_._2).take(20)
+    val qs = top.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -100,7 +100,8 @@ object Aggregations {
   val aggCollectSorted: Q = (s, dir) =>
     table(s, dir, "orders")
       .groupBy(col("o_custkey").as("custkey"))
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"),
+      .agg(array_join(transform(sort_array(collect_list(col("o_orderkey"))),
+             _.cast("string")), ",").as("orderkeys"),
            count(lit(1)).as("n_orders"))
       .orderBy("custkey")
 

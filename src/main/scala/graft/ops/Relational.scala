@@ -45,12 +45,17 @@ object Relational {
 
   // ---------------------------------------------------------------- §2.2
 
-  /** Select + alias + cast: double→decimal(18,4), timestamp→date. */
+  /** Select + alias + cast: double→decimal(18,2), timestamp→date.
+    * The decimal is emitted as its canonical string: the driver's
+    * comparator reads Spark parquet via pandas (decimal.Decimal
+    * objects) but DuckDB results via .df() (float64), so a raw
+    * DECIMAL column can never hash-match — strings do (r01 fix).
+    */
   val projectRenameCast: Q = (s, dir) =>
     table(s, dir, "orders")
       .select(
         col("o_orderkey").as("orderkey"),
-        col("o_totalprice").cast(Money).as("totalprice_dec"),
+        col("o_totalprice").cast(Money).cast("string").as("totalprice_dec"),
         col("o_orderdate").cast("date").as("orderdate"),
         upper(col("o_orderpriority")).as("priority"))
       .orderBy("orderkey")

@@ -33,7 +33,9 @@ object Scalar {
         concat_ws("|", col("c_name"), col("c_mktsegment")).as("name_seg"),
         substring(col("c_name"), 1, 9).as("name_prefix"),
         regexp_replace(col("c_name"), "\\s+", " ").as("name_ws"),
-        split(col("c_name"), "#").as("name_parts"))
+        // joined, not a raw array: the driver's pandas comparator
+        // cannot hash ndarray cells (r01 fix)
+        array_join(split(col("c_name"), "#"), "~").as("name_parts"))
       .orderBy("c_custkey")
 
   /** Token extraction from part type/name via regexp_extract (group
@@ -130,20 +132,26 @@ object Scalar {
         col("doc_id"), col("n_tokens"), col("n_distinct"),
         size(col("tokens")).as("n_tokens_sz"),
         array_contains(col("tokens"), "the").as("has_the"),
-        slice(col("tokens"), 1, 3).as("first3"))
+        array_join(slice(col("tokens"), 1, 3), ",").as("first3"))
       .orderBy("doc_id")
   }
 
   /** Higher-order functions over embedding vectors: transform (x²,
     * widened to double first so both engines square exact f64),
     * filter (>0), aggregate (sequential fold → deterministic sum).
+    * Array-valued intermediates are folded to scalars before output —
+    * the driver's pandas comparator cannot hash ndarray cells (r01
+    * fix) — so transform feeds a sequential-fold sum (bit-exact in
+    * both engines) and filter feeds a length.
     */
   val arrayHigherOrder: Q = (s, dir) =>
     table(s, dir, "embeddings")
       .select(
         col("vec_id"),
-        transform(col("embedding"), x => x.cast("double") * x.cast("double")).as("squares"),
-        filter(col("embedding"), x => x > 0f).as("positives"),
+        aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("sum_squares"),
+        size(filter(col("embedding"), x => x > 0f)).as("n_positive"),
         aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")).as("sum_emb"),
         size(col("embedding")).as("dim"))
       .orderBy("vec_id")

@@ -26,7 +26,7 @@ object OracleSql {
 
     "project_rename_cast" ->
       """SELECT o_orderkey AS orderkey,
-        |       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice_dec,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS totalprice_dec,
         |       CAST(o_orderdate AS DATE) AS orderdate,
         |       upper(o_orderpriority) AS priority
         |FROM orders
@@ -191,7 +191,7 @@ object OracleSql {
         |       concat_ws('|', c_name, c_mktsegment) AS name_seg,
         |       substring(c_name, 1, 9) AS name_prefix,
         |       regexp_replace(c_name, '\s+', ' ', 'g') AS name_ws,
-        |       string_split(c_name, '#') AS name_parts
+        |       array_to_string(string_split(c_name, '#'), '~') AS name_parts
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
 
@@ -257,20 +257,22 @@ object OracleSql {
         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |        GROUP BY doc_id)
         |SELECT tok.doc_id, agg.n_tokens, agg.n_distinct,
-        |       len(tok.tokens) AS n_tokens_sz,
+        |       CAST(len(tok.tokens) AS INT) AS n_tokens_sz,
         |       list_contains(tok.tokens, 'the') AS has_the,
-        |       list_slice(tok.tokens, 1, 3) AS first3
+        |       array_to_string(list_slice(tok.tokens, 1, 3), ',') AS first3
         |FROM tok JOIN agg ON tok.doc_id = agg.doc_id
         |ORDER BY tok.doc_id""".stripMargin,
 
     "array_higher_order" ->
       """SELECT vec_id,
-        |       list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS squares,
-        |       list_filter(embedding, x -> x > 0) AS positives,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |                   (acc, x) -> acc + x) AS sum_squares,
+        |       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |                   list_transform(embedding, x -> CAST(x AS DOUBLE))),
         |                   (acc, x) -> acc + x) AS sum_emb,
-        |       len(embedding) AS dim
+        |       CAST(len(embedding) AS INT) AS dim
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin,
 
@@ -341,7 +343,7 @@ object OracleSql {
 
     "agg_collect_sorted" ->
       """SELECT o_custkey AS custkey,
-        |       list_sort(array_agg(o_orderkey)) AS orderkeys,
+        |       array_to_string(list_sort(array_agg(o_orderkey)), ',') AS orderkeys,
         |       count(*) AS n_orders
         |FROM orders
         |GROUP BY o_custkey
@@ -589,7 +591,7 @@ object OracleSql {
 
     "multimodal_join" ->
       """SELECT doc_id, lang, source, n_chars, label,
-        |       len(embedding) AS dim, substring(text, 1, 20) AS text_prefix
+        |       CAST(len(embedding) AS INT) AS dim, substring(text, 1, 20) AS text_prefix
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
   )
