@@ -24,10 +24,26 @@ object Bench {
           new org.apache.spark.sql.types.StructType().add("k", "int")).getField("k"))
         .agg(count(lit(1))).count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_ONLY=q1,q2 → time just those (repeated per
+    // SPARK_GRAFT_REPS) for local isolation; driver runs never set it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
+    val results = selected.map { case (name, fn) =>
+      var last = 0.0
+      (1 to reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          // A failed query would otherwise clock near-zero and silently
+          // flatter the total — surface it in the JSON and on stderr.
+          if (!errors.contains(name)) errors += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        last = (System.nanoTime() - t0) / 1e9
+      }
+      name -> last
     }
     // The whole JSON line must survive the driver's 2000-char output
     // tail (r01's full per-query map was ~3 KB and parsed as null), so
@@ -38,7 +54,9 @@ object Bench {
     val qs = top.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val errs = if (errors.isEmpty) ""
+      else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size}$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
