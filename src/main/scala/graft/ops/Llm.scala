@@ -227,8 +227,60 @@ object Llm {
         substring(col("text"), 1, 20).as("text_prefix"))
       .orderBy("doc_id")
 
+  /** Embedding-cosine near-duplicate removal — the vector-space member
+    * of the dedup family (exact hash / MinHash / SimHash / n-gram
+    * Jaccard / THIS). Label-blocked exact pairwise cosine (the blocks
+    * bound the pair product, as in [[simPairwiseThreshold]]); each doc
+    * with a neighbor at sim ≥ τ is marked a duplicate of its
+    * smallest-id direct neighbor (single-link transitivity is
+    * deliberately out of scope — connected components is a different
+    * operator). τ = 0.35 here because the synthetic embeddings contain
+    * no planted near-dups (max in-label cosine ≈ 0.47); production
+    * pipelines run 0.9+. At open-corpus scale the blocking column is
+    * replaced or augmented by an LSH bucket ([[graft.ops.Llm2]]'s
+    * sign-LSH) with this same exact-verify shape downstream.
+    */
+  val dedupEmbeddingCosine: Q = (s, dir) => {
+    val tau = 0.35
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val a = emb.select(col("label"), col("vec_id").as("keep_cand"), col("v").as("a_v"))
+    val b = emb.select(col("label").as("b_label"), col("vec_id").as("dup_id"),
+      col("v").as("b_v"))
+    val w = Window.partitionBy(col("dup_id")).orderBy(col("keep_cand").asc)
+    a.join(b, col("label") === col("b_label") && col("keep_cand") < col("dup_id"))
+      .withColumn("sim", cos(col("a_v"), col("b_v")))
+      .filter(col("sim") >= tau)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("dup_id"), col("keep_cand").as("keep_id"), col("sim"))
+      .orderBy("dup_id")
+  }
+
+  /** Deterministic hash-bucketed train/valid/test split — the holdout
+    * assignment every training-data pipeline needs. md5 of a salted
+    * key → first 8 hex chars → integer bucket 0..99 → 80/10/10. The
+    * assignment is a pure function of the key: stable across runs,
+    * engines, partitionings, and corpus growth (a doc's split never
+    * changes when other docs arrive), which is exactly what seeded
+    * `sample()` does NOT give. Embarrassingly parallel at any scale.
+    */
+  val sampleHashSplit: Q = (s, dir) => {
+    val bucket = (conv(substring(md5(concat_ws("|", lit("graft-split"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 100).as("bucket")
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact_hash" -> dedupExactHash,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "sample_hash_split" -> sampleHashSplit,
     "dedup_latest_wins" -> dedupLatestWins,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "sim_cosine_topk" -> simCosineTopk,

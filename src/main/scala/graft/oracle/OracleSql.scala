@@ -530,6 +530,38 @@ object OracleSql {
         |SELECT p_id, rank, vec_id, sim FROM ranked WHERE rank <= 5
         |ORDER BY p_id, rank""".stripMargin,
 
+    "dedup_embedding_cosine" ->
+      """WITH en AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         list_reduce(list_prepend(0.0,
+        |           list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                          x -> x * x)), (a, b) -> a + b) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.label, a.vec_id AS keep_cand, b.vec_id AS dup_id,
+        |         list_reduce(list_prepend(0.0,
+        |           list_transform(a.v, (x, i) -> x * b.v[i])), (p, q) -> p + q)
+        |           / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim
+        |  FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |q AS (
+        |  SELECT label, dup_id, keep_cand AS keep_id, sim,
+        |         row_number() OVER (PARTITION BY dup_id ORDER BY keep_cand ASC) AS rn
+        |  FROM p WHERE sim >= 0.35)
+        |SELECT label, dup_id, keep_id, sim FROM q WHERE rn = 1
+        |ORDER BY dup_id""".stripMargin,
+
+    "sample_hash_split" ->
+      """SELECT doc_id, lang,
+        |       CAST(('0x' || substr(md5('graft-split' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |            AS BIGINT) % 100 AS bucket,
+        |       CASE WHEN CAST(('0x' || substr(md5('graft-split' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |                 AS BIGINT) % 100 < 80 THEN 'train'
+        |            WHEN CAST(('0x' || substr(md5('graft-split' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |                 AS BIGINT) % 100 < 90 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     "sim_pairwise_threshold" ->
       """WITH en AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

@@ -85,4 +85,38 @@ class LlmSpec extends SparkSpec {
     assert(byKey(7L) === 3L && byKey(8L) === 4L)
     assert(twice.count() === once.count())
   }
+
+  test("embedding-cosine dedup marks each dup against its smallest direct neighbor") {
+    // fixture geometry (label 0): v1·v2 = 0.6 (below τ at .35? no — 0.6 ≥ .35 dup),
+    // v1·v3 = -1, v2·v3 = -0.6; label 1: v4·v5 = 0. With τ=0.35 the only
+    // qualifying pair is (1,2) → dup_id=2 kept against keep_id=1.
+    val out = ops.Llm.dedupEmbeddingCosine(spark, fixtureDir)
+      .select("dup_id", "keep_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(2L -> 1L))
+  }
+
+  test("hash split: deterministic, total, bucket-range, and stable under corpus growth") {
+    val a = ops.Llm.sampleHashSplit(spark, fixtureDir)
+      .select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val b = ops.Llm.sampleHashSplit(spark, fixtureDir)
+      .select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(a.sameElements(b), "same inputs must produce identical assignments")
+    assert(a.length === 6 && a.forall { case (_, bk, sp) =>
+      bk >= 0 && bk < 100 &&
+        ((bk < 80 && sp == "train") || (bk >= 80 && bk < 90 && sp == "valid") ||
+          (bk >= 90 && sp == "test"))
+    })
+    // growth-stability: the assignment is a pure function of doc_id, so a
+    // doc's split must not change when the corpus around it changes.
+    val d2 = java.nio.file.Files.createTempDirectory("llmfix2").toString
+    spark.read.parquet(s"$fixtureDir/documents.parquet")
+      .filter(col("doc_id") <= 3).coalesce(1)
+      .write.parquet(s"$d2/documents.parquet")
+    val sub = ops.Llm.sampleHashSplit(spark, d2)
+      .select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(sub.sameElements(a.filter(_._1 <= 3)))
+  }
 }
