@@ -29,10 +29,24 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    // Dry-run every selected query at a small SF first: each plan's
+    // whole-stage-codegen classes get compiled + JIT'd outside the
+    // timed region, so per-query numbers reflect steady-state execution
+    // rather than which query happened to run first. (The generic
+    // warmup above covers shared infrastructure; this covers per-plan
+    // generated code.) Disable with SPARK_GRAFT_WARM_SF="".
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_SF", "/root/testdata/sf0.001")
+    if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory)
+      selected.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       var last = 0.0
       (1 to reps).foreach { _ =>
+        // Collect other queries' garbage outside the timed region so a
+        // query's number reflects its own allocation behavior.
+        System.gc()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
