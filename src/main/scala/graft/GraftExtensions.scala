@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.TextExpressions.{CosineSim, WordShingles}
+import graft.functions.TextExpressions.{CosineSim, SimHash64, WordShingles}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the native expressions so they resolve by name from both
@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => CosineSim(a, b)
         case _ => throw new IllegalArgumentException("cosine_sim(a, b) expects two array columns")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(features) => SimHash64(features)
+        case _ => throw new IllegalArgumentException(
+          "simhash64(features) expects one array<string> column")
       }))
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -108,11 +108,65 @@ object TextExpressions {
       copy(left = l, right = r)
   }
 
+  /** 64-bit SimHash over an array of string features, one pass.
+    *
+    * Per feature: xxhash64 with Spark's default seed 42 (the exact
+    * value `functions.xxhash64` produces —
+    * `XXH64.hashUTF8String(f, 42L)`), each hash bit voting ±1; sign of
+    * the vote total sets the signature bit. Replaces a 64-column
+    * `sum(when(...))` aggregation over exploded features: the
+    * signature becomes a narrow per-row scalar (no explode, no
+    * shuffle), which is also the shape that survives 100 TB — SimHash
+    * is embarrassingly parallel per document and only the tiny
+    * (band, signature) projection ever reaches an exchange.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"simhash64 expects array<string>, got $other")
+      }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < arr.numElements()) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
   // ---------------------------------------------- Column API (via registry)
 
   /** Distinct word n-gram shingles of normalized text (one pass). */
   def wordShingles(text: Column, n: Int): Column =
     call_function("word_shingles", text, lit(n))
+
+  /** One-pass 64-bit SimHash of a string-feature array. */
+  def simHash64(features: Column): Column =
+    call_function("simhash64", features)
 
   /** Codegen'd cosine similarity of two double vectors. */
   def cosineSim(a: Column, b: Column): Column =

@@ -212,32 +212,39 @@ object Llm2 {
     * because its feature sets are thousands of tokens). Engine-seeded
     * hash → no oracle (like MinHash); recall is unit-tested on planted
     * near-dups.
+    *
+    * The signature is one native expression per row
+    * ([[graft.functions.TextExpressions.SimHash64]], bit-identical to
+    * the previous explode → 64×sum(when) aggregation since both use
+    * xxhash64 seed 42 and sign-of-votes): no explode, no signature
+    * shuffle — only the tiny (band, byte) projection reaches an
+    * exchange, which is the shape that survives 100 TB.
     */
   val dedupSimhash: Q = (s, dir) => {
     val bigrams = graft.functions.TextExpressions.wordShingles(col("text"), 2)
-    val d = table(s, dir, "documents")
-      .select(col("doc_id"), explode(bigrams).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v$i"))
-    val sig = d.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .withColumn("simhash",
-        (0 until 64).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _))
-      .select("doc_id", "simhash")
+    val sig = table(s, dir, "documents")
+      .select(col("doc_id"), bigrams.as("grams"))
+      // featureless docs had no vote rows under the old explode path;
+      // keep them out rather than colliding them all on signature 0
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.simHash64(col("grams")).as("simhash"))
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 8).map(k =>
           struct(lit(k).as("band"),
             shiftright(col("simhash"), k * 8).bitwiseAND(0xFFL).as("bv"))): _*)).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.band").as("band"), col("e.bv").as("bv"))
-    val cand = banded.as("a").join(banded.as("b"),
+    // Hamming-filter BEFORE deduplicating band collisions: the filter
+    // is a per-row bit_count over columns already in hand, while
+    // distinct() is a shuffle — run the shuffle only over the few
+    // threshold survivors, not every band collision.
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.simhash").as("a_sh"), col("b.simhash").as("b_sh"))
-      .distinct()
-    cand.withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= 7)
-      .select("a_id", "b_id", "hamming")
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 

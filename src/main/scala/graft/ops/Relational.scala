@@ -238,16 +238,34 @@ object Relational {
     * window formulation instead (SURVEY §7.3.4).
     */
   val joinAsof: Q = (s, dir) => {
-    val e = table(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    // Union + carry-forward window, not join + row_number: the range
+    // join would materialize every (event × earlier-order) pair per
+    // user before ranking — a per-key multiplicative intermediate that
+    // dies on active keys at scale. Instead both tables union into one
+    // (user, time)-sorted stream (one linear shuffle) and each event
+    // reads the latest order seen so far via last(ignoreNulls) over
+    // rows-unbounded-preceding. Sort order encodes the semantics:
+    // orders sort BEFORE events at equal timestamps (src 0 < 1) so the
+    // as-of bound is ≤, and orders at equal dates sort by ascending
+    // key so the carried value is the (date, key)-max — identical to
+    // the oracle's row_number() over (date DESC, key DESC) = 1.
+    val e = table(s, dir, "events")
+      .select(col("user_id").as("k"), col("ts").as("t"), lit(1).as("src"),
+        col("event_id"), lit(null).cast("long").as("ok"),
+        lit(null).cast("timestamp").as("od"))
     val o = table(s, dir, "orders")
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("user_id"), col("ts"),
-        col("o_orderkey").as("asof_orderkey"), col("o_orderdate").as("asof_orderdate"))
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"), lit(0).as("src"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey").as("ok"),
+        col("o_orderdate").as("od"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("src").asc, col("ok").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("asof_orderkey", last(col("ok"), ignoreNulls = true).over(w))
+      .withColumn("asof_orderdate", last(col("od"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1 && col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+        col("asof_orderkey"), col("asof_orderdate"))
       .orderBy("event_id")
   }
 
