@@ -37,6 +37,49 @@ object Aggregations {
       .agg(approx_count_distinct(col("user_id"), 0.05).as("n_users_approx"))
       .orderBy("event_type")
 
+  /** Approximate percentiles (t-digest style sketch under Spark's
+    * `approx_percentile`): p50/p90/p99 of order totals per priority.
+    * Approximate, so never oracle'd; the unit spec bounds the rank
+    * error against exact `percentile`. The sketch is mergeable —
+    * partial aggregation combines per-partition digests, which is why
+    * this is THE quantile shape at 100 TB (exact percentile needs a
+    * full sort per group).
+    */
+  val aggApproxPercentile: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(1000)).as("p90_approx"),
+        percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("p99_approx"))
+      .orderBy("o_orderpriority")
+
+  /** Mergeable HLL sketches as first-class values (Apache DataSketches
+    * via Spark's hll_sketch_agg family): per-type user sketches are
+    * built once, then UNIONED — without touching raw data again — into
+    * an all-types estimate. Sketch mergeability is the core of
+    * incremental/distributed distinct counting at 100 TB: per-day or
+    * per-partition sketches combine associatively, so re-aggregation
+    * never rescans history. Approximate → no oracle; the unit spec
+    * bounds estimates against exact counts.
+    */
+  val aggHllSketchMerge: Q = (s, dir) => {
+    val sk = table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+    sk.select(
+        col("event_type"),
+        round(hll_sketch_estimate(col("sk")), 2).as("n_users_est"),
+        col("n_exact"))
+      .unionByName(
+        sk.agg(hll_union_agg(col("sk"), lit(true)).as("u"))
+          .select(lit("__all__").as("event_type"),
+            round(hll_sketch_estimate(col("u")), 2).as("n_users_est"),
+            lit(null).cast("long").as("n_exact")))
+      .orderBy("event_type")
+  }
+
   /** Revenue by (nation), (mktsegment), (nation,mktsegment), () —
     * GROUPING SETS with grouping flags to disambiguate NULL-as-ALL.
     */
@@ -137,6 +180,8 @@ object Aggregations {
   val queries: Map[String, Q] = Map(
     "agg_count_distinct" -> aggCountDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_approx_percentile" -> aggApproxPercentile,
+    "agg_hll_sketch_merge" -> aggHllSketchMerge,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,

@@ -338,7 +338,30 @@ object Llm2 {
         md5(col("text").cast("binary")).as("digest"))
       .orderBy("doc_id")
 
+  /** Corpus-level n-gram document frequency — the vocabulary-building
+    * pass of a training-data pipeline. Per-doc DISTINCT bigrams (so a
+    * gram repeated inside one doc counts once — document frequency,
+    * not term frequency) → global count → top 20 by (df desc, gram
+    * asc). Pure explode + two-phase hash aggregation; the final top-k
+    * is a rank over one global ordering of at most |vocab| rows.
+    */
+  val textNgramFreq: Q = (s, dir) => {
+    val grams = graft.functions.TextExpressions.wordShingles(col("text"), 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("gram").asc)
+    table(s, dir, "documents")
+      .select(explode(grams).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram").asc)
+      .limit(20)
+      .withColumn("rank", row_number().over(w))
+      .select("rank", "gram", "df")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_ngram_freq" -> textNgramFreq,
     "text_lang_id" -> textLangId,
     "text_quality_score" -> textQualityScore,
     "text_token_count" -> textTokenCount,

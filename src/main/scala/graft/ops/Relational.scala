@@ -269,6 +269,58 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Same range-predicate semantics as [[joinThetaRange]], executed as
+    * a banded EQUI-join — the shape that survives 100 TB, where a
+    * broadcast-nested-loop over an unfiltered build side cannot. Each
+    * build row lands in exactly one price bucket (⌊price/W⌋); each
+    * probe row explodes to the few buckets its ±10 % window overlaps
+    * (`sequence`); the equi-join on bucket routes both through an
+    * ordinary shuffle/broadcast hash join and the exact predicate is
+    * re-applied as a residual filter. No duplicate pairs arise because
+    * the build row's single bucket meets each probe at most once.
+    * Bucket width trades fan-out (probe rows × buckets) against
+    * selectivity (rows sharing a bucket); at scale, W is tuned so the
+    * per-bucket row count stays bounded and AQE handles stragglers —
+    * this is the standard interval/range-join binning from the
+    * published literature (e.g. the DBSP/interval-join family), not a
+    * nested loop.
+    */
+  val joinRangeBucketed: Q = (s, dir) => {
+    val W = 100.0
+    val li = table(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 49 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("bkt", explode(sequence(
+        floor(col("l_extendedprice") * 0.009 / W).cast("long"),
+        floor(col("l_extendedprice") * 0.011 / W).cast("long"))))
+    val p = table(s, dir, "part")
+      .filter(col("p_size") === 1)
+      .select("p_partkey", "p_retailprice")
+      .withColumn("bkt", floor(col("p_retailprice") / W).cast("long"))
+    li.join(p, "bkt")
+      .filter(
+        col("p_retailprice") >= col("l_extendedprice") * 0.009 &&
+        col("p_retailprice") <= col("l_extendedprice") * 0.011)
+      .select("l_orderkey", "l_linenumber", "p_partkey", "l_extendedprice", "p_retailprice")
+      .transform(orderedByAll)
+  }
+
+  /** Wide→long reshape via the native unpivot operator (ANSI UNPIVOT):
+    * the four lineitem measures become (metric, value) rows keyed by
+    * (orderkey, linenumber). Purely row-local — no shuffle beyond the
+    * final presentation sort.
+    */
+  val reshapeUnpivot: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+        col("l_discount").as("discount"), col("l_tax").as("tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("qty"), col("price"), col("discount"), col("tax")),
+        "metric", "value")
+      .transform(orderedByAll)
+
   // ---------------------------------------------------------------- §2.4
 
   /** TPC-H Q1 shape: exact decimal sums, deterministic averages. */
@@ -305,6 +357,8 @@ object Relational {
     "join_left_anti" -> joinLeftAnti,
     "join_cross" -> joinCross,
     "join_theta_range" -> joinThetaRange,
+    "join_range_bucketed" -> joinRangeBucketed,
+    "reshape_unpivot" -> reshapeUnpivot,
     "join_multiway_star" -> joinMultiwayStar,
     "join_self_dedup" -> joinSelfDedup,
     "join_asof" -> joinAsof,

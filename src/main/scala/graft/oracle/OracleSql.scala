@@ -169,6 +169,42 @@ object OracleSql {
   )
 
   private val asof: Map[String, String] = Map(
+    "join_range_bucketed" ->
+      """SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice, p_retailprice
+        |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |      WHERE l_quantity >= 49 AND l_returnflag = 'R') li
+        |JOIN (SELECT p_partkey, p_retailprice FROM part WHERE p_size = 1) p
+        |  ON p_retailprice >= l_extendedprice * 0.009
+        | AND p_retailprice <= l_extendedprice * 0.011
+        |ORDER BY l_orderkey NULLS LAST, l_linenumber NULLS LAST, p_partkey NULLS LAST,
+        |  l_extendedprice NULLS LAST, p_retailprice NULLS LAST""".stripMargin,
+
+    "reshape_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+        |             l_extendedprice AS price, l_discount AS discount, l_tax AS tax
+        |           FROM lineitem)
+        |  ON qty, price, discount, tax INTO NAME metric VALUE value)
+        |ORDER BY l_orderkey NULLS LAST, l_linenumber NULLS LAST, metric NULLS LAST,
+        |  value NULLS LAST""".stripMargin,
+
+    "text_ngram_freq" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i + 1])) AS grams
+        |  FROM (SELECT doc_id,
+        |          string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 2),
+        |f AS (SELECT gram, count(*) AS df
+        |      FROM (SELECT doc_id, unnest(grams) AS gram FROM d)
+        |      GROUP BY gram)
+        |SELECT CAST(row_number() OVER (ORDER BY df DESC, gram ASC) AS INT) AS rank,
+        |       gram, df
+        |FROM (SELECT gram, df FROM f ORDER BY df DESC, gram ASC LIMIT 20)
+        |ORDER BY rank""".stripMargin,
+
     "join_asof" ->
       """SELECT event_id, user_id, ts, asof_orderkey, asof_orderdate
         |FROM (SELECT e.event_id, e.user_id, e.ts,

@@ -53,6 +53,30 @@ class AggWindowSpec extends SparkSpec {
     assert(math.abs(approx - 937.0) / 937.0 < 0.15) // 3× rsd guard band
   }
 
+  test("approx_percentile within sketch rank-error of exact percentile") {
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+    val Seq(p50, p90) = df.agg(
+      percentile_approx(col("v"), lit(0.5), lit(1000)),
+      percentile_approx(col("v"), lit(0.9), lit(1000)))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toList
+    // accuracy=1000 bounds rank error by n/1000 = 10 ranks → |err| ≤ 10 values here
+    assert(math.abs(p50 - 5000.0) <= 20.0 && math.abs(p90 - 9000.0) <= 20.0)
+  }
+
+  test("HLL sketches: estimate near exact, union of parts equals sketch of whole") {
+    val df = (1 to 4000).map(i => (i % 2, i % 1501)).toDF("part", "v")
+    val exact = df.select(countDistinct(col("v"))).as[Long].collect().head
+    val whole = df.agg(hll_sketch_estimate(hll_sketch_agg(col("v"), lit(12))))
+      .as[Long].collect().head
+    assert(math.abs(whole - exact.toDouble) / exact < 0.05)
+    // mergeability: union of per-part sketches ≈ sketch of the whole
+    val merged = df.groupBy("part").agg(hll_sketch_agg(col("v"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))))
+      .as[Long].collect().head
+    assert(merged === whole,
+      "unioned per-part sketches must estimate identically to the whole-data sketch")
+  }
+
   test("running sum final row equals group total (decimal-exact)") {
     val df = Seq((1, "2024-01-01", 10.10), (1, "2024-01-02", 0.20), (1, "2024-01-03", 5.03))
       .toDF("k", "d", "v")
