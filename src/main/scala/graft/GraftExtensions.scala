@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.TextExpressions.{CosineSim, SimHash64, WordShingles}
+import graft.functions.TextExpressions.{CosineSim, MinHashSigs, SimHash64, WordShingles}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the native expressions so they resolve by name from both
@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(features) => SimHash64(features)
         case _ => throw new IllegalArgumentException(
           "simhash64(features) expects one array<string> column")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(features, Literal(n: Int, _)) => MinHashSigs(features, n)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sigs(features, nPerm) expects an array<string> column and an int literal")
       }))
   }
 }

@@ -158,6 +158,52 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** MinHash signature vector over an array of string features, one
+    * pass. Permutation i of feature s is the chained xxhash64 Spark
+    * itself computes for `xxhash64(s, lit(i))` — hashInt(i, seed =
+    * hashUTF8String(s, 42)) — so the output is element-for-element
+    * identical to the former explode → groupBy(min(xxhash64(sh,
+    * lit(i)))×16 aggregation (pinned by a unit spec), but costs one
+    * array scan per row with no explode and no shuffle. At 100 TB the
+    * signature stage becomes map-only; only (band, bandhash) rows —
+    * nPerm longs per doc — ever reach an exchange.
+    */
+  case class MinHashSigs(child: Expression, nPerm: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sigs"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"minhash_sigs expects array<string>, got $other")
+      }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val sigs = Array.fill(nPerm)(Long.MaxValue)
+      var i = 0
+      while (i < arr.numElements()) {
+        val base = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var p = 0
+        while (p < nPerm) {
+          val h = XXH64.hashInt(p, base)
+          if (h < sigs(p)) sigs(p) = h
+          p += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sigs)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+      copy(child = newChild)
+  }
+
   // ---------------------------------------------- Column API (via registry)
 
   /** Distinct word n-gram shingles of normalized text (one pass). */
@@ -167,6 +213,10 @@ object TextExpressions {
   /** One-pass 64-bit SimHash of a string-feature array. */
   def simHash64(features: Column): Column =
     call_function("simhash64", features)
+
+  /** One-pass MinHash signature vector (nPerm chained-xxhash64 mins). */
+  def minHashSigs(features: Column, nPerm: Int): Column =
+    call_function("minhash_sigs", features, lit(nPerm))
 
   /** Codegen'd cosine similarity of two double vectors. */
   def cosineSim(a: Column, b: Column): Column =

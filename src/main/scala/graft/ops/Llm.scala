@@ -93,13 +93,16 @@ object Llm {
         graft.functions.TextExpressions.wordShingles(col("text"), 3).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
-    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val minhashes = (0 until nPerm).map(i => min(xxhash64(col("sh"), lit(i))).as(s"s$i"))
-    val sigs = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
+    // Signatures in one native pass per row (no explode, no shuffle) —
+    // element-identical to the former explode → groupBy(min(xxhash64(
+    // sh, lit(i)))) aggregation; equality is pinned in LlmSpec.
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.TextExpressions.minHashSigs(col("shingles"), nPerm).as("sig"))
 
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i")): _*)
+        hash((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1)): _*)
           .as("bh")).as(s"b$b")
     }
     val banded = sigs.select(col("doc_id") +: bandCols: _*)

@@ -86,6 +86,21 @@ class LlmSpec extends SparkSpec {
     assert(twice.count() === once.count())
   }
 
+  test("minhash_sigs native expression equals the explode+min(xxhash64) aggregation") {
+    val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
+      .select(col("doc_id"),
+        functions.TextExpressions.wordShingles(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val native = docs.select(col("doc_id"),
+      functions.TextExpressions.minHashSigs(col("shingles"), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaAgg = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .groupBy("doc_id")
+      .agg(array((0 until 16).map(i => min(xxhash64(col("sh"), lit(i)))): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native === viaAgg)
+  }
+
   test("embedding-cosine dedup marks each dup against its smallest direct neighbor") {
     // fixture geometry (label 0): v1·v2 = 0.6 (below τ at .35? no — 0.6 ≥ .35 dup),
     // v1·v3 = -1, v2·v3 = -0.6; label 1: v4·v5 = 0. With τ=0.35 the only
