@@ -152,6 +152,36 @@ object Streaming {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Stream-stream interval join: click → purchase attribution. Each
+    * click joins the same user's purchases that land within the next
+    * 30 minutes. In streaming mode the watermarks on BOTH sides plus
+    * the event-time range condition let the engine bound join state:
+    * a click's state is evictable once the watermark passes
+    * click_ts + 30 min, a purchase's once it passes purchase_ts
+    * (standard Structured Streaming interval-join state pruning, so
+    * state is O(window × rate), not O(stream)). The batch twin runs
+    * the identical plan and carries the oracle; streaming semantics
+    * (cross-batch matching, out-of-window exclusion) run under
+    * MemoryStream in StreamingSpec.
+    */
+  def streamStreamAttribution(clicks: DataFrame, purchases: DataFrame,
+      streaming: Boolean = true): DataFrame = {
+    def wm(df: DataFrame): DataFrame =
+      if (streaming) df.withWatermark("ts", "10 minutes") else df
+    val c = wm(clicks.filter(col("event_type") === "click"))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = wm(purchases.filter(col("event_type") === "purchase"))
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
   // ------------------------------------------------------ oracle'd twins
 
   val streamTumblingCounts: Q = (s, dir) =>
@@ -166,10 +196,17 @@ object Streaming {
   val streamCustomState: Q = (s, dir) =>
     customStateStats(table(s, dir, "events")).orderBy("user_id")
 
+  val streamStreamJoin: Q = (s, dir) => {
+    val e = table(s, dir, "events")
+    streamStreamAttribution(e, e, streaming = false)
+      .orderBy("click_id", "purchase_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling_counts" -> streamTumblingCounts,
     "stream_sliding_avg" -> streamSlidingAvg,
     "stream_session_windows" -> streamSessionWindows,
     "stream_custom_state" -> streamCustomState,
+    "stream_stream_join" -> streamStreamJoin,
   )
 }

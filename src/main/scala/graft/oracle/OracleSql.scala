@@ -169,6 +169,17 @@ object OracleSql {
   )
 
   private val asof: Map[String, String] = Map(
+    "stream_stream_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        |       p.event_id AS purchase_id, p.ts AS purchase_ts,
+        |       p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts
+        | AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
     "join_range_bucketed" ->
       """SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice, p_retailprice
         |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

@@ -83,4 +83,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final agg")
   }
+
+  test("bucketed range join plans a hash equi-join, never a nested loop") {
+    val p = plan(ops.Relational.joinRangeBucketed)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banding must route the range predicate through an equi-join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("as-of join plans with NO join operator (union + window carry-forward)") {
+    val p = plan(ops.Relational.joinAsof)
+    assert(!p.contains("Join"), s"as-of must not materialize a pair join:\n$p")
+    assert(p.contains("Window") && p.contains("Union"), p)
+  }
+
+  test("ngram Jaccard pair generation shuffles fixed-width rows, not gram strings") {
+    // the count join's equi-key must be the xxhash64 long, and the full
+    // gram arrays must only appear in the final (survivor) verify joins
+    val p = ops.Llm2.dedupNgramJaccard(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("xxhash64"), p)
+  }
+
+  test("simhash/minhash signatures are map-only (no exchange below the band join)") {
+    val sigOnly = spark.read.parquet(s"$dir/documents.parquet")
+      .select(functions.TextExpressions.simHash64(
+        functions.TextExpressions.wordShingles(col("text"), 2)).as("s"))
+    val p = sigOnly.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"signature computation must not shuffle:\n$p")
+  }
 }

@@ -107,6 +107,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches across batches, excludes out-of-window") {
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = ops.Streaming.streamStreamAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      // click in batch 1; matching purchase arrives in a LATER batch
+      clicks.addData(Seq(ev(1, "2024-01-01 10:00:00", u = 1, typ = "click")))
+      q.processAllAvailable()
+      purchases.addData(Seq(
+        ev(100, "2024-01-01 10:20:00", u = 1, typ = "purchase", v = 9.5),
+        ev(101, "2024-01-01 11:30:00", u = 1, typ = "purchase", v = 3.0), // out of window
+        ev(102, "2024-01-01 10:10:00", u = 2, typ = "purchase", v = 7.0))) // other user
+      q.processAllAvailable()
+      val r = spark.table("attr")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(r === Set((1L, 100L)),
+        "only the same-user purchase within 30 minutes may join")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across batches") {
     val stream = MemoryStream[Ev]
     val q = ops.Streaming.customStateStats(stream.toDF())
