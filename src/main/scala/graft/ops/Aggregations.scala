@@ -80,6 +80,29 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Calendar gap-fill: daily revenue over a contiguous date spine,
+    * missing days emitted as exact zeros with a `filled` flag — the
+    * time-series regularization every downstream window/model step
+    * assumes. The spine is generated from the data's own [min, max]
+    * bounds (`sequence` + explode — calendar-bounded cardinality, so
+    * the generated side stays tiny at any data scale) and left-joins
+    * the daily aggregate.
+    */
+  val timeSeriesGapFill: Q = (s, dir) => {
+    val daily = table(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+    val spine = daily
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .select(col("d"),
+        coalesce(col("rev"), lit(0.0)).as("day_rev"),
+        col("rev").isNull.as("filled"))
+      .orderBy("d")
+  }
+
   /** Revenue by (nation), (mktsegment), (nation,mktsegment), () —
     * GROUPING SETS with grouping flags to disambiguate NULL-as-ALL.
     */
@@ -182,6 +205,7 @@ object Aggregations {
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_hll_sketch_merge" -> aggHllSketchMerge,
+    "time_series_gap_fill" -> timeSeriesGapFill,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,

@@ -87,6 +87,37 @@ object Multimodal {
     }.toDF("media_id", "resized", "ok")
   }
 
+  /** Feature-extract stub: media bytes → unit-norm `Array[Float]`
+    * embedding, the bridge from multimodal columns into the engine's
+    * similarity/ANN operators (the output column is shape-compatible
+    * with `embeddings.embedding`). The "model" is a deterministic
+    * per-dimension byte fold — a real deployment swaps the fold for a
+    * batched model call; everything around it (per-partition model
+    * instantiation point, iterator batching, corrupt-input null path,
+    * executor-side-only computation) is the real shape.
+    */
+  def extractFeaturesStub(media: Dataset[(Long, Array[Byte])], dim: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition model load would happen here (stub: none)
+      it.map { case (id, bytes) =>
+        decodeMeta(bytes) match {
+          case Some(_) =>
+            val body = bytes.drop(12)
+            val raw = Array.tabulate(dim) { i =>
+              var acc = 1125899906842597L * (i + 1)
+              var j = 0
+              while (j < body.length) { acc = acc * 31 + body(j); j += 1 }
+              (acc % 1000) / 1000.0f
+            }
+            val n = math.sqrt(raw.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+            (id, if (n == 0.0) raw else raw.map(x => (x / n).toFloat), true)
+          case None => (id, null: Array[Float], false)
+        }
+      }
+    }.toDF("media_id", "embedding", "ok")
+  }
+
   /** Frame-sample stub for video-like payloads: every `stride`-th
     * fixed-size chunk of the payload becomes a "frame" row (generator
     * shape: one input row → N output rows, flatMap not collect).

@@ -169,6 +169,19 @@ object OracleSql {
   )
 
   private val asof: Map[String, String] = Map(
+    "time_series_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |                 CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |          FROM bounds)
+        |SELECT spine.d, coalesce(rev, 0.0) AS day_rev, (rev IS NULL) AS filled
+        |FROM spine LEFT JOIN daily ON spine.d = daily.d
+        |ORDER BY spine.d""".stripMargin,
+
     "stream_stream_join" ->
       """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
         |       p.event_id AS purchase_id, p.ts AS purchase_ts,

@@ -125,4 +125,29 @@ class Llm2Spec extends SparkSpec {
     assert(frames.count() === 5, "10 chunks, every 2nd sampled")
     assert(frames.select(max("frame_idx")).as[Int].collect().head === 8)
   }
+
+  test("multimodal: feature extraction is deterministic, unit-norm, feeds cosine ops") {
+    val media = Seq(
+      (1L, ops.Multimodal.encodeHeader(32, 32, 3, 0, Array.tabulate[Byte](50)(_.toByte))),
+      (2L, ops.Multimodal.encodeHeader(32, 32, 3, 0, Array.tabulate[Byte](50)(i => (i + 1).toByte))),
+      (3L, Array[Byte](9, 9)) // corrupt → null embedding
+    ).toDS()
+    val f1 = ops.Multimodal.extractFeaturesStub(media, dim = 8)
+      .select("media_id", "embedding", "ok")
+      .as[(Long, Option[Seq[Float]], Boolean)].collect().sortBy(_._1)
+    val f2 = ops.Multimodal.extractFeaturesStub(media, dim = 8)
+      .select("media_id", "embedding", "ok")
+      .as[(Long, Option[Seq[Float]], Boolean)].collect().sortBy(_._1)
+    assert(f1.toSeq === f2.toSeq, "same bytes → same features, every run")
+    assert(f1(2)._2.isEmpty && !f1(2)._3, "corrupt input yields null embedding, ok=false")
+    val norm = math.sqrt(f1(0)._2.get.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+    assert(math.abs(norm - 1.0) < 1e-5, s"unit-norm, got $norm")
+    // composable with the engine's cosine expression (self-sim = 1)
+    val emb = ops.Multimodal.extractFeaturesStub(media, dim = 8).filter(col("ok"))
+      .select(col("media_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val self = emb.as("a").join(emb.as("b"), col("a.media_id") === col("b.media_id"))
+      .select(functions.TextExpressions.cosineSim(col("a.v"), col("b.v")).as("sim"))
+      .as[Double].collect()
+    assert(self.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
 }
