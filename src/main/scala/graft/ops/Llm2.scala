@@ -360,8 +360,37 @@ object Llm2 {
       .orderBy("rank")
   }
 
+  // ------------------------------------------------------- PII scrub
+
+  /** Email/phone patterns in the Java∩RE2 regex subset (SURVEY §7.4)
+    * so Spark and the DuckDB oracle scrub byte-identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** Redact emails then phone-like digit runs. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+
+  /** PII scrubbing — the redaction pass a training corpus gets before
+    * anything else sees it. Counts matched emails/phone-like runs per
+    * doc and emits the sha-256 of the scrubbed text (the full scrubbed
+    * body would just bloat the gate artifact; the hash pins every
+    * byte). Row-local, embarrassingly parallel; patterns sit in the
+    * Java∩RE2 subset so the oracle replays them exactly. Redaction
+    * correctness on planted PII is asserted in the unit spec.
+    */
+  val textPiiScrub: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+        sha2(piiScrub(col("text")), 256).as("scrub_hash"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "text_ngram_freq" -> textNgramFreq,
+    "text_pii_scrub" -> textPiiScrub,
     "text_lang_id" -> textLangId,
     "text_quality_score" -> textQualityScore,
     "text_token_count" -> textTokenCount,

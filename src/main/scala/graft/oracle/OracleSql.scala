@@ -169,6 +169,18 @@ object OracleSql {
   )
 
   private val asof: Map[String, String] = Map(
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text,
+        |         '\+?[0-9][0-9 ()-]{6,}[0-9]')) AS INT) AS n_phones,
+        |       sha256(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |         '\+?[0-9][0-9 ()-]{6,}[0-9]', '[PHONE]', 'g')) AS scrub_hash
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     "time_series_gap_fill" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,

@@ -126,6 +126,20 @@ class Llm2Spec extends SparkSpec {
     assert(frames.select(max("frame_idx")).as[Int].collect().head === 8)
   }
 
+  test("PII scrub redacts planted emails and phone runs, leaves clean text untouched") {
+    val rows = Seq(
+      "contact me at jane.doe+work@example.org or +1 (412) 555-0199 please",
+      "no pii here, just words and the number 42",
+      "two mails: a@b.co b@c.org; landline 08 123 4567").toDF("text")
+    val out = rows.select(ops.Llm2.piiScrub(col("text")).as("s"),
+      regexp_count(col("text"), lit(ops.Llm2.EmailRe)).as("ne"),
+      regexp_count(col("text"), lit(ops.Llm2.PhoneRe)).as("np"))
+      .as[(String, Int, Int)].collect()
+    assert(out(0) === (("contact me at [EMAIL] or [PHONE] please", 1, 1)))
+    assert(out(1) === (("no pii here, just words and the number 42", 0, 0)))
+    assert(out(2) === (("two mails: [EMAIL] [EMAIL]; landline [PHONE]", 2, 1)))
+  }
+
   test("multimodal: feature extraction is deterministic, unit-norm, feeds cosine ops") {
     val media = Seq(
       (1L, ops.Multimodal.encodeHeader(32, 32, 3, 0, Array.tabulate[Byte](50)(_.toByte))),
