@@ -84,6 +84,14 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final agg")
   }
 
+  test("per-group top-k pushes a WindowGroupLimit below the shuffle") {
+    // rank<=k filters must become partial per-partition top-k heaps
+    // (WindowGroupLimit), not full per-group sorts — the property that
+    // keeps hot groups bounded at scale.
+    val p = plan(ops.Windows.winRowNumberTopk)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("bucketed range join plans a hash equi-join, never a nested loop") {
     val p = plan(ops.Relational.joinRangeBucketed)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
