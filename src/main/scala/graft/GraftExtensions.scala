@@ -45,5 +45,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "minhash_sigs(features, nPerm) expects an array<string> column and an int literal")
       }))
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }
 }
