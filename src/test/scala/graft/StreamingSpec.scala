@@ -107,6 +107,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful aggregation runs on the RocksDB state store provider") {
+    // The production state backend at 100 TB of streaming state: spill
+    // to local RocksDB instead of JVM-heap HDFSBackedStateStore. Same
+    // query semantics must hold under it.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Ev]
+      val q = ops.Streaming.tumblingCounts(stream.toDF())
+        .writeStream.format("memory").queryName("rocks").outputMode("complete").start()
+      try {
+        stream.addData(Seq(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00"),
+          ev(3, "2024-01-01 11:05:00")))
+        q.processAllAvailable()
+        val counts = spark.table("rocks").select("n_events").as[Long].collect().sorted
+        assert(counts.toSeq === Seq(1L, 2L))
+      } finally q.stop()
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("stream-stream interval join matches across batches, excludes out-of-window") {
     val clicks = MemoryStream[Ev]
     val purchases = MemoryStream[Ev]
