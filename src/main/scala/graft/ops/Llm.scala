@@ -268,17 +268,20 @@ object Llm {
     * changes when other docs arrive), which is exactly what seeded
     * `sample()` does NOT give. Embarrassingly parallel at any scale.
     */
-  val sampleHashSplit: Q = (s, dir) => {
-    val bucket = (conv(substring(md5(concat_ws("|", lit("graft-split"),
-      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 100).as("bucket")
+  /** md5 hex → integer bucket 0..99, a pure function of the key. */
+  private[graft] def splitBucket(key: Column): Column =
+    conv(substring(md5(concat_ws("|", lit("graft-split"),
+      key.cast("string"))), 1, 8), 16, 10).cast("long") % 100
+
+  /** 80/10/10 split name from a bucket. */
+  private[graft] def splitName(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+
+  val sampleHashSplit: Q = (s, dir) =>
     table(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), bucket)
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "valid")
-          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), splitBucket(col("doc_id")).as("bucket"))
+      .withColumn("split", splitName(col("bucket")))
       .orderBy("doc_id")
-  }
 
   val queries: Map[String, Q] = Map(
     "dedup_exact_hash" -> dedupExactHash,

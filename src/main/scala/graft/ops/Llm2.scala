@@ -37,15 +37,38 @@ object Llm2 {
     * fixtures in the unit spec (the synthetic corpus shares one
     * vocabulary across langs).
     */
-  val textLangId: Q = (s, dir) => {
-    val t = toks(col("text"))
-    val scores = langMarkers.map { case (lang, ms) =>
+  /** Per-language marker score expressions over a text column. */
+  private[graft] def langScoreCols(text: Column): Seq[Column] = {
+    val t = toks(text)
+    langMarkers.map { case (lang, ms) =>
       size(filter(t, x => x.isin(ms.map(lit(_)): _*))).as(s"s_$lang")
-    }
-    val sZh = size(split(col("text"), "[一-鿿]")) - 1
+    } :+ (size(split(text, "[一-鿿]")) - 1).as("s_zh")
+  }
+
+  /** Standalone predicted-language expression (same argmax/tie-break
+    * as [[textLangId]]; the query keeps its per-score columns for the
+    * oracle while composites use this single column).
+    */
+  private[graft] def predLangCol(text: Column): Column = {
+    val t = toks(text)
+    def score(ms: Seq[String]): Column =
+      size(filter(t, x => x.isin(ms.map(lit(_)): _*)))
+    val m = langMarkers.toMap
+    val (sDe, sEn, sEs, sFr) = (score(m("de")), score(m("en")), score(m("es")), score(m("fr")))
+    val sZh = size(split(text, "[一-鿿]")) - 1
+    val mx = greatest(sDe, sEn, sEs, sFr, sZh)
+    when(sZh > 0, "zh") // CJK presence dominates
+      .when(mx === 0, "und")
+      .when(sDe === mx, "de")
+      .when(sEn === mx, "en")
+      .when(sEs === mx, "es")
+      .otherwise("fr")
+  }
+
+  val textLangId: Q = (s, dir) => {
     val mx = greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh"))
     table(s, dir, "documents")
-      .select(col("doc_id") +: scores :+ sZh.as("s_zh"): _*)
+      .select(col("doc_id") +: langScoreCols(col("text")): _*)
       .withColumn("pred_lang",
         when(col("s_zh") > 0, "zh") // CJK presence dominates
           .when(mx === 0, "und")
@@ -59,6 +82,23 @@ object Llm2 {
   // ---------------------------------------------------- quality scoring
 
   private val qStopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Standalone blended quality expression (identical formula to
+    * [[textQualityScore]]'s `quality` column, for composites).
+    */
+  private[graft] def qualityCol(text: Column): Column = {
+    val t = toks(text)
+    val nTokens = size(t)
+    val nStop = size(filter(t, x => x.isin(qStopwords.map(lit(_)): _*)))
+    val stopRatio = nStop.cast("double") / nTokens
+    val nonalnumRatio =
+      (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", "")))
+        .cast("double") / length(text)
+    round(
+      least(nTokens.cast("double") / 20.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - stopRatio) * 0.3 +
+        (lit(1.0) - nonalnumRatio) * 0.3, 6)
+  }
 
   /** Heuristic quality score: token count, mean token length, stopword
     * ratio, non-alnum ratio. All components are exact int ratios; the
