@@ -80,6 +80,32 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Exact Pearson correlation per group, from decimal-exact moment
+    * sums. Built-in `corr()` accumulates doubles in partition order —
+    * nondeterministic across engines AND across partitionings — so the
+    * five moments (Σx, Σy, Σx², Σy², Σxy) are aggregated as exact
+    * decimals (inputs are scale-2; products are scale-4, still exact),
+    * each cast once to double (correctly rounded), and the textbook
+    * formula runs in IEEE double arithmetic identically on both
+    * engines. round(6) guards the final libm sqrt ULP.
+    */
+  val aggCorrExact: Q = (s, dir) => {
+    val q = dec(col("l_quantity"))
+    val p = dec(col("l_extendedprice"))
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).cast("double").as("sx"), sum(p).cast("double").as("sy"),
+        sum(q * q).cast("double").as("sxx"), sum(p * p).cast("double").as("syy"),
+        sum(q * p).cast("double").as("sxy"))
+      .withColumn("corr_qty_price", round(
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+      .select("l_returnflag", "n", "corr_qty_price")
+      .orderBy("l_returnflag")
+  }
+
   /** Calendar gap-fill: daily revenue over a contiguous date spine,
     * missing days emitted as exact zeros with a `filled` flag — the
     * time-series regularization every downstream window/model step
@@ -206,6 +232,7 @@ object Aggregations {
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_hll_sketch_merge" -> aggHllSketchMerge,
     "time_series_gap_fill" -> timeSeriesGapFill,
+    "agg_corr_exact" -> aggCorrExact,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,

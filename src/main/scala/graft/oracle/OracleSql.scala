@@ -169,6 +169,22 @@ object OracleSql {
   )
 
   private val asof: Map[String, String] = Map(
+    "agg_corr_exact" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       round((n * sxy - sx * sy) /
+        |             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |         AS corr_qty_price
+        |FROM m
+        |ORDER BY l_returnflag""".stripMargin,
+
     "text_pii_scrub" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text,

@@ -31,7 +31,13 @@ def canon(df: pd.DataFrame):
             elif isinstance(v, (np.integer, int)):
                 vals.append(str(int(v)))
             elif isinstance(v, (pd.Timestamp,)):
-                vals.append(v.isoformat())
+                # DATE columns surface as midnight Timestamps from duckdb
+                # but datetime.date objects from pandas-read parquet;
+                # normalize midnight to the date form so both agree
+                if v.tzinfo is None and v == v.normalize():
+                    vals.append(v.date().isoformat())
+                else:
+                    vals.append(v.isoformat())
             elif isinstance(v, np.ndarray):
                 vals.append(str(list(v)))
             elif v is pd.NaT:
@@ -61,9 +67,24 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
         try:
-            got = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'").df()
+            # pandas/pyarrow, NOT duckdb: the driver loads the Spark side
+            # this way, and the dtype classes differ (decimal128 ->
+            # decimal.Decimal objects, list -> ndarray). Round 1 shipped a
+            # query that passed a duckdb-read replica but failed the real
+            # gate on exactly that gap.
+            import glob as _glob
+            got = pd.concat([pd.read_parquet(f)
+                             for f in sorted(_glob.glob(f"{spark_path}/*.parquet"))],
+                            ignore_index=True)
+            # driver-style: row-sort by all columns after column sort —
+            # list/ndarray cells make this raise, as on the driver
+            got = got[sorted(got.columns)].sort_values(by=sorted(got.columns),
+                                                       kind="mergesort").reset_index(drop=True)
+            exp = exp[sorted(exp.columns)].sort_values(by=sorted(exp.columns),
+                                                       kind="mergesort").reset_index(drop=True)
         except Exception as e:
-            print(f"FAIL {name}: spark parquet read error: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: spark-side load/sort (driver-style) error: {e}")
+            n_fail += 1; continue
         gc, gv = canon(got)
         ec, ev = canon(exp)
         if gc != ec:
