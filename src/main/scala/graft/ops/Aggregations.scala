@@ -129,6 +129,46 @@ object Aggregations {
       .orderBy("d")
   }
 
+  /** Funnel analysis over the event stream: per user, the FIRST
+    * timestamp of each stage (conditional min — one hash aggregation,
+    * no self-joins), then one global roll-up counting strictly-ordered
+    * stage completion (signup → click → purchase). The per-user stage
+    * pivot is the standard funnel shape at any scale: one shuffle on
+    * user_id, constant state per user.
+    */
+  val eventsFunnel: Q = (s, dir) => {
+    val firsts = table(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    firsts.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t_signup")).as("n_signup"),
+      count(when(col("t_click") > col("t_signup"), 1)).as("n_signup_then_click"),
+      count(when(col("t_click") > col("t_signup") &&
+        col("t_purchase") > col("t_click"), 1)).as("n_full_funnel"))
+  }
+
+  /** Weekly cohort retention: cohort = the user's first active ISO
+    * week; for each (cohort, week-offset) count distinct active users.
+    * Two hash aggregations and one equi-join on user_id — the join
+    * side carrying one row per user, broadcastable when the user dim
+    * fits, shuffled otherwise.
+    */
+  val eventsRetentionCohort: Q = (s, dir) => {
+    val e = table(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+    val first = e.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    e.join(first, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Revenue by (nation), (mktsegment), (nation,mktsegment), () —
     * GROUPING SETS with grouping flags to disambiguate NULL-as-ALL.
     */
@@ -233,6 +273,8 @@ object Aggregations {
     "agg_hll_sketch_merge" -> aggHllSketchMerge,
     "time_series_gap_fill" -> timeSeriesGapFill,
     "agg_corr_exact" -> aggCorrExact,
+    "events_funnel" -> eventsFunnel,
+    "events_retention_cohort" -> eventsRetentionCohort,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,

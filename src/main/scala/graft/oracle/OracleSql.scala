@@ -169,6 +169,31 @@ object OracleSql {
   )
 
   private val asof: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |       count(t_signup) AS n_signup,
+        |       count(CASE WHEN t_click > t_signup THEN 1 END) AS n_signup_then_click,
+        |       count(CASE WHEN t_click > t_signup AND t_purchase > t_click THEN 1 END)
+        |         AS n_full_funnel
+        |FROM f""".stripMargin,
+
+    "events_retention_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |first AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT cohort_week,
+        |       CAST(datediff('day', cohort_week, wk) / 7 AS INT) AS week_offset,
+        |       count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN first ON e.user_id = first.user_id
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
     "agg_corr_exact" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,
