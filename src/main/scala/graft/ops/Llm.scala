@@ -190,11 +190,16 @@ object Llm {
       .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // df as a window count over the SAME tf relation — the former
+    // groupBy+broadcast-join formulation re-evaluated the whole
+    // tokenize→explode→tf subtree a second time (column pruning makes
+    // the two subtrees differ, so Catalyst cannot reuse the exchange);
+    // one window shuffle on term replaces that recompute entirely.
+    val df = Window.partitionBy(col("term"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(broadcast(df), "term")
+    tf.withColumn("df", count(lit(1)).over(df))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6))
