@@ -350,18 +350,24 @@ object Llm2 {
       when(cosineSim(col("v"), lit(hp)) > 0, lit(1L << k)).otherwise(0L)
     }
     val sig = emb.withColumn("sig", bits.reduce(_ + _))
-    val banded = sig.select(col("vec_id"), col("v"),
+    // band rows carry ONLY (vec_id, band, bv) — the vectors stay out
+    // of the collision join and its distinct (deduplicating rows that
+    // drag 64-double arrays through a shuffle was the query's dominant
+    // cost); survivors re-join their vectors for the exact verify.
+    val banded = sig.select(col("vec_id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * 4).bitwiseAND(0xFL).as("bv"))): _*)).as("e"))
-      .select(col("vec_id"), col("v"), col("e.band").as("band"), col("e.bv").as("bv"))
+      .select(col("vec_id"), col("e.band").as("band"), col("e.bv").as("bv"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        col("a.v").as("a_v"), col("b.v").as("b_v"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    cand.withColumn("sim", cosineSim(col("a_v"), col("b_v")))
+    cand
+      .join(emb.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")
+      .withColumn("sim", cosineSim(col("a_v"), col("b_v")))
       .filter(col("sim") > 0.4)
       .select("a_id", "b_id", "sim")
       .orderBy("a_id", "b_id")
