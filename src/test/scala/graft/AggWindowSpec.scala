@@ -77,6 +77,19 @@ class AggWindowSpec extends SparkSpec {
       "unioned per-part sketches must estimate identically to the whole-data sketch")
   }
 
+  test("funnel counts are monotone and gap-fill spine is contiguous (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val f = ops.Aggregations.eventsFunnel(spark, dir).collect().head
+    val (nu, ns, nc, np) = (f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3))
+    assert(nu >= ns && ns >= nc && nc >= np && np >= 0,
+      s"funnel must narrow monotonically: $nu >= $ns >= $nc >= $np")
+    val days = ops.Aggregations.timeSeriesGapFill(spark, dir)
+      .select("d").as[java.sql.Date].collect()
+    val expected = (0L until days.length)
+      .map(i => java.sql.Date.valueOf(days.head.toLocalDate.plusDays(i)))
+    assert(days.toSeq === expected, "spine must cover every day exactly once, in order")
+  }
+
   test("running sum final row equals group total (decimal-exact)") {
     val df = Seq((1, "2024-01-01", 10.10), (1, "2024-01-02", 0.20), (1, "2024-01-03", 5.03))
       .toDF("k", "d", "v")

@@ -46,18 +46,27 @@ class JoinsSpec extends SparkSpec {
   }
 
   test("as-of join: <= boundary inclusive, latest wins, orderkey breaks date ties") {
-    val events = Seq((100L, 7L, ts("2024-01-10 12:00:00"))).toDF("event_id", "user_id", "ts")
-    val orders = Seq(
+    // exercises the SHIPPED union+carry-forward operator, not a local
+    // reference formulation — fixtures written as a scale-factor dir
+    val d = java.nio.file.Files.createTempDirectory("asof").toString
+    // events.ts rides as raw nanos (the reader's TIMESTAMP(NANOS) path)
+    def ns(t: String): Long = ts(t).getTime * 1000000L
+    Seq(
+      (100L, 7L, ns("2024-01-10 12:00:00")), // has ties + boundary order
+      (101L, 8L, ns("2024-01-01 00:00:00")), // user with no prior order → dropped
+      (102L, 7L, ns("2024-01-10 11:59:59"))  // just before the tied orders → earlier order wins
+    ).toDF("event_id", "user_id", "ts").coalesce(1).write.parquet(s"$d/events.parquet")
+    Seq(
       (7L, 1L, ts("2024-01-10 12:00:00")), // exactly at ts → eligible (<=)
       (7L, 2L, ts("2024-01-10 12:00:00")), // same date, higher key → wins tie
       (7L, 3L, ts("2024-01-11 00:00:00")), // after ts → excluded
-      (7L, 4L, ts("2024-01-01 00:00:00"))  // earlier → loses
-    ).toDF("o_custkey", "o_orderkey", "o_orderdate")
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    val r = events
-      .join(orders, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    assert(r.select("o_orderkey").as[Long].collect().toSeq === Seq(2L))
+      (7L, 4L, ts("2024-01-01 00:00:00")), // earlier → loses (but wins for event 102)
+      (8L, 5L, ts("2024-02-01 00:00:00"))  // after user 8's event → user 8 unmatched
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate").coalesce(1)
+      .write.parquet(s"$d/orders.parquet")
+    val r = ops.Relational.joinAsof(spark, d)
+      .select("event_id", "asof_orderkey").as[(Long, Long)].collect().toMap
+    assert(r === Map(100L -> 2L, 102L -> 4L),
+      "boundary inclusive, (date,key)-max tie-break, no-prior-order events dropped")
   }
 }
