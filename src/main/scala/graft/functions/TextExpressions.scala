@@ -22,6 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextExpressions {
 
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
   /** One-pass word n-gram shingle extraction with normalization:
     * trim → lower (UTF8String fold) → whitespace-split → distinct
     * n-grams in first-occurrence order — byte-equivalent to
@@ -41,7 +43,10 @@ object TextExpressions {
     override protected def nullSafeEval(input: Any): Any = {
       val text = input.asInstanceOf[UTF8String].toLowerCase.toString.trim
       if (text.isEmpty) return new GenericArrayData(Array.empty[Any])
-      val toks = text.split("\\s+")
+      // pre-compiled pattern: String.split("\\s+") recompiles the regex
+      // per call, i.e. per ROW — measurable across the 8+ shingle
+      // evaluations in the query suite
+      val toks = TextExpressions.WsPattern.split(text)
       if (toks.length < n) return new GenericArrayData(Array.empty[Any])
       val seen = new java.util.LinkedHashSet[String]()
       var i = 0
