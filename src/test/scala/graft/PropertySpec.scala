@@ -97,4 +97,21 @@ class PropertySpec extends SparkSpec {
       assert(pairs.contains((1L, 2L)), s"seed $i: planted near-dup must be recalled")
     }
   }
+
+  test("PII scrub is idempotent on generated text (redactions never re-match)") {
+    val piiGen: Gen[String] = for {
+      words <- Gen.listOf(Gen.identifier.map(_.take(8)))
+      email <- Gen.option(Gen.identifier.map(u => s"${u.take(6)}@mail.example.org"))
+      phone <- Gen.option(Gen.choose(100000000L, 999999999L).map(n => s"+1 $n"))
+    } yield (words ++ email.toList ++ phone.toList).mkString(" ")
+    val texts = samples(piiGen, 12).filter(_.nonEmpty)
+    if (texts.nonEmpty) {
+      val df = texts.toDF("text")
+      val diff = df.select(
+          ops.Llm2.piiScrub(col("text")).as("once"),
+          ops.Llm2.piiScrub(ops.Llm2.piiScrub(col("text"))).as("twice"))
+        .filter(col("once") =!= col("twice")).count()
+      assert(diff === 0L, "scrub(scrub(x)) must equal scrub(x)")
+    }
+  }
 }
