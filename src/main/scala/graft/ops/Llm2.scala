@@ -301,6 +301,7 @@ object Llm2 {
     * it. Recall vs brute force is unit-tested; no oracle (rows-only).
     */
   val simAnnIvf: Q = (s, dir) => {
+    val nprobe = 2
     val cosineSim = graft.functions.TextExpressions.cosineSim _
     val emb = table(s, dir, "embeddings")
       .select(col("vec_id"),
@@ -309,13 +310,17 @@ object Llm2 {
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id").asc)
-    val assigned = emb.crossJoin(broadcast(cents))
+    val ranked = emb.crossJoin(broadcast(cents))
       .withColumn("csim", cosineSim(col("v"), col("cv")))
       .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
+    val assigned = ranked.filter(col("crn") === 1)
       .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
-    val probes = assigned.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("p_id"), col("v").as("pv"), col("cluster").as("p_cluster"))
+    // the IVF recall/cost knob: each probe searches its nprobe closest
+    // clusters (corpus vectors stay in exactly ONE cluster, so a
+    // (probe, vector) pair can match at most once — no dedup needed);
+    // nprobe trades candidates scanned for recall at the cluster edge
+    val probes = ranked.filter(col("vec_id") < 5 && col("crn") <= nprobe)
+      .select(col("vec_id").as("p_id"), col("v").as("pv"), col("c_id").as("p_cluster"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("p_id")).orderBy(col("sim").desc, col("vec_id").asc)
     assigned.join(broadcast(probes),

@@ -68,14 +68,16 @@ class Llm2Spec extends SparkSpec {
     assert(!got.exists(p => Set(1L, 2L, 3L, 4L, 5L)(p._1)), "distinct docs must not pair")
   }
 
-  test("IVF ANN recall: cluster-confined top-k equals brute force on clustered data") {
+  test("IVF ANN with nprobe=2 equals brute force on two-cluster data") {
     val ann = ops.Llm2.simAnnIvf(spark, fixtureDir)
       .select("p_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     // probe 0 lives in the x-cluster: nearest are 11, 14, 10 (by cosine)
     assert(ann(0L).toSet === Set(10L, 11L, 14L))
-    // probe 1 lives in the y-cluster: nearest are 12, 13
-    assert(ann(1L).toSet === Set(12L, 13L))
+    // probe 1's own y-cluster holds 12, 13; nprobe=2 also searches the
+    // x-cluster, so the true global #3 (vector 10, cos ≈ 0.05) appears —
+    // exactly brute force's answer on this fixture
+    assert(ann(1L).toSet === Set(12L, 13L, 10L))
   }
 
   test("hyperplane LSH recalls a tight cosine cluster, skips unrelated vectors") {
