@@ -321,6 +321,33 @@ object Relational {
         "metric", "value")
       .transform(orderedByAll)
 
+  /** The SQL entry path (SURVEY §3.4): the TPC-H Q3 shape expressed as
+    * SQL TEXT over registered temp views — parse → analyze → the same
+    * Catalyst pipeline as the DataFrame API, and the identical
+    * determinism discipline (decimal-exact revenue, unique tiebreak).
+    * Exists so the engine's `spark.sql(...)` surface is exercised and
+    * oracle-checked, not just the fluent API.
+    */
+  val sqlTpchQ3: Q = (s, dir) => {
+    table(s, dir, "customer").createOrReplaceTempView("customer")
+    table(s, dir, "orders").createOrReplaceTempView("orders")
+    table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             o_orderdate, o_orderpriority
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""")
+  }
+
   // ---------------------------------------------------------------- §2.4
 
   /** TPC-H Q1 shape: exact decimal sums, deterministic averages. */
@@ -359,6 +386,7 @@ object Relational {
     "join_theta_range" -> joinThetaRange,
     "join_range_bucketed" -> joinRangeBucketed,
     "reshape_unpivot" -> reshapeUnpivot,
+    "sql_tpch_q3" -> sqlTpchQ3,
     "join_multiway_star" -> joinMultiwayStar,
     "join_self_dedup" -> joinSelfDedup,
     "join_asof" -> joinAsof,

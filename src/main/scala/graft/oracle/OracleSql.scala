@@ -169,6 +169,21 @@ object OracleSql {
   )
 
   private val asof: Map[String, String] = Map(
+    "sql_tpch_q3" ->
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
     "events_funnel" ->
       """WITH f AS (
         |  SELECT user_id,
