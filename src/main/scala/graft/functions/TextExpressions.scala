@@ -209,7 +209,47 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Deletion-neighborhood keys for edit-distance-1 blocking (FastSS /
+    * SymSpell family): the string itself plus every distinct
+    * single-character deletion, first-occurrence order — element-
+    * equivalent to `array_union(array(s), transform(sequence(1,
+    * length(s)), i -> concat(substr(s,1,i-1), substr(s,i+1,…))))`
+    * but one StringBuilder pass per row instead of an interpreted
+    * lambda (the HOF form measured ~150 µs/row; this is ~1 µs).
+    */
+  case class Del1Keys(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "del1_keys"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val seen = new java.util.LinkedHashSet[String]()
+      seen.add(s)
+      val sb = new java.lang.StringBuilder(s)
+      var i = 0
+      while (i < s.length) {
+        sb.deleteCharAt(i)
+        seen.add(sb.toString)
+        sb.insert(i, s.charAt(i))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator(); var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Del1Keys =
+      copy(child = newChild)
+  }
+
   // ---------------------------------------------- Column API (via registry)
+
+  /** Deletion-neighborhood blocking keys (string + distinct del-1 set). */
+  def del1Keys(text: Column): Column =
+    call_function("del1_keys", text)
 
   /** Distinct word n-gram shingles of normalized text (one pass). */
   def wordShingles(text: Column, n: Int): Column =

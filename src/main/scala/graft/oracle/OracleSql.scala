@@ -336,8 +336,8 @@ object OracleSql {
         |       a.s_name AS a_name, b.s_name AS b_name,
         |       levenshtein(a.s_name, b.s_name) AS dist
         |FROM supplier a JOIN supplier b
-        |  ON substring(a.s_name, 1, 9) = substring(b.s_name, 1, 9)
-        | AND a.s_suppkey < b.s_suppkey
+        |  ON a.s_suppkey < b.s_suppkey
+        | AND abs(length(a.s_name) - length(b.s_name)) <= 1
         |WHERE levenshtein(a.s_name, b.s_name) <= 1
         |ORDER BY a_key, b_key""".stripMargin,
 

@@ -48,4 +48,71 @@ class LevenshteinRuleSpec extends SparkSpec {
     val twice = plans.LevenshteinPrefilter(once)
     assert(twice fastEquals once, "re-applying the rule must be a no-op")
   }
+
+  // ------------- deletion-neighborhood blocking (ops.Scalar.del1Keys)
+
+  test("del1 blocking is non-degenerate on the real supplier data") {
+    // sf0.01 = 100 suppliers (sf0.001's 10 rows have one genuine
+    // near-dup clique, hence legitimately one multi-row block)
+    val sup = spark.read.parquet("/root/testdata/sf0.01/supplier.parquet")
+    val n = sup.count()
+    val blocks = sup
+      .select(explode(ops.Scalar.del1Keys(col("s_name"))).as("blk"))
+      .groupBy("blk").count()
+      .filter(col("count") > 1)
+    val nBlocks = blocks.count()
+    val maxBlock = blocks.agg(max("count")).head.getLong(0)
+    // r2's substring(1,9) key put ALL n rows in ONE block ('Supplier#'
+    // is universal); the deletion keys must fan out into many small
+    // blocks whose size tracks near-dup density, not corpus size
+    assert(nBlocks > 1, s"expected >1 multi-row block, got $nBlocks")
+    assert(maxBlock < n / 4,
+      s"degenerate block: $maxBlock of $n rows share one key")
+  }
+
+  test("del1-blocked pair set equals brute force on real supplier data") {
+    val got = ops.Scalar.strLevenshtein(spark, "/root/testdata/sf0.001")
+      .select("a_key", "b_key").as[(Long, Long)].collect().toSet
+    val names = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .select("s_suppkey", "s_name").as[(Long, String)].collect()
+    val brute = (for {
+      (ak, an) <- names; (bk, bn) <- names
+      if ak < bk && levDp(an, bn) <= 1
+    } yield (ak, bk)).toSet
+    assert(got === brute)
+  }
+
+  test("del1Keys: every edit-distance-<=1 pair shares a key (random strings)") {
+    val rnd = new scala.util.Random(7)
+    def randStr(): String =
+      (0 until 3 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val strs = Seq.fill(120)(randStr()).distinct
+    val keys = strs.toDF("s")
+      .select(col("s"), ops.Scalar.del1Keys(col("s")).as("ks"))
+      .as[(String, Seq[String])].collect().toMap
+    for (a <- strs; b <- strs if a < b && levDp(a, b) <= 1)
+      assert(keys(a).toSet.intersect(keys(b).toSet).nonEmpty,
+        s"ed<=1 pair ($a, $b) shares no deletion key")
+  }
+
+  test("native del1_keys ≡ the HOF formulation, element for element") {
+    val sup = spark.read.parquet("/root/testdata/sf0.01/supplier.parquet")
+      .select(col("s_name").as("s"))
+      .union(Seq("a", "ab", "aab", "xyzzy").toDF("s"))
+    val rows = sup.select(
+      ops.Scalar.del1Keys(col("s")).as("native"),
+      ops.Scalar.del1KeysHof(col("s")).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (n, h) => assert(n === h) }
+  }
+
+  /** Classic DP edit distance — reference implementation, no Spark. */
+  private def levDp(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
