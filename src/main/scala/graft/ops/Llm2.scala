@@ -294,32 +294,67 @@ object Llm2 {
 
   // ------------------------------------------------------------- ANN
 
-  /** IVF-style approximate nearest neighbor: deterministic coarse
-    * centroids (vec_id < 8), nearest-centroid assignment, probe search
-    * confined to the probe's own cluster. The scale path for ANN —
-    * cluster assignment shards the corpus so each query touches 1/C of
-    * it. Recall vs brute force is unit-tested; no oracle (rows-only).
+  /** Unit-normalize an array<double> column (zero vectors pass
+    * through unscaled rather than dividing by 0).
     */
-  val simAnnIvf: Q = (s, dir) => {
-    val nprobe = 2
+  private def unitVec(v: Column): Column = {
+    val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    transform(v, x => when(n > 0, x / n).otherwise(x))
+  }
+
+  /** Nearest-centroid ranking: every vector × broadcast centroids,
+    * ranked by cosine (ties broken on c_id for determinism).
+    */
+  private def rankByCentroid(vecs: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cosineSim = graft.functions.TextExpressions.cosineSim _
-    val emb = table(s, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-    val cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val wAssign = org.apache.spark.sql.expressions.Window
+    val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id").asc)
-    val ranked = emb.crossJoin(broadcast(cents))
+    vecs.crossJoin(broadcast(cents))
       .withColumn("csim", cosineSim(col("v"), col("cv")))
-      .withColumn("crn", row_number().over(wAssign))
+      .withColumn("crn", row_number().over(w))
+  }
+
+  /** IVF approximate nearest neighbor with a TRAINED coarse quantizer.
+    *
+    * Training (all DataFrame ops, fully deterministic):
+    *   1. seed `nlist` centers by hash-stratified sampling — global
+    *      top-nlist by `xxhash64(vec_id)`, i.e. a uniform pseudo-random
+    *      draw that is reproducible and rank-pruned
+    *      (TakeOrderedAndProject), never a full sort;
+    *   2. one spherical k-means (Lloyd) iteration: assign every vector
+    *      to its nearest seed by cosine, then recompute each center as
+    *      the element-wise mean of its members' UNIT vectors (cosine
+    *      geometry — raw means would let long vectors dominate). A
+    *      seed is always its own nearest center (cos = 1, ties on
+    *      c_id), so no cluster is ever empty.
+    *   At 100 TB the training pass runs on a hash sample
+    *   (`xxhash64(vec_id) % s = 0`) instead of the full corpus — the
+    *   assignment below is the only pass that must see every vector.
+    *
+    * Search: probes rank the trained centroids and search their
+    * `nprobe` closest cells; corpus vectors live in exactly ONE cell,
+    * so a (probe, vector) pair matches at most once — no dedup.
+    * Per-cell search touches ~nprobe/nlist of the corpus.
+    */
+  private[graft] def annIvf(emb: org.apache.spark.sql.DataFrame,
+      isProbe: Column, nlist: Int, nprobe: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val cosineSim = graft.functions.TextExpressions.cosineSim _
+    val seeds = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val trained = rankByCentroid(emb, seeds).filter(col("crn") === 1)
+      .select(col("c_id"), posexplode(unitVec(col("v"))).as(Seq("pos", "x")))
+      .groupBy("c_id", "pos").agg(avg("x").as("m"))
+      .groupBy("c_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cv"))
+    val ranked = rankByCentroid(emb, trained)
     val assigned = ranked.filter(col("crn") === 1)
       .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
-    // the IVF recall/cost knob: each probe searches its nprobe closest
-    // clusters (corpus vectors stay in exactly ONE cluster, so a
-    // (probe, vector) pair can match at most once — no dedup needed);
-    // nprobe trades candidates scanned for recall at the cluster edge
-    val probes = ranked.filter(col("vec_id") < 5 && col("crn") <= nprobe)
+    // the IVF recall/cost knob: nprobe trades candidates scanned for
+    // recall at cell boundaries
+    val probes = ranked.filter(isProbe && col("crn") <= nprobe)
       .select(col("vec_id").as("p_id"), col("v").as("pv"), col("c_id").as("p_cluster"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("p_id")).orderBy(col("sim").desc, col("vec_id").asc)
@@ -327,9 +362,21 @@ object Llm2 {
         col("cluster") === col("p_cluster") && col("vec_id") =!= col("p_id"))
       .withColumn("sim", cosineSim(col("v"), col("pv")))
       .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= k)
       .select("p_id", "rank", "vec_id", "sim")
       .orderBy("p_id", "rank")
+  }
+
+  /** IVF ANN over the embeddings table: nlist=8 trained cells,
+    * nprobe=2, top-3 for the first five probe ids. Recall vs brute
+    * force is unit-tested on fixtures independent of the seeding
+    * (Llm2Spec); no oracle (approx by design — rows-only check).
+    */
+  val simAnnIvf: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    annIvf(emb, col("vec_id") < 5, nlist = 8, nprobe = 2, k = 3)
   }
 
   /** Random-hyperplane (sign) LSH near-neighbor pairs — the other

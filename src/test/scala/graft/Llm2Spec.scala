@@ -69,7 +69,12 @@ class Llm2Spec extends SparkSpec {
   }
 
   test("IVF ANN with nprobe=2 equals brute force on two-cluster data") {
-    val ann = ops.Llm2.simAnnIvf(spark, fixtureDir)
+    // nlist=2, nprobe=2 on the 7-vector fixture: probes search BOTH
+    // cells — the whole corpus — so whatever cells training produced,
+    // the answer must be exactly brute force
+    val emb = spark.read.parquet(s"$fixtureDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val ann = ops.Llm2.annIvf(emb, col("vec_id") < 5, nlist = 2, nprobe = 2, k = 3)
       .select("p_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     // probe 0 lives in the x-cluster: nearest are 11, 14, 10 (by cosine)
@@ -78,6 +83,41 @@ class Llm2Spec extends SparkSpec {
     // x-cluster, so the true global #3 (vector 10, cos ≈ 0.05) appears —
     // exactly brute force's answer on this fixture
     assert(ann(1L).toSet === Set(12L, 13L, 10L))
+  }
+
+  test("IVF ANN recall >= 0.9 vs brute force on random clustered data (fixture independent of seeding)") {
+    // 48 vectors in 4 well-separated Gaussian cones, 16-dim, ids
+    // SHUFFLED so cluster structure is uncorrelated with vec_id —
+    // nothing about the fixture aligns with the hash-sampled seeds
+    val rnd = new scala.util.Random(1234)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val raw = (0 until 48).map { i =>
+      val c = centers(i % 4)
+      c.zipWithIndex.map { case (x, j) => x + rnd.nextGaussian() * 0.3 }
+    }
+    val ids = rnd.shuffle((0L until 48L).toVector)
+    val data = ids.zip(raw).map { case (id, v) => (id, v.toSeq) }
+    val emb = data.toDF("vec_id", "v")
+    val k = 3
+    // nlist=8 over 4 planted clusters → ~2 cells per cluster; nprobe=3
+    // is the matching recall knob (a probe must reach every sub-cell
+    // its true neighbors may have split into)
+    val ann = ops.Llm2.annIvf(emb, col("vec_id") < 5, nlist = 8, nprobe = 3, k = k)
+      .select("p_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = data.toMap
+    val recalls = (0L until 5L).map { p =>
+      val brute = data.filter(_._1 != p)
+        .sortBy { case (id, v) => (-cos(byId(p), v), id) }
+        .take(k).map(_._1).toSet
+      ann.getOrElse(p, Set.empty).intersect(brute).size.toDouble / k
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9 (per-probe: $recalls)")
   }
 
   test("hyperplane LSH recalls a tight cosine cluster, skips unrelated vectors") {
