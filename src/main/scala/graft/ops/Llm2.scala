@@ -297,13 +297,24 @@ object Llm2 {
   /** Unit-normalize an array<double> column (zero vectors pass
     * through unscaled rather than dividing by 0).
     */
-  private def unitVec(v: Column): Column = {
-    val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
-    transform(v, x => when(n > 0, x / n).otherwise(x))
-  }
+  /** Unit-normalize `v` against a PRE-HOISTED norm column. The norm
+    * must be a plain column reference, not the aggregate expression
+    * itself: HOFs are interpreted (no codegen), and inlining the norm
+    * into the per-element lambda makes evaluation O(dim²) interpreted
+    * tree-walks per row — measured 1.1 s vs ~0.1 s on 2000×64 at sf0.1.
+    */
+  private def unitVec(v: Column, norm: Column): Column =
+    transform(v, x => when(norm > 0, x / norm).otherwise(x))
+
+  private def vecNorm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
 
   /** Nearest-centroid ranking: every vector × broadcast centroids,
-    * ranked by cosine (ties broken on c_id for determinism).
+    * ranked by cosine (ties broken on c_id for determinism). A 0-norm
+    * vector on either side yields NaN cosine, which Spark would sort
+    * ABOVE every real similarity — `nanvl` pins it to -2 (below the
+    * cosine range) so degenerate vectors rank last instead of
+    * absorbing every row.
     */
   private def rankByCentroid(vecs: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -311,26 +322,40 @@ object Llm2 {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id").asc)
     vecs.crossJoin(broadcast(cents))
-      .withColumn("csim", cosineSim(col("v"), col("cv")))
+      .withColumn("csim", nanvl(cosineSim(col("v"), col("cv")), lit(-2.0)))
       .withColumn("crn", row_number().over(w))
   }
 
   /** IVF approximate nearest neighbor with a TRAINED coarse quantizer.
     *
-    * Training (all DataFrame ops, fully deterministic):
+    * Training (all DataFrame ops, deterministic up to floating-point
+    * summation order in the per-dimension `avg`; centroid IDENTITY —
+    * which vectors form each cell — is exact and reproducible):
     *   1. seed `nlist` centers by hash-stratified sampling — global
     *      top-nlist by `xxhash64(vec_id)`, i.e. a uniform pseudo-random
     *      draw that is reproducible and rank-pruned
     *      (TakeOrderedAndProject), never a full sort;
-    *   2. one spherical k-means (Lloyd) iteration: assign every vector
-    *      to its nearest seed by cosine, then recompute each center as
-    *      the element-wise mean of its members' UNIT vectors (cosine
-    *      geometry — raw means would let long vectors dominate). A
-    *      seed is always its own nearest center (cos = 1, ties on
-    *      c_id), so no cluster is ever empty.
-    *   At 100 TB the training pass runs on a hash sample
-    *   (`xxhash64(vec_id) % s = 0`) instead of the full corpus — the
-    *   assignment below is the only pass that must see every vector.
+    *   2. one spherical k-means (Lloyd) iteration: assign every
+    *      training vector to its nearest seed by cosine, then recompute
+    *      each center as the element-wise mean of its members' UNIT
+    *      vectors (cosine geometry — raw means would let long vectors
+    *      dominate). A non-degenerate seed is its own nearest center
+    *      (cos = 1, ties on c_id); a cell can only end up empty if two
+    *      seeds carry IDENTICAL or zero vectors, in which case the
+    *      lower c_id absorbs both — search still covers the corpus,
+    *      just with fewer effective cells.
+    *
+    * `trainSampleMod > 1` is the at-scale training path: the
+    * seeds/assign/Lloyd pass only reads rows with
+    * `xxhash64(vec_id) % trainSampleMod == 0` (a reproducible ~1/mod
+    * hash sample), so at 100 TB training never posexplodes the full
+    * corpus×dim — only the final cell assignment must see every vector.
+    *
+    * The trained centroid relation is ≤ nlist tiny rows: it is
+    * materialized on the driver (collect → LocalRelation) so the
+    * training job executes exactly ONCE, no matter how many consumers
+    * rank against it — leaving one full-corpus pass for assignment and
+    * one pushdown-filtered pass for the probes.
     *
     * Search: probes rank the trained centroids and search their
     * `nprobe` closest cells; corpus vectors live in exactly ONE cell,
@@ -338,23 +363,33 @@ object Llm2 {
     * Per-cell search touches ~nprobe/nlist of the corpus.
     */
   private[graft] def annIvf(emb: org.apache.spark.sql.DataFrame,
-      isProbe: Column, nlist: Int, nprobe: Int, k: Int): org.apache.spark.sql.DataFrame = {
+      isProbe: Column, nlist: Int, nprobe: Int, k: Int,
+      trainSampleMod: Long = 1L): org.apache.spark.sql.DataFrame = {
     val cosineSim = graft.functions.TextExpressions.cosineSim _
-    val seeds = emb
+    val trainSet =
+      if (trainSampleMod > 1L) emb.filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
+      else emb
+    val seeds = trainSet
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val trained = rankByCentroid(emb, seeds).filter(col("crn") === 1)
-      .select(col("c_id"), posexplode(unitVec(col("v"))).as(Seq("pos", "x")))
+    val trainedPlan = rankByCentroid(trainSet, seeds).filter(col("crn") === 1)
+      .withColumn("vnorm", vecNorm(col("v")))
+      .select(col("c_id"), posexplode(unitVec(col("v"), col("vnorm"))).as(Seq("pos", "x")))
       .groupBy("c_id", "pos").agg(avg("x").as("m"))
       .groupBy("c_id")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         e => e.getField("m")).as("cv"))
-    val ranked = rankByCentroid(emb, trained)
-    val assigned = ranked.filter(col("crn") === 1)
+    // ≤ nlist rows — materialize once so the lineage above never re-runs
+    val trained = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(trainedPlan.collect(): _*), trainedPlan.schema)
+    val assigned = rankByCentroid(emb, trained).filter(col("crn") === 1)
       .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
     // the IVF recall/cost knob: nprobe trades candidates scanned for
-    // recall at cell boundaries
-    val probes = ranked.filter(isProbe && col("crn") <= nprobe)
+    // recall at cell boundaries. isProbe is applied BELOW the centroid
+    // ranking (it filters on the window's partition key), so this pass
+    // reads only probe rows from the scan.
+    val probes = rankByCentroid(emb.filter(isProbe), trained)
+      .filter(col("crn") <= nprobe)
       .select(col("vec_id").as("p_id"), col("v").as("pv"), col("c_id").as("p_cluster"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("p_id")).orderBy(col("sim").desc, col("vec_id").asc)

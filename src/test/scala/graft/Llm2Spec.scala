@@ -118,6 +118,24 @@ class Llm2Spec extends SparkSpec {
     }
     val recall = recalls.sum / recalls.size
     assert(recall >= 0.9, s"IVF recall $recall < 0.9 (per-probe: $recalls)")
+
+    // the 100 TB training path: quantizer trained on a ~1/2 hash sample
+    // (trainSampleMod=2) while assignment/search still see every vector
+    // — recall must hold, since cell QUALITY (not membership of the
+    // training set) is what the sample affects
+    val annSampled = ops.Llm2.annIvf(emb, col("vec_id") < 5, nlist = 8, nprobe = 3, k = k,
+        trainSampleMod = 2L)
+      .select("p_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recallsSampled = (0L until 5L).map { p =>
+      val brute = data.filter(_._1 != p)
+        .sortBy { case (id, v) => (-cos(byId(p), v), id) }
+        .take(k).map(_._1).toSet
+      annSampled.getOrElse(p, Set.empty).intersect(brute).size.toDouble / k
+    }
+    val recallSampled = recallsSampled.sum / recallsSampled.size
+    assert(recallSampled >= 0.9,
+      s"sampled-training IVF recall $recallSampled < 0.9 (per-probe: $recallsSampled)")
   }
 
   test("hyperplane LSH recalls a tight cosine cluster, skips unrelated vectors") {
