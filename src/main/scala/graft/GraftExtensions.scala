@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.TextExpressions.{CosineSim, Del1Keys, MinHashSigs, SimHash64, WordShingles}
+import graft.functions.TextExpressions.{CosineSim, DelKeys, MinHashSigs, SimHash64, WordShingles}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the native expressions so they resolve by name from both
@@ -46,12 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "minhash_sigs(features, nPerm) expects an array<string> column and an int literal")
       }))
     ext.injectFunction((
-      new FunctionIdentifier("del1_keys"),
-      new ExpressionInfo(classOf[Del1Keys].getName, "del1_keys"),
+      new FunctionIdentifier("del_keys"),
+      new ExpressionInfo(classOf[DelKeys].getName, "del_keys"),
       (args: Seq[Expression]) => args match {
-        case Seq(text) => Del1Keys(text)
+        case Seq(text, Literal(k: Int, _)) => DelKeys(text, k)
         case _ => throw new IllegalArgumentException(
-          "del1_keys(text) expects one string column")
+          "del_keys(text, k) expects a string column and an int literal")
       }))
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }

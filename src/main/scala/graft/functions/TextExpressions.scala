@@ -209,39 +209,79 @@ object TextExpressions {
       copy(child = newChild)
   }
 
-  /** Deletion-neighborhood keys for edit-distance-1 blocking (FastSS /
-    * SymSpell family): the string itself plus every distinct
-    * single-character deletion, first-occurrence order — element-
-    * equivalent to `array_union(array(s), transform(sequence(1,
-    * length(s)), i -> concat(substr(s,1,i-1), substr(s,i+1,…))))`
-    * but one StringBuilder pass per row instead of an interpreted
-    * lambda (the HOF form measured ~150 µs/row; this is ~1 µs).
+  /** k-deletion-neighborhood keys for edit-distance-≤k blocking
+    * (FastSS / SymSpell family): the string itself plus every distinct
+    * string obtainable by deleting up to `k` CODE POINTS, BFS /
+    * first-occurrence order. For k=1 this is element-equivalent to
+    * `array_union(array(s), transform(sequence(1, length(s)),
+    * i -> concat(substr(s,1,i-1), substr(s,i+1,…))))` but one
+    * StringBuilder pass per row instead of an interpreted lambda
+    * (the HOF form measured ~150 µs/row; this is ~1 µs).
+    *
+    * Deletions step by CODE POINTS, not UTF-16 units: Spark's
+    * `levenshtein` (and `substr`/`length`) count code points
+    * (UTF8String.numChars), so unit-level deletion would split
+    * surrogate pairs and miss astral-plane near-pairs — e.g. one emoji
+    * substituted for another is ed 1 by Spark's metric but two
+    * unit-deletions deep. Blocking must use the same alphabet the
+    * verify metric measures, or the join silently drops true pairs.
+    *
+    * FastSS exactness: ed(a,b) ≤ k ⟹ the k-deletion neighborhoods
+    * intersect (align the optimal edit script; deleting the
+    * substituted/inserted positions from each side yields a common
+    * string). The converse over-generates, so candidates are verified
+    * with the exact distance. Key count per row is O(C(len, k)) — the
+    * k=1,2 regime this engine exposes; blocking keys are for SHORT
+    * identifier-like strings, not documents.
     */
-  case class Del1Keys(child: Expression)
+  case class DelKeys(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def prettyName: String = "del1_keys"
+    override def prettyName: String = "del_keys"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          if (k >= 0) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+          else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"del_keys expects k >= 0, got $k")
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"del_keys expects a string column, got $other")
+      }
 
     override protected def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
+      val s0 = input.asInstanceOf[UTF8String].toString
       val seen = new java.util.LinkedHashSet[String]()
-      seen.add(s)
-      val sb = new java.lang.StringBuilder(s)
-      var i = 0
-      while (i < s.length) {
-        sb.deleteCharAt(i)
-        seen.add(sb.toString)
-        sb.insert(i, s.charAt(i))
-        i += 1
+      seen.add(s0)
+      var frontier = new scala.collection.mutable.ArrayBuffer[String]()
+      frontier += s0
+      var depth = 0
+      while (depth < k && frontier.nonEmpty) {
+        val next = new scala.collection.mutable.ArrayBuffer[String]()
+        var fi = 0
+        while (fi < frontier.length) {
+          val s = frontier(fi)
+          var unit = 0
+          while (unit < s.length) {
+            val cc = Character.charCount(s.codePointAt(unit))
+            val del = s.substring(0, unit) + s.substring(unit + cc)
+            if (seen.add(del)) next += del
+            unit += cc
+          }
+          fi += 1
+        }
+        frontier = next
+        depth += 1
       }
       val out = new Array[Any](seen.size)
-      val it = seen.iterator(); var k = 0
-      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      val it = seen.iterator(); var i = 0
+      while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
       new GenericArrayData(out)
     }
 
-    override protected def withNewChildInternal(newChild: Expression): Del1Keys =
+    override protected def withNewChildInternal(newChild: Expression): DelKeys =
       copy(child = newChild)
   }
 
@@ -249,7 +289,11 @@ object TextExpressions {
 
   /** Deletion-neighborhood blocking keys (string + distinct del-1 set). */
   def del1Keys(text: Column): Column =
-    call_function("del1_keys", text)
+    call_function("del_keys", text, lit(1))
+
+  /** k-deletion-neighborhood blocking keys (FastSS general form). */
+  def delKeys(text: Column, k: Int): Column =
+    call_function("del_keys", text, lit(k))
 
   /** Distinct word n-gram shingles of normalized text (one pass). */
   def wordShingles(text: Column, n: Int): Column =

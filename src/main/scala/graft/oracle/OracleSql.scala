@@ -341,6 +341,16 @@ object OracleSql {
         |WHERE levenshtein(a.s_name, b.s_name) <= 1
         |ORDER BY a_key, b_key""".stripMargin,
 
+    "str_levenshtein_k2" ->
+      """SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+        |       a.s_name AS a_name, b.s_name AS b_name,
+        |       levenshtein(a.s_name, b.s_name) AS dist
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey
+        | AND abs(length(a.s_name) - length(b.s_name)) <= 2
+        |WHERE levenshtein(a.s_name, b.s_name) <= 2
+        |ORDER BY a_key, b_key""".stripMargin,
+
     "date_parts_trunc" ->
       """SELECT o_orderkey,
         |       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,

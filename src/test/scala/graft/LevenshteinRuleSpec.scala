@@ -95,15 +95,73 @@ class LevenshteinRuleSpec extends SparkSpec {
         s"ed<=1 pair ($a, $b) shares no deletion key")
   }
 
-  test("native del1_keys ≡ the HOF formulation, element for element") {
+  test("native del1_keys ≡ the HOF formulation, element for element (incl. non-BMP and NULL)") {
+    // the astral-plane rows pin code-POINT deletion: Spark's substr /
+    // length (and therefore the HOF form) step by code points, so a
+    // native expression deleting UTF-16 units would diverge here
     val sup = spark.read.parquet("/root/testdata/sf0.01/supplier.parquet")
       .select(col("s_name").as("s"))
-      .union(Seq("a", "ab", "aab", "xyzzy").toDF("s"))
+      .union(Seq("a", "ab", "aab", "xyzzy", "x😀y", "𝄞",
+        "a😀𝄞b").toDF("s"))
+      .union(Seq(Option.empty[String]).toDF("s"))
     val rows = sup.select(
       ops.Scalar.del1Keys(col("s")).as("native"),
       ops.Scalar.del1KeysHof(col("s")).as("hof"))
-      .as[(Seq[String], Seq[String])].collect()
+      .as[(Option[Seq[String]], Option[Seq[String]])].collect()
     rows.foreach { case (n, h) => assert(n === h) }
+  }
+
+  test("non-BMP ed<=1 pairs share a deletion key and survive the blocked join") {
+    // U+1F600 vs U+1D11E: ONE code-point substitution (Spark levenshtein
+    // = 1) but both UTF-16 units differ — unit-level deletion keys would
+    // silently drop the pair from the blocked join
+    val emoji = "😀"; val clef = "𝄞"
+    val cases = Seq(
+      (s"x${emoji}y", s"x${clef}y"),   // astral substitution
+      ("ab", s"ab$emoji"),             // astral insertion (2 units, 1 cp)
+      (s"$emoji$clef", s"$emoji"))     // astral deletion
+    cases.foreach { case (a, b) =>
+      val lev = Seq((a, b)).toDF("a", "b")
+        .select(levenshtein(col("a"), col("b"))).head.getInt(0)
+      assert(lev <= 1, s"fixture assumption: ($a,$b) must be ed<=1 by Spark")
+      val keys = Seq(a, b).toDF("s")
+        .select(ops.Scalar.del1Keys(col("s"))).as[Seq[String]].collect()
+      assert(keys(0).toSet.intersect(keys(1).toSet).nonEmpty,
+        s"non-BMP ed<=1 pair ($a, $b) shares no deletion key")
+    }
+  }
+
+  test("del_keys(k=2): every ed<=2 pair shares a key (random strings)") {
+    val rnd = new scala.util.Random(11)
+    def randStr(): String =
+      (0 until 3 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val strs = Seq.fill(80)(randStr()).distinct
+    val keys = strs.toDF("s")
+      .select(col("s"), graft.functions.TextExpressions.delKeys(col("s"), 2).as("ks"))
+      .as[(String, Seq[String])].collect().toMap
+    for (a <- strs; b <- strs if a < b && levDp(a, b) <= 2)
+      assert(keys(a).toSet.intersect(keys(b).toSet).nonEmpty,
+        s"ed<=2 pair ($a, $b) shares no 2-deletion key")
+  }
+
+  test("k=2 blocked pair set equals brute force on real supplier data") {
+    val got = ops.Scalar.strLevenshteinK2(spark, "/root/testdata/sf0.001")
+      .select("a_key", "b_key", "dist").as[(Long, Long, Int)].collect().toSet
+    val names = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .select("s_suppkey", "s_name").as[(Long, String)].collect()
+    val brute = (for {
+      (ak, an) <- names; (bk, bn) <- names
+      if ak < bk && levDp(an, bn) <= 2
+    } yield (ak, bk, levDp(an, bn))).toSet
+    assert(got === brute)
+  }
+
+  test("del_keys rejects non-string input at analysis time") {
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1, 2).toDF("n")
+        .select(graft.functions.TextExpressions.delKeys(col("n"), 1)).collect()
+    }
+    assert(ex.getMessage.contains("del_keys"), s"unexpected: ${ex.getMessage}")
   }
 
   /** Classic DP edit distance — reference implementation, no Spark. */
