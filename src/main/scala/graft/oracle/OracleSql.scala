@@ -716,6 +716,32 @@ object OracleSql {
         |WHERE sim > 0.3
         |ORDER BY label, a_id, b_id""".stripMargin,
 
+    "dedup_connected_components" ->
+      """WITH RECURSIVE en AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         list_reduce(list_prepend(0.0,
+        |           list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                          x -> x * x)), (a, b) -> a + b) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |           list_reduce(list_prepend(0.0,
+        |             list_transform(a.v, (x, i) -> x * b.v[i])), (p, q) -> p + q)
+        |             / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim
+        |    FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |  WHERE sim > 0.3),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM pairs),
+        |walk(id, reach) AS (
+        |  SELECT u, u FROM edges GROUP BY u
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u)
+        |SELECT id, min(reach) AS component
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
     "text_tokenize_stats" ->
       """WITH tok AS (
         |  SELECT lang, unnest(string_split(
