@@ -189,4 +189,38 @@ class StreamingSpec extends SparkSpec {
       assert(r(2L) === (2L, 2.0))
     } finally q.stop()
   }
+
+  test("bucketed upsert leaves untouched buckets byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("upsertb").toString
+    val snap = s"$dir/snapshot"
+    val stream = MemoryStream[Ev]
+    val q = ops.Streaming.foreachBatchUpsert(stream.toDF(), snap, s"$dir/ckpt", nBuckets = 8)
+    try {
+      stream.addData((1 to 12).map(u => ev(u, "2024-01-01 10:00:00", u)))
+      q.processAllAvailable()
+      // batch 2 will only touch user 1's bucket; capture every OTHER
+      // bucket's files (path → bytes) before it runs
+      val touchedB = Seq((1L, "click")).toDF("user_id", "event_type")
+        .select(ops.Streaming.upsertBucket(8)).head.getInt(0)
+      val untouchedDirs = new java.io.File(snap).listFiles()
+        .filter(f => f.getName.startsWith("bucket=") && f.getName != s"bucket=$touchedB")
+      assert(untouchedDirs.nonEmpty, "fixture must spread keys over several buckets")
+      def state(): Map[String, Seq[Byte]] = untouchedDirs.flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+      val before = state()
+      stream.addData(Seq(ev(99, "2024-01-01 11:00:00", 1, v = 9.0)))
+      q.processAllAvailable()
+      assert(state() === before,
+        "buckets without batch keys must not be rewritten")
+      // and the merge is still a correct latest-wins over ALL keys
+      val r = spark.read.parquet(snap)
+        .select("user_id", "event_id", "value").as[(Long, Long, Double)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      assert(r(1L) === (99L, 9.0))
+      assert(r(2L) === (2L, 1.0))
+      assert(r.size === 12)
+    } finally q.stop()
+  }
 }
