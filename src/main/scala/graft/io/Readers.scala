@@ -27,8 +27,11 @@ object Readers {
       // to TimestampType directly (PARQUET_TYPE_ILLEGAL). Read it as raw
       // nanos (legacy long mapping) and truncate to microseconds — the
       // same precision DuckDB lands on when it reads NANOS, so the
-      // oracle agrees (SURVEY §1.2).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // oracle agrees (SURVEY §1.2). The nanosAsLong conf is set at
+      // SESSION construction (Bench / Verify / SparkSpec) — a reader
+      // must not mutate shared session state as a side effect.
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true at session build")
       spark.read.parquet(s"$sfDir/events.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else {

@@ -65,9 +65,12 @@ object Udx {
 
   val udfScalarNormalize: Q = (s, dir) => {
     val norm = udf(normalizeText)
+    // evaluate the UDF once per row and derive the length from the
+    // result column — UDFs are eval blackboxes to Catalyst, so naming
+    // the same call twice would run it twice
     table(s, dir, "documents")
-      .select(col("doc_id"), norm(col("text")).as("norm_text"),
-        length(norm(col("text"))).as("norm_len"))
+      .select(col("doc_id"), norm(col("text")).as("norm_text"))
+      .withColumn("norm_len", length(col("norm_text")))
       .orderBy("doc_id")
   }
 

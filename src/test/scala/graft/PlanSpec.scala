@@ -113,6 +113,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("xxhash64"), p)
   }
 
+  test("udf_scalar_normalize evaluates the UDF once per row") {
+    // deriving norm_len from the result column (not re-naming the call)
+    // must survive CollapseProject: UDFs are non-cheap, so Catalyst
+    // keeps the single evaluation instead of inlining it twice
+    val p = ops.Udx.queries("udf_scalar_normalize")(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan.toString
+    assert("UDF".r.findAllIn(p).length == 1, s"expected exactly one UDF eval:\n$p")
+  }
+
   test("simhash/minhash signatures are map-only (no exchange below the band join)") {
     val sigOnly = spark.read.parquet(s"$dir/documents.parquet")
       .select(functions.TextExpressions.simHash64(
