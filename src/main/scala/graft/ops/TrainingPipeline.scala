@@ -47,8 +47,12 @@ object TrainingPipeline {
       .select("doc_id")
     val exactDeduped = scored.join(keepExact, Seq("doc_id"), "left_semi")
 
-    // 5. near-dedup: SimHash band blocking, drop the higher id of each
-    //    Hamming-qualified pair (direct pairs, as in dedup_simhash)
+    // 5. near-dedup: SimHash band blocking → Hamming-qualified PAIRS →
+    //    connected-components closure → keep the min id per cluster
+    //    (single-link semantics). Per-pair "drop the higher id" keeps
+    //    every LOCAL-min doc instead: with pairs (1,3) and (2,3) it
+    //    keeps both 1 and 2 even though they sit in one transitive
+    //    near-dup cluster {1,2,3}; the closure keeps exactly 1.
     val sig = exactDeduped
       .select(col("doc_id"),
         TextExpressions.wordShingles(col("text"), 2).as("grams"))
@@ -59,12 +63,15 @@ object TrainingPipeline {
           struct(lit(k).as("band"),
             shiftright(col("simhash"), k * 8).bitwiseAND(0xFFL).as("bv"))): _*)).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.band").as("band"), col("e.bv").as("bv"))
-    val dupIds = banded.as("a").join(banded.as("b"),
+    val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.doc_id") < col("b.doc_id"))
       .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
-      .select(col("b.doc_id").as("doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+    val dupIds = Llm.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
     val nearDeduped = exactDeduped.join(dupIds, Seq("doc_id"), "left_anti")
 
     // 6-7. token accounting + deterministic split

@@ -51,6 +51,22 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(rows.forall(r => expected(r._1) == r._3))
   }
 
+  test("near-dedup closure keeps one representative per transitive cluster") {
+    // three near-identical docs (each one word apart) — whatever pair
+    // subset SimHash banding surfaces, the closure must reduce the
+    // cluster to exactly its min id
+    val docs = Seq(
+      (1L, longDoc("alpha")),
+      (2L, longDoc("alpha beta")),
+      (3L, longDoc("alpha beta gamma")),
+      (4L, "the deal is done and this is that fine report of it all and more of the things we said in the report that day"))
+      .toDF("doc_id", "text")
+    val ids = ops.TrainingPipeline.curate(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 4L),
+      s"cluster {1,2,3} must keep exactly doc 1 (got $ids)")
+  }
+
   test("writeCurated lays out split/lang partitions that prune on read") {
     val docs = Seq((10L, longDoc("gamma")),
       (11L, "der hund und die katze ist nicht das problem und ein haus ist der ort der die freude und das leben in die stadt bringt der tag ist gut und die nacht ist still"))
