@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.TextExpressions.{CosineSim, DelKeys, MinHashSigs, SimHash64, WordShingles}
+import graft.functions.TextExpressions.{CentroidRanks, CosineSim, DelKeys, MinHashSigs, SimHash64, WordShingles}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the native expressions so they resolve by name from both
@@ -52,6 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, Literal(k: Int, _)) => DelKeys(text, k)
         case _ => throw new IllegalArgumentException(
           "del_keys(text, k) expects a string column and an int literal")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("centroid_ranks"),
+      new ExpressionInfo(classOf[CentroidRanks].getName, "centroid_ranks"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, cents) => CentroidRanks(v, cents)
+        case _ => throw new IllegalArgumentException(
+          "centroid_ranks(v, cents) expects a vector column and a centroid-array column")
       }))
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }

@@ -285,6 +285,77 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Ranks centroid indices (0-based) by cosine similarity to the
+    * input vector, descending, ties broken by LOWER index; a 0-norm
+    * side yields NaN cosine, pinned to −2 so degenerate vectors rank
+    * last instead of first. Centroids arrive as a (typically literal)
+    * `array<array<double>>` that ships inside the serialized plan —
+    * which makes IVF cell assignment MAP-ONLY: the expression replaces
+    * a corpus × centroids crossJoin + row_number window that shuffled
+    * every corpus row through a sort exchange. `element_at(ranks, 1)`
+    * is the assignment; `slice(ranks, 1, nprobe)` is the probe list.
+    *
+    * Cost is one |v|·nlist fused dot/norm pass per row (the vector
+    * norm is hoisted out of the centroid loop). CodegenFallback is
+    * fine: evaluated once per row, and the win is the removed
+    * exchange, not expression fusion.
+    */
+  case class CentroidRanks(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "centroid_ranks"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"centroid_ranks expects (array<double>, array<array<double>>), got $other")
+      }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val v = a.asInstanceOf[ArrayData].toDoubleArray()
+      var nv = 0.0
+      var j = 0
+      while (j < v.length) { nv += v(j) * v(j); j += 1 }
+      nv = math.sqrt(nv)
+      val cents = b.asInstanceOf[ArrayData]
+      val n = cents.numElements()
+      val sims = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val c = cents.getArray(i)
+        val len = math.min(v.length, c.numElements())
+        var dot = 0.0; var nc = 0.0
+        j = 0
+        while (j < len) {
+          val y = c.getDouble(j)
+          dot += v(j) * y; nc += y * y
+          j += 1
+        }
+        val s = dot / (nv * math.sqrt(nc))
+        sims(i) = if (java.lang.Double.isNaN(s)) -2.0 else s
+        i += 1
+      }
+      // stable insertion sort of indices by sim desc (nlist is small)
+      val idx = Array.range(0, n)
+      i = 1
+      while (i < n) {
+        val cur = idx(i); val curSim = sims(cur)
+        var k = i - 1
+        while (k >= 0 && sims(idx(k)) < curSim) { idx(k + 1) = idx(k); k -= 1 }
+        idx(k + 1) = cur
+        i += 1
+      }
+      new GenericArrayData(idx.map(x => x: Any))
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CentroidRanks =
+      copy(left = l, right = r)
+  }
+
   // ---------------------------------------------- Column API (via registry)
 
   /** Deletion-neighborhood blocking keys (string + distinct del-1 set). */
@@ -310,4 +381,8 @@ object TextExpressions {
   /** Codegen'd cosine similarity of two double vectors. */
   def cosineSim(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
+
+  /** Map-only centroid ranking (0-based indices, cosine desc). */
+  def centroidRanks(v: Column, cents: Column): Column =
+    call_function("centroid_ranks", v, cents)
 }

@@ -309,41 +309,26 @@ object Llm2 {
   private def vecNorm(v: Column): Column =
     sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
 
-  /** Nearest-centroid ranking: every vector × broadcast centroids,
-    * ranked by cosine (ties broken on c_id for determinism). A 0-norm
-    * vector on either side yields NaN cosine, which Spark would sort
-    * ABOVE every real similarity — `nanvl` pins it to -2 (below the
-    * cosine range) so degenerate vectors rank last instead of
-    * absorbing every row.
-    */
-  private def rankByCentroid(vecs: org.apache.spark.sql.DataFrame,
-      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val cosineSim = graft.functions.TextExpressions.cosineSim _
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id").asc)
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("csim", nanvl(cosineSim(col("v"), col("cv")), lit(-2.0)))
-      .withColumn("crn", row_number().over(w))
-  }
-
   /** IVF approximate nearest neighbor with a TRAINED coarse quantizer.
     *
-    * Training (all DataFrame ops, deterministic up to floating-point
-    * summation order in the per-dimension `avg`; centroid IDENTITY —
-    * which vectors form each cell — is exact and reproducible):
+    * Training (deterministic up to floating-point summation order in
+    * the per-dimension `avg`; centroid IDENTITY — which vectors form
+    * each cell — is exact and reproducible):
     *   1. seed `nlist` centers by hash-stratified sampling — global
     *      top-nlist by `xxhash64(vec_id)`, i.e. a uniform pseudo-random
     *      draw that is reproducible and rank-pruned
-    *      (TakeOrderedAndProject), never a full sort;
+    *      (TakeOrderedAndProject), never a full sort; the ≤ nlist seed
+    *      rows are collected and sorted by vec_id so centroid INDEX
+    *      order equals seed-id order (stable tie-breaks);
     *   2. one spherical k-means (Lloyd) iteration: assign every
-    *      training vector to its nearest seed by cosine, then recompute
-    *      each center as the element-wise mean of its members' UNIT
-    *      vectors (cosine geometry — raw means would let long vectors
-    *      dominate). A non-degenerate seed is its own nearest center
-    *      (cos = 1, ties on c_id); a cell can only end up empty if two
-    *      seeds carry IDENTICAL or zero vectors, in which case the
-    *      lower c_id absorbs both — search still covers the corpus,
-    *      just with fewer effective cells.
+    *      training vector to its nearest seed by cosine
+    *      (`centroid_ranks` — map-only), then recompute each center as
+    *      the element-wise mean of its members' UNIT vectors (cosine
+    *      geometry — raw means would let long vectors dominate). A
+    *      non-degenerate seed is its own nearest center (cos = 1, ties
+    *      to the lower index), so a cell only ends up empty under
+    *      duplicate/zero seed vectors — such cells keep their seed as
+    *      centroid and simply attract no rows.
     *
     * `trainSampleMod > 1` is the at-scale training path: the
     * seeds/assign/Lloyd pass only reads rows with
@@ -351,46 +336,51 @@ object Llm2 {
     * hash sample), so at 100 TB training never posexplodes the full
     * corpus×dim — only the final cell assignment must see every vector.
     *
-    * The trained centroid relation is ≤ nlist tiny rows: it is
-    * materialized on the driver (collect → LocalRelation) so the
-    * training job executes exactly ONCE, no matter how many consumers
-    * rank against it — leaving one full-corpus pass for assignment and
-    * one pushdown-filtered pass for the probes.
-    *
-    * Search: probes rank the trained centroids and search their
-    * `nprobe` closest cells; corpus vectors live in exactly ONE cell,
-    * so a (probe, vector) pair matches at most once — no dedup.
-    * Per-cell search touches ~nprobe/nlist of the corpus.
+    * Search is MAP-ONLY up to the top-k: centroids travel inside the
+    * plan as an `array<array<double>>` literal and every vector
+    * computes its cell (`element_at(centroid_ranks(v, cents), 1)`) in
+    * the scan projection — no corpus×centroids crossJoin, no
+    * row_number exchange over corpus×nlist rows (the previous shape;
+    * at 100 TB that window sort IS the bottleneck). Probes explode
+    * their `nprobe` closest cells (the recall/cost knob) and broadcast;
+    * corpus vectors live in exactly ONE cell, so a (probe, vector)
+    * pair matches at most once — no dedup. The only shuffle left is
+    * the per-probe top-k window over cell-confined candidates.
     */
   private[graft] def annIvf(emb: org.apache.spark.sql.DataFrame,
       isProbe: Column, nlist: Int, nprobe: Int, k: Int,
       trainSampleMod: Long = 1L): org.apache.spark.sql.DataFrame = {
     val cosineSim = graft.functions.TextExpressions.cosineSim _
+    val centroidRanks = graft.functions.TextExpressions.centroidRanks _
     val trainSet =
       if (trainSampleMod > 1L) emb.filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
       else emb
-    val seeds = trainSet
+    val seedVecs: Array[Array[Double]] = trainSet
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val trainedPlan = rankByCentroid(trainSet, seeds).filter(col("crn") === 1)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    if (seedVecs.isEmpty)
+      return emb.select(col("vec_id").as("p_id"), lit(1).as("rank"),
+        col("vec_id"), lit(0.0).as("sim")).filter(lit(false))
+    val seedsLit = typedlit(seedVecs.map(_.toSeq).toSeq)
+    // Lloyd pass: per-(cell, dimension) mean of unit vectors — ≤
+    // nlist×dim tiny rows, collected once so training never re-runs
+    val cents: Array[Array[Double]] = seedVecs.map(_.clone())
+    trainSet
+      .withColumn("c_idx", element_at(centroidRanks(col("v"), seedsLit), 1))
       .withColumn("vnorm", vecNorm(col("v")))
-      .select(col("c_id"), posexplode(unitVec(col("v"), col("vnorm"))).as(Seq("pos", "x")))
-      .groupBy("c_id", "pos").agg(avg("x").as("m"))
-      .groupBy("c_id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        e => e.getField("m")).as("cv"))
-    // ≤ nlist rows — materialize once so the lineage above never re-runs
-    val trained = emb.sparkSession.createDataFrame(
-      java.util.Arrays.asList(trainedPlan.collect(): _*), trainedPlan.schema)
-    val assigned = rankByCentroid(emb, trained).filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
-    // the IVF recall/cost knob: nprobe trades candidates scanned for
-    // recall at cell boundaries. isProbe is applied BELOW the centroid
-    // ranking (it filters on the window's partition key), so this pass
-    // reads only probe rows from the scan.
-    val probes = rankByCentroid(emb.filter(isProbe), trained)
-      .filter(col("crn") <= nprobe)
-      .select(col("vec_id").as("p_id"), col("v").as("pv"), col("c_id").as("p_cluster"))
+      .select(col("c_idx"), posexplode(unitVec(col("v"), col("vnorm"))).as(Seq("pos", "x")))
+      .groupBy("c_idx", "pos").agg(avg("x").as("m"))
+      .collect()
+      .foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    val assigned = emb
+      .select(col("vec_id"), col("v"),
+        element_at(centroidRanks(col("v"), centsLit), 1).as("cluster"))
+    val probes = emb.filter(isProbe)
+      .select(col("vec_id").as("p_id"), col("v").as("pv"),
+        explode(slice(centroidRanks(col("v"), centsLit), 1, nprobe)).as("p_cluster"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("p_id")).orderBy(col("sim").desc, col("vec_id").asc)
     assigned.join(broadcast(probes),

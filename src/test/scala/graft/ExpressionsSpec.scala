@@ -57,6 +57,52 @@ class ExpressionsSpec extends SparkSpec {
     assert(out.getDouble(1) === 1.0)
   }
 
+  test("centroid_ranks: cosine ordering, tie → lower index, zero vector last") {
+    import graft.functions.TextExpressions.centroidRanks
+    val cents = typedlit(Seq(
+      Seq(1.0, 0.0),   // 0: x-axis
+      Seq(0.0, 1.0),   // 1: y-axis
+      Seq(2.0, 0.0),   // 2: x-axis again (scale-invariant → ties 0)
+      Seq(0.0, 0.0)))  // 3: degenerate — NaN cosine must rank LAST
+    val r = Seq(
+      (1L, Seq(3.0, 1.0)),   // closer to x than y
+      (2L, Seq(0.0, 5.0)),   // exactly y
+      (3L, Seq(0.0, 0.0)))   // zero query vector: all NaN → index order
+      .toDF("id", "v")
+      .select(col("id"), centroidRanks(col("v"), cents).as("r"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(r(1L) === Seq(0, 2, 1, 3), "x-aligned: x-centroids first (tie 0<2), zero last")
+    assert(r(2L) === Seq(1, 0, 2, 3), "y-aligned: y first; x-tie keeps 0<2")
+    assert(r(3L) === Seq(0, 1, 2, 3), "all-NaN query degrades to index order")
+  }
+
+  test("centroid_ranks agrees with a per-centroid cosine_sim ranking on real vectors") {
+    import graft.functions.TextExpressions.centroidRanks
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = emb.orderBy("vec_id").limit(5)
+      .select("v").as[Seq[Double]].collect().map(_.toArray)
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    val got = emb.select(col("vec_id"), centroidRanks(col("v"), centsLit).as("r"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // reference: rank via the codegen'd cosine_sim, one column per centroid
+    val simCols = cents.indices.map(i =>
+      cosineSim(col("v"), typedlit(cents(i).toSeq)).as(s"s$i"))
+    emb.select(col("vec_id") +: simCols: _*).collect().foreach { row =>
+      val sims = cents.indices.map(i => row.getDouble(i + 1))
+      val expect = cents.indices.sortBy(i => (-sims(i), i))
+      assert(got(row.getLong(0)) === expect, s"vec ${row.getLong(0)}")
+    }
+  }
+
+  test("centroid_ranks rejects wrong input types at analysis time") {
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, Seq(1.0))).toDF("id", "v")
+        .select(graft.functions.TextExpressions.centroidRanks(col("id"), col("v"))).collect()
+    }
+    assert(ex.getMessage.contains("centroid_ranks"))
+  }
+
   test("cosine_sim matches the HOF formulation bit-for-bit on real vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
