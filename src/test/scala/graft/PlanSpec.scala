@@ -122,6 +122,25 @@ class PlanSpec extends SparkSpec {
     assert("UDF".r.findAllIn(p).length == 1, s"expected exactly one UDF eval:\n$p")
   }
 
+  test("sim_ann_ivf search is map-only up to the top-k (2 shuffles total)") {
+    // cell assignment rides the scan projection (centroid_ranks literal
+    // centroids) — the corpus reaches the probe join with NO exchange;
+    // the only shuffles are the per-probe top-k window and the output
+    // sort, plus one BroadcastExchange for the probes
+    val p = ops.Llm2.queries("sim_ann_ivf")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(shuffles == 2, s"expected 2 shuffle exchanges, got $shuffles:\n$p")
+    assert(p.contains("centroid_ranks"), "assignment must use the native expression")
+  }
+
+  test("str_levenshtein_k2 joins hashed deletion keys with a shuffled hash join") {
+    val p = ops.Scalar.queries("str_levenshtein_k2")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin:\n$p")
+    assert(p.contains("xxhash64"), "join key must be the hashed deletion key")
+  }
+
   test("simhash/minhash signatures are map-only (no exchange below the band join)") {
     val sigOnly = spark.read.parquet(s"$dir/documents.parquet")
       .select(functions.TextExpressions.simHash64(
