@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions
+
+/** Incremental near-dedup against a PERSISTED MinHash band index — the
+  * continuous-ingestion counterpart of [[Llm.dedupMinhashLsh]]. The
+  * batch operator self-joins the whole corpus per run; a pipeline that
+  * ingests continuously cannot afford O(corpus) work per batch, so the
+  * corpus side must persist as an index and each new batch must probe
+  * it incrementally — the same O(touched-work-only) posture as the
+  * bucketed [[Streaming.foreachBatchUpsert]] snapshot.
+  *
+  * Index layout: one row per (bk, doc_id, sig), where `bk` =
+  * xxhash64(band, band minhash rows) is the single-long band key and
+  * `sig` the full nPerm MinHash signature. The table is BUCKETED and
+  * sorted by `bk` ([[graft.io.Sinks.writeBucketed]]), so the per-batch
+  * candidate join leaves the index side exactly as the files lie on
+  * disk — no shuffle, no sort; only the (small) new-batch side
+  * exchanges, into the index's bucket count. Asserted in
+  * IncrementalDedupSpec against the executed plan.
+  *
+  * Candidate verification uses the signature agreement fraction
+  * (matching MinHash positions / nPerm) — the standard
+  * corpus-access-free Jaccard estimator (E[agreement] = J, nPerm
+  * trials). Exact verification composes downstream by joining the few
+  * survivors to the document store, exactly as in dedupMinhashLsh's
+  * final pass; the estimator keeps the incremental path free of any
+  * corpus-sized input.
+  *
+  * Scale: new-batch work is O(batch bands) + candidates; index growth
+  * is append-only ([[appendToIndex]]) and never rewritten. Band
+  * parameters are shared with dedupMinhashLsh (16 perms, 4 bands of 4
+  * — P(band collision) = J⁴ per band, the LSH S-curve knee at ~0.5).
+  */
+object IncrementalDedup {
+
+  private val nPerm = 16
+  private val bands = 4
+  private val rowsPerBand = nPerm / bands
+
+  /** (bk, doc_id, sig) band rows of a (doc_id, text, …) relation —
+    * map-only: native shingles + one-pass signatures, bands folded
+    * into one long key.
+    */
+  private[graft] def bandRows(docs: DataFrame): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), TextExpressions.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), TextExpressions.minHashSigs(col("sh"), nPerm).as("sig"))
+    val bandKeys = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("sig"), i + 1)): _*)
+    }
+    sigs.select(col("doc_id"), col("sig"),
+      explode(array(bandKeys: _*)).as("bk"))
+  }
+
+  /** Create (overwrite) the band index for a corpus. */
+  def buildIndex(docs: DataFrame, tableName: String, buckets: Int = 8): Unit =
+    graft.io.Sinks.writeBucketed(
+      bandRows(docs).select("bk", "doc_id", "sig"), tableName, "bk", buckets)
+
+  /** Append a new batch's bands to an existing index (same bucket
+    * spec, so the bucketed-join property is preserved; parquet append
+    * adds files per bucket, never rewrites).
+    */
+  def appendToIndex(docs: DataFrame, tableName: String, buckets: Int = 8): Unit =
+    bandRows(docs).select("bk", "doc_id", "sig")
+      .write.mode("append")
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .format("parquet").saveAsTable(tableName)
+
+  /** Near-dup matches of a new batch against the index: one row per
+    * (new_id, indexed_id) candidate pair whose estimated Jaccard
+    * (signature agreement) reaches `minAgree`.
+    */
+  def matchAgainstIndex(spark: SparkSession, newDocs: DataFrame,
+      tableName: String, minAgree: Double = 0.5): DataFrame = {
+    val nb = bandRows(newDocs)
+      .select(col("bk"), col("doc_id").as("new_id"), col("sig").as("new_sig"))
+    val idx = spark.table(tableName)
+      .select(col("bk"), col("doc_id").as("indexed_id"), col("sig").as("idx_sig"))
+    idx.join(nb, "bk")
+      .filter(col("indexed_id") =!= col("new_id"))
+      .withColumn("agree",
+        aggregate(zip_with(col("new_sig"), col("idx_sig"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          .cast("double") / nPerm)
+      .filter(col("agree") >= minAgree)
+      // a pair can collide in several bands — one row per pair
+      .groupBy("new_id", "indexed_id")
+      .agg(max("agree").as("est_jaccard"))
+      .orderBy("new_id", "indexed_id")
+  }
+}

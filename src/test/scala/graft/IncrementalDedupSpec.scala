@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ops.IncrementalDedup: persisted MinHash band index, probed per
+  * batch — match correctness, shuffle-free index side, append growth.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // every token carries the stem, so docs with different stems share NO
+  // trigrams (cross-stem Jaccard 0) while same-stem docs with a changed
+  // tail stay near-identical
+  private def doc(extra: String, stem: String = "alpha"): String =
+    (1 to 40).map(i => s"${stem}a$i ${stem}b$i ${stem}c$i").mkString(" ") +
+      " " + extra
+
+  test("new batch matches its indexed near-dup, novel docs pass clean") {
+    val corpus = Seq(
+      (1L, doc("")), (2L, doc("", stem = "beta")), (3L, doc("", stem = "gamma")))
+      .toDF("doc_id", "text")
+    ops.IncrementalDedup.buildIndex(corpus, "idx_md")
+    try {
+      val batch = Seq(
+        (10L, doc("tail change only")),                 // near-dup of doc 1
+        (11L, (1 to 40).map(i => s"completely different subject line number $i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val m = ops.IncrementalDedup.matchAgainstIndex(spark, batch, "idx_md")
+        .as[(Long, Long, Double)].collect()
+      assert(m.map(r => (r._1, r._2)).toSet === Set((10L, 1L)),
+        s"only the planted near-dup may match, got ${m.toSeq}")
+      assert(m.head._3 >= 0.5 && m.head._3 <= 1.0)
+    } finally spark.sql("DROP TABLE IF EXISTS idx_md")
+  }
+
+  test("index side joins without a shuffle or sort (bucketed layout IS the join layout)") {
+    val corpus = (1L to 500L).map(i => (i, doc(s"variant $i", stem = s"stem$i")))
+      .toDF("doc_id", "text")
+    ops.IncrementalDedup.buildIndex(corpus, "idx_plan")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = Seq((900L, doc("variant 7", stem = "stem7"))).toDF("doc_id", "text")
+      val q = ops.IncrementalDedup.matchAgainstIndex(spark, batch, "idx_plan")
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan must be bucketed:\n$plan")
+      // exactly ONE exchange on the band key — the new-batch side moving
+      // into the index's bucket layout; the index side joins as it lies
+      // on disk (the groupBy above the join exchanges on other columns)
+      // AQE prints Final and Initial sections — count the final only
+      val finalPlan = plan.split("== Initial Plan ==").head
+      val bkExchanges = "Exchange hashpartitioning\\(bk".r.findAllIn(finalPlan).length
+      assert(bkExchanges == 1,
+        s"expected exactly the new side to exchange on bk, got $bkExchanges:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS idx_plan")
+    }
+  }
+
+  test("append grows the index without rewriting; later batches match appended docs") {
+    val corpus = Seq((1L, doc(""))).toDF("doc_id", "text")
+    ops.IncrementalDedup.buildIndex(corpus, "idx_app")
+    try {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def files(): Set[String] = {
+        val d = new java.io.File(s"$warehouse/idx_app")
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      }
+      val before = files()
+      val batch1 = Seq((20L, doc("", stem = "delta"))).toDF("doc_id", "text")
+      ops.IncrementalDedup.appendToIndex(batch1, "idx_app")
+      assert(before.subsetOf(files()), "append must keep the original files")
+      assert(files().size > before.size, "append must add files")
+      // a near-dup of the APPENDED doc now matches it
+      val batch2 = Seq((30L, doc("small tail", stem = "delta"))).toDF("doc_id", "text")
+      val m = ops.IncrementalDedup.matchAgainstIndex(spark, batch2, "idx_app")
+        .as[(Long, Long, Double)].collect()
+      assert(m.map(r => (r._1, r._2)).toSet === Set((30L, 20L)), s"got ${m.toSeq}")
+    } finally spark.sql("DROP TABLE IF EXISTS idx_app")
+  }
+}
