@@ -97,15 +97,26 @@ object TextExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        // fresh names: two cosine_sim calls can land in ONE generated
+        // method (e.g. a join condition referencing both sides); fixed
+        // local names made janino reject the whole method and the
+        // predicate silently fell back to interpreted mode
+        val len = ctx.freshName("len")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i")
+        val xi = ctx.freshName("xi")
+        val yi = ctx.freshName("yi")
         s"""
-           |int len = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double dot = 0.0, na = 0.0, nb = 0.0;
-           |for (int i = 0; i < len; i++) {
-           |  double xi = $a.getDouble(i);
-           |  double yi = $b.getDouble(i);
-           |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+           |int $len = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $len; $i++) {
+           |  double $xi = $a.getDouble($i);
+           |  double $yi = $b.getDouble($i);
+           |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
            |}
-           |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          """.stripMargin
       })
 
