@@ -88,10 +88,15 @@ object Llm {
     val bands = 4
     val rowsPerBand = nPerm / bands
 
+    // materialized once: the shingle relation feeds the signature
+    // branch AND both sides of the verify join — without it the
+    // tokenize pass runs 3–4× (exchange reuse does not fire across
+    // aliased self-join sides; see dedup_simhash note)
     val docs = table(s, dir, "documents")
       .select(col("doc_id"),
         graft.functions.TextExpressions.wordShingles(col("text"), 3).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .localCheckpoint()
 
     // Signatures in one native pass per row (no explode, no shuffle) —
     // element-identical to the former explode → groupBy(min(xxhash64(
@@ -108,6 +113,8 @@ object Llm {
     val banded = sigs.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      // narrow (id, band, hash) rows — materialize before the self-join
+      .localCheckpoint()
 
     val cand = banded.as("a")
       .join(banded.as("b"),

@@ -191,6 +191,10 @@ object Llm2 {
   val dedupNgramJaccard: Q = (s, dir) => {
     val tau = 0.5
     val grams = graft.functions.TextExpressions.wordShingles(col("text"), 2)
+    // NOT materialized: unlike dedup_simhash's banded relation, the
+    // gram arrays are wide — serializing them to the block store
+    // measured slower than re-running the map-only tokenize per
+    // consumer (2.74 vs 2.58 s same-JVM A/B at sf0.1)
     val d = table(s, dir, "documents")
       .select(col("doc_id"), col("lang"), grams.as("grams"))
       .filter(size(col("grams")) > 0)
@@ -278,6 +282,12 @@ object Llm2 {
           struct(lit(k).as("band"),
             shiftright(col("simhash"), k * 8).bitwiseAND(0xFFL).as("bv"))): _*)).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.band").as("band"), col("e.bv").as("bv"))
+      // materialize the signature relation ONCE before the self-join:
+      // Spark does not reuse the exchange across the two aliased sides
+      // (verified in-plan), so without this the tokenize→simhash
+      // subtree runs twice — measured 1.73 s → 0.74 s at sf0.1. Same
+      // deliberate materialization point a cluster run would persist.
+      .localCheckpoint()
     // Hamming-filter BEFORE deduplicating band collisions: the filter
     // is a per-row bit_count over columns already in hand, while
     // distinct() is a shuffle — run the shuffle only over the few
