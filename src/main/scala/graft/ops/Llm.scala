@@ -434,11 +434,35 @@ object Llm {
       .withColumn("split", splitName(col("bucket")))
       .orderBy("doc_id")
 
+  /** Deterministic stratified downsampling — the corpus-mixture
+    * operation every training pipeline runs (rebalance languages /
+    * sources to target proportions before training). Per-stratum keep
+    * fraction applied through the SAME hash-threshold mechanism as
+    * [[sampleHashSplit]]: a doc survives iff its md5 bucket falls
+    * under the stratum's percentage, so membership is a pure function
+    * of (doc_id, stratum fraction) — stable across runs, engines,
+    * partitionings, and corpus growth, which seeded `sampleBy` is
+    * not. Embarrassingly parallel; SQL-expressible, hence oracle'd
+    * (seeded RNG sampling never is).
+    */
+  val sampleStratifiedHash: Q = (s, dir) => {
+    // target per-language keep percentages: downweight the dominant
+    // strata, keep the rest whole (the mixture knob a real run tunes)
+    val keepPct = typedlit(Map("en" -> 50, "zh" -> 25))
+    table(s, dir, "documents")
+      .withColumn("bucket", splitBucket(col("doc_id")))
+      .withColumn("keep_pct", coalesce(element_at(keepPct, col("lang")), lit(100)))
+      .filter(col("bucket") < col("keep_pct"))
+      .select("doc_id", "lang", "bucket", "keep_pct")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact_hash" -> dedupExactHash,
     "dedup_connected_components" -> dedupConnectedComponents,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "sample_hash_split" -> sampleHashSplit,
+    "sample_stratified_hash" -> sampleStratifiedHash,
     "dedup_latest_wins" -> dedupLatestWins,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "sim_cosine_topk" -> simCosineTopk,

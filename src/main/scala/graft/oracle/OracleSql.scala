@@ -700,6 +700,17 @@ object OracleSql {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    "sample_stratified_hash" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |         CAST(('0x' || substr(md5('graft-split' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) % 100 AS bucket,
+        |         CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 25 ELSE 100 END AS keep_pct
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket, keep_pct
+        |FROM b WHERE bucket < keep_pct
+        |ORDER BY doc_id""".stripMargin,
+
     "sim_pairwise_threshold" ->
       """WITH en AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

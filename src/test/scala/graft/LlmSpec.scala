@@ -134,4 +134,29 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().sortBy(_._1)
     assert(sub.sameElements(a.filter(_._1 <= 3)))
   }
+
+  test("stratified hash sample hits per-stratum fractions and membership is stable") {
+    // sf0.01: 500 docs over 5 langs — en kept at ~50 %, zh at ~25 %,
+    // everything else whole
+    val dir = "/root/testdata/sf0.01"
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = ops.Llm.sampleStratifiedHash(spark, dir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    all.foreach { case (lang, n) =>
+      val frac = kept.getOrElse(lang, 0L).toDouble / n
+      val target = lang match { case "en" => 0.5; case "zh" => 0.25; case _ => 1.0 }
+      // md5 buckets are uniform; 100-doc strata give ±~15 % absolute
+      assert(math.abs(frac - target) <= 0.15, s"$lang: kept $frac, target $target")
+    }
+    // membership is a pure function of doc_id — a kept doc stays kept
+    // on a corpus subset (growth/shrink stability, unlike sampleBy)
+    val ids = ops.Llm.sampleStratifiedHash(spark, dir).select("doc_id").as[Long].collect().toSet
+    val d2 = java.nio.file.Files.createTempDirectory("strat").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 100).coalesce(1)
+      .write.parquet(s"$d2/documents.parquet")
+    val subIds = ops.Llm.sampleStratifiedHash(spark, d2).select("doc_id").as[Long].collect().toSet
+    assert(subIds === ids.filter(_ < 100))
+  }
 }
