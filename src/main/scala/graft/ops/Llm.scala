@@ -376,9 +376,17 @@ object Llm {
       // star rounds never drop a non-singleton node, so this edge set
       // still names every paired node
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find: loop to the root, then a second pass compresses
+      // the whole chain. A recursive find would recurse chain-deep —
+      // with union-by-min (no rank) an adversarially ordered edge list
+      // builds O(n)-long chains, and at the 100k-edge threshold that
+      // overflows the JVM stack.
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+        root
       }
       edges.select("hi", "lo").collect().foreach { row =>
         val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
@@ -420,9 +428,21 @@ object Llm {
     * `sample()` does NOT give. Embarrassingly parallel at any scale.
     */
   /** md5 hex → integer bucket 0..99, a pure function of the key. */
-  private[graft] def splitBucket(key: Column): Column =
-    conv(substring(md5(concat_ws("|", lit("graft-split"),
+  private[graft] def hashBucket(salt: String)(key: Column): Column =
+    conv(substring(md5(concat_ws("|", lit(salt),
       key.cast("string"))), 1, 8), 16, 10).cast("long") % 100
+
+  private[graft] def splitBucket(key: Column): Column =
+    hashBucket("graft-split")(key)
+
+  /** Sampling bucket — a DIFFERENT salt than the split bucket, so
+    * composing stratified sampling with the train/valid/test split
+    * stays independent. Sharing the salt correlates the two: a stratum
+    * kept at 50% would consist entirely of docs with split bucket<50,
+    * i.e. all-train, starving valid/test of that stratum.
+    */
+  private[graft] def sampleBucket(key: Column): Column =
+    hashBucket("graft-sample")(key)
 
   /** 80/10/10 split name from a bucket. */
   private[graft] def splitName(bucket: Column): Column =
@@ -437,8 +457,9 @@ object Llm {
   /** Deterministic stratified downsampling — the corpus-mixture
     * operation every training pipeline runs (rebalance languages /
     * sources to target proportions before training). Per-stratum keep
-    * fraction applied through the SAME hash-threshold mechanism as
-    * [[sampleHashSplit]]: a doc survives iff its md5 bucket falls
+    * fraction applied through the same hash-threshold mechanism as
+    * [[sampleHashSplit]] but under its own salt (independence — see
+    * [[sampleBucket]]): a doc survives iff its md5 bucket falls
     * under the stratum's percentage, so membership is a pure function
     * of (doc_id, stratum fraction) — stable across runs, engines,
     * partitionings, and corpus growth, which seeded `sampleBy` is
@@ -450,7 +471,7 @@ object Llm {
     // strata, keep the rest whole (the mixture knob a real run tunes)
     val keepPct = typedlit(Map("en" -> 50, "zh" -> 25))
     table(s, dir, "documents")
-      .withColumn("bucket", splitBucket(col("doc_id")))
+      .withColumn("bucket", sampleBucket(col("doc_id")))
       .withColumn("keep_pct", coalesce(element_at(keepPct, col("lang")), lit(100)))
       .filter(col("bucket") < col("keep_pct"))
       .select("doc_id", "lang", "bucket", "keep_pct")

@@ -144,8 +144,16 @@ object Streaming {
           touched.foreach { b =>
             val src = new org.apache.hadoop.fs.Path(tmp, s"bucket=$b")
             val d = new org.apache.hadoop.fs.Path(dst, s"bucket=$b")
+            // every touched bucket holds ≥1 batch row post-merge, so its
+            // tmp dir must exist; verify BEFORE deleting the live bucket —
+            // delete-then-check would turn a failed merge write into
+            // silent data loss instead of a loud failed swap
+            if (!fs.exists(src))
+              throw new IllegalStateException(
+                s"foreachBatchUpsert: merged output missing touched bucket $b at $src; " +
+                  "aborting swap (existing snapshot left intact)")
             fs.delete(d, true)
-            if (fs.exists(src)) fs.rename(src, d)
+            fs.rename(src, d)
           }
           fs.delete(tmp, true)
         }

@@ -703,7 +703,7 @@ object OracleSql {
     "sample_stratified_hash" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
-        |         CAST(('0x' || substr(md5('graft-split' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |         CAST(('0x' || substr(md5('graft-sample' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))
         |              AS BIGINT) % 100 AS bucket,
         |         CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 25 ELSE 100 END AS keep_pct
         |  FROM documents)

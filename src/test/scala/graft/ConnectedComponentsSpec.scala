@@ -17,9 +17,14 @@ class ConnectedComponentsSpec extends SparkSpec {
   /** Reference union-find, no Spark. */
   private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
+    // iterative (mirrors the main-path fix): recursion depth would be
+    // chain length under union-by-min on adversarially ordered edges
     def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var root = x
+      while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
     }
     pairs.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
@@ -69,6 +74,19 @@ class ConnectedComponentsSpec extends SparkSpec {
       cc(chain, maxRounds = 1, localThreshold = 0L)
     }
     assert(ex.getMessage.contains("no fixpoint"))
+  }
+
+  test("endgame survives a 100k-edge descending chain (deep union-find path)") {
+    // (i, i+1) processed in descending i builds the worst-case parent
+    // chain under union-by-min: every union links a fresh root onto the
+    // chain head, so the final roots pass starts with a find() that must
+    // walk ~100k parents. A recursive find overflows the default JVM
+    // stack here; the iterative loop-and-compress form must not.
+    val n = 100000L
+    val chain = (0L until n).map(i => (i, i + 1)).reverse
+    val got = cc(chain) // 100k edges == localThreshold → local endgame
+    assert(got.size === n + 1)
+    assert(got.values.forall(_ == 0L))
   }
 
   test("idempotence: components of the component assignment are the assignment") {

@@ -159,4 +159,17 @@ class LlmSpec extends SparkSpec {
     val subIds = ops.Llm.sampleStratifiedHash(spark, d2).select("doc_id").as[Long].collect().toSet
     assert(subIds === ids.filter(_ < 100))
   }
+
+  test("sampling is independent of the split assignment (distinct salts)") {
+    // With a shared salt, en docs kept at 50 % would all have split
+    // bucket < 50 → all land in train, starving valid/test. The sample
+    // bucket uses its own salt, so kept en docs must still reach the
+    // valid (80..89) and test (90..99) split ranges.
+    val kept = ops.Llm.sampleStratifiedHash(spark, "/root/testdata/sf0.01")
+      .filter(col("lang") === "en")
+      .withColumn("split", ops.Llm.splitName(ops.Llm.splitBucket(col("doc_id"))))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(kept.getOrElse("valid", 0L) > 0, s"no valid docs in sampled en stratum: $kept")
+    assert(kept.getOrElse("test", 0L) > 0, s"no test docs in sampled en stratum: $kept")
+  }
 }
