@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.TextExpressions.{CentroidRanks, CosineSim, DelKeys, MinHashSigs, SimHash64, WordShingles}
+import graft.functions.TextExpressions.{CentroidRanks, CosineSim, DelKeys, MinHashSigs, RollingHash, SimHash64, WordShingles}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the native expressions so they resolve by name from both
@@ -60,6 +60,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(v, cents) => CentroidRanks(v, cents)
         case _ => throw new IllegalArgumentException(
           "centroid_ranks(v, cents) expects a vector column and a centroid-array column")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => RollingHash(text)
+        case _ => throw new IllegalArgumentException(
+          "rolling_hash(text) expects one string column")
       }))
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }

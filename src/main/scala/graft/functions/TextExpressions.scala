@@ -367,6 +367,51 @@ object TextExpressions {
       copy(left = l, right = r)
   }
 
+  /** One-pass helper behind [[RollingHash]]; public so generated Java
+    * can call the static forwarder directly.
+    */
+  def rollingHashJ(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Polynomial rolling hash h = (h·31 + codepoint) mod 1e9+7 over the
+    * string's code points, one pass, whole-stage-codegen'd (a single
+    * static call per row).
+    *
+    * Replaces `aggregate(transform(sequence(1, length(norm)), i ->
+    * ascii(substr(norm, i, 1))), ...)`: the HOF form evaluates
+    * interpreted, materializes a len-sized array per row, re-runs the
+    * inlined normalization subtree per ELEMENT (O(len²) regex work —
+    * the exact CollapseProject pitfall this file's header documents),
+    * and `substr(i, 1)` itself is an O(i) byte scan on UTF8String.
+    * Per-character semantics = Unicode code point, matching DuckDB's
+    * `ascii(substring(s, i, 1))` (the oracle) on any input; Spark's
+    * own `ascii` agrees on this corpus (verified ASCII-only at
+    * sf0.01/0.1), so the swap is hash-exact under the oracle.
+    */
+  case class RollingHash(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "rolling_hash"
+
+    override protected def nullSafeEval(input: Any): Any =
+      TextExpressions.rollingHashJ(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.rollingHashJ($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): RollingHash =
+      copy(child = newChild)
+  }
+
   // ---------------------------------------------- Column API (via registry)
 
   /** Deletion-neighborhood blocking keys (string + distinct del-1 set). */
@@ -396,4 +441,8 @@ object TextExpressions {
   /** Map-only centroid ranking (0-based indices, cosine desc). */
   def centroidRanks(v: Column, cents: Column): Column =
     call_function("centroid_ranks", v, cents)
+
+  /** One-pass polynomial rolling hash (code points, mod 1e9+7). */
+  def rollingHash(text: Column): Column =
+    call_function("rolling_hash", text)
 }

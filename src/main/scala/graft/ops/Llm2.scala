@@ -144,18 +144,23 @@ object Llm2 {
   /** Polynomial rolling hash over the normalized character stream,
     * mod 1e9+7 — a content fingerprint computable identically in any
     * engine (no engine-specific hash), sequential fold → deterministic.
+    *
+    * The fold is the native [[graft.functions.TextExpressions.RollingHash]]
+    * (one code-point pass per row, codegen'd): the earlier
+    * `aggregate(transform(sequence(...), ascii(substr(norm, i, 1))))`
+    * form re-ran the inlined trim/lower/regex subtree once per
+    * CHARACTER (O(len²) per doc — r4 verdict #4; A/B on a 40 kB-doc
+    * fixture in ExpressionsSpec: 102-117 s → 0.25-0.3 s for 64 docs).
+    * `norm` is still projected as a real column so `length` shares
+    * one normalization.
     */
-  val textFingerprint: Q = (s, dir) => {
-    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+  val textFingerprint: Q = (s, dir) =>
     table(s, dir, "documents")
+      .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
       .select(col("doc_id"),
-        aggregate(
-          transform(sequence(lit(1), length(norm)), i => ascii(norm.substr(i, lit(1)))),
-          lit(0L), (h, c) => (h * lit(31L) + c.cast("long")) % lit(1000000007L))
-          .as("fingerprint"),
-        length(norm).as("n_chars_norm"))
+        graft.functions.TextExpressions.rollingHash(col("norm")).as("fingerprint"),
+        length(col("norm")).as("n_chars_norm"))
       .orderBy("doc_id")
-  }
 
   // --------------------------------------------------- n-gram Jaccard
 
