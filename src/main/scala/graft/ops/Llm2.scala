@@ -431,25 +431,18 @@ object Llm2 {
     */
   val simLshHyperplane: Q = (s, dir) => {
     val cosineSim = graft.functions.TextExpressions.cosineSim _
-    val rnd = new scala.util.Random(42)
-    val hyperplanes = Array.fill(16)(Array.fill(64)(rnd.nextGaussian()))
     val emb = table(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val bits = hyperplanes.zipWithIndex.map { case (hp, k) =>
-      // sign(v·hp) == sign(cos(v,hp)); hyperplane literal is truncated
-      // to the data's dim by the expression's min-length guard
-      when(cosineSim(col("v"), lit(hp)) > 0, lit(1L << k)).otherwise(0L)
-    }
-    val sig = emb.withColumn("sig", bits.reduce(_ + _))
+    // shared geometry (SignLsh) so these signatures agree with the
+    // banded blocking in Llm.exactCosinePairs
+    val sig = emb.withColumn("sig", SignLsh.sig(col("v")))
     // band rows carry ONLY (vec_id, band, bv) — the vectors stay out
     // of the collision join and its distinct (deduplicating rows that
     // drag 64-double arrays through a shuffle was the query's dominant
     // cost); survivors re-join their vectors for the exact verify.
     val banded = sig.select(col("vec_id"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * 4).bitwiseAND(0xFL).as("bv"))): _*)).as("e"))
+        explode(SignLsh.bands(col("sig"))).as("e"))
       .select(col("vec_id"), col("e.band").as("band"), col("e.bv").as("bv"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

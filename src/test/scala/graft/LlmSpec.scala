@@ -160,6 +160,62 @@ class LlmSpec extends SparkSpec {
     assert(subIds === ids.filter(_ < 100))
   }
 
+  test("LSH-banded pairwise cosine emits a subset of the exact pairs with identical sims") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = ops.Llm.simPairwiseThreshold(spark, dir)
+      .select("a_id", "b_id", "sim").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val banded = ops.Llm.simPairwiseThresholdLsh(spark, dir)
+      .select("a_id", "b_id", "sim").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(banded.nonEmpty, "banding at τ=0.3 must keep some pairs on this corpus")
+    banded.foreach { case (k, sim) =>
+      assert(exact.contains(k), s"banded pair $k not in exact set")
+      assert(exact(k) === sim, s"sim differs for $k — verify must be exact")
+    }
+    // dedup variant: every banded duplicate is an exact-path duplicate
+    // and its (keep → dup) edge is a true exact pair (keep_id may be a
+    // LARGER exact neighbor when banding dropped the smallest one)
+    val exDups = ops.Llm.dedupEmbeddingCosine(spark, dir)
+      .select("dup_id").as[Long].collect().toSet
+    val bd = ops.Llm.dedupEmbeddingCosineLsh(spark, dir)
+      .select("dup_id", "keep_id").as[(Long, Long)].collect()
+    assert(bd.nonEmpty)
+    val exactPairs035 = ops.Llm.exactCosinePairs(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v")),
+        tau = 0.35, strict = false, lshBands = false)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    bd.foreach { case (dup, keep) =>
+      assert(exDups.contains(dup), s"banded dup $dup not a dup on the exact path")
+      assert(exactPairs035.contains((keep, dup)), s"($keep,$dup) not an exact τ=0.35 pair")
+    }
+  }
+
+  test("LSH-banded pairwise recalls a planted tight cluster inside one label") {
+    // cos ≈ 0.9999 neighbors (the production near-dup regime, where
+    // the band S-curve is flat) must survive banding; the far vector
+    // shares the label, so only the band key can exclude it from the
+    // candidate product — and the exact verify kills it regardless
+    val d = java.nio.file.Files.createTempDirectory("bandfix").toString
+    val base = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val nearA = base.clone(); nearA(0) = base(0) + 0.01f
+    val nearB = base.clone(); nearB(1) = base(1) - 0.01f
+    val far = Array.tabulate(64)(i => math.cos(i * 1.3).toFloat)
+    Seq((1L, base, 0), (2L, nearA, 0), (3L, nearB, 0), (4L, far, 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val pairs = ops.Llm.simPairwiseThresholdLsh(spark, d)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(pairs),
+      s"tight cluster must be recalled through the bands, got $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "far vector must not pair")
+    val dups = ops.Llm.dedupEmbeddingCosineLsh(spark, d)
+      .select("dup_id", "keep_id").as[(Long, Long)].collect().toMap
+    assert(dups === Map(2L -> 1L, 3L -> 1L), s"got $dups")
+  }
+
   test("sampling is independent of the split assignment (distinct salts)") {
     // With a shared salt, en docs kept at 50 % would all have split
     // bucket < 50 → all land in train, starving valid/test. The sample

@@ -141,6 +141,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("xxhash64"), "join key must be the hashed deletion key")
   }
 
+  test("banded pairwise cosine joins on (label, band, bv) and keeps vectors out of the collision join") {
+    val df = ops.Llm.simPairwiseThresholdLsh(spark, dir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val collision = joins.filter(_.condition.exists { c =>
+      val s = c.toString; s.contains("band") && s.contains("bv")
+    })
+    assert(collision.nonEmpty,
+      s"no join keyed on the LSH band — blocking is not banded:\n${df.queryExecution.optimizedPlan}")
+    // narrow collision rows: the banded join must not carry the
+    // 64-double vectors (they re-attach only for the survivor verify)
+    collision.foreach { j =>
+      assert(!j.output.exists(a => a.name == "v" || a.name == "a_v" || a.name == "b_v"),
+        s"vector column inside the collision join output: ${j.output.map(_.name)}")
+    }
+  }
+
   test("simhash/minhash signatures are map-only (no exchange below the band join)") {
     val sigOnly = spark.read.parquet(s"$dir/documents.parquet")
       .select(functions.TextExpressions.simHash64(
