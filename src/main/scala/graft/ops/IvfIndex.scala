@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions.{centroidRanks, cosineSim}
+
+/** Persisted IVF ANN index — the vector-search counterpart of
+  * [[IncrementalDedup]] (r4 verdict #3): [[Llm2.annIvf]] recomputes
+  * centroids and cell assignments on every run, which a continuously
+  * serving / continuously ingesting pipeline cannot afford. Here the
+  * trained quantizer and the cell-assigned corpus persist once;
+  * probing and appending touch O(probed cells) and O(batch) work
+  * respectively, never O(corpus).
+  *
+  * Layout: the index table is `(vec_id, v)` PARTITIONED BY `cell`
+  * (the assigned centroid index). Partitioning — not bucketing — is
+  * the right physical key for IVF: `cell` has only `nlist` distinct
+  * values and the probe path's whole point is to READ only the
+  * `nprobe` cells each probe ranks highest. With directory
+  * partitioning that pruning is a scan property: the probed cell set
+  * (⊆ {0..nlist−1} — tiny no matter how many probes) is collected
+  * once and pushed as a STATIC partition filter, so a 1000-executor
+  * probe of a 100 TB corpus lists and reads only the probed cell
+  * directories (deterministic, unlike DPP heuristics, which decline
+  * this join — no selective build-side filter). Asserted against
+  * PartitionFilters in IvfIndexSpec. The index side of the probe join
+  * never exchanges: probes broadcast, vectors stream from their cell
+  * directories (also asserted against the executed plan).
+  *
+  * The trained centroids persist in a `<table>_centroids` sidecar
+  * (nlist tiny rows — the only driver-materialized state, same bound
+  * as annIvf's literal). Append assigns NEW vectors with the STORED
+  * quantizer — cells stay stable as the corpus grows (an existing
+  * vector never moves), which is what makes append O(batch): new
+  * parquet files land inside the touched cell directories, nothing
+  * rewrites. Retrain-and-rebuild is the explicit [[buildIndex]] call,
+  * exactly as in production IVF systems (FAISS-style: quantizer fixed
+  * between rebuilds).
+  */
+object IvfIndex {
+
+  private def centsTable(tableName: String): String = tableName + "_centroids"
+
+  /** Load the persisted quantizer: ≤ nlist rows — bounded collect. */
+  private def loadCentroids(spark: SparkSession, tableName: String): Array[Array[Double]] =
+    spark.table(centsTable(tableName))
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+
+  private def centsLit(cents: Array[Array[Double]]) =
+    typedlit(cents.map(_.toSeq).toSeq)
+
+  /** Cell of each vector under a fixed quantizer (map-only: literal
+    * centroids ride the scan projection, as in annIvf).
+    */
+  private def assign(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    vecs.select(col("vec_id"), col("v"),
+      element_at(centroidRanks(col("v"), centsLit(cents)), 1).as("cell"))
+
+  /** Train the quantizer on `emb` ((vec_id, v) rows; hash-sampled at
+    * `trainSampleMod` — the 100 TB training knob shared with annIvf)
+    * and write the cell-partitioned index + centroid sidecar.
+    * `repartition(cell)` keeps one writer per cell — no small-file
+    * explosion ([[graft.io.Sinks]] discipline).
+    */
+  def buildIndex(spark: SparkSession, emb: DataFrame, tableName: String,
+      nlist: Int = 8, trainSampleMod: Long = 1L): Unit = {
+    val cents = Llm2.trainCentroids(emb, nlist, trainSampleMod)
+    require(cents.nonEmpty, s"cannot train an IVF quantizer on an empty relation ($tableName)")
+    assign(emb, cents)
+      .repartition(col("cell"))
+      .write.mode("overwrite").format("parquet").partitionBy("cell")
+      .saveAsTable(tableName)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(centsTable(tableName))
+  }
+
+  /** Append a batch of new vectors, assigned with the STORED
+    * quantizer — O(batch) work, touched cell directories gain files,
+    * existing files never rewrite.
+    */
+  def appendToIndex(spark: SparkSession, newVecs: DataFrame, tableName: String): Unit =
+    assign(newVecs, loadCentroids(spark, tableName))
+      .repartition(col("cell"))
+      .write.mode("append").format("parquet").partitionBy("cell")
+      .saveAsTable(tableName)
+
+  /** Top-k cosine neighbors of each probe `(p_id, pv)` against the
+    * index: probes rank the stored centroids map-side, explode their
+    * `nprobe` best cells, and broadcast; the corpus streams from the
+    * probed cell DIRECTORIES only (static partition filter from the
+    * bounded probed-cell set) with no exchange until the per-probe
+    * top-k window. Same output contract as [[Llm2.annIvf]]:
+    * (p_id, rank, vec_id, sim), self-matches excluded.
+    */
+  def probe(spark: SparkSession, probes: DataFrame, tableName: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val cents = centsLit(loadCentroids(spark, tableName))
+    val p = probes.select(col("p_id"), col("pv"),
+      explode(slice(centroidRanks(col("pv"), cents), 1, nprobe)).as("p_cell"))
+    // the union of probed cells is ⊆ {0..nlist−1} — a bounded collect
+    // (same discipline as the centroid sidecar) that turns cell
+    // pruning into a static PartitionFilter on the scan; DPP's
+    // benefit heuristic declines this join shape, and a listing-time
+    // filter is stronger anyway
+    val probedCells = p.select("p_cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    spark.table(tableName)
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .join(broadcast(p), col("cell") === col("p_cell") && col("vec_id") =!= col("p_id"))
+      .withColumn("sim", cosineSim(col("v"), col("pv")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("p_id", "rank", "vec_id", "sim")
+      .orderBy("p_id", "rank")
+  }
+}

@@ -362,10 +362,14 @@ object Llm2 {
     * pair matches at most once — no dedup. The only shuffle left is
     * the per-probe top-k window over cell-confined candidates.
     */
-  private[graft] def annIvf(emb: org.apache.spark.sql.DataFrame,
-      isProbe: Column, nlist: Int, nprobe: Int, k: Int,
-      trainSampleMod: Long = 1L): org.apache.spark.sql.DataFrame = {
-    val cosineSim = graft.functions.TextExpressions.cosineSim _
+  /** Coarse-quantizer training shared by [[annIvf]] (in-memory) and
+    * [[IvfIndex]] (persisted): hash-stratified seeds + one Lloyd pass
+    * over unit vectors (see [[annIvf]]'s scaladoc for the full
+    * contract). Returns ≤ nlist centroids; empty iff `emb`'s training
+    * sample is empty. Driver-side memory is bounded by nlist×dim.
+    */
+  private[graft] def trainCentroids(emb: org.apache.spark.sql.DataFrame,
+      nlist: Int, trainSampleMod: Long = 1L): Array[Array[Double]] = {
     val centroidRanks = graft.functions.TextExpressions.centroidRanks _
     val trainSet =
       if (trainSampleMod > 1L) emb.filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
@@ -375,9 +379,7 @@ object Llm2 {
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
-    if (seedVecs.isEmpty)
-      return emb.select(col("vec_id").as("p_id"), lit(1).as("rank"),
-        col("vec_id"), lit(0.0).as("sim")).filter(lit(false))
+    if (seedVecs.isEmpty) return Array.empty
     val seedsLit = typedlit(seedVecs.map(_.toSeq).toSeq)
     // Lloyd pass: per-(cell, dimension) mean of unit vectors — ≤
     // nlist×dim tiny rows, collected once so training never re-runs
@@ -389,6 +391,18 @@ object Llm2 {
       .groupBy("c_idx", "pos").agg(avg("x").as("m"))
       .collect()
       .foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    cents
+  }
+
+  private[graft] def annIvf(emb: org.apache.spark.sql.DataFrame,
+      isProbe: Column, nlist: Int, nprobe: Int, k: Int,
+      trainSampleMod: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val cosineSim = graft.functions.TextExpressions.cosineSim _
+    val centroidRanks = graft.functions.TextExpressions.centroidRanks _
+    val cents = trainCentroids(emb, nlist, trainSampleMod)
+    if (cents.isEmpty)
+      return emb.select(col("vec_id").as("p_id"), lit(1).as("rank"),
+        col("vec_id"), lit(0.0).as("sim")).filter(lit(false))
     val centsLit = typedlit(cents.map(_.toSeq).toSeq)
     val assigned = emb
       .select(col("vec_id"), col("v"),

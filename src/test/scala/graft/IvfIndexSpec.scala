@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ops.IvfIndex: persisted cell-partitioned ANN index — result parity
+  * with the in-memory annIvf, probe-side scan pruning (DPP), a
+  * shuffle-free index side, and O(batch) append.
+  */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 4 well-separated direction clusters × 30 vectors, 16 dims — the
+    * same planted-geometry approach as Llm2Spec's IVF recall test.
+    */
+  private def clusteredVecs(n: Int = 30): Seq[(Long, Array[Double])] = {
+    val rnd = new scala.util.Random(7)
+    (0 until 4).flatMap { c =>
+      val base = Array.tabulate(16)(i => math.sin((i + 1) * (c + 1) * 0.9))
+      (0 until n).map { j =>
+        val v = base.map(x => x + rnd.nextGaussian() * 0.05)
+        ((c * n + j).toLong, v)
+      }
+    }
+  }
+
+  private def embDf(rows: Seq[(Long, Array[Double])]) =
+    rows.toDF("vec_id", "v")
+
+  test("probe against the persisted index returns exactly annIvf's results") {
+    val rows = clusteredVecs()
+    val emb = embDf(rows)
+    ops.IvfIndex.buildIndex(spark, emb, "ivf_parity", nlist = 8)
+    try {
+      val fromIndex = ops.IvfIndex.probe(spark,
+          emb.filter(col("vec_id") < 5).select(col("vec_id").as("p_id"), col("v").as("pv")),
+          "ivf_parity", nprobe = 2, k = 3)
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      val inMemory = ops.Llm2.annIvf(emb, col("vec_id") < 5, nlist = 8, nprobe = 2, k = 3)
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(fromIndex === inMemory,
+        s"persisted-index probe diverged from annIvf:\n$fromIndex\nvs\n$inMemory")
+      assert(fromIndex.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_parity")
+      spark.sql("DROP TABLE IF EXISTS ivf_parity_centroids")
+    }
+  }
+
+  test("probe prunes the scan to the probed cell directories and never exchanges the index side") {
+    val emb = embDf(clusteredVecs())
+    ops.IvfIndex.buildIndex(spark, emb, "ivf_plan", nlist = 8)
+    try {
+      val q = ops.IvfIndex.probe(spark,
+        emb.filter(col("vec_id") === 0).select(col("vec_id").as("p_id"), col("v").as("pv")),
+        "ivf_plan", nprobe = 2, k = 3)
+      q.collect() // finalize the adaptive plan
+      val plan = q.queryExecution.executedPlan.toString
+      // scan pruning: the probed cell set lands as a static partition
+      // filter — the scan lists/reads ≤ nprobe cell directories, not
+      // all nlist
+      val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(pf.contains("cell") && pf.contains(" IN "),
+        s"index scan must be partition-pruned to the probed cells:\n$plan")
+      val scannedDirs = "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(plan).map(_.group(1).toInt)
+      assert(scannedDirs.exists(_ <= 2),
+        s"nprobe=2 probe must list at most 2 cell directories, got $scannedDirs:\n$plan")
+      // the index side never exchanges: the only hashpartitioning
+      // exchange in the final plan is the top-k window's (on p_id)
+      val finalPlan = plan.split("== Initial Plan ==").head
+      val hashExchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+        .findAllMatchIn(finalPlan).map(_.group(1)).toList
+      assert(hashExchanges.forall(_ == "p_id"),
+        s"index rows must stream shuffle-free to the join, got exchanges on $hashExchanges:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_plan")
+      spark.sql("DROP TABLE IF EXISTS ivf_plan_centroids")
+    }
+  }
+
+  test("append assigns with the stored quantizer; probes see appended vectors; cells stay stable") {
+    val rows = clusteredVecs()
+    val emb = embDf(rows)
+    ops.IvfIndex.buildIndex(spark, emb, "ivf_app", nlist = 8)
+    try {
+      val cellsBefore = spark.table("ivf_app")
+        .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+      // new batch: near-copies of vector 0 (same direction, must land
+      // in its cell and dominate its neighborhood)
+      val v0 = rows.head._2
+      val batch = Seq((1000L, v0.map(_ * 1.01)), (1001L, v0.map(_ * 0.99)))
+      ops.IvfIndex.appendToIndex(spark, embDf(batch), "ivf_app")
+      val after = spark.table("ivf_app").select("vec_id", "cell")
+        .as[(Long, Int)].collect().toMap
+      // append never moves an existing vector
+      cellsBefore.foreach { case (id, cell) =>
+        assert(after(id) === cell, s"vec $id changed cell on append")
+      }
+      assert(after.size === cellsBefore.size + 2)
+      assert(after(1000L) === cellsBefore(0L), "near-copy must share vec 0's cell")
+      val top = ops.IvfIndex.probe(spark,
+          Seq((0L, v0)).toDF("p_id", "pv"), "ivf_app", nprobe = 1, k = 2)
+        .select("vec_id").as[Long].collect().toSet
+      assert(top === Set(1000L, 1001L),
+        s"appended near-copies must top vec 0's neighbor list, got $top")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_app")
+      spark.sql("DROP TABLE IF EXISTS ivf_app_centroids")
+    }
+  }
+}
