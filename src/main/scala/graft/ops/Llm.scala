@@ -492,6 +492,20 @@ object Llm {
       .select(col("id"), col("comp").as("component"))
       .orderBy("id")
 
+  /** Pair → cluster closure for the MinHash family: components over
+    * [[dedupMinhashLsh]]'s verified pair set — the same composition
+    * TrainingPipeline applies to SimHash pairs, exposed as its own
+    * key so the MinHash path's dedup loop (pairs → clusters → keep
+    * min-id per cluster) closes inside the library too. Seeded MinHash
+    * ⇒ no SQL oracle; LlmSpec asserts the clusters equal the
+    * transitive closure of brute-force shingle-Jaccard ≥ 0.3 pairs at
+    * sf0.001.
+    */
+  val dedupMinhashClusters: Q = (s, dir) =>
+    connectedComponents(dedupMinhashLsh(s, dir).select("a_id", "b_id"))
+      .select(col("id"), col("comp").as("component"))
+      .orderBy("id")
+
   /** Deterministic hash-bucketed train/valid/test split — the holdout
     * assignment every training-data pipeline needs. md5 of a salted
     * key → first 8 hex chars → integer bucket 0..99 → 80/10/10. The
@@ -561,6 +575,7 @@ object Llm {
     "sample_stratified_hash" -> sampleStratifiedHash,
     "dedup_latest_wins" -> dedupLatestWins,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_clusters" -> dedupMinhashClusters,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_pairwise_threshold" -> simPairwiseThreshold,
     "text_tokenize_stats" -> textTokenizeStats,

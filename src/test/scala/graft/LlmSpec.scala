@@ -160,6 +160,39 @@ class LlmSpec extends SparkSpec {
     assert(subIds === ids.filter(_ < 100))
   }
 
+  test("MinHash clusters equal the brute-force-Jaccard transitive closure at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    // brute force: every doc pair's exact 3-shingle Jaccard, ≥ 0.3 →
+    // union-find closure (driver-side; sf0.001 is small by design)
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .as[(Long, Seq[String])].collect().map(t => t._1 -> t._2.toSet)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
+    }
+    for (i <- sh.indices; j <- (i + 1) until sh.length) {
+      val (a, sa) = sh(i); val (b, sb) = sh(j)
+      val jac = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if (jac >= 0.3) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = ops.Llm.dedupMinhashClusters(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected,
+      s"clusters diverge from the brute-force closure (missing: ${expected.keySet -- got.keySet}, extra: ${got.keySet -- expected.keySet})")
+    assert(got.nonEmpty, "sf0.001 contains planted near-dups; closure must be non-empty")
+  }
+
   test("LSH-banded pairwise cosine emits a subset of the exact pairs with identical sims") {
     val dir = "/root/testdata/sf0.01"
     val exact = ops.Llm.simPairwiseThreshold(spark, dir)
