@@ -43,6 +43,13 @@ object Skew {
     * The hot key's first-phase work spreads over `salts` reducers; the
     * second phase touches only pre-combined rows. Decimal-exact (sum
     * order across partials cannot change the result).
+    *
+    * Measured (BASELINE.md r5, 4 M rows / 40 % hot key): for ALGEBRAIC
+    * aggs like this sum/count pair the technique is a wash — Spark's
+    * map-side partial aggregation already collapses the hot key before
+    * the shuffle. It pays when the aggregate is holistic
+    * (collect_list/percentile/distinct-heavy), where partials cannot
+    * pre-combine and one reducer would hold the hot key's every row.
     */
   def saltedSumCount(df: DataFrame, key: String, valueCol: Column,
       discriminator: String, salts: Int): DataFrame =
