@@ -79,7 +79,27 @@ class IngestSinkSpec extends SparkSpec {
     io.Sinks.exportJsonl(df, s"$dir/jsonl")
     val backJson = io.Readers.jsonWithQuarantine(spark, s"$dir/jsonl", schema).cache()
     assert(backJson.filter(col("_corrupt_record").isNotNull).count() === 0)
-    assert(backJson.count() === 2)
+    assert(backJson.select("id", "name", "amount").orderBy("id")
+      .as[(Int, Option[String], Double)].collect().toSeq ===
+      Seq((1, Some("al,ice \"q\""), 10.5), (2, None, 7.25)))
+  }
+
+  test("export timestamps survive the CSV/JSONL round-trip to the microsecond") {
+    val dir = tmpDir("exportts")
+    val tsSchema = StructType(Seq(
+      StructField("id", IntegerType), StructField("at", TimestampType)))
+    val df = Seq((1, ts("2024-03-01 10:00:00.123")), (2, ts("2024-12-31 23:59:59.999")))
+      .toDF("id", "at")
+    io.Sinks.exportCsv(df, s"$dir/csv")
+    val backCsv = io.Readers.csvWithQuarantine(spark, s"$dir/csv", tsSchema).cache()
+    assert(backCsv.filter(col("_corrupt_record").isNotNull).count() === 0)
+    assert(backCsv.select("id", "at").orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
+    io.Sinks.exportJsonl(df, s"$dir/jsonl")
+    val backJson = io.Readers.jsonWithQuarantine(spark, s"$dir/jsonl", tsSchema).cache()
+    assert(backJson.filter(col("_corrupt_record").isNotNull).count() === 0)
+    assert(backJson.select("id", "at").orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
   }
 
   test("bucketed tables join without a shuffle exchange") {
