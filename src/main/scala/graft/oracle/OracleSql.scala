@@ -911,6 +911,25 @@ object OracleSql {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS c_end
+        |  FROM t WHERE n > 0),
+        |s AS (
+        |  SELECT doc_id, c_end, c_end - n AS c_start FROM c),
+        |p AS (
+        |  SELECT doc_id, c_start, c_end,
+        |         unnest(generate_series(c_start // 512, (c_end - 1) // 512)) AS pack_id
+        |  FROM s)
+        |SELECT pack_id, doc_id,
+        |       GREATEST(c_start, pack_id * 512) - c_start AS tok_start,
+        |       LEAST(c_end, (pack_id + 1) * 512) - GREATEST(c_start, pack_id * 512) AS n_toks
+        |FROM p
+        |ORDER BY pack_id, doc_id""".stripMargin,
+
     "text_fingerprint" ->
       """WITH n AS (
         |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm

@@ -157,6 +157,40 @@ class Llm2Spec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated vector must not pair")
   }
 
+  test("sequence packing: exact-budget packs, doc-partitioning slices, bucket-invariant prefix sum") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val budget = 128
+    val packs = ops.Llm2.packSequences(docs, budget)
+      .as[(Long, Long, Long, Long)].collect().toSeq // (pack_id, doc_id, tok_start, n_toks)
+    assert(packs.nonEmpty)
+    // every pack except the last carries exactly `budget` tokens
+    val perPack = packs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val lastPack = perPack.keys.max
+    perPack.foreach { case (p, tot) =>
+      if (p != lastPack) assert(tot === budget.toLong, s"pack $p holds $tot tokens")
+      else assert(tot <= budget.toLong && tot > 0)
+    }
+    // a doc's slices partition its token range: start at 0, contiguous,
+    // summing to the doc's whitespace token count
+    val nByDoc = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    packs.groupBy(_._2).foreach { case (doc, slices) =>
+      val ordered = slices.sortBy(_._1)
+      assert(ordered.head._3 === 0L, s"doc $doc first slice starts at ${ordered.head._3}")
+      ordered.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 === a._3 + a._4, s"doc $doc slices not contiguous")
+        case _ =>
+      }
+      assert(ordered.map(_._4).sum === nByDoc(doc), s"doc $doc slices don't cover it")
+    }
+    // the distributed prefix sum is invariant to the bucket size (a
+    // 7-id bucket forces many buckets through the offset join)
+    val small = ops.Llm2.packSequences(docs, budget, bucketSize = 7L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(small === packs, "bucketSize must not change the packing")
+  }
+
   test("multimodal: decode stub parses header, quarantines corrupt bytes") {
     val media = Seq(
       (1L, ops.Multimodal.encodeHeader(640, 480, 3, 1, Array.fill[Byte](100)(7))),
