@@ -540,6 +540,48 @@ object Llm2 {
         sha2(piiScrub(col("text")), 256).as("scrub_hash"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------- repetition signals
+
+  /** Intra-document repetition signals — the quality-filter family
+    * member the corpus filters of Rae et al. (Gopher) popularized:
+    * heavily self-repeating documents (boilerplate, keyword stuffing,
+    * generation loops) are cut on duplicate-n-gram fractions and
+    * hot-token ratios before training. Per doc: token count, distinct
+    * tokens, the hottest token's frequency, and the duplicate-bigram
+    * fraction (1 − distinct/total bigrams; null for one-token docs).
+    *
+    * Shape: posexplode → per-doc-partitioned lead() for bigrams → two
+    * hash aggregations keyed by doc_id. Everything is partitioned by
+    * doc_id (never a global window) and grows linearly in corpus
+    * tokens — embarrassingly scalable. Deterministic and
+    * SQL-expressible ⇒ oracle'd; `round(…, 6)` before emit per the
+    * §7.4 float discipline.
+    */
+  val textRepetitionStats: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = table(s, dir, "documents")
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+    val bi = tok
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bigram")).as("n_distinct_bigrams"))
+    tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("c")).as("max_tok_freq"))
+      .join(bi, Seq("doc_id"), "left")
+      .withColumn("dup_bigram_frac",
+        round(lit(1.0) - col("n_distinct_bigrams").cast("double")
+          / col("n_bigrams").cast("double"), 6))
+      .select("doc_id", "n_tokens", "n_distinct_tokens", "max_tok_freq", "dup_bigram_frac")
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------- sequence packing
 
   /** GPT-style sequence packing — the step between a curated corpus
@@ -597,6 +639,7 @@ object Llm2 {
 
   val queries: Map[String, Q] = Map(
     "pack_sequences" -> packSequencesQ,
+    "text_repetition_stats" -> textRepetitionStats,
     "text_ngram_freq" -> textNgramFreq,
     "text_pii_scrub" -> textPiiScrub,
     "text_lang_id" -> textLangId,

@@ -911,6 +911,37 @@ object OracleSql {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    "text_repetition_stats" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(arr) AS tok,
+        |         unnest(generate_series(1, len(arr))) AS pos
+        |  FROM n),
+        |bi AS (
+        |  SELECT doc_id,
+        |         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram,
+        |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM tok),
+        |bs AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams
+        |  FROM bi WHERE nxt IS NOT NULL GROUP BY doc_id),
+        |tc AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+        |ts AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+        |         CAST(max(c) AS BIGINT) AS max_tok_freq
+        |  FROM tc GROUP BY doc_id)
+        |SELECT ts.doc_id, n_tokens, n_distinct_tokens, max_tok_freq,
+        |       round(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+        |         AS dup_bigram_frac
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+        |ORDER BY ts.doc_id""".stripMargin,
+
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n

@@ -157,6 +157,23 @@ class Llm2Spec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated vector must not pair")
   }
 
+  test("repetition stats flag a looping doc, clear a clean one, null out one-token docs") {
+    val d = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq(
+      (1L, "spam spam spam spam spam", "en", "s", 25L),          // generation loop
+      (2L, "every word here is fully distinct today", "en", "s", 40L), // clean
+      (3L, "solo", "en", "s", 4L))                               // no bigrams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val r = ops.Llm2.textRepetitionStats(spark, d)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // 5 tokens, 1 distinct, hottest freq 5; 4 bigrams all "spam spam" → frac 0.75
+    assert(r(1L) === ((5L, 1L, 5L, Some(0.75))))
+    assert(r(2L) === ((7L, 7L, 1L, Some(0.0))))
+    assert(r(3L) === ((1L, 1L, 1L, None)))
+  }
+
   test("sequence packing: exact-budget packs, doc-partitioning slices, bucket-invariant prefix sum") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val budget = 128
