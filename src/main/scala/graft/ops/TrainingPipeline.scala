@@ -9,10 +9,12 @@ import graft.functions.TextExpressions
   * [[Pipeline]] (north star: every operator exists to serve this flow
   * at 100 TB):
   *
-  * raw docs → PII scrub → language ID → quality filter → exact dedup
+  * raw docs → PII scrub → language ID → quality filter → repetition
+  * filter (Gopher-style duplicate-bigram gate) → exact dedup
   * (normalized-hash, min-id wins) → near-dedup (SimHash band blocking,
-  * Hamming ≤ 7, higher id dropped) → token accounting → deterministic
-  * train/valid/test split.
+  * Hamming ≤ 7, connected-components closure) → token accounting →
+  * deterministic train/valid/test split → [[packSplit]] sequence
+  * packing per split.
   *
   * Every stage is one of the engine's §2 operators applied as a pure
   * transformation; nothing here introduces a shuffle the operators do
@@ -30,15 +32,37 @@ object TrainingPipeline {
     * Input schema: (doc_id, text, ...) — other columns pass through.
     */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
-      maxHamming: Int = 7): DataFrame = {
+      maxHamming: Int = 7, maxDupBigramFrac: Double = 0.9): DataFrame = {
     // 1. PII scrub — redact before anything else sees the text
     val scrubbed = docs.withColumn("text", Llm2.piiScrub(col("text")))
 
     // 2-3. language ID + quality gate (row-local)
-    val scored = scrubbed
+    val prelim = scrubbed
       .withColumn("pred_lang", Llm2.predLangCol(col("text")))
       .withColumn("quality", Llm2.qualityCol(col("text")))
       .filter(col("quality") >= minQuality && col("pred_lang") =!= "und")
+
+    // 3b. repetition gate (Gopher-style): drop generation loops /
+    //     boilerplate whose duplicate-bigram fraction exceeds the
+    //     threshold. Inline single-pass form of text_repetition_stats'
+    //     dup_bigram_frac: distinct/total bigram counts from the
+    //     projected token array (array ops, row-local — no explode ⋈
+    //     re-join needed inside the composite); one-token docs have no
+    //     bigrams and pass.
+    val toksCol = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
+    val scored = prelim
+      .withColumn("toks", toksCol)
+      .withColumn("bigrams",
+        when(size(col("toks")) >= 2,
+          zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat_ws(" ", a, b)))
+          .otherwise(array()))
+      .filter(size(col("bigrams")) < 2 ||
+        (lit(1.0) - size(array_distinct(col("bigrams"))).cast("double")
+          / size(col("bigrams")).cast("double")) <= maxDupBigramFrac)
+      .drop("toks", "bigrams")
 
     // 4. exact dedup: smallest doc_id per normalized-text hash wins
     val normHash = sha2(lower(regexp_replace(trim(col("text")), "\\s+", " ")), 256)
@@ -89,4 +113,13 @@ object TrainingPipeline {
     curated.write.mode("overwrite")
       .partitionBy("split", "pred_lang")
       .parquet(path)
+
+  /** Pack ONE split of the curated corpus into fixed-budget training
+    * sequences ([[Llm2.packSequences]] manifest). Packing runs per
+    * split — mixing splits in one token stream would leak holdout
+    * tokens into train packs at the boundaries.
+    */
+  def packSplit(curated: DataFrame, split: String, budget: Int): DataFrame =
+    Llm2.packSequences(
+      curated.filter(col("split") === split).select("doc_id", "text"), budget)
 }

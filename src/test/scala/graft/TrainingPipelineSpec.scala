@@ -51,6 +51,33 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(rows.forall(r => expected(r._1) == r._3))
   }
 
+  test("repetition gate drops generation loops, keeps real text; packSplit packs one split only") {
+    // doc 7: a long English generation loop — passes the lang/quality
+    // gates (English markers, reasonable lengths) but its duplicate-
+    // bigram fraction is ~0.99 → repetition gate must drop it
+    val loop = ("the cat sat on the mat and " * 60) + "end"
+    val docs = Seq(
+      (1L, longDoc("alpha")),
+      (4L, "the deal is done and this is that fine report of it all and more of the things we said in the report that day"),
+      (7L, loop)).toDF("doc_id", "text")
+    val curated = ops.TrainingPipeline.curate(docs)
+    val ids = curated.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(7L), s"repetition loop must be gated out (got $ids)")
+    assert(ids === Set(1L, 4L))
+    // packing is per split: every packed doc belongs to that split and
+    // all packs except the last are exactly the budget
+    val trainIds = curated.filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    val packs = ops.TrainingPipeline.packSplit(curated, "train", budget = 64)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(packs.map(_._2).toSet === trainIds, "packed docs must be exactly the train split")
+    val perPack = packs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val last = perPack.keys.max
+    perPack.foreach { case (p, tot) =>
+      if (p != last) assert(tot === 64L, s"pack $p holds $tot tokens")
+    }
+  }
+
   test("near-dedup closure keeps one representative per transitive cluster") {
     // three near-identical docs (each one word apart) — whatever pair
     // subset SimHash banding surfaces, the closure must reduce the
