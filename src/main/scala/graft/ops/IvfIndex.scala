@@ -83,11 +83,31 @@ object IvfIndex {
     * quantizer — O(batch) work, touched cell directories gain files,
     * existing files never rewrite.
     */
-  def appendToIndex(spark: SparkSession, newVecs: DataFrame, tableName: String): Unit =
+  def appendToIndex(spark: SparkSession, newVecs: DataFrame, tableName: String): Unit = {
     assign(newVecs, loadCentroids(spark, tableName))
       .repartition(col("cell"))
       .write.mode("append").format("parquet").partitionBy("cell")
       .saveAsTable(tableName)
+    spark.catalog.refreshTable(tableName)
+  }
+
+  /** Continuous vector ingestion: append each micro-batch of
+    * `(vec_id, v)` rows to the index under the stored quantizer — the
+    * streaming face of [[appendToIndex]], same O(batch) bound per
+    * trigger (the same composition [[Streaming.foreachBatchUpsert]]
+    * uses for the tabular snapshot). Probes between triggers see every
+    * vector ingested so far; at scale the swap-free append means a
+    * reader never blocks on ingestion.
+    */
+  def streamAppend(stream: DataFrame, tableName: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) appendToIndex(batch.sparkSession, batch.toDF(), tableName)
+        ()
+      }
+      .start()
 
   /** Top-k cosine neighbors of each probe `(p_id, pv)` against the
     * index: probes rank the stored centroids map-side, explode their
@@ -99,6 +119,10 @@ object IvfIndex {
     */
   def probe(spark: SparkSession, probes: DataFrame, tableName: String,
       nprobe: Int, k: Int): DataFrame = {
+    // a probe against a continuously-appended index must see the files
+    // appended by OTHER sessions (a streaming micro-batch clone's
+    // append does not invalidate this session's cached file listing)
+    spark.catalog.refreshTable(tableName)
     val cents = centsLit(loadCentroids(spark, tableName))
     val p = probes.select(col("p_id"), col("pv"),
       explode(slice(centroidRanks(col("pv"), cents), 1, nprobe)).as("p_cell"))

@@ -78,6 +78,35 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("streaming append: micro-batches land in the index, probes see them between triggers") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = clusteredVecs()
+    ops.IvfIndex.buildIndex(spark, embDf(rows), "ivf_stream", nlist = 8)
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfck").toString
+    val v0 = rows.head._2
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
+    val q = ops.IvfIndex.streamAppend(
+      stream.toDF().toDF("vec_id", "v"), "ivf_stream", ckpt)
+    try {
+      stream.addData(Seq((2000L, v0.map(_ * 1.02))))
+      q.processAllAvailable()
+      val top1 = ops.IvfIndex.probe(spark,
+          Seq((0L, v0)).toDF("p_id", "pv"), "ivf_stream", nprobe = 1, k = 1)
+        .select("vec_id").as[Long].collect().toSet
+      assert(top1 === Set(2000L), s"first batch's near-copy must be probe-visible, got $top1")
+      stream.addData(Seq((2001L, v0.map(_ * 0.98))))
+      q.processAllAvailable()
+      val top2 = ops.IvfIndex.probe(spark,
+          Seq((0L, v0)).toDF("p_id", "pv"), "ivf_stream", nprobe = 1, k = 2)
+        .select("vec_id").as[Long].collect().toSet
+      assert(top2 === Set(2000L, 2001L), s"both batches must be probe-visible, got $top2")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS ivf_stream")
+      spark.sql("DROP TABLE IF EXISTS ivf_stream_centroids")
+    }
+  }
+
   test("append assigns with the stored quantizer; probes see appended vectors; cells stay stable") {
     val rows = clusteredVecs()
     val emb = embDf(rows)
