@@ -348,6 +348,47 @@ object Relational {
       LIMIT 10""")
   }
 
+  /** Correlated EXISTS / NOT EXISTS over SQL text — the subquery
+    * surface a SQL engine must DECORRELATE to survive scale: Catalyst
+    * rewrites both into semi/anti hash joins (asserted in PlanSpec; a
+    * per-row re-execution of the inner query would be O(n·m)).
+    * Customers with ≥1 high-value open order, minus those with any
+    * returned lineitem — two correlation shapes in one query.
+    */
+  val sqlExistsSubquery: Q = (s, dir) => {
+    table(s, dir, "customer").createOrReplaceTempView("customer")
+    table(s, dir, "orders").createOrReplaceTempView("orders")
+    table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT c_custkey, c_mktsegment
+      FROM customer c
+      WHERE EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        AND NOT EXISTS (
+              SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+      ORDER BY c_custkey""")
+  }
+
+  /** Correlated SCALAR subquery in the projection — decorrelated by
+    * Catalyst into a left-outer aggregate join (one aggregation over
+    * orders, never a per-customer re-scan). NULL for customers with no
+    * orders rides the outer join.
+    */
+  val sqlScalarSubquery: Q = (s, dir) => {
+    table(s, dir, "customer").createOrReplaceTempView("customer")
+    table(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT c_custkey,
+             (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders o
+              WHERE o.o_custkey = c.c_custkey) AS max_order_price,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer c
+      ORDER BY c_custkey""")
+  }
+
   // ---------------------------------------------------------------- §2.4
 
   /** TPC-H Q1 shape: exact decimal sums, deterministic averages. */
@@ -387,6 +428,8 @@ object Relational {
     "join_range_bucketed" -> joinRangeBucketed,
     "reshape_unpivot" -> reshapeUnpivot,
     "sql_tpch_q3" -> sqlTpchQ3,
+    "sql_exists_subquery" -> sqlExistsSubquery,
+    "sql_scalar_subquery" -> sqlScalarSubquery,
     "join_multiway_star" -> joinMultiwayStar,
     "join_self_dedup" -> joinSelfDedup,
     "join_asof" -> joinAsof,

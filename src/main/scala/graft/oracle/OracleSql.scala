@@ -184,6 +184,26 @@ object OracleSql {
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
 
+    "sql_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (
+        |        SELECT 1 FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (
+        |        SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |        WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "sql_scalar_subquery" ->
+      """SELECT c_custkey,
+        |       (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS max_order_price,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
+
     "events_funnel" ->
       """WITH f AS (
         |  SELECT user_id,

@@ -141,6 +141,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("xxhash64"), "join key must be the hashed deletion key")
   }
 
+  test("correlated subqueries decorrelate into joins (no per-row re-execution)") {
+    // EXISTS / NOT EXISTS → semi/anti joins
+    val pe = plan(ops.Relational.sqlExistsSubquery)
+    assert(pe.contains("LeftSemi"), s"EXISTS must become a semi join:\n$pe")
+    assert(pe.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$pe")
+    // correlated scalar subqueries → aggregate + outer join (a
+    // subquery expression left in the plan would re-run per row)
+    val ps = ops.Relational.sqlScalarSubquery(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!ps.contains("ScalarSubquery"),
+      s"scalar subqueries must be decorrelated, not re-executed per row:\n$ps")
+    assert(ps.contains("HashAggregate"), ps)
+  }
+
   test("banded pairwise cosine joins on (label, band, bv) and keeps vectors out of the collision join") {
     val df = ops.Llm.simPairwiseThresholdLsh(spark, dir)
     val joins = df.queryExecution.optimizedPlan.collect {
