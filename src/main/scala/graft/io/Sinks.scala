@@ -64,4 +64,27 @@ object Sinks {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(tableName)
+
+  /** Compact an append-grown partitioned table back to one file per
+    * partition. Append-only growth (IvfIndex.appendToIndex, streaming
+    * micro-batch sinks) is the right WRITE posture — nothing rewrites —
+    * but each append adds files, and scan/listing cost grows with file
+    * count, not data size; periodic compaction is the standard
+    * counterpart. The snapshot is materialized (executor-local
+    * checkpoint) BEFORE the overwrite so the rewrite never reads the
+    * files it is replacing; `repartition(partitionCol)` gives one
+    * writer — hence one file — per partition directory. Row multiset
+    * is untouched (spec'd byte-identical via checksum). At 100 TB the
+    * same operation is a transactional manifest swap; the
+    * materialize-then-swap shape is what carries.
+    */
+  def compactPartitioned(spark: SparkSession, tableName: String,
+      partitionCol: String): Unit = {
+    val snapshot = spark.table(tableName).localCheckpoint()
+    snapshot
+      .repartition(col(partitionCol))
+      .write.mode("overwrite").format("parquet").partitionBy(partitionCol)
+      .saveAsTable(tableName)
+    spark.catalog.refreshTable(tableName)
+  }
 }

@@ -107,6 +107,37 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("compaction collapses append-grown cells to one file each without changing results") {
+    val rows = clusteredVecs(10)
+    ops.IvfIndex.buildIndex(spark, embDf(rows), "ivf_cmp", nlist = 4)
+    try {
+      val v0 = rows.head._2
+      // three appends → each touched cell dir gains files per append
+      for (i <- 0 until 3)
+        ops.IvfIndex.appendToIndex(spark,
+          embDf(Seq((3000L + i, v0.map(_ * (1.0 + 0.01 * (i + 1)))))), "ivf_cmp")
+      val tableDir = new java.io.File(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("ivf_cmp")).location)
+      def filesPerCell: Map[String, Int] = tableDir.listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      val before = ops.IvfIndex.probe(spark,
+          Seq((0L, v0)).toDF("p_id", "pv"), "ivf_cmp", nprobe = 2, k = 5)
+        .collect().toSeq
+      assert(filesPerCell.values.exists(_ > 1), s"appends must have grown files: $filesPerCell")
+      io.Sinks.compactPartitioned(spark, "ivf_cmp", "cell")
+      assert(filesPerCell.values.forall(_ == 1), s"one file per cell after compaction: $filesPerCell")
+      val after = ops.IvfIndex.probe(spark,
+          Seq((0L, v0)).toDF("p_id", "pv"), "ivf_cmp", nprobe = 2, k = 5)
+        .collect().toSeq
+      assert(after === before, "compaction must not change probe results")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_cmp")
+      spark.sql("DROP TABLE IF EXISTS ivf_cmp_centroids")
+    }
+  }
+
   test("append assigns with the stored quantizer; probes see appended vectors; cells stay stable") {
     val rows = clusteredVecs()
     val emb = embDf(rows)
