@@ -87,4 +87,18 @@ object Sinks {
       .saveAsTable(tableName)
     spark.catalog.refreshTable(tableName)
   }
+
+  /** [[compactPartitioned]] for BUCKETED tables
+    * ([[writeBucketed]] / `IncrementalDedup.appendToIndex` growth):
+    * the rewrite must re-declare the same bucket spec, or the table
+    * silently loses the no-shuffle join property every bucketed
+    * consumer relies on. One file per bucket after; row multiset and
+    * bucket layout spec'd unchanged.
+    */
+  def compactBucketed(spark: SparkSession, tableName: String, key: String,
+      buckets: Int): Unit = {
+    val snapshot = spark.table(tableName).localCheckpoint()
+    writeBucketed(snapshot, tableName, key, buckets)
+    spark.catalog.refreshTable(tableName)
+  }
 }

@@ -33,6 +33,29 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS idx_md")
   }
 
+  test("compactBucketed collapses append growth and keeps the shuffle-free join layout") {
+    val corpus = (1L to 50L).map(i => (i, doc(s"v$i", stem = s"s$i"))).toDF("doc_id", "text")
+    ops.IncrementalDedup.buildIndex(corpus, "idx_cmp")
+    try {
+      for (i <- 0 until 3)
+        ops.IncrementalDedup.appendToIndex(
+          Seq((100L + i, doc(s"new$i", stem = s"ns$i"))).toDF("doc_id", "text"), "idx_cmp")
+      val before = spark.table("idx_cmp").orderBy("bk", "doc_id").collect().toSeq
+      io.Sinks.compactBucketed(spark, "idx_cmp", "bk", 8)
+      val after = spark.table("idx_cmp").orderBy("bk", "doc_id").collect().toSeq
+      assert(after === before, "compaction must not change the index contents")
+      // the bucketed-scan join property survives the rewrite
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val q = ops.IncrementalDedup.matchAgainstIndex(spark,
+          Seq((900L, doc("v7", stem = "s7"))).toDF("doc_id", "text"), "idx_cmp")
+        q.collect()
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"), s"compacted index must stay bucketed:\n$plan")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally spark.sql("DROP TABLE IF EXISTS idx_cmp")
+  }
+
   test("index side joins without a shuffle or sort (bucketed layout IS the join layout)") {
     val corpus = (1L to 500L).map(i => (i, doc(s"variant $i", stem = s"stem$i")))
       .toDF("doc_id", "text")

@@ -98,6 +98,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sequence packing invariants hold on random corpora (budget, partition, bucket-invariance)") {
+    val docGen: Gen[List[(Long, Int)]] = Gen.listOf(for {
+      id <- Gen.choose(1L, 500L)
+      nTok <- Gen.choose(1, 40)
+    } yield (id, nTok)).map(_.distinctBy(_._1))
+    for ((docs, i) <- samples(docGen, 4).zipWithIndex if docs.size >= 3) {
+      val df = docs.map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val budget = 16 + i * 7
+      val packs = ops.Llm2.packSequences(df, budget)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // budget: every pack but the last is exactly `budget` tokens
+      val perPack = packs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+      val last = perPack.keys.max
+      perPack.foreach { case (p, tot) =>
+        if (p != last) assert(tot === budget.toLong, s"seed $i: pack $p holds $tot")
+        else assert(tot > 0 && tot <= budget.toLong, s"seed $i: last pack $tot")
+      }
+      // partition: slices cover each doc contiguously from 0
+      val nByDoc = docs.toMap
+      packs.groupBy(_._2).foreach { case (doc, slices) =>
+        val ordered = slices.sortBy(_._1)
+        assert(ordered.head._3 === 0L, s"seed $i doc $doc")
+        ordered.sliding(2).foreach {
+          case Seq(a, b) => assert(b._3 === a._3 + a._4, s"seed $i doc $doc")
+          case _ =>
+        }
+        assert(ordered.map(_._4).sum === nByDoc(doc).toLong, s"seed $i doc $doc")
+      }
+      // total conservation + bucket-size invariance of the prefix sum
+      assert(packs.map(_._4).sum === docs.map(_._2.toLong).sum, s"seed $i")
+      val rebucketed = ops.Llm2.packSequences(df, budget, bucketSize = 3L)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(rebucketed.sorted === packs.sorted, s"seed $i: bucketSize changed the packing")
+    }
+  }
+
   test("PII scrub is idempotent on generated text (redactions never re-match)") {
     val piiGen: Gen[String] = for {
       words <- Gen.listOf(Gen.identifier.map(_.take(8)))
