@@ -612,12 +612,21 @@ object Llm2 {
       .partitionBy(col("bucket")).orderBy(col("doc_id"))
     val wBuckets = org.apache.spark.sql.expressions.Window
       .orderBy(col("bucket")) // tiny: one row per bucket
+    // empty/whitespace-only docs hold ZERO tokens: split("") yields
+    // [""] (size 1), so an unguarded size() would put a phantom token
+    // into the manifest and shift every later slice in its pack —
+    // the explicit empty case makes the n > 0 filter real
     val counted = docs
       .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+        when(trim(col("text")) === "", 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n"))
       .filter(col("n") > 0)
       .withColumn("bucket", expr(s"doc_id div $bucketSize"))
       .withColumn("run", sum(col("n")).over(wIn))
+      // one corpus scan: offsets aggregation AND the final join both
+      // consume this relation (narrow rows — the module's
+      // materialize-before-multi-consumer discipline)
+      .localCheckpoint()
     val offsets = counted.groupBy("bucket").agg(sum(col("n")).as("btot"))
       .withColumn("off", sum(col("btot")).over(wBuckets) - col("btot"))
       .select("bucket", "off")

@@ -964,7 +964,10 @@ object OracleSql {
 
     "pack_sequences" ->
       """WITH t AS (
-        |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        |  SELECT doc_id,
+        |         CASE WHEN trim(text) = '' THEN 0
+        |              ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |         END AS n
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS c_end
