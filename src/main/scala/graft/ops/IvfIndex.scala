@@ -91,21 +91,47 @@ object IvfIndex {
     spark.catalog.refreshTable(tableName)
   }
 
+  /** One micro-batch of [[streamAppend]], idempotent per `batchId`.
+    * foreachBatch is AT-LEAST-ONCE: the checkpoint offset commit
+    * happens after this function returns, so a restart replays the
+    * last batch even when its append already landed — without a guard
+    * every recovery duplicates those vectors in the index (and an
+    * append-only table has no key to dedup against). A per-batch
+    * marker file under the checkpoint dir, written only AFTER the
+    * append succeeds, makes the replay a no-op. Residual window: a
+    * crash between append and marker duplicates exactly one batch —
+    * the window every non-transactional file sink has; at 100 TB the
+    * marker becomes the table format's transactional commit.
+    * Package-visible so the spec can replay a batchId directly.
+    */
+  private[graft] def appendBatch(batch: DataFrame, batchId: Long,
+      tableName: String, checkpointDir: String): Unit = {
+    val spark = batch.sparkSession
+    val commits = new org.apache.hadoop.fs.Path(checkpointDir, "graft-appended")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(commits, batchId.toString)
+    if (!fs.exists(marker)) {
+      if (!batch.isEmpty) appendToIndex(spark, batch, tableName)
+      fs.mkdirs(commits)
+      fs.create(marker, true).close()
+    }
+  }
+
   /** Continuous vector ingestion: append each micro-batch of
     * `(vec_id, v)` rows to the index under the stored quantizer — the
     * streaming face of [[appendToIndex]], same O(batch) bound per
     * trigger (the same composition [[Streaming.foreachBatchUpsert]]
     * uses for the tabular snapshot). Probes between triggers see every
     * vector ingested so far; at scale the swap-free append means a
-    * reader never blocks on ingestion.
+    * reader never blocks on ingestion. Restart-safe: [[appendBatch]]'s
+    * batchId commit log makes replayed batches no-ops.
     */
   def streamAppend(stream: DataFrame, tableName: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) appendToIndex(batch.sparkSession, batch.toDF(), tableName)
-        ()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendBatch(batch.toDF(), batchId, tableName, checkpointDir)
       }
       .start()
 
@@ -124,8 +150,15 @@ object IvfIndex {
     // append does not invalidate this session's cached file listing)
     spark.catalog.refreshTable(tableName)
     val cents = centsLit(loadCentroids(spark, tableName))
+    // materialized once: the probe relation is consumed TWICE (cell
+    // collect below + the broadcast join) — without this the
+    // centroid-ranking subtree re-executes per consumer, and a
+    // nondeterministic probe source (sample/limit) could rank into a
+    // cell the collected filter set missed, silently dropping
+    // candidates
     val p = probes.select(col("p_id"), col("pv"),
-      explode(slice(centroidRanks(col("pv"), cents), 1, nprobe)).as("p_cell"))
+        explode(slice(centroidRanks(col("pv"), cents), 1, nprobe)).as("p_cell"))
+      .localCheckpoint()
     // the union of probed cells is ⊆ {0..nlist−1} — a bounded collect
     // (same discipline as the centroid sidecar) that turns cell
     // pruning into a static PartitionFilter on the scan; DPP's

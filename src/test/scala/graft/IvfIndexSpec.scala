@@ -107,6 +107,29 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("a replayed micro-batch (at-least-once foreachBatch recovery) appends nothing twice") {
+    val rows = clusteredVecs(10)
+    ops.IvfIndex.buildIndex(spark, embDf(rows), "ivf_replay", nlist = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfrp").toString
+    try {
+      val batch = embDf(Seq((5000L, rows.head._2.map(_ * 1.01))))
+      ops.IvfIndex.appendBatch(batch, batchId = 0L, "ivf_replay", ckpt)
+      val afterFirst = spark.table("ivf_replay").count()
+      // recovery replays the same batchId — the commit marker must
+      // make it a no-op, not a duplicate append
+      ops.IvfIndex.appendBatch(batch, batchId = 0L, "ivf_replay", ckpt)
+      assert(spark.table("ivf_replay").count() === afterFirst,
+        "replaying a committed batchId must not duplicate its rows")
+      // a NEW batchId still appends
+      ops.IvfIndex.appendBatch(
+        embDf(Seq((5001L, rows.head._2.map(_ * 0.99)))), batchId = 1L, "ivf_replay", ckpt)
+      assert(spark.table("ivf_replay").count() === afterFirst + 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_replay")
+      spark.sql("DROP TABLE IF EXISTS ivf_replay_centroids")
+    }
+  }
+
   test("compaction collapses append-grown cells to one file each without changing results") {
     val rows = clusteredVecs(10)
     ops.IvfIndex.buildIndex(spark, embDf(rows), "ivf_cmp", nlist = 4)
