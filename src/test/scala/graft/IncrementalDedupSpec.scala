@@ -41,9 +41,21 @@ class IncrementalDedupSpec extends SparkSpec {
         ops.IncrementalDedup.appendToIndex(
           Seq((100L + i, doc(s"new$i", stem = s"ns$i"))).toDF("doc_id", "text"), "idx_cmp")
       val before = spark.table("idx_cmp").orderBy("bk", "doc_id").collect().toSeq
-      io.Sinks.compactBucketed(spark, "idx_cmp", "bk", 8)
+      io.Sinks.compactBucketed(spark, "idx_cmp")
       val after = spark.table("idx_cmp").orderBy("bk", "doc_id").collect().toSeq
       assert(after === before, "compaction must not change the index contents")
+      // bucket spec comes from the catalog, so the rewrite must have
+      // preserved it — and the aligned repartition leaves ONE file per
+      // non-empty bucket (the point of compacting)
+      val metaAfter = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("idx_cmp"))
+      assert(metaAfter.bucketSpec.exists(s =>
+        s.numBuckets == 8 && s.bucketColumnNames == Seq("bk")),
+        s"bucket spec must survive compaction: ${metaAfter.bucketSpec}")
+      val dataFiles = new java.io.File(metaAfter.location)
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(dataFiles.length <= 8,
+        s"compaction must leave at most one file per bucket, got ${dataFiles.length}")
       // the bucketed-scan join property survives the rewrite
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
