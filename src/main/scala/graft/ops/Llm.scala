@@ -565,7 +565,64 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Full md5 hex under its own salt — the deterministic per-stratum
+    * ADMISSION ORDER for token-budget sampling (a different salt than
+    * split/sample buckets for the same independence reason as
+    * [[sampleBucket]]).
+    */
+  private[graft] def budgetHash(key: Column): Column =
+    md5(concat_ws("|", lit("graft-budget"), key.cast("string")))
+
+  /** Token-budget quota sampling — the data-MIXTURE knob stated in
+    * tokens rather than document fractions: each language contributes
+    * documents, in a deterministic hash order, until its TOKEN budget
+    * is spent (training mixtures are specified as token shares;
+    * [[sampleStratifiedHash]]'s per-doc percentages can't hit a token
+    * target when doc lengths differ across strata). A doc is kept iff
+    * its inclusive running token sum within its language ≤ budget —
+    * a pure function of (corpus, budget): stable across runs,
+    * engines, and partitionings.
+    *
+    * Scale: the running sum NEVER runs as one window partition per
+    * language (a language is a constant-cardinality stratum — at
+    * 100 TB that window is a single-task straggler). Same distributed
+    * prefix-sum shape as [[Llm2.packSequences]]: the hash PREFIX
+    * buckets each language's stream into 256 ranges whose order
+    * matches the full-hash order (byte-0 of the hex IS the leading
+    * comparison), so per-(lang, bucket) windows run in parallel and
+    * only the 256-row-per-lang bucket-total relation sees a sequential
+    * window. Token counting matches [[Llm2.packSequences]] (empty docs
+    * hold zero tokens).
+    */
+  val sampleTokenBudget: Q = (s, dir) => {
+    val budget = 2000L
+    val counted = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(trim(col("text")) === "", 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_toks"),
+        budgetHash(col("doc_id")).as("h"))
+      .filter(col("n_toks") > 0)
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("run",
+        sum(col("n_toks")).over(
+          Window.partitionBy(col("lang"), col("bucket")).orderBy(col("h"), col("doc_id"))))
+      // one corpus scan: the bucket-offset aggregation and the final
+      // join both consume this narrow relation
+      .localCheckpoint()
+    val offsets = counted.groupBy("lang", "bucket").agg(sum(col("n_toks")).as("btot"))
+      .withColumn("off",
+        sum(col("btot")).over(Window.partitionBy(col("lang")).orderBy(col("bucket")))
+          - col("btot"))
+      .select("lang", "bucket", "off")
+    counted.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("cum_toks", col("off") + col("run"))
+      .filter(col("cum_toks") <= budget)
+      .select("doc_id", "lang", "n_toks", "cum_toks")
+      .orderBy("lang", "cum_toks", "doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sample_token_budget" -> sampleTokenBudget,
     "dedup_exact_hash" -> dedupExactHash,
     "dedup_connected_components" -> dedupConnectedComponents,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,

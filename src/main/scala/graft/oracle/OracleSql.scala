@@ -708,6 +708,25 @@ object OracleSql {
         |SELECT label, dup_id, keep_id, sim FROM q WHERE rn = 1
         |ORDER BY dup_id""".stripMargin,
 
+    // single per-lang window (the oracle doesn't need the distributed
+    // bucket decomposition — by construction it computes the same
+    // inclusive running sum in the same (h, doc_id) order)
+    "sample_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN trim(text) = '' THEN 0
+        |              ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |         END AS n_toks,
+        |         md5('graft-budget' || '|' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_toks,
+        |         CAST(sum(n_toks) OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS cum_toks
+        |  FROM t WHERE n_toks > 0)
+        |SELECT doc_id, lang, n_toks, cum_toks
+        |FROM c WHERE cum_toks <= 2000
+        |ORDER BY lang, cum_toks, doc_id""".stripMargin,
+
     "sample_hash_split" ->
       """SELECT doc_id, lang,
         |       CAST(('0x' || substr(md5('graft-split' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))

@@ -135,6 +135,47 @@ class LlmSpec extends SparkSpec {
     assert(sub.sameElements(a.filter(_._1 <= 3)))
   }
 
+  test("token-budget sample: per-lang budget respected, admission maximal, bucket form ≡ plain window") {
+    val dir = "/root/testdata/sf0.01"
+    val kept = ops.Llm.sampleTokenBudget(spark, dir)
+      .select("doc_id", "lang", "n_toks", "cum_toks")
+      .as[(Long, String, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    // budget respected: every language's kept token total ≤ 2000
+    val perLang = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(perLang.values.forall(_ <= 2000L), s"budget exceeded: $perLang")
+    // maximality: in each language, the FIRST doc (in admission order)
+    // not kept would have pushed the total past the budget
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"),
+        ops.Llm.budgetHash(col("doc_id")).as("h"))
+      .as[(Long, String, Long, String)].collect()
+    val keptIds = kept.map(_._1).toSet
+    all.groupBy(_._2).foreach { case (lang, docs) =>
+      docs.sortBy(d => (d._4, d._1)).find(d => !keptIds.contains(d._1)).foreach { first =>
+        assert(perLang(lang) + first._3 > 2000L,
+          s"$lang: doc ${first._1} (${first._3} toks) was admissible but dropped")
+      }
+    }
+    // the distributed (lang, hash-prefix-bucket) prefix sum must equal
+    // the single-window running sum it decomposes
+    val plain = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n"),
+          ops.Llm.budgetHash(col("doc_id")).as("h"))
+        .filter(col("n") > 0)
+        .withColumn("cum", sum(col("n")).over(w))
+        .filter(col("cum") <= 2000)
+        .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    }
+    assert(kept.map(r => (r._1, r._4)).toMap === plain,
+      "bucketed prefix sum diverged from the plain per-lang window")
+  }
+
   test("stratified hash sample hits per-stratum fractions and membership is stable") {
     // sf0.01: 500 docs over 5 langs — en kept at ~50 %, zh at ~25 %,
     // everything else whole
