@@ -69,6 +69,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "rolling_hash(text) expects one string column")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain_long"),
+      new ExpressionInfo(
+        classOf[graft.functions.BloomExpr.BloomMightContainLong].getName,
+        "bloom_might_contain_long"),
+      (args: Seq[Expression]) => args match {
+        case Seq(key, Literal(bytes: Array[Byte], _)) =>
+          graft.functions.BloomExpr.BloomMightContainLong(key, bytes)
+        case _ => throw new IllegalArgumentException(
+          "bloom_might_contain_long(key, filterBytes) expects a long column and a binary literal")
+      }))
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }
 }

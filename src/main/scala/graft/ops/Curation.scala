@@ -1,0 +1,255 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Determinism.{dsum, dsumProduct}
+import graft.io.Readers.table
+
+/** Round-6 curation / scale-pattern operators (beyond SURVEY §2's core
+  * set — same contract: every SQL-expressible key carries a DuckDB
+  * oracle with identical column names and a total ORDER BY).
+  *
+  * Themes: benchmark decontamination and containment dedup (the two
+  * LLM-corpus hygiene steps the earlier dedup family did not cover),
+  * per-domain admission caps and SCD2 history (standard warehouse-side
+  * curation), and two explicit scale levers — Bloom semi-join
+  * reduction and salted skew joins — expressed as oracle'd queries so
+  * their row-identity with the naive plan is machine-checked.
+  */
+object Curation {
+
+  import Relational.Q
+
+  // ------------------------------------------- benchmark decontamination
+
+  /** Docs sharing ≥1 word-4-gram with the eval set (`doc_id % 20 = 0`
+    * stands in for a held-out benchmark) — the decontamination gate
+    * every training corpus runs before a model sees it (GPT-3 appendix
+    * C / PaLM-style n-gram overlap, with a short n because the
+    * synthetic docs are ~54 tokens).
+    *
+    * Scale shape: an eval set is SMALL by definition (benchmarks are
+    * thousands of docs, the corpus is billions), so its distinct grams
+    * broadcast; the corpus side is one scan → explode → broadcast semi
+    * probe → partial-agg count. Nothing about the corpus ever
+    * shuffles except the per-doc counts. Joining on the gram STRING
+    * (not a hash) keeps the check exact — no collision can flag a
+    * clean document.
+    */
+  val decontaminateNgram: Q = (s, dir) => {
+    val grams = graft.functions.TextExpressions.wordShingles(col("text"), 4)
+    val g = table(s, dir, "documents")
+      .select(col("doc_id"), explode(grams).as("gram"))
+    val evalGrams = g.filter(col("doc_id") % 20 === 0).select("gram").distinct()
+    g.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------ containment dedup
+
+  /** Bigram-set containment ≥ 0.8 within a language block — catches
+    * what Jaccard structurally cannot: a short document embedded in a
+    * much longer one (quotes, boilerplate wrappers, excerpt pages).
+    * `containment(A,B) = |A∩B| / min(|A|,|B|)` is 1.0 for a perfect
+    * quote even when Jaccard is ~|A|/|B| ≈ 0.
+    *
+    * Same inverted-index shape as [[Llm2.dedupNgramJaccard]]: explode
+    * distinct grams, self-join on the hashed 8-byte gram key
+    * (shuffle_hash — a 100 TB gram index never broadcasts), count
+    * shared hashes per packed-long pair, prefilter on the integer
+    * containment bound, then verify the few survivors exactly with
+    * `array_intersect` on the true gram arrays. Hash collisions can
+    * only INFLATE the counted overlap, so the prefilter admits every
+    * true pair; the verify restores exactness. Note there is NO
+    * length-ratio prune here — unlike Jaccard, a tiny-inside-huge pair
+    * is precisely the signal, so the size asymmetry must survive.
+    */
+  val dedupNgramContainment: Q = (s, dir) => {
+    val tau = 0.8 // integer form: 5·shared ≥ 4·min(|A|,|B|)
+    val grams = graft.functions.TextExpressions.wordShingles(col("text"), 2)
+    val d = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), grams.as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), col("lang"), size(col("grams")).as("gsz"), col("grams"))
+    val inv = d
+      .select(col("doc_id"), col("gsz"), col("lang"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), col("gsz"), xxhash64(col("lang"), col("gram")).as("gh"))
+    val a = inv.select(col("gh"), col("doc_id").as("a_id"), col("gsz").as("a_sz"))
+    val b = inv.select(col("gh").as("b_gh"), col("doc_id").as("b_id"),
+      col("gsz").as("b_sz")).hint("shuffle_hash")
+    val counted = a.join(b, col("gh") === col("b_gh") && col("a_id") < col("b_id"))
+      .select(shiftleft(col("a_id").cast("long"), 32)
+        .bitwiseOR(col("b_id").cast("long")).as("pk"),
+        col("a_sz"), col("b_sz"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("shared_h"),
+        max(col("a_sz")).as("a_sz"), max(col("b_sz")).as("b_sz"))
+      .filter(lit(5) * col("shared_h") >= lit(4) * least(col("a_sz"), col("b_sz")))
+      .select(shiftright(col("pk"), 32).cast("int").as("a_id"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b_id"))
+    counted
+      .join(d.select(col("doc_id").as("a_id"), col("lang"),
+        col("grams").as("a_grams"), col("gsz").as("a_sz")), "a_id")
+      .join(d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("grams").as("b_grams"), col("gsz").as("b_sz")), "b_id")
+      // lang blocking rides the gram hash; re-check so a 64-bit
+      // collision cannot admit a cross-lang pair
+      .filter(col("lang") === col("b_lang"))
+      .withColumn("shared", size(array_intersect(col("a_grams"), col("b_grams"))))
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("a_sz"), col("b_sz")).cast("double"))
+      .filter(col("containment") >= tau)
+      .select("lang", "a_id", "b_id", "containment")
+      .orderBy("lang", "a_id", "b_id")
+  }
+
+  // --------------------------------------------------- per-domain cap
+
+  /** Per-source admission cap — keep at most `cap` documents per
+    * source/domain, chosen by a deterministic salted-hash admission
+    * order (the Common-Crawl-style anti-spam lever: one domain cannot
+    * flood the corpus no matter how many pages it serves). Hash order
+    * (not "first by doc_id") so the kept subset is an unbiased sample
+    * of the domain AND stable under corpus growth: a new crawl adds
+    * candidates but never reshuffles the admission ranks of old docs
+    * relative to each other.
+    *
+    * Scale shape: one window partitioned by source — domains are
+    * numerous (millions), so the partitioning is well-spread; a
+    * pathological mega-domain is exactly what the cap truncates.
+    */
+  val sampleDomainCap: Q = (s, dir) => {
+    val cap = 10
+    val adm = md5(concat_ws("|", lit("graft-domaincap"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source")).orderBy(col("adm"), col("doc_id"))
+    table(s, dir, "documents")
+      .withColumn("adm", adm)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select("source", "rk", "doc_id")
+      .orderBy("source", "rk")
+  }
+
+  // ------------------------------------------------------ SCD2 history
+
+  /** Slowly-changing-dimension (type 2) history from an update stream:
+    * each event is a new version of its user's `value`; versions get
+    * `[valid_from, valid_to)` intervals via `lead(ts)` and the open
+    * interval marks the current row. The standard warehouse pattern
+    * for dimension snapshots — one partitioned window, no self-join
+    * (the naive `t1 JOIN t2 ON t2.ts > t1.ts` formulation is O(n²)
+    * per user and was never on the table).
+    *
+    * (ts, event_id) is the deterministic version order — ts alone has
+    * ties within a user.
+    */
+  val dimScd2History: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "version", "valid_from", "valid_to", "value", "is_current")
+      .orderBy("user_id", "version")
+  }
+
+  // ------------------------------------------------ bloom semi-join
+
+  /** Semi-join reduction via a Bloom filter — the runtime-filter
+    * pattern made explicit (and exact, and oracle'd). The dimension
+    * side (urgent orders) builds a distributed Bloom filter over its
+    * keys; the fact side (lineitem) applies the filter AT THE SCAN as
+    * a codegen'd predicate, so only candidate rows reach the semi
+    * join's exchange. The join above the filter removes the fpp false
+    * positives — false negatives are impossible — so the result is
+    * row-identical to the plain semi join the oracle runs.
+    *
+    * The semi join is pinned to shuffle_hash: this key demonstrates
+    * the regime where the dimension is too big to broadcast (otherwise
+    * a broadcast join would subsume the bloom). At 100 TB the filter
+    * (~1.2 MB per 10⁶ keys at 1 % fpp) broadcasts where the hash
+    * relation (~50 MB+) cannot, and the fact-side exchange shrinks by
+    * the filter's selectivity — that is the whole point.
+    */
+  val joinBloomSemi: Q = (s, dir) => {
+    val urgent = table(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    // sizing pass over the (small, filtered) dimension only; at scale
+    // this count comes from table stats instead
+    val bf = urgent.stat.bloomFilter("o_orderkey", math.max(urgent.count(), 1000L), 0.01)
+    val bytes = graft.functions.BloomExpr.serialize(bf)
+    table(s, dir, "lineitem")
+      .filter(graft.functions.BloomExpr.mightContainLong(col("l_orderkey"), bytes))
+      .join(urgent.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // ------------------------------------------------ salted skew join
+
+  /** Fact-to-dimension join through [[Skew.saltedJoin]], aggregated —
+    * the manual skew lever as an ORACLE'D query: the salted plan's
+    * result is machine-checked row-identical to the plain join the
+    * DuckDB oracle runs. Salting spreads each hot key over 8 sub-keys
+    * (the dimension is replicated 8×, the price of the spread); the
+    * BASELINE.md r5 study measured this ~20 % faster than AQE's
+    * skew-join split on a 40 %-hot-key join, and a wash on uniform
+    * keys like these — the key exists to pin the SEMANTICS of the
+    * lever, the study pins its economics.
+    */
+  val joinSkewSalted: Q = (s, dir) => {
+    val ord = table(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(table(s, dir, "lineitem"), ord,
+        key = "l_orderkey", discriminator = "l_partkey", salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        dsumProduct(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ------------------------------------------------- recursive CTE
+
+  /** `WITH RECURSIVE` through the SQL text path (Spark 4 supports
+    * recursive CTEs natively): a 12-month date spine generated by
+    * recursion, left-joined to orders so empty months surface as
+    * zero. The recursive-union surface is what a SQL engine must
+    * provide for graph/spine workloads; the distributed part (the
+    * join + aggregate) stays a plain shuffle — the recursion itself
+    * produces 12 driver-side rows, which is the only regime a
+    * recursive spine is FOR.
+    */
+  val sqlRecursiveCte: Q = (s, dir) => {
+    table(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      WITH RECURSIVE months(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT m + INTERVAL '1' MONTH FROM months WHERE m < DATE '1995-12-01'
+      )
+      SELECT m, count(o_orderkey) AS n_orders
+      FROM months
+      LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+      GROUP BY m
+      ORDER BY m""")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "decontaminate_ngram" -> decontaminateNgram,
+    "dedup_ngram_containment" -> dedupNgramContainment,
+    "sample_domain_cap" -> sampleDomainCap,
+    "dim_scd2_history" -> dimScd2History,
+    "join_bloom_semi" -> joinBloomSemi,
+    "join_skew_salted" -> joinSkewSalted,
+    "sql_recursive_cte" -> sqlRecursiveCte,
+  )
+}

@@ -1041,7 +1041,99 @@ object OracleSql {
         |ORDER BY doc_id""".stripMargin,
   )
 
+  /** Round-6 curation / scale-pattern keys (ops.Curation). The two
+    * "scale lever" keys (bloom semi, salted join) deliberately oracle
+    * against the PLAIN formulation — the lever must be row-invisible.
+    */
+  private val curation: Map[String, String] = Map(
+    "decontaminate_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(generate_series(1, len(toks) - 3),
+        |           i -> array_to_string(toks[i:i+3], ' ')))) AS gram
+        |  FROM t WHERE len(toks) >= 4),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+        |SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams
+        |FROM g JOIN ev USING (gram)
+        |WHERE g.doc_id % 20 <> 0
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+
+    "dedup_ngram_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i + 1])) AS grams
+        |  FROM (SELECT doc_id, lang,
+        |          string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 2)
+        |SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |         / least(len(a.grams), len(b.grams)) AS containment
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / least(len(a.grams), len(b.grams)) >= 0.8
+        |ORDER BY a.lang, a_id, b_id""".stripMargin,
+
+    "sample_domain_cap" ->
+      """SELECT source, rk, doc_id
+        |FROM (SELECT source, doc_id,
+        |             row_number() OVER (
+        |               PARTITION BY source
+        |               ORDER BY md5('graft-domaincap' || '|' || CAST(doc_id AS VARCHAR)),
+        |                        doc_id) AS rk
+        |      FROM documents)
+        |WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
+
+    "dim_scd2_history" ->
+      """SELECT user_id,
+        |       row_number() OVER w AS version,
+        |       ts AS valid_from,
+        |       lead(ts, 1) OVER w AS valid_to,
+        |       value,
+        |       lead(ts, 1) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "join_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "join_skew_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        |  WHERE m < DATE '1995-12-01'
+        |)
+        |SELECT m, count(o_orderkey) AS n_orders
+        |FROM months
+        |LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        |GROUP BY m
+        |ORDER BY m""".stripMargin,
+  )
+
   val sql: Map[String, String] =
     relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++
-      llm ++ streaming ++ llm2
+      llm ++ streaming ++ llm2 ++ curation
 }
