@@ -266,6 +266,25 @@ object Aggregations {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Fixed-width histogram of order totals (round 6): bin id is an
+    * integer floor-division of the value — a pure map expression, so
+    * the whole histogram is one map-side-combined aggregation (the
+    * sketch-free way to draw a distribution at 100 TB; bins are
+    * bounded by value range, not row count). Bin edges are exact
+    * (double / exact power-of-two-free constant then floor — both
+    * engines perform the identical IEEE divide).
+    */
+  val aggHistogramBins: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .select(floor(col("o_totalprice") / 50000.0).cast("int").as("bin"),
+        col("o_totalprice"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_total"))
+      .withColumn("bin_lo", (col("bin") * 50000.0).cast("double"))
+      .select("bin", "bin_lo", "n", "sum_total")
+      .orderBy("bin")
+
   val queries: Map[String, Q] = Map(
     "agg_count_distinct" -> aggCountDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -282,5 +301,6 @@ object Aggregations {
     "agg_collect_sorted" -> aggCollectSorted,
     "agg_pivot" -> aggPivot,
     "agg_percentile_exact" -> aggPercentileExact,
+    "agg_histogram_bins" -> aggHistogramBins,
   )
 }

@@ -217,6 +217,43 @@ object Curation {
       .orderBy("o_orderpriority")
   }
 
+  // --------------------------------------- unigram LM surprisal
+
+  /** Per-document average unigram surprisal (−ln p(token) under the
+    * corpus's own unigram model) — the classic cheap perplexity proxy
+    * for quality filtering: boilerplate and keyword-stuffed docs score
+    * LOW (their tokens are corpus-frequent), lorem-noise scores HIGH.
+    * CCNet-style filtering uses a trained LM; the unigram self-model
+    * is its deterministic, SQL-expressible core.
+    *
+    * Two-phase shape: token counts (one shuffle on token), then a
+    * token→frequency join (shuffle on token — the vocabulary is
+    * unbounded at 100 TB, so no broadcast), then a per-doc aggregate.
+    * Float discipline (SURVEY §7.4): each token's −ln p is rounded to
+    * 6 decimals and cast to exact decimal BEFORE the per-doc sum, so
+    * association order cannot move the result; the only cross-engine
+    * risk left is libm `ln` ULP disagreement at a rounding boundary —
+    * the same exposure `text_tfidf_topterms` has carried green since
+    * round 1.
+    */
+  val textUnigramLogprob: Q = (s, dir) => {
+    val toks = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
+    val tok = table(s, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("n_total"))
+    val nll = round(-log(col("c").cast("double") / col("n_total").cast("double")), 6)
+      .cast("decimal(18,6)")
+    tok.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), nll.as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------- recursive CTE
 
   /** `WITH RECURSIVE` through the SQL text path (Spark 4 supports
@@ -251,5 +288,6 @@ object Curation {
     "join_bloom_semi" -> joinBloomSemi,
     "join_skew_salted" -> joinSkewSalted,
     "sql_recursive_cte" -> sqlRecursiveCte,
+    "text_unigram_logprob" -> textUnigramLogprob,
   )
 }

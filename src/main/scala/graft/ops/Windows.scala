@@ -114,6 +114,25 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** Distribution-rank functions (round 6): quartile bucket, percent
+    * rank, cumulative distribution per priority group. The order key
+    * carries an o_orderkey tiebreak so ranks are a pure function of
+    * the data (with ties, `percent_rank`/`cume_dist` values depend on
+    * peer groups — a total order removes the ambiguity). The rank
+    * ratios are exact small-integer divisions, identical IEEE doubles
+    * in any engine — no rounding needed.
+    */
+  val winNtilePercentRank: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+      .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "win_row_number_topk" -> winRowNumberTopk,
     "win_rank_dense" -> winRankDense,
@@ -121,5 +140,6 @@ object Windows {
     "win_running_sum" -> winRunningSum,
     "win_moving_range" -> winMovingRange,
     "win_first_last" -> winFirstLast,
+    "win_ntile_percent_rank" -> winNtilePercentRank,
   )
 }

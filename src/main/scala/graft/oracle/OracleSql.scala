@@ -1119,6 +1119,40 @@ object OracleSql {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    "win_ntile_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       ntile(4) OVER w AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cum_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
+
+    "agg_histogram_bins" ->
+      """SELECT bin, CAST(bin * 50000.0 AS DOUBLE) AS bin_lo,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM (SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bin, o_totalprice
+        |      FROM orders)
+        |GROUP BY bin
+        |ORDER BY bin""".stripMargin,
+
+    "text_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+        |freq AS (SELECT tok, count(*) AS c FROM tok2 GROUP BY tok),
+        |total AS (SELECT SUM(c) AS n_total FROM freq)
+        |SELECT doc_id, count(*) AS n_toks,
+        |       round(CAST(SUM(CAST(round(-ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+        |                          AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_nll
+        |FROM tok2 JOIN freq USING (tok) CROSS JOIN total
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "sql_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (
         |  SELECT DATE '1995-01-01'

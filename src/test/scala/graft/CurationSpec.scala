@@ -168,6 +168,58 @@ class CurationSpec extends SparkSpec {
     assert(out == plain)
   }
 
+  // ------------------------------------ distribution ranks / histogram
+
+  test("win_ntile_percent_rank: balanced quartiles, ranks in [0,1], monotone") {
+    val out = ops.Windows.winNtilePercentRank(spark, dir).collect()
+    val byPrio = out.groupBy(_.getString(1))
+    byPrio.foreach { case (p, rows) =>
+      val sizes = rows.groupBy(_.getInt(3)).view.mapValues(_.length).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"$p: ntile must balance, got $sizes")
+      val ranks = rows.map(_.getDouble(4)) // already in output order
+      assert(ranks.head == 0.0 && ranks.last == 1.0)
+      assert(ranks.zip(ranks.tail).forall { case (a, b) => a <= b }, s"$p: pct_rank not monotone")
+      val cds = rows.map(_.getDouble(5))
+      assert(cds.forall(c => c > 0.0 && c <= 1.0))
+    }
+  }
+
+  test("agg_histogram_bins partitions every order into its bin") {
+    val out = ops.Aggregations.aggHistogramBins(spark, dir).collect()
+    val orders = io.Readers.table(spark, dir, "orders")
+    assert(out.map(_.getLong(2)).sum == orders.count())
+    val viaFilter = out.map { r =>
+      val lo = r.getDouble(1)
+      orders.filter(col("o_totalprice") >= lo && col("o_totalprice") < lo + 50000.0).count()
+    }
+    assert(out.map(_.getLong(2)).toSeq == viaFilter.toSeq)
+  }
+
+  // ------------------------------------------- unigram surprisal
+
+  test("text_unigram_logprob matches a driver-side recomputation") {
+    val out = ops.Curation.textUnigramLogprob(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val docs = io.Readers.table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tokens = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty).toSeq
+    }.filter(_._2.nonEmpty)
+    val freq = tokens.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = freq.values.sum.toDouble
+    assert(out.keySet == tokens.map(_._1).toSet)
+    tokens.foreach { case (id, toks) =>
+      val nllSum = toks.map { t =>
+        BigDecimal(-math.log(freq(t) / nTotal)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val expected = BigDecimal(nllSum.toDouble / toks.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (n, avg) = out(id)
+      assert(n == toks.size, s"doc $id: token count $n != ${toks.size}")
+      assert(math.abs(avg - expected) <= 1e-6, s"doc $id: got $avg expected $expected")
+    }
+  }
+
   // ------------------------------------------------ recursive CTE
 
   test("sql_recursive_cte generates the 1995 month spine with order counts") {
