@@ -10,7 +10,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Aggregations.queries ++
       ops.Windows.queries ++ ops.SetSort.queries ++ ops.Udx.queries ++
       ops.Scalar.queries ++ ops.Llm.queries ++ ops.Llm2.queries ++
-      ops.Streaming.queries ++ ops.Curation.queries
+      ops.Streaming.queries ++ ops.Curation.queries ++
+      ops.Stats.queries ++ ops.Layout.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = oracle.OracleSql.sql

@@ -169,6 +169,47 @@ object Aggregations {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Daily new-vs-returning users (round 6): an event is "new" iff it
+    * is its user's first ever (by (ts, event_id) total order). The
+    * first-seen flag is one partitioned window — never a join back to
+    * a min-ts relation per event — and the daily rollup is a plain
+    * aggregate. The standard growth-analytics split, and the window
+    * formulation is the one that scales: per-user state, single
+    * shuffle on user_id, then a map-side-combinable date aggregation.
+    */
+  val eventsNewVsReturning: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    table(s, dir, "events")
+      .withColumn("is_first", (row_number().over(w) === 1).cast("int"))
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_active_users"),
+        sum(col("is_first")).as("n_new_users"))
+      .orderBy("d")
+  }
+
+  /** Hourly OHLC resample per event type (round 6): open/close are the
+    * first/last value under the (ts, event_id) total order inside each
+    * (type, hour) bucket — expressed with min_by/max_by over a struct
+    * ordering key, so the whole bar is ONE map-side-combinable
+    * aggregation (no window, no self-join; the struct key makes
+    * first/last deterministic under any partitioning). The classic
+    * time-series downsample at 100 TB: output cardinality is
+    * types × hours, independent of row count.
+    */
+  val timeSeriesOhlc: Q = (s, dir) => {
+    val key = struct(col("ts"), col("event_id"))
+    table(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("timestamp").as("h"))
+      .agg(min_by(col("value"), key).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), key).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type", "h")
+  }
+
   /** Revenue by (nation), (mktsegment), (nation,mktsegment), () —
     * GROUPING SETS with grouping flags to disambiguate NULL-as-ALL.
     */
@@ -285,6 +326,33 @@ object Aggregations {
       .select("bin", "bin_lo", "n", "sum_total")
       .orderBy("bin")
 
+  /** Mode and median per group (round 6). The built-in `mode` is
+    * tie-nondeterministic in BOTH engines, so the mode here is the
+    * explicit deterministic form: value-count relation → pick the
+    * max-count value with a smallest-value tiebreak (one partial-agg
+    * shuffle + one tiny window over the distinct-value relation —
+    * never the raw rows). Median is the exact interpolated 0.5
+    * percentile; quantities are integers so the midpoint is exactly
+    * representable and engine-identical.
+    */
+  val aggModeMedian: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+    val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("c").desc, col("l_quantity").asc)
+    val mode = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("c").as("mode_n"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(round(median(col("l_quantity")), 6).as("median_qty"),
+        count(lit(1)).as("n"))
+    med.join(mode, "l_returnflag")
+      .select("l_returnflag", "median_qty", "mode_qty", "mode_n", "n")
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_count_distinct" -> aggCountDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -302,5 +370,8 @@ object Aggregations {
     "agg_pivot" -> aggPivot,
     "agg_percentile_exact" -> aggPercentileExact,
     "agg_histogram_bins" -> aggHistogramBins,
+    "agg_mode_median" -> aggModeMedian,
+    "events_new_vs_returning" -> eventsNewVsReturning,
+    "time_series_ohlc" -> timeSeriesOhlc,
   )
 }

@@ -254,6 +254,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------ document chunking
+
+  /** Sliding-window document chunking (round 6): each document becomes
+    * overlapping 32-token chunks on a 24-token stride — the
+    * training/RAG preprocessing step between curation and packing
+    * (`pack_sequences` packs whole docs; this splits long docs so no
+    * sequence exceeds the context budget, with overlap so no span
+    * loses its context at a chunk boundary).
+    *
+    * Scale shape: purely row-local — tokenize once, explode the
+    * ceil(n/stride) chunk starts per doc, slice the token array per
+    * start. No shuffle at all before the presentation sort; fan-out
+    * per doc is n/stride + 1 rows, linear in corpus tokens. The chunk
+    * id is start/stride, so (doc_id, chunk_id) is a stable key under
+    * re-runs.
+    */
+  val textChunkOverlap: Q = (s, dir) => {
+    val chunk = 32
+    val stride = 24
+    val toksC = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
+    table(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), toksC.as("toks"))
+      .withColumn("strt",
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .select(col("doc_id"),
+        (col("strt") / stride).cast("int").as("chunk_id"),
+        size(slice(col("toks"), col("strt") + 1, lit(chunk))).as("n_toks"),
+        concat_ws(" ", slice(col("toks"), col("strt") + 1, lit(chunk))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // ------------------------------------------------- recursive CTE
 
   /** `WITH RECURSIVE` through the SQL text path (Spark 4 supports
@@ -289,5 +321,6 @@ object Curation {
     "join_skew_salted" -> joinSkewSalted,
     "sql_recursive_cte" -> sqlRecursiveCte,
     "text_unigram_logprob" -> textUnigramLogprob,
+    "text_chunk_overlap" -> textChunkOverlap,
   )
 }

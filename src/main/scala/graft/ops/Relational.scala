@@ -305,6 +305,52 @@ object Relational {
       .transform(orderedByAll)
   }
 
+  /** Interval×interval OVERLAP join (round 6), banded and dedup-free.
+    * Two interval sets (urgent vs low-priority order windows, each
+    * `[o_orderdate, +9 days]` closed, one 1996 slice) are paired when
+    * their windows intersect; the result is a per-left-interval
+    * overlap rollup. This is the shape `join_range_bucketed` (point in
+    * range) cannot express: BOTH sides are extents.
+    *
+    * Scale shape: both sides explode onto the fixed 16-day bucket grid
+    * their interval spans (fan-out ≤ span/W + 1 = 2 rows per
+    * interval, a constant), the pair join is a plain bucket equi-join
+    * (shuffles on the bucket id — never a nested loop), and each
+    * overlapping pair is emitted EXACTLY once without any distinct:
+    * the pair is kept only in the bucket that contains
+    * `greatest(a_start, b_start)`, which both sides provably span when
+    * they overlap. No dedup exchange, no pair materialized twice —
+    * the standard trick that makes banded interval joins linear in
+    * true pairs at 100 TB.
+    */
+  val joinIntervalOverlap: Q = (s, dir) => {
+    val W = 16L // bucket width (days); span/W + 1 = 2 buckets per interval
+    val len = 9L // closed interval [start, start + 9]
+    def side(prio: String, id: String, st: String) =
+      table(s, dir, "orders")
+        .filter(col("o_orderpriority") === prio &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey").as(id),
+          unix_date(col("o_orderdate").cast("date")).cast("long").as(st))
+    val a = side("1-URGENT", "a_id", "a_s")
+      .withColumn("bkt", explode(sequence(
+        expr(s"a_s div $W"), expr(s"(a_s + $len) div $W"))))
+    val b = side("5-LOW", "b_id", "b_s")
+      .withColumn("bkt", explode(sequence(
+        expr(s"b_s div $W"), expr(s"(b_s + $len) div $W"))))
+    a.join(b, Seq("bkt"))
+      .filter(col("a_s") <= col("b_s") + len && col("b_s") <= col("a_s") + len)
+      // exactly-once emission: keep the pair only in max(start)'s bucket
+      .filter(col("bkt") === expr(s"greatest(a_s, b_s) div $W"))
+      .withColumn("overlap_days",
+        least(col("a_s") + len, col("b_s") + len) - greatest(col("a_s"), col("b_s")) + 1)
+      .groupBy(col("a_id").as("a_orderkey"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(col("overlap_days")).as("sum_overlap_days"))
+      .orderBy("a_orderkey")
+  }
+
   /** Wide→long reshape via the native unpivot operator (ANSI UNPIVOT):
     * the four lineitem measures become (metric, value) rows keyed by
     * (orderkey, linenumber). Purely row-local — no shuffle beyond the
@@ -426,6 +472,7 @@ object Relational {
     "join_cross" -> joinCross,
     "join_theta_range" -> joinThetaRange,
     "join_range_bucketed" -> joinRangeBucketed,
+    "join_interval_overlap" -> joinIntervalOverlap,
     "reshape_unpivot" -> reshapeUnpivot,
     "sql_tpch_q3" -> sqlTpchQ3,
     "sql_exists_subquery" -> sqlExistsSubquery,

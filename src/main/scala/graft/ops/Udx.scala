@@ -74,8 +74,99 @@ object Udx {
       .orderBy("doc_id")
   }
 
+  /** Misra–Gries heavy-hitter summary as a typed Aggregator (round 6):
+    * a bounded `k-1`-entry counter map per partial, merged with the
+    * Agarwal et al. "Mergeable Summaries" rule (sum, then subtract the
+    * k-th largest count and drop non-positives). Guarantee: every item
+    * with true frequency > N/k survives every partial AND every merge —
+    * no false negatives, regardless of partitioning. Memory is O(k)
+    * per task at ANY data scale; the exact GROUP BY it replaces needs
+    * a vocabulary-sized shuffle.
+    *
+    * Buffers are java.util.HashMap under the kryo encoder (chill/kryo
+    * round-trips Java collections natively; TypedImperativeAggregate
+    * permits in-place buffer mutation).
+    */
+  final class MisraGries(k: Int)
+      extends Aggregator[String, java.util.HashMap[String, java.lang.Long],
+        java.util.HashMap[String, java.lang.Long]] {
+    type Buf = java.util.HashMap[String, java.lang.Long]
+    override def zero: Buf = new java.util.HashMap[String, java.lang.Long]()
+    override def reduce(b: Buf, tok: String): Buf = {
+      val c = b.get(tok)
+      if (c != null) b.put(tok, c + 1L)
+      else if (b.size < k - 1) b.put(tok, 1L)
+      else { // decrement-all: happens ≤ N/k times total, amortized O(1)
+        val it = b.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+      b
+    }
+    override def merge(x: Buf, y: Buf): Buf = {
+      y.forEach { (t, c) =>
+        val cur = x.get(t)
+        x.put(t, if (cur == null) c else cur + c)
+      }
+      if (x.size > k - 1) {
+        // subtract the k-th largest count; ≤ k-1 strictly-larger entries survive
+        val vals = new java.util.ArrayList[java.lang.Long](x.values())
+        java.util.Collections.sort(vals, java.util.Collections.reverseOrder())
+        val kth = vals.get(k - 1).longValue()
+        val it = x.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= kth) it.remove() else e.setValue(e.getValue - kth)
+        }
+      }
+      x
+    }
+    override def finish(b: Buf): Buf = b
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+  }
+
+  /** One-pass bounded-memory candidate set over a token stream: the
+    * distributed MG pass returns ≤ k-1 candidates to the driver —
+    * O(k), never vocabulary-sized.
+    */
+  def mgCandidates(tok: org.apache.spark.sql.DataFrame, k: Int): Seq[String] = {
+    val spark = tok.sparkSession
+    import spark.implicits._
+    val summary = tok.as[String].select(new MisraGries(k).toColumn).head()
+    summary.keySet().toArray(Array.empty[String]).toSeq
+  }
+
+  /** Exact heavy hitters (freq > N/k) via the classic two-pass shape:
+    * pass 1 is the bounded-memory MG sketch (candidates, no false
+    * negatives), pass 2 recounts ONLY the ≤ k-1 candidates exactly and
+    * applies the threshold — so the result is exact and oracle-able
+    * while per-task memory stays O(k). The exact-GROUP-BY oracle is
+    * the semantics; the sketch is how those semantics survive an
+    * unbounded vocabulary at 100 TB (the candidate filter prunes the
+    * shuffle to candidate rows only).
+    */
+  val aggHeavyHitters: Q = (s, dir) => {
+    val k = 50
+    val toks = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
+    val tok = table(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(explode(toks).as("tok"))
+      .filter(col("tok") =!= "")
+    val cands = mgCandidates(tok, k)
+    val nTotal = tok.count()
+    tok.filter(col("tok").isin(cands: _*))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") * k > nTotal)
+      .orderBy("tok")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_custom_aggregator" -> aggCustomAggregator,
     "udf_scalar_normalize" -> udfScalarNormalize,
+    "agg_heavy_hitters" -> aggHeavyHitters,
   )
 }

@@ -133,6 +133,35 @@ object Windows {
       .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
   }
 
+  /** Batch sessionization (round 6): a session break is a >30-minute
+    * gap between consecutive events of one user; the session index is
+    * the running count of breaks — one partitioned window, the
+    * canonical gaps-and-islands shape. The per-session rollup then
+    * reduces (user, session) to one row, so event-grain data never
+    * leaves the user partition before shrinking.
+    *
+    * Scale: both the window and the aggregate shuffle ONCE on user_id
+    * (the agg reuses the window's clustering); session state is
+    * per-user, never global. The streaming twin is
+    * `stream_session_windows` — this is the batch/backfill semantics
+    * of the same operator, and the two agree on session boundaries by
+    * construction (same 30-min gap rule).
+    */
+  val eventsSessionize: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+    table(s, dir, "events")
+      .withColumn("brk",
+        when(gapUs.isNull.or(gapUs > lit(30L * 60L * 1000000L)), 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("brk")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"),
+        max(col("ts")).as("t_end"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
   val queries: Map[String, Q] = Map(
     "win_row_number_topk" -> winRowNumberTopk,
     "win_rank_dense" -> winRankDense,
@@ -141,5 +170,6 @@ object Windows {
     "win_moving_range" -> winMovingRange,
     "win_first_last" -> winFirstLast,
     "win_ntile_percent_rank" -> winNtilePercentRank,
+    "events_sessionize" -> eventsSessionize,
   )
 }

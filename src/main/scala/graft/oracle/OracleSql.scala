@@ -291,6 +291,28 @@ object OracleSql {
         |ORDER BY l_orderkey NULLS LAST, l_linenumber NULLS LAST, p_partkey NULLS LAST,
         |  l_extendedprice NULLS LAST, p_retailprice NULLS LAST""".stripMargin,
 
+    "join_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_id,
+        |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS a_s
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+        |b AS (
+        |  SELECT o_orderkey AS b_id,
+        |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS b_s
+        |  FROM orders
+        |  WHERE o_orderpriority = '5-LOW'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT a_id AS a_orderkey, count(*) AS n_overlaps,
+        |       CAST(sum(least(a_s + 9, b_s + 9) - greatest(a_s, b_s) + 1) AS BIGINT)
+        |         AS sum_overlap_days
+        |FROM a JOIN b ON a_s <= b_s + 9 AND b_s <= a_s + 9
+        |GROUP BY a_id
+        |ORDER BY a_orderkey""".stripMargin,
+
     "reshape_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (
         |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity AS qty,
@@ -543,6 +565,48 @@ object OracleSql {
         |       length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_len
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "events_new_vs_returning" ->
+      """WITH f AS (
+        |  SELECT ts, user_id,
+        |         CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+        |              THEN 1 ELSE 0 END AS is_first
+        |  FROM events)
+        |SELECT CAST(ts AS DATE) AS d, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_active_users,
+        |       CAST(sum(is_first) AS BIGINT) AS n_new_users
+        |FROM f
+        |GROUP BY 1
+        |ORDER BY d""".stripMargin,
+
+    "time_series_ohlc" ->
+      """WITH w AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, value,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                            ORDER BY ts, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, h,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       count(*) AS n
+        |FROM w
+        |GROUP BY event_type, h
+        |ORDER BY event_type, h""".stripMargin,
+
+    "agg_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT tok FROM (
+        |    SELECT unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |    FROM documents WHERE trim(text) <> '')
+        |  WHERE tok <> '')
+        |SELECT tok, count(*) AS c
+        |FROM t
+        |GROUP BY tok
+        |HAVING count(*) * 50 > (SELECT count(*) FROM t)
+        |ORDER BY tok""".stripMargin,
   )
 
   private val windows: Map[String, String] = Map(
@@ -607,6 +671,26 @@ object OracleSql {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+        |           AS session_seq
+        |  FROM g)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |       min(ts) AS t_start, max(ts) AS t_end,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
   )
 
   private val setSort: Map[String, String] = Map(
@@ -1138,6 +1222,23 @@ object OracleSql {
         |GROUP BY bin
         |ORDER BY bin""".stripMargin,
 
+    "agg_mode_median" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |md AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_n
+        |  FROM (SELECT counts.*, row_number() OVER (PARTITION BY l_returnflag
+        |            ORDER BY c DESC, l_quantity ASC) AS rn FROM counts)
+        |  WHERE rn = 1),
+        |med AS (
+        |  SELECT l_returnflag, round(median(l_quantity), 6) AS median_qty,
+        |         count(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT med.l_returnflag, median_qty, mode_qty, mode_n, n
+        |FROM med JOIN md USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
     "text_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1167,7 +1268,58 @@ object OracleSql {
         |ORDER BY m""".stripMargin,
   )
 
+  /** Round-6 stats/layout/chunking keys. The zorder16 oracle expression
+    * is generated programmatically — the same 32-term bit interleave
+    * the Spark expression computes, spelled in portable SQL integer
+    * ops.
+    */
+  private val zorderSqlExpr: String =
+    (0 until 16).flatMap { i =>
+      Seq(s"((((l_partkey & 65535) >> $i) & 1) << ${2 * i})",
+        s"((((l_suppkey & 65535) >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" | ")
+
+  private val statsLayout: Map[String, String] = Map(
+    "catalog_column_stats" -> {
+      val arms = Seq(
+        ("o_orderkey", "o_orderkey"),
+        ("o_custkey", "o_custkey"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_orderpriority", "o_orderpriority"),
+        ("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+        ("o_orderdate", "CAST(o_orderdate AS DATE)"))
+        .map { case (n, e) =>
+          s"""SELECT '$n' AS column_name, count(*) AS n_rows,
+             |       count($e) AS n_nonnull, count(DISTINCT $e) AS n_distinct,
+             |       CAST(min($e) AS VARCHAR) AS min_val,
+             |       CAST(max($e) AS VARCHAR) AS max_val
+             |FROM orders""".stripMargin
+        }
+      arms.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
+    "layout_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |       $zorderSqlExpr AS zval
+         |FROM lineitem
+         |ORDER BY zval NULLS LAST, l_orderkey NULLS LAST, l_linenumber NULLS LAST""".stripMargin,
+
+    "text_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |c AS (
+        |  SELECT doc_id, CAST(gs AS INT) AS strt, toks
+        |  FROM t, unnest(generate_series(0, CAST(len(toks) AS BIGINT) - 1, 24)) AS g(gs))
+        |SELECT doc_id, strt // 24 AS chunk_id,
+        |       len(toks[strt + 1 : strt + 32]) AS n_toks,
+        |       array_to_string(toks[strt + 1 : strt + 32], ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+  )
+
   val sql: Map[String, String] =
     relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++
-      llm ++ streaming ++ llm2 ++ curation
+      llm ++ streaming ++ llm2 ++ curation ++ statsLayout
 }
