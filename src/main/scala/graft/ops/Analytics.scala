@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Determinism.{dec, dsum}
+import graft.io.Readers.table
+
+/** Round-6 second-wave analytics operators: marketing attribution,
+  * weighted medians, statistical anomaly flags, linear gap
+  * interpolation, and point-in-time (bitemporal) dimension lookup.
+  *
+  * Contract as everywhere else: every key here is oracle'd against
+  * DuckDB with identical column names and a total ORDER BY, and every
+  * float that crosses an aggregation boundary goes through the
+  * decimal discipline (graft.Determinism) so association order cannot
+  * move a bit.
+  */
+object Analytics {
+
+  import Relational.Q
+
+  // -------------------------------------------- last-touch attribution
+
+  /** Last-touch marketing attribution: each purchase is credited to
+    * the user's most recent click at-or-before it, provided the click
+    * is within a 7-day lookback. The classic formulation is a
+    * correlated "latest row before" subquery — quadratic per user.
+    * Here it is ONE pass: union the two event kinds on the user
+    * timeline and carry the last click forward with an
+    * ignore-nulls window, so each purchase reads its answer from the
+    * running state. Same shape as [[Relational.joinAsof]] — at 100 TB
+    * this shuffles each side once on user_id and never forms a
+    * click×purchase pair set.
+    *
+    * Tie order is pinned: at an equal timestamp a click sorts before a
+    * purchase (kind 0 < 1), so a same-instant click is attributable;
+    * event_id breaks any remaining tie deterministically.
+    */
+  val eventsAttribution: Q = (s, dir) => {
+    val e = table(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("click_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("click_ts").isNotNull &&
+        col("click_ts") >= col("ts") - expr("INTERVAL 7 DAYS"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("click_id"), col("click_ts"))
+      .orderBy("purchase_id")
+  }
+
+  // ------------------------------------------------- weighted median
+
+  /** Quantity-weighted median price per return flag: the smallest
+    * price whose cumulative weight reaches half the group total.
+    * Both the running and the total weight are exact decimal sums, so
+    * the `2·cum ≥ tot` pivot test is integer-exact in both engines;
+    * the default RANGE window frame makes tied prices share one
+    * cumulative value (a tie can never straddle the pivot).
+    *
+    * Scale: one shuffle on the group key; the window and the final
+    * min() reuse the same clustering. Weighted medians are the
+    * degenerate-skew case for a global sort formulation — keeping the
+    * sort inside the per-group window means no global exchange.
+    */
+  val aggWeightedMedian: Q = (s, dir) => {
+    val t = table(s, dir, "lineitem")
+      .select(col("l_returnflag"), dec(col("l_extendedprice")).as("price"),
+        dec(col("l_quantity")).as("qty"))
+    val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+    val wt = Window.partitionBy(col("l_returnflag"))
+    t.withColumn("cum", sum(col("qty")).over(wc))
+      .withColumn("tot", sum(col("qty")).over(wt))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("price")).cast("double").as("weighted_median"))
+      .orderBy("l_returnflag")
+  }
+
+  // ------------------------------------------------ z-score anomalies
+
+  /** Per-event-type z-score outliers: events whose value sits more
+    * than 3 sample standard deviations from the type mean. Built-in
+    * `stddev_samp` sums raw doubles (association-order-dependent), so
+    * the moments come from exact decimal Σv and Σv² instead —
+    * value is 2-decimal (FIXTURES.md), so v² is exactly 4-decimal and
+    * both sums are exact integers in scaled form; the variance,
+    * threshold compare, and rounded z are then pure functions of
+    * identical doubles in both engines.
+    *
+    * Scale: the stats relation is one partial-aggregated pass and has
+    * |event_type| rows — it broadcasts; the flag pass is a second
+    * scan with a map-side-only join. Two scans, zero wide shuffles.
+    */
+  val anomalyZscore: Q = (s, dir) => {
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sv"),
+        sum(dec(col("value")) * dec(col("value"))).cast("double").as("sv2"))
+      .withColumn("mean", col("sv") / col("n"))
+      .withColumn("std",
+        sqrt((col("sv2") - col("sv") * col("sv") / col("n")) / (col("n") - 1)))
+      .select("event_type", "mean", "std")
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  // --------------------------------------- linear gap interpolation
+
+  /** Hourly per-type value series with missing hours LINEARLY
+    * interpolated between the nearest observed neighbors (the
+    * telemetry/sensor counterpart of [[Aggregations.timeSeriesGapFill]]'s
+    * zero-fill). The spine is bounded by each type's own first/last
+    * observed hour, so prev/next anchors always exist and the edge
+    * cases (lead-in, tail-out) are defined away.
+    *
+    * Interpolation weight is a ratio of epoch-second differences
+    * (exact longs → one IEEE division, identical in both engines);
+    * the hourly means behind it are decimal-exact. The carry
+    * windows cluster on event_type — constant cardinality HERE, but
+    * the operator is keyed, so a real deployment partitions by
+    * (series_id) and each window stays narrow.
+    */
+  val timeSeriesInterpolate: Q = (s, dir) => {
+    val hourly = table(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg((sum(dec(col("value"))).cast("double") / count(lit(1))).as("v"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt",
+        last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nt",
+        first(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wNext))
+      .withColumn("filled", col("v").isNull)
+      // round at 9 dp, NOT at the display scale: interpolation midpoints
+      // of 2-decimal means land on exact half-values at 3-5 dp, where
+      // Spark's HALF_UP (decimal expansion of the double) and DuckDB's
+      // float-multiply rounding disagree. Every true value here either
+      // terminates well above 9 dp or repeats (non-2·5 denominator), so
+      // 9 dp is never a half boundary — observed FAIL at 4 dp, green at 9.
+      .withColumn("val", round(
+        when(col("v").isNotNull, col("v")).otherwise(
+          col("pv") + (col("nv") - col("pv")) *
+            (unix_timestamp(col("hr")) - unix_timestamp(col("pt"))).cast("double") /
+            (unix_timestamp(col("nt")) - unix_timestamp(col("pt"))).cast("double")), 9))
+      .select(col("event_type"), col("hr"), col("val"), col("filled"))
+      .orderBy("event_type", "hr")
+  }
+
+  // ------------------------------------- point-in-time (SCD2) lookup
+
+  /** Point-in-time dimension lookup against the SCD2 history that
+    * [[Curation.dimScd2History]] builds: every probe event reads the
+    * version whose `[valid_from, valid_to)` interval covers its
+    * timestamp. The naive formulation is an interval theta-join (the
+    * oracle runs exactly that — DuckDB is fine with it at sf0.01);
+    * the Spark plan is the as-of shape instead: versions and probes
+    * union onto one per-user timeline and each probe reads the last
+    * version at-or-before it from a carry-forward window. The carried
+    * version is by construction the latest with `valid_from ≤ ts`, so
+    * `ts < valid_to` holds automatically — interval semantics without
+    * ever materializing intervals or pairs.
+    *
+    * The update stream is events with `event_id % 10 ≠ 0`; probes are
+    * the held-out `% 10 = 0` slice, so both sides come from one scan.
+    */
+  val joinScd2Pointintime: Q = (s, dir) => {
+    val ev = table(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val vers = ev.filter(col("event_id") % 10 =!= 0)
+      .withColumn("version", row_number().over(wv))
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"),
+        col("version"), col("value"))
+    val probes = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"),
+        lit(null).cast("int").as("version"), lit(null).cast("double").as("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vers.unionByName(probes)
+      .withColumn("cur_version",
+        last(when(col("kind") === 0, col("version")), ignoreNulls = true).over(w))
+      .withColumn("cur_value",
+        last(when(col("kind") === 0, col("value")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("cur_version").isNotNull)
+      .select(col("event_id").as("probe_id"), col("user_id"),
+        col("ts").as("probe_ts"), col("cur_version").as("version"),
+        col("cur_value").as("dim_value"))
+      .orderBy("probe_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "events_attribution" -> eventsAttribution,
+    "agg_weighted_median" -> aggWeightedMedian,
+    "anomaly_zscore" -> anomalyZscore,
+    "time_series_interpolate" -> timeSeriesInterpolate,
+    "join_scd2_pointintime" -> joinScd2Pointintime,
+  )
+}

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.io.Readers.table
+
+/** Round-6 third-wave curation operators — the published-literature
+  * corpus-hygiene steps beyond the n-gram/sketch dedup family:
+  * exact shared-substring detection (Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better"), Gopher-style rule
+  * filters (Rae et al. 2021, Appendix A), BPE pair statistics (the
+  * inner loop of Sennrich et al. tokenizer training), and per-class
+  * embedding centroids (the first step of centroid-based corpus
+  * diagnostics / IVF seeding).
+  */
+object Curation2 {
+
+  import Relational.Q
+
+  // ------------------------------------------ shared-substring spans
+
+  /** Exact shared token-span detection between document pairs — the
+    * substring-dedup signal: two docs sharing a run of ≥4 consecutive
+    * tokens (quotes, boilerplate, copy-paste) that set-based Jaccard
+    * and MinHash dilute away when the docs are otherwise different.
+    *
+    * Shape: position-tagged word 3-grams self-join within a language
+    * block; matching (a_pos, b_pos) hits collapse onto diagonals
+    * (a_pos − b_pos), where a run of k consecutive 3-gram hits IS a
+    * shared span of k+2 tokens — the classic gaps-and-islands
+    * (a_pos − row_number) trick turns run-finding into one window +
+    * one aggregation, clustered on the (pair, diagonal) key.
+    *
+    * Scale: identical join economics to [[Llm2.dedupNgramJaccard]]'s
+    * inverted index — cost is Σ df² over gram frequencies, and rare
+    * 3-grams are the only ones that matter (a stopword-only gram can
+    * be dropped by a df cap exactly like a prefix filter; not needed
+    * on this corpus). The join key here stays the gram STRING so the
+    * runs are exact by construction; at 100 TB you'd key on an 8-byte
+    * hash and re-verify survivors with a token-slice compare, same as
+    * the jaccard family does.
+    */
+  val dedupSubstringSpan: Q = (s, dir) => {
+    val toks = split(trim(col("text")), "\\s+")
+    val d = table(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val g = d.select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 3),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("toks"), i + 1, 3)).as("gram")))).as("pg"))
+      .select(col("doc_id"), col("lang"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val b = g.select(col("lang").as("b_lang"), col("gram").as("b_gram"),
+      col("doc_id").as("b_id"), col("pos").as("b_pos")).hint("shuffle_hash")
+    val pairs = g.join(b,
+        col("lang") === col("b_lang") && col("gram") === col("b_gram") &&
+          col("doc_id") < col("b_id"))
+      .select(col("lang"), col("doc_id").as("a_id"), col("b_id"),
+        col("pos").as("a_pos"), (col("pos") - col("b_pos")).as("diag"))
+    val wi = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+      .orderBy(col("a_pos"))
+    pairs.withColumn("isl", col("a_pos") - row_number().over(wi))
+      .groupBy(col("lang"), col("a_id"), col("b_id"), col("diag"), col("isl"))
+      .agg(min(col("a_pos")).as("a_start"), count(lit(1)).as("run"))
+      .filter(col("run") >= 2)
+      .select(col("lang"), col("a_id"), col("b_id"), col("a_start"),
+        (col("a_start") - col("diag")).as("b_start"),
+        (col("run") + 2).as("span_toks"))
+      .orderBy("lang", "a_id", "b_id", "a_start", "b_start", "span_toks")
+  }
+
+  // ------------------------------------------------ Gopher rule gate
+
+  /** Gopher-style document quality rules (Rae et al. 2021, Appendix
+    * A), thresholds adapted to this corpus's 10–99-token word-soup
+    * docs so every rule actually discriminates: word count ≥ 15,
+    * mean word length in [4, 10], ≥80 % of words contain an
+    * alphabetic character (integer-form compare — no float
+    * threshold), and ≥2 distinct stopwords present. All four rules
+    * are row-local expressions — the filter is embarrassingly
+    * parallel and belongs BEFORE any shuffle-bearing dedup step in a
+    * pipeline (cheapest gate first, same ordering
+    * [[TrainingPipeline]] uses).
+    */
+  val textGopherRules: Q = (s, dir) => {
+    val stop = array(Seq("the", "a", "of", "and", "to", "in", "is", "that")
+      .map(lit): _*)
+    table(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"),
+        length(regexp_replace(trim(col("text")), "\\s+", "")).as("charlen"))
+      .select(col("doc_id"), size(col("toks")).as("n_words"),
+        (col("charlen").cast("double") / size(col("toks"))).as("mean_word_len"),
+        size(filter(col("toks"), w => w.rlike("[a-z]"))).as("n_alpha"),
+        size(array_intersect(col("toks"), stop)).as("n_stop"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        (col("n_words") >= 15).as("rule_wordcount"),
+        (col("mean_word_len") >= 4.0 && col("mean_word_len") <= 10.0).as("rule_wordlen"),
+        (col("n_alpha") * 5 >= col("n_words") * 4).as("rule_alpha"),
+        (col("n_stop") >= 2).as("rule_stopwords"))
+      .withColumn("pass",
+        col("rule_wordcount") && col("rule_wordlen") &&
+          col("rule_alpha") && col("rule_stopwords"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------ BPE pair counts
+
+  /** Adjacent character-pair frequencies within words — the counting
+    * step of one BPE merge iteration (Sennrich et al. 2016): the
+    * most frequent pair is the next merge rule. Top 50 by (count,
+    * pair) so the cut is total-ordered. Pair generation is row-local
+    * (explode words → explode in-word bigrams); the count is one
+    * map-side-combinable aggregation over a bounded key space
+    * (alphabet², not corpus-sized) — at 100 TB the partial aggregate
+    * collapses each task to at most |alphabet|² rows before the
+    * exchange, so the shuffle is constant-size regardless of corpus.
+    */
+  val textBpePairs: Q = (s, dir) => {
+    table(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(50)
+  }
+
+  // ------------------------------------- per-label embedding centroid
+
+  /** Per-label element-wise embedding centroid — class centroids for
+    * corpus diagnostics (nearest-centroid audits, IVF seeding,
+    * per-class drift tracking). Output is (label, pos, mean) rows
+    * rather than a reassembled vector so the oracle compare stays
+    * scalar.
+    *
+    * Float discipline: element values are quantized by
+    * `floor(x·10⁶)` into exact longs BEFORE summing — floor of
+    * identical doubles is engine-identical (no round-half semantics
+    * in play at all, unlike `round`), the long sum is exact and
+    * association-free, and one final double division yields the mean.
+    *
+    * Scale: posexplode is row-local fan-out (64× here); the aggregate
+    * is map-side combinable on a (|labels|·dim)-sized key space, so
+    * the exchange is tiny no matter the corpus size.
+    */
+  val simCentroidLabel: Q = (s, dir) => {
+    table(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("label"), col("pos"),
+        floor(col("e").cast("double") * 1000000).cast("long").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("q")).cast("double") /
+        (count(lit(1)) * 1000000).cast("double")).as("mean_val"))
+      .orderBy("label", "pos")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_substring_span" -> dedupSubstringSpan,
+    "text_gopher_rules" -> textGopherRules,
+    "text_bpe_pairs" -> textBpePairs,
+    "sim_centroid_label" -> simCentroidLabel,
+  )
+}

@@ -1319,7 +1319,224 @@ object OracleSql {
         |ORDER BY doc_id, chunk_id""".stripMargin,
   )
 
+  private val analytics: Map[String, String] = Map(
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |c AS (
+        |  SELECT user_id, ts, event_id, kind,
+        |         last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+        |           OVER w AS click_id,
+        |         last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |           OVER w AS click_ts
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |       click_id, click_ts
+        |FROM c
+        |WHERE kind = 1 AND click_ts IS NOT NULL
+        |  AND click_ts >= ts - INTERVAL 7 DAY
+        |ORDER BY purchase_id""".stripMargin,
+
+    "agg_weighted_median" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_returnflag, price,
+        |         sum(qty) OVER (PARTITION BY l_returnflag ORDER BY price) AS cum,
+        |         sum(qty) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM t)
+        |SELECT l_returnflag, CAST(min(price) AS DOUBLE) AS weighted_median
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "anomaly_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |              AS DOUBLE) AS sv2
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, sv / n AS mean,
+        |         sqrt((sv2 - sv * sv / n) / (n - 1)) AS std
+        |  FROM s)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       round((e.value - m.mean) / m.std, 4) AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE abs((e.value - m.mean) / m.std) > 3.0
+        |ORDER BY event_id""".stripMargin,
+
+    "time_series_interpolate" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM h GROUP BY 1),
+        |sp AS (
+        |  SELECT b.event_type, CAST(g.gs AS TIMESTAMP) AS hr
+        |  FROM b, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(gs)),
+        |j AS (
+        |  SELECT sp.event_type, sp.hr, h.v,
+        |         last_value(h.v IGNORE NULLS) OVER wp AS pv,
+        |         last_value(CASE WHEN h.v IS NOT NULL THEN sp.hr END IGNORE NULLS)
+        |           OVER wp AS pt,
+        |         first_value(h.v IGNORE NULLS) OVER wn AS nv,
+        |         first_value(CASE WHEN h.v IS NOT NULL THEN sp.hr END IGNORE NULLS)
+        |           OVER wn AS nt
+        |  FROM sp LEFT JOIN h ON sp.event_type = h.event_type AND sp.hr = h.hr
+        |  WINDOW wp AS (PARTITION BY sp.event_type ORDER BY sp.hr
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY sp.event_type ORDER BY sp.hr
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hr,
+        |       round(CASE WHEN v IS NOT NULL THEN v
+        |                  ELSE pv + (nv - pv) *
+        |                       CAST(epoch(hr) - epoch(pt) AS DOUBLE) /
+        |                       CAST(epoch(nt) - epoch(pt) AS DOUBLE) END, 9) AS val,
+        |       v IS NULL AS filled
+        |FROM j
+        |ORDER BY event_type, hr""".stripMargin,
+
+    "join_scd2_pointintime" ->
+      """WITH v AS (
+        |  SELECT user_id, ts AS valid_from, value,
+        |         row_number() OVER w AS version,
+        |         lead(ts) OVER w AS valid_to
+        |  FROM events WHERE event_id % 10 <> 0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (
+        |  SELECT event_id AS probe_id, user_id, ts AS probe_ts
+        |  FROM events WHERE event_id % 10 = 0)
+        |SELECT p.probe_id, p.user_id, p.probe_ts, v.version,
+        |       v.value AS dim_value
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.valid_from <= p.probe_ts
+        |  AND (v.valid_to IS NULL OR p.probe_ts < v.valid_to)
+        |ORDER BY probe_id""".stripMargin,
+
+    "dedup_substring_span" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |g AS (
+        |  SELECT doc_id, lang, CAST(u.gs AS INT) AS pos,
+        |         array_to_string(toks[CAST(u.gs AS INT) + 1 : CAST(u.gs AS INT) + 3], ' ') AS gram
+        |  FROM t, unnest(generate_series(0, CAST(len(toks) AS BIGINT) - 3)) AS u(gs)
+        |  WHERE len(toks) >= 3),
+        |p AS (
+        |  SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+        |         a.pos AS a_pos, a.pos - b.pos AS diag
+        |  FROM g a JOIN g b
+        |    ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id),
+        |i AS (
+        |  SELECT lang, a_id, b_id, diag, a_pos,
+        |         a_pos - row_number() OVER (PARTITION BY a_id, b_id, diag
+        |                                    ORDER BY a_pos) AS isl
+        |  FROM p),
+        |r AS (
+        |  SELECT lang, a_id, b_id, diag, min(a_pos) AS a_start, count(*) AS run
+        |  FROM i GROUP BY lang, a_id, b_id, diag, isl)
+        |SELECT lang, a_id, b_id, a_start, a_start - diag AS b_start,
+        |       run + 2 AS span_toks
+        |FROM r WHERE run >= 2
+        |ORDER BY lang, a_id, b_id, a_start, b_start, span_toks""".stripMargin,
+
+    "text_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks,
+        |         length(regexp_replace(trim(text), '\s+', '', 'g')) AS charlen
+        |  FROM documents WHERE trim(text) <> ''),
+        |m AS (
+        |  SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
+        |         CAST(charlen AS DOUBLE) / len(toks) AS mean_word_len,
+        |         len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+        |         len(list_intersect(toks,
+        |             ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that'])) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len,
+        |       n_words >= 15 AS rule_wordcount,
+        |       mean_word_len >= 4.0 AND mean_word_len <= 10.0 AS rule_wordlen,
+        |       n_alpha * 5 >= n_words * 4 AS rule_alpha,
+        |       n_stop >= 2 AS rule_stopwords,
+        |       (n_words >= 15 AND mean_word_len >= 4.0 AND mean_word_len <= 10.0
+        |        AND n_alpha * 5 >= n_words * 4 AND n_stop >= 2) AS pass
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents WHERE trim(text) <> ''),
+        |p AS (
+        |  SELECT substr(w, CAST(u.gs AS INT), 2) AS pair
+        |  FROM w, unnest(generate_series(1, CAST(len(w) AS BIGINT) - 1)) AS u(gs)
+        |  WHERE len(w) >= 2)
+        |SELECT pair, count(*) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair
+        |LIMIT 50""".stripMargin,
+
+    "sim_centroid_label" ->
+      """SELECT label, CAST(u.gs AS INT) AS pos,
+        |       CAST(sum(CAST(floor(CAST(embedding[CAST(u.gs AS INT) + 1] AS DOUBLE)
+        |                           * 1000000) AS BIGINT)) AS DOUBLE)
+        |       / CAST(count(*) * 1000000 AS DOUBLE) AS mean_val
+        |FROM embeddings,
+        |     unnest(generate_series(0, CAST(len(embedding) AS BIGINT) - 1)) AS u(gs)
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
+  )
+
+  /** Fixed-iteration integer PageRank as chained CTEs — one pr{k} per
+    * iteration, generated to mirror graft.ops.Graph.graphPagerank's
+    * loop exactly (same scaled-integer arithmetic, so the compare is
+    * bit-exact with no rounding mode in play). Chained CTEs rather
+    * than WITH RECURSIVE because the recursive term would need a
+    * GROUP BY — chaining keeps the oracle on bulletproof SQL.
+    */
+  private val pagerankSql: String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+        |   AND a.l_partkey <> b.l_partkey),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |outd AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+        |pr0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS rq FROM nodes)""".stripMargin
+    val iters = (0 until 10).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node, sum(p.rq // o.deg) AS s
+         |  FROM pr$k p JOIN outd o ON p.node = o.node JOIN edges e ON e.src = p.node
+         |  GROUP BY e.dst),
+         |pr${k + 1} AS (
+         |  SELECT n.node,
+         |         150000000000 // (SELECT n FROM nn)
+         |           + (85 * COALESCE(c.s, 0)) // 100 AS rq
+         |  FROM nodes n LEFT JOIN c$k c ON n.node = c.node)""".stripMargin
+    }
+    base + ",\n" + iters.mkString(",\n") +
+      """
+        |SELECT node, CAST(rq AS DOUBLE) / 1000000000000 AS rank FROM pr10
+        |ORDER BY rq DESC, node LIMIT 20""".stripMargin
+  }
+
+  private val graph: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql,
+  )
+
   val sql: Map[String, String] =
     relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++
-      llm ++ streaming ++ llm2 ++ curation ++ statsLayout
+      llm ++ streaming ++ llm2 ++ curation ++ statsLayout ++ analytics ++ graph
 }

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 analytics wave: attribution, weighted median, z-score
+  * anomalies, linear interpolation, point-in-time SCD2 lookup.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // --------------------------------------------------- attribution
+
+  test("events_attribution credits the latest in-window click") {
+    val out = ops.Analytics.eventsAttribution(spark, dir).collect()
+    assert(out.nonEmpty)
+    // brute-force ground truth: for each purchase, the max-(ts, id)
+    // click at-or-before it within 7 days
+    val ev = io.Readers.table(spark, dir, "events")
+      .select("event_id", "user_id", "ts", "event_type")
+    val clicks = ev.filter(col("event_type") === "click")
+      .as[(Long, Long, java.sql.Timestamp, String)].collect()
+      .groupBy(_._2)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .as[(Long, Long, java.sql.Timestamp, String)].collect()
+    val truth = purchases.flatMap { case (pid, u, pts, _) =>
+      clicks.getOrElse(u, Array.empty)
+        .filter { case (_, _, cts, _) =>
+          !cts.after(pts) && cts.getTime >= pts.getTime - 7L * 86400 * 1000 }
+        .sortBy { case (cid, _, cts, _) => (cts.getTime, cid) }
+        .lastOption.map { case (cid, _, _, _) => pid -> cid }
+    }.toMap
+    assert(out.map(r => r.getLong(0) -> r.getLong(3)).toMap == truth)
+  }
+
+  // ------------------------------------------------ weighted median
+
+  test("agg_weighted_median splits the weight mass at the pivot") {
+    val out = ops.Analytics.aggWeightedMedian(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = io.Readers.table(spark, dir, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_quantity")
+      .as[(String, Double, Double)].collect().groupBy(_._1)
+    rows.foreach { case (f, xs) =>
+      val m = out(f)
+      val tot = xs.map(_._3).sum
+      val below = xs.filter(_._2 < m).map(_._3).sum
+      val atOrBelow = xs.filter(_._2 <= m).map(_._3).sum
+      // weighted-median definition: < half the mass strictly below,
+      // ≥ half at-or-below
+      assert(below * 2 < tot + 1e-6, s"$f: too much mass below $m")
+      assert(atOrBelow * 2 >= tot - 1e-6, s"$f: pivot $m too small")
+    }
+  }
+
+  // -------------------------------------------------- z-score flags
+
+  test("anomaly_zscore flags exactly the >3-sigma events") {
+    val out = ops.Analytics.anomalyZscore(spark, dir).collect()
+    val ev = io.Readers.table(spark, dir, "events")
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect()
+    val truth = ev.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+      val n = xs.length
+      val mean = xs.map(_._3).sum / n
+      val std = math.sqrt(xs.map(v => (v._3 - mean) * (v._3 - mean)).sum / (n - 1))
+      xs.filter(v => math.abs((v._3 - mean) / std) > 3.0).map(_._1).toSeq
+    }.toSet
+    assert(out.map(_.getLong(0)).toSet == truth)
+    // flagged z values really exceed the threshold after rounding
+    assert(out.forall(r => math.abs(r.getDouble(3)) > 2.999))
+  }
+
+  // ------------------------------------------------- interpolation
+
+  test("time_series_interpolate covers the spine and is exact on observed hours") {
+    val out = ops.Analytics.timeSeriesInterpolate(spark, dir)
+    val rows = out.collect()
+    // spine density: per type, rows == hours between first and last + 1
+    val perType = rows.groupBy(_.getString(0))
+    perType.foreach { case (_, rs) =>
+      val hrs = rs.map(_.getTimestamp(1).getTime).sorted
+      assert(hrs.distinct.length == hrs.length)
+      assert((hrs.last - hrs.head) / 3600000 + 1 == hrs.length)
+    }
+    // interpolated points sit within [min(neighbors), max(neighbors)]
+    perType.foreach { case (_, rs) =>
+      val seq = rs.sortBy(_.getTimestamp(1).getTime)
+      seq.zipWithIndex.filter(_._1.getBoolean(3)).foreach { case (r, i) =>
+        val prevObs = seq.take(i).reverse.find(!_.getBoolean(3)).get.getDouble(2)
+        val nextObs = seq.drop(i + 1).find(!_.getBoolean(3)).get.getDouble(2)
+        val v = r.getDouble(2)
+        assert(v >= math.min(prevObs, nextObs) - 1e-6 &&
+          v <= math.max(prevObs, nextObs) + 1e-6)
+      }
+    }
+    // no observed hour is marked filled
+    assert(rows.filter(_.getBoolean(3)).forall(_ != null))
+  }
+
+  // -------------------------------------------- point-in-time SCD2
+
+  test("join_scd2_pointintime equals the interval theta-join") {
+    val got = ops.Analytics.joinScd2Pointintime(spark, dir)
+    // naive interval join over the same version relation
+    val ev = io.Readers.table(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val vers = ev.filter(col("event_id") % 10 =!= 0)
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+    val probes = ev.filter(col("event_id") % 10 === 0)
+      .select(col("event_id").as("probe_id"), col("user_id").as("pu"),
+        col("ts").as("probe_ts"))
+    val truth = probes.join(vers,
+        col("pu") === col("user_id") && col("ts") <= col("probe_ts") &&
+          (col("valid_to").isNull || col("probe_ts") < col("valid_to")))
+      .select(col("probe_id"), col("user_id"), col("probe_ts"),
+        col("version"), col("value").as("dim_value"))
+    assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty)
+  }
+}
