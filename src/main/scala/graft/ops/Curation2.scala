@@ -51,7 +51,7 @@ object Curation2 {
     val g = d.select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(0), size(col("toks")) - 3),
           i => struct(i.as("pos"),
-            concat_ws(" ", slice(col("toks"), i + 1, 3)).as("gram")))).as("pg"))
+            concat_ws(" ", slice(col("toks"), i + 1, lit(3))).as("gram")))).as("pg"))
       .select(col("doc_id"), col("lang"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
     val b = g.select(col("lang").as("b_lang"), col("gram").as("b_gram"),
       col("doc_id").as("b_id"), col("pos").as("b_pos")).hint("shuffle_hash")

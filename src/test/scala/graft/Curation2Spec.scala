@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 third wave: substring-span dedup, Gopher rules, BPE pair
+  * counts, label centroids, integer PageRank.
+  */
+class Curation2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def toksOf(dir: String): Map[Long, (String, Array[String])] =
+    io.Readers.table(spark, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), col("lang"), split(trim(col("text")), "\\s+").as("toks"))
+      .as[(Long, String, Array[String])].collect()
+      .map { case (id, lang, t) => id -> (lang, t) }.toMap
+
+  // --------------------------------------------- substring spans
+
+  test("dedup_substring_span spans are real, exact, and maximal") {
+    // sf0.01 — sf0.001 may not contain planted long spans
+    val big = "/root/testdata/sf0.01"
+    val out = ops.Curation2.dedupSubstringSpan(spark, big).collect()
+    assert(out.nonEmpty, "expected shared spans in the sf0.01 corpus")
+    val docs = toksOf(big)
+    out.foreach { r =>
+      val (aLang, aToks) = docs(r.getLong(1))
+      val (bLang, bToks) = docs(r.getLong(2))
+      val (aStart, bStart) = (r.getInt(3), r.getInt(4))
+      val span = r.getLong(5).toInt
+      assert(aLang == r.getString(0) && bLang == r.getString(0))
+      // the reported span really is token-identical
+      assert(aToks.slice(aStart, aStart + span)
+        .sameElements(bToks.slice(bStart, bStart + span)))
+      // maximality: extending one token either way breaks it
+      if (aStart > 0 && bStart > 0)
+        assert(aToks(aStart - 1) != bToks(bStart - 1), s"span $r extends left")
+      if (aStart + span < aToks.length && bStart + span < bToks.length)
+        assert(aToks(aStart + span) != bToks(bStart + span), s"span $r extends right")
+      assert(span >= 4)
+    }
+  }
+
+  // ------------------------------------------------- Gopher rules
+
+  test("text_gopher_rules matches a direct recomputation") {
+    val out = ops.Curation2.textGopherRules(spark, dir).collect()
+    val docs = toksOf(dir)
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "that")
+    assert(out.nonEmpty)
+    var passes = 0
+    out.foreach { r =>
+      val toks = docs(r.getLong(0))._2
+      val n = toks.length
+      val mwl = toks.map(_.length).sum.toDouble / n
+      val nAlpha = toks.count(_.exists(c => c >= 'a' && c <= 'z'))
+      val nStop = toks.toSet.intersect(stop).size
+      assert(r.getInt(1) == n)
+      assert(math.abs(r.getDouble(2) - mwl) < 1e-12)
+      assert(r.getBoolean(3) == (n >= 15))
+      assert(r.getBoolean(4) == (mwl >= 4.0 && mwl <= 10.0))
+      assert(r.getBoolean(5) == (nAlpha * 5 >= n * 4))
+      assert(r.getBoolean(6) == (nStop >= 2))
+      assert(r.getBoolean(7) ==
+        (r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6)))
+      if (r.getBoolean(7)) passes += 1
+    }
+    // thresholds were chosen to discriminate: both outcomes occur
+    assert(passes > 0 && passes < out.length)
+  }
+
+  // ---------------------------------------------- BPE pair counts
+
+  test("text_bpe_pairs equals brute-force pair counting") {
+    val out = ops.Curation2.textBpePairs(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    toksOf(dir).values.foreach { case (_, toks) =>
+      toks.filter(_.length >= 2).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1
+        }
+      }
+    }
+    val truth = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(50)
+    assert(out.toSeq == truth)
+  }
+
+  // ------------------------------------------------ label centroid
+
+  test("sim_centroid_label equals the quantized driver-side mean") {
+    val out = ops.Curation2.simCentroidLabel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val vecs = io.Readers.table(spark, dir, "embeddings")
+      .select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])].collect()
+    vecs.groupBy(_._1).foreach { case (label, xs) =>
+      val dim = xs.head._2.length
+      (0 until dim).foreach { pos =>
+        val qs = xs.map(v => math.floor(v._2(pos).toDouble * 1000000).toLong)
+        val expect = qs.sum.toDouble / (qs.length.toDouble * 1000000)
+        assert(math.abs(out((label, pos)) - expect) < 1e-15,
+          s"label=$label pos=$pos")
+      }
+    }
+  }
+
+  // ----------------------------------------------------- PageRank
+
+  test("graph_pagerank matches a driver-side integer reference") {
+    val got = ops.Graph.graphPagerank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.length > 0 && got.length <= 20)
+    // reference: same integer arithmetic, plain Scala
+    val li = io.Readers.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+      .as[(Long, Int, Long)].collect()
+    val byOrder = li.groupBy(_._1)
+    val edges: Set[(Long, Long)] = byOrder.values.toSeq.flatMap { lines =>
+      lines.toSeq.flatMap { a =>
+        lines.toSeq.collect {
+          case b if b._2 == a._2 + 1 && a._3 != b._3 => (a._3, b._3)
+        }
+      }
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val n = nodes.size
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var rq = nodes.map(_ -> 1000000000000L / n).toMap
+    (1 to 10).foreach { _ =>
+      val s = scala.collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case (src, dst) =>
+        s(dst) = s.getOrElse(dst, 0L) + rq(src) / outDeg(src)
+      }
+      rq = nodes.map(nd =>
+        nd -> (150000000000L / n + 85 * s.getOrElse(nd, 0L) / 100)).toMap
+    }
+    val expect = rq.toSeq.sortBy { case (nd, r) => (-r, nd) }.take(20)
+      .map { case (nd, r) => nd -> r.toDouble / 1000000000000L }
+    assert(got.toSeq == expect)
+    // rank mass is bounded by 1 (dangling mass only leaks out)
+    assert(rq.values.map(_.toDouble / 1e12).sum <= 1.0 + 1e-9)
+  }
+}
