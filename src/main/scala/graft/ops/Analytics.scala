@@ -212,11 +212,101 @@ object Analytics {
       .orderBy("probe_id")
   }
 
+  // ------------------------------------------------- path analysis
+
+  /** Top-20 three-step event paths across user timelines — the
+    * path-mining counterpart of [[Aggregations.eventsFunnel]] (which
+    * checks ONE fixed sequence; this discovers which sequences
+    * dominate). Two `lead`s over the user window build the triples in
+    * one shuffle; the count is a partial-aggregated groupBy on a key
+    * space bounded by |event_type|³, so the second exchange is
+    * constant-size at any corpus scale. Top-20 under (count, path)
+    * total order.
+    */
+  val eventsPathAnalysis: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("step1"))
+      .withColumn("step2", lead(col("step1"), 1).over(w))
+      .withColumn("step3", lead(col("step1"), 2).over(w))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
+  // -------------------------------------------- Markov transitions
+
+  /** First-order Markov transition table over event types: for each
+    * (current → next) pair on a user timeline, the transition count
+    * and probability. The probability is emitted in PARTS PER
+    * MILLION as `(cnt · 10⁶) div total` — pure integer division.
+    * `round(cnt/total, 6)` is a trap: totals with a large power-of-2
+    * factor (e.g. 128) put `cnt/total` on an exact decimal half at
+    * 6 dp for every odd cnt, where the engines' rounding modes split.
+    * Integer div has no mode.
+    *
+    * Scale: one user-window shuffle, then a |types|²-bounded
+    * aggregate; the per-row total rides a tiny window over the
+    * aggregated relation, not the raw events.
+    */
+  val eventsMarkovTransition: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wt = Window.partitionBy(col("cur_type"))
+    table(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur_type"))
+      .withColumn("next_type", lead(col("cur_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(wt))
+      .select(col("cur_type"), col("next_type"), col("cnt"),
+        expr("(cnt * 1000000) div total").as("p_ppm"))
+      .orderBy("cur_type", "next_type")
+  }
+
+  // ------------------------------------------------- EWMA per user
+
+  /** Per-user exponentially weighted moving average of event values
+    * (α = 0.25) — the sequential recurrence `e ← α·v + (1−α)·e` that
+    * windowed sums cannot express order-safely across engines
+    * (cumulative float sums associate differently under segment-tree
+    * vs streaming evaluation). Instead the per-user sequence is
+    * collected, totally ordered by `sort_array` on (ts, event_id,
+    * value) structs, and folded left-to-right with `aggregate` —
+    * DuckDB's `list_reduce` folds in the same order, so both engines
+    * execute the IDENTICAL sequence of IEEE ops and the unrounded
+    * doubles match bitwise.
+    *
+    * Scale: one shuffle on user_id; the array is bounded by a user's
+    * own event count (retention-bounded in any real deployment —
+    * this is the same bounded-collect posture as
+    * [[Aggregations.aggCollectSorted]]), and the fold is row-local.
+    */
+  val winEwmaUser: Q = (s, dir) => {
+    table(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+      .select(col("user_id"), size(col("seq")).as("n_events"),
+        aggregate(
+          slice(col("seq"), lit(2), size(col("seq"))),
+          element_at(col("seq"), 1).getField("value"),
+          (e, s2) => lit(0.25) * s2.getField("value") + lit(0.75) * e).as("ewma"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "events_attribution" -> eventsAttribution,
     "agg_weighted_median" -> aggWeightedMedian,
     "anomaly_zscore" -> anomalyZscore,
     "time_series_interpolate" -> timeSeriesInterpolate,
     "join_scd2_pointintime" -> joinScd2Pointintime,
+    "events_path_analysis" -> eventsPathAnalysis,
+    "events_markov_transition" -> eventsMarkovTransition,
+    "win_ewma_user" -> winEwmaUser,
   )
 }

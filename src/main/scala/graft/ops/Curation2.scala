@@ -161,10 +161,46 @@ object Curation2 {
       .orderBy("label", "pos")
   }
 
+  // ------------------------------------- quality-weighted sampling
+
+  /** Quality-weighted admission sampling (the DCLM/FineWeb-style
+    * soft gate): a document's keep-probability is proportional to its
+    * quality — here the fraction of [[textGopherRules]] rules it
+    * passes (score ∈ {0,¼,½,¾,1}) — implemented as a DETERMINISTIC
+    * hash admission: keep iff `hash_bucket(doc_id) < 25·rules_passed`.
+    * Pure integers end to end (no float threshold), salted
+    * independently of the split/sample buckets (`graft-quality`) so
+    * composing with [[Llm.sampleHashSplit]] stays uncorrelated, and
+    * stable under corpus growth (a new crawl never flips an old doc's
+    * admission). Row-local — embarrassingly parallel, no shuffle at
+    * all before the output sort.
+    */
+  val sampleQualityWeighted: Q = (s, dir) => {
+    val stop = array(Seq("the", "a", "of", "and", "to", "in", "is", "that")
+      .map(lit): _*)
+    table(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"),
+        length(regexp_replace(trim(col("text")), "\\s+", "")).as("charlen"))
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        (col("charlen").cast("double") / size(col("toks"))).as("mwl"),
+        size(filter(col("toks"), w => w.rlike("[a-z]"))).as("n_alpha"),
+        size(array_intersect(col("toks"), stop)).as("n_stop"))
+      .select(col("doc_id"),
+        ((col("n") >= 15).cast("int") +
+          (col("mwl") >= 4.0 && col("mwl") <= 10.0).cast("int") +
+          (col("n_alpha") * 5 >= col("n") * 4).cast("int") +
+          (col("n_stop") >= 2).cast("int")).as("rules_passed"),
+        Llm.hashBucket("graft-quality")(col("doc_id")).as("bucket"))
+      .filter(col("bucket") < col("rules_passed") * 25)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_substring_span" -> dedupSubstringSpan,
     "text_gopher_rules" -> textGopherRules,
     "text_bpe_pairs" -> textBpePairs,
     "sim_centroid_label" -> simCentroidLabel,
+    "sample_quality_weighted" -> sampleQualityWeighted,
   )
 }

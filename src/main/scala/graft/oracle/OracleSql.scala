@@ -1486,6 +1486,66 @@ object OracleSql {
         |ORDER BY cnt DESC, pair
         |LIMIT 50""".stripMargin,
 
+    "events_path_analysis" ->
+      """WITH t AS (
+        |  SELECT event_type AS step1,
+        |         lead(event_type, 1) OVER w AS step2,
+        |         lead(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, count(*) AS cnt
+        |FROM t WHERE step3 IS NOT NULL
+        |GROUP BY step1, step2, step3
+        |ORDER BY cnt DESC, step1, step2, step3
+        |LIMIT 20""".stripMargin,
+
+    "events_markov_transition" ->
+      """WITH t AS (
+        |  SELECT event_type AS cur_type, lead(event_type, 1) OVER w AS next_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT cur_type, next_type, count(*) AS cnt
+        |  FROM t WHERE next_type IS NOT NULL
+        |  GROUP BY cur_type, next_type)
+        |SELECT cur_type, next_type, cnt,
+        |       (cnt * 1000000) // CAST(sum(cnt) OVER (PARTITION BY cur_type) AS BIGINT) AS p_ppm
+        |FROM c
+        |ORDER BY cur_type, next_type""".stripMargin,
+
+    "win_ewma_user" ->
+      """SELECT user_id, CAST(len(seq) AS INT) AS n_events,
+        |       list_reduce(seq, (e, v) -> 0.25 * v + 0.75 * e) AS ewma
+        |FROM (
+        |  SELECT user_id, list(value ORDER BY ts, event_id, value) AS seq
+        |  FROM events GROUP BY user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "sample_quality_weighted" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks,
+        |         length(regexp_replace(trim(text), '\s+', '', 'g')) AS charlen
+        |  FROM documents WHERE trim(text) <> ''),
+        |m AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |         CAST(charlen AS DOUBLE) / len(toks) AS mwl,
+        |         len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+        |         len(list_intersect(toks,
+        |             ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that'])) AS n_stop
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id,
+        |         CAST(n >= 15 AS INT) + CAST(mwl >= 4.0 AND mwl <= 10.0 AS INT)
+        |           + CAST(n_alpha * 5 >= n * 4 AS INT) + CAST(n_stop >= 2 AS INT)
+        |           AS rules_passed,
+        |         CAST(('0x' || substr(md5('graft-quality' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) % 100 AS bucket
+        |  FROM m)
+        |SELECT doc_id, rules_passed, bucket
+        |FROM q WHERE bucket < rules_passed * 25
+        |ORDER BY doc_id""".stripMargin,
+
     "sim_centroid_label" ->
       """SELECT label, CAST(u.gs AS INT) AS pos,
         |       CAST(sum(CAST(floor(CAST(embedding[CAST(u.gs AS INT) + 1] AS DOUBLE)

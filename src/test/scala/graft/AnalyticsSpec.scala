@@ -99,6 +99,61 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.filter(_.getBoolean(3)).forall(_ != null))
   }
 
+  // --------------------------------------- paths, Markov, EWMA
+
+  test("events_path_analysis triples come from real consecutive events") {
+    val out = ops.Analytics.eventsPathAnalysis(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // counts are non-increasing in output order
+    val cnts = out.map(_.getLong(3))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    // recompute triples brute force
+    val ev = io.Readers.table(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val truth = ev.groupBy(_._1).values.toSeq.flatMap { xs =>
+      val s = xs.sortBy(x => (x._2.getTime, x._3)).map(_._4).toSeq
+      s.sliding(3).filter(_.length == 3).map(t => (t(0), t(1), t(2))).toSeq
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    out.foreach { r =>
+      assert(truth((r.getString(0), r.getString(1), r.getString(2))) == r.getLong(3))
+    }
+    // top-20 really is the top: any excluded triple count <= last included
+    val included = out.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    truth.filterNot { case (k, _) => included(k) }
+      .foreach { case (_, c) => assert(c <= cnts.last) }
+  }
+
+  test("events_markov_transition rows sum to the per-state total and p_ppm is exact") {
+    val out = ops.Analytics.eventsMarkovTransition(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val total = rs.map(_.getLong(2)).sum
+      rs.foreach { r =>
+        assert(r.getLong(3) == r.getLong(2) * 1000000L / total)
+      }
+      // ppm sums to ~1e6 (floor loss < |rows|)
+      val ppm = rs.map(_.getLong(3)).sum
+      assert(ppm <= 1000000L && ppm > 1000000L - rs.length)
+    }
+  }
+
+  test("win_ewma_user equals the driver-side fold") {
+    val out = ops.Analytics.winEwmaUser(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val ev = io.Readers.table(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+    ev.groupBy(_._1).foreach { case (u, xs) =>
+      val vals = xs.sortBy(x => (x._2.getTime, x._3, x._4)).map(_._4)
+      val expect = vals.tail.foldLeft(vals.head)((e, v) => 0.25 * v + 0.75 * e)
+      assert(out(u)._1 == vals.length)
+      // bitwise: the operator's fold must be the same IEEE sequence
+      assert(java.lang.Double.doubleToLongBits(out(u)._2) ==
+        java.lang.Double.doubleToLongBits(expect), s"user $u")
+    }
+  }
+
   // -------------------------------------------- point-in-time SCD2
 
   test("join_scd2_pointintime equals the interval theta-join") {

@@ -108,6 +108,28 @@ class Curation2Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------- quality-weighted sampling
+
+  test("sample_quality_weighted admission rate tracks the quality score") {
+    val out = ops.Curation2.sampleQualityWeighted(spark, dir).collect()
+    assert(out.nonEmpty)
+    // kept rows satisfy the admission inequality exactly
+    out.foreach { r =>
+      assert(r.getLong(2) < r.getInt(1).toLong * 25,
+        s"doc ${r.getLong(0)} bucket ${r.getLong(2)} score ${r.getInt(1)}")
+    }
+    // composition independence: admission bucket is uncorrelated with
+    // the split bucket (different salt) — kept docs span all splits
+    val rules = ops.Curation2.textGopherRules(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        Seq(3, 4, 5, 6).count(i => r.getBoolean(i))).toMap
+    out.foreach { r => assert(rules(r.getLong(0)) == r.getInt(1)) }
+    val splits = ops.Llm.sampleHashSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val keptSplits = out.map(r => splits(r.getLong(0))).toSet
+    assert(keptSplits.size >= 2, "quality sampling starved entire splits")
+  }
+
   // ----------------------------------------------------- PageRank
 
   test("graph_pagerank matches a driver-side integer reference") {
