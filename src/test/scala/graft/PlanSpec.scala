@@ -180,4 +180,37 @@ class PlanSpec extends SparkSpec {
     val p = sigOnly.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"signature computation must not shuffle:\n$p")
   }
+
+  test("anomaly_zscore broadcasts the stats relation (flag pass is map-side)") {
+    val df = ops.Analytics.anomalyZscore(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sample_quality_weighted plans no exchange before the output sort") {
+    val df = ops.Curation2.sampleQualityWeighted(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the final rangepartitioning sort
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"admission gate must be row-local; found: $exchanges")
+  }
+
+  test("events_path_analysis and markov share one user-window shuffle and bound the agg key space") {
+    val df = ops.Analytics.eventsPathAnalysis(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // top-k over the bounded triple space: TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("win_ewma_user: single user_id exchange feeds the fold") {
+    val df = ops.Analytics.winEwmaUser(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val hashEx = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1, s"expected exactly one hash exchange (user_id):\n$hashEx")
+    assert(hashEx.head.contains("user_id"), hashEx.head)
+  }
 }
