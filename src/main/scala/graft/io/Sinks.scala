@@ -51,6 +51,23 @@ object Sinks {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
       .json(path)
 
+  /** ORC export — the second columnar interchange format (Spark's ORC
+    * datasource is built in). Same predicate-pushdown/column-pruning
+    * contract as the parquet scans (asserted in IngestSinkSpec), so a
+    * downstream that standardizes on ORC loses nothing. zstd to match
+    * the parquet sink's compression posture.
+    */
+  def exportOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("compression", "zstd")
+      .orc(path)
+
+  /** ORC ingest, schema-on-read (ORC files are self-describing, like
+    * parquet — no declared-schema path needed).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Write a table bucketed (and sorted) by its join key. Two tables
     * bucketed the same way join with NO shuffle exchange on either
     * side — at 100 TB this converts every recurring fact⋈fact join on

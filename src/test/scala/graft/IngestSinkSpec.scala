@@ -102,6 +102,27 @@ class IngestSinkSpec extends SparkSpec {
       df.orderBy("id").collect().toSeq)
   }
 
+  test("ORC export round-trips byte-identically and pushes filters at the scan") {
+    val dir = tmpDir("orc")
+    val src = io.Readers.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+    io.Sinks.exportOrc(src, s"$dir/orc")
+    val back = io.Sinks.readOrc(spark, s"$dir/orc")
+    // schema + value fidelity (timestamps included)
+    assert(back.schema === src.schema)
+    assert(back.orderBy(back.columns.map(col).toIndexedSeq: _*).collect().toSeq ===
+      src.orderBy(src.columns.map(col).toIndexedSeq: _*).collect().toSeq)
+    // same pushdown contract as the parquet scans
+    val filtered = back.filter(col("l_extendedprice") > 30000.0)
+      .select("l_orderkey", "l_extendedprice")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_extendedprice)"),
+      s"ORC scan must push the predicate:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate"),
+      s"ORC scan must prune unused columns: $readSchema")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val left = (1L to 2000L).map(k => (k, s"l$k")).toDF("k", "lv")
     val right = (1L to 2000L).map(k => (k, k * 2.5)).toDF("k", "rv")
