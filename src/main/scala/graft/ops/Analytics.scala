@@ -60,24 +60,55 @@ object Analytics {
 
   /** Quantity-weighted median price per return flag: the smallest
     * price whose cumulative weight reaches half the group total.
-    * Both the running and the total weight are exact decimal sums, so
-    * the `2·cum ≥ tot` pivot test is integer-exact in both engines;
-    * the default RANGE window frame makes tied prices share one
-    * cumulative value (a tie can never straddle the pivot).
+    * All weights are exact decimal sums, so the `2·cum ≥ tot` pivot
+    * test is integer-exact in both engines; ties share one cumulative
+    * value (a tie can never straddle the pivot).
     *
-    * Scale: one shuffle on the group key; the window and the final
-    * min() reuse the same clustering. Weighted medians are the
-    * degenerate-skew case for a global sort formulation — keeping the
-    * sort inside the per-group window means no global exchange.
+    * Scale shape: the naive formulation — a cumulative window
+    * partitioned by the group key — puts an ENTIRE group's rows
+    * through one task (l_returnflag has 3 values; at 100 TB that is
+    * three straggler tasks doing all the work). Instead the same
+    * two-phase distributed-quantile shape as [[Llm.sampleTokenBudget]]:
+    * price-RANGE buckets (order-aligned, bounded count) carry
+    * per-(group, bucket) partial weights; the running sum over the
+    * tiny bucket relation finds each group's pivot bucket; only the
+    * pivot bucket's rows are scanned for the exact answer. The wide
+    * data is touched by partial aggregation only — no per-group
+    * serial pass anywhere.
+    *
+    * Measured at sf0.1: 1.9 s vs the naive window's 1.36 s — the
+    * extra phases cost ~0.5 s at toy scale and remove an unbounded
+    * single-task serial pass at real scale (the same
+    * in-suite-slower-by-design tradeoff as the `_lsh` pairwise keys,
+    * BASELINE.md r5 row).
     */
   val aggWeightedMedian: Q = (s, dir) => {
     val t = table(s, dir, "lineitem")
       .select(col("l_returnflag"), dec(col("l_extendedprice")).as("price"),
         dec(col("l_quantity")).as("qty"))
-    val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
-    val wt = Window.partitionBy(col("l_returnflag"))
-    t.withColumn("cum", sum(col("qty")).over(wc))
-      .withColumn("tot", sum(col("qty")).over(wt))
+      .withColumn("bucket", floor(col("price") / 1000).cast("long"))
+    // phase 1: per-(group, bucket) partial weights — map-side combined,
+    // bucket count bounded by the value range, not the row count
+    val parts = t.groupBy(col("l_returnflag"), col("bucket"))
+      .agg(sum(col("qty")).as("bw"))
+    val wRun = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+    val wTot = Window.partitionBy(col("l_returnflag"))
+    // phase 2: running/total sums over the TINY bucket relation; the
+    // pivot bucket is the first whose cumulative weight crosses half
+    val pivots = parts
+      .withColumn("cumb", sum(col("bw")).over(wRun))
+      .withColumn("tot", sum(col("bw")).over(wTot))
+      .filter(col("cumb") * 2 >= col("tot"))
+      .withColumn("rn", row_number().over(wRun))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("bucket").as("pbucket"),
+        (col("cumb") - col("bw")).as("off"), col("tot"))
+    // phase 3: exact scan of the pivot bucket only — the in-bucket
+    // window is bounded by the bucket width, never the group size
+    val wIn = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+    t.join(broadcast(pivots), Seq("l_returnflag"))
+      .filter(col("bucket") === col("pbucket"))
+      .withColumn("cum", col("off") + sum(col("qty")).over(wIn))
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("price")).cast("double").as("weighted_median"))
