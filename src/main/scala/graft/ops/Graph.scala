@@ -108,7 +108,51 @@ object Graph {
         (col("rq").cast("double") / 1000000000000L).as("rank"))
   }
 
+  /** Per-node triangle participation over the (undirected,
+    * canonicalized) part graph — the clustering/cohesion primitive.
+    * Edges are canonicalized to `u < v` and deduped; a triangle is
+    * counted once as the ordered triple `u < v < w` (wedge at v
+    * closed by the (u, w) edge), then credited to all three corners
+    * via a row-local explode. Output: top-20 nodes by triangle
+    * count — pure integers end to end.
+    *
+    * Scale: the wedge join is the Σ deg² term — the standard
+    * triangle-counting cost. The id-ordering here bounds double
+    * counting away entirely without a distinct; the classic
+    * at-scale refinement is DEGREE ordering (orient each edge from
+    * its lower-degree endpoint, making Σ deg² ≈ m^1.5 on skewed
+    * graphs) — same plan shape, different comparison key, worth it
+    * only once hub degrees dominate. Both joins are equi-joins on
+    * node ids (shuffle_hash-able, never nested-loop).
+    */
+  val graphTriangleCount: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val nxt = li.select(col("l_orderkey").as("ok"),
+      col("l_linenumber").as("ln"), col("l_partkey").as("p2"))
+    val und = li.join(nxt,
+        col("l_orderkey") === col("ok") &&
+          col("ln") === col("l_linenumber") + 1 &&
+          col("l_partkey") =!= col("p2"))
+      .select(least(col("l_partkey"), col("p2")).as("u"),
+        greatest(col("l_partkey"), col("p2")).as("v"))
+      .distinct()
+      .localCheckpoint() // scanned three times by the wedge closure
+    val wedges = und.join(und.select(col("u").as("v2"), col("v").as("w")),
+        col("v") === col("v2"))
+      .select(col("u"), col("v"), col("w"))
+    val tris = wedges.join(und.select(col("u").as("u3"), col("v").as("w3")),
+        col("u") === col("u3") && col("w") === col("w3"))
+      .select(col("u"), col("v"), col("w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("node"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
+    "graph_triangle_count" -> graphTriangleCount,
   )
 }

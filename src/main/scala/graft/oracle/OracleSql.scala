@@ -1594,6 +1594,27 @@ object OracleSql {
 
   private val graph: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
+
+    "graph_triangle_count" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |         greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+        |   AND a.l_partkey <> b.l_partkey),
+        |tris AS (
+        |  SELECT e1.u, e1.v, e2.v AS w
+        |  FROM und e1
+        |  JOIN und e2 ON e1.v = e2.u
+        |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT u AS node FROM tris
+        |  UNION ALL SELECT v FROM tris
+        |  UNION ALL SELECT w FROM tris)
+        |SELECT node, count(*) AS n_triangles
+        |FROM corners GROUP BY node
+        |ORDER BY n_triangles DESC, node
+        |LIMIT 20""".stripMargin,
   )
 
   val sql: Map[String, String] =

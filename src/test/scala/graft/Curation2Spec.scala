@@ -166,4 +166,32 @@ class Curation2Spec extends SparkSpec {
     // rank mass is bounded by 1 (dangling mass only leaks out)
     assert(rq.values.map(_.toDouble / 1e12).sum <= 1.0 + 1e-9)
   }
+
+  test("graph_triangle_count matches brute-force triangle enumeration") {
+    val got = ops.Graph.graphTriangleCount(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val li = io.Readers.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+      .as[(Long, Int, Long)].collect()
+    val und: Set[(Long, Long)] = li.groupBy(_._1).values.toSeq.flatMap { lines =>
+      lines.toSeq.flatMap { a =>
+        lines.toSeq.collect {
+          case b if b._2 == a._2 + 1 && a._3 != b._3 =>
+            (math.min(a._3, b._3), math.max(a._3, b._3))
+        }
+      }
+    }.toSet
+    val adj = und.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val triCount = scala.collection.mutable.Map.empty[Long, Long]
+    und.foreach { case (u, v) =>
+      // close wedges u < v < w
+      adj.getOrElse(v, Set.empty).foreach { w =>
+        if (und.contains((u, w))) {
+          Seq(u, v, w).foreach(n => triCount(n) = triCount.getOrElse(n, 0L) + 1)
+        }
+      }
+    }
+    val expect = triCount.toSeq.sortBy { case (n, c) => (-c, n) }.take(20)
+    assert(got.toSeq == expect)
+  }
 }
