@@ -87,6 +87,7 @@ object Analytics {
       .select(col("l_returnflag"), dec(col("l_extendedprice")).as("price"),
         dec(col("l_quantity")).as("qty"))
       .withColumn("bucket", floor(col("price") / 1000).cast("long"))
+      .localCheckpoint() // narrow relation, scanned by phase 1 AND phase 3
     // phase 1: per-(group, bucket) partial weights — map-side combined,
     // bucket count bounded by the value range, not the row count
     val parts = t.groupBy(col("l_returnflag"), col("bucket"))
@@ -113,6 +114,55 @@ object Analytics {
       .groupBy(col("l_returnflag"))
       .agg(min(col("price")).cast("double").as("weighted_median"))
       .orderBy("l_returnflag")
+  }
+
+  // --------------------------------------- bucketed exact quantiles
+
+  /** Exact p25/p50/p75/p90 (type-1, "smallest value at-or-above the
+    * rank") of price per return flag — WITHOUT a holistic aggregate:
+    * [[Udx.aggCustomAggregator]]-style `percentile()` buffers every
+    * value per group in one task's memory, which is exactly what
+    * cannot happen at 100 TB. Same bucketed two-phase shape as
+    * [[aggWeightedMedian]], generalized to a quantile VECTOR: the
+    * per-(group, bucket) count relation is tiny, every requested
+    * quantile finds its pivot bucket from the same running sum
+    * (explode over q — no extra pass over the wide data), and only
+    * pivot buckets get the exact in-bucket scan. The rank test
+    * `100·cum ≥ q·tot` is pure integer.
+    */
+  val aggQuantilesBucketed: Q = (s, dir) => {
+    val qs = Seq(25, 50, 75, 90)
+    val t = table(s, dir, "lineitem")
+      .select(col("l_returnflag"), dec(col("l_extendedprice")).as("price"))
+      .withColumn("bucket", floor(col("price") / 1000).cast("long"))
+      .localCheckpoint() // narrow relation, scanned by phase 1 AND phase 3
+    val parts = t.groupBy(col("l_returnflag"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val wRun = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+    val wTot = Window.partitionBy(col("l_returnflag"))
+    val ranked = parts
+      .withColumn("cumb", sum(col("bn")).over(wRun))
+      .withColumn("tot", sum(col("bn")).over(wTot))
+    // pivot bucket per (group, q): first bucket whose cumulative count
+    // reaches the q-rank — explode q over the TINY bucket relation
+    val wQ = Window.partitionBy(col("l_returnflag"), col("q")).orderBy(col("bucket"))
+    val pivots = ranked
+      .select(col("l_returnflag"), col("bucket"), col("bn"), col("cumb"),
+        col("tot"), explode(array(qs.map(lit): _*)).as("q"))
+      .filter(col("cumb") * 100 >= col("q") * col("tot"))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("q"), col("bucket").as("pbucket"),
+        (col("cumb") - col("bn")).as("off"), col("tot"))
+    // exact scan of pivot buckets only (each bounded by bucket width)
+    val wIn = Window.partitionBy(col("l_returnflag"), col("q")).orderBy(col("price"))
+    t.join(broadcast(pivots), Seq("l_returnflag"))
+      .filter(col("bucket") === col("pbucket"))
+      .withColumn("cum", col("off") + sum(lit(1L)).over(wIn))
+      .filter(col("cum") * 100 >= col("q") * col("tot"))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(min(col("price")).cast("double").as("quantile_val"))
+      .orderBy("l_returnflag", "q")
   }
 
   // ------------------------------------------------ z-score anomalies
@@ -339,5 +389,6 @@ object Analytics {
     "events_path_analysis" -> eventsPathAnalysis,
     "events_markov_transition" -> eventsMarkovTransition,
     "win_ewma_user" -> winEwmaUser,
+    "agg_quantiles_bucketed" -> aggQuantilesBucketed,
   )
 }

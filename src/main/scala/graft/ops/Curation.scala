@@ -210,7 +210,7 @@ object Curation {
     val ord = table(s, dir, "orders")
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
     Skew.saltedJoin(table(s, dir, "lineitem"), ord,
-        key = "l_orderkey", discriminator = "l_partkey", salts = 8)
+        key = "l_orderkey", discriminator = "l_partkey", salts = 4)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
         dsumProduct(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))

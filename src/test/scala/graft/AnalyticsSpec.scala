@@ -54,6 +54,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------- bucketed quantiles
+
+  test("agg_quantiles_bucketed equals naive sorted-rank quantiles") {
+    val out = ops.Analytics.aggQuantilesBucketed(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val rows = io.Readers.table(spark, dir, "lineitem")
+      .select("l_returnflag", "l_extendedprice")
+      .as[(String, Double)].collect().groupBy(_._1)
+    rows.foreach { case (f, xs) =>
+      val sorted = xs.map(x => BigDecimal(x._2).setScale(2)).sorted
+      val n = sorted.length
+      Seq(25, 50, 75, 90).foreach { q =>
+        // type-1: smallest value whose 1-based rank r has 100r >= qn
+        val idx = sorted.indices.find(i => (i + 1) * 100 >= q * n).get
+        assert(out((f, q)) == sorted(idx).toDouble, s"flag=$f q=$q")
+      }
+    }
+  }
+
   // -------------------------------------------------- z-score flags
 
   test("anomaly_zscore flags exactly the >3-sigma events") {

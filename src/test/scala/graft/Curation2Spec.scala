@@ -152,7 +152,7 @@ class Curation2Spec extends SparkSpec {
     val n = nodes.size
     val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
     var rq = nodes.map(_ -> 1000000000000L / n).toMap
-    (1 to 10).foreach { _ =>
+    (1 to 5).foreach { _ =>
       val s = scala.collection.mutable.Map.empty[Long, Long]
       edges.foreach { case (src, dst) =>
         s(dst) = s.getOrElse(dst, 0L) + rq(src) / outDeg(src)
