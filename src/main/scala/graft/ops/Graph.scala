@@ -57,18 +57,30 @@ object Graph {
     * |edges| reaches the billions, which is exactly when the
     * per-iteration work starts amortizing them.
     */
-  val graphPagerank: Q = (s, dir) => {
-    val li = table(s, dir, "lineitem")
+  /** Directed edges of the order-sequence part graph: each part links
+    * to the NEXT part in its order's (linenumber, partkey) sequence.
+    * One window shuffle on l_orderkey — the lead() formulation halves
+    * the exchange count of the equivalent self-join on
+    * (orderkey, linenumber+1), and the (linenumber, partkey) sort key
+    * is a total order over the values that matter, so the successor
+    * sequence is deterministic even though lineitem carries duplicate
+    * (orderkey, linenumber) rows (tied rows are value-identical).
+    */
+  private def orderSequenceEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-    val nxt = li.select(col("l_orderkey").as("ok"),
-      col("l_linenumber").as("ln"), col("l_partkey").as("dst"))
-    val edges = li.join(nxt,
-        col("l_orderkey") === col("ok") &&
-          col("ln") === col("l_linenumber") + 1 &&
-          col("l_partkey") =!= col("dst"))
+      .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+      .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
       .select(col("l_partkey").as("src"), col("dst"))
       .distinct()
-      .localCheckpoint()
+  }
+
+  val graphPagerank: Q = (s, dir) => {
+    val edges = orderSequenceEdges(s, dir).localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
@@ -137,16 +149,9 @@ object Graph {
     * never nested-loop).
     */
   val graphTriangleCount: Q = (s, dir) => {
-    val li = table(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-    val nxt = li.select(col("l_orderkey").as("ok"),
-      col("l_linenumber").as("ln"), col("l_partkey").as("p2"))
-    val und = li.join(nxt,
-        col("l_orderkey") === col("ok") &&
-          col("ln") === col("l_linenumber") + 1 &&
-          col("l_partkey") =!= col("p2"))
-      .select(least(col("l_partkey"), col("p2")).as("u"),
-        greatest(col("l_partkey"), col("p2")).as("v"))
+    val und = orderSequenceEdges(s, dir)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
       .distinct()
       .localCheckpoint() // scanned three times by the wedge closure
     val wedges = und.join(und.select(col("u").as("v2"), col("v").as("w")),

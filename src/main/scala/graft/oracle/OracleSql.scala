@@ -1581,11 +1581,14 @@ object OracleSql {
     */
   private val pagerankSql: String = {
     val base =
-      """WITH edges AS (
-        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
-        |   AND a.l_partkey <> b.l_partkey),
+      """WITH e0 AS (
+        |  SELECT l_partkey AS src,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                               ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT src, dst FROM e0
+        |  WHERE dst IS NOT NULL AND dst <> src),
         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
         |nn AS (SELECT count(*) AS n FROM nodes),
         |outd AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
@@ -1611,12 +1614,14 @@ object OracleSql {
     "graph_pagerank" -> pagerankSql,
 
     "graph_triangle_count" ->
-      """WITH und AS (
-        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-        |         greatest(a.l_partkey, b.l_partkey) AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
-        |   AND a.l_partkey <> b.l_partkey),
+      """WITH e0 AS (
+        |  SELECT l_partkey AS src,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                               ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e0 WHERE dst IS NOT NULL AND dst <> src),
         |tris AS (
         |  SELECT e1.u, e1.v, e2.v AS w
         |  FROM und e1

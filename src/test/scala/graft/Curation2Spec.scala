@@ -10,6 +10,15 @@ class Curation2Spec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Reference order-sequence edges: successor in each order's
+    * (linenumber, partkey) sort — mirrors Graph.orderSequenceEdges.
+    */
+  private def referenceEdges(li: Array[(Long, Int, Long)]): Set[(Long, Long)] =
+    li.groupBy(_._1).values.toSeq.flatMap { lines =>
+      val seq = lines.toSeq.sortBy(x => (x._2, x._3)).map(_._3)
+      seq.zip(seq.drop(1)).filter { case (a, b) => a != b }
+    }.toSet
+
   private def toksOf(dir: String): Map[Long, (String, Array[String])] =
     io.Readers.table(spark, dir, "documents")
       .filter(trim(col("text")) =!= "")
@@ -140,14 +149,7 @@ class Curation2Spec extends SparkSpec {
     val li = io.Readers.table(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_partkey")
       .as[(Long, Int, Long)].collect()
-    val byOrder = li.groupBy(_._1)
-    val edges: Set[(Long, Long)] = byOrder.values.toSeq.flatMap { lines =>
-      lines.toSeq.flatMap { a =>
-        lines.toSeq.collect {
-          case b if b._2 == a._2 + 1 && a._3 != b._3 => (a._3, b._3)
-        }
-      }
-    }.toSet
+    val edges: Set[(Long, Long)] = referenceEdges(li)
     val nodes = edges.flatMap(e => Seq(e._1, e._2))
     val n = nodes.size
     val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
@@ -173,14 +175,8 @@ class Curation2Spec extends SparkSpec {
     val li = io.Readers.table(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_partkey")
       .as[(Long, Int, Long)].collect()
-    val und: Set[(Long, Long)] = li.groupBy(_._1).values.toSeq.flatMap { lines =>
-      lines.toSeq.flatMap { a =>
-        lines.toSeq.collect {
-          case b if b._2 == a._2 + 1 && a._3 != b._3 =>
-            (math.min(a._3, b._3), math.max(a._3, b._3))
-        }
-      }
-    }.toSet
+    val und: Set[(Long, Long)] = referenceEdges(li)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
     val adj = und.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
     val triCount = scala.collection.mutable.Map.empty[Long, Long]
     und.foreach { case (u, v) =>
