@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Determinism.{dec, dsum}
+import graft.Determinism.dec
 import graft.io.Readers.table
 
 /** Round-6 second-wave analytics operators: marketing attribution,
