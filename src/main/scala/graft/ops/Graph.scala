@@ -140,13 +140,15 @@ object Graph {
     * away entirely without a distinct. The degree-ordered "forward"
     * refinement (Schank & Wagner: orient each edge from its
     * lower-degree endpoint → Σ outdeg², outdeg ≤ √2m) was
-    * IMPLEMENTED AND MEASURED on this graph: 2.66 s vs 2.05 s at
-    * sf0.1 — degrees here are near-uniform (294k edges / 20k nodes,
-    * no hubs), so the extra degree join + orientation pass is not
-    * repaid. The refinement pays exactly when hub degrees dominate;
-    * on this corpus the simple ordering is the measured winner.
-    * Both joins are equi-joins on node ids (shuffle_hash-able,
-    * never nested-loop).
+    * IMPLEMENTED AND MEASURED BOTH WAYS (ScratchTriangleSkew):
+    * on THIS corpus (294k edges / 20k nodes, near-uniform degrees)
+    * it loses — 2.66 vs 2.05 s at sf0.1, the orientation pass is
+    * not repaid; on a planted hub-skew fixture (4 middle-id hubs of
+    * degree 8000 over 72k edges) it wins 2× — 5.6–6.1 s id-ordered
+    * vs 2.8 s degree-ordered, identical counts. Pick by the degree
+    * profile from [[Stats.columnStats]]-style NDV/max stats; this
+    * corpus says simple. Both joins are equi-joins on node ids
+    * (shuffle_hash-able, never nested-loop).
     */
   val graphTriangleCount: Q = (s, dir) => {
     val und = orderSequenceEdges(s, dir)
