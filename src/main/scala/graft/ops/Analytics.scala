@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -248,6 +249,44 @@ object Analytics {
             (unix_timestamp(col("nt")) - unix_timestamp(col("pt"))).cast("double")), 9))
       .select(col("event_type"), col("hr"), col("val"), col("filled"))
       .orderBy("event_type", "hr")
+  }
+
+  /** Generic keyed linear interpolation — the unbounded-cardinality
+    * form of [[timeSeriesInterpolate]] (whose oracle'd key runs over
+    * event_type, a constant-cardinality column with a
+    * calendar-bounded spine). Input: one row per OBSERVED point,
+    * columns (series_id, hr timestamp, v double). Output: each
+    * series' full hourly spine with gaps linearly interpolated, same
+    * semantics as the key.
+    *
+    * Every window here partitions by series_id — at 100 TB the unit
+    * of serial work is one series' spine, and series count is the
+    * parallelism. One shuffle on series_id; the spine explode is
+    * row-local.
+    */
+  def interpolateSeries(series: DataFrame): DataFrame = {
+    val spine = series.groupBy(col("series_id"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(col("series_id"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
+    val wPrev = Window.partitionBy(col("series_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("series_id")).orderBy(col("hr"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(series, Seq("series_id", "hr"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt",
+        last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nt",
+        first(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wNext))
+      .withColumn("filled", col("v").isNull)
+      .withColumn("val",
+        when(col("v").isNotNull, col("v")).otherwise(
+          col("pv") + (col("nv") - col("pv")) *
+            (unix_timestamp(col("hr")) - unix_timestamp(col("pt"))).cast("double") /
+            (unix_timestamp(col("nt")) - unix_timestamp(col("pt"))).cast("double")))
+      .select(col("series_id"), col("hr"), col("val"), col("filled"))
   }
 
   // ------------------------------------- point-in-time (SCD2) lookup
