@@ -67,6 +67,15 @@ object Curation {
     * true pair; the verify restores exactness. Note there is NO
     * length-ratio prune here — unlike Jaccard, a tiny-inside-huge pair
     * is precisely the signal, so the size asymmetry must survive.
+    *
+    * Cost is Σ df² (measured 19 M pair rows at sf0.1 — uniform df,
+    * max 152, so a df-cap prunes nothing). The PPJoin-style prefix
+    * filter was implemented and A/B'd (ScratchPrefixFilter): on a
+    * uniform vocabulary like this one it LOSES (3.0 vs 5.4 s — the
+    * rarity-ranking machinery isn't repaid), on a planted Zipf
+    * vocabulary it wins 4–7× (41–74 vs 10.3 s, hot-gram df²
+    * explosion, identical outputs) — the switch criterion is the df
+    * profile from the corpus stats.
     */
   val dedupNgramContainment: Q = (s, dir) => {
     val tau = 0.8 // integer form: 5·shared ≥ 4·min(|A|,|B|)
