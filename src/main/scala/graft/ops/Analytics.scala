@@ -419,6 +419,30 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Signup → first-purchase conversion latency per user — the
+    * activation-funnel metric. Each side is one filtered partial
+    * aggregation; the purchase side joins the (small) signup relation
+    * on user_id and keeps only purchases at-or-after the signup, so
+    * no event-pair set ever forms. The latency is an exact integer
+    * difference of epoch seconds (`unix_timestamp` truncates to
+    * seconds identically in both engines).
+    */
+  val eventsTimeToConvert: Q = (s, dir) => {
+    val ev = table(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    ev.filter(col("event_type") === "purchase")
+      .join(signups, "user_id")
+      .filter(col("ts") >= col("signup_ts"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(col("ts")).as("first_purchase_ts"))
+      .select(col("user_id"), col("signup_ts"), col("first_purchase_ts"),
+        (unix_timestamp(col("first_purchase_ts")) -
+          unix_timestamp(col("signup_ts"))).as("secs_to_convert"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "events_attribution" -> eventsAttribution,
     "agg_weighted_median" -> aggWeightedMedian,
@@ -429,5 +453,6 @@ object Analytics {
     "events_markov_transition" -> eventsMarkovTransition,
     "win_ewma_user" -> winEwmaUser,
     "agg_quantiles_bucketed" -> aggQuantilesBucketed,
+    "events_time_to_convert" -> eventsTimeToConvert,
   )
 }

@@ -195,11 +195,43 @@ object Curation2 {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------ readability score
+
+  /** Flesch-reading-ease-style readability per document — the
+    * readability band filter some curation pipelines run alongside
+    * the Gopher rules. Word soup has no sentence punctuation, so
+    * sentences ≡ 1 and the formula reduces to
+    * `206.835 − 1.015·words − 84.6·(syllables/words)` with the
+    * standard vowel-group syllable proxy. Emitted as
+    * `floor(score·10⁴)` micro-points (LONG): the ratio's denominator
+    * is the word count, and word counts with only 2·5 factors put the
+    * true value on exact 4-dp halves — floor has no rounding mode, so
+    * the cross-engine compare is safe by construction (same
+    * discipline as [[simCentroidLabel]]). Entirely row-local.
+    */
+  val textReadability: Q = (s, dir) => {
+    val toks = split(trim(col("text")), "\\s+")
+    table(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), size(toks).as("n_words"),
+        // vowel groups = split parts − 1 (split keeps boundary empties
+        // in BOTH engines — verified); every word counts ≥1 syllable
+        aggregate(transform(toks,
+            w => size(split(w, "[aeiou]+")) - 1),
+          lit(0), (acc, x) => acc + greatest(x, lit(1))).as("n_syll"))
+      .select(col("doc_id"), col("n_words"), col("n_syll"),
+        floor((lit(206.835) - lit(1.015) * col("n_words") -
+          lit(84.6) * (col("n_syll").cast("double") / col("n_words"))) * 10000)
+          .cast("long").as("score_e4"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_substring_span" -> dedupSubstringSpan,
     "text_gopher_rules" -> textGopherRules,
     "text_bpe_pairs" -> textBpePairs,
     "sim_centroid_label" -> simCentroidLabel,
     "sample_quality_weighted" -> sampleQualityWeighted,
+    "text_readability" -> textReadability,
   )
 }

@@ -1610,6 +1610,42 @@ object OracleSql {
         |ORDER BY rq DESC, node LIMIT 20""".stripMargin
   }
 
+  private val analytics2: Map[String, String] = Map(
+    "text_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |m AS (
+        |  SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
+        |         list_sum(list_transform(toks,
+        |           w -> greatest(len(string_split_regex(w, '[aeiou]+')) - 1, 1)))
+        |           AS n_syll
+        |  FROM t)
+        |SELECT doc_id, n_words, CAST(n_syll AS INT) AS n_syll,
+        |       CAST(floor((CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * n_words
+        |                   - CAST(84.6 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / n_words))
+        |                  * 10000)
+        |            AS BIGINT) AS score_e4
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+
+    "events_time_to_convert" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, s.signup_ts, min(e.ts) AS first_purchase_ts
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        |  GROUP BY e.user_id, s.signup_ts)
+        |SELECT user_id, signup_ts, first_purchase_ts,
+        |       CAST(floor(epoch(first_purchase_ts)) AS BIGINT)
+        |         - CAST(floor(epoch(signup_ts)) AS BIGINT) AS secs_to_convert
+        |FROM p
+        |ORDER BY user_id""".stripMargin,
+  )
+
   private val graph: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
 
@@ -1639,5 +1675,6 @@ object OracleSql {
 
   val sql: Map[String, String] =
     relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++
-      llm ++ streaming ++ llm2 ++ curation ++ statsLayout ++ analytics ++ graph
+      llm ++ streaming ++ llm2 ++ curation ++ statsLayout ++ analytics ++
+      analytics2 ++ graph
 }

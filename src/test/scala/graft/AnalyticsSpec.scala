@@ -173,6 +173,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("events_time_to_convert: latency is the exact first-signup/first-after-purchase gap") {
+    val out = ops.Analytics.eventsTimeToConvert(spark, dir).collect()
+    assert(out.nonEmpty)
+    val ev = io.Readers.table(spark, dir, "events")
+      .select("user_id", "ts", "event_type")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+    val byUser = ev.groupBy(_._1)
+    val truth = byUser.flatMap { case (u, xs) =>
+      val signups = xs.filter(_._3 == "signup").map(_._2.getTime)
+      if (signups.isEmpty) None else {
+        val s = signups.min
+        val after = xs.filter(x => x._3 == "purchase" && x._2.getTime >= s)
+          .map(_._2.getTime)
+        after.minOption.map(p => u -> (s, p))
+      }
+    }
+    assert(out.map(_.getLong(0)).toSet == truth.keySet)
+    out.foreach { r =>
+      val (s, p) = truth(r.getLong(0))
+      assert(r.getTimestamp(1).getTime == s && r.getTimestamp(2).getTime == p)
+      assert(r.getLong(3) == math.floorDiv(p, 1000) - math.floorDiv(s, 1000))
+    }
+  }
+
   // -------------------------------------------- point-in-time SCD2
 
   test("join_scd2_pointintime equals the interval theta-join") {

@@ -139,6 +139,24 @@ class Curation2Spec extends SparkSpec {
     assert(keptSplits.size >= 2, "quality sampling starved entire splits")
   }
 
+  // -------------------------------------------------- readability
+
+  test("text_readability matches a driver-side recomputation") {
+    val out = ops.Curation2.textReadability(spark, dir).collect()
+    assert(out.nonEmpty)
+    val docs = toksOf(dir)
+    out.foreach { r =>
+      val toks = docs(r.getLong(0))._2
+      val syll = toks.map { w =>
+        math.max(w.split("[aeiou]+", -1).length - 1, 1)
+      }.sum
+      assert(r.getInt(1) == toks.length)
+      assert(r.getInt(2) == syll, s"doc ${r.getLong(0)}")
+      val score = 206.835 - 1.015 * toks.length - 84.6 * (syll.toDouble / toks.length)
+      assert(r.getLong(3) == math.floor(score * 10000).toLong, s"doc ${r.getLong(0)}")
+    }
+  }
+
   // ----------------------------------------------------- PageRank
 
   test("graph_pagerank matches a driver-side integer reference") {
