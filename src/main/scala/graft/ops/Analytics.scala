@@ -443,6 +443,60 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** RFM (recency / frequency / monetary) segmentation per purchasing
+    * user, with quintile scores — the standard marketing-analytics
+    * segmentation. Recency is an exact integer day difference from
+    * the corpus's own max purchase date (no wall clock — results are
+    * a pure function of the data); monetary is a decimal-exact sum;
+    * quintiles are `ntile(5)` under a TOTAL order (metric, user_id)
+    * so tie placement is pinned in both engines.
+    *
+    * Scale: one filtered partial aggregation on user_id; the max-date
+    * scalar broadcasts via a subquery-free cross join of a 1-row
+    * relation; the ntile windows run over the aggregated per-user
+    * relation (|users|, not |events|) — and ntile is a global window
+    * BY DEFINITION here (quintiles of the whole population); for a
+    * population too large for one task, swap in the bucketed-pivot
+    * rank shape of [[aggQuantilesBucketed]].
+    */
+  val eventsRfm: Q = (s, dir) => {
+    val p = table(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val perUser = p.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+        sum(dec(col("value"))).cast("double").as("monetary"))
+    val maxd = p.agg(max(col("ts")).as("corpus_max")).select(to_date(col("corpus_max")).as("corpus_max"))
+    perUser.crossJoin(broadcast(maxd))
+      .select(col("user_id"),
+        datediff(col("corpus_max"), to_date(col("last_ts"))).as("r_days"),
+        col("freq"), col("monetary"))
+      .withColumn("r_quintile", ntile(5).over(
+        Window.orderBy(col("r_days"), col("user_id"))))
+      .withColumn("f_quintile", ntile(5).over(
+        Window.orderBy(col("freq").desc, col("user_id"))))
+      .withColumn("m_quintile", ntile(5).over(
+        Window.orderBy(col("monetary").desc, col("user_id"))))
+      .orderBy("user_id")
+  }
+
+  /** Per-group top prices WITH ties — `rank() ≤ k` rather than
+    * `row_number() ≤ k`: every row tied with the k-th survives, which
+    * is what "top 3 prices" actually means when duplicates exist.
+    * Catalyst pushes a WindowGroupLimit below the shuffle for rank
+    * exactly as for row_number (asserted in PlanSpec), so the
+    * map-side prune survives the semantic upgrade.
+    */
+  val winTopkWithTies: Q = (s, dir) => {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("price").desc)
+    table(s, dir, "lineitem")
+      .select(col("l_returnflag"), dec(col("l_extendedprice")).as("price"))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("l_returnflag"), col("rnk"), col("price").cast("double").as("price"))
+      .orderBy("l_returnflag", "rnk", "price")
+  }
+
   val queries: Map[String, Q] = Map(
     "events_attribution" -> eventsAttribution,
     "agg_weighted_median" -> aggWeightedMedian,
@@ -454,5 +508,7 @@ object Analytics {
     "win_ewma_user" -> winEwmaUser,
     "agg_quantiles_bucketed" -> aggQuantilesBucketed,
     "events_time_to_convert" -> eventsTimeToConvert,
+    "events_rfm" -> eventsRfm,
+    "win_topk_with_ties" -> winTopkWithTies,
   )
 }

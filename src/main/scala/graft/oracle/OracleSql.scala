@@ -1630,6 +1630,37 @@ object OracleSql {
         |FROM m
         |ORDER BY doc_id""".stripMargin,
 
+    "events_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM p GROUP BY user_id),
+        |mx AS (SELECT CAST(max(ts) AS DATE) AS corpus_max FROM p)
+        |SELECT u.user_id,
+        |       CAST(datediff('day', CAST(u.last_ts AS DATE), mx.corpus_max) AS INT)
+        |         AS r_days,
+        |       u.freq, u.monetary,
+        |       ntile(5) OVER (ORDER BY datediff('day', CAST(u.last_ts AS DATE),
+        |                      mx.corpus_max), u.user_id) AS r_quintile,
+        |       ntile(5) OVER (ORDER BY u.freq DESC, u.user_id) AS f_quintile,
+        |       ntile(5) OVER (ORDER BY u.monetary DESC, u.user_id) AS m_quintile
+        |FROM u, mx
+        |ORDER BY user_id""".stripMargin,
+
+    "win_topk_with_ties" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, price,
+        |         rank() OVER (PARTITION BY l_returnflag ORDER BY price DESC) AS rnk
+        |  FROM t)
+        |SELECT l_returnflag, rnk, CAST(price AS DOUBLE) AS price
+        |FROM r WHERE rnk <= 3
+        |ORDER BY l_returnflag, rnk, price""".stripMargin,
+
     "events_time_to_convert" ->
       """WITH s AS (
         |  SELECT user_id, min(ts) AS signup_ts

@@ -197,6 +197,44 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("events_rfm: metrics recompute and quintiles are balanced") {
+    val out = ops.Analytics.eventsRfm(spark, dir).collect()
+    assert(out.nonEmpty)
+    val p = io.Readers.table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+    val corpusMax = p.map(_._2.getTime).max / 86400000
+    val byUser = p.groupBy(_._1)
+    assert(out.map(_.getLong(0)).toSet == byUser.keySet)
+    out.foreach { r =>
+      val xs = byUser(r.getLong(0))
+      assert(r.getLong(2) == xs.length, s"freq of user ${r.getLong(0)}")
+      val mon = xs.map(x => BigDecimal(x._3).setScale(2)).sum.toDouble
+      assert(r.getDouble(3) == mon, s"monetary of user ${r.getLong(0)}")
+    }
+    // quintiles split the population evenly (sizes differ by at most 1)
+    Seq(4, 5, 6).foreach { c =>
+      val sizes = out.groupBy(_.getInt(c)).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"unbalanced quintile col $c")
+    }
+  }
+
+  test("win_topk_with_ties keeps every row tied with the k-th") {
+    val out = ops.Analytics.winTopkWithTies(spark, dir).collect()
+    val rows = io.Readers.table(spark, dir, "lineitem")
+      .select("l_returnflag", "l_extendedprice")
+      .as[(String, Double)].collect().groupBy(_._1)
+    rows.foreach { case (f, xs) =>
+      val prices = xs.map(x => BigDecimal(x._2).setScale(2)).sortBy(-_)
+      // rank ≤ 3 ⟺ value ≥ the 3rd row's value in descending order
+      val kthRankValue = prices(math.min(2, prices.length - 1))
+      val expect = prices.filter(_ >= kthRankValue)
+      val got = out.filter(_.getString(0) == f).map(r => BigDecimal(r.getDouble(2)).setScale(2))
+      assert(got.sorted.toSeq == expect.sorted.toSeq, s"group $f")
+    }
+  }
+
   // -------------------------------------------- point-in-time SCD2
 
   test("join_scd2_pointintime equals the interval theta-join") {

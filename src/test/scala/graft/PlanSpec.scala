@@ -205,6 +205,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("win_topk_with_ties pushes a WindowGroupLimit below the shuffle (rank variant)") {
+    val df = ops.Analytics.winTopkWithTies(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("win_ewma_user: single user_id exchange feeds the fold") {
     val df = ops.Analytics.winEwmaUser(spark, dir)
     val p = df.queryExecution.executedPlan.toString
