@@ -7,15 +7,20 @@ import org.apache.spark.sql.functions._
 import graft.Determinism.dec
 import graft.io.Readers.table
 
-/** Round-6 second-wave analytics operators: marketing attribution,
-  * weighted medians, statistical anomaly flags, linear gap
-  * interpolation, and point-in-time (bitemporal) dimension lookup.
+/** Round-6 analytics operators: marketing attribution, weighted
+  * median + exact quantiles (bucketed two-phase, no holistic agg),
+  * statistical anomaly flags, linear gap interpolation (keyed and
+  * oracle'd forms), point-in-time (bitemporal) dimension lookup,
+  * event-path mining, Markov transitions, per-user EWMA, activation
+  * latency, RFM segmentation, and tie-aware group top-k.
   *
   * Contract as everywhere else: every key here is oracle'd against
   * DuckDB with identical column names and a total ORDER BY, and every
-  * float that crosses an aggregation boundary goes through the
-  * decimal discipline (graft.Determinism) so association order cannot
-  * move a bit.
+  * number that crosses an aggregation or rounding boundary uses an
+  * engine-exact discipline — decimal sums (graft.Determinism),
+  * integer div (ppm, epoch diffs), floor quantization, or
+  * order-pinned IEEE folds — so neither association order nor a
+  * rounding mode can move a bit.
   */
 object Analytics {
 

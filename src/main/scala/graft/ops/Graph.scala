@@ -17,6 +17,28 @@ object Graph {
 
   import Relational.Q
 
+  /** Directed edges of the order-sequence part graph: each part links
+    * to the NEXT part in its order's (linenumber, partkey) sequence.
+    * One window shuffle on l_orderkey — the lead() formulation halves
+    * the exchange count of the equivalent self-join on
+    * (orderkey, linenumber+1), and the (linenumber, partkey) sort key
+    * is a total order over the values that matter, so the successor
+    * sequence is deterministic even though lineitem carries duplicate
+    * (orderkey, linenumber) rows (tied rows are value-identical).
+    */
+  private def orderSequenceEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+      .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+      .select(col("l_partkey").as("src"), col("dst"))
+      .distinct()
+  }
+
   /** Fixed-iteration PageRank over the order-sequence part graph:
     * within each order, the part on line n links to the part on line
     * n+1 (a market-basket succession graph with natural skew —
@@ -57,28 +79,6 @@ object Graph {
     * |edges| reaches the billions, which is exactly when the
     * per-iteration work starts amortizing them.
     */
-  /** Directed edges of the order-sequence part graph: each part links
-    * to the NEXT part in its order's (linenumber, partkey) sequence.
-    * One window shuffle on l_orderkey — the lead() formulation halves
-    * the exchange count of the equivalent self-join on
-    * (orderkey, linenumber+1), and the (linenumber, partkey) sort key
-    * is a total order over the values that matter, so the successor
-    * sequence is deterministic even though lineitem carries duplicate
-    * (orderkey, linenumber) rows (tied rows are value-identical).
-    */
-  private def orderSequenceEdges(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_orderkey"))
-      .orderBy(col("l_linenumber"), col("l_partkey"))
-    table(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-      .withColumn("dst", lead(col("l_partkey"), 1).over(w))
-      .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
-      .select(col("l_partkey").as("src"), col("dst"))
-      .distinct()
-  }
-
   val graphPagerank: Q = (s, dir) => {
     val edges = orderSequenceEdges(s, dir).localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
@@ -104,8 +104,6 @@ object Graph {
     // shuffle (down from two broadcasts + a join — barriers are the
     // measured cost here, see above). Iteration 1 needs no join at
     // all: the uniform r0 rides the edge scan as a literal.
-    // (cnode, s) — iteration 1 needs no join at all: the uniform r0
-    // rides the edge scan as a literal
     var contrib = edgesD
       .groupBy(col("dst").as("cnode"))
       .agg(sum(expr(s"$r0 div deg")).as("s"))
