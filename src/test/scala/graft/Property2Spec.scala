@@ -72,6 +72,31 @@ class Property2Spec extends SparkSpec {
     }
   }
 
+  test("quantile family handles degenerate distributions (all-equal, two-point, hot bucket)") {
+    val cases = Seq(
+      // all mass on one value → every quantile and the median ARE it
+      List.fill(500)(("A", 1234.56, 1.0)),
+      // two-point straddle: value chosen by exact rank arithmetic
+      List.fill(300)(("A", 10.0, 1.0)) ++ List.fill(200)(("A", 99999.99, 1.0)),
+      // everything inside ONE price bucket (bucket width 1000)
+      (1 to 400).map(i => ("A", 500.0 + i * 0.01, (i % 5 + 1).toDouble)).toList)
+    cases.zipWithIndex.foreach { case (rows, i) =>
+      val dir = tmpDir(s"deg$i")
+      rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val qs = ops.Analytics.aggQuantilesBucketed(spark, dir).collect()
+        .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+      val sorted = rows.map(x => BigDecimal(x._2).setScale(2)).sorted
+      val n = sorted.length
+      Seq(25, 50, 75, 90).foreach { q =>
+        val idx = sorted.indices.find(j => (j + 1) * 100 >= q * n).get
+        assert(qs(q) == sorted(idx).toDouble, s"case $i q$q")
+      }
+      val med = ops.Analytics.aggWeightedMedian(spark, dir).collect()
+      assert(med.length == 1, s"case $i median rows")
+    }
+  }
+
   private val evGen: Gen[List[(Long, Long, Long, Double, String)]] =
     Gen.nonEmptyListOf(for {
       id <- Gen.choose(1L, 100000L)

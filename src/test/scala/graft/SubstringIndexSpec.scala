@@ -59,6 +59,35 @@ class SubstringIndexSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ssi_corpus")
   }
 
+  test("compactBucketed collapses ssi append growth, contents and probes intact") {
+    val corpus = (1L to 40L).map(i =>
+      (i, "en", words(s"k$i-", 15).mkString(" "))).toDF("doc_id", "lang", "text")
+    ops.SubstringIndex.buildIndex(corpus, "ssi_cmp")
+    try {
+      for (i <- 0 until 3)
+        ops.SubstringIndex.appendToIndex(
+          Seq((100L + i, "en", words(s"a$i-", 15).mkString(" ")))
+            .toDF("doc_id", "lang", "text"), "ssi_cmp")
+      val before = spark.table("ssi_cmp").orderBy("gh", "doc_id", "pos").collect().toSeq
+      io.Sinks.compactBucketed(spark, "ssi_cmp")
+      val after = spark.table("ssi_cmp").orderBy("gh", "doc_id", "pos").collect().toSeq
+      assert(after === before, "compaction must not change the index contents")
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("ssi_cmp"))
+      assert(meta.bucketSpec.exists(b =>
+        b.numBuckets == 8 && b.bucketColumnNames == Seq("gh")))
+      val dataFiles = new java.io.File(meta.location)
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(dataFiles.length <= 8,
+        s"at most one file per bucket after compaction, got ${dataFiles.length}")
+      // probing an appended doc still works post-compaction
+      val probe = ops.SubstringIndex.probeSpans(spark,
+        Seq((900L, "en", words("a1-", 15).mkString(" "))).toDF("doc_id", "lang", "text"),
+        "ssi_cmp")
+      assert(probe.collect().exists(_.getLong(1) == 101L))
+    } finally spark.sql("DROP TABLE IF EXISTS ssi_cmp")
+  }
+
   test("index side joins without a shuffle; append grows without rewriting") {
     val corpus = (1L to 200L).map(i =>
       (i, "en", words(s"c$i-", 20).mkString(" "))).toDF("doc_id", "lang", "text")
