@@ -151,10 +151,15 @@ class IvfIndexSpec extends SparkSpec {
       assert(filesPerCell.values.exists(_ > 1), s"appends must have grown files: $filesPerCell")
       io.Sinks.compactPartitioned(spark, "ivf_cmp", "cell")
       assert(filesPerCell.values.forall(_ == 1), s"one file per cell after compaction: $filesPerCell")
-      val after = ops.IvfIndex.probe(spark,
-          Seq((0L, v0)).toDF("p_id", "pv"), "ivf_cmp", nprobe = 2, k = 5)
-        .collect().toSeq
+      val afterQ = ops.IvfIndex.probe(spark,
+        Seq((0L, v0)).toDF("p_id", "pv"), "ivf_cmp", nprobe = 2, k = 5)
+      val after = afterQ.collect().toSeq
       assert(after === before, "compaction must not change probe results")
+      // the rewrite must also preserve the partitioned layout the
+      // probe's static cell pruning depends on
+      assert(afterQ.queryExecution.executedPlan.toString
+        .contains("PartitionFilters: [cell"),
+        "cell pruning must survive compaction")
     } finally {
       spark.sql("DROP TABLE IF EXISTS ivf_cmp")
       spark.sql("DROP TABLE IF EXISTS ivf_cmp_centroids")
