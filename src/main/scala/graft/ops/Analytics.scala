@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -199,7 +199,12 @@ object Analytics {
       .select("event_type", "mean", "std")
     ev.join(broadcast(stats), "event_type")
       .withColumn("z", (col("value") - col("mean")) / col("std"))
-      .filter(abs(col("z")) > 3.0)
+      // std is NaN for a singleton type (0/0) and 0 for a constant
+      // one; z = NaN in both cases, and both engines order NaN ABOVE
+      // all numbers (including in `>`), so every degenerate-type
+      // event would be flagged — guard with an explicit NaN check,
+      // since `std > 0` alone is TRUE for NaN under that ordering
+      .filter(!isnan(col("std")) && col("std") > 0 && abs(col("z")) > 3.0)
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("z"), 4).as("z"))
       .orderBy("event_id")
@@ -453,16 +458,25 @@ object Analytics {
     * segmentation. Recency is an exact integer day difference from
     * the corpus's own max purchase date (no wall clock — results are
     * a pure function of the data); monetary is a decimal-exact sum;
-    * quintiles are `ntile(5)` under a TOTAL order (metric, user_id)
-    * so tie placement is pinned in both engines.
+    * quintiles reproduce `ntile(5)` under a TOTAL order
+    * (metric, user_id) so tie placement is pinned in both engines.
     *
-    * Scale: one filtered partial aggregation on user_id; the max-date
-    * scalar broadcasts via a subquery-free cross join of a 1-row
-    * relation; the ntile windows run over the aggregated per-user
-    * relation (|users|, not |events|) — and ntile is a global window
-    * BY DEFINITION here (quintiles of the whole population); for a
-    * population too large for one task, swap in the bucketed-pivot
-    * rank shape of [[aggQuantilesBucketed]].
+    * Scale: NO global ntile window (a `Window.orderBy` with no
+    * partition sorts the whole population in one task — the one
+    * scale-killer flagged in round 6). Because user_id makes each
+    * order tie-free, ntile(5) is a pure function of the four
+    * boundary-rank keys: row quintile = 1 + #{boundaries with key
+    * strictly below the row's key}, where boundary b sits at rank
+    * b·⌊N/5⌋ + min(b, N mod 5) — ntile's exact cumulative bucket
+    * size. The boundaries come from the same bucketed-pivot rank
+    * shape as [[aggQuantilesBucketed]]: per-(metric, value-bucket)
+    * counts (map-side combined, bucket count bounded by the value
+    * span, not the row count), a running sum over that tiny bucket
+    * relation partitioned by metric tag, and an exact in-bucket scan
+    * of pivot buckets only. Descending metrics are negated so one
+    * ascending shape serves all three. Assignment is then a
+    * broadcast of twelve boundary keys and a map-side array scan —
+    * the wide per-user relation is never globally sorted.
     */
   val eventsRfm: Q = (s, dir) => {
     val p = table(s, dir, "events")
@@ -472,16 +486,68 @@ object Analytics {
       .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
         sum(dec(col("value"))).cast("double").as("monetary"))
     val maxd = p.agg(max(col("ts")).as("corpus_max")).select(to_date(col("corpus_max")).as("corpus_max"))
-    perUser.crossJoin(broadcast(maxd))
+    val base = perUser.crossJoin(broadcast(maxd))
       .select(col("user_id"),
         datediff(col("corpus_max"), to_date(col("last_ts"))).as("r_days"),
         col("freq"), col("monetary"))
-      .withColumn("r_quintile", ntile(5).over(
-        Window.orderBy(col("r_days"), col("user_id"))))
-      .withColumn("f_quintile", ntile(5).over(
-        Window.orderBy(col("freq").desc, col("user_id"))))
-      .withColumn("m_quintile", ntile(5).over(
-        Window.orderBy(col("monetary").desc, col("user_id"))))
+      .localCheckpoint() // narrow per-user relation, scanned by the
+                         // boundary phases AND the final assignment
+    // asc-aligned order keys; desc metrics negate so bucket order is
+    // uniform, and floor() gives per-value buckets for the integer
+    // metrics and unit-width range buckets for monetary
+    val keyed = base.select(lit("r").as("tag"),
+        col("r_days").cast("double").as("ord"), col("user_id"))
+      .unionAll(base.select(lit("f").as("tag"),
+        (-col("freq")).cast("double").as("ord"), col("user_id")))
+      .unionAll(base.select(lit("m").as("tag"),
+        (-col("monetary")).as("ord"), col("user_id")))
+      .withColumn("bucket", floor(col("ord")).cast("long"))
+    val parts = keyed.groupBy(col("tag"), col("bucket")).agg(count(lit(1)).as("bn"))
+    val wRun = Window.partitionBy(col("tag")).orderBy(col("bucket"))
+    val wTot = Window.partitionBy(col("tag"))
+    val ranked = parts
+      .withColumn("cumb", sum(col("bn")).over(wRun))
+      .withColumn("tot", sum(col("bn")).over(wTot))
+    // boundary b's global rank = ntile's cumulative size of buckets
+    // 1..b; its pivot bucket is the first with cumb reaching it
+    val wB = Window.partitionBy(col("tag"), col("b")).orderBy(col("bucket"))
+    val pivots = ranked
+      .select(col("tag"), col("bucket"), col("bn"), col("cumb"), col("tot"),
+        explode(array((1 to 4).map(lit): _*)).as("b"))
+      .withColumn("brank",
+        col("b") * floor(col("tot") / 5).cast("long") +
+          least(col("b").cast("long"), col("tot") % 5))
+      .filter(col("brank") >= 1 && col("cumb") >= col("brank"))
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") === 1)
+      .select(col("tag"), col("b"), col("bucket").as("pbucket"),
+        (col("cumb") - col("bn")).as("off"), col("brank"))
+    // exact scan of pivot buckets only: the in-bucket window is
+    // bounded by the bucket's value width, never the population
+    val wIn = Window.partitionBy(col("tag"), col("b")).orderBy(col("ord"), col("user_id"))
+    val bounds = keyed.join(broadcast(pivots), Seq("tag"))
+      .filter(col("bucket") === col("pbucket"))
+      .withColumn("grn", col("off") + row_number().over(wIn))
+      .filter(col("grn") === col("brank"))
+      .select(col("tag"), col("ord").as("bord"), col("user_id").as("buid"))
+    // ≤4 boundary keys per metric folded into one broadcastable row
+    val bArr = bounds
+      .groupBy(col("tag"))
+      .agg(sort_array(collect_list(struct(col("bord"), col("buid")))).as("arr"))
+      .groupBy()
+      .agg(
+        first(when(col("tag") === "r", col("arr")), ignoreNulls = true).as("rb"),
+        first(when(col("tag") === "f", col("arr")), ignoreNulls = true).as("fb"),
+        first(when(col("tag") === "m", col("arr")), ignoreNulls = true).as("mb"))
+    def quint(arr: Column, ord: Column): Column =
+      lit(1) + size(filter(arr, x =>
+        (ord > x.getField("bord")) ||
+          (ord === x.getField("bord") && col("user_id") > x.getField("buid"))))
+    base.crossJoin(broadcast(bArr))
+      .select(col("user_id"), col("r_days"), col("freq"), col("monetary"),
+        quint(col("rb"), col("r_days").cast("double")).as("r_quintile"),
+        quint(col("fb"), (-col("freq")).cast("double")).as("f_quintile"),
+        quint(col("mb"), -col("monetary")).as("m_quintile"))
       .orderBy("user_id")
   }
 

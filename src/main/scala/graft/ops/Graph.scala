@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.io.Readers.table
@@ -86,6 +87,13 @@ object Graph {
       .distinct()
       .localCheckpoint()
     val n = nodes.count() // bounded driver scalar: one long
+    // degenerate corpus (no qualifying edges): n = 0 would divide by
+    // zero below — yield the empty result with the output schema
+    if (n == 0) nodes.select(col("node"), lit(0.0).as("rank"))
+    else pagerankLoop(nodes, edges, n)
+  }
+
+  private def pagerankLoop(nodes: DataFrame, edges: DataFrame, n: Long): DataFrame = {
     // (src, dst, deg) in ONE relation, checkpointed: the out-degree
     // join happens once, not once per iteration.
     val edgesD = edges

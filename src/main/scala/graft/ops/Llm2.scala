@@ -496,18 +496,25 @@ object Llm2 {
     */
   val textNgramFreq: Q = (s, dir) => {
     val grams = graft.functions.TextExpressions.wordShingles(col("text"), 2)
-    // the global-frame window is bounded: it ranks the 20 rows the
-    // TakeOrdered limit already produced (r4 verdict checked this —
-    // harmless by construction)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("df").desc, col("gram").asc)
-    table(s, dir, "documents")
+    // rank the 20 TakeOrdered survivors WITHOUT a window operator:
+    // row_number over 20 rows is harmless, but it still plans an
+    // unpartitioned WindowExec (the shape the PlanSpec global-sort
+    // gate bans outright) — a broadcast predecessors-count self-join
+    // over the materialized 20-row relation gives the same ranks
+    val top = table(s, dir, "documents")
       .select(explode(grams).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("gram").asc)
       .limit(20)
-      .withColumn("rank", row_number().over(w))
+      .localCheckpoint() // 20 rows; both self-join sides read it
+    top.as("a")
+      .join(broadcast(top.as("b")),
+        col("b.df") > col("a.df") ||
+          (col("b.df") === col("a.df") && col("b.gram") < col("a.gram")),
+        "left")
+      .groupBy(col("a.gram").as("gram"), col("a.df").as("df"))
+      .agg((count(col("b.gram")) + 1).cast("int").as("rank"))
       .select("rank", "gram", "df")
       .orderBy("rank")
   }
@@ -596,22 +603,28 @@ object Llm2 {
     * SQL-expressible and oracle'd.
     *
     * Scale shape: the global running token offset is a DISTRIBUTED
-    * two-phase prefix sum — per-bucket running sums (window partitioned
-    * by a doc_id range bucket) plus a bucket-offset join (the global
-    * window runs over the per-bucket TOTALS relation only: one tiny row
-    * per bucket, broadcast back). A naive `sum over (order by doc_id)`
-    * window would move the whole corpus into ONE partition — the
-    * classic global-frame trap this module documents elsewhere. Slice
-    * emission is a per-row `sequence` explode (≤ n/budget + 1 rows per
-    * doc); arithmetic stays in integer `div` (no float rounding at
-    * 100 TB stream offsets).
+    * THREE-level prefix sum with no global window anywhere —
+    * per-bucket running sums (window partitioned by a doc_id range
+    * bucket), per-super-bucket running sums over the bucket totals
+    * (window partitioned by the super key), and a windowless theta
+    * self-join prefix over the super totals, whose cardinality is
+    * corpus/(bucketSize·superSize) ≈ corpus/10⁸ — tens of rows at
+    * 100 TB, so its pair count is trivial. A naive `sum over
+    * (order by doc_id)` window would move the whole corpus into ONE
+    * partition — the classic global-frame trap this module documents
+    * elsewhere; the round-6 form still had that shape one level up
+    * (a global window over the per-bucket totals, corpus/10³ rows).
+    * Slice emission is a per-row `sequence` explode (≤ n/budget + 1
+    * rows per doc); arithmetic stays in integer `div` (no float
+    * rounding at 100 TB stream offsets).
     */
   def packSequences(docs: org.apache.spark.sql.DataFrame, budget: Int,
-      bucketSize: Long = 1000L): org.apache.spark.sql.DataFrame = {
+      bucketSize: Long = 1000L,
+      superSize: Long = 100000L): org.apache.spark.sql.DataFrame = {
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("doc_id"))
-    val wBuckets = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bucket")) // tiny: one row per bucket
+    val wSup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("super")).orderBy(col("bucket"))
     // empty/whitespace-only docs hold ZERO tokens: split("") yields
     // [""] (size 1), so an unguarded size() would put a phantom token
     // into the manifest and shift every later slice in its pack —
@@ -627,9 +640,19 @@ object Llm2 {
       // consume this relation (narrow rows — the module's
       // materialize-before-multi-consumer discipline)
       .localCheckpoint()
-    val offsets = counted.groupBy("bucket").agg(sum(col("n")).as("btot"))
-      .withColumn("off", sum(col("btot")).over(wBuckets) - col("btot"))
-      .select("bucket", "off")
+    val bOff = counted.groupBy("bucket").agg(sum(col("n")).as("btot"))
+      .withColumn("super", expr(s"bucket div $superSize"))
+      .withColumn("brun", sum(col("btot")).over(wSup))
+    val supTots = bOff.groupBy("super").agg(sum(col("btot")).as("stot"))
+    // windowless top-level prefix: supers-before-me theta join over a
+    // relation of corpus/(bucketSize·superSize) rows
+    val supOff = supTots.as("a")
+      .join(supTots.as("b"), col("b.super") < col("a.super"), "left")
+      .groupBy(col("a.super").as("super"))
+      .agg(coalesce(sum(col("b.stot")), lit(0L)).as("soff"))
+    val offsets = bOff.join(broadcast(supOff), "super")
+      .select(col("bucket"),
+        (col("soff") + col("brun") - col("btot")).as("off"))
     counted.join(broadcast(offsets), "bucket")
       .withColumn("c_end", col("off") + col("run"))
       .withColumn("c_start", col("c_end") - col("n"))

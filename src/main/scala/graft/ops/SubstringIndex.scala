@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   * ([[graft.io.Sinks.writeBucketed]]) so the probe join leaves the
   * index side exactly as the files lie on disk — no shuffle, no sort;
   * only the new-batch side exchanges, into the index's bucket count
-  * (asserted in SubstringIndexSpec). The gram STRING is stored
-  * alongside its hash and re-checked in the join residual, so a
-  * 64-bit collision can never fabricate a match and the reported
-  * spans are exact — no doc-store lookup needed on the probe path.
+  * (asserted in SubstringIndexSpec). The gram STRING and lang are
+  * both stored alongside the hash and re-checked in the join
+  * residual — BOTH hash inputs, so a 64-bit collision can never
+  * fabricate a match (not even a cross-lang one where the colliding
+  * grams happen to be equal) and the reported spans are exact — no
+  * doc-store lookup needed on the probe path.
   *
   * Run-finding is the same diagonal gaps-and-islands shape as the
   * batch operator: matching (new_pos, idx_pos) hits collapse onto
@@ -45,19 +47,21 @@ object SubstringIndex {
           i => struct(i.as("pos"),
             concat_ws(" ", slice(col("toks"), i + 1, lit(n))).as("gram")))).as("pg"))
       .select(xxhash64(col("lang"), col("pg.gram")).as("gh"),
-        col("pg.gram").as("gram"), col("doc_id"), col("pg.pos").as("pos"))
+        col("pg.gram").as("gram"), col("lang"), col("doc_id"),
+        col("pg.pos").as("pos"))
   }
 
   /** Create (overwrite) the positional-gram index for a corpus. */
   def buildIndex(docs: DataFrame, tableName: String, buckets: Int = 8): Unit =
     graft.io.Sinks.writeBucketed(
-      gramRows(docs).select("gh", "gram", "doc_id", "pos"), tableName, "gh", buckets)
+      gramRows(docs).select("gh", "gram", "lang", "doc_id", "pos"),
+      tableName, "gh", buckets)
 
   /** Append a new batch's grams (same bucket spec — parquet append
     * adds files per bucket, never rewrites).
     */
   def appendToIndex(docs: DataFrame, tableName: String, buckets: Int = 8): Unit =
-    gramRows(docs).select("gh", "gram", "doc_id", "pos")
+    gramRows(docs).select("gh", "gram", "lang", "doc_id", "pos")
       .write.mode("append")
       .bucketBy(buckets, "gh").sortBy("gh")
       .format("parquet").saveAsTable(tableName)
@@ -71,18 +75,21 @@ object SubstringIndex {
       minRun: Int = 2): DataFrame = {
     val nb = gramRows(newDocs)
       .select(col("gh").as("n_gh"), col("gram").as("n_gram"),
-        col("doc_id").as("new_id"), col("pos").as("new_pos"))
+        col("lang").as("n_lang"), col("doc_id").as("new_id"),
+        col("pos").as("new_pos"))
     val idx = spark.table(tableName)
-    // The gram-string recheck is written as a RANGE PAIR, not an
-    // equality: `gram === n_gram` would be extracted as a second
+    // The gram/lang rechecks are written as RANGE PAIRS, not
+    // equalities: `gram === n_gram` would be extracted as a second
     // equi-join key, the required partitioning would become
-    // (gh, gram), and the planner would disable the bucketed scan and
-    // shuffle BOTH sides (observed). The two range predicates stay a
-    // join residual, so the equi-key is gh alone — exactly the
-    // index's bucket key — while collisions are still rejected.
+    // (gh, gram, lang), and the planner would disable the bucketed
+    // scan and shuffle BOTH sides (observed). The range predicates
+    // stay join residuals, so the equi-key is gh alone — exactly the
+    // index's bucket key — while hash collisions are still rejected
+    // on both of the hash's inputs.
     val hits = idx.join(nb,
         col("gh") === col("n_gh") &&
           col("gram") >= col("n_gram") && col("gram") <= col("n_gram") &&
+          col("lang") >= col("n_lang") && col("lang") <= col("n_lang") &&
           col("doc_id") =!= col("new_id"))
       .select(col("new_id"), col("doc_id").as("indexed_id"),
         col("new_pos"), (col("new_pos") - col("pos")).as("diag"))

@@ -82,18 +82,29 @@ object Windows {
   }
 
   /** 7-day moving revenue: pre-aggregate to daily (calendar-bounded
-    * cardinality), then RANGE frame over epoch-day ordering.
+    * cardinality), then realize the RANGE frame WITHOUT a global
+    * window: each day's revenue is exploded to the ≤7 window
+    * positions it can serve, and an equi-join back to the existing
+    * days computes "sum of existing rows in [day-6, day]" under
+    * ordinary hash partitioning on the day key. Identical semantics
+    * to `rangeBetween(-6, 0)` over epoch-day ordering — but no
+    * single-task sort of the daily relation (it is calendar-bounded,
+    * yet the zero-warning posture is cheap here: one explode + one
+    * equi-join).
     */
   val winMovingRange: Q = (s, dir) => {
     val daily = table(s, dir, "orders")
       .groupBy(col("o_orderdate").cast("date").as("d"))
       .agg(sum(dec(col("o_totalprice"))).as("rev"))
       .withColumn("day", unix_date(col("d")))
-    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
-    daily
+    val contrib = daily.select(col("rev").as("c_rev"),
+      explode(sequence(col("day"), col("day") + 6)).as("wday"))
+    daily.join(contrib, col("wday") === col("day"))
+      .groupBy(col("d"), col("rev"))
+      .agg(sum(col("c_rev")).as("mov"))
       .select(col("d"),
         col("rev").cast("double").as("day_rev"),
-        sum(col("rev")).over(w).cast("double").as("mov7_rev"))
+        col("mov").cast("double").as("mov7_rev"))
       .orderBy("d")
   }
 

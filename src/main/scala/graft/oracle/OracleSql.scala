@@ -1371,7 +1371,8 @@ object OracleSql {
         |SELECT e.event_id, e.event_type, e.value,
         |       round((e.value - m.mean) / m.std, 4) AS z
         |FROM events e JOIN m USING (event_type)
-        |WHERE abs((e.value - m.mean) / m.std) > 3.0
+        |WHERE NOT isnan(m.std) AND m.std > 0
+        |  AND abs((e.value - m.mean) / m.std) > 3.0
         |ORDER BY event_id""".stripMargin,
 
     "time_series_interpolate" ->

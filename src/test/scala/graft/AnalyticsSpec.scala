@@ -218,6 +218,24 @@ class AnalyticsSpec extends SparkSpec {
       val sizes = out.groupBy(_.getInt(c)).values.map(_.length)
       assert(sizes.max - sizes.min <= 1, s"unbalanced quintile col $c")
     }
+    // exact ntile(5) parity: the bucketed boundary-rank shape must
+    // reproduce ntile under each (metric, user_id) total order
+    def ntile5(order: Array[(Double, Long)]): Map[Long, Int] = {
+      val n = order.length; val q = n / 5; val r = n % 5
+      order.sorted.zipWithIndex.map { case ((_, uid), i) =>
+        val b = if (i < r * (q + 1)) i / (q + 1) else r + (i - r * (q + 1)) / q
+        uid -> (b + 1)
+      }.toMap
+    }
+    val rq = ntile5(out.map(r => (r.getInt(1).toDouble, r.getLong(0))))
+    val fq = ntile5(out.map(r => (-r.getLong(2).toDouble, r.getLong(0))))
+    val mq = ntile5(out.map(r => (-r.getDouble(3), r.getLong(0))))
+    out.foreach { r =>
+      val u = r.getLong(0)
+      assert(r.getInt(4) == rq(u), s"r_quintile of user $u")
+      assert(r.getInt(5) == fq(u), s"f_quintile of user $u")
+      assert(r.getInt(6) == mq(u), s"m_quintile of user $u")
+    }
   }
 
   test("win_topk_with_ties keeps every row tied with the k-th") {

@@ -219,4 +219,36 @@ class PlanSpec extends SparkSpec {
     assert(hashEx.size == 1, s"expected exactly one hash exchange (user_id):\n$hashEx")
     assert(hashEx.head.contains("user_id"), hashEx.head)
   }
+
+  // ------------------------------------------- global-window sweep
+
+  /** The SURVEY §7.5 code-review rule as a standing executable gate:
+    * a `Window.orderBy` with no partition sorts its ENTIRE input in
+    * one task — the straight scale-killer class (round-6 verdict's
+    * only `weak` finding, the old events_rfm global ntiles). Sweep
+    * EVERY registered query's executed plan and fail on any
+    * unpartitioned window operator — NO whitelist: round 7 removed
+    * the last three (events_rfm ntiles → bucketed boundary ranks,
+    * pack_sequences bucket offsets → super-bucket level + theta
+    * prefix, win_moving_range / text_ngram_freq → join forms).
+    */
+  test("no query plans an unpartitioned window operator (global-sort gate)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def unpartitioned(p: SparkPlan): Seq[String] = p.collect {
+      case a: AdaptiveSparkPlanExec => unpartitioned(a.inputPlan)
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        Seq(s"Window[${w.windowExpression.mkString(", ").take(80)}]")
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+        Seq("WindowGroupLimit")
+    }.flatten
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, q) =>
+        unpartitioned(q(spark, dir).queryExecution.executedPlan)
+          .map(w => s"$name: $w")
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned window operators (single-task global sorts):\n${offenders.mkString("\n")}")
+  }
 }
