@@ -80,6 +80,36 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Sketch-based set-intersection estimates (round 7 — the
+    * theta-sketch use case expressed over the HLL family Spark
+    * ships): per-event-type user sketches are built in ONE pass, then
+    * every type pair's audience overlap is estimated by
+    * inclusion–exclusion — |A∩B| ≈ |A| + |B| − |A∪B| — entirely on
+    * the sketch relation (|event_type| rows; the raw data is never
+    * rescanned). This is the cross-segment overlap query every
+    * audience/dedup dashboard runs; at 100 TB the pairing is a tiny
+    * sketch×sketch self-join, and the only full-data cost is the one
+    * sketch-building aggregation. Union of HLLs is exact over the
+    * register space, so the estimate's error is the HLL error of the
+    * three terms (prop-tested against exact intersections).
+    * Approximate → no oracle (SURVEY §7.4).
+    */
+  val aggHllIntersect: Q = (s, dir) => {
+    val sk = table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        hll_sketch_estimate(col("ska")).as("est_a"),
+        hll_sketch_estimate(col("skb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("est_union"))
+      .withColumn("est_intersect",
+        col("est_a") + col("est_b") - col("est_union"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Exact Pearson correlation per group, from decimal-exact moment
     * sums. Built-in `corr()` accumulates doubles in partition order —
     * nondeterministic across engines AND across partitionings — so the
@@ -358,6 +388,7 @@ object Aggregations {
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_hll_sketch_merge" -> aggHllSketchMerge,
+    "agg_hll_intersect" -> aggHllIntersect,
     "time_series_gap_fill" -> timeSeriesGapFill,
     "agg_corr_exact" -> aggCorrExact,
     "events_funnel" -> eventsFunnel,

@@ -164,9 +164,95 @@ object Udx {
       .orderBy("tok")
   }
 
+  /** Count-min sketch as a typed Aggregator (round 7 — completes the
+    * sketch family next to HLL and Misra–Gries): a depth×width grid
+    * of counters; each item increments one counter per row (pairwise
+    * hashes via the Kirsch–Mitzenmacher h1 + i·h2 construction), and
+    * a point-frequency estimate is the MINIMUM over the rows.
+    * Merge is elementwise sum — fully mergeable, so partials combine
+    * across partitions/days like any built-in agg. Guarantees (Cormode
+    * & Muthukrishnan): est ≥ true always (one-sided), and
+    * est ≤ true + (e/width)·N with probability ≥ 1 − e^−depth —
+    * prop-tested against exact counts over the whole vocabulary.
+    * Memory is O(depth·width) longs per task at ANY scale; the exact
+    * GROUP BY it stands in for shuffles the full vocabulary.
+    */
+  final class CountMin(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    @inline private[graft] def cellOf(row: Int, tok: String): Int = {
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(tok, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(tok, 0x85ebca6b) | 1
+      val h = h1.toLong + row.toLong * h2.toLong
+      row * width + (((h % width) + width) % width).toInt
+    }
+    override def reduce(b: Array[Long], tok: String): Array[Long] = {
+      var r = 0
+      while (r < depth) { b(cellOf(r, tok)) += 1L; r += 1 }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    override def outputEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  }
+
+  /** Point-frequency estimate from a finished sketch: min over rows. */
+  def cmEstimate(sk: Array[Long], depth: Int, width: Int, tok: String): Long = {
+    val probe = new CountMin(depth, width)
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = sk(probe.cellOf(r, tok))
+      if (c < best) best = c
+      r += 1
+    }
+    best
+  }
+
+  /** Build a sketch over a single string column — the sketch itself is
+    * the only driver-side value: depth·width longs, bounded at any
+    * data scale (same O(k) discipline as [[mgCandidates]]).
+    */
+  def cmSketch(tok: org.apache.spark.sql.DataFrame, depth: Int, width: Int): Array[Long] = {
+    val spark = tok.sparkSession
+    import spark.implicits._
+    tok.as[String].select(new CountMin(depth, width).toColumn).head()
+  }
+
+  /** Point-frequency estimation demo: sketch the document token stream
+    * once (bounded memory), then report the count-min estimate beside
+    * the exact count for the 30 most frequent tokens. `cm_est ≥
+    * exact_c` always; the prop spec bounds the overestimate at the
+    * ε·N guarantee over the ENTIRE vocabulary. Approximate/seeded →
+    * no oracle (SURVEY §7.4).
+    */
+  val aggCountMin: Q = (s, dir) => {
+    val depth = 5
+    val width = 4096
+    val toks = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
+    val tok = table(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(explode(toks).as("tok"))
+      .filter(col("tok") =!= "")
+    val sk = cmSketch(tok, depth, width)
+    val est = udf((t: String) => cmEstimate(sk, depth, width, t))
+    tok.groupBy(col("tok"))
+      .agg(count(lit(1)).as("exact_c"))
+      .orderBy(col("exact_c").desc, col("tok").asc)
+      .limit(30)
+      .withColumn("cm_est", est(col("tok")))
+      .orderBy("tok")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_custom_aggregator" -> aggCustomAggregator,
     "udf_scalar_normalize" -> udfScalarNormalize,
     "agg_heavy_hitters" -> aggHeavyHitters,
+    "agg_count_min" -> aggCountMin,
   )
 }

@@ -77,6 +77,60 @@ class AggWindowSpec extends SparkSpec {
       "unioned per-part sketches must estimate identically to the whole-data sketch")
   }
 
+  test("count-min: never underestimates, ε·N bound holds, partitioning-invariant (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val depth = 5; val width = 4096
+    val tokExpr = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
+    val tok = io.Readers.table(spark, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(explode(tokExpr).as("tok"))
+      .filter(col("tok") =!= "")
+    val exact = tok.groupBy("tok").count().as[(String, Long)].collect()
+    val n = exact.map(_._2).sum
+    val sk = ops.Udx.cmSketch(tok, depth, width)
+    // merge is an elementwise sum → the sketch is partitioning-invariant
+    val sk2 = ops.Udx.cmSketch(tok.repartition(7), depth, width)
+    assert(java.util.Arrays.equals(sk, sk2),
+      "sketch must be identical under any partitioning")
+    // one-sided: est ≥ true ALWAYS; the CM guarantee bounds the
+    // overestimate at (e/width)·N per token with prob ≥ 1 − e^−depth,
+    // so allow ≤ 2% of the vocabulary over the bound (≈3× e^−5)
+    val bound = math.ceil(math.E / width * n).toLong
+    var over = 0
+    exact.foreach { case (t, c) =>
+      val est = ops.Udx.cmEstimate(sk, depth, width, t)
+      assert(est >= c, s"count-min underestimated '$t': $est < $c")
+      if (est > c + bound) over += 1
+    }
+    assert(over <= math.max(1, exact.length / 50),
+      s"$over of ${exact.length} tokens exceeded the ε·N bound")
+    // and the registered query reports est beside exact for the top-30
+    val out = ops.Udx.aggCountMin(spark, dir).collect()
+    assert(out.length == 30 && out.forall(r => r.getLong(2) >= r.getLong(1)))
+  }
+
+  test("hll intersect: inclusion-exclusion estimates near exact pair overlaps (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = ops.Aggregations.aggHllIntersect(spark, dir).collect()
+    assert(out.nonEmpty)
+    val ev = io.Readers.table(spark, dir, "events")
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)].collect()
+    val sets = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every unordered type pair appears exactly once
+    assert(out.length == sets.size * (sets.size - 1) / 2)
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val exactI = (sets(a) & sets(b)).size.toDouble
+      val est = r.getLong(5).toDouble
+      // lgK=12 HLL is near-exact at these cardinalities; the
+      // inclusion-exclusion error is the sum of three term errors
+      val tol = math.max(2.0, 0.05 * (sets(a).size + sets(b).size))
+      assert(math.abs(est - exactI) <= tol,
+        s"pair ($a,$b): est $est vs exact $exactI (tol $tol)")
+    }
+  }
+
   test("funnel counts are monotone and gap-fill spine is contiguous (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val f = ops.Aggregations.eventsFunnel(spark, dir).collect().head
