@@ -62,17 +62,22 @@ object Bench {
       name -> last
     }
     // The whole JSON line must survive the driver's 2000-char output
-    // tail (r01's full per-query map was ~3 KB and parsed as null), so
-    // emit the total over ALL queries but break down only the slowest
-    // 20, rounded to ms.
+    // tail (r01's full per-query map was ~3 KB and parsed as null):
+    // name only the 10 slowest, but carry EVERY query's timing as
+    // centiseconds in ALPHABETICAL key order ("all_cs") — ~600 chars
+    // for 139 keys, so any regression is attributable from the round
+    // artifact alone (decode: sort the key names, zip with the CSV).
     def r3(v: Double): String = "%.3f".format(v)
-    val top = results.toSeq.sortBy(-_._2).take(20)
+    val top = results.toSeq.sortBy(-_._2).take(10)
     val qs = top.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val allCs = results.toSeq.sortBy(_._1)
+      .map { case (_, v) => Math.round(v * 100).toString }
+      .mkString(",")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errs = if (errors.isEmpty) ""
       else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size}$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size}$errs,"queries":$qs,"all_order":"alpha","all_cs":"$allCs","sf":"$sfDir"}""")
     spark.stop()
   }
 }
