@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.TextExpressions.{CentroidRanks, CosineSim, DelKeys, MinHashSigs, RollingHash, SimHash64, WordShingles}
+import graft.functions.TextExpressions.{BoundRank, CentroidRanks, CosineSim, DelKeys, MinHashSigs, RollingHash, SimHash64, WordShingles}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the native expressions so they resolve by name from both
@@ -68,6 +68,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => RollingHash(text)
         case _ => throw new IllegalArgumentException(
           "rolling_hash(text) expects one string column")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bound_rank"),
+      new ExpressionInfo(classOf[BoundRank].getName, "bound_rank"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bnds, v) => BoundRank(bnds, v)
+        case _ => throw new IllegalArgumentException(
+          "bound_rank(bnds, v) expects an array<double> column and a double column")
       }))
     ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain_long"),

@@ -367,6 +367,53 @@ object TextExpressions {
       copy(left = l, right = r)
   }
 
+  /** Binary-search helper behind [[BoundRank]]; public so generated
+    * Java can call the static forwarder directly.
+    */
+  def boundRankJ(bnds: ArrayData, v: Double): Int = {
+    var lo = 0
+    var hi = bnds.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bnds.getDouble(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Count of ascending-sorted boundaries at-or-below v — the
+    * searchsorted / upper-bound primitive behind count-balanced
+    * bucketing ([[graft.ops.Analytics.balancedBuckets]]): one static
+    * binary-search call per row inside whole-stage codegen. The HOF
+    * spelling `size(filter(bnds, b -> b <= v))` evaluates an
+    * interpreted lambda per ELEMENT and breaks the codegen span —
+    * measured ~1.5 s slower on agg_quantiles_bucketed at sf0.1.
+    */
+  case class BoundRank(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "bound_rank"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), DoubleType) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"bound_rank expects (array<double>, double), got $other")
+      }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      TextExpressions.boundRankJ(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, v) => s"graft.functions.TextExpressions.boundRankJ($a, $v)")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): BoundRank =
+      copy(left = l, right = r)
+  }
+
   /** One-pass helper behind [[RollingHash]]; public so generated Java
     * can call the static forwarder directly.
     */
@@ -445,4 +492,8 @@ object TextExpressions {
   /** One-pass polynomial rolling hash (code points, mod 1e9+7). */
   def rollingHash(text: Column): Column =
     call_function("rolling_hash", text)
+
+  /** Codegen'd searchsorted: #(sorted boundaries ≤ v). */
+  def boundRank(bnds: Column, v: Column): Column =
+    call_function("bound_rank", bnds, v)
 }

@@ -124,6 +124,50 @@ object Analytics {
 
   // --------------------------------------- bucketed exact quantiles
 
+  /** Assign a count-balanced bucket id per row: ~`nB` interior
+    * boundaries per group are seeded by a cheap `percentile_approx`
+    * pass (quantile-of-quantiles — the sketch is mergeable, so the
+    * seeding pass is an ordinary partial+final agg), broadcast, and
+    * each row's bucket is the number of boundaries at-or-below its
+    * value — monotone in the value, so cumulative bucket counts stay
+    * rank-order-correct. Unlike fixed VALUE-width buckets
+    * (`floor(v / w)`), these stay ~n/nB rows each under ARBITRARY
+    * value skew: a lognormal tail or a 90 % point mass cannot
+    * concentrate more than its own tied value into one bucket
+    * (balance asserted on a planted-skew fixture in SkewSpec).
+    * Boundary placement only steers performance — every consumer
+    * recomputes exact answers inside the chosen buckets, so the
+    * sketch's error and any partitioning nondeterminism in it cannot
+    * reach the result.
+    */
+  private[graft] def balancedBuckets(t: DataFrame, group: String,
+      value: String, nB: Int): DataFrame = {
+    val fracs = array((1 until nB).map(i => lit(i.toDouble / nB)): _*)
+    // The seeding pass runs on a 10 % sample at accuracy 100:
+    // boundaries a few percent of rank off just shift a little load
+    // between neighbor buckets, so the sketch should be as cheap as
+    // possible. The tiny per-group boundary relation is checkpointed
+    // so consumers that scan the bucketed relation twice don't rerun
+    // the sketch.
+    val bounds = t.sample(withReplacement = false, 0.1, seed = 42)
+      .groupBy(col(group))
+      .agg(percentile_approx(col(value).cast("double"), fracs, lit(100)).as("bnds"))
+      .localCheckpoint()
+    // assignment is codegen'd binary search (bound_rank) on a DOUBLE
+    // view of the value — double-cast is monotone, and the bucket id
+    // only routes rows, so cast tie-collapse cannot affect results.
+    // LEFT join + coalesce: a group the sample missed entirely (tiny
+    // group) must keep its rows — it collapses into bucket 0, which
+    // is exactly right for a group too small to need spreading.
+    t.join(broadcast(bounds), Seq(group), "left")
+      .withColumn("bucket",
+        coalesce(
+          graft.functions.TextExpressions
+            .boundRank(col("bnds"), col(value).cast("double")).cast("long"),
+          lit(0L)))
+      .drop("bnds")
+  }
+
   /** Exact p25/p50/p75/p90 (type-1, "smallest value at-or-above the
     * rank") of price per return flag — WITHOUT a holistic aggregate:
     * [[Udx.aggCustomAggregator]]-style `percentile()` buffers every
@@ -135,13 +179,25 @@ object Analytics {
     * (explode over q — no extra pass over the wide data), and only
     * pivot buckets get the exact in-bucket scan. The rank test
     * `100·cum ≥ q·tot` is pure integer.
+    *
+    * Round-7 skew hardening (SURVEY §8.9): buckets are count-balanced
+    * via [[balancedBuckets]] rather than fixed value-width, so a
+    * skewed distribution cannot stuff one bucket (and so one
+    * pivot-scan task) with most of the relation; and the pivot scan
+    * aggregates to DISTINCT values first (map-side combinable), so a
+    * point mass collapses to one row before the in-bucket window —
+    * the window's input is bounded by the bucket's distinct-value
+    * count, ~n/nB even under skew, and ties never straggle a task.
     */
   val aggQuantilesBucketed: Q = (s, dir) => {
     val qs = Seq(25, 50, 75, 90)
-    val t = table(s, dir, "lineitem")
+    val t0 = table(s, dir, "lineitem")
       .select(col("l_returnflag"), dec(col("l_extendedprice")).as("price"))
-      .withColumn("bucket", floor(col("price") / 1000).cast("long"))
       .localCheckpoint() // narrow relation, scanned by phase 1 AND phase 3
+    // bucket assignment stays LAZY on top of the checkpoint: it is
+    // broadcast-join + array-scan map work, cheaper to recompute per
+    // consumer than to materialize a second copy of the relation
+    val t = balancedBuckets(t0, "l_returnflag", "price", 16)
     val parts = t.groupBy(col("l_returnflag"), col("bucket"))
       .agg(count(lit(1)).as("bn"))
     val wRun = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
@@ -160,11 +216,15 @@ object Analytics {
       .filter(col("rn") === 1)
       .select(col("l_returnflag"), col("q"), col("bucket").as("pbucket"),
         (col("cumb") - col("bn")).as("off"), col("tot"))
-    // exact scan of pivot buckets only (each bounded by bucket width)
+    // exact scan of pivot buckets only: collapse to distinct values
+    // (partial-agg, distributed) BEFORE the in-bucket window, so the
+    // single-task portion is bounded by distinct-value count, not rows
     val wIn = Window.partitionBy(col("l_returnflag"), col("q")).orderBy(col("price"))
     t.join(broadcast(pivots), Seq("l_returnflag"))
       .filter(col("bucket") === col("pbucket"))
-      .withColumn("cum", col("off") + sum(lit(1L)).over(wIn))
+      .groupBy(col("l_returnflag"), col("q"), col("off"), col("tot"), col("price"))
+      .agg(count(lit(1)).as("vn"))
+      .withColumn("cum", col("off") + sum(col("vn")).over(wIn))
       .filter(col("cum") * 100 >= col("q") * col("tot"))
       .groupBy(col("l_returnflag"), col("q"))
       .agg(min(col("price")).cast("double").as("quantile_val"))

@@ -97,6 +97,29 @@ class ExpressionsSpec extends SparkSpec {
     assert(out.getDouble(1) === 1.0)
   }
 
+  test("bound_rank: searchsorted semantics, null propagation, SQL resolution") {
+    import graft.functions.TextExpressions.boundRank
+    val bnds = typedlit(Seq(10.0, 20.0, 20.0, 30.0))
+    val cases = Seq(5.0 -> 0, 10.0 -> 1, 15.0 -> 1, 20.0 -> 3, 25.0 -> 3,
+      30.0 -> 4, 99.0 -> 4)
+    cases.foreach { case (v, expect) =>
+      val got = spark.range(1).select(boundRank(bnds, lit(v))).collect().head.getInt(0)
+      assert(got == expect, s"bound_rank($v)")
+      // parity with the HOF definition it replaces
+      val hof = spark.range(1)
+        .select(size(filter(bnds, b => b <= lit(v)))).collect().head.getInt(0)
+      assert(got == hof, s"HOF parity at $v")
+    }
+    // empty boundary array → bucket 0; null value → null
+    assert(spark.range(1).select(boundRank(typedlit(Seq.empty[Double]), lit(1.0)))
+      .collect().head.getInt(0) == 0)
+    assert(spark.range(1).select(boundRank(bnds, lit(null).cast("double")))
+      .collect().head.isNullAt(0))
+    val viaSql = spark.sql(
+      "SELECT bound_rank(array(1.0D, 2.0D), 1.5D) AS r").collect().head.getInt(0)
+    assert(viaSql == 1)
+  }
+
   test("centroid_ranks: cosine ordering, tie → lower index, zero vector last") {
     import graft.functions.TextExpressions.centroidRanks
     val cents = typedlit(Seq(
