@@ -102,60 +102,68 @@ object Streaming {
   private[graft] def upsertBucket(nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(col("user_id"), col("event_type")), lit(nBuckets.toLong)).cast("int")
 
-  /** Micro-batch upsert sink over a key-hash-BUCKETED parquet
-    * snapshot: each batch merges only the buckets its keys hash into
-    * and swaps only those bucket directories — per-batch I/O is
-    * O(snapshot/nBuckets × touched buckets + batch), not O(snapshot).
-    * Untouched buckets are never read, rewritten, or renamed (their
-    * files stay byte-identical — asserted in StreamingSpec), which is
-    * what keeps a continuously-ingesting store viable when the
-    * snapshot dwarfs each micro-batch; raise `nBuckets` so a single
-    * bucket fits executor memory at the target scale. The merge
-    * materializes into a temp dir before the per-bucket swap so the
-    * lazily-read current buckets are never overwritten mid-read. At
-    * scale the swap would be a transactional table commit; the merge
-    * shape (partition-pruned read + union + windowed latest-wins,
-    * state partitioned by key) is the part that carries.
+  /** Micro-batch upsert sink over a key-hash-BUCKETED snapshot with a
+    * MANIFEST-POINTER commit ([[graft.io.Manifest]] — the minimal
+    * Delta/Iceberg transaction shape): each batch merges only the
+    * buckets its keys hash into — per-batch I/O is
+    * O(snapshot/nBuckets × touched buckets + batch), not O(snapshot)
+    * — writes the merged buckets into a FRESH immutable
+    * `v{batchId}/bucket=N` directory, and then publishes the whole
+    * batch with ONE atomic manifest rename. A writer killed at any
+    * point before that rename leaves readers on the previous
+    * snapshot in full (spec'd: StreamingSpec injects a crash between
+    * write and commit and proves the old snapshot stays readable and
+    * the replayed batch then lands exactly once) — unlike the
+    * per-bucket delete+rename swap this replaces, which could die
+    * with some buckets new and some old. Untouched buckets are never
+    * read or rewritten; their files AND their manifest entries carry
+    * over verbatim (byte-identity asserted in StreamingSpec). Raise
+    * `nBuckets` so a single bucket fits executor memory at the
+    * target scale. Version directories are keyed by batchId, so a
+    * checkpoint-replayed batch overwrites its own staging dir and
+    * re-commits idempotently. `beforeCommit` is the crash-injection
+    * seam for the spec (a no-op in production use).
     */
   def foreachBatchUpsert(stream: DataFrame, snapshotPath: String,
-      checkpointDir: String, nBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String, nBuckets: Int = 16,
+      beforeCommit: () => Unit = () => ()): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(snapshotPath)
+        val root = new org.apache.hadoop.fs.Path(snapshotPath)
         val batchB = batch.toDF().withColumn("bucket", upsertBucket(nBuckets))
         // the batch's bucket set: ≤ nBuckets small ints — the only
         // driver-visible data
         val touched = batchB.select("bucket").distinct()
           .collect().map(_.getInt(0)).sorted
         if (touched.nonEmpty) {
+          val manifest = graft.io.Manifest.read(fs, root)
+          val currentDirs = touched.toSeq.flatMap(b => manifest.get(b).map(b -> _))
           val current =
-            if (fs.exists(dst))
-              spark.read.parquet(snapshotPath)
-                .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-            else batchB.limit(0)
+            if (currentDirs.isEmpty) batchB.limit(0)
+            else currentDirs.map { case (b, rel) =>
+              spark.read.parquet(new org.apache.hadoop.fs.Path(root, rel).toString)
+                .withColumn("bucket", lit(b))
+            }.reduce(_.unionByName(_))
           val merged = upsertLatest(current, batchB)
-          val tmp = new org.apache.hadoop.fs.Path(snapshotPath + "_tmp")
-          fs.delete(tmp, true)
-          merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
-          if (!fs.exists(dst)) fs.mkdirs(dst)
+          val vdir = s"v$batchId"
+          val vpath = new org.apache.hadoop.fs.Path(root, vdir)
+          fs.delete(vpath, true) // replayed batch: re-stage from scratch
+          merged.write.partitionBy("bucket").mode("overwrite").parquet(vpath.toString)
+          // every touched bucket holds ≥1 batch row post-merge, so its
+          // staged dir must exist — verify BEFORE publishing anything
           touched.foreach { b =>
-            val src = new org.apache.hadoop.fs.Path(tmp, s"bucket=$b")
-            val d = new org.apache.hadoop.fs.Path(dst, s"bucket=$b")
-            // every touched bucket holds ≥1 batch row post-merge, so its
-            // tmp dir must exist; verify BEFORE deleting the live bucket —
-            // delete-then-check would turn a failed merge write into
-            // silent data loss instead of a loud failed swap
-            if (!fs.exists(src))
+            if (!fs.exists(new org.apache.hadoop.fs.Path(vpath, s"bucket=$b")))
               throw new IllegalStateException(
-                s"foreachBatchUpsert: merged output missing touched bucket $b at $src; " +
-                  "aborting swap (existing snapshot left intact)")
-            fs.delete(d, true)
-            fs.rename(src, d)
+                s"foreachBatchUpsert: merged output missing touched bucket $b under $vpath; " +
+                  "aborting commit (current snapshot left intact)")
           }
-          fs.delete(tmp, true)
+          val newManifest = manifest ++ touched.map(b => b -> s"$vdir/bucket=$b")
+          beforeCommit()
+          graft.io.Manifest.write(fs, root, newManifest) // THE commit point
+          graft.io.Manifest.vacuum(fs, root, newManifest)
         }
         ()
       }

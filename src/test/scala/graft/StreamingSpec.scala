@@ -182,7 +182,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       stream.addData(Seq(ev(3, "2024-01-01 11:00:00", 1, "click", 9.0))) // supersedes ev1
       q.processAllAvailable()
-      val r = spark.read.parquet(snap)
+      val r = io.Manifest.readSnapshot(spark, snap)
         .select("user_id", "event_id", "value").as[(Long, Long, Double)].collect()
         .map(t => t._1 -> (t._2, t._3)).toMap
       assert(r(1L) === (3L, 9.0), "second batch must supersede first for user 1")
@@ -190,7 +190,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("bucketed upsert leaves untouched buckets byte-identical") {
+  test("bucketed upsert leaves untouched buckets byte-identical (files AND manifest entries)") {
     val dir = java.nio.file.Files.createTempDirectory("upsertb").toString
     val snap = s"$dir/snapshot"
     val stream = MemoryStream[Ev]
@@ -198,29 +198,68 @@ class StreamingSpec extends SparkSpec {
     try {
       stream.addData((1 to 12).map(u => ev(u, "2024-01-01 10:00:00", u)))
       q.processAllAvailable()
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(snap)
       // batch 2 will only touch user 1's bucket; capture every OTHER
-      // bucket's files (path → bytes) before it runs
+      // bucket's manifest entry and files (path → bytes) before it runs
       val touchedB = Seq((1L, "click")).toDF("user_id", "event_type")
         .select(ops.Streaming.upsertBucket(8)).head.getInt(0)
-      val untouchedDirs = new java.io.File(snap).listFiles()
-        .filter(f => f.getName.startsWith("bucket=") && f.getName != s"bucket=$touchedB")
-      assert(untouchedDirs.nonEmpty, "fixture must spread keys over several buckets")
-      def state(): Map[String, Seq[Byte]] = untouchedDirs.flatMap(_.listFiles())
-        .filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getPath ->
-          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+      val untouched = io.Manifest.read(fs, root).filter(_._1 != touchedB)
+      assert(untouched.nonEmpty, "fixture must spread keys over several buckets")
+      def state(): Map[String, Seq[Byte]] = untouched.values.flatMap { rel =>
+        new java.io.File(s"$snap/$rel").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> java.nio.file.Files.readAllBytes(f.toPath).toSeq)
+      }.toMap
       val before = state()
       stream.addData(Seq(ev(99, "2024-01-01 11:00:00", 1, v = 9.0)))
       q.processAllAvailable()
+      val m2 = io.Manifest.read(fs, root)
+      assert(untouched.forall { case (b, rel) => m2(b) == rel },
+        "untouched buckets' manifest entries must carry over verbatim")
       assert(state() === before,
         "buckets without batch keys must not be rewritten")
       // and the merge is still a correct latest-wins over ALL keys
-      val r = spark.read.parquet(snap)
+      val r = io.Manifest.readSnapshot(spark, snap)
         .select("user_id", "event_id", "value").as[(Long, Long, Double)].collect()
         .map(t => t._1 -> (t._2, t._3)).toMap
       assert(r(1L) === (99L, 9.0))
       assert(r(2L) === (2L, 1.0))
       assert(r.size === 12)
     } finally q.stop()
+  }
+
+  test("manifest commit is atomic: crash before the rename leaves the old snapshot intact, replay lands once") {
+    val dir = java.nio.file.Files.createTempDirectory("upsertc").toString
+    val snap = s"$dir/snapshot"
+    val ckpt = s"$dir/ckpt"
+    val stream = MemoryStream[Ev]
+    val q1 = ops.Streaming.foreachBatchUpsert(stream.toDF(), snap, ckpt, nBuckets = 8)
+    try {
+      stream.addData((1 to 6).map(u => ev(u, "2024-01-01 10:00:00", u)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def rows(): Map[Long, (Long, Double)] = io.Manifest.readSnapshot(spark, snap)
+      .select("user_id", "event_id", "value").as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val before = rows()
+    // kill the writer AFTER the new version dirs are fully staged,
+    // BEFORE the manifest rename — the uncommitted window
+    val q2 = ops.Streaming.foreachBatchUpsert(stream.toDF(), snap, ckpt, nBuckets = 8,
+      beforeCommit = () => throw new RuntimeException("injected crash before commit"))
+    stream.addData(Seq(ev(99, "2024-01-01 11:00:00", 1, v = 9.0)))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(rows() === before,
+      "a crash before the manifest rename must leave readers on the old snapshot in full")
+    // recovery: a fresh query over the SAME checkpoint replays the
+    // failed batch; its staging dir is rebuilt and the commit lands once
+    val q3 = ops.Streaming.foreachBatchUpsert(stream.toDF(), snap, ckpt, nBuckets = 8)
+    try q3.processAllAvailable() finally q3.stop()
+    val rec = rows()
+    assert(rec(1L) === (99L, 9.0), "replayed batch must land after recovery")
+    assert(rec.size === 6)
   }
 }
