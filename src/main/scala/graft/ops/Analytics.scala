@@ -87,15 +87,25 @@ object Analytics {
     * single-task serial pass at real scale (the same
     * in-suite-slower-by-design tradeoff as the `_lsh` pairwise keys,
     * BASELINE.md r5 row).
+    *
+    * Round-7 skew hardening, same treatment as
+    * [[aggQuantilesBucketed]]: count-balanced buckets via
+    * [[balancedBuckets]] instead of fixed price-width, and the pivot
+    * scan pre-aggregates weights per DISTINCT price (map-side
+    * combinable) before the in-bucket window — a point mass is one
+    * row there, and since tied prices collapse into a single
+    * aggregated row, the rows-frame running sum reproduces the
+    * RANGE-frame tie semantics ("ties share one cumulative value")
+    * exactly.
     */
   val aggWeightedMedian: Q = (s, dir) => {
-    val t = table(s, dir, "lineitem")
+    val t0 = table(s, dir, "lineitem")
       .select(col("l_returnflag"), dec(col("l_extendedprice")).as("price"),
         dec(col("l_quantity")).as("qty"))
-      .withColumn("bucket", floor(col("price") / 1000).cast("long"))
       .localCheckpoint() // narrow relation, scanned by phase 1 AND phase 3
+    val t = balancedBuckets(t0, "l_returnflag", "price", 16)
     // phase 1: per-(group, bucket) partial weights — map-side combined,
-    // bucket count bounded by the value range, not the row count
+    // bucket count bounded by the boundary count
     val parts = t.groupBy(col("l_returnflag"), col("bucket"))
       .agg(sum(col("qty")).as("bw"))
     val wRun = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
@@ -110,12 +120,15 @@ object Analytics {
       .filter(col("rn") === 1)
       .select(col("l_returnflag"), col("bucket").as("pbucket"),
         (col("cumb") - col("bw")).as("off"), col("tot"))
-    // phase 3: exact scan of the pivot bucket only — the in-bucket
-    // window is bounded by the bucket width, never the group size
+    // phase 3: exact scan of the pivot bucket only, collapsed to
+    // distinct prices first — the window input is bounded by the
+    // bucket's distinct-value count even under a point mass
     val wIn = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
     t.join(broadcast(pivots), Seq("l_returnflag"))
       .filter(col("bucket") === col("pbucket"))
-      .withColumn("cum", col("off") + sum(col("qty")).over(wIn))
+      .groupBy(col("l_returnflag"), col("off"), col("tot"), col("price"))
+      .agg(sum(col("qty")).as("vw"))
+      .withColumn("cum", col("off") + sum(col("vw")).over(wIn))
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("price")).cast("double").as("weighted_median"))
