@@ -244,6 +244,76 @@ object Analytics {
       .orderBy("l_returnflag", "q")
   }
 
+  /** Exact type-1 single quantile per group — the
+    * [[aggQuantilesBucketed]] pivot shape packaged as a reusable
+    * building block (returns one `(group, qv)` row per group; `qv`
+    * keeps the input column's type, so decimal exactness survives
+    * composition). Same scale posture as the quantile key:
+    * count-balanced buckets, tiny per-bucket windows, distinct-value
+    * pivot scan — no phase puts a group's raw rows through one task.
+    */
+  private[graft] def exactQuantile(tIn: DataFrame, group: String,
+      value: String, qPct: Int): DataFrame = {
+    val t0 = tIn.localCheckpoint() // scanned by seeding, phase 1, phase 3
+    val t = balancedBuckets(t0, group, value, 16)
+    val parts = t.groupBy(col(group), col("bucket")).agg(count(lit(1)).as("bn"))
+    val wRun = Window.partitionBy(col(group)).orderBy(col("bucket"))
+    val wTot = Window.partitionBy(col(group))
+    val pivots = parts
+      .withColumn("cumb", sum(col("bn")).over(wRun))
+      .withColumn("tot", sum(col("bn")).over(wTot))
+      .filter(col("cumb") * 100 >= lit(qPct) * col("tot"))
+      .withColumn("rn", row_number().over(wRun))
+      .filter(col("rn") === 1)
+      .select(col(group), col("bucket").as("pbucket"),
+        (col("cumb") - col("bn")).as("off"), col("tot"))
+    val wIn = Window.partitionBy(col(group)).orderBy(col(value))
+    t.join(broadcast(pivots), Seq(group))
+      .filter(col("bucket") === col("pbucket"))
+      .groupBy(col(group), col("off"), col("tot"), col(value))
+      .agg(count(lit(1)).as("vn"))
+      .withColumn("cum", col("off") + sum(col("vn")).over(wIn))
+      .filter(col("cum") * 100 >= lit(qPct) * col("tot"))
+      .groupBy(col(group))
+      .agg(min(col(value)).as("qv"))
+  }
+
+  /** Robust MAD outliers per event type (round 7 — the robust
+    * counterpart of [[anomalyZscore]], which a single extreme value
+    * can mask by inflating the stddev): flag events whose absolute
+    * deviation from the type MEDIAN exceeds 3·1.4826·MAD (the
+    * normal-consistency constant). Both medians are EXACT type-1
+    * quantiles computed by composing [[exactQuantile]] twice — the
+    * deviations stay exact decimals (value is 2-dec, the median is a
+    * data value, |v−med| is exact), so the only IEEE arithmetic is
+    * the final threshold compare and ratio, identical in both
+    * engines. mad = 0 (≥half the type tied at the median) is guarded
+    * out like the zscore's degenerate std.
+    *
+    * Scale: two quantile passes (each the proven bucketed shape) +
+    * two broadcast joins of |event_type|-row relations; the wide
+    * relation is only ever scanned, never windowed globally.
+    */
+  val eventsAnomalyMad: Q = (s, dir) => {
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"), dec(col("value")).as("v"))
+    val med = exactQuantile(
+      ev.select(col("event_type"), col("v")), "event_type", "v", 50)
+      .withColumnRenamed("qv", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = exactQuantile(
+      dev.select(col("event_type"), col("dev")), "event_type", "dev", 50)
+      .withColumnRenamed("qv", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0 &&
+        col("dev").cast("double") > lit(4.4478) * col("mad").cast("double"))
+      .select(col("event_id"), col("event_type"),
+        col("v").cast("double").as("value"),
+        round(col("dev").cast("double") / col("mad").cast("double"), 4).as("dev_ratio"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------ z-score anomalies
 
   /** Per-event-type z-score outliers: events whose value sits more
@@ -645,6 +715,7 @@ object Analytics {
     "events_attribution" -> eventsAttribution,
     "agg_weighted_median" -> aggWeightedMedian,
     "anomaly_zscore" -> anomalyZscore,
+    "anomaly_mad" -> eventsAnomalyMad,
     "time_series_interpolate" -> timeSeriesInterpolate,
     "join_scd2_pointintime" -> joinScd2Pointintime,
     "events_path_analysis" -> eventsPathAnalysis,

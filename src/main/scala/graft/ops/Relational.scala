@@ -417,6 +417,31 @@ object Relational {
       ORDER BY c_custkey""")
   }
 
+  /** Correlated LATERAL derived table (round 7): per-customer top-2
+    * orders through a lateral ORDER BY … LIMIT subquery — the "for
+    * each row, run this parameterized query" SQL surface. Catalyst
+    * decorrelates the lateral into a ranked window join (no per-row
+    * re-execution — same guarantee PlanSpec pins for the other
+    * subquery keys); DuckDB runs its own lateral unnesting, and the
+    * oracle pins both to identical rows. The lateral's internal
+    * order is a TOTAL order (price desc, orderkey) so the chosen
+    * rows are a pure function of the data.
+    */
+  val sqlLateralJoin: Q = (s, dir) => {
+    table(s, dir, "customer").createOrReplaceTempView("customer")
+    table(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT c_custkey, c_mktsegment, o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM customer c,
+           LATERAL (SELECT o_orderkey, o_totalprice
+                    FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey
+                    LIMIT 2) t
+      ORDER BY c_custkey, o_orderkey""")
+  }
+
   /** Correlated SCALAR subquery in the projection — decorrelated by
     * Catalyst into a left-outer aggregate join (one aggregation over
     * orders, never a per-customer re-scan). NULL for customers with no
@@ -477,6 +502,7 @@ object Relational {
     "sql_tpch_q3" -> sqlTpchQ3,
     "sql_exists_subquery" -> sqlExistsSubquery,
     "sql_scalar_subquery" -> sqlScalarSubquery,
+    "sql_lateral_join" -> sqlLateralJoin,
     "join_multiway_star" -> joinMultiwayStar,
     "join_self_dedup" -> joinSelfDedup,
     "join_asof" -> joinAsof,

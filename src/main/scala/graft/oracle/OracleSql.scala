@@ -1357,6 +1357,47 @@ object OracleSql {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    "anomaly_mad" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, v,
+        |         sum(1) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |         count(*) OVER (PARTITION BY event_type) AS tot
+        |  FROM e),
+        |med AS (
+        |  SELECT event_type, min(v) AS med
+        |  FROM c WHERE cum * 2 >= tot GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_id, e.event_type, e.v, abs(e.v - med.med) AS dev
+        |  FROM e JOIN med USING (event_type)),
+        |c2 AS (
+        |  SELECT event_type, dev,
+        |         sum(1) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+        |         count(*) OVER (PARTITION BY event_type) AS tot
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type, min(dev) AS mad
+        |  FROM c2 WHERE cum * 2 >= tot GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, CAST(d.v AS DOUBLE) AS value,
+        |       round(CAST(d.dev AS DOUBLE) / CAST(mad.mad AS DOUBLE), 4) AS dev_ratio
+        |FROM d JOIN mad USING (event_type)
+        |WHERE mad.mad > 0
+        |  AND CAST(d.dev AS DOUBLE) > 4.4478 * CAST(mad.mad AS DOUBLE)
+        |ORDER BY event_id""".stripMargin,
+
+    "sql_lateral_join" ->
+      """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+        |       CAST(t.o_totalprice AS DOUBLE) AS price
+        |FROM customer c,
+        |     LATERAL (SELECT o_orderkey, o_totalprice
+        |              FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey
+        |              LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+
     "anomaly_zscore" ->
       """WITH s AS (
         |  SELECT event_type, count(*) AS n,

@@ -153,6 +153,14 @@ class PlanSpec extends SparkSpec {
     assert(!ps.contains("ScalarSubquery"),
       s"scalar subqueries must be decorrelated, not re-executed per row:\n$ps")
     assert(ps.contains("HashAggregate"), ps)
+    // LATERAL (ORDER BY … LIMIT k) → per-group ranked join: the rank
+    // must run as a PARTITIONED window (the global-sort gate also
+    // covers this), and no lateral/subquery node may survive
+    val pl = plan(ops.Relational.sqlLateralJoin)
+    assert(!pl.contains("LateralJoin") && !pl.contains("Subquery"),
+      s"lateral must decorrelate into a join:\n$pl")
+    assert(pl.contains("Window") || pl.contains("WindowGroupLimit"),
+      s"expected a ranked-window realization of the lateral LIMIT:\n$pl")
   }
 
   test("banded pairwise cosine joins on (label, band, bv) and keeps vectors out of the collision join") {
