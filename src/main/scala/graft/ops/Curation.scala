@@ -256,7 +256,7 @@ object Curation {
     * the same exposure `text_tfidf_topterms` has carried green since
     * round 1.
     */
-  val textUnigramLogprob: Q = (s, dir) => {
+  private def docAvgNll(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val toks = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
     val tok = table(s, dir, "documents")
       .select(col("doc_id"), explode(toks).as("tok"))
@@ -271,8 +271,29 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
-      .orderBy("doc_id")
   }
+
+  val textUnigramLogprob: Q = (s, dir) =>
+    docAvgNll(s, dir).orderBy("doc_id")
+
+  /** CCNet-style perplexity banding (round 7): each document is
+    * assigned a quality band from its average unigram surprisal —
+    * the head/middle/tail split CCNet uses to keep, review, or drop
+    * web text (there, under a trained KenLM; here, under the
+    * deterministic unigram self-model of [[textUnigramLogprob]]).
+    * Band thresholds are tuned so every band discriminates on this
+    * corpus (the [[Curation2.textGopherRules]] convention). The
+    * banded compare runs on the 6-dp-rounded avg — already proven
+    * engine-identical by the logprob key — so the CASE cannot flip
+    * across engines.
+    */
+  val textPerplexityBucket: Q = (s, dir) =>
+    docAvgNll(s, dir)
+      .withColumn("ppl_band",
+        when(col("avg_nll") < 3.40, "head")
+          .when(col("avg_nll") < 3.41, "middle")
+          .otherwise("tail"))
+      .orderBy("doc_id")
 
   // ------------------------------------------------ document chunking
 
@@ -341,6 +362,7 @@ object Curation {
     "join_skew_salted" -> joinSkewSalted,
     "sql_recursive_cte" -> sqlRecursiveCte,
     "text_unigram_logprob" -> textUnigramLogprob,
+    "text_perplexity_bucket" -> textPerplexityBucket,
     "text_chunk_overlap" -> textChunkOverlap,
   )
 }

@@ -541,6 +541,38 @@ object Llm {
       .withColumn("split", splitName(col("bucket")))
       .orderBy("doc_id")
 
+  /** Temperature-flattened domain sampling (round 7) — the
+    * multilingual/multi-source rebalancing step of LLM data mixing
+    * (the α-temperature scheme of mBERT/XLM-R): large domains are
+    * downsampled toward √n while small ones are kept whole, so the
+    * mixture flattens without starving the tail. α is FIXED at 0.5
+    * deliberately: the per-domain keep rate is then
+    * `min(1, C/√n_i)`, whose float chain (sqrt, divide, multiply,
+    * floor) is exact-rounded IEEE in both engines — a general
+    * `pow(n, α−1)` is correctly-rounded in NEITHER libm, and a 1-ULP
+    * disagreement at a ppm threshold boundary would flip membership.
+    * The gate itself is the house md5 discipline under its own salt
+    * (independence from split/sample/budget gates — see
+    * [[sampleBucket]]) at ppm granularity, so membership is a pure
+    * function of (doc_id, domain size): stable across runs, engines,
+    * and partitionings. One tiny domain-count aggregate + a broadcast
+    * join + a row-local gate: no wide shuffle at any scale.
+    */
+  val sampleTemperature: Q = (s, dir) => {
+    val c = 2.0 // cap constant: domain i keeps ≈ C·√n_i docs
+    val d = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val n = d.groupBy(col("lang")).agg(count(lit(1)).as("lang_total"))
+      .withColumn("thr",
+        floor(least(lit(1.0), lit(c) / sqrt(col("lang_total").cast("double")))
+          * 1000000).cast("long"))
+    val ppm = conv(substring(md5(concat_ws("|", lit("graft-temp"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000000
+    d.join(broadcast(n), "lang")
+      .filter(ppm < col("thr"))
+      .select(col("doc_id"), col("lang"), col("lang_total"), col("thr"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified downsampling — the corpus-mixture
     * operation every training pipeline runs (rebalance languages /
     * sources to target proportions before training). Per-stratum keep
@@ -629,6 +661,7 @@ object Llm {
     "dedup_embedding_cosine_lsh" -> dedupEmbeddingCosineLsh,
     "sim_pairwise_threshold_lsh" -> simPairwiseThresholdLsh,
     "sample_hash_split" -> sampleHashSplit,
+    "sample_temperature" -> sampleTemperature,
     "sample_stratified_hash" -> sampleStratifiedHash,
     "dedup_latest_wins" -> dedupLatestWins,
     "dedup_minhash_lsh" -> dedupMinhashLsh,

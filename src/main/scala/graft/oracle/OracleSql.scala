@@ -811,6 +811,19 @@ object OracleSql {
         |FROM c WHERE cum_toks <= 2000
         |ORDER BY lang, cum_toks, doc_id""".stripMargin,
 
+    "sample_temperature" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+        |n AS (SELECT lang, count(*) AS lang_total FROM d GROUP BY lang),
+        |t AS (SELECT lang, lang_total,
+        |             CAST(floor(least(1.0, 2.0 / sqrt(CAST(lang_total AS DOUBLE)))
+        |                  * 1000000) AS BIGINT) AS thr
+        |      FROM n)
+        |SELECT d.doc_id, d.lang, t.lang_total, t.thr
+        |FROM d JOIN t USING (lang)
+        |WHERE CAST(('0x' || substr(md5('graft-temp' || '|' ||
+        |        CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < t.thr
+        |ORDER BY doc_id""".stripMargin,
+
     "sample_hash_split" ->
       """SELECT doc_id, lang,
         |       CAST(('0x' || substr(md5('graft-split' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))
@@ -1252,6 +1265,27 @@ object OracleSql {
         |                          AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_nll
         |FROM tok2 JOIN freq USING (tok) CROSS JOIN total
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_perplexity_bucket" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+        |freq AS (SELECT tok, count(*) AS c FROM tok2 GROUP BY tok),
+        |total AS (SELECT SUM(c) AS n_total FROM freq),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_toks,
+        |         round(CAST(SUM(CAST(round(-ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+        |                            AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_nll
+        |  FROM tok2 JOIN freq USING (tok) CROSS JOIN total
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_toks, avg_nll,
+        |       CASE WHEN avg_nll < 3.40 THEN 'head'
+        |            WHEN avg_nll < 3.41 THEN 'middle'
+        |            ELSE 'tail' END AS ppl_band
+        |FROM per
         |ORDER BY doc_id""".stripMargin,
 
     "sql_recursive_cte" ->
