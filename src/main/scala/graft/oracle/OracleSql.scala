@@ -1391,6 +1391,12 @@ object OracleSql {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     "anomaly_mad" ->
       """WITH e AS (
         |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v
