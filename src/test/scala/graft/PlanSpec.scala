@@ -64,6 +64,15 @@ class PlanSpec extends SparkSpec {
     assert(cosLine.contains("*("), s"cosine_sim not in a codegen stage: $cosLine")
   }
 
+  test("bound_rank participates in whole-stage codegen (quantile bucket assignment)") {
+    val df = ops.Analytics.aggQuantilesBucketed(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("bound_rank(")).getOrElse("")
+    assert(line.nonEmpty, s"bound_rank not found in the executed plan:\n$p")
+    assert(line.contains("*("), s"bound_rank not in a codegen stage: $line")
+  }
+
   test("dynamic partition pruning fires on a partitioned fact ⋈ filtered dim") {
     val tmp = java.nio.file.Files.createTempDirectory("dpp").toString + "/fact"
     import spark.implicits._

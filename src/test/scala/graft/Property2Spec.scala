@@ -127,6 +127,45 @@ class Property2Spec extends SparkSpec {
     }
   }
 
+  test("events_rfm: bucketed quintiles reproduce ntile(5) on random, tiny, and all-tied corpora") {
+    // ntile(5)'s exact bucket-size arithmetic, driver-side
+    def ntile5(order: Array[(Double, Long)]): Map[Long, Int] = {
+      val n = order.length; val q = n / 5; val r = n % 5
+      order.sorted.zipWithIndex.map { case ((_, uid), i) =>
+        val b = if (i < r * (q + 1)) i / (q + 1) else r + (i - r * (q + 1)) / q
+        uid -> (b + 1)
+      }.toMap
+    }
+    def check(rows: List[(Long, Long, Long, Double, String)], tag: String): Unit = {
+      val dir = tmpDir(tag)
+      writeEvents(rows, dir)
+      val out = ops.Analytics.eventsRfm(spark, dir).collect()
+      val nPurch = rows.filter(_._5 == "purchase").map(_._2).distinct.size
+      assert(out.length == nPurch, s"$tag: one row per purchasing user")
+      if (out.nonEmpty) {
+        val rq = ntile5(out.map(r => (r.getInt(1).toDouble, r.getLong(0))))
+        val fq = ntile5(out.map(r => (-r.getLong(2).toDouble, r.getLong(0))))
+        val mq = ntile5(out.map(r => (-r.getDouble(3), r.getLong(0))))
+        out.foreach { r =>
+          val u = r.getLong(0)
+          assert(r.getInt(4) == rq(u) && r.getInt(5) == fq(u) && r.getInt(6) == mq(u),
+            s"$tag user $u")
+        }
+      }
+    }
+    // random corpora: evGen's 8-user universe means the purchasing
+    // population is TINY (≤8 < 5 buckets in some draws) — the ntile
+    // boundary-rank arithmetic's partial-bucket edge paths
+    for ((rows0, i) <- samples(evGen, 4).zipWithIndex)
+      check(rows0.distinctBy(r => (r._3, r._1)), s"rfm$i")
+    // all-tied: 40 users, identical single purchase each — every
+    // metric ties across the whole population, so quintiles are
+    // decided purely by the user_id tiebreak
+    val tied = (1 to 40).map(u =>
+      (u.toLong, u.toLong, 1704067200000000000L, 5.00, "purchase")).toList
+    check(tied, "rfmtied")
+  }
+
   test("events_markov_transition: ppm rows are exact integer shares on random corpora") {
     for ((rows0, i) <- samples(evGen, 4).zipWithIndex) {
       val rows = rows0.distinctBy(r => (r._3, r._1))
