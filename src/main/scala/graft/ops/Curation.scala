@@ -74,8 +74,19 @@ object Curation {
     * uniform vocabulary like this one it LOSES (3.0 vs 5.4 s — the
     * rarity-ranking machinery isn't repaid), on a planted Zipf
     * vocabulary it wins 4–7× (41–74 vs 10.3 s, hot-gram df²
-    * explosion, identical outputs) — the switch criterion is the df
-    * profile from the corpus stats.
+    * explosion, identical outputs).
+    *
+    * Round 7 AUTOMATES the switch: a one-row df-profile probe picks
+    * the join shape per corpus. The discriminator is the hot-gram
+    * share `maxDf²/Σdf` — the pair rows the single hottest gram
+    * generates per gram row of input. Measured (ScratchDfProfile):
+    * 0.09 on documents sf0.1 and 0.04 on the uniform fixture (both
+    * corpora where shared-count wins the A/B) vs 24.4 on the Zipf
+    * fixture (where prefix wins 4–7×) — three orders of magnitude
+    * of separation around the 1.0 threshold. Either path feeds the
+    * SAME exact verify, so the result is identical whichever shape
+    * runs (ScratchPrefixFilter asserts pair-set equality on both
+    * corpora); the probe's driver-side state is one row.
     */
   val dedupNgramContainment: Q = (s, dir) => {
     val tau = 0.8 // integer form: 5·shared ≥ 4·min(|A|,|B|)
@@ -87,31 +98,60 @@ object Curation {
     val inv = d
       .select(col("doc_id"), col("gsz"), col("lang"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), col("gsz"), xxhash64(col("lang"), col("gram")).as("gh"))
-    // The pair join emits BARE packed keys: Σ df² rows is the join's
-    // irreducible volume (measured 19 M at sf0.1, uniform df — no cap
-    // prunes it), so every byte on those rows is paid 19 M times.
-    // Doc sizes re-attach AFTER the count from the tiny (doc_id, gsz)
-    // dimension via broadcast — the counted relation is pair-distinct
-    // (orders of magnitude smaller).
-    val a = inv.select(col("gh"), col("doc_id").as("a_id"))
-    val b = inv.select(col("gh").as("b_gh"), col("doc_id").as("b_id"))
-      .hint("shuffle_hash")
-    val sizes = d.select(col("doc_id"), col("gsz"))
-    val counted = a.join(b, col("gh") === col("b_gh") && col("a_id") < col("b_id"))
-      .select(shiftleft(col("a_id").cast("long"), 32)
-        .bitwiseOR(col("b_id").cast("long")).as("pk"))
-      .groupBy(col("pk"))
-      .agg(count(lit(1)).as("shared_h"))
-      .select(shiftright(col("pk"), 32).cast("int").as("a_id"),
-        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b_id"),
-        col("shared_h"))
-      .join(broadcast(sizes.select(col("doc_id").cast("int").as("a_id"),
-        col("gsz").as("a_sz"))), "a_id")
-      .join(broadcast(sizes.select(col("doc_id").cast("int").as("b_id"),
-        col("gsz").as("b_sz"))), "b_id")
-      .filter(lit(5) * col("shared_h") >= lit(4) * least(col("a_sz"), col("b_sz")))
-      .select(col("a_id"), col("b_id"))
-    counted
+    val dfreq = inv.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val prof = dfreq
+      .agg(sum(col("df")).as("n"), max(col("df")).as("maxdf")).head()
+    val hotShare =
+      prof.getLong(1).toDouble * prof.getLong(1).toDouble / prof.getLong(0).max(1L)
+    val candidates = if (hotShare <= 1.0) {
+      // shared-count shape. The pair join emits BARE packed keys:
+      // Σ df² rows is the join's irreducible volume, so every byte on
+      // those rows is paid Σ df² times. Doc sizes re-attach AFTER the
+      // count from the tiny (doc_id, gsz) dimension via broadcast —
+      // the counted relation is pair-distinct (orders of magnitude
+      // smaller), and the integer containment bound prunes it before
+      // the verify.
+      val a = inv.select(col("gh"), col("doc_id").as("a_id"))
+      val b = inv.select(col("gh").as("b_gh"), col("doc_id").as("b_id"))
+        .hint("shuffle_hash")
+      val sizes = d.select(col("doc_id"), col("gsz"))
+      a.join(b, col("gh") === col("b_gh") && col("a_id") < col("b_id"))
+        .select(shiftleft(col("a_id").cast("long"), 32)
+          .bitwiseOR(col("b_id").cast("long")).as("pk"))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("shared_h"))
+        .select(shiftright(col("pk"), 32).cast("int").as("a_id"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b_id"),
+          col("shared_h"))
+        .join(broadcast(sizes.select(col("doc_id").cast("int").as("a_id"),
+          col("gsz").as("a_sz"))), "a_id")
+        .join(broadcast(sizes.select(col("doc_id").cast("int").as("b_id"),
+          col("gsz").as("b_sz"))), "b_id")
+        .filter(lit(5) * col("shared_h") >= lit(4) * least(col("a_sz"), col("b_sz")))
+        .select(col("a_id"), col("b_id"))
+    } else {
+      // PPJoin prefix filter: index only each doc's ⌊gsz·(1−τ)⌋+1
+      // RAREST grams — a qualifying pair leaves the smaller doc fewer
+      // than that many unshared grams, so it MUST collide inside the
+      // prefix (hash collisions only merge grams, i.e. only ADD
+      // candidates). Candidate volume is Σ over prefix grams of df —
+      // immune to the hot-gram df² explosion.
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))
+      val prefix = inv.join(dfreq, "gh")
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= floor(col("gsz") / 5) + 1)
+        .select(col("gh"), col("doc_id").as("p_id"))
+      val full = inv.select(col("gh"), col("doc_id").as("f_id"))
+      prefix.join(full.hint("shuffle_hash"), "gh")
+        .filter(col("p_id") =!= col("f_id"))
+        .select(shiftleft(least(col("p_id"), col("f_id")).cast("long"), 32)
+          .bitwiseOR(greatest(col("p_id"), col("f_id")).cast("long")).as("pk"))
+        .distinct()
+        .select(shiftright(col("pk"), 32).cast("int").as("a_id"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b_id"))
+    }
+    candidates
       .join(d.select(col("doc_id").as("a_id"), col("lang"),
         col("grams").as("a_grams"), col("gsz").as("a_sz")), "a_id")
       .join(d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
