@@ -207,35 +207,75 @@ object Llm2 {
     val inv = d
       .select(col("doc_id"), col("gsz"), col("lang"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), col("gsz"), xxhash64(col("lang"), col("gram")).as("gh"))
-    val a = inv.select(col("gh"), col("doc_id").as("a_id"), col("gsz").as("a_sz"))
-    // shuffle_hash, not broadcast: partitioning both sides on the gram
-    // hash gives each task a small local map (measured 1.8× faster
-    // than probing one big broadcast map at sf0.1), and a 100 TB gram
-    // index could never broadcast anyway — this hint IS the scale plan.
-    val b = inv.select(col("gh").as("b_gh"), col("doc_id").as("b_id"),
-      col("gsz").as("b_sz")).hint("shuffle_hash")
-    // Integer forms of the τ=0.5 bounds (no per-row double casts):
-    // τ·|B| ≤ |A| ⟺ 2·|A| ≥ |B|;  J ≥ τ ⟺ shared·(1+τ) ≥ τ·(|A|+|B|)
-    // ⟺ 3·shared ≥ |A|+|B|. The pair key is packed into ONE long —
-    // the partial-aggregation hash map over the 2.6 M distinct pairs
-    // (sf0.1) is the hottest structure in the query, and a single-long
-    // key measured ~30 % faster than a 4-column row key. Packing
-    // assumes non-negative doc ids < 2³²; corpora with wider ids group
-    // by (a_id, b_id) instead — same plan, slightly heavier map.
-    val counted = a.join(b,
-        col("gh") === col("b_gh") && col("a_id") < col("b_id") &&
-        lit(2) * col("a_sz") >= col("b_sz") &&
-        lit(2) * col("b_sz") >= col("a_sz"))
-      .select(shiftleft(col("a_id").cast("long"), 32)
-        .bitwiseOR(col("b_id").cast("long")).as("pk"),
-        col("a_sz"), col("b_sz"))
-      .groupBy(col("pk"))
-      .agg(count(lit(1)).as("shared_h"),
-        max(col("a_sz")).as("a_sz"), max(col("b_sz")).as("b_sz"))
-      .filter(lit(3) * col("shared_h") >= col("a_sz") + col("b_sz"))
-      .select(shiftright(col("pk"), 32).cast("int").as("a_id"),
-        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b_id"),
-        col("a_sz"), col("b_sz"))
+    // Adaptive pair-join shape (round 7, same probe as
+    // [[Curation.dedupNgramContainment]]): the hot-gram share
+    // maxDf²/Σdf decides between the shared-count join (wins on
+    // uniform vocabularies — measured, BASELINE.md r6) and a
+    // PPJoin prefix filter (wins 4–7× under a Zipf hot tail). For
+    // Jaccard ≥ τ with the size-ratio bound τ·|B| ≤ |A|, the smaller
+    // doc's unshared grams number ≤ |A|·(1−τ)/(1+τ) = |A|/3 at
+    // τ = 0.5, so indexing each doc's ⌊gsz/3⌋+1 RAREST grams
+    // guarantees every true pair collides inside a prefix; both
+    // shapes feed the same exact verify, so results are identical.
+    val dfreq = inv.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val prof = dfreq
+      .agg(sum(col("df")).as("n"), max(col("df")).as("maxdf")).head()
+    val hotShare =
+      prof.getLong(1).toDouble * prof.getLong(1).toDouble / prof.getLong(0).max(1L)
+    val counted = if (hotShare <= 1.0) {
+      val a = inv.select(col("gh"), col("doc_id").as("a_id"), col("gsz").as("a_sz"))
+      // shuffle_hash, not broadcast: partitioning both sides on the gram
+      // hash gives each task a small local map (measured 1.8× faster
+      // than probing one big broadcast map at sf0.1), and a 100 TB gram
+      // index could never broadcast anyway — this hint IS the scale plan.
+      val b = inv.select(col("gh").as("b_gh"), col("doc_id").as("b_id"),
+        col("gsz").as("b_sz")).hint("shuffle_hash")
+      // Integer forms of the τ=0.5 bounds (no per-row double casts):
+      // τ·|B| ≤ |A| ⟺ 2·|A| ≥ |B|;  J ≥ τ ⟺ shared·(1+τ) ≥ τ·(|A|+|B|)
+      // ⟺ 3·shared ≥ |A|+|B|. The pair key is packed into ONE long —
+      // the partial-aggregation hash map over the 2.6 M distinct pairs
+      // (sf0.1) is the hottest structure in the query, and a single-long
+      // key measured ~30 % faster than a 4-column row key. Packing
+      // assumes non-negative doc ids < 2³²; corpora with wider ids group
+      // by (a_id, b_id) instead — same plan, slightly heavier map.
+      a.join(b,
+          col("gh") === col("b_gh") && col("a_id") < col("b_id") &&
+          lit(2) * col("a_sz") >= col("b_sz") &&
+          lit(2) * col("b_sz") >= col("a_sz"))
+        .select(shiftleft(col("a_id").cast("long"), 32)
+          .bitwiseOR(col("b_id").cast("long")).as("pk"),
+          col("a_sz"), col("b_sz"))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("shared_h"),
+          max(col("a_sz")).as("a_sz"), max(col("b_sz")).as("b_sz"))
+        .filter(lit(3) * col("shared_h") >= col("a_sz") + col("b_sz"))
+        .select(shiftright(col("pk"), 32).cast("int").as("a_id"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b_id"),
+          col("a_sz"), col("b_sz"))
+    } else {
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))
+      val prefix = inv.join(dfreq, "gh")
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= floor(col("gsz") / 3) + 1)
+        .select(col("gh"), col("doc_id").as("p_id"), col("gsz").as("p_sz"))
+      val full = inv.select(col("gh").as("f_gh"), col("doc_id").as("f_id"),
+        col("gsz").as("f_sz")).hint("shuffle_hash")
+      prefix.join(full,
+          col("gh") === col("f_gh") && col("p_id") =!= col("f_id") &&
+          lit(2) * col("p_sz") >= col("f_sz") &&
+          lit(2) * col("f_sz") >= col("p_sz"))
+        .select(
+          shiftleft(least(col("p_id"), col("f_id")).cast("long"), 32)
+            .bitwiseOR(greatest(col("p_id"), col("f_id")).cast("long")).as("pk"),
+          when(col("p_id") < col("f_id"), col("p_sz")).otherwise(col("f_sz")).as("a_sz"),
+          when(col("p_id") < col("f_id"), col("f_sz")).otherwise(col("p_sz")).as("b_sz"))
+        .groupBy(col("pk"))
+        .agg(max(col("a_sz")).as("a_sz"), max(col("b_sz")).as("b_sz"))
+        .select(shiftright(col("pk"), 32).cast("int").as("a_id"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b_id"),
+          col("a_sz"), col("b_sz"))
+    }
     counted
       .join(d.select(col("doc_id").as("a_id"), col("lang"),
         col("grams").as("a_grams")), "a_id")

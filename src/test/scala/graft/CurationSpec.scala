@@ -95,6 +95,40 @@ class CurationSpec extends SparkSpec {
       s"prefix path must be exact: missing=${(truth -- out).take(3)} extra=${(out -- truth).take(3)}")
   }
 
+  test("jaccard dedup's adaptive switch takes the prefix-filter path on a hot-gram corpus, exactly") {
+    // same switch-tripping construction as the containment fixture;
+    // near-dup pairs sit at J ≈ 0.85 (well over τ = 0.5), hot docs
+    // pairwise at J ≈ 0.09 (well under)
+    val pairs = (0 until 30).flatMap { i =>
+      val toks = (0 until 40).map(j => s"t${i * 50 + j}")
+      Seq((2L * i, "en", toks.mkString(" ")),
+        (2L * i + 1, "en", (toks.take(36) :+ s"u$i").mkString(" ")))
+    }
+    val hot = (0 until 400).map { j =>
+      val tail = (0 until 20).map(k => s"h${1000 + j * 20 + k}")
+      (1000L + j, "en", ("hot1 hot2 hot3 hot4 hot5" +: tail).mkString(" "))
+    }
+    val dirT = java.nio.file.Files.createTempDirectory("jaczipf").toString
+    (pairs ++ hot).toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dirT/documents.parquet")
+    val grams2 = graft.functions.TextExpressions.wordShingles(col("text"), 2)
+    val out = ops.Llm2.dedupNgramJaccard(spark, dirT).collect()
+      .map(r => (r.getInt(1).toLong, r.getInt(2).toLong)).toSet
+    val d = spark.read.parquet(s"$dirT/documents.parquet")
+      .select(col("doc_id"), col("lang"), grams2.as("grams"))
+    val a2 = d.select(col("doc_id").as("a_id"), col("lang"), col("grams").as("ag"))
+    val b2 = d.select(col("doc_id").as("b_id"), col("lang").as("bl"), col("grams").as("bg"))
+    val truth = a2.crossJoin(b2)
+      .filter(col("lang") === col("bl") && col("a_id") < col("b_id"))
+      .withColumn("sh", size(array_intersect(col("ag"), col("bg"))).cast("double"))
+      .filter(col("sh") / (size(col("ag")) + size(col("bg")) - col("sh")) >= 0.5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must contain true pairs")
+    assert(out == truth,
+      s"prefix path must be exact: missing=${(truth -- out).take(3)} extra=${(out -- truth).take(3)}")
+  }
+
   test("containment catches a quote pair Jaccard misses") {
     // 60 distinct words → 59 distinct bigrams in the big doc; the short
     // doc is a verbatim 5-word quote plus a 2-word trailer (6 bigrams,
