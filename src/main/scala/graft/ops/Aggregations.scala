@@ -80,6 +80,37 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** DAU / trailing-7-day WAU (round 7) — the daily/weekly
+    * active-user board metric. A trailing DISTINCT count cannot be a
+    * running window (distinct doesn't decompose over frames) and a
+    * naive per-day range self-join of the event log is |events|×7;
+    * instead the relation is first collapsed to distinct
+    * (day, user) pairs (one partial-agg shuffle — the big win, since
+    * a user's repeat events within a day vanish here), each pair is
+    * exploded to the ≤7 window days it can serve, deduped again on
+    * (window-day, user) — a user active on several days of one
+    * window still counts once — and counted per existing day. All
+    * hash-partitioned equi-joins and aggs; no global window, no
+    * range join ([[graft.ops.Windows.winMovingRange]]'s contribution
+    * shape, lifted to distinct counting).
+    */
+  val eventsDauWau: Q = (s, dir) => {
+    val du = table(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+      .withColumn("day", unix_date(col("d")))
+    val days = du.select(col("d"), col("day")).distinct()
+    val contrib = du
+      .select(explode(sequence(col("day"), col("day") + 6)).as("wday"), col("user_id"))
+      .distinct()
+    val wau = days.join(contrib, col("wday") === col("day"))
+      .groupBy(col("d")).agg(count(lit(1)).as("wau_7d"))
+    val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    dau.join(wau, "d")
+      .select(col("d"), col("dau"), col("wau_7d"))
+      .orderBy("d")
+  }
+
   /** EXACT distinct counting through bitmap aggregation (round 7 —
     * the roaring-bitmap-index pattern Spark ships as the `bitmap_*`
     * family): user ids land in fixed 32k-bit buckets
@@ -413,6 +444,7 @@ object Aggregations {
     "agg_hll_sketch_merge" -> aggHllSketchMerge,
     "agg_hll_intersect" -> aggHllIntersect,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
+    "events_dau_wau" -> eventsDauWau,
     "time_series_gap_fill" -> timeSeriesGapFill,
     "agg_corr_exact" -> aggCorrExact,
     "events_funnel" -> eventsFunnel,

@@ -480,6 +480,43 @@ object Relational {
 
   // ------------------------------------------------------------- exports
 
+  /** As-of join with a STALENESS TOLERANCE (round 7): each event
+    * reads its latest at-or-before order, but only if that order is
+    * recent enough — the sensor-fusion/market-data variant where an
+    * arbitrarily old match is worse than no match. Same union +
+    * carry-forward shape as [[joinAsof]] (no pair set ever forms);
+    * the tolerance is one extra filter on the carried timestamp,
+    * which is equivalent to bounding the join range BEFORE the
+    * latest-row rank (the latest order is in range iff it passes the
+    * filter — there is nothing newer to fall back to), so the oracle
+    * can state it either way. The 8400-day bound is corpus-tuned to
+    * discriminate (the [[graft.ops.Curation2]] threshold convention):
+    * this synthetic corpus puts events in 2024 and orders in
+    * 1995–2001, so per-pick staleness spans ~8200–8800 days; a
+    * realistic 30-day bound would keep zero rows and prove nothing.
+    */
+  val joinAsofTolerance: Q = (s, dir) => {
+    val e = table(s, dir, "events")
+      .select(col("user_id").as("k"), col("ts").as("t"), lit(1).as("src"),
+        col("event_id"), lit(null).cast("long").as("ok"),
+        lit(null).cast("timestamp").as("od"))
+    val o = table(s, dir, "orders")
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"), lit(0).as("src"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey").as("ok"),
+        col("o_orderdate").as("od"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("src").asc, col("ok").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("asof_orderkey", last(col("ok"), ignoreNulls = true).over(w))
+      .withColumn("asof_orderdate", last(col("od"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1 && col("asof_orderkey").isNotNull &&
+        col("asof_orderdate") >= col("t") - expr("INTERVAL 8400 DAYS"))
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+        col("asof_orderkey"), col("asof_orderdate"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> scanParquet,
     "scan_parquet_pruned" -> scanParquetPruned,
@@ -506,6 +543,7 @@ object Relational {
     "join_multiway_star" -> joinMultiwayStar,
     "join_self_dedup" -> joinSelfDedup,
     "join_asof" -> joinAsof,
+    "join_asof_tolerance" -> joinAsofTolerance,
     "agg_groupby_basic" -> aggGroupbyBasic,
   )
 }

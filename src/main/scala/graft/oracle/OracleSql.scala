@@ -349,6 +349,31 @@ object OracleSql {
         |        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
+
+    "join_asof_tolerance" ->
+      """SELECT event_id, user_id, ts, asof_orderkey, asof_orderdate
+        |FROM (SELECT e.event_id, e.user_id, e.ts,
+        |             o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+        |             row_number() OVER (PARTITION BY e.event_id
+        |                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |      FROM events e JOIN orders o
+        |        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |       AND o.o_orderdate >= e.ts - INTERVAL 8400 DAY)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "events_dau_wau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |wau AS (
+        |  SELECT days.d, count(DISTINCT du.user_id) AS wau_7d
+        |  FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+        |  GROUP BY days.d),
+        |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d)
+        |SELECT dau.d, dau.dau, wau.wau_7d
+        |FROM dau JOIN wau USING (d)
+        |ORDER BY d""".stripMargin,
   )
 
   private val scalarFns: Map[String, String] = Map(
