@@ -164,6 +164,40 @@ object Aggregations {
       .orderBy("type_a", "type_b")
   }
 
+  /** Exact skewness + excess kurtosis per event type (round 7 — the
+    * distribution-shape companions of [[aggCorrExact]]): built-in
+    * `skewness`/`kurtosis` accumulate doubles in partition order, so
+    * the four power sums are aggregated EXACTLY instead — value is
+    * 2-dec, so `v·100` is an exact integer whose 4th power (≤ ~6e18)
+    * and corpus-wide sums (≤ ~1e23) fit decimal(38,0) losslessly
+    * (HUGEINT on the DuckDB side). Each Sₖ casts to double once;
+    * the central-moment and shape formulas then run the IDENTICAL
+    * IEEE op sequence in both engines (√ via `sqrt`, never `pow` —
+    * libm pow is not correctly rounded), and skew/kurtosis are
+    * scale-invariant so the ·100 quantization cancels by itself.
+    */
+  val aggSkewKurtosis: Q = (s, dir) => {
+    val v = (dec(col("value")) * 100).cast("decimal(38,0)")
+    table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast("double").as("s1"),
+        sum(v * v).cast("double").as("s2"),
+        sum(v * v * v).cast("double").as("s3"),
+        sum(v * v * v * v).cast("double").as("s4"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("m2", (col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+      .withColumn("m3", (col("s3") - lit(3.0) * col("mean") * col("s2")
+        + lit(2.0) * col("mean") * col("mean") * col("s1")) / col("n"))
+      .withColumn("m4", (col("s4") - lit(4.0) * col("mean") * col("s3")
+        + lit(6.0) * col("mean") * col("mean") * col("s2")
+        - lit(3.0) * col("mean") * col("mean") * col("mean") * col("s1")) / col("n"))
+      .select(col("event_type"), col("n"),
+        round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skewness"),
+        round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6).as("kurtosis_excess"))
+      .orderBy("event_type")
+  }
+
   /** Exact Pearson correlation per group, from decimal-exact moment
     * sums. Built-in `corr()` accumulates doubles in partition order —
     * nondeterministic across engines AND across partitionings — so the
@@ -445,6 +479,7 @@ object Aggregations {
     "agg_hll_intersect" -> aggHllIntersect,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "events_dau_wau" -> eventsDauWau,
+    "agg_skew_kurtosis" -> aggSkewKurtosis,
     "time_series_gap_fill" -> timeSeriesGapFill,
     "agg_corr_exact" -> aggCorrExact,
     "events_funnel" -> eventsFunnel,

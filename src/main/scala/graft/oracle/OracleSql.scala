@@ -1416,6 +1416,30 @@ object OracleSql {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    "agg_skew_kurtosis" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(h) AS DOUBLE) AS s1,
+        |         CAST(sum(h*h) AS DOUBLE) AS s2,
+        |         CAST(sum(h*h*h) AS DOUBLE) AS s3,
+        |         CAST(sum(h*h*h*h) AS DOUBLE) AS s4
+        |  FROM (SELECT event_type,
+        |               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS h
+        |        FROM events)
+        |  GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, s1 / n AS mean,
+        |         (s2 - s1 * s1 / n) / n AS m2,
+        |         (s3 - 3.0 * (s1 / n) * s2 + 2.0 * (s1 / n) * (s1 / n) * s1) / n AS m3,
+        |         (s4 - 4.0 * (s1 / n) * s3 + 6.0 * (s1 / n) * (s1 / n) * s2
+        |             - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * s1) / n AS m4
+        |  FROM s)
+        |SELECT event_type, n,
+        |       round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+        |       round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+        |FROM m
+        |ORDER BY event_type""".stripMargin,
+
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events
