@@ -80,6 +80,38 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Windowed funnel (round 7): signup → first click within 7 days →
+    * first purchase within 7 days OF THAT CLICK — the funnel
+    * [[eventsFunnel]] runs, upgraded with per-step conversion
+    * windows (the semantics every product-analytics funnel actually
+    * uses; the unwindowed form credits a purchase years later).
+    * NOT a per-user event-sequence scan: each step is one filtered
+    * partial aggregation re-anchored by an equi-join on user_id to
+    * the previous step's chosen timestamp — the
+    * [[Analytics.eventsTimeToConvert]] shape, chained. "First
+    * qualifying" = min(ts) in the window, so each step's anchor is
+    * deterministic and the next window measures from it. Step
+    * relations only ever shrink; no event-pair set forms anywhere.
+    */
+  val eventsFunnelWindowed: Q = (s, dir) => {
+    val ev = table(s, dir, "events").select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts") >= col("t_signup") &&
+        col("ts") <= col("t_signup") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") >= col("t_click") &&
+        col("ts") <= col("t_click") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_7d")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_7d")))
+  }
+
   /** DAU / trailing-7-day WAU (round 7) — the daily/weekly
     * active-user board metric. A trailing DISTINCT count cannot be a
     * running window (distinct doesn't decompose over frames) and a
@@ -480,6 +512,7 @@ object Aggregations {
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "events_dau_wau" -> eventsDauWau,
     "agg_skew_kurtosis" -> aggSkewKurtosis,
+    "events_funnel_windowed" -> eventsFunnelWindowed,
     "time_series_gap_fill" -> timeSeriesGapFill,
     "agg_corr_exact" -> aggCorrExact,
     "events_funnel" -> eventsFunnel,

@@ -218,6 +218,26 @@ object OracleSql {
         |         AS n_full_funnel
         |FROM f""".stripMargin,
 
+    "events_funnel_windowed" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click'
+        |    AND e.ts >= s1.t_signup AND e.ts <= s1.t_signup + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts >= s2.t_click AND e.ts <= s2.t_click + INTERVAL 7 DAY
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |       (SELECT count(*) FROM s2) AS n_click_7d,
+        |       (SELECT count(*) FROM s3) AS n_purchase_7d""".stripMargin,
+
     "events_retention_cohort" ->
       """WITH e AS (
         |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
