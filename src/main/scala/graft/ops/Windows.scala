@@ -24,6 +24,32 @@ object Windows {
 
   import Relational.Q
 
+  /** Running DISTINCT event-type count per user over time (round 7):
+    * "how many different things has this user done so far" — the
+    * engagement-breadth curve. `count(DISTINCT …) OVER` is not
+    * frame-decomposable (neither engine runs it over a running
+    * frame); the scalable identity is first-occurrence flagging —
+    * row_number() = 1 within (user, type) marks each type's first
+    * event, and a running SUM of those flags over the user timeline
+    * IS the running distinct count. Both windows partition on
+    * user_id; no holistic distinct state anywhere.
+    */
+  val winCumulativeDistinct: Q = (s, dir) => {
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("is_new",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("n_types_seen", sum(col("is_new")).over(wRun))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("n_types_seen"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Top-3 orders per customer by totalprice (latest-record-wins /
     * top-k idiom). Unique tiebreak on orderkey.
     */
@@ -179,6 +205,7 @@ object Windows {
     "win_lag_lead" -> winLagLead,
     "win_running_sum" -> winRunningSum,
     "win_moving_range" -> winMovingRange,
+    "win_cumulative_distinct" -> winCumulativeDistinct,
     "win_first_last" -> winFirstLast,
     "win_ntile_percent_rank" -> winNtilePercentRank,
     "events_sessionize" -> eventsSessionize,

@@ -218,6 +218,20 @@ object OracleSql {
         |         AS n_full_funnel
         |FROM f""".stripMargin,
 
+    "win_cumulative_distinct" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |                    ORDER BY ts, event_id) = 1
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events)
+        |SELECT user_id, event_id, event_type,
+        |       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS n_types_seen
+        |FROM f
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "events_funnel_windowed" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t_signup
