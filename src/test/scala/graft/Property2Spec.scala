@@ -166,6 +166,54 @@ class Property2Spec extends SparkSpec {
     check(tied, "rfmtied")
   }
 
+  test("events_dau_wau: trailing distinct equals the set-union definition on random corpora") {
+    for ((rows0, i) <- samples(evGen, 4).zipWithIndex) {
+      val rows = rows0.distinctBy(r => (r._3, r._1))
+      val dir = tmpDir(s"dau$i")
+      writeEvents(rows, dir)
+      val out = ops.Aggregations.eventsDauWau(spark, dir).collect()
+        .map(r => r.getDate(0).toLocalDate -> (r.getLong(1), r.getLong(2))).toMap
+      // driver truth: per-day user sets in UTC, unions over trailing 7
+      val byDay = rows.groupBy { r =>
+        java.time.Instant.ofEpochSecond(r._3 / 1000000000L)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      }.view.mapValues(_.map(_._2).toSet).toMap
+      assert(out.keySet == byDay.keySet)
+      byDay.foreach { case (d, users) =>
+        val wau = (0 to 6).flatMap(k => byDay.getOrElse(d.minusDays(k), Set.empty)).toSet
+        assert(out(d) == (users.size.toLong, wau.size.toLong), s"case $i day $d")
+      }
+    }
+  }
+
+  test("events_funnel_windowed: counts equal the chained first-qualifying definition on random corpora") {
+    for ((rows0, i) <- samples(evGen, 4).zipWithIndex) {
+      val rows = rows0.distinctBy(r => (r._3, r._1))
+      val dir = tmpDir(s"fw$i")
+      writeEvents(rows, dir)
+      val Array(nS, nC, nP) = ops.Aggregations.eventsFunnelWindowed(spark, dir)
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val week = 7L * 86400 * 1000000000L
+      val byUser = rows.groupBy(_._2)
+      var (es, ec, ep) = (0L, 0L, 0L)
+      byUser.foreach { case (_, xs) =>
+        val sig = xs.filter(_._5 == "signup").map(_._3).minOption
+        sig.foreach { s =>
+          es += 1
+          val clk = xs.filter(x => x._5 == "click" && x._3 >= s && x._3 <= s + week)
+            .map(_._3).minOption
+          clk.foreach { c =>
+            ec += 1
+            val pur = xs.filter(x => x._5 == "purchase" && x._3 >= c && x._3 <= c + week)
+              .map(_._3).minOption
+            pur.foreach(_ => ep += 1)
+          }
+        }
+      }
+      assert((nS, nC, nP) == ((es, ec, ep)), s"case $i")
+    }
+  }
+
   test("events_markov_transition: ppm rows are exact integer shares on random corpora") {
     for ((rows0, i) <- samples(evGen, 4).zipWithIndex) {
       val rows = rows0.distinctBy(r => (r._3, r._1))
