@@ -36,11 +36,19 @@ object Bench {
     // timed region, so per-query numbers reflect steady-state execution
     // rather than which query happened to run first. (The generic
     // warmup above covers shared infrastructure; this covers per-plan
-    // generated code.) Disable with SPARK_GRAFT_WARM_SF="".
+    // generated code.) ONE pass: a second pass was A/B'd under a
+    // dropped page cache (r7: 110.5 s one-pass vs 116.6 s two-pass)
+    // and does not repay its block-manager/GC pressure — the same
+    // result as round 6's rejected warm-at-target-SF experiment.
+    // Disable with SPARK_GRAFT_WARM_SF=""; tune with
+    // SPARK_GRAFT_WARM_REPS.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_SF", "/root/testdata/sf0.001")
+    val warmReps = sys.env.getOrElse("SPARK_GRAFT_WARM_REPS", "1").toInt
     if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory)
-      selected.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      (1 to warmReps).foreach { _ =>
+        selected.foreach { case (_, fn) =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        }
       }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
