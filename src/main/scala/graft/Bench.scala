@@ -43,7 +43,8 @@ object Bench {
     // Disable with SPARK_GRAFT_WARM_SF=""; tune with
     // SPARK_GRAFT_WARM_REPS.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_SF", "/root/testdata/sf0.001")
-    val warmReps = sys.env.getOrElse("SPARK_GRAFT_WARM_REPS", "1").toInt
+    val warmReps = sys.env.get("SPARK_GRAFT_WARM_REPS")
+      .filter(_.nonEmpty).map(_.toInt).getOrElse(1)
     if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory)
       (1 to warmReps).foreach { _ =>
         selected.foreach { case (_, fn) =>

@@ -88,8 +88,10 @@ object Manifest {
     * in-progress version directories are invisible.
     */
   def readSnapshot(spark: SparkSession, snapshotPath: String): DataFrame = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val root = new Path(snapshotPath)
+    // FS from the path, not the session default: the snapshot may
+    // live on a scheme other than fs.defaultFS
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = read(fs, root)
     require(entries.nonEmpty, s"no committed snapshot at $snapshotPath")
     entries.toSeq.sortBy(_._1)

@@ -94,14 +94,21 @@ object Aggregations {
     * relations only ever shrink; no event-pair set forms anywhere.
     */
   val eventsFunnelWindowed: Q = (s, dir) => {
-    val ev = table(s, dir, "events").select(col("user_id"), col("ts"), col("event_type"))
+    // the module's materialize-before-multi-consumer discipline: the
+    // narrow scan feeds three step branches, and each per-user step
+    // relation feeds both its successor and its own count
+    val ev = table(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .localCheckpoint()
     val s1 = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+      .localCheckpoint()
     val s2 = ev.filter(col("event_type") === "click")
       .join(s1, "user_id")
       .filter(col("ts") >= col("t_signup") &&
         col("ts") <= col("t_signup") + expr("INTERVAL 7 DAYS"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      .localCheckpoint()
     val s3 = ev.filter(col("event_type") === "purchase")
       .join(s2, "user_id")
       .filter(col("ts") >= col("t_click") &&
@@ -224,6 +231,10 @@ object Aggregations {
       .withColumn("m4", (col("s4") - lit(4.0) * col("mean") * col("s3")
         + lit(6.0) * col("mean") * col("mean") * col("s2")
         - lit(3.0) * col("mean") * col("mean") * col("mean") * col("s1")) / col("n"))
+      // degenerate groups (singleton or constant-valued): m2 = 0 and
+      // both shapes are 0/0 = NaN — excluded, mirroring
+      // [[Analytics.anomalyZscore]]'s guard for the identical case
+      .filter(!isnan(col("m2")) && col("m2") > 0)
       .select(col("event_type"), col("n"),
         round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skewness"),
         round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6).as("kurtosis_excess"))

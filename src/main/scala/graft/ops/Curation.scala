@@ -99,11 +99,7 @@ object Curation {
       .select(col("doc_id"), col("gsz"), col("lang"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), col("gsz"), xxhash64(col("lang"), col("gram")).as("gh"))
     val dfreq = inv.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-    val prof = dfreq
-      .agg(sum(col("df")).as("n"), max(col("df")).as("maxdf")).head()
-    val hotShare =
-      prof.getLong(1).toDouble * prof.getLong(1).toDouble / prof.getLong(0).max(1L)
-    val candidates = if (hotShare <= 1.0) {
+    val candidates = if (PairJoins.hotGramShare(dfreq) <= 1.0) {
       // shared-count shape. The pair join emits BARE packed keys:
       // Σ df² rows is the join's irreducible volume, so every byte on
       // those rows is paid Σ df² times. Doc sizes re-attach AFTER the
@@ -130,26 +126,11 @@ object Curation {
         .filter(lit(5) * col("shared_h") >= lit(4) * least(col("a_sz"), col("b_sz")))
         .select(col("a_id"), col("b_id"))
     } else {
-      // PPJoin prefix filter: index only each doc's ⌊gsz·(1−τ)⌋+1
-      // RAREST grams — a qualifying pair leaves the smaller doc fewer
-      // than that many unshared grams, so it MUST collide inside the
-      // prefix (hash collisions only merge grams, i.e. only ADD
-      // candidates). Candidate volume is Σ over prefix grams of df —
-      // immune to the hot-gram df² explosion.
-      val wDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))
-      val prefix = inv.join(dfreq, "gh")
-        .withColumn("rn", row_number().over(wDoc))
-        .filter(col("rn") <= floor(col("gsz") / 5) + 1)
-        .select(col("gh"), col("doc_id").as("p_id"))
-      val full = inv.select(col("gh"), col("doc_id").as("f_id"))
-      prefix.join(full.hint("shuffle_hash"), "gh")
-        .filter(col("p_id") =!= col("f_id"))
-        .select(shiftleft(least(col("p_id"), col("f_id")).cast("long"), 32)
-          .bitwiseOR(greatest(col("p_id"), col("f_id")).cast("long")).as("pk"))
-        .distinct()
-        .select(shiftright(col("pk"), 32).cast("int").as("a_id"),
-          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b_id"))
+      // τ = 0.8 pigeonhole: a qualifying pair leaves the smaller doc
+      // fewer than ⌊gsz/5⌋+1 unshared grams; no size-ratio bound —
+      // tiny-inside-huge is exactly the containment signal
+      PairJoins.prefixCandidates(inv, dfreq, prefixDivisor = 5,
+        sizeRatio = None).select(col("a_id"), col("b_id"))
     }
     candidates
       .join(d.select(col("doc_id").as("a_id"), col("lang"),

@@ -218,11 +218,7 @@ object Llm2 {
     // guarantees every true pair collides inside a prefix; both
     // shapes feed the same exact verify, so results are identical.
     val dfreq = inv.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-    val prof = dfreq
-      .agg(sum(col("df")).as("n"), max(col("df")).as("maxdf")).head()
-    val hotShare =
-      prof.getLong(1).toDouble * prof.getLong(1).toDouble / prof.getLong(0).max(1L)
-    val counted = if (hotShare <= 1.0) {
+    val counted = if (PairJoins.hotGramShare(dfreq) <= 1.0) {
       val a = inv.select(col("gh"), col("doc_id").as("a_id"), col("gsz").as("a_sz"))
       // shuffle_hash, not broadcast: partitioning both sides on the gram
       // hash gives each task a small local map (measured 1.8× faster
@@ -253,28 +249,11 @@ object Llm2 {
           col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b_id"),
           col("a_sz"), col("b_sz"))
     } else {
-      val wDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))
-      val prefix = inv.join(dfreq, "gh")
-        .withColumn("rn", row_number().over(wDoc))
-        .filter(col("rn") <= floor(col("gsz") / 3) + 1)
-        .select(col("gh"), col("doc_id").as("p_id"), col("gsz").as("p_sz"))
-      val full = inv.select(col("gh").as("f_gh"), col("doc_id").as("f_id"),
-        col("gsz").as("f_sz")).hint("shuffle_hash")
-      prefix.join(full,
-          col("gh") === col("f_gh") && col("p_id") =!= col("f_id") &&
-          lit(2) * col("p_sz") >= col("f_sz") &&
-          lit(2) * col("f_sz") >= col("p_sz"))
-        .select(
-          shiftleft(least(col("p_id"), col("f_id")).cast("long"), 32)
-            .bitwiseOR(greatest(col("p_id"), col("f_id")).cast("long")).as("pk"),
-          when(col("p_id") < col("f_id"), col("p_sz")).otherwise(col("f_sz")).as("a_sz"),
-          when(col("p_id") < col("f_id"), col("f_sz")).otherwise(col("p_sz")).as("b_sz"))
-        .groupBy(col("pk"))
-        .agg(max(col("a_sz")).as("a_sz"), max(col("b_sz")).as("b_sz"))
-        .select(shiftright(col("pk"), 32).cast("int").as("a_id"),
-          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b_id"),
-          col("a_sz"), col("b_sz"))
+      // τ = 0.5 pigeonhole with the size-ratio bound 2·min ≥ max:
+      // the smaller doc's unshared grams number ≤ gsz·(1−τ)/(1+τ)
+      // = gsz/3
+      PairJoins.prefixCandidates(inv, dfreq, prefixDivisor = 3,
+        sizeRatio = Some(2))
     }
     counted
       .join(d.select(col("doc_id").as("a_id"), col("lang"),

@@ -119,20 +119,32 @@ object Streaming {
     * read or rewritten; their files AND their manifest entries carry
     * over verbatim (byte-identity asserted in StreamingSpec). Raise
     * `nBuckets` so a single bucket fits executor memory at the
-    * target scale. Version directories are keyed by batchId, so a
-    * checkpoint-replayed batch overwrites its own staging dir and
-    * re-commits idempotently. `beforeCommit` is the crash-injection
-    * seam for the spec (a no-op in production use).
+    * target scale. Version directories are keyed by batchId — and a
+    * replayed batch whose PREVIOUS attempt already committed (crash
+    * in the window between the manifest rename and the streaming
+    * checkpoint commit — foreachBatch is at-least-once) stages into
+    * an attempt-suffixed dir instead: a directory the CURRENT
+    * manifest references is never deleted or overwritten, so the
+    * merge's lazy read of the committed snapshot stays intact and
+    * the replay re-merges idempotently (latest-wins is idempotent —
+    * PropertySpec) on top of its own earlier result. Both crash
+    * windows are spec'd: before the rename (old snapshot intact) and
+    * after it (committed snapshot intact, replay converges).
+    * `beforeCommit`/`afterCommit` are the crash-injection seams for
+    * the spec (no-ops in production use).
     */
   def foreachBatchUpsert(stream: DataFrame, snapshotPath: String,
       checkpointDir: String, nBuckets: Int = 16,
-      beforeCommit: () => Unit = () => ()): org.apache.spark.sql.streaming.StreamingQuery =
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => ()): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
         val root = new org.apache.hadoop.fs.Path(snapshotPath)
+        // resolve the FS from the snapshot path, not the session
+        // default — the snapshot may live on a different scheme
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val batchB = batch.toDF().withColumn("bucket", upsertBucket(nBuckets))
         // the batch's bucket set: ≤ nBuckets small ints — the only
         // driver-visible data
@@ -148,9 +160,19 @@ object Streaming {
                 .withColumn("bucket", lit(b))
             }.reduce(_.unionByName(_))
           val merged = upsertLatest(current, batchB)
-          val vdir = s"v$batchId"
+          // staging dir: attempt-unique w.r.t. the LIVE manifest — a
+          // dir the current manifest references must never be deleted
+          // (the merge above lazily READS it, and it may be the only
+          // committed copy after a post-commit crash + replay)
+          val referenced = manifest.values.map(_.split("/", 2)(0)).toSet
+          var vdir = s"v$batchId"
+          var attempt = 0
+          while (referenced(vdir)) {
+            attempt += 1
+            vdir = s"v${batchId}r$attempt"
+          }
           val vpath = new org.apache.hadoop.fs.Path(root, vdir)
-          fs.delete(vpath, true) // replayed batch: re-stage from scratch
+          fs.delete(vpath, true) // unreferenced leftover staging only
           merged.write.partitionBy("bucket").mode("overwrite").parquet(vpath.toString)
           // every touched bucket holds ≥1 batch row post-merge, so its
           // staged dir must exist — verify BEFORE publishing anything
@@ -164,6 +186,7 @@ object Streaming {
           beforeCommit()
           graft.io.Manifest.write(fs, root, newManifest) // THE commit point
           graft.io.Manifest.vacuum(fs, root, newManifest)
+          afterCommit()
         }
         ()
       }

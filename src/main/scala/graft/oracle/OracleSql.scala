@@ -1472,6 +1472,7 @@ object OracleSql {
         |       round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
         |       round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
         |FROM m
+        |WHERE NOT isnan(m2) AND m2 > 0
         |ORDER BY event_type""".stripMargin,
 
     "agg_bitmap_distinct" ->

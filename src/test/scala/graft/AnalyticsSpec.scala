@@ -220,13 +220,7 @@ class AnalyticsSpec extends SparkSpec {
     }
     // exact ntile(5) parity: the bucketed boundary-rank shape must
     // reproduce ntile under each (metric, user_id) total order
-    def ntile5(order: Array[(Double, Long)]): Map[Long, Int] = {
-      val n = order.length; val q = n / 5; val r = n % 5
-      order.sorted.zipWithIndex.map { case ((_, uid), i) =>
-        val b = if (i < r * (q + 1)) i / (q + 1) else r + (i - r * (q + 1)) / q
-        uid -> (b + 1)
-      }.toMap
-    }
+    // (reference model shared via SparkSpec.ntile5)
     val rq = ntile5(out.map(r => (r.getInt(1).toDouble, r.getLong(0))))
     val fq = ntile5(out.map(r => (-r.getLong(2).toDouble, r.getLong(0))))
     val mq = ntile5(out.map(r => (-r.getDouble(3), r.getLong(0))))

@@ -128,14 +128,7 @@ class Property2Spec extends SparkSpec {
   }
 
   test("events_rfm: bucketed quintiles reproduce ntile(5) on random, tiny, and all-tied corpora") {
-    // ntile(5)'s exact bucket-size arithmetic, driver-side
-    def ntile5(order: Array[(Double, Long)]): Map[Long, Int] = {
-      val n = order.length; val q = n / 5; val r = n % 5
-      order.sorted.zipWithIndex.map { case ((_, uid), i) =>
-        val b = if (i < r * (q + 1)) i / (q + 1) else r + (i - r * (q + 1)) / q
-        uid -> (b + 1)
-      }.toMap
-    }
+    // reference model shared via SparkSpec.ntile5
     def check(rows: List[(Long, Long, Long, Double, String)], tag: String): Unit = {
       val dir = tmpDir(tag)
       writeEvents(rows, dir)

@@ -22,4 +22,17 @@ object SparkSpec {
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  /** ntile(5)'s exact bucket-size arithmetic over a tie-free
+    * (orderKey, id) relation — the ONE driver-side reference model
+    * the rfm quintile specs validate against (duplicating it risks
+    * the two specs asserting divergent semantics).
+    */
+  def ntile5(order: Array[(Double, Long)]): Map[Long, Int] = {
+    val n = order.length; val q = n / 5; val r = n % 5
+    order.sorted.zipWithIndex.map { case ((_, uid), i) =>
+      val b = if (i < r * (q + 1)) i / (q + 1) else r + (i - r * (q + 1)) / q
+      uid -> (b + 1)
+    }.toMap
+  }
 }

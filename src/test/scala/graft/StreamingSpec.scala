@@ -229,6 +229,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("post-commit crash + replay: committed data survives (attempt-unique staging never deletes live dirs)") {
+    // foreachBatch is at-least-once: a crash in the window BETWEEN the
+    // manifest rename and the streaming checkpoint commit replays a
+    // batch whose data is already live. The replay's merge lazily
+    // READS the manifest-referenced version dir — deleting it for
+    // re-staging (the naive v{batchId} overwrite) would destroy the
+    // only committed copy; staging must go to an attempt-unique dir.
+    val dir = java.nio.file.Files.createTempDirectory("upsertd").toString
+    val snap = s"$dir/snapshot"
+    val ckpt = s"$dir/ckpt"
+    val stream = MemoryStream[Ev]
+    val q1 = ops.Streaming.foreachBatchUpsert(stream.toDF(), snap, ckpt, nBuckets = 8)
+    try {
+      stream.addData((1 to 6).map(u => ev(u, "2024-01-01 10:00:00", u)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def rows(): Map[Long, (Long, Double)] = io.Manifest.readSnapshot(spark, snap)
+      .select("user_id", "event_id", "value").as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val q2 = ops.Streaming.foreachBatchUpsert(stream.toDF(), snap, ckpt, nBuckets = 8,
+      afterCommit = () => throw new RuntimeException("injected crash after commit"))
+    stream.addData(Seq(ev(99, "2024-01-01 11:00:00", 1, v = 9.0)))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    // the batch IS committed — its manifest rename happened
+    assert(rows()(1L) === (99L, 9.0), "post-rename state must be visible")
+    // replay re-merges idempotently on top of its own earlier commit
+    val q3 = ops.Streaming.foreachBatchUpsert(stream.toDF(), snap, ckpt, nBuckets = 8)
+    try q3.processAllAvailable() finally q3.stop()
+    val rec = rows()
+    assert(rec(1L) === (99L, 9.0) && rec.size === 6,
+      "replay must converge to the same snapshot")
+    // every manifest-referenced dir still exists (nothing live deleted)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(snap)
+    io.Manifest.read(fs, root).values.foreach { rel =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root, rel)), s"missing $rel")
+    }
+  }
+
   test("manifest commit is atomic: crash before the rename leaves the old snapshot intact, replay lands once") {
     val dir = java.nio.file.Files.createTempDirectory("upsertc").toString
     val snap = s"$dir/snapshot"
