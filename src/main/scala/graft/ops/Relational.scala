@@ -517,6 +517,53 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** NEAREST-neighbor as-of join (round 7): each event pairs with
+    * the order closest in time in EITHER direction — the
+    * sensor-alignment variant ([[joinAsof]] is backward-only).
+    * Two carry passes over ONE union + ONE user partitioning: the
+    * ascending pass carries the latest order at-or-before each
+    * event (ties at equal date → max key, as in [[joinAsof]]); the
+    * descending pass carries the earliest order strictly after it
+    * (same-date orders sort behind the event there, so distance-0
+    * matches belong to the backward side; ties → min key). The
+    * winner is picked row-locally on EXACT microsecond distances
+    * (`unix_micros` / `epoch_us` — fractional-second epochs would
+    * round differently across engines), equidistant → backward.
+    * Still no event×order pair set anywhere.
+    */
+  val joinAsofNearest: Q = (s, dir) => {
+    val e = table(s, dir, "events")
+      .select(col("user_id").as("k"), col("ts").as("t"), lit(1).as("src"),
+        col("event_id"), lit(null).cast("long").as("ok"),
+        lit(null).cast("timestamp").as("od"))
+    val o = table(s, dir, "orders")
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"), lit(0).as("src"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey").as("ok"),
+        col("o_orderdate").as("od"))
+    val wBack = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("src").asc, col("ok").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("k"))
+      .orderBy(col("t").desc, col("src").desc, col("ok").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val both = e.unionByName(o)
+      .withColumn("bk", last(col("ok"), ignoreNulls = true).over(wBack))
+      .withColumn("bd", last(col("od"), ignoreNulls = true).over(wBack))
+      .withColumn("fk", last(col("ok"), ignoreNulls = true).over(wFwd))
+      .withColumn("fd", last(col("od"), ignoreNulls = true).over(wFwd))
+      .filter(col("src") === 1 &&
+        (col("bk").isNotNull || col("fk").isNotNull))
+    val distB = unix_micros(col("t")) - unix_micros(col("bd"))
+    val distF = unix_micros(col("fd")) - unix_micros(col("t"))
+    both
+      .withColumn("use_fwd",
+        col("bd").isNull || (col("fd").isNotNull && distF < distB))
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+        when(col("use_fwd"), col("fk")).otherwise(col("bk")).as("nearest_orderkey"),
+        when(col("use_fwd"), col("fd")).otherwise(col("bd")).as("nearest_orderdate"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> scanParquet,
     "scan_parquet_pruned" -> scanParquetPruned,
@@ -544,6 +591,7 @@ object Relational {
     "join_self_dedup" -> joinSelfDedup,
     "join_asof" -> joinAsof,
     "join_asof_tolerance" -> joinAsofTolerance,
+    "join_asof_nearest" -> joinAsofNearest,
     "agg_groupby_basic" -> aggGroupbyBasic,
   )
 }

@@ -396,6 +396,21 @@ object OracleSql {
         |WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
 
+    "join_asof_nearest" ->
+      """SELECT event_id, user_id, ts, nearest_orderkey, nearest_orderdate
+        |FROM (SELECT e.event_id, e.user_id, e.ts,
+        |             o.o_orderkey AS nearest_orderkey,
+        |             o.o_orderdate AS nearest_orderdate,
+        |             row_number() OVER (PARTITION BY e.event_id ORDER BY
+        |               abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+        |                   - epoch_us(o.o_orderdate)),
+        |               CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END,
+        |               CASE WHEN o.o_orderdate <= e.ts THEN -o.o_orderkey
+        |                    ELSE o.o_orderkey END) AS rn
+        |      FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
     "events_dau_wau" ->
       """WITH du AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),

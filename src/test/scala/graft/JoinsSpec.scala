@@ -69,4 +69,36 @@ class JoinsSpec extends SparkSpec {
     assert(r === Map(100L -> 2L, 102L -> 4L),
       "boundary inclusive, (date,key)-max tie-break, no-prior-order events dropped")
   }
+
+  test("nearest as-of: forward picks, equidistant → backward, per-side tie rules, orphans dropped") {
+    // the real corpus never exercises the FORWARD branch (all orders
+    // precede all events), so the semantics are pinned here on a
+    // constructed fixture covering every decision path
+    val d = java.nio.file.Files.createTempDirectory("asofn").toString
+    def ns(t: String): Long = ts(t).getTime * 1000000L
+    Seq(
+      (1L, 1L, ns("2024-01-05 00:00:00")), // before all → forward (ok 100)
+      (2L, 1L, ns("2024-01-14 00:00:00")), // 4d back vs 6d fwd → backward 100
+      (3L, 1L, ns("2024-01-16 00:00:00")), // 6d back vs 4d fwd → forward 200
+      (4L, 1L, ns("2024-01-15 00:00:00")), // equidistant 5d/5d → backward 100
+      (5L, 1L, ns("2024-01-20 00:00:00")), // exact hit → distance 0 backward 200
+      (6L, 2L, ns("2024-01-01 00:00:00")), // only a future order → forward 300
+      (7L, 3L, ns("2024-01-01 00:00:00")), // no orders at all → dropped
+      (8L, 4L, ns("2024-01-12 00:00:00")), // backward into tied date → max ok 402
+      (9L, 4L, ns("2024-01-08 00:00:00"))  // forward into tied date → min ok 401
+    ).toDF("event_id", "user_id", "ts").coalesce(1).write.parquet(s"$d/events.parquet")
+    Seq(
+      (1L, 100L, ts("2024-01-10 00:00:00")),
+      (1L, 200L, ts("2024-01-20 00:00:00")),
+      (2L, 300L, ts("2024-02-01 00:00:00")),
+      (4L, 401L, ts("2024-01-10 00:00:00")),
+      (4L, 402L, ts("2024-01-10 00:00:00"))
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate").coalesce(1)
+      .write.parquet(s"$d/orders.parquet")
+    val r = ops.Relational.joinAsofNearest(spark, d)
+      .select("event_id", "nearest_orderkey").as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 100L, 2L -> 100L, 3L -> 200L, 4L -> 100L,
+      5L -> 200L, 6L -> 300L, 8L -> 402L, 9L -> 401L),
+      s"got $r")
+  }
 }
