@@ -77,6 +77,37 @@ object Bench {
     // for 139 keys, so any regression is attributable from the round
     // artifact alone (decode: sort the key names, zip with the CSV).
     def r3(v: Double): String = "%.3f".format(v)
+    // Machine fingerprint (r7 verdict "Next round" #2): the fixed
+    // 79.2 s bound proved to measure VM lottery — a judge-replicated
+    // 1.41× swing with ZERO code change between round VMs. Carry the
+    // normalization evidence IN the artifact: cpu model, 1-min
+    // loadavg, and a fixed single-thread xorshift calibration loop
+    // (~0.5 s; run twice, second timing reported, so JIT is outside
+    // the measure). Cross-VM normalization = ratio of cal_ms values.
+    def calibrate(): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+      }
+      val ms = (System.nanoTime() - t0) / 1000000
+      if (acc == 42L) System.err.println("") // keep acc live
+      ms
+    }
+    calibrate()
+    val calMs = calibrate()
+    val cpuModel = try {
+      scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+        .collectFirst { case l if l.startsWith("model name") =>
+          l.split(":", 2)(1).trim.replace("\"", "").take(40) }
+        .getOrElse("unknown")
+    } catch { case _: Throwable => "unknown" }
+    val load = try {
+      scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ")(0)
+    } catch { case _: Throwable => "-1" }
+    val fp = s""""fp":{"cpu":"$cpuModel","load":$load,"cal_ms":$calMs}"""
     val top = results.toSeq.sortBy(-_._2).take(10)
     val qs = top.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -86,7 +117,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errs = if (errors.isEmpty) ""
       else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size}$errs,"queries":$qs,"all_order":"alpha","all_cs":"$allCs","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size}$errs,$fp,"queries":$qs,"all_order":"alpha","all_cs":"$allCs","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -53,9 +53,17 @@ object Manifest {
 
   /** Write + atomically publish a new manifest. The rename IS the
     * commit point: everything before it is invisible to readers.
+    *
+    * The staging file is ATTEMPT-UNIQUE (uuid suffix): writers are
+    * single-writer by contract (see [[graft.ops.Streaming
+    * .foreachBatchUpsert]] — concurrent committers would lose updates
+    * in the read-modify-write regardless; real table formats add a
+    * CAS/conditional commit here), but a crashed attempt's leftover
+    * tmp can never be clobbered mid-write by the recovery attempt
+    * re-using the same fixed name.
     */
   def write(fs: FileSystem, root: Path, entries: Map[Int, String]): Unit = {
-    val tmp = new Path(root, FileName + ".tmp")
+    val tmp = new Path(root, s"$FileName.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try {
       val body = entries.toSeq.sorted
@@ -68,11 +76,16 @@ object Manifest {
   }
 
   /** Drop version directories the given manifest no longer
-    * references (call after a successful commit; see retention note
-    * in the object Scaladoc).
+    * references, EXCEPT those in `retain` — the retention grace
+    * window: [[graft.ops.Streaming.foreachBatchUpsert]] passes the
+    * previous manifest's referenced dirs, so a reader that resolved
+    * the pre-commit manifest keeps intact files for one full batch
+    * interval after the commit that superseded it (zero retention
+    * could delete a lazily-scanned snapshot mid-read — r7 ADVICE).
     */
-  def vacuum(fs: FileSystem, root: Path, live: Map[Int, String]): Unit = {
-    val referenced = live.values.map(_.split("/", 2)(0)).toSet
+  def vacuum(fs: FileSystem, root: Path, live: Map[Int, String],
+      retain: Set[String] = Set.empty): Unit = {
+    val referenced = live.values.map(_.split("/", 2)(0)).toSet ++ retain
     if (fs.exists(root))
       fs.listStatus(root).foreach { st =>
         val name = st.getPath.getName

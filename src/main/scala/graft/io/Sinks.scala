@@ -90,81 +90,11 @@ object Sinks {
       .format("parquet")
       .saveAsTable(tableName)
 
-  /** Compact an append-grown partitioned table back to one file per
-    * partition. Append-only growth (IvfIndex.appendToIndex, streaming
-    * micro-batch sinks) is the right WRITE posture — nothing rewrites —
-    * but each append adds files, and scan/listing cost grows with file
-    * count, not data size; periodic compaction is the standard
-    * counterpart.
-    *
-    * Stage-then-swap: the compacted copy is first written as a DURABLE
-    * sibling table (`<table>__compact_tmp`), and only then does the
-    * overwrite of the real table run — reading from the staged copy,
-    * never from the files it is replacing. At no point is the only
-    * complete copy of the data in volatile storage: if the swap write
-    * dies mid-overwrite, the staging table still holds every row (an
-    * executor-memory snapshot would not survive the JVM). At 100 TB
-    * the same two steps are write-new-files + transactional manifest
-    * swap. `repartition(partitionCol)` gives one writer — hence one
-    * file — per partition directory. Row multiset is untouched (spec'd
-    * via checksum). NOT concurrency-safe against in-flight appends (an
-    * append landing between stage and swap is lost) — quiesce writers
-    * first, exactly as non-transactional parquet compaction always
-    * requires.
-    */
-  def compactPartitioned(spark: SparkSession, tableName: String,
-      partitionCol: String): Unit = {
-    val tmp = tableName + "__compact_tmp"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    spark.table(tableName)
-      .repartition(col(partitionCol))
-      .write.mode("overwrite").format("parquet").partitionBy(partitionCol)
-      .saveAsTable(tmp)
-    spark.table(tmp)
-      .repartition(col(partitionCol))
-      .write.mode("overwrite").format("parquet").partitionBy(partitionCol)
-      .saveAsTable(tableName)
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    spark.catalog.refreshTable(tableName)
-  }
-
-  /** [[compactPartitioned]] for BUCKETED tables
-    * ([[writeBucketed]] / `IncrementalDedup.appendToIndex` growth).
-    * The bucket spec is read from the CATALOG, not from the caller: a
-    * caller-supplied (key, buckets) that disagreed with the table's
-    * real spec would silently rewrite the layout and break the
-    * no-shuffle join property every bucketed consumer relies on. Same
-    * durable stage-then-swap as [[compactPartitioned]]; one file per
-    * bucket after ([[writeBucketed]]'s aligned repartition); row
-    * multiset and bucket layout spec'd unchanged.
-    */
-  def compactBucketed(spark: SparkSession, tableName: String): Unit = {
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
-    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
-      s"$tableName has no bucket spec — use compactPartitioned"))
-    val key = spec.bucketColumnNames match {
-      case Seq(k) => k
-      case cols => throw new IllegalArgumentException(
-        s"$tableName is bucketed on $cols; compactBucketed supports single-column specs")
-    }
-    val tmp = tableName + "__compact_tmp"
-    // read by PATH, not by table name: a catalog read of a table
-    // bucketed on the same (key, n) makes EnsureRequirements elide the
-    // aligned repartition as redundant, after which the planner ALSO
-    // disables the bucketed scan (nothing above still requires the
-    // distribution) — the write then runs off file-packed splits and
-    // leaves tasks×buckets files, defeating the compaction. The path
-    // read carries no bucket metadata, so the aligned exchange stays
-    // in the plan. (Observed on the executed WriteFiles plan: no
-    // Exchange + "Bucketed: false (disabled by query planner)".)
-    def byPath(t: String): DataFrame = spark.read.parquet(
-      spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString)
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    writeBucketed(byPath(tableName), tmp, key, spec.numBuckets)
-    writeBucketed(byPath(tmp), tableName, key, spec.numBuckets)
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    spark.catalog.refreshTable(tableName)
-  }
+  // Compaction of append-grown index tables lives in
+  // [[TableManifest.compactBucketed]]/[[TableManifest.compactPartitioned]]
+  // (round 8): the round-7 stage-then-swap variants that used to live
+  // here rewrote the live table in place, so a reader racing the swap
+  // could list a half-written table — the manifest-pointer commit
+  // removes that window (atomic pointer rename, old version retained
+  // one cycle for in-flight readers).
 }

@@ -34,12 +34,31 @@ import graft.functions.TextExpressions
   * is append-only ([[appendToIndex]]) and never rewritten. Band
   * parameters are shared with dedupMinhashLsh (16 perms, 4 bands of 4
   * — P(band collision) = J⁴ per band, the LSH S-curve knee at ~0.5).
+  *
+  * Round 8: the index is versioned through
+  * [[graft.io.TableManifest]] — `tableName` is a LOGICAL name whose
+  * current physical table the manifest pointer resolves; rebuilds and
+  * compactions publish a fresh version with one atomic pointer
+  * rename, so probes racing a [[compact]] always serve a complete
+  * snapshot (crash-injection spec'd in IndexManifestSpec).
   */
 object IncrementalDedup {
+
+  /** Bump when the index row layout changes — [[graft.io.TableManifest
+    * .resolve]] fails fast on a version mismatch instead of letting
+    * probes silently mis-join against an old layout.
+    */
+  val SchemaVersion = 1
 
   private val nPerm = 16
   private val bands = 4
   private val rowsPerBand = nPerm / bands
+
+  /** Current physical table of a logical index name (spec/diagnostic
+    * surface — operators below resolve internally).
+    */
+  def resolveTable(spark: SparkSession, tableName: String): String =
+    graft.io.TableManifest.resolve(spark, tableName, SchemaVersion)
 
   /** (bk, doc_id, sig) band rows of a (doc_id, text, …) relation —
     * map-only: native shingles + one-pass signatures, bands folded
@@ -58,20 +77,47 @@ object IncrementalDedup {
       explode(array(bandKeys: _*)).as("bk"))
   }
 
-  /** Create (overwrite) the band index for a corpus. */
-  def buildIndex(docs: DataFrame, tableName: String, buckets: Int = 8): Unit =
-    graft.io.Sinks.writeBucketed(
-      bandRows(docs).select("bk", "doc_id", "sig"), tableName, "bk", buckets)
-
-  /** Append a new batch's bands to an existing index (same bucket
-    * spec, so the bucketed-join property is preserved; parquet append
-    * adds files per bucket, never rewrites).
+  /** Create the band index for a corpus as a fresh manifest version
+    * (the previous version, if any, stays readable until vacuum's
+    * retention window passes).
     */
-  def appendToIndex(docs: DataFrame, tableName: String, buckets: Int = 8): Unit =
+  def buildIndex(docs: DataFrame, tableName: String, buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val v = graft.io.TableManifest.nextVersion(spark, tableName)
+    val t = graft.io.TableManifest.physicalName(tableName, v)
+    spark.sql(s"DROP TABLE IF EXISTS $t") // unreferenced leftover staging only
+    graft.io.Sinks.writeBucketed(
+      bandRows(docs).select("bk", "doc_id", "sig"), t, "bk", buckets)
+    graft.io.TableManifest.commit(spark, tableName, v, SchemaVersion)
+    graft.io.TableManifest.vacuum(spark, tableName)
+  }
+
+  /** Append a new batch's bands to the current index version. The
+    * bucket spec comes from the CATALOG (a caller-supplied count that
+    * disagreed with the table's real spec would fail the append);
+    * parquet append adds files per bucket, never rewrites.
+    */
+  def appendToIndex(docs: DataFrame, tableName: String): Unit = {
+    val spark = docs.sparkSession
+    val t = resolveTable(spark, tableName)
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
     bandRows(docs).select("bk", "doc_id", "sig")
       .write.mode("append")
       .bucketBy(buckets, "bk").sortBy("bk")
-      .format("parquet").saveAsTable(tableName)
+      .format("parquet").saveAsTable(t)
+  }
+
+  /** Collapse append growth into a fresh manifest version — atomic
+    * publish, probes racing it serve the old snapshot
+    * ([[graft.io.TableManifest.compactBucketed]]).
+    */
+  def compact(spark: SparkSession, tableName: String,
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => ()): Unit =
+    graft.io.TableManifest.compactBucketed(
+      spark, tableName, SchemaVersion, beforeCommit, afterCommit)
 
   /** Near-dup matches of a new batch against the index: one row per
     * (new_id, indexed_id) candidate pair whose estimated Jaccard
@@ -81,7 +127,7 @@ object IncrementalDedup {
       tableName: String, minAgree: Double = 0.5): DataFrame = {
     val nb = bandRows(newDocs)
       .select(col("bk"), col("doc_id").as("new_id"), col("sig").as("new_sig"))
-    val idx = spark.table(tableName)
+    val idx = spark.table(resolveTable(spark, tableName))
       .select(col("bk"), col("doc_id").as("indexed_id"), col("sig").as("idx_sig"))
     idx.join(nb, "bk")
       .filter(col("indexed_id") =!= col("new_id"))

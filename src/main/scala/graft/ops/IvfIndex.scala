@@ -40,11 +40,26 @@ import graft.functions.TextExpressions.{centroidRanks, cosineSim}
   */
 object IvfIndex {
 
-  private def centsTable(tableName: String): String = tableName + "_centroids"
+  /** Bump when the index row layout changes ([[graft.io.TableManifest
+    * .resolve]] fails fast on mismatch).
+    */
+  val SchemaVersion = 1
 
-  /** Load the persisted quantizer: ≤ nlist rows — bounded collect. */
-  private def loadCentroids(spark: SparkSession, tableName: String): Array[Array[Double]] =
-    spark.table(centsTable(tableName))
+  private val CentroidSuffix = "_centroids"
+
+  /** Current physical table of a logical index name (the centroid
+    * sidecar is the physical name + `_centroids`).
+    */
+  def resolveTable(spark: SparkSession, tableName: String): String =
+    graft.io.TableManifest.resolve(spark, tableName, SchemaVersion)
+
+  private def centsTable(physical: String): String = physical + CentroidSuffix
+
+  /** Load the persisted quantizer of a PHYSICAL version table:
+    * ≤ nlist rows — bounded collect.
+    */
+  private def loadCentroids(spark: SparkSession, physical: String): Array[Array[Double]] =
+    spark.table(centsTable(physical))
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](1).toArray)
 
@@ -68,15 +83,23 @@ object IvfIndex {
       nlist: Int = 8, trainSampleMod: Long = 1L): Unit = {
     val cents = Llm2.trainCentroids(emb, nlist, trainSampleMod)
     require(cents.nonEmpty, s"cannot train an IVF quantizer on an empty relation ($tableName)")
+    val v = graft.io.TableManifest.nextVersion(spark, tableName)
+    val t = graft.io.TableManifest.physicalName(tableName, v)
+    // unreferenced leftover staging only — a crashed earlier attempt
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${centsTable(t)}")
     assign(emb, cents)
       .repartition(col("cell"))
       .write.mode("overwrite").format("parquet").partitionBy("cell")
-      .saveAsTable(tableName)
+      .saveAsTable(t)
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .write.mode("overwrite").format("parquet")
-      .saveAsTable(centsTable(tableName))
+      .saveAsTable(centsTable(t))
+    // both the index and its quantizer sidecar are durable — publish
+    graft.io.TableManifest.commit(spark, tableName, v, SchemaVersion)
+    graft.io.TableManifest.vacuum(spark, tableName)
   }
 
   /** Append a batch of new vectors, assigned with the STORED
@@ -84,12 +107,25 @@ object IvfIndex {
     * existing files never rewrite.
     */
   def appendToIndex(spark: SparkSession, newVecs: DataFrame, tableName: String): Unit = {
-    assign(newVecs, loadCentroids(spark, tableName))
+    val t = resolveTable(spark, tableName)
+    assign(newVecs, loadCentroids(spark, t))
       .repartition(col("cell"))
       .write.mode("append").format("parquet").partitionBy("cell")
-      .saveAsTable(tableName)
-    spark.catalog.refreshTable(tableName)
+      .saveAsTable(t)
+    spark.catalog.refreshTable(t)
   }
+
+  /** Collapse append growth into a fresh manifest version (index +
+    * centroid sidecar together — a resolved version is always
+    * self-contained); atomic publish, probes racing it serve the old
+    * snapshot ([[graft.io.TableManifest.compactPartitioned]]).
+    */
+  def compact(spark: SparkSession, tableName: String,
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => ()): Unit =
+    graft.io.TableManifest.compactPartitioned(
+      spark, tableName, "cell", SchemaVersion, Seq(CentroidSuffix),
+      beforeCommit, afterCommit)
 
   /** One micro-batch of [[streamAppend]], idempotent per `batchId`.
     * foreachBatch is AT-LEAST-ONCE: the checkpoint offset commit
@@ -145,11 +181,12 @@ object IvfIndex {
     */
   def probe(spark: SparkSession, probes: DataFrame, tableName: String,
       nprobe: Int, k: Int): DataFrame = {
+    val t = resolveTable(spark, tableName)
     // a probe against a continuously-appended index must see the files
     // appended by OTHER sessions (a streaming micro-batch clone's
     // append does not invalidate this session's cached file listing)
-    spark.catalog.refreshTable(tableName)
-    val cents = centsLit(loadCentroids(spark, tableName))
+    spark.catalog.refreshTable(t)
+    val cents = centsLit(loadCentroids(spark, t))
     // materialized once: the probe relation is consumed TWICE (cell
     // collect below + the broadcast join) — without this the
     // centroid-ranking subtree re-executes per consumer, and a
@@ -168,8 +205,8 @@ object IvfIndex {
       .collect().map(_.getInt(0)).sorted
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("p_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    spark.table(tableName)
-      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    spark.table(t)
+      .filter(col("cell").isin(probedCells.toIndexedSeq.map(Integer.valueOf): _*))
       .join(broadcast(p), col("cell") === col("p_cell") && col("vec_id") =!= col("p_id"))
       .withColumn("sim", cosineSim(col("v"), col("pv")))
       .withColumn("rank", row_number().over(wTop))

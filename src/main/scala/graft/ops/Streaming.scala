@@ -132,6 +132,16 @@ object Streaming {
     * after it (committed snapshot intact, replay converges).
     * `beforeCommit`/`afterCommit` are the crash-injection seams for
     * the spec (no-ops in production use).
+    *
+    * SINGLE-WRITER contract: exactly one upsert query per snapshot
+    * root (the natural shape — one streaming query owns its sink).
+    * Two concurrent committers would lose updates in the manifest
+    * read-modify-write no matter how the staging is named; a
+    * multi-writer deployment needs a conditional/CAS commit, which is
+    * precisely what real table-format committers add at this point.
+    * Readers need no coordination: they resolve the manifest and the
+    * vacuum's one-generation retention window keeps a just-superseded
+    * snapshot's files intact while they finish scanning it.
     */
   def foreachBatchUpsert(stream: DataFrame, snapshotPath: String,
       checkpointDir: String, nBuckets: Int = 16,
@@ -185,7 +195,11 @@ object Streaming {
           val newManifest = manifest ++ touched.map(b => b -> s"$vdir/bucket=$b")
           beforeCommit()
           graft.io.Manifest.write(fs, root, newManifest) // THE commit point
-          graft.io.Manifest.vacuum(fs, root, newManifest)
+          // retention grace: keep the PREVIOUS manifest's dirs one
+          // more batch interval, so a reader that resolved it
+          // pre-commit finishes its lazy scan on intact files; dirs
+          // fall out once two generations stale
+          graft.io.Manifest.vacuum(fs, root, newManifest, referenced)
           afterCommit()
         }
         ()

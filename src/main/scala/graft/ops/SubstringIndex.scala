@@ -29,10 +29,26 @@ import org.apache.spark.sql.functions._
   * diagonals; a run of k consecutive 3-gram hits IS a shared span of
   * k+2 tokens. The window clusters on (pair, diagonal) — match-row
   * volume only, never corpus volume.
+  *
+  * Round 8: versioned through [[graft.io.TableManifest]] — rebuilds
+  * and compactions publish atomically; the pointer's schema version
+  * (2: the round-7 layout that added `lang` to the stored residual)
+  * makes a probe against a pre-round-7 index fail fast instead of
+  * silently mismatching columns (r7 ADVICE).
   */
 object SubstringIndex {
 
+  /** 2 = round-7 layout (gh, gram, lang, doc_id, pos): `lang` joined
+    * into the residual. A version-1 index (no lang column) must be
+    * rebuilt — [[graft.io.TableManifest.resolve]] enforces it.
+    */
+  val SchemaVersion = 2
+
   private val n = 3 // word-gram width
+
+  /** Current physical table of a logical index name. */
+  def resolveTable(spark: SparkSession, tableName: String): String =
+    graft.io.TableManifest.resolve(spark, tableName, SchemaVersion)
 
   /** Position-tagged gram rows of a (doc_id, lang, text, …) relation —
     * map-only (tokenize + slice; no exchange).
@@ -51,20 +67,45 @@ object SubstringIndex {
         col("pg.pos").as("pos"))
   }
 
-  /** Create (overwrite) the positional-gram index for a corpus. */
-  def buildIndex(docs: DataFrame, tableName: String, buckets: Int = 8): Unit =
+  /** Create the positional-gram index for a corpus as a fresh
+    * manifest version (atomic publish).
+    */
+  def buildIndex(docs: DataFrame, tableName: String, buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val v = graft.io.TableManifest.nextVersion(spark, tableName)
+    val t = graft.io.TableManifest.physicalName(tableName, v)
+    spark.sql(s"DROP TABLE IF EXISTS $t") // unreferenced leftover staging only
     graft.io.Sinks.writeBucketed(
       gramRows(docs).select("gh", "gram", "lang", "doc_id", "pos"),
-      tableName, "gh", buckets)
+      t, "gh", buckets)
+    graft.io.TableManifest.commit(spark, tableName, v, SchemaVersion)
+    graft.io.TableManifest.vacuum(spark, tableName)
+  }
 
-  /** Append a new batch's grams (same bucket spec — parquet append
-    * adds files per bucket, never rewrites).
+  /** Append a new batch's grams to the current version (bucket spec
+    * from the catalog — parquet append adds files per bucket, never
+    * rewrites).
     */
-  def appendToIndex(docs: DataFrame, tableName: String, buckets: Int = 8): Unit =
+  def appendToIndex(docs: DataFrame, tableName: String): Unit = {
+    val spark = docs.sparkSession
+    val t = resolveTable(spark, tableName)
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
     gramRows(docs).select("gh", "gram", "lang", "doc_id", "pos")
       .write.mode("append")
       .bucketBy(buckets, "gh").sortBy("gh")
-      .format("parquet").saveAsTable(tableName)
+      .format("parquet").saveAsTable(t)
+  }
+
+  /** Collapse append growth into a fresh manifest version — atomic
+    * publish ([[graft.io.TableManifest.compactBucketed]]).
+    */
+  def compact(spark: SparkSession, tableName: String,
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => ()): Unit =
+    graft.io.TableManifest.compactBucketed(
+      spark, tableName, SchemaVersion, beforeCommit, afterCommit)
 
   /** Shared spans of a new batch against the index: one row per
     * (new_id, indexed_id, new_start, idx_start) maximal run of
@@ -77,7 +118,7 @@ object SubstringIndex {
       .select(col("gh").as("n_gh"), col("gram").as("n_gram"),
         col("lang").as("n_lang"), col("doc_id").as("new_id"),
         col("pos").as("new_pos"))
-    val idx = spark.table(tableName)
+    val idx = spark.table(resolveTable(spark, tableName))
     // The gram/lang rechecks are written as RANGE PAIRS, not
     // equalities: `gram === n_gram` would be extracted as a second
     // equi-join key, the required partitioning would become

@@ -249,10 +249,197 @@ object Udx {
       .orderBy("tok")
   }
 
+  /** Mergeable rank/quantile sketch (round 8 — completes the sketch
+    * family's missing axis next to HLL-distinct, Misra–Gries
+    * heavy-hitters and count-min point-frequency): the low-rank
+    * compaction lineage (Manku–Rajagopalan–Lindsay → Agarwal et al.
+    * "Mergeable Summaries" → Karnin–Lang–Liberty). A hierarchy of
+    * level buffers where level i holds items of weight 2^i; a full
+    * level sorts, keeps alternate items (promoted to weight 2^{i+1}),
+    * and the alternation offset flips per level per compaction, so
+    * successive compaction errors cancel rather than accumulate
+    * one-sided. An odd leftover item stays at its level — total
+    * weight is conserved EXACTLY (Σᵢ 2^i·|levelᵢ| == n, asserted in
+    * KllSpec), so quantile targets q·n never drift.
+    *
+    * SELF-CERTIFYING: one compaction at level i shifts any rank by at
+    * most 2^i (the kept-alternate count of items below any threshold
+    * differs from half the true count by ≤ 1), so the sketch carries
+    * `errBound` = Σ per-compaction 2^i — an exact worst-case rank
+    * error certificate for every query answered from it, valid under
+    * ANY partitioning/merge order. KllSpec asserts true rank error
+    * ≤ errBound over the full value set AND errBound ≤ n·(log₂(n/k)
+    * +2)/k, under 1/7/32-partition layouts and both merge
+    * associations. Deterministic (no seed): same input multiset in
+    * the same arrival order → same sketch.
+    *
+    * Memory is O(k·log(n/k)) doubles per task at ANY scale; merge is
+    * level-wise concatenation + re-compaction, so per-day sketches
+    * persist and combine exactly like `agg_hll_sketch_merge`'s HLLs —
+    * the 100 TB percentile-service shape (sketch each partition/day
+    * once, answer any later quantile query from the tiny merged
+    * state, never rescan history).
+    */
+  final class KllBuf(val k: Int) extends Serializable {
+    import scala.collection.mutable.ArrayBuffer
+    var n: Long = 0L
+    var errBound: Long = 0L
+    // levels(i): unsorted items of weight 2^i
+    val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty[Double])
+    private val flips: ArrayBuffer[Boolean] = ArrayBuffer(false)
+
+    private def ensureLevel(i: Int): Unit =
+      while (levels.size <= i) { levels += ArrayBuffer.empty[Double]; flips += false }
+
+    private def compactLevel(i: Int): Unit = {
+      val buf = levels(i).toArray
+      java.util.Arrays.sort(buf)
+      val even = buf.length & ~1
+      ensureLevel(i + 1)
+      val start = if (flips(i)) 1 else 0
+      flips(i) = !flips(i)
+      var j = start
+      while (j < even) { levels(i + 1) += buf(j); j += 2 }
+      levels(i).clear()
+      // odd leftover keeps its level and weight — exact conservation
+      if (even < buf.length) levels(i) += buf(buf.length - 1)
+      errBound += 1L << i
+    }
+
+    private def compactCascade(): Unit = {
+      var i = 0
+      while (i < levels.size) {
+        if (levels(i).size >= k) compactLevel(i)
+        i += 1
+      }
+    }
+
+    def update(x: Double): Unit = {
+      levels(0) += x
+      n += 1
+      if (levels(0).size >= k) compactCascade()
+    }
+
+    def mergeWith(o: KllBuf): KllBuf = {
+      require(o.k == k, s"cannot merge KLL sketches with k=$k and k=${o.k}")
+      n += o.n
+      errBound += o.errBound
+      var i = 0
+      while (i < o.levels.size) { ensureLevel(i); levels(i) ++= o.levels(i); i += 1 }
+      compactCascade()
+      this
+    }
+
+    /** Estimated weight of items strictly below x (±errBound). */
+    def rankOf(x: Double): Long = {
+      var w = 0L
+      var i = 0
+      while (i < levels.size) {
+        val lvl = levels(i)
+        var j = 0
+        var c = 0L
+        while (j < lvl.size) { if (lvl(j) < x) c += 1; j += 1 }
+        w += c << i
+        i += 1
+      }
+      w
+    }
+
+    /** Smallest stored item whose cumulative weight reaches q·n. */
+    def quantile(q: Double): Double = {
+      require(n > 0, "empty sketch")
+      val items = ArrayBuffer.empty[(Double, Long)]
+      var i = 0
+      while (i < levels.size) {
+        levels(i).foreach(v => items += ((v, 1L << i)))
+        i += 1
+      }
+      val sorted = items.sortBy(_._1)
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      var cum = 0L
+      var idx = 0
+      while (idx < sorted.size - 1 && cum + sorted(idx)._2 < target) {
+        cum += sorted(idx)._2
+        idx += 1
+      }
+      sorted(idx)._1
+    }
+  }
+
+  /** Column-level KLL as a typed Aggregator — partials compact
+    * per-partition, merge is the sketch merge: a Catalyst
+    * TypedImperativeAggregate with O(k log(n/k)) state, like any
+    * built-in agg (no driver-side reduce).
+    */
+  final class KllQuantiles(k: Int) extends Aggregator[Double, KllBuf, KllBuf] {
+    override def zero: KllBuf = new KllBuf(k)
+    override def reduce(b: KllBuf, x: Double): KllBuf = { b.update(x); b }
+    override def merge(x: KllBuf, y: KllBuf): KllBuf = x.mergeWith(y)
+    override def finish(b: KllBuf): KllBuf = b
+    override def bufferEncoder: Encoder[KllBuf] = Encoders.kryo[KllBuf]
+    override def outputEncoder: Encoder[KllBuf] = Encoders.kryo[KllBuf]
+  }
+
+  /** Second-level aggregator over ALREADY-BUILT sketches — the
+    * merge-across-days path ([[aggKllQuantiles]] feeds per-day
+    * sketches through it; a persisted-percentile service would store
+    * the day sketches and run only this).
+    */
+  final class KllMerge(k: Int) extends Aggregator[KllBuf, KllBuf, KllBuf] {
+    override def zero: KllBuf = new KllBuf(k)
+    override def reduce(b: KllBuf, s: KllBuf): KllBuf = b.mergeWith(s)
+    override def merge(x: KllBuf, y: KllBuf): KllBuf = x.mergeWith(y)
+    override def finish(b: KllBuf): KllBuf = b
+    override def bufferEncoder: Encoder[KllBuf] = Encoders.kryo[KllBuf]
+    override def outputEncoder: Encoder[KllBuf] = Encoders.kryo[KllBuf]
+  }
+
+  /** Sketch a single double column distributed; the returned sketch is
+    * the only driver-side value — O(k log(n/k)), bounded at any data
+    * scale (the [[mgCandidates]]/[[cmSketch]] discipline).
+    */
+  def kllSketch(values: org.apache.spark.sql.DataFrame, k: Int = 256): KllBuf = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    values.as[Double].select(new KllQuantiles(k).toColumn).head()
+  }
+
+  /** Quantile service demo: per-day KLL sketches of the event value
+    * stream (one distributed agg), merged into a whole-history sketch
+    * by a SECOND aggregation over the day sketches alone — the
+    * mergeability that `percentile_approx` (single-shot, in-query)
+    * cannot give. Reports the merged estimate beside the exact
+    * percentile for seven ranks; approx → no oracle (SURVEY §7.4),
+    * KllSpec carries the certified error-bound properties.
+    */
+  val aggKllQuantiles: Q = (s, dir) => {
+    import s.implicits._
+    val k = 256
+    val vals = table(s, dir, "events").select(col("value"))
+    // per-day sketches (distributed partials within each day)…
+    val udafKll = udaf(new KllQuantiles(k), Encoders.scalaDouble)
+    val perDay = table(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(udafKll(col("value")).as("sk"))
+    // …merged across days: only the tiny sketch rows move
+    implicit val kllEnc: Encoder[KllBuf] = Encoders.kryo[KllBuf]
+    val merged = perDay.select(col("sk")).as[KllBuf]
+      .select(new KllMerge(k).toColumn).head()
+    val qs = Seq(0.01, 0.10, 0.25, 0.50, 0.75, 0.90, 0.99)
+    val exact = vals.agg(
+      expr(s"percentile(value, array(${qs.mkString(",")}))").as("ex"))
+      .head().getSeq[Double](0)
+    qs.zip(exact).map { case (q, ex) =>
+      (q, merged.quantile(q), ex, merged.errBound.toDouble / merged.n)
+    }.toDF("q", "kll_est", "exact_pctl", "rank_eps_bound")
+      .orderBy("q")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_custom_aggregator" -> aggCustomAggregator,
     "udf_scalar_normalize" -> udfScalarNormalize,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_count_min" -> aggCountMin,
+    "agg_kll_quantiles" -> aggKllQuantiles,
   )
 }

@@ -30,7 +30,7 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(m.map(r => (r._1, r._2)).toSet === Set((10L, 1L)),
         s"only the planted near-dup may match, got ${m.toSeq}")
       assert(m.head._3 >= 0.5 && m.head._3 <= 1.0)
-    } finally spark.sql("DROP TABLE IF EXISTS idx_md")
+    } finally io.TableManifest.drop(spark, "idx_md")
   }
 
   test("compactBucketed collapses append growth and keeps the shuffle-free join layout") {
@@ -40,15 +40,18 @@ class IncrementalDedupSpec extends SparkSpec {
       for (i <- 0 until 3)
         ops.IncrementalDedup.appendToIndex(
           Seq((100L + i, doc(s"new$i", stem = s"ns$i"))).toDF("doc_id", "text"), "idx_cmp")
-      val before = spark.table("idx_cmp").orderBy("bk", "doc_id").collect().toSeq
-      io.Sinks.compactBucketed(spark, "idx_cmp")
-      val after = spark.table("idx_cmp").orderBy("bk", "doc_id").collect().toSeq
+      def current() = spark.table(
+        ops.IncrementalDedup.resolveTable(spark, "idx_cmp"))
+      val before = current().orderBy("bk", "doc_id").collect().toSeq
+      ops.IncrementalDedup.compact(spark, "idx_cmp")
+      val after = current().orderBy("bk", "doc_id").collect().toSeq
       assert(after === before, "compaction must not change the index contents")
       // bucket spec comes from the catalog, so the rewrite must have
       // preserved it — and the aligned repartition leaves ONE file per
       // non-empty bucket (the point of compacting)
       val metaAfter = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier("idx_cmp"))
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          ops.IncrementalDedup.resolveTable(spark, "idx_cmp")))
       assert(metaAfter.bucketSpec.exists(s =>
         s.numBuckets == 8 && s.bucketColumnNames == Seq("bk")),
         s"bucket spec must survive compaction: ${metaAfter.bucketSpec}")
@@ -65,7 +68,7 @@ class IncrementalDedupSpec extends SparkSpec {
         val plan = q.queryExecution.executedPlan.toString
         assert(plan.contains("Bucketed: true"), s"compacted index must stay bucketed:\n$plan")
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    } finally spark.sql("DROP TABLE IF EXISTS idx_cmp")
+    } finally io.TableManifest.drop(spark, "idx_cmp")
   }
 
   test("index side joins without a shuffle or sort (bucketed layout IS the join layout)") {
@@ -89,7 +92,7 @@ class IncrementalDedupSpec extends SparkSpec {
         s"expected exactly the new side to exchange on bk, got $bkExchanges:\n$plan")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.sql("DROP TABLE IF EXISTS idx_plan")
+      io.TableManifest.drop(spark, "idx_plan")
     }
   }
 
@@ -97,9 +100,11 @@ class IncrementalDedupSpec extends SparkSpec {
     val corpus = Seq((1L, doc(""))).toDF("doc_id", "text")
     ops.IncrementalDedup.buildIndex(corpus, "idx_app")
     try {
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
       def files(): Set[String] = {
-        val d = new java.io.File(s"$warehouse/idx_app")
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            ops.IncrementalDedup.resolveTable(spark, "idx_app"))).location
+        val d = new java.io.File(loc)
         d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
       }
       val before = files()
@@ -112,6 +117,6 @@ class IncrementalDedupSpec extends SparkSpec {
       val m = ops.IncrementalDedup.matchAgainstIndex(spark, batch2, "idx_app")
         .as[(Long, Long, Double)].collect()
       assert(m.map(r => (r._1, r._2)).toSet === Set((30L, 20L)), s"got ${m.toSeq}")
-    } finally spark.sql("DROP TABLE IF EXISTS idx_app")
+    } finally io.TableManifest.drop(spark, "idx_app")
   }
 }

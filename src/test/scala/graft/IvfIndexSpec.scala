@@ -40,10 +40,7 @@ class IvfIndexSpec extends SparkSpec {
       assert(fromIndex === inMemory,
         s"persisted-index probe diverged from annIvf:\n$fromIndex\nvs\n$inMemory")
       assert(fromIndex.nonEmpty)
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS ivf_parity")
-      spark.sql("DROP TABLE IF EXISTS ivf_parity_centroids")
-    }
+    } finally io.TableManifest.drop(spark, "ivf_parity")
   }
 
   test("probe prunes the scan to the probed cell directories and never exchanges the index side") {
@@ -72,10 +69,7 @@ class IvfIndexSpec extends SparkSpec {
         .findAllMatchIn(finalPlan).map(_.group(1)).toList
       assert(hashExchanges.forall(_ == "p_id"),
         s"index rows must stream shuffle-free to the join, got exchanges on $hashExchanges:\n$plan")
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS ivf_plan")
-      spark.sql("DROP TABLE IF EXISTS ivf_plan_centroids")
-    }
+    } finally io.TableManifest.drop(spark, "ivf_plan")
   }
 
   test("streaming append: micro-batches land in the index, probes see them between triggers") {
@@ -102,8 +96,7 @@ class IvfIndexSpec extends SparkSpec {
       assert(top2 === Set(2000L, 2001L), s"both batches must be probe-visible, got $top2")
     } finally {
       q.stop()
-      spark.sql("DROP TABLE IF EXISTS ivf_stream")
-      spark.sql("DROP TABLE IF EXISTS ivf_stream_centroids")
+      io.TableManifest.drop(spark, "ivf_stream")
     }
   }
 
@@ -112,22 +105,21 @@ class IvfIndexSpec extends SparkSpec {
     ops.IvfIndex.buildIndex(spark, embDf(rows), "ivf_replay", nlist = 4)
     val ckpt = java.nio.file.Files.createTempDirectory("ivfrp").toString
     try {
+      def indexCount() = spark.table(
+        ops.IvfIndex.resolveTable(spark, "ivf_replay")).count()
       val batch = embDf(Seq((5000L, rows.head._2.map(_ * 1.01))))
       ops.IvfIndex.appendBatch(batch, batchId = 0L, "ivf_replay", ckpt)
-      val afterFirst = spark.table("ivf_replay").count()
+      val afterFirst = indexCount()
       // recovery replays the same batchId — the commit marker must
       // make it a no-op, not a duplicate append
       ops.IvfIndex.appendBatch(batch, batchId = 0L, "ivf_replay", ckpt)
-      assert(spark.table("ivf_replay").count() === afterFirst,
+      assert(indexCount() === afterFirst,
         "replaying a committed batchId must not duplicate its rows")
       // a NEW batchId still appends
       ops.IvfIndex.appendBatch(
         embDf(Seq((5001L, rows.head._2.map(_ * 0.99)))), batchId = 1L, "ivf_replay", ckpt)
-      assert(spark.table("ivf_replay").count() === afterFirst + 1)
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS ivf_replay")
-      spark.sql("DROP TABLE IF EXISTS ivf_replay_centroids")
-    }
+      assert(indexCount() === afterFirst + 1)
+    } finally io.TableManifest.drop(spark, "ivf_replay")
   }
 
   test("compaction collapses append-grown cells to one file each without changing results") {
@@ -139,17 +131,18 @@ class IvfIndexSpec extends SparkSpec {
       for (i <- 0 until 3)
         ops.IvfIndex.appendToIndex(spark,
           embDf(Seq((3000L + i, v0.map(_ * (1.0 + 0.01 * (i + 1)))))), "ivf_cmp")
-      val tableDir = new java.io.File(
+      // resolve per call: compaction publishes a NEW physical version
+      def filesPerCell: Map[String, Int] = new java.io.File(
         spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier("ivf_cmp")).location)
-      def filesPerCell: Map[String, Int] = tableDir.listFiles()
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            ops.IvfIndex.resolveTable(spark, "ivf_cmp"))).location).listFiles()
         .filter(d => d.isDirectory && d.getName.startsWith("cell="))
         .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
       val before = ops.IvfIndex.probe(spark,
           Seq((0L, v0)).toDF("p_id", "pv"), "ivf_cmp", nprobe = 2, k = 5)
         .collect().toSeq
       assert(filesPerCell.values.exists(_ > 1), s"appends must have grown files: $filesPerCell")
-      io.Sinks.compactPartitioned(spark, "ivf_cmp", "cell")
+      ops.IvfIndex.compact(spark, "ivf_cmp")
       assert(filesPerCell.values.forall(_ == 1), s"one file per cell after compaction: $filesPerCell")
       val afterQ = ops.IvfIndex.probe(spark,
         Seq((0L, v0)).toDF("p_id", "pv"), "ivf_cmp", nprobe = 2, k = 5)
@@ -160,10 +153,7 @@ class IvfIndexSpec extends SparkSpec {
       assert(afterQ.queryExecution.executedPlan.toString
         .contains("PartitionFilters: [cell"),
         "cell pruning must survive compaction")
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS ivf_cmp")
-      spark.sql("DROP TABLE IF EXISTS ivf_cmp_centroids")
-    }
+    } finally io.TableManifest.drop(spark, "ivf_cmp")
   }
 
   test("append assigns with the stored quantizer; probes see appended vectors; cells stay stable") {
@@ -171,15 +161,15 @@ class IvfIndexSpec extends SparkSpec {
     val emb = embDf(rows)
     ops.IvfIndex.buildIndex(spark, emb, "ivf_app", nlist = 8)
     try {
-      val cellsBefore = spark.table("ivf_app")
+      val cellsBefore = spark.table(ops.IvfIndex.resolveTable(spark, "ivf_app"))
         .select("vec_id", "cell").as[(Long, Int)].collect().toMap
       // new batch: near-copies of vector 0 (same direction, must land
       // in its cell and dominate its neighborhood)
       val v0 = rows.head._2
       val batch = Seq((1000L, v0.map(_ * 1.01)), (1001L, v0.map(_ * 0.99)))
       ops.IvfIndex.appendToIndex(spark, embDf(batch), "ivf_app")
-      val after = spark.table("ivf_app").select("vec_id", "cell")
-        .as[(Long, Int)].collect().toMap
+      val after = spark.table(ops.IvfIndex.resolveTable(spark, "ivf_app"))
+        .select("vec_id", "cell").as[(Long, Int)].collect().toMap
       // append never moves an existing vector
       cellsBefore.foreach { case (id, cell) =>
         assert(after(id) === cell, s"vec $id changed cell on append")
@@ -191,9 +181,6 @@ class IvfIndexSpec extends SparkSpec {
         .select("vec_id").as[Long].collect().toSet
       assert(top === Set(1000L, 1001L),
         s"appended near-copies must top vec 0's neighbor list, got $top")
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS ivf_app")
-      spark.sql("DROP TABLE IF EXISTS ivf_app_centroids")
-    }
+    } finally io.TableManifest.drop(spark, "ivf_app")
   }
 }

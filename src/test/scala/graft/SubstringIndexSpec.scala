@@ -31,7 +31,7 @@ class SubstringIndexSpec extends SparkSpec {
       // lang blocking: same text under a different lang must NOT match
       val zh = Seq((11L, "zh", newDoc)).toDF("doc_id", "lang", "text")
       assert(ops.SubstringIndex.probeSpans(spark, zh, "ssi_basic").count() == 0)
-    } finally spark.sql("DROP TABLE IF EXISTS ssi_basic")
+    } finally io.TableManifest.drop(spark, "ssi_basic")
   }
 
   test("probe agrees with the batch operator on the real corpus") {
@@ -56,7 +56,7 @@ class SubstringIndexSpec extends SparkSpec {
       }.toSet
       assert(got == expect, s"probe vs batch mismatch: " +
         s"only-probe=${got.diff(expect).take(3)} only-batch=${expect.diff(got).take(3)}")
-    } finally spark.sql("DROP TABLE IF EXISTS ssi_corpus")
+    } finally io.TableManifest.drop(spark, "ssi_corpus")
   }
 
   test("compactBucketed collapses ssi append growth, contents and probes intact") {
@@ -68,12 +68,15 @@ class SubstringIndexSpec extends SparkSpec {
         ops.SubstringIndex.appendToIndex(
           Seq((100L + i, "en", words(s"a$i-", 15).mkString(" ")))
             .toDF("doc_id", "lang", "text"), "ssi_cmp")
-      val before = spark.table("ssi_cmp").orderBy("gh", "doc_id", "pos").collect().toSeq
-      io.Sinks.compactBucketed(spark, "ssi_cmp")
-      val after = spark.table("ssi_cmp").orderBy("gh", "doc_id", "pos").collect().toSeq
+      def current() = spark.table(
+        ops.SubstringIndex.resolveTable(spark, "ssi_cmp"))
+      val before = current().orderBy("gh", "doc_id", "pos").collect().toSeq
+      ops.SubstringIndex.compact(spark, "ssi_cmp")
+      val after = current().orderBy("gh", "doc_id", "pos").collect().toSeq
       assert(after === before, "compaction must not change the index contents")
       val meta = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier("ssi_cmp"))
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          ops.SubstringIndex.resolveTable(spark, "ssi_cmp")))
       assert(meta.bucketSpec.exists(b =>
         b.numBuckets == 8 && b.bucketColumnNames == Seq("gh")))
       val dataFiles = new java.io.File(meta.location)
@@ -85,7 +88,7 @@ class SubstringIndexSpec extends SparkSpec {
         Seq((900L, "en", words("a1-", 15).mkString(" "))).toDF("doc_id", "lang", "text"),
         "ssi_cmp")
       assert(probe.collect().exists(_.getLong(1) == 101L))
-    } finally spark.sql("DROP TABLE IF EXISTS ssi_cmp")
+    } finally io.TableManifest.drop(spark, "ssi_cmp")
   }
 
   test("index side joins without a shuffle; append grows without rewriting") {
@@ -111,8 +114,10 @@ class SubstringIndexSpec extends SparkSpec {
       assert(probeExchanges == 1,
         s"probe side exchanges into the bucket layout once, got $probeExchanges:\n$plan")
       // append: original files untouched, new batch probeable
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      def files(): Set[String] = new java.io.File(s"$warehouse/ssi_plan")
+      def files(): Set[String] = new java.io.File(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            ops.SubstringIndex.resolveTable(spark, "ssi_plan"))).location)
         .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
       val before = files()
       ops.SubstringIndex.appendToIndex(
@@ -126,7 +131,7 @@ class SubstringIndexSpec extends SparkSpec {
         "appended doc must be probeable")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.sql("DROP TABLE IF EXISTS ssi_plan")
+      io.TableManifest.drop(spark, "ssi_plan")
     }
   }
 }
