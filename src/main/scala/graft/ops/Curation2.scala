@@ -71,6 +71,96 @@ object Curation2 {
       .orderBy("lang", "a_id", "b_id", "a_start", "b_start", "span_toks")
   }
 
+  /** Substring-dedup REMOVAL (round 8 — the step a training-data
+    * pipeline actually runs after [[dedupSubstringSpan]] detects, per
+    * Lee et al.): emit the CLEANED corpus with every detected shared
+    * span cut from the deterministically-chosen side — the LARGER
+    * doc_id (the span pairs are emitted with a_id < b_id, so the cut
+    * side is always b; the smaller id keeps the canonical copy).
+    * Every doc appears in the output: untouched docs pass through
+    * with their whitespace-normalized text, cut docs carry
+    * provenance (`n_spans_cut`, `toks_removed`).
+    *
+    * A doc can be the larger side of MANY pairs with overlapping
+    * spans, so the cut intervals are merged first (classic
+    * interval-union islands: a new island starts where `lo` clears
+    * the running max of `hi`), which makes `toks_removed` exact and
+    * the rebuild single-pass. The rebuild itself is ROW-LOCAL — the
+    * merged cut list joins to the doc row and a nested higher-order
+    * filter keeps tokens outside every interval; the corpus is never
+    * exploded to token rows (at 100 TB the exploded join would
+    * shuffle ~100× the corpus; this ships one small array per cut
+    * doc instead). Only the span-pair relation — already bounded by
+    * the detector's Σ df² economics — and the per-doc cut lists move.
+    *
+    * Deterministic policy + exact spans → fully oracle-able, unlike
+    * most of the dedup family. Idempotence (`remove ∘ remove =
+    * remove` on this corpus and on planted fixtures) is spec'd in
+    * Curation2Spec — after the cut the larger doc no longer carries
+    * the span, so a second detect+remove pass finds nothing new
+    * (token joins at cut boundaries can in principle mint a new
+    * 3-gram; the spec pins that it does not silently change results
+    * on the corpora we certify). A doc whose text was entirely
+    * duplicated content leaves the corpus with empty `clean_text` —
+    * the operator's domain is non-empty docs, so iterating the
+    * pipeline drops it, exactly as a curation pass should.
+    */
+  private[graft] def removeSpans(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toksOf = split(trim(col("text")), "\\s+")
+    val base = docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), col("lang"), toksOf.as("toks"))
+    val d = base.filter(size(col("toks")) >= 3)
+    val g = d.select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 3),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("toks"), i + 1, lit(3))).as("gram")))).as("pg"))
+      .select(col("doc_id"), col("lang"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val b = g.select(col("lang").as("b_lang"), col("gram").as("b_gram"),
+      col("doc_id").as("b_id"), col("pos").as("b_pos")).hint("shuffle_hash")
+    val pairs = g.join(b,
+        col("lang") === col("b_lang") && col("gram") === col("b_gram") &&
+          col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"),
+        col("pos").as("a_pos"), (col("pos") - col("b_pos")).as("diag"))
+    val wi = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+      .orderBy(col("a_pos"))
+    val spans = pairs.withColumn("isl", col("a_pos") - row_number().over(wi))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("isl"))
+      .agg(min(col("a_pos")).as("a_start"), count(lit(1)).as("run"))
+      .filter(col("run") >= 2)
+      // cut side = larger id (b); interval in b's token positions
+      .select(col("b_id").as("doc_id"),
+        (col("a_start") - col("diag")).cast("int").as("lo"),
+        (col("a_start") - col("diag") + col("run") + 2).cast("int").as("hi"))
+    // merge overlapping/adjacent-overlap intervals per doc
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("lo"), col("hi"))
+    val merged = spans
+      .withColumn("prev_hi",
+        max(col("hi")).over(wd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_isl",
+        when(col("prev_hi").isNull || col("lo") > col("prev_hi"), 1).otherwise(0))
+      .withColumn("cut_isl",
+        sum(col("new_isl")).over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("cut_isl"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+    val cuts = merged.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("lo"), col("hi"))).as("cuts"),
+        count(lit(1)).as("n_spans_cut"),
+        sum(col("hi") - col("lo")).cast("long").as("toks_removed"))
+    base.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("cuts").isNull, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ", filter(col("toks"), (_, i) =>
+            !exists(col("cuts"), c =>
+              i >= c.getField("lo") && i < c.getField("hi")))))
+          .as("clean_text"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+        coalesce(col("toks_removed"), lit(0L)).as("toks_removed"))
+  }
+
+  val dedupSubstringRemove: Q = (s, dir) =>
+    removeSpans(table(s, dir, "documents")).orderBy("doc_id")
+
   // ------------------------------------------------ Gopher rule gate
 
   /** Gopher-style document quality rules (Rae et al. 2021, Appendix
@@ -228,6 +318,7 @@ object Curation2 {
 
   val queries: Map[String, Q] = Map(
     "dedup_substring_span" -> dedupSubstringSpan,
+    "dedup_substring_remove" -> dedupSubstringRemove,
     "text_gopher_rules" -> textGopherRules,
     "text_bpe_pairs" -> textBpePairs,
     "sim_centroid_label" -> simCentroidLabel,

@@ -573,6 +573,57 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Rational-α temperature sampling (round 8 — generalizes
+    * [[sampleTemperature]], which pins α = 0.5 because a general
+    * `pow(n, α−1)` is correctly-rounded in neither engine's libm and
+    * a 1-ULP disagreement at a ppm boundary flips membership). For
+    * α = p/q the keep rate is C·n^{−m/q} with m = q − p, and its ppm
+    * threshold has a PURELY INTEGER characterization:
+    *
+    *   thr = max { t ≤ 10⁶ : t^q · n^m ≤ (10⁶·C)^q }
+    *
+    * i.e. the integer q-th root of (10⁶·C)^q / n^m — computed here by
+    * BigInt binary search (≈20 exact integer comparisons per DOMAIN,
+    * not per row), and in the DuckDB oracle by an integer-arithmetic
+    * max over a candidate series. No float ever enters the chain, so
+    * the kept set is engine-exact at every α — the oracle survives
+    * where the float form would lose it.
+    *
+    * One hash gate under one salt for ALL α: smaller α ⇒ smaller thr
+    * ⇒ the kept sets NEST (an α = 1/3 mixture is a subset of the
+    * α = 2/3 one), so mixtures at different temperatures are directly
+    * comparable — the property a mixture-tuning sweep wants. Same
+    * scale posture as the fixed-α form: tiny domain agg × 3 α rows,
+    * broadcast, row-local gate; no wide shuffle at any scale.
+    */
+  val sampleTemperatureRational: Q = (s, dir) => {
+    import s.implicits._
+    val c = 2L // cap constant: domain i keeps ≈ C·n_i^α docs
+    val d = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val n = d.groupBy(col("lang")).agg(count(lit(1)).as("lang_total"))
+    val thrUdf = udf((nTotal: Long, p: Int, q: Int) => {
+      val cap = BigInt(1000000L * c).pow(q)
+      val nm = BigInt(nTotal).pow(q - p)
+      var lo = 0L
+      var hi = 1000000L
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (BigInt(mid).pow(q) * nm <= cap) lo = mid else hi = mid - 1
+      }
+      lo
+    })
+    val params = Seq((1, 3), (1, 2), (2, 3)).toDF("alpha_p", "alpha_q")
+    val nThr = n.crossJoin(params) // |langs| × 3 — broadcast-scalar tiny
+      .withColumn("thr", thrUdf(col("lang_total"), col("alpha_p"), col("alpha_q")))
+    val ppm = conv(substring(md5(concat_ws("|", lit("graft-temp-r"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000000
+    d.join(broadcast(nThr), "lang")
+      .filter(ppm < col("thr"))
+      .select(col("alpha_p"), col("alpha_q"), col("doc_id"), col("lang"),
+        col("lang_total"), col("thr"))
+      .orderBy("alpha_q", "alpha_p", "doc_id")
+  }
+
   /** Deterministic stratified downsampling — the corpus-mixture
     * operation every training pipeline runs (rebalance languages /
     * sources to target proportions before training). Per-stratum keep
@@ -662,6 +713,7 @@ object Llm {
     "sim_pairwise_threshold_lsh" -> simPairwiseThresholdLsh,
     "sample_hash_split" -> sampleHashSplit,
     "sample_temperature" -> sampleTemperature,
+    "sample_temperature_rational" -> sampleTemperatureRational,
     "sample_stratified_hash" -> sampleStratifiedHash,
     "dedup_latest_wins" -> dedupLatestWins,
     "dedup_minhash_lsh" -> dedupMinhashLsh,

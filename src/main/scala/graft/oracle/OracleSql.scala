@@ -898,6 +898,28 @@ object OracleSql {
         |        CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < t.thr
         |ORDER BY doc_id""".stripMargin,
 
+    "sample_temperature_rational" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+        |n AS (SELECT lang, count(*) AS lang_total FROM d GROUP BY lang),
+        |params AS (SELECT * FROM (VALUES (1, 3), (1, 2), (2, 3)) AS p(ap, aq)),
+        |thr AS (
+        |  SELECT n.lang, n.lang_total, pr.ap, pr.aq, max(g.t) AS thr
+        |  FROM n CROSS JOIN params pr
+        |  JOIN generate_series(0, 1000000) AS g(t)
+        |    ON (CASE WHEN pr.aq = 2 THEN CAST(g.t AS HUGEINT) * g.t
+        |             ELSE CAST(g.t AS HUGEINT) * g.t * g.t END)
+        |       * (CASE WHEN pr.aq - pr.ap = 1 THEN CAST(n.lang_total AS HUGEINT)
+        |               ELSE CAST(n.lang_total AS HUGEINT) * n.lang_total END)
+        |       <= (CASE WHEN pr.aq = 2 THEN CAST(2000000 AS HUGEINT) * 2000000
+        |               ELSE CAST(2000000 AS HUGEINT) * 2000000 * 2000000 END)
+        |  GROUP BY n.lang, n.lang_total, pr.ap, pr.aq)
+        |SELECT t.ap AS alpha_p, t.aq AS alpha_q, d.doc_id, d.lang,
+        |       t.lang_total, t.thr
+        |FROM d JOIN thr t USING (lang)
+        |WHERE CAST(('0x' || substr(md5('graft-temp-r' || '|' ||
+        |        CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < t.thr
+        |ORDER BY t.aq, t.ap, d.doc_id""".stripMargin,
+
     "sample_hash_split" ->
       """SELECT doc_id, lang,
         |       CAST(('0x' || substr(md5('graft-split' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))
@@ -1645,6 +1667,71 @@ object OracleSql {
         |       run + 2 AS span_toks
         |FROM r WHERE run >= 2
         |ORDER BY lang, a_id, b_id, a_start, b_start, span_toks""".stripMargin,
+
+    "dedup_substring_remove" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |g AS (
+        |  SELECT doc_id, lang, CAST(u.gs AS INT) AS pos,
+        |         array_to_string(toks[CAST(u.gs AS INT) + 1 : CAST(u.gs AS INT) + 3], ' ') AS gram
+        |  FROM t, unnest(generate_series(0, CAST(len(toks) AS BIGINT) - 3)) AS u(gs)
+        |  WHERE len(toks) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         a.pos AS a_pos, a.pos - b.pos AS diag
+        |  FROM g a JOIN g b
+        |    ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id),
+        |i AS (
+        |  SELECT a_id, b_id, diag, a_pos,
+        |         a_pos - row_number() OVER (PARTITION BY a_id, b_id, diag
+        |                                    ORDER BY a_pos) AS isl
+        |  FROM p),
+        |r AS (
+        |  SELECT a_id, b_id, diag, min(a_pos) AS a_start, count(*) AS run
+        |  FROM i GROUP BY a_id, b_id, diag, isl),
+        |iv AS (
+        |  SELECT b_id AS doc_id, CAST(a_start - diag AS INT) AS lo,
+        |         CAST(a_start - diag + run + 2 AS INT) AS hi
+        |  FROM r WHERE run >= 2),
+        |m1 AS (
+        |  SELECT doc_id, lo, hi,
+        |         max(hi) OVER (PARTITION BY doc_id ORDER BY lo, hi
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_hi
+        |  FROM iv),
+        |m2 AS (
+        |  SELECT doc_id, lo, hi,
+        |         sum(CASE WHEN prev_hi IS NULL OR lo > prev_hi THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY lo, hi
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cut_isl
+        |  FROM m1),
+        |mg AS (
+        |  SELECT doc_id, cut_isl, min(lo) AS lo, max(hi) AS hi
+        |  FROM m2 GROUP BY doc_id, cut_isl),
+        |cuts AS (
+        |  SELECT doc_id, count(*) AS n_spans_cut,
+        |         CAST(sum(hi - lo) AS BIGINT) AS toks_removed
+        |  FROM mg GROUP BY doc_id),
+        |tok AS (
+        |  SELECT doc_id, CAST(u.gs AS INT) AS pos, toks[CAST(u.gs AS INT) + 1] AS tok
+        |  FROM t, unnest(generate_series(0, CAST(len(toks) AS BIGINT) - 1)) AS u(gs)),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.pos, tk.tok
+        |  FROM tok tk
+        |  WHERE NOT EXISTS (SELECT 1 FROM mg
+        |                    WHERE mg.doc_id = tk.doc_id
+        |                      AND tk.pos >= mg.lo AND tk.pos < mg.hi)),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, t.lang, coalesce(rb.clean_text, '') AS clean_text,
+        |       coalesce(c.n_spans_cut, 0) AS n_spans_cut,
+        |       coalesce(c.toks_removed, 0) AS toks_removed
+        |FROM t
+        |LEFT JOIN rebuilt rb ON rb.doc_id = t.doc_id
+        |LEFT JOIN cuts c ON c.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "text_gopher_rules" ->
       """WITH t AS (

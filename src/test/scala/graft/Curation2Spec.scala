@@ -52,6 +52,84 @@ class Curation2Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------ substring-span removal
+
+  test("dedup_substring_remove cuts exactly the planted span from the larger doc, merging overlaps") {
+    def w(tag: String, n: Int): Seq[String] = (1 to n).map(i => s"$tag$i")
+    val shared = w("dup", 8)
+    // doc 1 carries the canonical copy; docs 2 and 3 each embed it —
+    // doc 3 TWICE, so the per-doc interval handling is exercised
+    val d1 = (w("a", 4) ++ shared ++ w("b", 4)).mkString(" ")
+    val d2 = (w("c", 6) ++ shared ++ w("d", 2)).mkString(" ")
+    val d3 = (w("e", 3) ++ shared ++ w("f", 5) ++ shared ++ w("g", 2)).mkString(" ")
+    val corpus = Seq((1L, "en", d1), (2L, "en", d2), (3L, "en", d3))
+      .toDF("doc_id", "lang", "text")
+    val out = ops.Curation2.removeSpans(corpus).orderBy("doc_id")
+      .as[(Long, String, String, Long, Long)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // smallest id keeps its copy untouched
+    assert(byId(1L)._3 === d1 && byId(1L)._4 === 0L && byId(1L)._5 === 0L)
+    // doc 2: the shared block is gone, its own words remain in order
+    assert(byId(2L)._3 === (w("c", 6) ++ w("d", 2)).mkString(" "),
+      s"doc 2 must lose exactly the shared span: ${byId(2L)._3}")
+    assert(byId(2L)._5 === 8L)
+    // doc 3: BOTH embedded copies cut, own words intact
+    assert(byId(3L)._3 === (w("e", 3) ++ w("f", 5) ++ w("g", 2)).mkString(" "),
+      s"doc 3 must lose both copies: ${byId(3L)._3}")
+    assert(byId(3L)._5 === 16L)
+    // provenance counts merged intervals, not raw pair spans
+    assert(byId(3L)._4 === 2L)
+  }
+
+  test("dedup_substring_remove is idempotent on planted fixtures and the real corpus") {
+    def runOnce(docs: org.apache.spark.sql.DataFrame) =
+      ops.Curation2.removeSpans(docs)
+        .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
+    def w(tag: String, n: Int): Seq[String] = (1 to n).map(i => s"$tag$i")
+    val shared = w("dup", 8)
+    val fixture = Seq(
+      (1L, "en", (w("a", 4) ++ shared ++ w("b", 4)).mkString(" ")),
+      (2L, "en", (w("c", 6) ++ shared ++ w("d", 2)).mkString(" ")),
+      (3L, "en", (w("e", 3) ++ shared ++ w("f", 5) ++ shared ++ w("g", 2)).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    Seq(fixture -> "fixture",
+        io.Readers.table(spark, dir, "documents")
+          .select("doc_id", "lang", "text") -> "corpus").foreach { case (docs, label) =>
+      val once = runOnce(docs)
+      val onceRows = once.orderBy("doc_id")
+        .as[(Long, String, String)].collect().toSeq
+      val twiceRows = runOnce(once).orderBy("doc_id")
+        .as[(Long, String, String)].collect().toSeq
+      // a doc whose text was ENTIRELY duplicated content leaves the
+      // corpus (empty text — the operator's domain is non-empty docs);
+      // on the remaining docs the second pass must change nothing
+      assert(twiceRows === onceRows.filter(_._3.nonEmpty),
+        s"remove∘remove must equal remove on $label")
+    }
+  }
+
+  test("dedup_substring_remove pipes every doc through and conserves untouched text") {
+    val out = ops.Curation2.dedupSubstringRemove(spark, dir)
+      .as[(Long, String, String, Long, Long)].collect()
+    val docs = toksOf(dir)
+    assert(out.length === docs.size, "every non-empty doc must appear")
+    out.foreach { case (id, _, clean, nCut, removed) =>
+      val orig = docs(id)._2
+      val cleanToks = if (clean.isEmpty) Array.empty[String] else clean.split(" ")
+      assert(cleanToks.length === orig.length - removed,
+        s"doc $id: token accounting must be exact")
+      if (nCut == 0L) assert(clean === orig.mkString(" "),
+        s"untouched doc $id must pass through verbatim")
+      // kept tokens are a subsequence of the original
+      var j = 0
+      cleanToks.foreach { t =>
+        while (j < orig.length && orig(j) != t) j += 1
+        assert(j < orig.length, s"doc $id: '$t' out of order vs original")
+        j += 1
+      }
+    }
+  }
+
   // ------------------------------------------------- Gopher rules
 
   test("text_gopher_rules matches a direct recomputation") {

@@ -302,4 +302,30 @@ class LlmSpec extends SparkSpec {
     assert(kept.getOrElse("valid", 0L) > 0, s"no valid docs in sampled en stratum: $kept")
     assert(kept.getOrElse("test", 0L) > 0, s"no test docs in sampled en stratum: $kept")
   }
+
+  test("rational-α temperature: kept sets nest across α and the integer thr matches the float form at α=1/2") {
+    val dir = "/root/testdata/sf0.01"
+    val out = ops.Llm.sampleTemperatureRational(spark, dir)
+      .select("alpha_p", "alpha_q", "doc_id", "lang", "thr")
+      .as[(Int, Int, Long, String, Long)].collect()
+    def keptAt(p: Int, q: Int): Set[Long] =
+      out.filter(r => r._1 == p && r._2 == q).map(_._3).toSet
+    // one hash gate, thr monotone in α ⇒ mixtures nest
+    val k13 = keptAt(1, 3); val k12 = keptAt(1, 2); val k23 = keptAt(2, 3)
+    assert(k13.subsetOf(k12) && k12.subsetOf(k23),
+      s"α-mixtures must nest: |1/3|=${k13.size} |1/2|=${k12.size} |2/3|=${k23.size}")
+    assert(k13.nonEmpty && k23.size > k12.size,
+      "fixture must actually discriminate between temperatures")
+    // at α = 1/2 the integer q-th-root threshold must equal the
+    // fixed-α operator's float threshold per language (the float
+    // chain is exact there — that was the reason α was pinned)
+    val floatThr = ops.Llm.sampleTemperature(spark, dir)
+      .select("lang", "thr").as[(String, Long)].collect().toMap
+    val intThr = out.filter(r => r._1 == 1 && r._2 == 2)
+      .map(r => r._4 -> r._5).toMap
+    intThr.foreach { case (lang, t) =>
+      assert(floatThr(lang) === t,
+        s"α=1/2 integer thr must equal the float-form thr for $lang")
+    }
+  }
 }
