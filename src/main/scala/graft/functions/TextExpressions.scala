@@ -396,11 +396,17 @@ object TextExpressions {
 
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       (left.dataType, right.dataType) match {
-        case (ArrayType(DoubleType, _), DoubleType) =>
+        // containsNull boundaries are REJECTED, not tolerated:
+        // boundRankJ reads via ArrayData.getDouble, which yields 0.0
+        // for a null element — a null boundary would silently shift
+        // bucket assignment. Unreachable from percentile_approx
+        // output, but the function is SQL-registered and callable
+        // with arbitrary arrays (r7 ADVICE).
+        case (ArrayType(DoubleType, false), DoubleType) =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
         case other =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-            s"bound_rank expects (array<double>, double), got $other")
+            s"bound_rank expects (array<double> with non-null elements, double), got $other")
       }
 
     override protected def nullSafeEval(a: Any, b: Any): Any =

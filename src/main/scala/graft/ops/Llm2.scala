@@ -204,9 +204,14 @@ object Llm2 {
       .select(col("doc_id"), col("lang"), grams.as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), col("lang"), size(col("grams")).as("gsz"), col("grams"))
+    // localCheckpoint: the eager df-profile probe + the chosen join
+    // would otherwise each re-run the explode (r7 ADVICE) — inv is
+    // narrow, so one materialization wins where materializing the
+    // wide gram arrays in `d` measured slower (comment above)
     val inv = d
       .select(col("doc_id"), col("gsz"), col("lang"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), col("gsz"), xxhash64(col("lang"), col("gram")).as("gh"))
+      .localCheckpoint()
     // Adaptive pair-join shape (round 7, same probe as
     // [[Curation.dedupNgramContainment]]): the hot-gram share
     // maxDf²/Σdf decides between the shared-count join (wins on

@@ -118,6 +118,13 @@ class ExpressionsSpec extends SparkSpec {
     val viaSql = spark.sql(
       "SELECT bound_rank(array(1.0D, 2.0D), 1.5D) AS r").collect().head.getInt(0)
     assert(viaSql == 1)
+    // a boundary array that ADMITS null elements is rejected at
+    // analysis: getDouble would read a null boundary as 0.0 and
+    // silently shift bucket assignment (r7 ADVICE)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bound_rank(array(1.0D, CAST(NULL AS DOUBLE)), 1.5D)").collect()
+    }
+    assert(ex.getMessage.contains("non-null"), ex.getMessage)
   }
 
   test("centroid_ranks: cosine ordering, tie → lower index, zero vector last") {
