@@ -729,7 +729,39 @@ object Analytics {
       .orderBy("l_returnflag", "rnk", "price")
   }
 
+  /** Event-sequence pattern matching (MATCH_RECOGNIZE-lite, the
+    * Flink-CEP / Trino MATCH_RECOGNIZE surface expressed as window
+    * leads): find every CONSECUTIVE view → click → purchase run in a
+    * user's time-ordered stream and emit the match with its span.
+    * A fixed consecutive pattern compiles to `lead(event_type, i)`
+    * comparisons — one window shuffle on user_id, no joins, no state
+    * machine; patterns with gaps ("view then LATER purchase") are the
+    * funnel family ([[graft.ops.Aggregations]]); this key is the
+    * strict-adjacency complement.
+    *
+    * Scale: one partitioned window (user_id, ordered by the unique
+    * (ts, event_id)), row-local predicates after it — the plan is a
+    * single exchange at any corpus size, and the match predicate is
+    * codegen'd (no UDF). (user_id, ts) is unique in this corpus, the
+    * event_id tiebreak makes the order total regardless.
+    */
+  val eventsPatternMatch: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    table(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .withColumn("end_ts", lead(col("ts"), 2).over(w))
+      .filter(col("event_type") === "view" && col("e2") === "click" &&
+        col("e3") === "purchase")
+      .select(col("user_id"), col("event_id").as("start_event_id"),
+        col("ts").as("start_ts"), col("end_ts"))
+      .orderBy(col("user_id"), col("start_event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_pattern_match" -> eventsPatternMatch,
     "events_attribution" -> eventsAttribution,
     "agg_weighted_median" -> aggWeightedMedian,
     "anomaly_zscore" -> anomalyZscore,

@@ -161,6 +161,49 @@ object Curation2 {
   val dedupSubstringRemove: Q = (s, dir) =>
     removeSpans(table(s, dir, "documents")).orderBy("doc_id")
 
+  // ------------------------------------------------ n-gram novelty
+
+  /** Per-document n-gram NOVELTY against the already-ingested corpus
+    * prefix (docs with smaller doc_id = earlier arrivals): the share
+    * of a doc's distinct 3-grams never seen in any earlier doc — the
+    * freshness signal a curation pipeline uses to down-weight
+    * boilerplate-heavy late arrivals and to measure how fast a crawl
+    * stops contributing new content (novelty decay). Exact and
+    * order-deterministic (the prefix order is the doc_id total
+    * order), so fully oracle-able.
+    *
+    * Shape: distinct (doc_id, gram) explode → global min(doc_id) per
+    * gram (partial-agg shuffle) → equi-join back on gram → per-doc
+    * counts. Σ df economics — LINEAR in corpus gram volume, one
+    * degree cheaper than the Σ df² pair-join family; both shuffles
+    * partial-aggregate map-side. The join key stays the gram STRING
+    * here for oracle exactness; at 100 TB key on xxhash64(gram) like
+    * [[Llm2.dedupNgramJaccard]]'s inverted index (counts tolerate the
+    * ~2⁻⁶⁴ collision rate; spans/verification would not). The
+    * novelty ratio is one IEEE double division of two exact integers
+    * — correctly rounded and identical in both engines.
+    */
+  val textNgramNovelty: Q = (s, dir) => {
+    val toks = split(trim(col("text")), "\\s+")
+    val d = table(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val g = d.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))).as("gram"))
+      .distinct()
+    val first = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    g.join(first, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen_before"))
+      .withColumn("novelty",
+        (col("n_grams") - col("n_seen_before")).cast("double") / col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------ Gopher rule gate
 
   /** Gopher-style document quality rules (Rae et al. 2021, Appendix
@@ -319,6 +362,7 @@ object Curation2 {
   val queries: Map[String, Q] = Map(
     "dedup_substring_span" -> dedupSubstringSpan,
     "dedup_substring_remove" -> dedupSubstringRemove,
+    "text_ngram_novelty" -> textNgramNovelty,
     "text_gopher_rules" -> textGopherRules,
     "text_bpe_pairs" -> textBpePairs,
     "sim_centroid_label" -> simCentroidLabel,

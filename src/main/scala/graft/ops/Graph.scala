@@ -175,8 +175,51 @@ object Graph {
       .limit(20)
   }
 
+  /** Synchronous label propagation (3 fixed iterations of min-label
+    * flooding over the undirected part graph) — the community/cluster
+    * seeding primitive between one-shot degree stats and the full
+    * connected-components fixpoint: after k rounds every node carries
+    * the smallest node id within k hops, so the label histogram reads
+    * as "cluster cores visible at radius k". Deterministic (min over
+    * a total order, no tie-break randomness) and PURE INTEGER, so it
+    * is fully oracle-able — unlike classic frequency-based LPA, whose
+    * tie-breaks are seed-dependent.
+    *
+    * Shape: the adjacency (symmetrized + self-loops, so `min` over
+    * in-neighbors includes the node's own label and every node
+    * survives each round) is built ONCE and checkpointed; an
+    * iteration is one broadcast of the |nodes|-row label relation
+    * into the static adjacency + one partial-agg min shuffle on dst —
+    * [[graphPagerank]]'s loop economics exactly (barriers dominate at
+    * this SF; at 100 TB drop the broadcast hint and the same loop
+    * runs as shuffle joins, min is algebraic so map-side combine
+    * halves the exchange).
+    */
+  val graphLabelPropagation: Q = (s, dir) => {
+    val und = orderSequenceEdges(s, dir)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val nodes = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .distinct()
+    val adj = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .localCheckpoint() // static across iterations, scanned 3×
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    (1 to 3).foreach { _ =>
+      labels = adj
+        .join(broadcast(labels), col("src") === col("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("label")).as("label"))
+    }
+    labels.orderBy(col("node"))
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
     "graph_triangle_count" -> graphTriangleCount,
+    "graph_label_propagation" -> graphLabelPropagation,
   )
 }

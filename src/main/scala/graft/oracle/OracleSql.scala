@@ -1970,10 +1970,74 @@ object OracleSql {
         |FROM corners GROUP BY node
         |ORDER BY n_triangles DESC, node
         |LIMIT 20""".stripMargin,
+
+    // 3 synchronous min-label rounds, unrolled (fixed k — no
+    // recursion needed, each round is one join + min-agg; self-loops
+    // make the min include the node's own label)
+    "graph_label_propagation" ->
+      """WITH e0 AS (
+        |  SELECT l_partkey AS src,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                               ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e0 WHERE dst IS NOT NULL AND dst <> src),
+        |nodes AS (
+        |  SELECT DISTINCT u AS node FROM und
+        |  UNION SELECT DISTINCT v FROM und),
+        |adj AS (
+        |  SELECT u AS src, v AS dst FROM und
+        |  UNION ALL SELECT v, u FROM und
+        |  UNION ALL SELECT node, node FROM nodes),
+        |l0 AS (SELECT node, node AS label FROM nodes),
+        |l1 AS (SELECT a.dst AS node, min(l.label) AS label
+        |       FROM l0 l JOIN adj a ON l.node = a.src GROUP BY a.dst),
+        |l2 AS (SELECT a.dst AS node, min(l.label) AS label
+        |       FROM l1 l JOIN adj a ON l.node = a.src GROUP BY a.dst),
+        |l3 AS (SELECT a.dst AS node, min(l.label) AS label
+        |       FROM l2 l JOIN adj a ON l.node = a.src GROUP BY a.dst)
+        |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
+  )
+
+  private val round8: Map[String, String] = Map(
+    "events_pattern_match" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         lead(event_type, 1) OVER w AS e2,
+        |         lead(event_type, 2) OVER w AS e3,
+        |         lead(ts, 2) OVER w AS end_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS start_event_id, ts AS start_ts, end_ts
+        |FROM e
+        |WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+        |ORDER BY user_id, start_event_id""".stripMargin,
+
+    "text_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[CAST(u.gs AS INT) + 1 : CAST(u.gs AS INT) + 3], ' ') AS gram
+        |  FROM t, unnest(generate_series(0, CAST(len(toks) AS BIGINT) - 3)) AS u(gs)
+        |  WHERE len(toks) >= 3),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+        |SELECT g.doc_id,
+        |       count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_seen_before,
+        |       CAST(count(*) - sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / count(*) AS novelty
+        |FROM g JOIN f USING (gram)
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
   )
 
   val sql: Map[String, String] =
     relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++
       llm ++ streaming ++ llm2 ++ curation ++ statsLayout ++ analytics ++
-      analytics2 ++ graph
+      analytics2 ++ graph ++ round8
 }

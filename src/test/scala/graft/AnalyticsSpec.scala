@@ -269,4 +269,26 @@ class AnalyticsSpec extends SparkSpec {
         col("version"), col("value").as("dim_value"))
     assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty)
   }
+
+  // -------------------------------------------- sequence patterns
+
+  test("events_pattern_match finds exactly the consecutive view→click→purchase runs") {
+    val out = ops.Analytics.eventsPatternMatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: per user, time-ordered scan for strict adjacency
+    val ev = io.Readers.table(spark, dir, "events")
+      .select("user_id", "event_id", "ts", "event_type")
+      .as[(Long, Long, java.sql.Timestamp, String)].collect()
+    // .toSeq before flatMap: flatMapping a Map with a tuple-valued fn
+    // rebuilds a Map keyed by user_id, collapsing multi-match users
+    val truth = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val seq = rows.sortBy { case (_, id, ts, _) => (ts.getTime, id) }
+      seq.sliding(3).collect {
+        case Array((_, id, _, "view"), (_, _, _, "click"), (_, _, _, "purchase")) =>
+          (u, id)
+      }
+    }.toSet
+    assert(truth.nonEmpty, "corpus should contain at least one match")
+    assert(out == truth)
+  }
 }

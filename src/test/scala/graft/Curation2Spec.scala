@@ -286,4 +286,55 @@ class Curation2Spec extends SparkSpec {
     val expect = triCount.toSeq.sortBy { case (n, c) => (-c, n) }.take(20)
     assert(got.toSeq == expect)
   }
+
+  // ------------------------------------------- label propagation
+
+  test("graph_label_propagation equals 3 synchronous min-label rounds in plain Scala") {
+    val got = ops.Graph.graphLabelPropagation(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = io.Readers.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+      .as[(Long, Int, Long)].collect()
+    val und = referenceEdges(li)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val nodes = und.flatMap(e => Seq(e._1, e._2))
+    val nbrs = (und.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) } ++
+      nodes.map(n => n -> n)).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    var lab = nodes.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      lab = nodes.map(n => n -> nbrs(n).map(lab).min).toMap
+    }
+    assert(got == lab)
+    // propagation is monotone toward the component min and non-trivial:
+    // some label must have moved off its own id by round 3
+    assert(got.forall { case (n, l) => l <= n })
+    assert(got.exists { case (n, l) => l < n })
+  }
+
+  // ------------------------------------------------ n-gram novelty
+
+  test("text_ngram_novelty counts first-occurrence grams against the doc_id prefix order") {
+    val out = ops.Curation2.textNgramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val docs = toksOf(dir).view.mapValues(_._2)
+      .filter(_._2.length >= 3).toMap
+    val gramsOf = docs.view.mapValues(t =>
+      t.sliding(3).map(_.mkString(" ")).toSet).toMap
+    val firstDoc = gramsOf.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    out.foreach { case (id, nGrams, nSeen, novelty) =>
+      val gs = gramsOf(id)
+      val seen = gs.count(g => firstDoc(g) < id)
+      assert(nGrams == gs.size && nSeen == seen.toLong)
+      assert(novelty == (gs.size - seen).toDouble / gs.size)
+      assert(novelty >= 0.0 && novelty <= 1.0)
+    }
+    assert(out.length == docs.size)
+    // the earliest doc by id has nothing before it — novelty exactly 1
+    val firstId = docs.keys.min
+    assert(out.find(_._1 == firstId).get._4 == 1.0)
+    // boilerplate exists: someone repeats an earlier doc's gram
+    assert(out.exists(_._3 > 0))
+  }
 }
