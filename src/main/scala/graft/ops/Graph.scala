@@ -217,9 +217,102 @@ object Graph {
     labels.orderBy(col("node"))
   }
 
+  /** k-core decomposition by 3 unrolled peel rounds at k = 2: each
+    * round drops every node whose CURRENT degree is below k and every
+    * edge touching a dropped node, so surviving degrees can only
+    * shrink — the standard density filter that strips pendant chains
+    * before community/cohesion analytics (triangle counting upstream
+    * of this is wasted work on degree-1 tentacles). A FIXED round
+    * count (not run-to-fixpoint) keeps the result deterministic and
+    * oracle-able regardless of convergence; the emitted relation is
+    * the degree table of the round-3 edge set, so both engines state
+    * the same thing even for nodes the next round would peel.
+    *
+    * Shape: canonical undirected edges checkpointed once; a round is
+    * one partial-agg degree shuffle (count is algebraic — map-side
+    * combine) + two LEFT SEMI joins of the edge relation against the
+    * surviving-node set. The survivor set only ever shrinks (≤ first
+    * round's node count), so the broadcast is bounded by the FIRST
+    * round's size known up front — at 100 TB the same loop runs the
+    * semis as shuffle joins on (u)/(v); no driver state either way.
+    *
+    * The co-order part graph is dense (min degree ≈ 20 at every SF),
+    * so the peel runs over a deterministic 10 % edge sparsification
+    * first — the same md5-bucket gate as [[Llm.sampleHashSplit]]
+    * under its own salt, keyed on the canonical edge, so membership
+    * is a pure function of (u, v) in both engines. Hash-sparsify-
+    * then-core is the standard trick for approximating cores of
+    * dense graphs without materializing full adjacency.
+    */
+  val graphKCore: Q = (s, dir) => {
+    val k = 2
+    var edges = orderSequenceEdges(s, dir)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .filter(Llm.hashBucket("graft-kcore")(
+        concat_ws("|", col("u"), col("v"))) < 10)
+      .localCheckpoint() // static base; re-scanned by every round
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    (1 to 3).foreach { _ =>
+      val surv = degrees(edges).filter(col("deg") >= k).select(col("node"))
+      edges = edges
+        .join(broadcast(surv.withColumnRenamed("node", "u")), Seq("u"), "left_semi")
+        .join(broadcast(surv.withColumnRenamed("node", "v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+    }
+    degrees(edges).orderBy(col("node"))
+  }
+
+  /** Neighbor-set Jaccard similarity over the part graph — the
+    * classic common-neighbors link-prediction / role-similarity
+    * score: for every node pair sharing ≥ 1 neighbor,
+    * |N(a)∩N(b)| / |N(a)∪N(b)| with the union expanded to
+    * deg(a)+deg(b)−common, top-20 by (jaccard, a, b). The score is
+    * one IEEE division of exact integers — correctly rounded and
+    * identical in both engines — and (a, b) is unique, so the
+    * ordering is total and the limit deterministic.
+    *
+    * Scale: pair generation is the inverted-index wedge join — the
+    * SAME Σ deg² term as [[graphTriangleCount]], with the identical
+    * skew escape (degree-ordered orientation, measured both ways in
+    * ScratchTriangleSkew) if the degree profile says hubs. Degrees
+    * attach AFTER the pair agg — two broadcast joins of the
+    * |nodes|-row degree relation onto the aggregated pair relation,
+    * never onto the wedge explosion; the top-20 is a partial
+    * TakeOrdered, no global sort materializes.
+    */
+  val graphJaccardNeighbors: Q = (s, dir) => {
+    val und = orderSequenceEdges(s, dir)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint() // scanned by adj (2×) and deg
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val common = adj.select(col("node").as("a"), col("nbr"))
+      .join(adj.select(col("node").as("b"), col("nbr")), Seq("nbr"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(deg.select(col("node").as("a"), col("deg").as("deg_a"))), Seq("a"))
+      .join(broadcast(deg.select(col("node").as("b"), col("deg").as("deg_b"))), Seq("b"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("deg_a") + col("deg_b") - col("common")))
+      .select(col("a"), col("b"), col("common"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
     "graph_triangle_count" -> graphTriangleCount,
     "graph_label_propagation" -> graphLabelPropagation,
+    "graph_k_core" -> graphKCore,
+    "graph_jaccard_neighbors" -> graphJaccardNeighbors,
   )
 }

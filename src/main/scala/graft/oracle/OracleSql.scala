@@ -2001,6 +2001,71 @@ object OracleSql {
   )
 
   private val round8: Map[String, String] = Map(
+    // 3 unrolled peel rounds at k=2; result = degree table of the
+    // round-3 edge set (fixed rounds, not fixpoint — see Graph.scala)
+    "graph_k_core" ->
+      """WITH e0p AS (
+        |  SELECT l_partkey AS src,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                               ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |eall AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e0p WHERE dst IS NOT NULL AND dst <> src),
+        |e0 AS (
+        |  SELECT u, v FROM eall
+        |  WHERE CAST(('0x' || substr(md5('graft-kcore' || '|' ||
+        |          CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 100 < 10),
+        |d1 AS (SELECT node, count(*) AS deg FROM (
+        |         SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |       GROUP BY node),
+        |s1 AS (SELECT node FROM d1 WHERE deg >= 2),
+        |e1 AS (SELECT u, v FROM e0
+        |       WHERE u IN (SELECT node FROM s1) AND v IN (SELECT node FROM s1)),
+        |d2 AS (SELECT node, count(*) AS deg FROM (
+        |         SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+        |       GROUP BY node),
+        |s2 AS (SELECT node FROM d2 WHERE deg >= 2),
+        |e2 AS (SELECT u, v FROM e1
+        |       WHERE u IN (SELECT node FROM s2) AND v IN (SELECT node FROM s2)),
+        |d3 AS (SELECT node, count(*) AS deg FROM (
+        |         SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+        |       GROUP BY node),
+        |s3 AS (SELECT node FROM d3 WHERE deg >= 2),
+        |e3 AS (SELECT u, v FROM e2
+        |       WHERE u IN (SELECT node FROM s3) AND v IN (SELECT node FROM s3))
+        |SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    // common-neighbor Jaccard, union via deg(a)+deg(b)-common;
+    // (jaccard DESC, a, b) is a total order so LIMIT is deterministic
+    "graph_jaccard_neighbors" ->
+      """WITH e0p AS (
+        |  SELECT l_partkey AS src,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                               ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e0p WHERE dst IS NOT NULL AND dst <> src),
+        |adj AS (
+        |  SELECT u AS node, v AS nbr FROM und
+        |  UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+        |cmn AS (
+        |  SELECT x.node AS a, y.node AS b, count(*) AS common
+        |  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        |  GROUP BY x.node, y.node)
+        |SELECT c.a, c.b, c.common,
+        |       CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common) AS jaccard
+        |FROM cmn c
+        |JOIN deg da ON da.node = c.a
+        |JOIN deg db ON db.node = c.b
+        |ORDER BY jaccard DESC, c.a, c.b
+        |LIMIT 20""".stripMargin,
+
     "events_pattern_match" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, event_type,

@@ -311,6 +311,64 @@ class Curation2Spec extends SparkSpec {
     assert(got.exists { case (n, l) => l < n })
   }
 
+  // ---------------------------------------------------- k-core
+
+  test("graph_k_core equals 3 brute-force peel rounds at k=2") {
+    val got = ops.Graph.graphKCore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = io.Readers.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+      .as[(Long, Int, Long)].collect()
+    def bucket(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-kcore|$key".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    var edges = referenceEdges(li)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (u, v) => bucket(s"$u|$v") < 10 }
+    val sampledNodes = edges.flatMap(e => Seq(e._1, e._2))
+    (1 to 3).foreach { _ =>
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val surv = deg.filter(_._2 >= 2).keySet
+      edges = edges.filter { case (u, v) => surv(u) && surv(v) }
+    }
+    val truth = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    assert(got == truth)
+    // the 10% sparsification makes the k=2 peel non-trivial here:
+    // some sampled node must actually be gone, and some must survive
+    assert(got.nonEmpty)
+    assert(got.keySet.subsetOf(sampledNodes))
+    assert(got.size < sampledNodes.size, "at least one node peeled")
+  }
+
+  // ---------------------------------------- neighbor-set Jaccard
+
+  test("graph_jaccard_neighbors matches the brute-force common-neighbor score") {
+    val got = ops.Graph.graphJaccardNeighbors(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val li = io.Readers.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+      .as[(Long, Int, Long)].collect()
+    val und = referenceEdges(li)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val nbrs = und.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val pairs = nbrs.keySet.toSeq.combinations(2).map(_.sorted).collect {
+      case Seq(a, b) if (nbrs(a) & nbrs(b)).nonEmpty =>
+        val c = (nbrs(a) & nbrs(b)).size
+        (a, b, c.toLong, c.toDouble / (nbrs(a).size + nbrs(b).size - c))
+    }.toSeq
+    val truth = pairs.sortBy { case (a, b, _, j) => (-j, a, b) }.take(20)
+    assert(got.toSeq == truth)
+    assert(got.length == 20)
+    // sanity: every reported pair genuinely shares a neighbor
+    assert(got.forall(_._3 >= 1))
+  }
+
   // ------------------------------------------------ n-gram novelty
 
   test("text_ngram_novelty counts first-occurrence grams against the doc_id prefix order") {
