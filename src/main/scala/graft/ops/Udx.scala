@@ -345,6 +345,39 @@ object Udx {
       w
     }
 
+    /** Stable binary codec for PERSISTENCE (kryo is a shuffle
+      * format, not a storage contract): k, n, errBound, levels,
+      * alternation flips — everything [[mergeWith]] needs, so a
+      * decoded sketch keeps merging (and keeps its error
+      * certificate) exactly where the encoded one stopped.
+      */
+    def toBytes: Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(k); out.writeLong(n); out.writeLong(errBound)
+      out.writeInt(levels.size)
+      levels.foreach { lvl =>
+        out.writeInt(lvl.size)
+        lvl.foreach(out.writeDouble)
+      }
+      flips.foreach(out.writeBoolean)
+      out.flush()
+      bos.toByteArray
+    }
+
+    private[Udx] def readFrom(in: java.io.DataInputStream): Unit = {
+      n = in.readLong(); errBound = in.readLong()
+      val nl = in.readInt()
+      levels.clear(); flips.clear()
+      (0 until nl).foreach { _ =>
+        val sz = in.readInt()
+        val lvl = ArrayBuffer.empty[Double]
+        (0 until sz).foreach(_ => lvl += in.readDouble())
+        levels += lvl
+      }
+      (0 until nl).foreach(_ => flips += in.readBoolean())
+    }
+
     /** Smallest stored item whose cumulative weight reaches q·n. */
     def quantile(q: Double): Double = {
       require(n > 0, "empty sketch")
@@ -398,6 +431,15 @@ object Udx {
     * the only driver-side value — O(k log(n/k)), bounded at any data
     * scale (the [[mgCandidates]]/[[cmSketch]] discipline).
     */
+  /** Decode a [[KllBuf.toBytes]] payload (see codec notes there). */
+  def kllFromBytes(bytes: Array[Byte]): KllBuf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val k = in.readInt()
+    val b = new KllBuf(k)
+    b.readFrom(in)
+    b
+  }
+
   def kllSketch(values: org.apache.spark.sql.DataFrame, k: Int = 256): KllBuf = {
     val spark = values.sparkSession
     import spark.implicits._

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ops.QuantileService: the persisted percentile service — per-day
+  * KLL sketches stored under TableManifest's atomic pointer commit,
+  * appended per day, queried by day range from the sketch rows alone.
+  * The sketch itself carries its correctness certificate (errBound,
+  * KllSpec), so these specs pin the SERVICE contract: codec
+  * round-trip, conservation of n, certificate validity of served
+  * answers against the raw data, append/replace semantics, day-range
+  * pruning, and crash atomicity on both sides of the commit.
+  */
+class QuantileServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private class InjectedCrash extends RuntimeException("injected crash")
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def events = io.Readers.table(spark, dir, "events")
+    .select(col("ts"), col("value"))
+
+  /** Exact rank of x in values (count strictly below). */
+  private def exactRank(values: Array[Double], x: Double): Long =
+    values.count(_ < x).toLong
+
+  test("codec round-trip: decoded sketch answers identically and keeps merging") {
+    val vals = events.select(col("value"))
+    val sk = ops.Udx.kllSketch(vals)
+    val rt = ops.Udx.kllFromBytes(sk.toBytes)
+    assert(rt.n == sk.n && rt.errBound == sk.errBound)
+    Seq(0.01, 0.25, 0.5, 0.75, 0.99).foreach { q =>
+      assert(rt.quantile(q) == sk.quantile(q))
+    }
+    // the decoded sketch must keep ACCUMULATING, not just answering:
+    // merging the same tail into original and round-trip gives the
+    // same state (same compaction decisions — flips survived the codec)
+    val tail = ops.Udx.kllSketch(vals.limit(500))
+    val a = sk.mergeWith(ops.Udx.kllFromBytes(tail.toBytes))
+    val b = rt.mergeWith(ops.Udx.kllFromBytes(tail.toBytes))
+    assert(a.n == b.n && a.errBound == b.errBound)
+    Seq(0.1, 0.5, 0.9).foreach(q => assert(a.quantile(q) == b.quantile(q)))
+  }
+
+  test("build + serve: n conserved exactly, every answer within the sketch's own certificate") {
+    ops.QuantileService.build(spark, "qsvc_all", events)
+    try {
+      val all = events.select(col("value")).as[Double].collect()
+      val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val served = ops.QuantileService.quantiles(spark, "qsvc_all", qs)
+      val eps = ops.QuantileService.mergedSketch(spark, "qsvc_all").errBound
+      served.foreach { case (q, est, n, epsFrac) =>
+        assert(n == all.length.toLong, "merged n must equal the event count")
+        assert(math.abs(epsFrac - eps.toDouble / n) < 1e-12)
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        val r = exactRank(all, est)
+        // est's exact rank must be within errBound of the target rank
+        // (the KLL guarantee, served through storage + merge)
+        assert(math.abs(r - target) <= eps + all.count(_ == est),
+          s"q=$q est=$est rank=$r target=$target eps=$eps")
+      }
+      // day-range query reads only those days' rows: n matches the range
+      val days = events.select(to_date(col("ts")).cast("string").as("d"))
+        .groupBy("d").count().orderBy("d")
+        .as[(String, Long)].collect()
+      assert(days.length >= 3, "fixture needs multiple days")
+      val (fromD, toD) = (days(1)._1, days(days.length - 2)._1)
+      val inRange = days.filter(d => d._1 >= fromD && d._1 <= toD).map(_._2).sum
+      val ranged = ops.QuantileService.quantiles(spark, "qsvc_all", Seq(0.5),
+        Some(fromD), Some(toD))
+      assert(ranged.head._3 == inRange,
+        "day-range merge must cover exactly the requested days")
+    } finally io.TableManifest.drop(spark, "qsvc_all")
+  }
+
+  test("appendDays: carried days verbatim, overlapping day replaced, totals match full rebuild") {
+    val days = events.select(to_date(col("ts")).cast("string").as("d"))
+      .distinct().orderBy("d").as[String].collect()
+    val cut = days(days.length / 2)
+    val early = events.filter(to_date(col("ts")).cast("string") <= cut)
+    val late = events.filter(to_date(col("ts")).cast("string") >= cut)
+    ops.QuantileService.build(spark, "qsvc_app", early)
+    try {
+      val beforeRows = spark.table(
+        io.TableManifest.resolve(spark, "qsvc_app", ops.QuantileService.SchemaVersion))
+        .select("day", "n").as[(String, Long)].collect().toMap
+      // `late` overlaps `early` on the cut day — append must REPLACE it
+      ops.QuantileService.appendDays(spark, "qsvc_app", late)
+      val afterRows = spark.table(
+        io.TableManifest.resolve(spark, "qsvc_app", ops.QuantileService.SchemaVersion))
+        .select("day", "n").as[(String, Long)].collect().toMap
+      assert(afterRows.keySet == days.toSet, "every day present after append")
+      // pre-cut days carried verbatim
+      beforeRows.filter(_._1 < cut).foreach { case (d, n) =>
+        assert(afterRows(d) == n, s"day $d must carry over unchanged")
+      }
+      // total n equals the corpus (cut day counted once — replaced)
+      assert(afterRows.values.sum == events.count())
+      // and the served answer matches a from-scratch build's certificate
+      val merged = ops.QuantileService.mergedSketch(spark, "qsvc_app")
+      assert(merged.n == events.count())
+    } finally io.TableManifest.drop(spark, "qsvc_app")
+  }
+
+  test("crash BEFORE the pointer rename: readers keep the old snapshot; recovery lands") {
+    val days = events.select(to_date(col("ts")).cast("string").as("d"))
+      .distinct().orderBy("d").as[String].collect()
+    val cut = days(days.length / 2)
+    val early = events.filter(to_date(col("ts")).cast("string") <= cut)
+    val late = events.filter(to_date(col("ts")).cast("string") > cut)
+    ops.QuantileService.build(spark, "qsvc_pre", early)
+    try {
+      val v0 = io.TableManifest.resolve(spark, "qsvc_pre", ops.QuantileService.SchemaVersion)
+      val served0 = ops.QuantileService.quantiles(spark, "qsvc_pre", Seq(0.5))
+      intercept[InjectedCrash] {
+        ops.QuantileService.appendDays(spark, "qsvc_pre", late,
+          beforeCommit = () => throw new InjectedCrash)
+      }
+      assert(io.TableManifest.resolve(spark, "qsvc_pre",
+        ops.QuantileService.SchemaVersion) == v0,
+        "uncommitted append leaves the pointer on the old version")
+      assert(ops.QuantileService.quantiles(spark, "qsvc_pre", Seq(0.5)) == served0,
+        "readers racing the crashed append serve the old snapshot")
+      // recovery: the same append re-stages over the leftover and lands
+      ops.QuantileService.appendDays(spark, "qsvc_pre", late)
+      assert(ops.QuantileService.mergedSketch(spark, "qsvc_pre").n == events.count())
+    } finally io.TableManifest.drop(spark, "qsvc_pre")
+  }
+
+  test("crash AFTER the commit: new version live, superseded version retained one cycle") {
+    ops.QuantileService.build(spark, "qsvc_post", events.limit(2000))
+    try {
+      val v0 = io.TableManifest.resolve(spark, "qsvc_post", ops.QuantileService.SchemaVersion)
+      intercept[InjectedCrash] {
+        ops.QuantileService.build(spark, "qsvc_post", events,
+          afterCommit = () => throw new InjectedCrash)
+      }
+      val v1 = io.TableManifest.resolve(spark, "qsvc_post", ops.QuantileService.SchemaVersion)
+      assert(v1 != v0, "post-rename state must be visible")
+      assert(ops.QuantileService.mergedSketch(spark, "qsvc_post").n == events.count())
+      assert(spark.catalog.tableExists(v0),
+        "retain=1 keeps the superseded version one cycle for in-flight readers")
+    } finally io.TableManifest.drop(spark, "qsvc_post")
+  }
+}
