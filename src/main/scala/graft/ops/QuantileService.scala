@@ -63,11 +63,15 @@ object QuantileService {
 
   /** Build (or rebuild) the service table from scratch: stage an
     * immutable version table, publish with one atomic pointer rename.
+    * `version` defaults to the next free one; a caller replaying a
+    * known unit of work (the streaming sink) pins it so a replayed
+    * commit is detectable (see [[Streaming.foreachBatchQuantiles]]).
     */
   def build(spark: SparkSession, name: String, events: DataFrame,
+      version: Option[Long] = None,
       beforeCommit: () => Unit = () => (),
       afterCommit: () => Unit = () => ()): Unit = {
-    val v = TableManifest.nextVersion(spark, name)
+    val v = version.getOrElse(TableManifest.nextVersion(spark, name))
     val t = TableManifest.physicalName(name, v)
     spark.sql(s"DROP TABLE IF EXISTS $t") // unreferenced leftover staging only
     daySketches(spark, events)
@@ -97,6 +101,48 @@ object QuantileService {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     kept.unionByName(incoming)
       .write.mode("overwrite").format("parquet").saveAsTable(t)
+    beforeCommit()
+    TableManifest.commit(spark, name, v, SchemaVersion) // THE commit point
+    afterCommit()
+    TableManifest.vacuum(spark, name)
+  }
+
+  /** Incremental MERGE of possibly-partial day data — the streaming
+    * ingest semantics ([[Streaming.foreachBatchQuantiles]]): where
+    * [[appendDays]] REPLACES an overlapping day (batch re-ingest of a
+    * closed day), mergeDays COMBINES the stored sketch with the
+    * incoming one (micro-batches keep arriving for an open day).
+    * The combine is the row-local sketch merge over the full-outer
+    * day join — a UDF is fine here: the relation is the day table
+    * (calendar-bounded), never the raw history, and n/errBound are
+    * re-read from the merged sketch because compaction during merge
+    * can push errBound beyond the sum of the parts.
+    */
+  def mergeDays(spark: SparkSession, name: String, events: DataFrame,
+      version: Option[Long] = None,
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => ()): Unit = {
+    val cur = TableManifest.resolve(spark, name, SchemaVersion)
+    val incoming = daySketches(spark, events)
+    val mergeU = udf { (a: Array[Byte], b: Array[Byte]) =>
+      val m = (Option(a), Option(b)) match {
+        case (Some(x), Some(y)) => Udx.kllFromBytes(x).mergeWith(Udx.kllFromBytes(y))
+        case (Some(x), None) => Udx.kllFromBytes(x)
+        case (None, Some(y)) => Udx.kllFromBytes(y)
+        case _ => throw new IllegalStateException("full-outer join emitted a null pair")
+      }
+      (m.n, m.errBound, m.toBytes)
+    }
+    val merged = spark.table(cur)
+      .select(col("day"), col("sk").as("sk_old"))
+      .join(incoming.select(col("day"), col("sk").as("sk_new")), Seq("day"), "full_outer")
+      .withColumn("m", mergeU(col("sk_old"), col("sk_new")))
+      .select(col("day"), col("m._1").as("n"), col("m._2").as("err_bound"),
+        col("m._3").as("sk"))
+    val v = version.getOrElse(TableManifest.nextVersion(spark, name))
+    val t = TableManifest.physicalName(name, v)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    merged.write.mode("overwrite").format("parquet").saveAsTable(t)
     beforeCommit()
     TableManifest.commit(spark, name, v, SchemaVersion) // THE commit point
     afterCommit()

@@ -216,6 +216,48 @@ object Streaming {
     * the oracle; cross-batch state accumulation is asserted in
     * `StreamingSpec`.
     */
+  /** One micro-batch of the streaming quantile service — factored out
+    * of [[foreachBatchQuantiles]] so the spec can drive replay
+    * directly. Idempotence contract: each batch commits manifest
+    * version `batchId + 1`, and a batch whose version is already at
+    * or behind the pointer is a REPLAY (crash after commit, before
+    * the checkpoint advanced) and must be a no-op — the sketch merge
+    * is not idempotent, so double-applying a batch would double-count
+    * its rows. First-ever batch builds the table; later batches
+    * MERGE day sketches ([[QuantileService.mergeDays]]: micro-batches
+    * keep arriving for an open day, so replace semantics would drop
+    * the day's earlier batches).
+    */
+  def applyQuantileBatch(name: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val applied = graft.io.TableManifest.readPointer(spark, name)
+      .exists(_.version >= batchId + 1)
+    if (!applied && !batch.isEmpty) {
+      if (graft.io.TableManifest.readPointer(spark, name).isEmpty)
+        QuantileService.build(spark, name, batch, version = Some(batchId + 1))
+      else
+        QuantileService.mergeDays(spark, name, batch, version = Some(batchId + 1))
+    }
+  }
+
+  /** Streaming ingest for [[QuantileService]]: sketch each
+    * micro-batch's (ts, value) rows once at arrival and fold them
+    * into the persisted per-day sketch table under the same atomic
+    * manifest commit the batch paths use — after any batch, a
+    * quantile query over any day range is served from the stored
+    * sketches alone. The per-batch work scans ONLY the batch plus
+    * the calendar-bounded day table; history is never rescanned.
+    */
+  def foreachBatchQuantiles(stream: DataFrame, name: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyQuantileBatch(name)(batch.toDF(), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   case class UserAgg(n: Long, sum: BigDecimal)
 
   def customStateStats(events: DataFrame): DataFrame = {

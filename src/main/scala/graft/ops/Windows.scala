@@ -199,7 +199,43 @@ object Windows {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Longest run of CONSECUTIVE active days per user — the classic
+    * gaps-and-islands streak, the retention/engagement metric every
+    * product dashboard carries. The island key is the textbook
+    * rewrite: over distinct (user, day) rows ordered by day,
+    * `day − row_number() · 1d` is constant exactly within a
+    * consecutive run, so one dense integer subtraction replaces any
+    * iterative chain-following; streak length is then a plain count
+    * per (user, island) and the answer the max per user, with the
+    * streak's start day carried for interpretability (tie on length →
+    * earliest streak, making the output deterministic).
+    *
+    * Scale: distinct + window + two aggs, ALL partitioned by user_id
+    * and co-keyed — AQE coalesces the chain onto one user-hashed
+    * exchange; no global window, no join, no iteration. The per-user
+    * row count is bounded by the calendar (≤ days of history), so no
+    * skew hazard exists at any corpus size.
+    */
+  val winStreakIslands: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val days = table(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val islands = days
+      .withColumn("island", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("streak_len"), min(col("day")).as("streak_start"))
+    val best = Window.partitionBy(col("user_id"))
+      .orderBy(col("streak_len").desc, col("streak_start"))
+    islands
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("streak_len"), col("streak_start"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_streak_islands" -> winStreakIslands,
     "win_row_number_topk" -> winRowNumberTopk,
     "win_rank_dense" -> winRankDense,
     "win_lag_lead" -> winLagLead,

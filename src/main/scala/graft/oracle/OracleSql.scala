@@ -2066,6 +2066,27 @@ object OracleSql {
         |ORDER BY jaccard DESC, c.a, c.b
         |LIMIT 20""".stripMargin,
 
+    // gaps-and-islands: day - row_number() is constant within a
+    // consecutive run; longest streak per user, earliest on ties
+    "win_streak_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |         day - CAST(row_number() OVER (PARTITION BY user_id
+        |                                       ORDER BY day) AS INT) AS island
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, island, count(*) AS streak_len, min(day) AS streak_start
+        |  FROM isl GROUP BY user_id, island),
+        |best AS (
+        |  SELECT user_id, streak_len, streak_start,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY streak_len DESC, streak_start) AS rn
+        |  FROM runs)
+        |SELECT user_id, streak_len, streak_start FROM best
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "events_pattern_match" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, event_type,

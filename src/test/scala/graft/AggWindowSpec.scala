@@ -144,6 +144,33 @@ class AggWindowSpec extends SparkSpec {
     assert(days.toSeq === expected, "spine must cover every day exactly once, in order")
   }
 
+  test("win_streak_islands equals brute-force longest consecutive-day run per user") {
+    val dir = "/root/testdata/sf0.001"
+    val got = ops.Windows.winStreakIslands(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate))
+    val days = io.Readers.table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().as[(Long, java.sql.Date)].collect()
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2.toLocalDate).sorted }
+    val truth = days.map { case (u, ds) =>
+      // walk the sorted day list accumulating runs; tie → earliest
+      var bestLen = 0L; var bestStart = ds.head
+      var curLen = 0L; var curStart = ds.head
+      var prev: java.time.LocalDate = null
+      ds.foreach { d =>
+        if (prev != null && d == prev.plusDays(1)) curLen += 1
+        else { curLen = 1; curStart = d }
+        if (curLen > bestLen) { bestLen = curLen; bestStart = curStart }
+        prev = d
+      }
+      (u, bestLen, bestStart)
+    }.toSet
+    assert(got.toSet == truth)
+    assert(got.length == days.size)
+    // fixture sanity: at least one real streak (>1 day) exists
+    assert(got.exists(_._2 > 1))
+  }
+
   test("running sum final row equals group total (decimal-exact)") {
     val df = Seq((1, "2024-01-01", 10.10), (1, "2024-01-02", 0.20), (1, "2024-01-03", 5.03))
       .toDF("k", "d", "v")

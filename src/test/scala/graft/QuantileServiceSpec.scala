@@ -128,6 +128,45 @@ class QuantileServiceSpec extends SparkSpec {
     } finally io.TableManifest.drop(spark, "qsvc_pre")
   }
 
+  test("streaming ingest: batches merge into the day sketches; replayed batch is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val name = "qsvc_stream"
+    val ckpt = java.nio.file.Files.createTempDirectory("qsvc_ckpt").toString
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = ops.Streaming.foreachBatchQuantiles(
+      stream.toDF().toDF("ts", "value"), name, ckpt)
+    try {
+      // batch 0 and batch 1 both feed day 1 (open-day micro-batches
+      // MERGE, not replace); batch 1 also opens day 2
+      stream.addData(Seq((ts("2024-03-01 10:00:00"), 1.0),
+        (ts("2024-03-01 11:00:00"), 2.0)))
+      q.processAllAvailable()
+      assert(ops.QuantileService.mergedSketch(spark, name).n == 2)
+      stream.addData(Seq((ts("2024-03-01 12:00:00"), 3.0),
+        (ts("2024-03-02 09:00:00"), 4.0)))
+      q.processAllAvailable()
+      val t = spark.table(io.TableManifest.resolve(spark, name,
+        ops.QuantileService.SchemaVersion))
+        .select("day", "n").as[(String, Long)].collect().toMap
+      assert(t == Map("2024-03-01" -> 3L, "2024-03-02" -> 1L),
+        "day 1 sketches from both batches merged; day 2 opened")
+      // post-commit replay (crash before the checkpoint advanced):
+      // re-applying the last batch must not double-count
+      val replay = Seq((ts("2024-03-01 12:00:00"), 3.0),
+        (ts("2024-03-02 09:00:00"), 4.0)).toDF("ts", "value")
+      ops.Streaming.applyQuantileBatch(name)(replay, 1L)
+      assert(ops.QuantileService.mergedSketch(spark, name).n == 4,
+        "replayed batch is a no-op")
+      // served answer covers all four values exactly (tiny n: the
+      // sketch is exact below k, so quantiles are the true ones)
+      assert(ops.QuantileService.quantiles(spark, name, Seq(0.5)).head._2 == 2.0)
+    } finally {
+      q.stop()
+      io.TableManifest.drop(spark, name)
+    }
+  }
+
   test("crash AFTER the commit: new version live, superseded version retained one cycle") {
     ops.QuantileService.build(spark, "qsvc_post", events.limit(2000))
     try {
