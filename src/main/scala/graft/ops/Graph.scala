@@ -266,36 +266,48 @@ object Graph {
     degrees(edges).orderBy(col("node"))
   }
 
-  /** Neighbor-set Jaccard similarity over the part graph — the
-    * classic common-neighbors link-prediction / role-similarity
-    * score: for every node pair sharing ≥ 1 neighbor,
-    * |N(a)∩N(b)| / |N(a)∪N(b)| with the union expanded to
-    * deg(a)+deg(b)−common, top-20 by (jaccard, a, b). The score is
-    * one IEEE division of exact integers — correctly rounded and
-    * identical in both engines — and (a, b) is unique, so the
-    * ordering is total and the limit deterministic.
+  /** Neighborhood Jaccard of every EDGE's endpoints — SCAN's
+    * structural similarity / edge embeddedness, the link-strength
+    * score graph sparsifiers and community detectors run: for each
+    * edge (a, b), |N(a)∩N(b)| / |N(a)∪N(b)| with the union expanded
+    * to deg(a)+deg(b)−common (open neighborhoods), top-20 by
+    * (jaccard, a, b). The score is one IEEE division of exact
+    * integers — correctly rounded and identical in both engines —
+    * and (a, b) is unique, so the ordering is total and the limit
+    * deterministic.
     *
-    * Scale: pair generation is the inverted-index wedge join — the
-    * SAME Σ deg² term as [[graphTriangleCount]], with the identical
-    * skew escape (degree-ordered orientation, measured both ways in
-    * ScratchTriangleSkew) if the degree profile says hubs. Degrees
-    * attach AFTER the pair agg — two broadcast joins of the
-    * |nodes|-row degree relation onto the aggregated pair relation,
-    * never onto the wedge explosion; the top-20 is a partial
-    * TakeOrdered, no global sort materializes.
+    * Scale — the candidate constraint IS the plan: wedge generation
+    * is the same Σ deg² term as [[graphTriangleCount]], but every
+    * generated pair is probed against the edge set BEFORE any state
+    * accumulates, so the Σ deg² stream stays map-side (broadcast
+    * probe here; drop the hint at edge sets beyond executor memory
+    * and the same plan runs as a shuffle join — still no hash-agg
+    * over the wedge stream) and only the 3·|triangles| surviving
+    * rows reach the count agg. Two UNCONSTRAINED all-pairs variants
+    * were measured and rejected (ScratchJaccard, BASELINE.md r8):
+    * counting all wedge pairs hash-aggs ~20 M near-unique (a,b)
+    * keys at sf0.1 — 9–28 s of agg-table thrash (and a row-local
+    * HOF pair explode is worse still: higher-order functions do not
+    * whole-stage-codegen) vs 2.8 s end-to-end for this form; an
+    * all-pairs top-k needs a similarity-join formulation, not a
+    * bigger hash table. Degrees attach AFTER the agg as two
+    * broadcast joins of the |nodes|-row degree relation; the top-20
+    * is a partial TakeOrdered, no global sort materializes.
     */
   val graphJaccardNeighbors: Q = (s, dir) => {
     val und = orderSequenceEdges(s, dir)
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
-      .localCheckpoint() // scanned by adj (2×) and deg
+      .localCheckpoint() // adj (2×), the edge probe, and deg read it
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val common = adj.select(col("node").as("a"), col("nbr"))
       .join(adj.select(col("node").as("b"), col("nbr")), Seq("nbr"))
       .filter(col("a") < col("b"))
+      .join(broadcast(und.select(col("u").as("a"), col("v").as("b"))),
+        Seq("a", "b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
     common

@@ -2039,8 +2039,9 @@ object OracleSql {
         |  SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
         |GROUP BY node ORDER BY node""".stripMargin,
 
-    // common-neighbor Jaccard, union via deg(a)+deg(b)-common;
-    // (jaccard DESC, a, b) is a total order so LIMIT is deterministic
+    // SCAN structural similarity: Jaccard of endpoint neighborhoods
+    // for every EDGE (open neighborhoods, union = deg a + deg b −
+    // common); (jaccard DESC, a, b) is total so LIMIT is deterministic
     "graph_jaccard_neighbors" ->
       """WITH e0p AS (
         |  SELECT l_partkey AS src,
@@ -2056,7 +2057,9 @@ object OracleSql {
         |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
         |cmn AS (
         |  SELECT x.node AS a, y.node AS b, count(*) AS common
-        |  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        |  FROM adj x
+        |  JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        |  JOIN und e ON e.u = x.node AND e.v = y.node
         |  GROUP BY x.node, y.node)
         |SELECT c.a, c.b, c.common,
         |       CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common) AS jaccard

@@ -347,7 +347,7 @@ class Curation2Spec extends SparkSpec {
 
   // ---------------------------------------- neighbor-set Jaccard
 
-  test("graph_jaccard_neighbors matches the brute-force common-neighbor score") {
+  test("graph_jaccard_neighbors matches brute-force structural similarity over the edge set") {
     val got = ops.Graph.graphJaccardNeighbors(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val li = io.Readers.table(spark, dir, "lineitem")
@@ -357,16 +357,19 @@ class Curation2Spec extends SparkSpec {
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
     val nbrs = und.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
-    val pairs = nbrs.keySet.toSeq.combinations(2).map(_.sorted).collect {
-      case Seq(a, b) if (nbrs(a) & nbrs(b)).nonEmpty =>
+    // candidates are the EDGES (SCAN structural similarity), with a
+    // positive common-neighbor count (common=0 edges never aggregate)
+    val pairs = und.toSeq.collect {
+      case (a, b) if (nbrs(a) & nbrs(b)).nonEmpty =>
         val c = (nbrs(a) & nbrs(b)).size
         (a, b, c.toLong, c.toDouble / (nbrs(a).size + nbrs(b).size - c))
-    }.toSeq
+    }
     val truth = pairs.sortBy { case (a, b, _, j) => (-j, a, b) }.take(20)
     assert(got.toSeq == truth)
     assert(got.length == 20)
-    // sanity: every reported pair genuinely shares a neighbor
+    // sanity: every reported pair is an edge sharing >= 1 neighbor
     assert(got.forall(_._3 >= 1))
+    assert(got.forall { case (a, b, _, _) => und((a, b)) })
   }
 
   // ------------------------------------------------ n-gram novelty
