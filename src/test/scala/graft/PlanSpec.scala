@@ -246,6 +246,46 @@ class PlanSpec extends SparkSpec {
     assert(hashEx.head.contains("user_id"), hashEx.head)
   }
 
+  test("events_pattern_match: one user-hash exchange, all leads in one Window, pruned scan") {
+    val df = ops.Analytics.eventsPatternMatch(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("user_id"),
+      s"expected exactly one user_id hash exchange:\n$hashEx")
+    // the three lead()s must coalesce into ONE window operator
+    assert(p.linesIterator.count(_.contains("- Window [")) == 1, p)
+    assert(!p.contains("Join"), "pattern match must plan no join")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"), p)
+  }
+
+  test("graph_jaccard_neighbors: wedge stream filtered by a broadcast edge probe before the agg") {
+    val df = ops.Graph.graphJaccardNeighbors(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // top-20 is a partial TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the edge probe and both degree attaches are broadcast joins —
+    // no sort-merge join anywhere in the key
+    assert(!p.contains("SortMergeJoin"), p)
+    // the (a,b) count agg sits ABOVE the edge-probe join: the join
+    // must appear below the partial aggregate in the plan tree
+    val aggIdx = p.indexOf("partial_count")
+    val probeIdx = p.lastIndexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && probeIdx > aggIdx,
+      "edge probe must execute below (after in text) the partial count agg")
+  }
+
+  test("win_streak_islands: island agg reuses the user-hash partitioning (no extra exchange)") {
+    val df = ops.Windows.winStreakIslands(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // exchanges: (user,day) distinct, user window; the (user,island)
+    // agg and the best-streak window must NOT add more hash exchanges
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 2, s"expected exactly two hash exchanges:\n${hashEx.mkString("\n")}")
+    // the rn=1 filter pushes a WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   // ------------------------------------------- global-window sweep
 
   /** The SURVEY §7.5 code-review rule as a standing executable gate:
