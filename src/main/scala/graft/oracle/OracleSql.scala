@@ -943,6 +943,29 @@ object OracleSql {
         |FROM b WHERE bucket < keep_pct
         |ORDER BY doc_id""".stripMargin,
 
+    // k-NN graph: every vector's top-3 same-label neighbors by the
+    // same index-sequential cosine fold as sim_cosine_topk
+    "sim_knn_graph" ->
+      """WITH en AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         list_reduce(list_prepend(0.0,
+        |           list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                          x -> x * x)), (a, b) -> a + b) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |         list_reduce(list_prepend(0.0,
+        |           list_transform(b.v, (x, i) -> x * a.v[i])), (acc, y) -> acc + y)
+        |           / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim
+        |  FROM en a JOIN en b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT src, dst, sim,
+        |         row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rank
+        |  FROM pairs)
+        |SELECT src, rank, dst, sim FROM ranked WHERE rank <= 3
+        |ORDER BY src, rank""".stripMargin,
+
     "sim_pairwise_threshold" ->
       """WITH en AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

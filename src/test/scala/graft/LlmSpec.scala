@@ -110,6 +110,33 @@ class LlmSpec extends SparkSpec {
     assert(out === Map(2L -> 1L))
   }
 
+  test("sim_knn_graph: every vector's top-k same-label neighbors with known geometry") {
+    val out = ops.Llm.simKnnGraph(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // label 0 = {1,2,3}: cos(1,2)=0.6, cos(1,3)=-1, cos(2,3)=-0.6
+    // label 1 = {4,5}: cos(4,5)=0
+    val expect = Seq(
+      (1L, 1, 2L, 0.6), (1L, 2, 3L, -1.0),
+      (2L, 1, 1L, 0.6), (2L, 2, 3L, -0.6),
+      (3L, 1, 2L, -0.6), (3L, 2, 1L, -1.0),
+      (4L, 1, 5L, 0.0), (5L, 1, 4L, 0.0))
+    assert(out.length == expect.length)
+    out.zip(expect).foreach { case ((s, r, d, sim), (es, er, ed, esim)) =>
+      assert(s == es && r == er && d == ed, s"row ($s,$r,$d) vs ($es,$er,$ed)")
+      assert(math.abs(sim - esim) < 1e-6) // inputs are float32
+    }
+    // and on the real corpus: every vector emits <= 3 rows, all
+    // same-label, ranks contiguous from 1
+    val real = ops.Llm.simKnnGraph(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byS = real.groupBy(_._1)
+    assert(byS.values.forall(rs => rs.map(_._2).sorted.sameElements(1 to rs.length)))
+    assert(byS.values.forall(_.length <= 3))
+    val labelOf = io.Readers.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(real.forall { case (s, _, d) => labelOf(s) == labelOf(d) })
+  }
+
   test("hash split: deterministic, total, bucket-range, and stable under corpus growth") {
     val a = ops.Llm.sampleHashSplit(spark, fixtureDir)
       .select("doc_id", "bucket", "split")
