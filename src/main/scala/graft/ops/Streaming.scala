@@ -258,6 +258,37 @@ object Streaming {
       .outputMode("append")
       .start()
 
+  /** Per-KEY streaming quantiles — the state-store half of the
+    * percentile-service story ([[QuantileService]] persists per-DAY
+    * sketches in a manifest table; this keeps a live KLL sketch per
+    * GROUP inside the streaming state store, RocksDB-spillable like
+    * any mapGroupsWithState state): each micro-batch folds its rows
+    * into the group's sketch and re-emits the group's current
+    * (n, err_bound, p50, p99). State is the STABLE binary codec
+    * ([[Udx.KllBuf.toBytes]]) — O(k log(n/k)) bytes per key, bounded
+    * at any stream length, and a state-store restore keeps compacting
+    * exactly where it stopped (the codec round-trips compaction
+    * flips). The sketch's errBound certificate travels with every
+    * emitted row, so a consumer can bound staleness-free rank error
+    * without seeing the raw stream.
+    */
+  def streamQuantilesPerKey(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("event_type"), col("value")).as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Long, Long, Double, Double)](
+        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        val sk = state.getOption.map(Udx.kllFromBytes)
+          .getOrElse(new Udx.KllBuf(256))
+        rows.foreach { case (_, v) => sk.update(v) }
+        state.update(sk.toBytes)
+        (key, sk.n, sk.errBound, sk.quantile(0.5), sk.quantile(0.99))
+      }
+      .toDF("event_type", "n", "err_bound", "p50", "p99")
+  }
+
   case class UserAgg(n: Long, sum: BigDecimal)
 
   def customStateStats(events: DataFrame): DataFrame = {

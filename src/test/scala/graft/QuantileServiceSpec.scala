@@ -167,6 +167,38 @@ class QuantileServiceSpec extends SparkSpec {
     }
   }
 
+  test("per-key streaming KLL state accumulates across batches with a valid certificate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = ops.Streaming.streamQuantilesPerKey(stream.toDF())
+      .writeStream.format("memory").queryName("kllkeys")
+      .outputMode("update").start()
+    try {
+      def evv(id: Long, typ: String, v: Double) =
+        Ev(id, ts("2024-03-01 10:00:00"), 1L, typ, v, "{}")
+      val b1 = (1 to 400).map(i => evv(i, "click", i.toDouble))
+      val b2 = (1 to 400).map(i => evv(400 + i, "click", 400 + i.toDouble)) :+
+        evv(900, "view", 5.0)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      // latest emitted row per key (update mode re-emits per batch)
+      val rows = spark.table("kllkeys")
+        .select("event_type", "n", "err_bound", "p50", "p99")
+        .as[(String, Long, Long, Double, Double)].collect()
+      val click = rows.filter(_._1 == "click").maxBy(_._2)
+      assert(click._2 == 800L, "state must accumulate across batches")
+      // certificate: exact rank of the p50 estimate within errBound
+      val target = math.ceil(0.5 * 800).toLong
+      val rank = (1 to 800).count(_ < click._4).toLong
+      assert(math.abs(rank - target) <= click._3 + 1,
+        s"p50=${click._4} rank=$rank target=$target eps=${click._3}")
+      val view = rows.filter(_._1 == "view").maxBy(_._2)
+      assert(view._2 == 1L && view._4 == 5.0 && view._5 == 5.0,
+        "tiny key: sketch is exact below k")
+    } finally q.stop()
+  }
+
   test("crash AFTER the commit: new version live, superseded version retained one cycle") {
     ops.QuantileService.build(spark, "qsvc_post", events.limit(2000))
     try {
