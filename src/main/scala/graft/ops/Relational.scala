@@ -161,6 +161,33 @@ object Relational {
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
 
+  /** Null-safe equi-join (`<=>` / SQL `IS NOT DISTINCT FROM`) — the
+    * join surface ordinary `=` cannot express: NULL keys MATCH each
+    * other instead of dropping out. The classic need is joining on a
+    * nullable dimension attribute where "unknown" is itself a
+    * category (here: customers to suppliers on nation, with one
+    * nation's key nulled by `nullif` to model the unknown bucket —
+    * every null-nation customer pairs with every null-nation
+    * supplier, exactly what three-valued `=` silently refuses).
+    *
+    * Scale: `<=>` is a plannable equi-join key (Spark hashes the
+    * null bucket like any value; the plan is a plain hash equi-join,
+    * NOT a nested loop — the null-match semantics cost nothing).
+    * The null bucket concentrates on one partition like any other
+    * single key value — the standard skew note applies if "unknown"
+    * dominates.
+    */
+  val joinNullSafe: Q = (s, dir) => {
+    val c = table(s, dir, "customer")
+      .select(col("c_custkey"), nullif(col("c_nationkey"), lit(3)).as("c_nk"))
+    val sup = table(s, dir, "supplier")
+      .select(col("s_suppkey"), nullif(col("s_nationkey"), lit(3)).as("s_nk"))
+    c.join(broadcast(sup), col("c_nk") <=> col("s_nk"))
+      .select(col("c_custkey"), col("s_suppkey"),
+        coalesce(col("c_nk"), lit(-1L)).as("nk_or_unknown"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
   /** region × nation cross join (tiny × tiny) with post-filter. */
   val joinCross: Q = (s, dir) =>
     table(s, dir, "region")
@@ -579,6 +606,7 @@ object Relational {
     "join_left_semi" -> joinLeftSemi,
     "join_left_anti" -> joinLeftAnti,
     "join_cross" -> joinCross,
+    "join_null_safe" -> joinNullSafe,
     "join_theta_range" -> joinThetaRange,
     "join_range_bucketed" -> joinRangeBucketed,
     "join_interval_overlap" -> joinIntervalOverlap,

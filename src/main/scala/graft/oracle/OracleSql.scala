@@ -110,6 +110,15 @@ object OracleSql {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    // <=> / IS NOT DISTINCT FROM: the null bucket matches itself
+    "join_null_safe" ->
+      """SELECT c.c_custkey, s.s_suppkey,
+        |       coalesce(nullif(c.c_nationkey, 3), -1) AS nk_or_unknown
+        |FROM customer c
+        |JOIN supplier s
+        |  ON nullif(c.c_nationkey, 3) IS NOT DISTINCT FROM nullif(s.s_nationkey, 3)
+        |ORDER BY c.c_custkey, s.s_suppkey""".stripMargin,
+
     "join_cross" ->
       """SELECT r_name, n_name
         |FROM region CROSS JOIN nation

@@ -38,6 +38,27 @@ class JoinsSpec extends SparkSpec {
     assert(j.count() === 2) // (1,1) and (null,null)
   }
 
+  test("join_null_safe: the null bucket cross-matches, plain keys equi-match") {
+    val dir = "/root/testdata/sf0.001"
+    val out = ops.Relational.joinNullSafe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cs = io.Readers.table(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey").as[(Long, Long)].collect()
+    val sups = io.Readers.table(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey").as[(Long, Long)].collect()
+    val truth = (for {
+      (ck, cn) <- cs
+      (sk, sn) <- sups
+      cnk = if (cn == 3L) None else Some(cn)
+      snk = if (sn == 3L) None else Some(sn)
+      if cnk == snk
+    } yield (ck, sk, cnk.getOrElse(-1L))).sortBy(t => (t._1, t._2))
+    assert(out.toSeq == truth.toSeq)
+    // fixture must actually exercise the null bucket
+    assert(out.exists(_._3 == -1L), "null-bucket matches must exist")
+    assert(out.exists(_._3 != -1L), "plain equi matches must exist")
+  }
+
   test("semi + anti partition the left relation exactly") {
     val semi = left.join(right, left("k") === right("k"), "left_semi")
     val anti = left.join(right, left("k") === right("k"), "left_anti")
