@@ -760,7 +760,47 @@ object Analytics {
       .orderBy(col("user_id"), col("start_event_id"))
   }
 
+  /** Market-basket pair mining over order baskets (the retail
+    * co-occurrence classic): for every part pair bought together in
+    * ≥ 3 orders, support count and LIFT =
+    * P(a,b) / (P(a)·P(b)) = pair_cnt·n_orders / (cnt_a·cnt_b),
+    * top-20 by (lift, a, b). All inputs are exact integers (products
+    * ≤ 2⁵³ by corpus arithmetic), lift is one correctly-rounded IEEE
+    * division — identical both engines, total order ⇒ deterministic
+    * limit.
+    *
+    * Scale: pair generation is the basket self-join on l_orderkey —
+    * one co-keyed exchange, Σ basket² with baskets ≤ 7 lines, so the
+    * blowup is a small constant × |lineitem| (nothing like the
+    * unconstrained wedge join the jaccard A/B rejected); the ≥ 3
+    * support filter cuts the near-unique pair tail before the
+    * degree/scalar attaches (broadcast; n_orders rides as a
+    * broadcast scalar like the rfm corpus-max pattern); top-20 is a
+    * partial TakeOrdered.
+    */
+  val ordersMarketBasket: Q = (s, dir) => {
+    val basket = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+    val nOrders = basket.select(countDistinct(col("okey")).as("n_orders"))
+    val supp = basket.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    basket.select(col("okey"), col("item").as("a"))
+      .join(basket.select(col("okey"), col("item").as("b")), Seq("okey"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= 3)
+      .join(broadcast(supp.select(col("item").as("a"), col("cnt").as("cnt_a"))), Seq("a"))
+      .join(broadcast(supp.select(col("item").as("b"), col("cnt").as("cnt_b"))), Seq("b"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift", (col("pair_cnt") * col("n_orders")).cast("double") /
+        (col("cnt_a") * col("cnt_b")))
+      .select(col("a"), col("b"), col("pair_cnt"), col("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "orders_market_basket" -> ordersMarketBasket,
     "events_pattern_match" -> eventsPatternMatch,
     "events_attribution" -> eventsAttribution,
     "agg_weighted_median" -> aggWeightedMedian,

@@ -2101,6 +2101,27 @@ object OracleSql {
         |ORDER BY jaccard DESC, c.a, c.b
         |LIMIT 20""".stripMargin,
 
+    // market-basket pair lift over order baskets; >=3 support,
+    // (lift DESC, a, b) total order makes the LIMIT deterministic
+    "orders_market_basket" ->
+      """WITH basket AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+        |n AS (SELECT count(DISTINCT okey) AS n_orders FROM basket),
+        |supp AS (SELECT item, count(*) AS cnt FROM basket GROUP BY item),
+        |pairs AS (
+        |  SELECT x.item AS a, y.item AS b, count(*) AS pair_cnt
+        |  FROM basket x JOIN basket y ON x.okey = y.okey AND x.item < y.item
+        |  GROUP BY x.item, y.item
+        |  HAVING count(*) >= 3)
+        |SELECT p.a, p.b, p.pair_cnt,
+        |       CAST(p.pair_cnt * n.n_orders AS DOUBLE) / (sa.cnt * sb.cnt) AS lift
+        |FROM pairs p
+        |JOIN supp sa ON sa.item = p.a
+        |JOIN supp sb ON sb.item = p.b
+        |CROSS JOIN n
+        |ORDER BY lift DESC, p.a, p.b
+        |LIMIT 20""".stripMargin,
+
     // gaps-and-islands: day - row_number() is constant within a
     // consecutive run; longest streak per user, earliest on ties
     "win_streak_islands" ->

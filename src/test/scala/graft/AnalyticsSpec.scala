@@ -270,6 +270,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty)
   }
 
+  // ----------------------------------------------- market basket
+
+  test("orders_market_basket matches brute-force pair support and lift") {
+    val got = ops.Analytics.ordersMarketBasket(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val li = io.Readers.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+    val baskets = li.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n = baskets.size.toLong
+    val supp = baskets.values.toSeq.flatten.groupBy(identity)
+      .map { case (i, xs) => i -> xs.size.toLong }
+    val pairCnt = baskets.values.toSeq.flatMap { items =>
+      items.toSeq.sorted.combinations(2).map { case Seq(a, b) => (a, b) }
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val qualified = pairCnt.filter(_._2 >= 3L).map { case ((a, b), c) =>
+      (a, b, c, (c * n).toDouble / (supp(a) * supp(b)))
+    }.toSeq
+    val truth = qualified.sortBy { case (a, b, _, l) => (-l, a, b) }.take(20)
+    assert(got.toSeq == truth)
+    assert(got.nonEmpty)
+    // lift > 1 means genuinely co-bought more than chance — the
+    // fixture should surface at least one such pair
+    assert(got.head._4 > 1.0)
+  }
+
   // -------------------------------------------- sequence patterns
 
   test("events_pattern_match finds exactly the consecutive view→click→purchase runs") {
