@@ -286,6 +286,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("orders_market_basket: TakeOrdered top-20, no nested loop, pair agg above the basket join") {
+    val df = ops.Analytics.ordersMarketBasket(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only nested loop is the 1-row broadcast scalar (n_orders) —
+    // the rfm corpus-max pattern; a real cartesian is forbidden
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("graph_k_core and label propagation: loop joins never sort-merge (broadcast or hash)") {
+    Seq(ops.Graph.graphKCore, ops.Graph.graphLabelPropagation).foreach { q =>
+      val df = q(spark, dir)
+      df.collect()
+      assert(!df.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    }
+  }
+
+  test("text_ngram_novelty: the gram join is a hash join, min-agg side skips the distinct") {
+    val df = ops.Curation2.textNgramNovelty(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashJoin"), p) // broadcast or shuffled hash, never BNL
+    // Catalyst eliminates the redundant distinct below min(doc_id)
+    // (min is duplicate-insensitive) — exactly one distinct-style
+    // (doc_id, gram) aggregate pair should remain
+    assert(p.linesIterator.count(l =>
+      l.contains("HashAggregate(keys=[doc_id") && l.contains(", gram#")) == 2, p)
+  }
+
   // ------------------------------------------- global-window sweep
 
   /** The SURVEY §7.5 code-review rule as a standing executable gate:
