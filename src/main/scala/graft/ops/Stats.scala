@@ -74,7 +74,47 @@ object Stats {
       ("o_totalprice", col("o_totalprice").cast(Money)),
       ("o_orderdate", col("o_orderdate").cast("date"))))
 
+  /** Per-group OLS regression (slope + intercept of
+    * l_extendedprice ~ l_quantity per return flag) with the
+    * decimal-exact-sums discipline that makes a FLOAT statistic
+    * oracle-able: `covar_samp`/`regr_slope` accumulate doubles in
+    * partition order (never cross-engine stable), so instead the
+    * FIVE base aggregates (n, Σx, Σy, Σxy, Σx²) are exact decimal
+    * sums — x at scale 0 (quantities are integral), y at scale 2,
+    * so every scaled-int sum stays below 2⁵³ at bench SF and the
+    * DECIMAL→DOUBLE casts are exactly rounded — and the closed-form
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²ᵗᵒᵗ)
+    * is evaluated in IEEE doubles with the IDENTICAL expression tree
+    * in both engines: correctly-rounded ops on identical operands are
+    * bit-identical, no libm involved.
+    *
+    * Scale: one pass, all five aggregates algebraic with map-side
+    * partials — the textbook two-phase agg; at 100 TB group sums
+    * approach 2⁵³ and the decimal sums stay EXACT (38 digits), only
+    * the final double cast would need widening to int128-safe
+    * rationals — noted, not needed at any tested SF.
+    */
+  val statLinregGroup: Q = (s, dir) => {
+    val xd = col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    val yd = col("l_extendedprice").cast(Money)
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xd).cast("double").as("sx"),
+        sum(yd).cast("double").as("sy"),
+        sum(xd * yd).cast("double").as("sxy"),
+        sum(xd * xd).cast("double").as("sxx"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
+      .select(col("l_returnflag"), col("n"), col("slope"), col("intercept"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "catalog_column_stats" -> catalogColumnStats,
+    "stat_linreg_group" -> statLinregGroup,
   )
 }

@@ -1442,6 +1442,27 @@ object OracleSql {
     }.mkString(" | ")
 
   private val statsLayout: Map[String, String] = Map(
+    // decimal-exact base sums -> identical IEEE closed-form both
+    // engines (see ops/Stats.scala statLinregGroup)
+    "stat_linreg_group" ->
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,0)) *
+        |                  CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,0)) *
+        |                  CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag),
+        |sl AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |  FROM base)
+        |SELECT l_returnflag, n, slope,
+        |       (sy - slope * sx) / n AS intercept
+        |FROM sl ORDER BY l_returnflag""".stripMargin,
+
     "catalog_column_stats" -> {
       val arms = Seq(
         ("o_orderkey", "o_orderkey"),

@@ -270,6 +270,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty)
   }
 
+  // --------------------------------------------- group regression
+
+  test("stat_linreg_group equals the exact-rational OLS closed form") {
+    val got = ops.Stats.statLinregGroup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val rows = io.Readers.table(spark, dir, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .as[(String, Double, Double)].collect()
+    val truth = rows.groupBy(_._1).view.mapValues { xs =>
+      // exact rationals: x integral, y has <= 2 decimals
+      val n = BigInt(xs.length)
+      val sx = xs.map(t => BigInt(t._2.toLong)).sum
+      val sy = xs.map(t => BigInt(math.round(t._3 * 100))).sum // cents
+      val sxy = xs.map(t => BigInt(t._2.toLong) * BigInt(math.round(t._3 * 100))).sum
+      val sxx = xs.map(t => BigInt(t._2.toLong).pow(2)).sum
+      // slope = (n*sxy - sx*sy) / (n*sxx - sx^2), y in cents -> /100
+      val num = (n * sxy - sx * sy)
+      val den = (n * sxx - sx * sx) * 100
+      num.toDouble / den.toDouble
+    }.toMap
+    got.foreach { case (flag, n, slope, intercept) =>
+      // the operator's double chain is IEEE-exact per engine; the
+      // BigInt reference rounds differently only in the last ULPs
+      assert(math.abs(slope - truth(flag)) < 1e-9 * math.abs(truth(flag)),
+        s"$flag slope $slope vs ${truth(flag)}")
+      assert(n == rows.count(_._1 == flag).toLong)
+      assert(!intercept.isNaN)
+    }
+    assert(got.length == 3)
+  }
+
   // ----------------------------------------------- market basket
 
   test("orders_market_basket matches brute-force pair support and lift") {
