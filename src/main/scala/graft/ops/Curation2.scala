@@ -204,6 +204,57 @@ object Curation2 {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------- content-defined chunk dedup
+
+  /** Chunk-level dedup via CONTENT-DEFINED chunking — the
+    * between-documents boilerplate catcher that sits between
+    * doc-level exact hashing (misses shared paragraphs) and substring
+    * span detection (pays a gram self-join): token t opens a new
+    * chunk iff its own md5 bucket falls under the gate (the simplest
+    * content-defined cut — a boundary depends only on local content,
+    * so shared passages chunk IDENTICALLY regardless of what
+    * surrounds them, the property fixed-width windows lack and the
+    * reason CDC beats fixed-size splitting for dedup), then identical
+    * chunks across the corpus group on their text: min (doc, chunk)
+    * keeps, the rest count as duplicates.
+    *
+    * Scale: posexplode (linear) → per-doc running boundary count (one
+    * doc-partitioned window) → (doc, chunk) agg rebuilding chunk text
+    * order-deterministically (sort_array over (pos, tok) structs) →
+    * corpus-wide group on chunk hash. Every stage is partitioned;
+    * total work is Σ tokens — one degree cheaper than any pair join.
+    * Expected chunk length is the gate's reciprocal (~8 tokens at
+    * bucket < 12); at 100 TB the md5 gate stays a pure function of
+    * the token, so incremental corpora chunk stably.
+    */
+  val dedupCdcChunks: Q = (s, dir) => {
+    val gate = Llm.hashBucket("graft-cdc")(col("tok")) < 12
+    val toks = table(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val chunks = toks
+      .withColumn("boundary", when(gate, 1L).otherwise(0L))
+      .withColumn("chunk_id", sum(col("boundary")).over(w))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("chunk_text"))
+    chunks
+      .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+      // lexicographic (doc, chunk) min packed into one long: chunk_id
+      // is bounded by tokens-per-doc (< 10⁶ at any corpus), so the
+      // packing is order-isomorphic and oracle-identical
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id") * 1000000L + col("chunk_id")).as("kk"))
+      .filter(col("n_copies") >= 2)
+      .select(col("chunk_hash"), col("n_copies"),
+        expr("kk div 1000000").as("keep_doc"),
+        (col("kk") % 1000000L).as("keep_chunk"))
+      .orderBy(col("chunk_hash"))
+  }
+
   // ------------------------------------------------ Gopher rule gate
 
   /** Gopher-style document quality rules (Rae et al. 2021, Appendix
@@ -363,6 +414,7 @@ object Curation2 {
     "dedup_substring_span" -> dedupSubstringSpan,
     "dedup_substring_remove" -> dedupSubstringRemove,
     "text_ngram_novelty" -> textNgramNovelty,
+    "dedup_cdc_chunks" -> dedupCdcChunks,
     "text_gopher_rules" -> textGopherRules,
     "text_bpe_pairs" -> textBpePairs,
     "sim_centroid_label" -> simCentroidLabel,

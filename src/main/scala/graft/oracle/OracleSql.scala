@@ -2177,6 +2177,38 @@ object OracleSql {
         |WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
         |ORDER BY user_id, start_event_id""".stripMargin,
 
+    // content-defined chunking: a token opens a chunk iff its md5
+    // bucket < 12; identical chunks group corpus-wide on their text
+    "dedup_cdc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ts
+        |  FROM documents WHERE trim(text) <> ''),
+        |toks AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, ts[CAST(u.i AS INT)] AS tok
+        |  FROM t, unnest(generate_series(1, CAST(len(ts) AS BIGINT))) AS u(i)),
+        |marked AS (
+        |  SELECT doc_id, pos, tok,
+        |         CASE WHEN CAST(('0x' || substr(md5('graft-cdc' || '|' || tok), 1, 8))
+        |                   AS BIGINT) % 100 < 12 THEN 1 ELSE 0 END AS boundary
+        |  FROM toks),
+        |cids AS (
+        |  SELECT doc_id, pos, tok,
+        |         CAST(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos)
+        |              AS BIGINT) AS chunk_id
+        |  FROM marked),
+        |chunks AS (
+        |  SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        |  FROM cids GROUP BY doc_id, chunk_id)
+        |SELECT md5(chunk_text) AS chunk_hash,
+        |       count(*) AS n_copies,
+        |       CAST(min(doc_id * 1000000 + chunk_id) // 1000000 AS BIGINT) AS keep_doc,
+        |       CAST(min(doc_id * 1000000 + chunk_id) % 1000000 AS BIGINT) AS keep_chunk
+        |FROM chunks
+        |GROUP BY chunk_text
+        |HAVING count(*) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
+
     "text_ngram_novelty" ->
       """WITH t AS (
         |  SELECT doc_id,
