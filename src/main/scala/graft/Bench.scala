@@ -101,7 +101,9 @@ object Bench {
     val cpuModel = try {
       scala.io.Source.fromFile("/proc/cpuinfo").getLines()
         .collectFirst { case l if l.startsWith("model name") =>
-          l.split(":", 2)(1).trim.replace("\"", "").take(40) }
+          // whitelist: the string is embedded in a hand-built JSON line,
+          // so any JSON-special byte (backslash, quote, control) must go
+          l.split(":", 2)(1).trim.replaceAll("[^A-Za-z0-9 ()@._-]", "").take(40) }
         .getOrElse("unknown")
     } catch { case _: Throwable => "unknown" }
     val load = try {

@@ -91,6 +91,12 @@ object Manifest {
         val name = st.getPath.getName
         if (st.isDirectory && name.startsWith("v") && !referenced(name))
           fs.delete(st.getPath, true)
+        // attempt-unique staging files from crashed commit attempts
+        // accumulate forever without this (each crash leaves a fresh
+        // uuid name); any tmp present after a successful commit is
+        // garbage — the writer is single-writer by contract
+        else if (!st.isDirectory && name.startsWith(s"$FileName.tmp-"))
+          fs.delete(st.getPath, false)
       }
   }
 

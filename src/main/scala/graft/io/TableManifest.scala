@@ -124,7 +124,10 @@ object TableManifest {
 
   private def allVersionTables(spark: SparkSession, name: String): Seq[(String, Long)] = {
     val pat = versionPattern(name)
-    spark.sessionState.catalog.listTables("default").flatMap { ti =>
+    // current database, not a literal: saveAsTable writes versions
+    // wherever the session points, and vacuum/drop must look there too
+    val db = spark.sessionState.catalog.getCurrentDatabase
+    spark.sessionState.catalog.listTables(db).flatMap { ti =>
       ti.table match {
         case pat(v, _) => Some(ti.table -> v.toLong)
         case _ => None
@@ -132,17 +135,37 @@ object TableManifest {
     }
   }
 
-  /** Drop version tables (data and `_`-suffixed sidecars) older than
-    * `current − retain`. retain = 1 keeps the previous version alive
-    * one extra cycle as the in-flight-reader grace window; retain = 0
-    * reclaims everything but current immediately (maintenance-only).
+  /** Drop all but the `retain` HIGHEST version tables strictly below
+    * current (data and `_`-suffixed sidecars). Retention is by RANK,
+    * not numeric distance: committed version numbers can jump by more
+    * than one (the streaming quantile service pins version = batchId+1
+    * and skips empty batches), and `v < current − retain` would then
+    * delete the immediately-previous version and violate the one-cycle
+    * grace window for in-flight readers. retain = 1 keeps the newest
+    * superseded version alive one extra cycle; retain = 0 reclaims
+    * everything but current immediately (maintenance-only). Also
+    * reclaims stale pointer-staging tmp files from crashed commit
+    * attempts (they are attempt-unique, so they otherwise accumulate
+    * forever; any tmp present here is garbage — the writer is
+    * single-writer by contract and its own commit already renamed).
     */
-  def vacuum(spark: SparkSession, name: String, retain: Int = 1): Unit =
+  def vacuum(spark: SparkSession, name: String, retain: Int = 1): Unit = {
     readPointer(spark, name).foreach { p =>
-      allVersionTables(spark, name).foreach { case (t, v) =>
-        if (v < p.version - retain) spark.sql(s"DROP TABLE IF EXISTS $t")
+      val tables = allVersionTables(spark, name)
+      val keep = tables.map(_._2).distinct.filter(_ < p.version)
+        .sorted(Ordering[Long].reverse).take(retain).toSet + p.version
+      tables.foreach { case (t, v) =>
+        if (!keep(v)) spark.sql(s"DROP TABLE IF EXISTS $t")
       }
     }
+    val root = metaRoot(spark, name)
+    val fs = fsOf(spark, root)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        if (!st.isDirectory && st.getPath.getName.startsWith(s"$PointerFile.tmp-"))
+          fs.delete(st.getPath, false)
+      }
+  }
 
   /** Remove the whole index: every version table, every sidecar, the
     * pointer directory (decommission / test teardown).

@@ -102,7 +102,8 @@ object IncrementalDedup {
     val t = resolveTable(spark, tableName)
     val buckets = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(t))
-      .bucketSpec.map(_.numBuckets).getOrElse(8)
+      .bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalStateException(
+        s"$t has no bucket spec — appending would mix layouts; rebuild the index"))
     bandRows(docs).select("bk", "doc_id", "sig")
       .write.mode("append")
       .bucketBy(buckets, "bk").sortBy("bk")

@@ -91,7 +91,8 @@ object SubstringIndex {
     val t = resolveTable(spark, tableName)
     val buckets = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(t))
-      .bucketSpec.map(_.numBuckets).getOrElse(8)
+      .bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalStateException(
+        s"$t has no bucket spec — appending would mix layouts; rebuild the index"))
     gramRows(docs).select("gh", "gram", "lang", "doc_id", "pos")
       .write.mode("append")
       .bucketBy(buckets, "gh").sortBy("gh")
