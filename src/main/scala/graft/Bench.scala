@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.parquet carries TIMESTAMP(NANOS) — see Readers.table
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -88,6 +88,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "bloom_might_contain_long(key, filterBytes) expects a long column and a binary literal")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("log2_fixed"),
+      new ExpressionInfo(
+        classOf[graft.functions.NumericExpressions.Log2Fixed].getName, "log2_fixed"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.NumericExpressions.Log2Fixed(c)
+        case _ => throw new IllegalArgumentException(
+          "log2_fixed(c) expects one integral column")
+      }))
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }
 }

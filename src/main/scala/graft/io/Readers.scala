@@ -23,17 +23,33 @@ object Readers {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4.1 cannot map
-      // to TimestampType directly (PARQUET_TYPE_ILLEGAL). Read it as raw
-      // nanos (legacy long mapping) and truncate to microseconds — the
-      // same precision DuckDB lands on when it reads NANOS, so the
-      // oracle agrees (SURVEY §1.2). The nanosAsLong conf is set at
-      // SESSION construction (Bench / Verify / SparkSpec) — a reader
-      // must not mutate shared session state as a side effect.
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true at session build")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (rounds
+      // 1–8) and TIMESTAMP(MICROS) (round-9 regeneration) — dispatch on
+      // the schema the file actually carries, not on an assumption.
+      // NANOS cannot map to TimestampType in Spark 4.1
+      // (PARQUET_TYPE_ILLEGAL): read it as raw nanos (legacy long
+      // mapping, set at SESSION construction — Bench / Verify /
+      // SparkSpec; a reader must not mutate shared session state) and
+      // truncate to microseconds, the same precision DuckDB lands on
+      // (SURVEY §1.2). MICROS maps directly; no conversion.
+      val df = spark.read.parquet(s"$sfDir/events.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+            "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true at session build")
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // Normalize to TimestampType (LTZ) so `ts` has ONE type across
+          // file encodings — consumers use unix_micros etc., which
+          // rejects NTZ. Sessions pin spark.sql.session.timeZone=UTC, so
+          // the NTZ→LTZ cast maps the naive value to the same instant
+          // the NANOS path produced in rounds 1–8: bit-identical keys.
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -320,11 +320,64 @@ object Graph {
       .limit(20)
   }
 
+  /** Adamic–Adar link strength of every edge's endpoints: for edge
+    * (a, b), Σ over common neighbors w of 1/log2(deg w) — the
+    * link-prediction score that discounts promiscuous hubs (a shared
+    * rare neighbor says more than a shared hub). The base-2 variant
+    * of the classic ln score — a constant ln 2 rescale, so rankings
+    * are identical.
+    *
+    * On the oracle-able float frontier
+    * ([[graft.functions.NumericExpressions.Log2Fixed]]): the
+    * per-center weight is `r = 2⁴⁰ div L₂₀(deg w)` ≤ 2²⁰ (fixed-point
+    * 1/log2, exact integer recurrence both engines replay), the edge
+    * score is Σr — pure BIGINT, safe past 2⁴⁰ common neighbors — and
+    * the emitted double Σr/2²⁰ is exact below 2⁵³. deg w ≥ 2 for any
+    * wedge center (it touches both endpoints), so the divisor
+    * L₂₀ ≥ 2²⁰ is never zero; the deg ≥ 2 filter makes that explicit
+    * and prunes leaf nodes from the broadcast.
+    *
+    * Scale — [[graphJaccardNeighbors]]' candidate-constrained wedge
+    * economics, with the weight attached BEFORE the agg: the
+    * |nodes|-row (deg ≥ 2) weight relation broadcasts onto the
+    * a-side adjacency, every wedge pair is probed against the edge
+    * set map-side, and only 3·|triangles| weighted rows reach the
+    * sum/count agg. One shuffle total (the final agg); drop the two
+    * broadcast hints past executor memory and the same plan runs as
+    * shuffle joins.
+    */
+  val graphAdamicAdar: Q = (s, dir) => {
+    val und = orderSequenceEdges(s, dir)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint() // adj (2×), the edge probe, and deg read it
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+    val centerWeight = adj.groupBy(col("nbr")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+      .withColumn("l20", graft.functions.NumericExpressions.log2Fixed(col("deg")))
+      .select(col("nbr"), expr("1099511627776L div l20").as("r"))
+    adj.select(col("node").as("a"), col("nbr"))
+      .join(broadcast(centerWeight), Seq("nbr"))
+      .join(adj.select(col("node").as("b"), col("nbr")), Seq("nbr"))
+      .filter(col("a") < col("b"))
+      .join(broadcast(und.select(col("u").as("a"), col("v").as("b"))),
+        Seq("a", "b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"), sum(col("r")).as("sr"))
+      .select(col("a"), col("b"), col("common"),
+        (col("sr").cast("double") / 1048576.0).as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
     "graph_triangle_count" -> graphTriangleCount,
     "graph_label_propagation" -> graphLabelPropagation,
     "graph_k_core" -> graphKCore,
     "graph_jaccard_neighbors" -> graphJaccardNeighbors,
+    "graph_adamic_adar" -> graphAdamicAdar,
   )
 }

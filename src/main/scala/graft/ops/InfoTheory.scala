@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.NumericExpressions.log2Fixed
+import graft.io.Readers.table
+
+/** Information-theoretic corpus statistics on the oracle-able float
+  * frontier (SURVEY §8.r9.5): entropy and Zipf-slope scoring whose
+  * logarithms are the fixed-point integer
+  * [[graft.functions.NumericExpressions.Log2Fixed]] rather than libm
+  * `log` — so every key here is EXACTLY reproducible cross-engine
+  * (the DuckDB oracle replays the identical integer recurrence via
+  * [[graft.oracle.Log2Sql]]) while staying within 3·10⁻⁶ of the true
+  * base-2 logarithm. The float keys that preceded this family
+  * (`text_unigram_logprob`) had to round-and-pray at 1e-6; these
+  * hash-match by construction.
+  *
+  * All three keys share one shape: a map-side-combinable counting
+  * aggregate (the only full shuffle), a per-COUNT scalar log — a few
+  * dozen codegen'd long ops, evaluated after aggregation so its cost
+  * scales with DISTINCT counts, not rows — and a final single
+  * correctly-rounded double conversion for presentation. No driver
+  * state, no collect, no UDF.
+  */
+object InfoTheory {
+
+  import Relational.Q
+
+  /** Canonical tokenizer of the text family (same normalization as
+    * `text_unigram_logprob` / the dedup oracles): trim → collapse
+    * whitespace → lower → split on single space, drop empties.
+    */
+  private def tokens = split(
+    lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
+
+  /** Per-document Shannon entropy (bits/token) of the word-unigram
+    * distribution — the vocabulary-diversity quality signal (low
+    * entropy ⇒ boilerplate/repetition; pairs with
+    * `text_repetition_stats` in a filtering pipeline).
+    *
+    * H = log2 n − (Σ cᵢ·log2 cᵢ)/n evaluated as fixed-point
+    * integers: H₂₀ = L₂₀(n) − (Σ cᵢ·L₂₀(cᵢ)) div n, emitted as
+    * H₂₀/2²⁰ (exact: H₂₀ < 2²⁶). Magnitudes: cᵢ ≤ n ≤ doc token
+    * count, so Σ cᵢ·L₂₀(cᵢ) < n·63·2²⁰ — safe to 10¹² tokens/doc.
+    *
+    * Scale: tokenize is map-only; the (doc, token) count and the
+    * per-doc rollup both partial-aggregate before their shuffles,
+    * and the second groupBy reuses the doc_id clustering the first
+    * one produced (no extra exchange).
+    */
+  val textEntropyExact: Q = (s, dir) => {
+    table(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * log2Fixed(col("cnt"))).as("scl"))
+      .withColumn("h20",
+        log2Fixed(col("n_tokens")) - expr("scl div n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("h20").cast("double") / 1048576.0).as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-user behavioral entropy over the event-type distribution —
+    * the engagement-diversity segmentation feature (entropy 0 ⇒
+    * single-action users; log2 k ⇒ uniform across k types). Same
+    * fixed-point pipeline as [[textEntropyExact]] on the events
+    * stream table.
+    */
+  val eventsEntropyUser: Q = (s, dir) => {
+    table(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cnt")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("cnt") * log2Fixed(col("cnt"))).as("scl"))
+      .withColumn("h20",
+        log2Fixed(col("n_events")) - expr("scl div n_events"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        (col("h20").cast("double") / 1048576.0).as("entropy_bits"))
+      .orderBy("user_id")
+  }
+
+  /** Per-language Zipf exponent: OLS slope of log2(frequency) on
+    * log2(rank) over the token frequency table — the classic
+    * naturalness check for a text corpus (natural language ≈ −1;
+    * templated/generated text drifts shallow). Rank is
+    * `row_number` over (count DESC, token) — a total order, so the
+    * regression input is deterministic.
+    *
+    * Fixed-point: x = L₂₀(rank) div 2¹⁰, y = L₂₀(cnt) div 2¹⁰
+    * (10 fraction bits — quantization 2⁻¹⁰ contributes < 10⁻³ to a
+    * slope over ≥ 2 decades). The four base sums stay BIGINT (exact
+    * while per-lang vocab < 2⁵²/2³² rows); the two slope products
+    * are widened to DECIMAL so n·Σxy is exact at ANY vocabulary
+    * (12+19 and 16+16 digit operands — products ≤ 33 digits, no
+    * precision-38 cap), and the final division is one
+    * correctly-rounded double op on exactly-converted scale-0
+    * decimals — identical in both engines.
+    *
+    * Scale: one count shuffle on (lang, tok); the rank window
+    * repartitions by lang — at 100 TB vocabularies, swap
+    * `row_number` for the sort-free rank surrogate (count of
+    * strictly-greater counts via a self-aggregate) and the rest of
+    * the plan is unchanged; the regression itself is algebraic
+    * (map-side combinable sums).
+    */
+  val textZipfSlope: Q = (s, dir) => {
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("tok"))
+    table(s, dir, "documents")
+      .select(col("lang"), explode(tokens).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(wRank))
+      .select(col("lang"),
+        shiftright(log2Fixed(col("rank")), 10).as("x"),
+        shiftright(log2Fixed(col("cnt")), 10).as("y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num",
+        col("n_terms").cast(DecimalType(12, 0)) * col("sxy").cast(DecimalType(19, 0)) -
+          col("sx").cast(DecimalType(16, 0)) * col("sy").cast(DecimalType(16, 0)))
+      .withColumn("den",
+        col("n_terms").cast(DecimalType(12, 0)) * col("sxx").cast(DecimalType(19, 0)) -
+          col("sx").cast(DecimalType(16, 0)) * col("sx").cast(DecimalType(16, 0)))
+      .select(col("lang"), col("n_terms"),
+        (col("num").cast("double") / col("den").cast("double")).as("zipf_slope"))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_entropy_exact" -> textEntropyExact,
+    "events_entropy_user" -> eventsEntropyUser,
+    "text_zipf_slope" -> textZipfSlope,
+  )
+}

@@ -2231,8 +2231,113 @@ object OracleSql {
         |ORDER BY g.doc_id""".stripMargin,
   )
 
+  /** Round-9 information-theory family: every logarithm is the
+    * generated [[Log2Sql]] integer chain, replaying
+    * `graft.functions.NumericExpressions.Log2Fixed` bit for bit —
+    * no libm call anywhere in these oracles, so the hash compare is
+    * exact by construction (SURVEY §8.r9.5).
+    */
+  private val infoTheory: Map[String, String] = Map(
+    "text_entropy_exact" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+         |  FROM documents),
+         |counts AS (
+         |  SELECT doc_id, tok, count(*) AS cnt
+         |  FROM tok WHERE tok <> '' GROUP BY doc_id, tok),
+         |${Log2Sql.chain("lgc", "SELECT DISTINCT cnt AS v FROM counts")},
+         |per_doc AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+         |         CAST(SUM(cnt * lgc.l20) AS BIGINT) AS scl
+         |  FROM counts JOIN lgc ON lgc.v = counts.cnt
+         |  GROUP BY doc_id),
+         |${Log2Sql.chain("lgn", "SELECT DISTINCT n_tokens AS v FROM per_doc")}
+         |SELECT doc_id, n_tokens, n_distinct,
+         |       CAST(lgn.l20 - (scl // n_tokens) AS DOUBLE) / 1048576.0 AS entropy_bits
+         |FROM per_doc JOIN lgn ON lgn.v = per_doc.n_tokens
+         |ORDER BY doc_id""".stripMargin,
+
+    "events_entropy_user" ->
+      s"""WITH counts AS (
+         |  SELECT user_id, event_type, count(*) AS cnt
+         |  FROM events GROUP BY user_id, event_type),
+         |${Log2Sql.chain("lgc", "SELECT DISTINCT cnt AS v FROM counts")},
+         |per_user AS (
+         |  SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_events, COUNT(*) AS n_types,
+         |         CAST(SUM(cnt * lgc.l20) AS BIGINT) AS scl
+         |  FROM counts JOIN lgc ON lgc.v = counts.cnt
+         |  GROUP BY user_id),
+         |${Log2Sql.chain("lgn", "SELECT DISTINCT n_events AS v FROM per_user")}
+         |SELECT user_id, n_events, n_types,
+         |       CAST(lgn.l20 - (scl // n_events) AS DOUBLE) / 1048576.0 AS entropy_bits
+         |FROM per_user JOIN lgn ON lgn.v = per_user.n_events
+         |ORDER BY user_id""".stripMargin,
+
+    "text_zipf_slope" ->
+      s"""WITH tok AS (
+         |  SELECT lang,
+         |         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+         |  FROM documents),
+         |counts AS (
+         |  SELECT lang, tok, count(*) AS cnt
+         |  FROM tok WHERE tok <> '' GROUP BY lang, tok),
+         |ranked AS (
+         |  SELECT lang, cnt,
+         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS BIGINT) AS rnk
+         |  FROM counts),
+         |${Log2Sql.chain("lgr", "SELECT DISTINCT rnk AS v FROM ranked")},
+         |${Log2Sql.chain("lgf", "SELECT DISTINCT cnt AS v FROM ranked")},
+         |pts AS (
+         |  SELECT lang, lgr.l20 >> 10 AS x, lgf.l20 >> 10 AS y
+         |  FROM ranked
+         |  JOIN lgr ON lgr.v = ranked.rnk
+         |  JOIN lgf ON lgf.v = ranked.cnt),
+         |sums AS (
+         |  SELECT lang, COUNT(*) AS n_terms,
+         |         SUM(x) AS sx, SUM(y) AS sy,
+         |         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+         |  FROM pts GROUP BY lang)
+         |SELECT lang, n_terms,
+         |       CAST(CAST(n_terms AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(19,0))
+         |              - CAST(sx AS DECIMAL(16,0)) * CAST(sy AS DECIMAL(16,0)) AS DOUBLE)
+         |         / CAST(CAST(n_terms AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(19,0))
+         |              - CAST(sx AS DECIMAL(16,0)) * CAST(sx AS DECIMAL(16,0)) AS DOUBLE)
+         |         AS zipf_slope
+         |FROM sums
+         |ORDER BY lang""".stripMargin,
+
+    "graph_adamic_adar" ->
+      s"""WITH e0 AS (
+         |  SELECT l_partkey AS src,
+         |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+         |                               ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM e0 WHERE dst IS NOT NULL AND dst <> src),
+         |adj AS (
+         |  SELECT u AS node, v AS nbr FROM und
+         |  UNION ALL SELECT v, u FROM und),
+         |deg AS (
+         |  SELECT nbr, count(*) AS deg FROM adj GROUP BY nbr HAVING count(*) >= 2),
+         |${Log2Sql.chain("lgd", "SELECT DISTINCT deg AS v FROM deg")},
+         |cw AS (
+         |  SELECT deg.nbr, 1099511627776 // lgd.l20 AS r
+         |  FROM deg JOIN lgd ON lgd.v = deg.deg)
+         |SELECT x.node AS a, y.node AS b, count(*) AS common,
+         |       CAST(SUM(cw.r) AS DOUBLE) / 1048576.0 AS adamic_adar
+         |FROM adj x
+         |JOIN cw ON cw.nbr = x.nbr
+         |JOIN adj y ON y.nbr = x.nbr AND x.node < y.node
+         |JOIN und e ON e.u = x.node AND e.v = y.node
+         |GROUP BY x.node, y.node
+         |ORDER BY adamic_adar DESC, a, b
+         |LIMIT 20""".stripMargin,
+  )
+
   val sql: Map[String, String] =
     relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++
       llm ++ streaming ++ llm2 ++ curation ++ statsLayout ++ analytics ++
-      analytics2 ++ graph ++ round8
+      analytics2 ++ graph ++ round8 ++ infoTheory
 }

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.NumericExpressions
+import graft.functions.NumericExpressions.log2Fixed
+
+/** The information-theory family (round 9): the fixed-point log2
+  * kernel itself, and semantic guards that the entropy / Zipf /
+  * Adamic-Adar keys agree with plain double-precision references —
+  * the CORRECTNESS gate proves both engines compute the same
+  * integers; these specs prove the integers mean what they claim.
+  */
+class InfoTheorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val F = 1 << 20
+
+  test("log2_fixed: |fixed/2^20 - log2 c| < 3e-6, exhaustive small + edges + random") {
+    val edge = (1 to 62).flatMap(j => Seq((1L << j) - 1, 1L << j, (1L << j) + 1))
+      .filter(_ > 0)
+    val rnd = new scala.util.Random(42)
+    val rand = Seq.fill(20000)(math.abs(rnd.nextLong()) % ((1L << 62) - 1) + 1)
+    val all = ((1L to 100000L) ++ edge ++ rand).distinct
+    all.foreach { c =>
+      val got = NumericExpressions.log2FixedJ(c).toDouble / F
+      val want = math.log(c.toDouble) / math.log(2.0)
+      assert(math.abs(got - want) < 3e-6, s"c=$c got=$got want=$want")
+    }
+    // exact at powers of two: log2(2^j) = j with zero fraction
+    (0 to 62).foreach { j =>
+      assert(NumericExpressions.log2FixedJ(1L << j) === j.toLong << 20)
+    }
+  }
+
+  test("log2_fixed via codegen (DataFrame path) matches the kernel; <=0 and null -> null") {
+    val vals = Seq[java.lang.Long](1L, 2L, 3L, 1000L, 1L << 45, 0L, -7L, null)
+    val df = vals.map(Option(_).map(Long2long)).toDF("c")
+    val got = df.select(col("c"), log2Fixed(col("c")).as("l")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L) === Some(0L))
+    assert(got(2L) === Some(1L << 20))
+    assert(got(1000L) === Some(NumericExpressions.log2FixedJ(1000L)))
+    assert(got(1L << 45) === Some(45L << 20))
+    assert(got(0L) === None)
+    assert(got(-7L) === None)
+    assert(got(null) === None)
+    assert(got(3L) === Some(NumericExpressions.log2FixedJ(3L)))
+  }
+
+  test("text_entropy_exact tracks the double-precision Shannon entropy") {
+    val dir = "/root/testdata/sf0.001"
+    val fixed = ops.InfoTheory.textEntropyExact(spark, dir)
+      .select("doc_id", "entropy_bits").as[(Long, Double)].collect().toMap
+    // double reference over the same tokenization
+    val ref = io.Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(
+        lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id")
+      .agg(sum("count").as("n"),
+        sum(col("count") * log2(col("count"))).as("scl"))
+      .select(col("doc_id"),
+        (log2(col("n")) - col("scl") / col("n")).as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(fixed.keySet === ref.keySet)
+    fixed.foreach { case (id, h) =>
+      assert(math.abs(h - ref(id)) < 1e-4, s"doc $id: $h vs ${ref(id)}")
+      assert(h >= -1e-9, s"doc $id: negative entropy $h")
+    }
+  }
+
+  test("entropy bounds: 0 for single-type users, log2 k for uniform") {
+    // H in [0, log2 n_types], and a constructed uniform case hits the top
+    val rows = ops.InfoTheory.eventsEntropyUser(spark, "/root/testdata/sf0.001")
+      .select("n_types", "entropy_bits").as[(Long, Double)].collect()
+    rows.foreach { case (k, h) =>
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-4)
+    }
+  }
+
+  test("text_zipf_slope tracks the double-precision OLS over log-log ranks") {
+    val dir = "/root/testdata/sf0.001"
+    val fixed = ops.InfoTheory.textZipfSlope(spark, dir)
+      .select("lang", "zipf_slope").as[(String, Double)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok"))
+    val ref = io.Readers.table(spark, dir, "documents")
+      .select(col("lang"), explode(split(
+        lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("x", log2(row_number().over(w)))
+      .withColumn("y", log2(col("cnt")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))).as("m"))
+      .as[(String, Double)].collect().toMap
+    assert(fixed.keySet === ref.keySet)
+    fixed.foreach { case (lang, m) =>
+      assert(math.abs(m - ref(lang)) < 5e-3, s"$lang: $m vs ${ref(lang)}")
+    }
+  }
+
+  test("graph_adamic_adar matches a brute-force reference on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = ops.Graph.graphAdamicAdar(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // brute force: adjacency sets on the driver (tiny at sf0.001)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("l_partkey"))
+    val und = io.Readers.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+      .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+      .select(least(col("l_partkey"), col("dst")).as("u"),
+        greatest(col("l_partkey"), col("dst")).as("v"))
+      .distinct().as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    und.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    got.foreach { case (a, b, common, aa) =>
+      assert(und.contains((a, b)), s"($a,$b) not an edge")
+      val cn = adj(a) intersect adj(b)
+      assert(cn.size.toLong === common)
+      val ref = cn.toSeq.map(wd => 1.0 / (math.log(adj(wd).size.toDouble) / math.log(2.0))).sum
+      assert(math.abs(aa - ref) < 1e-4, s"($a,$b): $aa vs $ref")
+    }
+    // descending, deterministic order
+    assert(got.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+}
