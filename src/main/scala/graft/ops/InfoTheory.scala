@@ -141,9 +141,58 @@ object InfoTheory {
       .orderBy("lang")
   }
 
+  /** Per-language KL divergence from the whole-corpus unigram
+    * distribution, in bits/token — the domain-shift / language-purity
+    * signal a mixture pipeline monitors (KL ≈ 0 ⇒ the slice is
+    * distributionally indistinguishable from the pool; large KL ⇒
+    * resampling weight needed):
+    *
+    *   KL(p‖q) = Σᵢ pᵢ·log2(pᵢ/qᵢ),  p = slice, q = corpus
+    *           = (Σᵢ cᵢ·[L(cᵢ) + L(N) − L(n) − L(Cᵢ)]) / n
+    *
+    * with c/n the slice counts, C/N the corpus counts. The bracket is
+    * a long of exact fixed-point logs; individual terms go NEGATIVE
+    * (tokens overrepresented in the pool), so no intermediate integer
+    * division happens anywhere — truncation direction on negatives
+    * differs between engines (Spark `div` truncates, DuckDB `//`
+    * floors). The SUM is exact long arithmetic; the single emitted
+    * double is `Σ / (n·2²⁰)` — one exact conversion (|Σ| < 2⁵³ until
+    * ~10¹⁵ token·bits) and one correctly-rounded division, identical
+    * in both engines.
+    *
+    * Scale: the slice count is the only wide shuffle; the corpus
+    * totals re-aggregate it on tok (map-side combined), the per-lang
+    * totals and the single grand total broadcast back. No driver
+    * scalars — the grand total rides a 1-row broadcast join.
+    */
+  val textKlDivergence: Q = (s, dir) => {
+    val counts = table(s, dir, "documents")
+      .select(col("lang"), explode(tokens).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val corpus = counts.groupBy(col("tok")).agg(sum(col("c")).as("ctot"))
+    val langTot = counts.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val grand = langTot.agg(sum(col("n")).as("ntot"))
+    counts
+      .join(corpus, "tok")
+      .join(broadcast(langTot), "lang")
+      .join(broadcast(grand))
+      .withColumn("term", col("c") *
+        (log2Fixed(col("c")) + log2Fixed(col("ntot"))
+          - log2Fixed(col("n")) - log2Fixed(col("ctot"))))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_tokens"), sum(col("term")).as("num"))
+      .select(col("lang"), col("n_tokens"),
+        (col("num").cast("double") / (col("n_tokens") * lit(1048576L)).cast("double"))
+          .as("kl_bits"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_entropy_exact" -> textEntropyExact,
     "events_entropy_user" -> eventsEntropyUser,
     "text_zipf_slope" -> textZipfSlope,
+    "text_kl_divergence" -> textKlDivergence,
   )
 }

@@ -2307,6 +2307,40 @@ object OracleSql {
          |FROM sums
          |ORDER BY lang""".stripMargin,
 
+    // no integer division anywhere: per-token terms go negative and
+    // Spark div (truncate) disagrees with DuckDB // (floor) there —
+    // the one emitted double is an exact sum over n·2^20 (see
+    // ops.InfoTheory.textKlDivergence). lgg, not lgN: DuckDB
+    // identifiers are case-insensitive and lgN would collide with lgn.
+    "text_kl_divergence" ->
+      s"""WITH tok AS (
+         |  SELECT lang,
+         |         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+         |  FROM documents),
+         |counts AS (
+         |  SELECT lang, tok, count(*) AS c
+         |  FROM tok WHERE tok <> '' GROUP BY lang, tok),
+         |corpus AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ctot FROM counts GROUP BY tok),
+         |lang_tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY lang),
+         |grand AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM lang_tot),
+         |${Log2Sql.chain("lgc", "SELECT DISTINCT c AS v FROM counts")},
+         |${Log2Sql.chain("lgt", "SELECT DISTINCT ctot AS v FROM corpus")},
+         |${Log2Sql.chain("lgn", "SELECT DISTINCT n AS v FROM lang_tot")},
+         |${Log2Sql.chain("lgg", "SELECT DISTINCT ntot AS v FROM grand")}
+         |SELECT counts.lang, lang_tot.n AS n_tokens,
+         |       CAST(SUM(c * (lgc.l20 + lgg.l20 - lgn.l20 - lgt.l20)) AS DOUBLE)
+         |         / CAST(lang_tot.n * 1048576 AS DOUBLE) AS kl_bits
+         |FROM counts
+         |JOIN corpus ON corpus.tok = counts.tok
+         |JOIN lang_tot ON lang_tot.lang = counts.lang
+         |CROSS JOIN grand
+         |JOIN lgc ON lgc.v = counts.c
+         |JOIN lgt ON lgt.v = corpus.ctot
+         |JOIN lgn ON lgn.v = lang_tot.n
+         |JOIN lgg ON lgg.v = grand.ntot
+         |GROUP BY counts.lang, lang_tot.n
+         |ORDER BY counts.lang""".stripMargin,
+
     "graph_adamic_adar" ->
       s"""WITH e0 AS (
          |  SELECT l_partkey AS src,

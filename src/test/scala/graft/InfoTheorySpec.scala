@@ -106,6 +106,33 @@ class InfoTheorySpec extends SparkSpec {
     }
   }
 
+  test("text_kl_divergence tracks the double-precision KL and is non-negative") {
+    val dir = "/root/testdata/sf0.001"
+    val fixed = ops.InfoTheory.textKlDivergence(spark, dir)
+      .select("lang", "kl_bits").as[(String, Double)].collect().toMap
+    val counts = io.Readers.table(spark, dir, "documents")
+      .select(col("lang"), explode(split(
+        lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+    val nLang = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nTok = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nAll = counts.map(_._3).sum.toDouble
+    val ref = counts.groupBy(_._1).map { case (lang, rows) =>
+      lang -> rows.map { case (_, tok, c) =>
+        val p = c / nLang(lang).toDouble
+        val q = nTok(tok) / nAll
+        p * math.log(p / q) / math.log(2.0)
+      }.sum
+    }
+    assert(fixed.keySet === ref.keySet)
+    fixed.foreach { case (lang, kl) =>
+      assert(math.abs(kl - ref(lang)) < 1e-4, s"$lang: $kl vs ${ref(lang)}")
+      assert(kl >= -1e-6, s"$lang: negative KL $kl") // Gibbs' inequality
+    }
+  }
+
   test("graph_adamic_adar matches a brute-force reference on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = ops.Graph.graphAdamicAdar(spark, dir)
