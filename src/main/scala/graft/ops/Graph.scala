@@ -112,17 +112,18 @@ object Graph {
     // shuffle (down from two broadcasts + a join — barriers are the
     // measured cost here, see above). Iteration 1 needs no join at
     // all: the uniform r0 rides the edge scan as a literal.
-    var contrib = edgesD
+    val contrib0 = edgesD
       .groupBy(col("dst").as("cnode"))
       .agg(sum(expr(s"$r0 div deg")).as("s"))
       .localCheckpoint()
-    (2 to 5).foreach { k =>
-      contrib = edgesD
-        .join(broadcast(contrib), col("src") === col("cnode"), "left")
+    // every-3 cadence: the measured optimum for this loop (Iterate's
+    // scaladoc has the 11.1 / 6.1 / 4.1 s A/B at 10 iterations)
+    val contrib = Iterate.fixed(2 to 5, _ % 3 == 0)(contrib0) { (c, _) =>
+      edgesD
+        .join(broadcast(c), col("src") === col("cnode"), "left")
         .withColumn("rq", lit(teleport) + expr("(85 * coalesce(s, 0L)) div 100"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum(expr("rq div deg")).as("s"))
-      if (k % 3 == 0) contrib = contrib.localCheckpoint()
     }
     nodes.join(broadcast(contrib), col("node") === col("cnode"), "left")
       .select(col("node"),
@@ -207,10 +208,10 @@ object Graph {
       .union(und.select(col("v").as("src"), col("u").as("dst")))
       .union(nodes.select(col("node").as("src"), col("node").as("dst")))
       .localCheckpoint() // static across iterations, scanned 3×
-    var labels = nodes.select(col("node"), col("node").as("label"))
-    (1 to 3).foreach { _ =>
-      labels = adj
-        .join(broadcast(labels), col("src") === col("node"))
+    val labels = Iterate.fixed(1 to 3, Iterate.never)(
+      nodes.select(col("node"), col("node").as("label"))) { (l, _) =>
+      adj
+        .join(broadcast(l), col("src") === col("node"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("label"))
     }
@@ -246,7 +247,7 @@ object Graph {
     */
   val graphKCore: Q = (s, dir) => {
     val k = 2
-    var edges = orderSequenceEdges(s, dir)
+    val edges0 = orderSequenceEdges(s, dir)
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
@@ -256,10 +257,9 @@ object Graph {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("node")).union(e.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    (1 to 3).foreach { _ =>
-      val surv = degrees(edges).filter(col("deg") >= k).select(col("node"))
-      edges = edges
-        .join(broadcast(surv.withColumnRenamed("node", "u")), Seq("u"), "left_semi")
+    val edges = Iterate.fixed(1 to 3, Iterate.never)(edges0) { (e, _) =>
+      val surv = degrees(e).filter(col("deg") >= k).select(col("node"))
+      e.join(broadcast(surv.withColumnRenamed("node", "u")), Seq("u"), "left_semi")
         .join(broadcast(surv.withColumnRenamed("node", "v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
     }
