@@ -189,10 +189,55 @@ object InfoTheory {
       .orderBy("lang")
   }
 
+  /** Per-language conditional next-token entropy H(next | prev) over
+    * word bigrams, in bits — the text-predictability /
+    * templatedness signal (natural prose sits well above generated
+    * boilerplate, whose next-token distributions collapse):
+    *
+    *   H(next|prev) = Σ_{uv} c₂(uv)·[L(c₁(u)) − L(c₂(uv))] / N₂
+    *
+    * with c₂ the bigram counts, c₁(u) = Σ_v c₂(uv) the context
+    * totals and N₂ = Σ c₂. Every term is ≥ 0 (c₁ ≥ c₂), but the
+    * division still happens ONCE in double (same engine-portability
+    * rationale as [[textKlDivergence]]). Bigrams come from
+    * `lead(tok) over (doc, pos)` — document-local adjacency; the
+    * collapsed-whitespace tokenizer guarantees no interior empty
+    * tokens, so position adjacency equals text adjacency.
+    *
+    * Scale: the posexplode+lead window shuffles on doc_id (narrow
+    * rows); the bigram count is the wide shuffle (map-side
+    * combined); context totals re-aggregate the counted relation —
+    * strictly smaller — and the per-lang rollups are trivial.
+    */
+  val textCondEntropyBigram: Q = (s, dir) => {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        posexplode(tokens).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      .filter(col("nxt").isNotNull)
+    val c2 = big.groupBy(col("lang"), col("tok").as("prev"), col("nxt"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("lang"), col("prev")).agg(sum(col("c2")).as("c1"))
+    val contexts = c1.groupBy(col("lang")).agg(count(lit(1)).as("n_contexts"))
+    c2.join(c1, Seq("lang", "prev"))
+      .withColumn("term",
+        col("c2") * (log2Fixed(col("c1")) - log2Fixed(col("c2"))))
+      .groupBy(col("lang"))
+      .agg(sum(col("c2")).as("n_bigrams"), sum(col("term")).as("num"))
+      .join(broadcast(contexts), "lang")
+      .select(col("lang"), col("n_bigrams"), col("n_contexts"),
+        (col("num").cast("double") / (col("n_bigrams") * lit(1048576L)).cast("double"))
+          .as("cond_entropy_bits"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_entropy_exact" -> textEntropyExact,
     "events_entropy_user" -> eventsEntropyUser,
     "text_zipf_slope" -> textZipfSlope,
     "text_kl_divergence" -> textKlDivergence,
+    "text_cond_entropy_bigram" -> textCondEntropyBigram,
   )
 }

@@ -2341,6 +2341,43 @@ object OracleSql {
          |GROUP BY counts.lang, lang_tot.n
          |ORDER BY counts.lang""".stripMargin,
 
+    // bigram adjacency via ZIPPED parallel unnests of the two
+    // index-shifted list_transform projections (DuckDB evaluates
+    // same-level unnests in lockstep); len >= 2 mirrors the
+    // no-bigram cases (empty text tokenizes to [''], single token)
+    "text_cond_entropy_bigram" ->
+      s"""WITH tokarr AS (
+         |  SELECT lang,
+         |         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM documents),
+         |big AS (
+         |  SELECT lang,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS prev,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS nxt
+         |  FROM tokarr WHERE len(toks) >= 2),
+         |c2 AS (
+         |  SELECT lang, prev, nxt, count(*) AS c2
+         |  FROM big GROUP BY lang, prev, nxt),
+         |c1 AS (
+         |  SELECT lang, prev, CAST(SUM(c2) AS BIGINT) AS c1
+         |  FROM c2 GROUP BY lang, prev),
+         |ctx AS (SELECT lang, count(*) AS n_contexts FROM c1 GROUP BY lang),
+         |${Log2Sql.chain("lgb", "SELECT DISTINCT c2 AS v FROM c2")},
+         |${Log2Sql.chain("lgx", "SELECT DISTINCT c1 AS v FROM c1")},
+         |agg AS (
+         |  SELECT c2.lang, CAST(SUM(c2.c2) AS BIGINT) AS n_bigrams,
+         |         CAST(SUM(c2.c2 * (lgx.l20 - lgb.l20)) AS BIGINT) AS num
+         |  FROM c2
+         |  JOIN c1 ON c1.lang = c2.lang AND c1.prev = c2.prev
+         |  JOIN lgb ON lgb.v = c2.c2
+         |  JOIN lgx ON lgx.v = c1.c1
+         |  GROUP BY c2.lang)
+         |SELECT agg.lang, n_bigrams, n_contexts,
+         |       CAST(num AS DOUBLE) / CAST(n_bigrams * 1048576 AS DOUBLE)
+         |         AS cond_entropy_bits
+         |FROM agg JOIN ctx ON ctx.lang = agg.lang
+         |ORDER BY agg.lang""".stripMargin,
+
     "graph_adamic_adar" ->
       s"""WITH e0 AS (
          |  SELECT l_partkey AS src,

@@ -133,6 +133,39 @@ class InfoTheorySpec extends SparkSpec {
     }
   }
 
+  test("text_cond_entropy_bigram tracks the double reference and conditioning reduces entropy") {
+    val dir = "/root/testdata/sf0.001"
+    val got = ops.InfoTheory.textCondEntropyBigram(spark, dir)
+      .select("lang", "cond_entropy_bits").as[(String, Double)].collect().toMap
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = io.Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), posexplode(split(
+        lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      .filter(col("nxt").isNotNull)
+      .as[(Long, String, Int, String, String)].collect()
+    val byLang = big.groupBy(_._2)
+    val ref = byLang.map { case (lang, rows) =>
+      val c2 = rows.groupBy(r => (r._4, r._5)).view.mapValues(_.size.toLong).toMap
+      val c1 = rows.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+      val n2 = rows.size.toDouble
+      lang -> c2.map { case ((p, _), c) =>
+        c * (math.log(c1(p).toDouble / c) / math.log(2.0))
+      }.sum / n2
+    }
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (lang, h) =>
+      assert(math.abs(h - ref(lang)) < 1e-4, s"$lang: $h vs ${ref(lang)}")
+      assert(h >= -1e-9)
+      // conditioning can't raise entropy above the unconditional
+      // next-token entropy: H(next|prev) <= log2(#distinct next)
+      val kNext = byLang(lang).map(_._5).distinct.size
+      assert(h <= math.log(kNext.toDouble) / math.log(2.0) + 1e-6)
+    }
+  }
+
   test("graph_adamic_adar matches a brute-force reference on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = ops.Graph.graphAdamicAdar(spark, dir)
