@@ -46,15 +46,27 @@ object InfoTheory {
     * H₂₀/2²⁰ (exact: H₂₀ < 2²⁶). Magnitudes: cᵢ ≤ n ≤ doc token
     * count, so Σ cᵢ·L₂₀(cᵢ) < n·63·2²⁰ — safe to 10¹² tokens/doc.
     *
-    * Scale: tokenize is map-only; the (doc, token) count and the
-    * per-doc rollup both partial-aggregate before their shuffles,
-    * and the second groupBy reuses the doc_id clustering the first
-    * one produced (no extra exchange).
+    * Scale — ONE exchange, by choice: partitioning the exploded
+    * token stream by doc_id alone satisfies BOTH aggregations
+    * (same-(doc,tok) rows are co-located a fortiori), so the
+    * explicit repartition collapses the free-planned two-exchange
+    * chain (hashpartitioning(doc,tok) then hashpartitioning(doc))
+    * into one — measured 0.43 vs 0.51 s warm at sf0.1
+    * (ScratchEntropyPlan) and one full token-stream shuffle cheaper
+    * at any scale. The trade is losing map-side combine on the raw
+    * token rows; that is the right trade exactly when the clustering
+    * key is high-cardinality and per-partition duplication is low
+    * (documents: ~2× token repetition). The mirror cases ship the
+    * OTHER shape on purpose: [[eventsEntropyUser]] keeps
+    * combine-first (5 event types ⇒ huge combine ratio), and
+    * [[textZipfSlope]] must not cluster by its 5-value lang key
+    * (parallelism collapse).
     */
   val textEntropyExact: Q = (s, dir) => {
     table(s, dir, "documents")
       .select(col("doc_id"), explode(tokens).as("tok"))
       .filter(col("tok") =!= "")
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))

@@ -323,6 +323,45 @@ class PlanSpec extends SparkSpec {
 
   // ------------------------------------------- global-window sweep
 
+  test("text_entropy_exact: ONE data exchange (doc clustering serves both aggs)") {
+    val df = ops.InfoTheory.textEntropyExact(spark, dir)
+    // pre-execution plan: the post-collect adaptive string prints the
+    // Initial Plan section too, double-counting every exchange line
+    val p = df.queryExecution.executedPlan.toString
+    // the forced doc_id repartition is the only hash exchange; the
+    // two-agg chain reuses it (the final orderBy is a range exchange)
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("doc_id"),
+      s"expected exactly one doc_id hash exchange:\n${hashEx.mkString("\n")}")
+    // the fixed-point log evaluates inside the aggregate expressions
+    assert(p.contains("log2_fixed"), p)
+  }
+
+  test("graph_adamic_adar: weight attach and edge probe execute below the pair agg") {
+    val df = ops.Graph.graphAdamicAdar(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p) // top-20, never a global sort
+    assert(!p.contains("SortMergeJoin"), p)
+    // broadcast joins BELOW the partial pair agg — nothing wider than
+    // 3·|triangles| weighted rows reaches the aggregation
+    val aggIdx = p.indexOf("partial_count")
+    val probeIdx = p.lastIndexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && probeIdx > aggIdx,
+      "broadcast probe/weight joins must execute below the partial agg")
+  }
+
+  test("text_kl_divergence: totals broadcast back onto the counts, no sort-merge join") {
+    val df = ops.InfoTheory.textKlDivergence(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), p)
+    // the 1-row grand total joins keyless (broadcast nested loop is
+    // fine at 1 row), the lang totals as broadcast hash — neither
+    // re-shuffles the counted relation
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   /** The SURVEY §7.5 code-review rule as a standing executable gate:
     * a `Window.orderBy` with no partition sorts its ENTIRE input in
     * one task — the straight scale-killer class (round-6 verdict's
