@@ -86,8 +86,15 @@ object InfoTheory {
     * fixed-point pipeline as [[textEntropyExact]] on the events
     * stream table.
     */
-  val eventsEntropyUser: Q = (s, dir) => {
-    table(s, dir, "events")
+  val eventsEntropyUser: Q = (s, dir) =>
+    entropyByUser(table(s, dir, "events"))
+
+  /** The batch pipeline behind [[eventsEntropyUser]], exposed on the
+    * events relation so [[Streaming.streamEntropyPerKey]]'s
+    * bit-identity invariant can be asserted against arbitrary inputs.
+    */
+  def entropyByUser(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    events
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("user_id"))

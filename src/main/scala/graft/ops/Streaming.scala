@@ -289,6 +289,41 @@ object Streaming {
       .toDF("event_type", "n", "err_bound", "p50", "p99")
   }
 
+  /** Streaming twin of [[InfoTheory.eventsEntropyUser]]: per-user
+    * event-type counts live in the state store (a small map — one
+    * entry per distinct type the user has produced), and each
+    * micro-batch emits the user's refreshed EXACT entropy through
+    * the same integer kernel
+    * ([[graft.functions.NumericExpressions.log2FixedJ]]) the batch
+    * key uses. Because the state is the sufficient statistic (counts
+    * are associative), the emitted row after the LAST batch is
+    * bit-identical to the batch operator over the concatenated
+    * input, for ANY batch split — StreamingSpec asserts that
+    * invariant across a 3-way split. State size is O(users ×
+    * distinct types per user); with an event-type universe this is
+    * bounded and needs no timeout, an unbounded key domain would
+    * add TTL eviction exactly like the KLL twin above.
+    */
+  def streamEntropyPerKey(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import graft.functions.NumericExpressions.log2FixedJ
+    events.select(col("user_id"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], (Long, Long, Int, Double)](
+        GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        var m = state.getOption.getOrElse(Map.empty[String, Long])
+        rows.foreach { case (_, t) => m = m.updated(t, m.getOrElse(t, 0L) + 1L) }
+        state.update(m)
+        val n = m.values.sum
+        val scl = m.foldLeft(0L) { case (a, (_, c)) => a + c * log2FixedJ(c) }
+        val h20 = log2FixedJ(n) - scl / n
+        (user, n, m.size, h20.toDouble / 1048576.0)
+      }
+      .toDF("user_id", "n_events", "n_types", "entropy_bits")
+  }
+
   case class UserAgg(n: Long, sum: BigDecimal)
 
   def customStateStats(events: DataFrame): DataFrame = {

@@ -171,6 +171,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming entropy state is bit-identical to the batch operator for any batch split") {
+    val rows = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click"), ev(2, "2024-01-01 10:01:00", 1, "view"),
+      ev(3, "2024-01-01 10:02:00", 1, "click"), ev(4, "2024-01-01 10:03:00", 2, "view"),
+      ev(5, "2024-01-01 10:04:00", 2, "view"), ev(6, "2024-01-01 10:05:00", 1, "purchase"),
+      ev(7, "2024-01-01 10:06:00", 3, "click"), ev(8, "2024-01-01 10:07:00", 1, "click"))
+    val stream = MemoryStream[Ev]
+    val q = ops.Streaming.streamEntropyPerKey(stream.toDF())
+      .writeStream.format("memory").queryName("entst").outputMode("update").start()
+    try {
+      // a deliberately uneven 3-way split: the state is the sufficient
+      // statistic, so the final per-user rows must not depend on it
+      stream.addData(rows.take(3)); q.processAllAvailable()
+      stream.addData(rows.slice(3, 4)); q.processAllAvailable()
+      stream.addData(rows.drop(4)); q.processAllAvailable()
+      // update mode re-emits a user's row each batch it appears in;
+      // keep the LAST row per user (max n_events — counts only grow)
+      val streamed = spark.table("entst")
+        .as[(Long, Long, Int, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSeq
+        .map(r => (r._1, r._2, r._3.toLong, r._4)).sortBy(_._1)
+      val batch = ops.InfoTheory.entropyByUser(rows.toDF())
+        .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      // BIT-identical doubles, not approximately-equal: both sides run
+      // the same integer kernel over the same final counts
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert: snapshot holds latest row per key across batches") {
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString
     val snap = s"$dir/snapshot"
