@@ -128,10 +128,22 @@ object Curation2 {
       .groupBy(col("a_id"), col("b_id"), col("diag"), col("isl"))
       .agg(min(col("a_pos")).as("a_start"), count(lit(1)).as("run"))
       .filter(col("run") >= 2)
-      // cut side = larger id (b); interval in b's token positions
+      // cut side = larger id (b); interval in b's token positions.
+      // DISTINCT is load-bearing for ORACLE determinism, not values:
+      // different a-partners can contribute IDENTICAL (doc, lo, hi)
+      // rows, and the island construction below runs TWO window
+      // passes (prev_hi, then the running island sum) — in Spark both
+      // land in ONE WindowExec sort so any tie order is consistent,
+      // but DuckDB evaluates the two CTE windows with independent
+      // arbitrary tie orders over duplicate rows, and a disagreement
+      // splits one merged island into two (observed ~1/3 of runs on
+      // the regenerated sf0.1 corpus, doc 4442: n_spans_cut 1 vs 2,
+      // same clean_text). Deduping makes (lo, hi) a total order, so
+      // both engines' windows see one canonical sequence.
       .select(col("b_id").as("doc_id"),
         (col("a_start") - col("diag")).cast("int").as("lo"),
         (col("a_start") - col("diag") + col("run") + 2).cast("int").as("hi"))
+      .distinct()
     // merge overlapping/adjacent-overlap intervals per doc
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("lo"), col("hi"))
     val merged = spans

@@ -1745,7 +1745,7 @@ object OracleSql {
         |  SELECT a_id, b_id, diag, min(a_pos) AS a_start, count(*) AS run
         |  FROM i GROUP BY a_id, b_id, diag, isl),
         |iv AS (
-        |  SELECT b_id AS doc_id, CAST(a_start - diag AS INT) AS lo,
+        |  SELECT DISTINCT b_id AS doc_id, CAST(a_start - diag AS INT) AS lo,
         |         CAST(a_start - diag + run + 2 AS INT) AS hi
         |  FROM r WHERE run >= 2),
         |m1 AS (
