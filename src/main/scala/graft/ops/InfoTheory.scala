@@ -252,7 +252,42 @@ object InfoTheory {
       .orderBy("lang")
   }
 
+  /** Gini impurity of the order-priority distribution per customer
+    * market segment — entropy's rational sibling (1 − Σ pᵢ²), the
+    * split-quality / concentration measure that needs NO logarithm:
+    * with exact counts, impurity = (n² − Σ cᵢ²)/n² is one integer
+    * subtraction and one correctly-rounded double division —
+    * oracle-exact with no fixed-point machinery at all. Emitted next
+    * to the entropy family as the cheap first-line concentration
+    * screen (same ordering as entropy for two-class distributions,
+    * no log cost).
+    *
+    * Scale: the customer dim broadcasts into the orders scan (swap
+    * to a shuffle join past executor memory — same plan shape); both
+    * aggs are algebraic with map-side partials. The long arithmetic
+    * is exact while n < 3·10⁹ per segment (n² < 2⁶³); beyond that,
+    * widen n² and Σc² to DECIMAL(38,0) — same expressions, DuckDB's
+    * hugeint sums already behave that way.
+    */
+  val aggGiniImpurity: Q = (s, dir) => {
+    table(s, dir, "orders")
+      .join(broadcast(table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("c")).as("n_orders"),
+        count(lit(1)).as("n_priorities"),
+        sum(col("c") * col("c")).as("sq"))
+      .select(col("c_mktsegment"), col("n_orders"), col("n_priorities"),
+        ((col("n_orders") * col("n_orders") - col("sq")).cast("double") /
+          (col("n_orders") * col("n_orders")).cast("double")).as("gini_impurity"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_gini_impurity" -> aggGiniImpurity,
     "text_entropy_exact" -> textEntropyExact,
     "events_entropy_user" -> eventsEntropyUser,
     "text_zipf_slope" -> textZipfSlope,

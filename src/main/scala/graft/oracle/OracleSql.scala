@@ -2307,6 +2307,21 @@ object OracleSql {
          |FROM sums
          |ORDER BY lang""".stripMargin,
 
+    "agg_gini_impurity" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment, o_orderpriority, count(*) AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, o_orderpriority),
+        |s AS (
+        |  SELECT c_mktsegment, CAST(SUM(c) AS BIGINT) AS n_orders,
+        |         COUNT(*) AS n_priorities, CAST(SUM(c * c) AS BIGINT) AS sq
+        |  FROM c GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, n_orders, n_priorities,
+        |       CAST(n_orders * n_orders - sq AS DOUBLE)
+        |         / CAST(n_orders * n_orders AS DOUBLE) AS gini_impurity
+        |FROM s
+        |ORDER BY c_mktsegment""".stripMargin,
+
     // no integer division anywhere: per-token terms go negative and
     // Spark div (truncate) disagrees with DuckDB // (floor) there —
     // the one emitted double is an exact sum over n·2^20 (see

@@ -106,6 +106,28 @@ class InfoTheorySpec extends SparkSpec {
     }
   }
 
+  test("agg_gini_impurity: in [0, 1-1/k], equals the double reference") {
+    val rows = ops.InfoTheory.aggGiniImpurity(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (seg, n, k, g) =>
+      assert(g >= 0.0 && g <= 1.0 - 1.0 / k + 1e-12, s"$seg: $g outside [0, 1-1/$k]")
+    }
+    // double reference from raw counts
+    val ref = io.Readers.table(spark, "/root/testdata/sf0.001", "orders")
+      .join(io.Readers.table(spark, "/root/testdata/sf0.001", "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (seg, rs) =>
+        val n = rs.map(_._3).sum.toDouble
+        seg -> (1.0 - rs.map(r => (r._3 / n) * (r._3 / n)).sum)
+      }
+    rows.foreach { case (seg, _, _, g) =>
+      assert(math.abs(g - ref(seg)) < 1e-12, s"$seg: $g vs ${ref(seg)}")
+    }
+  }
+
   test("text_kl_divergence tracks the double-precision KL and is non-negative") {
     val dir = "/root/testdata/sf0.001"
     val fixed = ops.InfoTheory.textKlDivergence(spark, dir)
