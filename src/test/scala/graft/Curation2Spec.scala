@@ -81,6 +81,29 @@ class Curation2Spec extends SparkSpec {
     assert(byId(3L)._4 === 2L)
   }
 
+  test("dedup_substring_remove: identical intervals from multiple partners count as ONE cut") {
+    // the round-9 oracle-determinism regression in fixture form: docs 1
+    // AND 2 each carry the span doc 3 embeds, so doc 3 accumulates TWO
+    // IDENTICAL (lo, hi) cut intervals — which must dedupe before the
+    // island merge (n_spans_cut = 1, toks_removed = span length, not 2×)
+    def w(tag: String, n: Int): Seq[String] = (1 to n).map(i => s"$tag$i")
+    val shared = w("dup", 8)
+    val corpus = Seq(
+      (1L, "en", (w("a", 4) ++ shared).mkString(" ")),
+      (2L, "en", (w("b", 5) ++ shared).mkString(" ")),
+      (3L, "en", (w("c", 3) ++ shared ++ w("d", 2)).mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val out = ops.Curation2.removeSpans(corpus).orderBy("doc_id")
+      .as[(Long, String, String, Long, Long)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(3L)._3 === (w("c", 3) ++ w("d", 2)).mkString(" "), byId(3L)._3)
+    assert(byId(3L)._4 === 1L, s"duplicate partner intervals must merge to one cut: ${byId(3L)._4}")
+    assert(byId(3L)._5 === 8L, s"toks_removed must not double-count: ${byId(3L)._5}")
+    // doc 2 also loses its copy to doc 1 (a_id < b_id policy)
+    assert(byId(2L)._3 === w("b", 5).mkString(" "))
+    assert(byId(1L)._4 === 0L)
+  }
+
   test("dedup_substring_remove is idempotent on planted fixtures and the real corpus") {
     def runOnce(docs: org.apache.spark.sql.DataFrame) =
       ops.Curation2.removeSpans(docs)
