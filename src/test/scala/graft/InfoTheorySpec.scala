@@ -49,6 +49,18 @@ class InfoTheorySpec extends SparkSpec {
     assert(got(3L) === Some(NumericExpressions.log2FixedJ(3L)))
   }
 
+  test("log2_fixed survives whole-stage codegen with fallback disabled") {
+    // a janino rejection of the generated code would silently drop the
+    // stage to interpreted mode (correct values, 10× cost) — disable
+    // the fallback so a compile failure fails THIS test instead
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = ops.InfoTheory.textEntropyExact(spark, "/root/testdata/sf0.001")
+        .collect()
+      assert(r.nonEmpty)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("text_entropy_exact tracks the double-precision Shannon entropy") {
     val dir = "/root/testdata/sf0.001"
     val fixed = ops.InfoTheory.textEntropyExact(spark, dir)
