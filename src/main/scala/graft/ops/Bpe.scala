@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.io.Readers.table
+
+/** Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+  * actual k-round tokenizer-training loop, not just the pair-count
+  * step ([[Curation2.textBpePairs]] is round 1's counting half).
+  *
+  * Each round: (1) count adjacent symbol pairs over the vocabulary,
+  * occurrence-weighted; (2) pick the argmax pair under the TOTAL
+  * order (count DESC, pair lexicographic) so the learned rule is
+  * deterministic across engines; (3) apply the rule LEFT-GREEDILY to
+  * every word ("aaa" + rule (a,a) → [aa, a], never [a, aa]).
+  *
+  * State is the DISTINCT-word vocabulary with occurrence counts —
+  * the classic BPE trick: all per-corpus weights collapse into `cnt`
+  * once, so round cost scales with |vocab|, not corpus size. At
+  * 100 TB that is the difference between iterating over ~10⁸ distinct
+  * words and ~10¹³ running words.
+  *
+  * Left-greedy via fold: `aggregate` over the symbol array, merging
+  * when (last-emitted, current) equals the rule. This IS the
+  * left-to-right scan: after a merge the emitted symbol is a||b,
+  * which can never equal a again (b is non-empty), so a just-merged
+  * token is never the left half of an immediate re-merge — precisely
+  * the "resume scanning after the consumed position" semantics.
+  * Consecutive overlapping matches only arise for a = b runs
+  * ((a,b) matching at i and i+1 forces sym(i+1) = b = a), where the
+  * fold keeps even offsets from each run start — the same
+  * gaps-and-islands formulation the DuckDB oracle
+  * ([[graft.oracle.BpeSql]]) implements relationally, which is what
+  * makes this key hash-exact cross-engine.
+  *
+  * Scale shape, per round: pair counting is one map-side-combinable
+  * aggregation (key space bounded by live pair vocabulary); the
+  * argmax is a TakeOrdered(1); the rule is attached as a broadcast
+  * single-row join (NO driver collect — the loop is k fixed rounds,
+  * so the continuation never needs a driver scalar, unlike
+  * [[Iterate.untilFixpoint]] consumers); the fold is row-local. The
+  * only non-codegen piece is the `aggregate` HOF, paid once per
+  * vocab row per round. Rounds localCheckpoint via [[Iterate.fixed]]
+  * (every round: each state is consumed twice — pair counting and
+  * rule application — so materializing it avoids recomputing the
+  * whole prior chain, and truncates the k-round lineage).
+  */
+object Bpe {
+
+  import Relational.Q
+
+  /** Rounds for the registered key: enough to exercise rule
+    * interaction (round 2+ can merge a round-1 product with a raw
+    * symbol) while staying a bounded bench cost.
+    */
+  private val MergeRounds = 3
+
+  /** Left-greedy application of rule (a, b) to one symbol array via
+    * fold — see the object scaladoc for the equivalence argument.
+    * `syms` must be non-empty (vocabulary words are).
+    */
+  private def foldMerge(syms: Column, a: Column, b: Column): Column =
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      slice(syms, 1, 1),
+      (acc, s) => when(element_at(acc, -1) === a && s === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** One merge round over vocabulary state (w, cnt, syms). */
+  private[ops] def mergeRound(state: DataFrame): DataFrame = {
+    val pairCounts = state
+      .filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("pa"),
+          element_at(col("syms"), i + 1).as("pb")))).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(sum(col("cnt")).as("pc"))
+    val best = pairCounts
+      .orderBy(col("pc").desc, col("pa"), col("pb"))
+      .limit(1)
+      .select(col("pa"), col("pb"))
+    // Left join on TRUE, not crossJoin: an exhausted vocabulary (every
+    // word a single symbol → empty best) must leave state unchanged,
+    // and a cross join against an empty side would erase it. The null
+    // rule then fails the fold's match predicate on every row.
+    state.join(broadcast(best), lit(true), "left")
+      .select(col("w"), col("cnt"),
+        when(col("pa").isNull || size(col("syms")) < 2, col("syms"))
+          .otherwise(foldMerge(col("syms"), col("pa"), col("pb")))
+          .as("syms"))
+  }
+
+  /** Initial state: distinct words with occurrence counts, each split
+    * into single-character symbols. Same tokenizer as
+    * [[Curation2.textBpePairs]] (split on whitespace runs).
+    */
+  private[ops] def vocab(docs: DataFrame): DataFrame =
+    docs
+      .filter(trim(col("text")) =!= "")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", split(col("w"), ""))
+
+  /** k merge rounds over `docs`; output one row per distinct word:
+    * its merged segmentation (space-joined), symbol count, and
+    * corpus occurrence count.
+    */
+  private[graft] def mergeRounds(docs: DataFrame, k: Int): DataFrame =
+    Iterate.fixed(0 until k, _ => true)(vocab(docs))((st, _) => mergeRound(st))
+      .select(col("w"), concat_ws(" ", col("syms")).as("merged"),
+        size(col("syms")).cast("long").as("n_syms"), col("cnt").as("n_occ"))
+      .orderBy("w")
+
+  val textBpeMerge: Q = (s, dir) =>
+    mergeRounds(table(s, dir, "documents"), MergeRounds)
+
+  val queries: Map[String, Q] = Map(
+    "text_bpe_merge" -> textBpeMerge,
+  )
+}

@@ -43,8 +43,11 @@ object InfoTheory {
     *
     * H = log2 n − (Σ cᵢ·log2 cᵢ)/n evaluated as fixed-point
     * integers: H₂₀ = L₂₀(n) − (Σ cᵢ·L₂₀(cᵢ)) div n, emitted as
-    * H₂₀/2²⁰ (exact: H₂₀ < 2²⁶). Magnitudes: cᵢ ≤ n ≤ doc token
-    * count, so Σ cᵢ·L₂₀(cᵢ) < n·63·2²⁰ — safe to 10¹² tokens/doc.
+    * H₂₀/2²⁰ (exact: H₂₀ < 2²⁶). Magnitudes: the worst case is one
+    * dominant token (c₁ ≈ n), where Σ cᵢ·L₂₀(cᵢ) ≈ n·log2(n)·2²⁰ —
+    * this stays under the signed-64 max while n·log2(n) < 2⁴³,
+    * i.e. up to ≈ 2·10¹¹ tokens per document. Beyond that, widen
+    * the sum to DECIMAL(38,0) (same plan shape, ~2× agg cost).
     *
     * Scale — ONE exchange, by choice: partitioning the exploded
     * token stream by doc_id alone satisfies BOTH aggregations
@@ -149,6 +152,11 @@ object InfoTheory {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
+      // A slope needs two points: a lang slice with one distinct token
+      // has den = 0, where Spark emits NaN but DuckDB's 0/0 answer is
+      // version-dependent (NULL vs NaN). Both engines drop the
+      // degenerate slice instead (oracle has the same predicate).
+      .filter(col("n_terms") >= 2)
       .withColumn("num",
         col("n_terms").cast(DecimalType(12, 0)) * col("sxy").cast(DecimalType(19, 0)) -
           col("sx").cast(DecimalType(16, 0)) * col("sy").cast(DecimalType(16, 0)))

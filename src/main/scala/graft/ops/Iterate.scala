@@ -41,4 +41,51 @@ private[ops] object Iterate {
       val next = step(state, k)
       if (checkpointAt(k) && k != rounds.last) next.localCheckpoint() else next
     }
+
+  /** Terminal state of [[untilFixpoint]]: the last state (always
+    * localCheckpoint'd), its measure, rounds executed, and which exit
+    * fired (`converged` per the caller's test; `!converged` means the
+    * measure fell to `exitBelow` or `maxRounds` ran out — the caller
+    * distinguishes those two from `measure`/`rounds`).
+    */
+  final case class Fixpoint(state: DataFrame, measure: Long, rounds: Int,
+      converged: Boolean)
+
+  /** Data-dependent iteration driver for the loops whose round count
+    * is not known up front ([[Llm.connectedComponents]]' star
+    * contraction). Contract for the ONE permitted driver scalar in
+    * iterative operators: `measure` returns a single Long per round
+    * (a `count()` — O(1) driver memory, never rows), and the loop
+    * cannot be folded into a lazy plan precisely because the
+    * CONTINUATION depends on that scalar — Spark has no
+    * iterate-until-empty plan node, so a driver-side count per round
+    * is the minimum possible driver involvement, and it doubles as
+    * the per-round lineage barrier (each state is localCheckpoint'd
+    * here, not in `step`; a cluster deployment swaps in reliable
+    * `checkpoint`, see [[fixed]]'s cadence discussion).
+    *
+    * Loop shape (exactly the while-loop it replaces): while the
+    * previous measure is above `exitBelow`, rounds remain, and the
+    * caller's `test(prevMeasure, nextState, nextMeasure)` has not
+    * declared convergence, advance. `test` sees both measures so
+    * "count stopped shrinking" guards (which make a more expensive
+    * structural check conditional) stay cheap.
+    */
+  def untilFixpoint(init: DataFrame, measure: DataFrame => Long,
+      exitBelow: Long, maxRounds: Int)(step: DataFrame => DataFrame)(
+      test: (Long, DataFrame, Long) => Boolean): Fixpoint = {
+    var state = init.localCheckpoint()
+    var m = measure(state)
+    var round = 0
+    var converged = false
+    while (!converged && m > exitBelow && round < maxRounds) {
+      val next = step(state).localCheckpoint()
+      val m2 = measure(next)
+      converged = test(m, next, m2)
+      state = next
+      m = m2
+      round += 1
+    }
+    Fixpoint(state, m, round, converged)
+  }
 }

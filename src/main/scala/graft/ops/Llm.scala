@@ -434,16 +434,16 @@ object Llm {
       localThreshold: Long = 100000L): org.apache.spark.sql.DataFrame = {
     val spark = pairs.sparkSession
     // canonical undirected form: (hi, lo) with hi > lo, dedup'd
-    var edges = pairs
+    val init = pairs
       .select(greatest(col("a_id"), col("b_id")).as("hi"),
         least(col("a_id"), col("b_id")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
-      .localCheckpoint()
-    var eCount = edges.count()
-    var round = 0
-    var converged = false
-    while (!converged && eCount > localThreshold && round < maxRounds) {
+    // Iterate.untilFixpoint owns the round loop: per-round edge count
+    // is the permitted driver scalar (the continuation depends on it),
+    // and checkpointing happens at the driver, once per round.
+    val fp = Iterate.untilFixpoint(init, _.count(), localThreshold,
+      maxRounds) { edges =>
       // large-star: group by node over BOTH directions; emit
       // (larger-neighbor, neighborhood-min). v > u ≥ m keeps (hi, lo)
       // canonical with no extra filter.
@@ -458,25 +458,26 @@ object Llm {
       // at their collective min; x ≥ m by construction, x = m rows are
       // the dropped self-loops
       val mins2 = afterLarge.groupBy("hi").agg(min(col("lo")).as("m"))
-      edges = afterLarge.join(mins2, "hi")
+      afterLarge.join(mins2, "hi")
         .select(col("lo").as("x"), col("m"))
         .union(mins2.select(col("hi").as("x"), col("m")))
         .filter(col("x") =!= col("m"))
         .select(col("x").as("hi"), col("m").as("lo"))
         .distinct()
-        .localCheckpoint()
-      val eCount2 = edges.count()
-      if (eCount2 == eCount) {
-        // stable count is necessary for the fixpoint; verify star-ness:
-        // one target per hub, and no hub is anyone's target
+    } { (prevCount, edges, eCount2) =>
+      // stable count is necessary for the fixpoint; only then pay the
+      // structural star-ness check: one target per hub, and no hub is
+      // anyone's target (two more measure-class scalars, conditional)
+      eCount2 == prevCount && {
         val hubs = edges.select("hi").distinct()
         val chained = edges
           .join(hubs.select(col("hi").as("lo")), Seq("lo"), "left_semi").count()
-        converged = chained == 0 && hubs.count() == eCount2
+        chained == 0 && hubs.count() == eCount2
       }
-      eCount = eCount2
-      round += 1
     }
+    val edges = fp.state
+    val eCount = fp.measure
+    val converged = fp.converged
     if (eCount <= localThreshold) {
       // endgame: close the residual with a union-find on the driver;
       // star rounds never drop a non-singleton node, so this edge set

@@ -1,0 +1,62 @@
+package graft.oracle
+
+/** DuckDB replica of [[graft.ops.Bpe]]'s merge rounds, relationally:
+  * symbol arrays become (w, pos, sym) rows, and the left-greedy merge
+  * becomes the gaps-and-islands even-offset rule — a match position
+  * is applied iff its offset from the start of its maximal run of
+  * consecutive match positions is even (runs longer than 1 only occur
+  * for a = b rules; see the equivalence argument in ops.Bpe's
+  * scaladoc). Each round is one mechanical CTE block, chained k
+  * times; the argmax rule is re-derived INSIDE the SQL per round
+  * (same total order: count DESC, pair lexicographic), so the oracle
+  * is fully independent of the Spark side.
+  *
+  * Determinism note (the round-9 `dedup_substring_remove` lesson):
+  * every window here orders by a TOTAL key within its partition
+  * ((w, pos) rows are unique by construction), so no chained-window
+  * tie instability is possible.
+  */
+object BpeSql {
+
+  /** One merge round: consumes CTE `s$r` (w, pos, sym), emits
+    * `s${r+1}`. Expects `wc` (w, cnt) in scope.
+    */
+  private def round(r: Int): String = {
+    val in = s"s$r"
+    s"""bp$r AS (
+       |  SELECT a.sym AS pa, b.sym AS pb, SUM(wc.cnt) AS pc
+       |  FROM $in a
+       |  JOIN $in b ON b.w = a.w AND b.pos = a.pos + 1
+       |  JOIN wc ON wc.w = a.w
+       |  GROUP BY a.sym, b.sym),
+       |best$r AS (
+       |  SELECT pa, pb FROM bp$r ORDER BY pc DESC, pa, pb LIMIT 1),
+       |m$r AS (
+       |  SELECT a.w, a.pos
+       |  FROM $in a
+       |  JOIN $in b ON b.w = a.w AND b.pos = a.pos + 1
+       |  JOIN best$r ON a.sym = best$r.pa AND b.sym = best$r.pb),
+       |k$r AS (
+       |  SELECT w, pos FROM (
+       |    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+       |    FROM (SELECT w, pos,
+       |            pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+       |          FROM m$r))
+       |  WHERE off % 2 = 0),
+       |s${r + 1} AS (
+       |  SELECT s.w,
+       |         CAST(row_number() OVER (PARTITION BY s.w ORDER BY s.pos) AS BIGINT) - 1 AS pos,
+       |         CASE WHEN k.pos IS NOT NULL THEN s.sym || nx.sym ELSE s.sym END AS sym
+       |  FROM $in s
+       |  LEFT JOIN k$r k ON k.w = s.w AND k.pos = s.pos
+       |  LEFT JOIN $in nx ON nx.w = s.w AND nx.pos = s.pos + 1
+       |  LEFT JOIN k$r pk ON pk.w = s.w AND pk.pos = s.pos - 1
+       |  WHERE pk.pos IS NULL)""".stripMargin
+  }
+
+  /** The k chained round blocks, to splice after `s0`/`wc` CTEs. */
+  def chain(k: Int): String = (0 until k).map(round).mkString(",\n")
+
+  /** Name of the final symbol relation after k rounds. */
+  def finalTable(k: Int): String = s"s$k"
+}

@@ -1,0 +1,97 @@
+package graft
+
+/** ops.Bpe: k-round left-greedy BPE merge training. The planted
+  * "aaa" fixtures pin the overlap semantics (left-greedy keeps EVEN
+  * offsets within a run of consecutive matches); the randomized test
+  * checks the full k-round pipeline against an independent
+  * driver-side reference implementation of the textbook scan.
+  */
+class BpeMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(docs: Seq[String]) =
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  private def run(docs: Seq[String], k: Int): Map[String, (String, Long, Long)] =
+    ops.Bpe.mergeRounds(docsDf(docs), k)
+      .as[(String, String, Long, Long)].collect()
+      .map { case (w, m, n, c) => w -> ((m, n, c)) }.toMap
+
+  // ---- reference model: textbook left-to-right scan, no Spark ----
+
+  private def refApply(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refRounds(wordCounts: Map[String, Long], k: Int): Map[String, Vector[String]] = {
+    var st = wordCounts.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    (0 until k).foreach { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      st.foreach { case (w, syms) =>
+        (0 until syms.length - 1).foreach { i =>
+          counts((syms(i), syms(i + 1))) += wordCounts(w)
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), _) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        st = st.map { case (w, syms) => w -> refApply(syms, a, b) }
+      }
+    }
+    st
+  }
+
+  test("planted aaa overlap: left-greedy keeps even offsets in a run") {
+    // (a,a) dominates every other pair; one round must merge it
+    // left-greedily: aaa → [aa, a], aaaa → [aa, aa], aaaaa → [aa, aa, a]
+    val got = run(Seq("aaa aaaa aaaaa", "aaa aaaa aaaaa"), 1)
+    assert(got("aaa")._1 === "aa a")
+    assert(got("aaaa")._1 === "aa aa")
+    assert(got("aaaaa")._1 === "aa aa a")
+    assert(got("aaa")._2 === 2L && got("aaaaa")._2 === 3L)
+    assert(got("aaa")._3 === 2L) // n_occ: appears once per doc
+  }
+
+  test("rule argmax tie-break is lexicographic on the pair") {
+    // (a,b) and (c,d) both count 3 → lex-smaller (a,b) wins round 1
+    val got = run(Seq("ab cd ab cd ab cd"), 1)
+    assert(got("ab")._1 === "ab")
+    assert(got("cd")._1 === "c d")
+  }
+
+  test("later rounds merge earlier products with raw symbols") {
+    // round 1: (a,b) ties (b,c), lex → "ab"; round 2: (ab,c) → "abc"
+    val got = run(Seq("abc abc abc"), 2)
+    assert(got("abc")._1 === "abc")
+    assert(got("abc")._2 === 1L)
+  }
+
+  test("exhausted vocabulary is a no-op round, not an empty result") {
+    // all words single-char: no pairs exist in any round
+    val got = run(Seq("a b c a b a"), 3)
+    assert(got === Map(
+      "a" -> (("a", 1L, 3L)), "b" -> (("b", 1L, 2L)), "c" -> (("c", 1L, 1L))))
+  }
+
+  test("k=3 rounds match the reference scan on a randomized corpus") {
+    val rnd = new scala.util.Random(42)
+    val words = Seq.fill(40)((1 to (1 + rnd.nextInt(7)))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val docs = words.grouped(8).map(_.mkString(" ")).toSeq
+    val wordCounts = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val expect = refRounds(wordCounts, 3)
+    val got = run(docs, 3)
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (w, syms) =>
+      assert(got(w)._1 === syms.mkString(" "), s"word $w")
+      assert(got(w)._2 === syms.length.toLong, s"word $w n_syms")
+      assert(got(w)._3 === wordCounts(w), s"word $w n_occ")
+    }
+  }
+}
