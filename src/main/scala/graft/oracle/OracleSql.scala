@@ -2445,8 +2445,46 @@ object OracleSql {
          |ORDER BY s.w""".stripMargin,
   )
 
+  private val bipartite: Map[String, String] = Map(
+    // ops.Bipartite: the customer×brand projection and the τ=0.95
+    // all-pairs profile similarity join. The oracle is the BRUTE
+    // FORCE pairwise form — it never assumes the Δ≤1 deletion-
+    // neighborhood completeness bound the Spark side exploits, so a
+    // corpus that broke the bound would fail the gate loudly.
+    "orders_brand_profile" ->
+      """WITH cb AS (
+        |  SELECT DISTINCT o_custkey AS c, p_brand AS e
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey)
+        |SELECT c AS custkey, count(*) AS n_brands,
+        |       string_agg(e, ',' ORDER BY e) AS profile
+        |FROM cb GROUP BY c
+        |ORDER BY custkey""".stripMargin,
+
+    "sim_profile_allpairs" ->
+      """WITH cb AS (
+        |  SELECT DISTINCT o_custkey AS c, p_brand AS e
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |sz AS (SELECT c, count(*) AS sz FROM cb GROUP BY c),
+        |inter AS (
+        |  SELECT a.c AS ca, b.c AS cb2, count(*) AS i
+        |  FROM cb a JOIN cb b ON a.e = b.e AND a.c < b.c
+        |  GROUP BY a.c, b.c)
+        |SELECT ca AS a_id, cb2 AS b_id, i AS inter,
+        |       sa.sz + sb.sz - i AS uni,
+        |       CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.c = ca
+        |JOIN sz sb ON sb.c = cb2
+        |WHERE 20 * i >= 19 * (sa.sz + sb.sz - i)
+        |ORDER BY a_id, b_id""".stripMargin,
+  )
+
   val sql: Map[String, String] =
     relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++
       llm ++ streaming ++ llm2 ++ curation ++ statsLayout ++ analytics ++
-      analytics2 ++ graph ++ round8 ++ infoTheory ++ bpe
+      analytics2 ++ graph ++ round8 ++ infoTheory ++ bpe ++ bipartite
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ops.Bipartite: brand-profile projection + τ = 0.95 deletion-
+  * neighborhood all-pairs join. Planted fixtures pin the blocking
+  * cases (equal, Δ = 1 subset, Δ = 2 just-below-threshold); the
+  * sf0.001 test cross-checks the whole pipeline against a
+  * brute-force Spark formulation that never uses signatures.
+  */
+class BipartiteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def profDf(rows: Seq[(Long, Seq[String])]) =
+    rows.toDF("c", "brands").select(col("c"), sort_array(col("brands")).as("brands"))
+
+  private def pairs(rows: Seq[(Long, Seq[String])]): Set[(Long, Long, Long, Long)] =
+    ops.Bipartite.allpairsFromProfiles(profDf(rows))
+      .select("a_id", "b_id", "inter", "uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("equal profiles and single-element deltas qualify; two-deletes do not") {
+    val u = ('a' to 'y').map(_.toString) // 25-element universe
+    val got = pairs(Seq(
+      1L -> u,            // full
+      2L -> u,            // equal → J=1
+      3L -> u.drop(1),    // Δ=1 subset → J=24/25=0.96 ≥ 0.95
+      4L -> u.drop(2),    // Δ=2 subset of 1 → J=23/25=0.92 < 0.95 vs 1/2
+      5L -> (u.drop(1) :+ "z").sorted)) // swap one → Δ=2 vs 1, J=24/26
+    assert(got.contains((1L, 2L, 25L, 25L)))
+    assert(got.contains((1L, 3L, 24L, 25L)))
+    assert(got.contains((2L, 3L, 24L, 25L)))
+    // Δ=2 in either shape stays out at τ=0.95
+    assert(!got.exists(p => Set((p._1, p._2)).contains((1L, 4L))))
+    assert(!got.exists(p => (p._1, p._2) == (1L, 5L)))
+    // but the Δ=1 pair 3–4 (J=23/24=0.958) qualifies
+    assert(got.contains((3L, 4L, 23L, 24L)))
+  }
+
+  test("singleton profiles: equal pairs found, empty deletion sig never joins") {
+    val got = pairs(Seq(1L -> Seq("x"), 2L -> Seq("x"), 3L -> Seq("y")))
+    assert(got === Set((1L, 2L, 1L, 1L)))
+  }
+
+  test("sf0.001 deletion-sig join equals the brute-force formulation") {
+    val dir = "/root/testdata/sf0.001"
+    val got = ops.Bipartite.simProfileAllpairs(spark, dir)
+      .select("a_id", "b_id", "inter", "uni", "jaccard")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val base = io.Readers.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(io.Readers.table(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(io.Readers.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("p_brand").as("e"))
+      .distinct()
+    val sz = base.groupBy("c").agg(count(lit(1)).as("sz"))
+    val brute = base.select(col("c").as("ca"), col("e"))
+      .join(base.select(col("c").as("cb2"), col("e")), "e")
+      .filter(col("ca") < col("cb2"))
+      .groupBy("ca", "cb2").agg(count(lit(1)).as("i"))
+      .join(sz.select(col("c").as("ca"), col("sz").as("sa")), "ca")
+      .join(sz.select(col("c").as("cb2"), col("sz").as("sb")), "cb2")
+      .filter(col("i") * 20 >= (col("sa") + col("sb") - col("i")) * 19)
+      .select(col("ca"), col("cb2"), col("i"),
+        (col("sa") + col("sb") - col("i")).as("u"),
+        (col("i").cast("double") / (col("sa") + col("sb") - col("i")).cast("double")))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got === brute)
+    assert(got.nonEmpty) // the corpus genuinely produces pairs
+  }
+}

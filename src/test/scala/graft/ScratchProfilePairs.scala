@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** §8.r10.2 measurement harness: three formulations of the τ = 0.95
+  * all-pairs brand-profile similarity join, timed end-to-end
+  * (count()) on SPARK_GRAFT_SF_DIR. Results → BASELINE.md r10 row.
+  *
+  *   A (shipped)  deletion-neighborhood signature join (ops.Bipartite)
+  *   B            shared-count: element self-join + (a,b) count agg —
+  *                Σ df² joined rows (the r6/r9 baseline shape)
+  *   C            PairJoins prefix filter (divisor 20 = the τ = 0.95
+  *                pigeonhole bound), candidates only — its floor cost
+  *                before any verification
+  */
+object ScratchProfilePairs {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def cb = graft.io.Readers.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(graft.io.Readers.table(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(graft.io.Readers.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("p_brand").as("e"))
+      .distinct()
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+    }
+
+    // warm shared scans
+    cb.count()
+
+    // SPARK_GRAFT_FORMS=A,C → skip the shared-count form: at sf0.1 its
+    // Σ df² = 3.3e9 joined rows wedge the executor (heartbeat-killed
+    // after 8 min in a single AQE-coalesced partition — the input side
+    // is 8 MB, so AQE coalesces to one partition and the fan-out runs
+    // on one core; measured 2026-08-14).
+    val forms = sys.env.getOrElse("SPARK_GRAFT_FORMS", "A,B,C").split(",").toSet
+
+    if (forms("A")) time("A deletion-sig") {
+      ops.Bipartite.simProfileAllpairs(spark, dir).count()
+    }
+
+    if (forms("B")) time("B shared-count") {
+      val base = cb.localCheckpoint()
+      val sz = base.groupBy("c").agg(count(lit(1)).as("sz"))
+      val pairs = base.select(col("c").as("ca"), col("e"))
+        .join(base.select(col("c").as("cb2"), col("e")), "e")
+        .filter(col("ca") < col("cb2"))
+        .groupBy("ca", "cb2").agg(count(lit(1)).as("i"))
+      pairs
+        .join(sz.select(col("c").as("ca"), col("sz").as("sa")), "ca")
+        .join(sz.select(col("c").as("cb2"), col("sz").as("sb")), "cb2")
+        .filter(col("i") * 20 >= (col("sa") + col("sb") - col("i")) * 19)
+        .count()
+    }
+
+    if (forms("C")) time("C prefix candidates") {
+      val base = cb.localCheckpoint()
+      val inv = base
+        .join(base.groupBy("c").agg(count(lit(1)).as("gsz")), "c")
+        .select(col("c").cast("int").as("doc_id"), col("gsz").cast("int"),
+          xxhash64(col("e")).as("gh"))
+      val dfreq = inv.groupBy("gh").agg(count(lit(1)).as("df"))
+      ops.PairJoins.prefixCandidates(inv, dfreq, 20, None).count()
+    }
+
+    spark.stop()
+  }
+}
