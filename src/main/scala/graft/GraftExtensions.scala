@@ -97,6 +97,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "log2_fixed(c) expects one integral column")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("exp2_fixed"),
+      new ExpressionInfo(
+        classOf[graft.functions.NumericExpressions.Exp2Fixed].getName, "exp2_fixed"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.NumericExpressions.Exp2Fixed(c)
+        case _ => throw new IllegalArgumentException(
+          "exp2_fixed(x20) expects one integral column")
+      }))
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.NumericExpressions.log2Fixed
+import graft.functions.NumericExpressions.{exp2Fixed, log2Fixed}
 import graft.io.Readers.table
 
 /** Information-theoretic corpus statistics on the oracle-able float
@@ -294,6 +294,38 @@ object InfoTheory {
       .orderBy("c_mktsegment")
   }
 
+  /** Per-document unigram PERPLEXITY, 2^H — the entropy key's
+    * consumer-facing form: "effective vocabulary size" of the doc's
+    * token distribution (1 for pure repetition, n_distinct for
+    * uniform), directly comparable across docs of different length —
+    * the number a curation pipeline thresholds where entropy-in-bits
+    * needs a log-scale mental model. H₂₀ comes from the
+    * [[textEntropyExact]] integer pipeline; ppl₂₀ = exp2_fixed(H₂₀)
+    * ([[graft.functions.NumericExpressions.Exp2Fixed]]) keeps the
+    * whole chain integer-exact cross-engine — log AND exp both
+    * replayed bit-for-bit by the DuckDB oracle (Log2Sql + Exp2Sql).
+    * Domain: H ≤ log2(n_distinct) < 43 always, so exp2_fixed never
+    * hits its overflow null. Same one-exchange plan shape as the
+    * entropy key.
+    */
+  val textPerplexityExact: Q = (s, dir) => {
+    table(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(col("tok") =!= "")
+      .repartition(col("doc_id"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * log2Fixed(col("cnt"))).as("scl"))
+      .withColumn("h20",
+        log2Fixed(col("n_tokens")) - expr("scl div n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (exp2Fixed(col("h20")).cast("double") / 1048576.0).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_gini_impurity" -> aggGiniImpurity,
     "text_entropy_exact" -> textEntropyExact,
@@ -301,5 +333,6 @@ object InfoTheory {
     "text_zipf_slope" -> textZipfSlope,
     "text_kl_divergence" -> textKlDivergence,
     "text_cond_entropy_bigram" -> textCondEntropyBigram,
+    "text_perplexity_exact" -> textPerplexityExact,
   )
 }

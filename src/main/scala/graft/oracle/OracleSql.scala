@@ -2258,6 +2258,33 @@ object OracleSql {
          |FROM per_doc JOIN lgn ON lgn.v = per_doc.n_tokens
          |ORDER BY doc_id""".stripMargin,
 
+    // ops.InfoTheory.textPerplexityExact: the entropy pipeline's H₂₀
+    // fed through the Exp2Sql replica — log AND exp both bit-replayed.
+    "text_perplexity_exact" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+         |  FROM documents),
+         |counts AS (
+         |  SELECT doc_id, tok, count(*) AS cnt
+         |  FROM tok WHERE tok <> '' GROUP BY doc_id, tok),
+         |${Log2Sql.chain("lgc", "SELECT DISTINCT cnt AS v FROM counts")},
+         |per_doc AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+         |         CAST(SUM(cnt * lgc.l20) AS BIGINT) AS scl
+         |  FROM counts JOIN lgc ON lgc.v = counts.cnt
+         |  GROUP BY doc_id),
+         |${Log2Sql.chain("lgn", "SELECT DISTINCT n_tokens AS v FROM per_doc")},
+         |hdoc AS (
+         |  SELECT doc_id, n_tokens, n_distinct,
+         |         lgn.l20 - (scl // n_tokens) AS h20
+         |  FROM per_doc JOIN lgn ON lgn.v = per_doc.n_tokens),
+         |${Exp2Sql.chain("ex", "SELECT DISTINCT h20 AS v FROM hdoc")}
+         |SELECT doc_id, n_tokens, n_distinct,
+         |       CAST(ex.e2 AS DOUBLE) / 1048576.0 AS perplexity
+         |FROM hdoc JOIN ex ON ex.v = hdoc.h20
+         |ORDER BY doc_id""".stripMargin,
+
     "events_entropy_user" ->
       s"""WITH counts AS (
          |  SELECT user_id, event_type, count(*) AS cnt

@@ -49,6 +49,70 @@ class InfoTheorySpec extends SparkSpec {
     assert(got(3L) === Some(NumericExpressions.log2FixedJ(3L)))
   }
 
+  test("exp2_fixed: within 1.5 output-ulp + 1e-9 relative; exact at integers") {
+    val rnd = new scala.util.Random(7)
+    val rand = Seq.fill(20000)(math.abs(rnd.nextLong()) % (43L << 20))
+    val edges = (0 to 42).flatMap(e =>
+      Seq(e.toLong << 20, (e.toLong << 20) + 1, (e.toLong << 20) + 0xFFFFFL))
+      .filter(_ < (43L << 20))
+    (rand ++ edges).distinct.foreach { x =>
+      val got = NumericExpressions.exp2FixedJ(x).toDouble / F
+      val want = math.pow(2.0, x.toDouble / F)
+      // error budget: floor-quantization to 2^-20 (< 1 ulp, the
+      // dominant term for small outputs) + mantissa truncation/
+      // constant rounding (< 1e-9 relative, dominant for e >= 20
+      // where the ulp is scaled up by the final left shift)
+      assert(math.abs(got - want) < 1.5 / F + want * 1e-9,
+        s"x=$x got=$got want=$want")
+    }
+    // exact at integer exponents: 2^e with zero fraction
+    (0 to 42).foreach { e =>
+      assert(NumericExpressions.exp2FixedJ(e.toLong << 20) === (1L << e) << 20
+        || e >= 43, s"e=$e")
+    }
+  }
+
+  test("exp2_fixed round-trips log2_fixed within fixed-point tolerance") {
+    // exp2(log2(c)) must land within a few ulps·c of c — the two
+    // kernels' truncations compound but never diverge
+    val rnd = new scala.util.Random(11)
+    Seq.fill(5000)(math.abs(rnd.nextLong()) % (1L << 40) + 1).foreach { c =>
+      val rt = NumericExpressions.exp2FixedJ(
+        NumericExpressions.log2FixedJ(c)).toDouble / F
+      assert(math.abs(rt - c.toDouble) / c.toDouble < 1e-5, s"c=$c rt=$rt")
+    }
+  }
+
+  test("exp2_fixed via codegen: domain nulls and kernel agreement") {
+    val vals = Seq[java.lang.Long](0L, 1L << 20, (1L << 20) + 12345L,
+      42L << 20, 43L << 20, -1L, null)
+    val df = vals.map(Option(_).map(Long2long)).toDF("x")
+    val got = df.select(col("x"),
+      NumericExpressions.exp2Fixed(col("x")).as("e")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(0L) === Some(1L << 20))
+    assert(got(1L << 20) === Some(2L << 20))
+    assert(got((1L << 20) + 12345L) ===
+      Some(NumericExpressions.exp2FixedJ((1L << 20) + 12345L)))
+    assert(got(42L << 20) === Some(1L << 62))
+    assert(got(43L << 20) === None) // overflow domain
+    assert(got(-1L) === None)
+    assert(got(null) === None)
+  }
+
+  test("text_perplexity_exact: 1 <= ppl <= n_distinct, tracks 2^H") {
+    val rows = ops.InfoTheory.textPerplexityExact(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_distinct", "perplexity").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val ent = ops.InfoTheory.textEntropyExact(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "entropy_bits").as[(Long, Double)].collect().toMap
+    rows.foreach { case (d, k, p) =>
+      assert(p >= 1.0 - 1e-9 && p <= k.toDouble + 1e-6, s"doc $d: ppl=$p k=$k")
+      assert(math.abs(p - math.pow(2.0, ent(d))) / p < 1e-5, s"doc $d")
+    }
+  }
+
   test("log2_fixed survives whole-stage codegen with fallback disabled") {
     // a janino rejection of the generated code would silently drop the
     // stage to interpreted mode (correct values, 10× cost) — disable
@@ -58,6 +122,10 @@ class InfoTheorySpec extends SparkSpec {
       val r = ops.InfoTheory.textEntropyExact(spark, "/root/testdata/sf0.001")
         .collect()
       assert(r.nonEmpty)
+      // and the exp2 consumer path (Exp2Fixed generated code)
+      val p = ops.InfoTheory.textPerplexityExact(spark, "/root/testdata/sf0.001")
+        .collect()
+      assert(p.nonEmpty)
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
