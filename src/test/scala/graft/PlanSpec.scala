@@ -391,4 +391,28 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unpartitioned window operators (single-task global sorts):\n${offenders.mkString("\n")}")
   }
+
+  test("sim_profile_allpairs: skinny sig-equi-join, pair dedup before arrays attach") {
+    val df = ops.Bipartite.simProfileAllpairs(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // candidates join on the 64-bit sig hash (an equi-join, present in
+    // the plan), and the pair set dedupes on (a_id, b_id) BEFORE the
+    // brand arrays re-attach — the 16-byte-row discipline
+    assert(p.contains("xxhash64"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate(keys=[a_id") && l.contains("b_id") &&
+        !l.contains("br")), p)
+  }
+
+  test("text_bpe_merge: argmax is TakeOrdered(1), pair counts partial-agg") {
+    val df = ops.Bpe.textBpeMerge(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // per-round rule argmax never global-sorts
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // pair counting is two-phase (map-side combine before the exchange)
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_sum")), p)
+  }
 }
