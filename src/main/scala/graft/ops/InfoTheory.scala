@@ -326,8 +326,52 @@ object InfoTheory {
       .orderBy("doc_id")
   }
 
+  /** Perplexity-temperature document sampling — the float frontier
+    * composed into the sampling family: keep each document with
+    * probability (ppl/ppl_max)^(1/2), favoring vocabulary-diverse
+    * docs while never fully starving repetitive ones — the
+    * quality-diversity mixing lever next to [[Llm.sampleTemperature]]
+    * (which rebalances DOMAINS; this weighs individual docs).
+    *
+    * Fully integer/engine-exact chain: w₂₀ = exp2_fixed(H₂₀ div 2)
+    * = √ppl in Q20 (div is positive-truncating in both engines);
+    * thr = w₂₀·10⁶ div wmax₂₀ ∈ [0, 10⁶] (wmax rides a 1-row
+    * broadcast — no driver scalar; products < 2⁴⁶); the gate is the
+    * house md5-ppm discipline under its own salt (independent of the
+    * split/sample/budget gates — [[Llm.sampleBucket]]'s argument).
+    * Membership is a pure function of (doc_id, corpus max) — stable
+    * across runs, engines, partitionings.
+    *
+    * Scale: the entropy pipeline's one exchange + a 1-row broadcast +
+    * a row-local gate. The max aggregate is algebraic (map-side
+    * combined).
+    */
+  val samplePerplexityTemperature: Q = (s, dir) => {
+    val h = table(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(col("tok") =!= "")
+      .repartition(col("doc_id"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * log2Fixed(col("cnt"))).as("scl"))
+      .withColumn("h20",
+        log2Fixed(col("n_tokens")) - expr("scl div n_tokens"))
+      .withColumn("w20", exp2Fixed(expr("h20 div 2")))
+    val wmax = h.agg(max(col("w20")).as("wmax20"))
+    val ppm = conv(substring(md5(concat_ws("|", lit("graft-ppl-temp"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000000
+    h.crossJoin(broadcast(wmax))
+      .withColumn("thr", expr("w20 * 1000000 div wmax20"))
+      .filter(ppm < col("thr"))
+      .select(col("doc_id"), col("n_tokens"), col("w20"), col("thr"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_gini_impurity" -> aggGiniImpurity,
+    "sample_perplexity_temperature" -> samplePerplexityTemperature,
     "text_entropy_exact" -> textEntropyExact,
     "events_entropy_user" -> eventsEntropyUser,
     "text_zipf_slope" -> textZipfSlope,

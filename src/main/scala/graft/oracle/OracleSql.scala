@@ -2285,6 +2285,40 @@ object OracleSql {
          |FROM hdoc JOIN ex ON ex.v = hdoc.h20
          |ORDER BY doc_id""".stripMargin,
 
+    // ops.InfoTheory.samplePerplexityTemperature: entropy H₂₀ →
+    // w₂₀ = exp2(H₂₀ div 2) = √ppl → ppm gate vs w₂₀·10⁶ div wmax.
+    "sample_perplexity_temperature" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+         |  FROM documents),
+         |counts AS (
+         |  SELECT doc_id, tok, count(*) AS cnt
+         |  FROM tok WHERE tok <> '' GROUP BY doc_id, tok),
+         |${Log2Sql.chain("lgc", "SELECT DISTINCT cnt AS v FROM counts")},
+         |per_doc AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(cnt * lgc.l20) AS BIGINT) AS scl
+         |  FROM counts JOIN lgc ON lgc.v = counts.cnt
+         |  GROUP BY doc_id),
+         |${Log2Sql.chain("lgn", "SELECT DISTINCT n_tokens AS v FROM per_doc")},
+         |hdoc AS (
+         |  SELECT doc_id, n_tokens,
+         |         (lgn.l20 - (scl // n_tokens)) // 2 AS hh
+         |  FROM per_doc JOIN lgn ON lgn.v = per_doc.n_tokens),
+         |${Exp2Sql.chain("ex", "SELECT DISTINCT hh AS v FROM hdoc")},
+         |w AS (
+         |  SELECT doc_id, n_tokens, ex.e2 AS w20
+         |  FROM hdoc JOIN ex ON ex.v = hdoc.hh),
+         |wm AS (SELECT max(w20) AS wmax20 FROM w)
+         |SELECT doc_id, n_tokens, w20,
+         |       w20 * 1000000 // wmax20 AS thr
+         |FROM w, wm
+         |WHERE CAST(('0x' || substr(md5('graft-ppl-temp' || '|' ||
+         |        CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+         |      < w20 * 1000000 // wmax20
+         |ORDER BY doc_id""".stripMargin,
+
     "events_entropy_user" ->
       s"""WITH counts AS (
          |  SELECT user_id, event_type, count(*) AS cnt

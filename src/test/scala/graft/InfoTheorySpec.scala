@@ -113,6 +113,23 @@ class InfoTheorySpec extends SparkSpec {
     }
   }
 
+  test("sample_perplexity_temperature: max-weight doc always kept, thresholds in range") {
+    val rows = ops.InfoTheory.samplePerplexityTemperature(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "w20", "thr").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, w, t) =>
+      assert(t >= 1L && t <= 1000000L, s"doc $d thr=$t")
+      assert(w >= (1L << 20), s"doc $d w20=$w below 1.0") // ppl >= 1 ⇒ √ppl >= 1
+    }
+    // the argmax doc has thr = 10^6, which no ppm can reach → present
+    val wmax = rows.map(_._2).max
+    assert(rows.filter(_._2 == wmax).forall(_._3 == 1000000L))
+    // and the kept set is a strict subset of the corpus (gate does gate)
+    val total = io.Readers.table(spark, "/root/testdata/sf0.001", "documents")
+      .filter(org.apache.spark.sql.functions.trim(col("text")) =!= "").count()
+    assert(rows.length < total)
+  }
+
   test("log2_fixed survives whole-stage codegen with fallback disabled") {
     // a janino rejection of the generated code would silently drop the
     // stage to interpreted mode (correct values, 10× cost) — disable
