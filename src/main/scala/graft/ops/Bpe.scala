@@ -68,8 +68,15 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
         .otherwise(concat(acc, array(s))))
 
-  /** One merge round over vocabulary state (w, cnt, syms). */
-  private[ops] def mergeRound(state: DataFrame): DataFrame = {
+  /** One merge round over vocabulary state (w, cnt, syms). With
+    * `minCount > 1`, a round whose best pair falls below the
+    * threshold finds an EMPTY rule and no-ops — and since a no-op
+    * leaves the state (hence every later round's pair counts)
+    * unchanged, the first sub-threshold round makes all remaining
+    * rounds no-ops too: count-threshold STOPPING expressed inside
+    * the lazy plan, no driver scalar, fixed plan depth.
+    */
+  private[ops] def mergeRound(state: DataFrame, minCount: Long = 1L): DataFrame = {
     val pairCounts = state
       .filter(size(col("syms")) >= 2)
       .select(col("cnt"), explode(transform(
@@ -79,6 +86,7 @@ object Bpe {
       .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(sum(col("cnt")).as("pc"))
     val best = pairCounts
+      .filter(col("pc") >= minCount)
       .orderBy(col("pc").desc, col("pa"), col("pb"))
       .limit(1)
       .select(col("pa"), col("pb"))
@@ -105,12 +113,14 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("syms", split(col("w"), ""))
 
-  /** k merge rounds over `docs`; output one row per distinct word:
-    * its merged segmentation (space-joined), symbol count, and
-    * corpus occurrence count.
+  /** k merge rounds over `docs` (optionally threshold-stopped);
+    * output one row per distinct word: its merged segmentation
+    * (space-joined), symbol count, and corpus occurrence count.
     */
-  private[graft] def mergeRounds(docs: DataFrame, k: Int): DataFrame =
-    Iterate.fixed(0 until k, _ => true)(vocab(docs))((st, _) => mergeRound(st))
+  private[graft] def mergeRounds(docs: DataFrame, k: Int,
+      minCount: Long = 1L): DataFrame =
+    Iterate.fixed(0 until k, _ => true)(vocab(docs))(
+      (st, _) => mergeRound(st, minCount))
       .select(col("w"), concat_ws(" ", col("syms")).as("merged"),
         size(col("syms")).cast("long").as("n_syms"), col("cnt").as("n_occ"))
       .orderBy("w")
@@ -118,7 +128,21 @@ object Bpe {
   val textBpeMerge: Q = (s, dir) =>
     mergeRounds(table(s, dir, "documents"), MergeRounds)
 
+  /** Depth variant (§8.r11.1, pulled into round 10): up to 8 rounds,
+    * stopping once no pair reaches `TrainMinCount` — how real
+    * tokenizer training terminates (merge until the argmax count is
+    * no longer worth a rule). The stopping is data-dependent but the
+    * PLAN depth is fixed (see [[mergeRound]]'s no-op argument), so
+    * the loop stays lazy end-to-end.
+    */
+  private val TrainRounds = 8
+  private val TrainMinCount = 1500L
+
+  val textBpeTrain: Q = (s, dir) =>
+    mergeRounds(table(s, dir, "documents"), TrainRounds, TrainMinCount)
+
   val queries: Map[String, Q] = Map(
     "text_bpe_merge" -> textBpeMerge,
+    "text_bpe_train" -> textBpeTrain,
   )
 }

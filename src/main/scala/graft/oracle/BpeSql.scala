@@ -19,31 +19,34 @@ package graft.oracle
 object BpeSql {
 
   /** One merge round: consumes CTE `s$r` (w, pos, sym), emits
-    * `s${r+1}`. Expects `wc` (w, cnt) in scope.
+    * `s${r+1}`. Expects `wc` (w, cnt) in scope. `minCount > 1`
+    * replicates the threshold-stopped training variant: an empty
+    * best$r makes the round (and hence every later round) a no-op.
     */
-  private def round(r: Int): String = {
+  private def round(r: Int, minCount: Long): String = {
     val in = s"s$r"
-    s"""bp$r AS (
+    s"""bp$r AS MATERIALIZED (
        |  SELECT a.sym AS pa, b.sym AS pb, SUM(wc.cnt) AS pc
        |  FROM $in a
        |  JOIN $in b ON b.w = a.w AND b.pos = a.pos + 1
        |  JOIN wc ON wc.w = a.w
        |  GROUP BY a.sym, b.sym),
-       |best$r AS (
-       |  SELECT pa, pb FROM bp$r ORDER BY pc DESC, pa, pb LIMIT 1),
-       |m$r AS (
+       |best$r AS MATERIALIZED (
+       |  SELECT pa, pb FROM bp$r WHERE pc >= $minCount
+       |  ORDER BY pc DESC, pa, pb LIMIT 1),
+       |m$r AS MATERIALIZED (
        |  SELECT a.w, a.pos
        |  FROM $in a
        |  JOIN $in b ON b.w = a.w AND b.pos = a.pos + 1
        |  JOIN best$r ON a.sym = best$r.pa AND b.sym = best$r.pb),
-       |k$r AS (
+       |k$r AS MATERIALIZED (
        |  SELECT w, pos FROM (
        |    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
        |    FROM (SELECT w, pos,
        |            pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
        |          FROM m$r))
        |  WHERE off % 2 = 0),
-       |s${r + 1} AS (
+       |s${r + 1} AS MATERIALIZED (
        |  SELECT s.w,
        |         CAST(row_number() OVER (PARTITION BY s.w ORDER BY s.pos) AS BIGINT) - 1 AS pos,
        |         CASE WHEN k.pos IS NOT NULL THEN s.sym || nx.sym ELSE s.sym END AS sym
@@ -55,7 +58,8 @@ object BpeSql {
   }
 
   /** The k chained round blocks, to splice after `s0`/`wc` CTEs. */
-  def chain(k: Int): String = (0 until k).map(round).mkString(",\n")
+  def chain(k: Int, minCount: Long = 1L): String =
+    (0 until k).map(round(_, minCount)).mkString(",\n")
 
   /** Name of the final symbol relation after k rounds. */
   def finalTable(k: Int): String = s"s$k"

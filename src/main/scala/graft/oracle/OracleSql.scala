@@ -2484,26 +2484,30 @@ object OracleSql {
          |LIMIT 20""".stripMargin,
   )
 
+  // ops.Bpe: k left-greedy merge rounds (optionally threshold-
+  // stopped); the rule is re-derived per round inside the SQL
+  // (count DESC, pair lex), so the oracle is fully independent —
+  // see BpeSql for the islands formulation of left-greedy
+  // application.
+  private def bpeOracle(k: Int, minCount: Long): String =
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w
+       |  FROM documents WHERE trim(text) <> ''),
+       |wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM words WHERE w <> '' GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, CAST(u.i AS BIGINT) - 1 AS pos,
+       |         substr(w, CAST(u.i AS INT), 1) AS sym
+       |  FROM wc, unnest(generate_series(1, CAST(len(w) AS BIGINT))) AS u(i)),
+       |${BpeSql.chain(k, minCount)}
+       |SELECT s.w, string_agg(s.sym, ' ' ORDER BY s.pos) AS merged,
+       |       count(*) AS n_syms, wc.cnt AS n_occ
+       |FROM ${BpeSql.finalTable(k)} s JOIN wc ON wc.w = s.w
+       |GROUP BY s.w, wc.cnt
+       |ORDER BY s.w""".stripMargin
+
   private val bpe: Map[String, String] = Map(
-    // ops.Bpe.textBpeMerge: 3 left-greedy merge rounds; the rule is
-    // re-derived per round inside the SQL (count DESC, pair lex), so
-    // the oracle is fully independent — see BpeSql for the islands
-    // formulation of left-greedy application.
-    "text_bpe_merge" ->
-      s"""WITH words AS (
-         |  SELECT unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w
-         |  FROM documents WHERE trim(text) <> ''),
-         |wc AS (SELECT w, count(*) AS cnt FROM words WHERE w <> '' GROUP BY w),
-         |s0 AS (
-         |  SELECT w, CAST(u.i AS BIGINT) - 1 AS pos,
-         |         substr(w, CAST(u.i AS INT), 1) AS sym
-         |  FROM wc, unnest(generate_series(1, CAST(len(w) AS BIGINT))) AS u(i)),
-         |${BpeSql.chain(3)}
-         |SELECT s.w, string_agg(s.sym, ' ' ORDER BY s.pos) AS merged,
-         |       count(*) AS n_syms, wc.cnt AS n_occ
-         |FROM ${BpeSql.finalTable(3)} s JOIN wc ON wc.w = s.w
-         |GROUP BY s.w, wc.cnt
-         |ORDER BY s.w""".stripMargin,
+    "text_bpe_merge" -> bpeOracle(3, 1L),
+    "text_bpe_train" -> bpeOracle(8, 1500L),
   )
 
   private val bipartite: Map[String, String] = Map(

@@ -30,7 +30,8 @@ class BpeMergeSpec extends SparkSpec {
     out.result()
   }
 
-  private def refRounds(wordCounts: Map[String, Long], k: Int): Map[String, Vector[String]] = {
+  private def refRounds(wordCounts: Map[String, Long], k: Int,
+      minCount: Long = 1L): Map[String, Vector[String]] = {
     var st = wordCounts.keys.map(w => w -> w.map(_.toString).toVector).toMap
     (0 until k).foreach { _ =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
@@ -39,8 +40,9 @@ class BpeMergeSpec extends SparkSpec {
           counts((syms(i), syms(i + 1))) += wordCounts(w)
         }
       }
-      if (counts.nonEmpty) {
-        val ((a, b), _) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      val eligible = counts.filter(_._2 >= minCount)
+      if (eligible.nonEmpty) {
+        val ((a, b), _) = eligible.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
         st = st.map { case (w, syms) => w -> refApply(syms, a, b) }
       }
     }
@@ -77,6 +79,33 @@ class BpeMergeSpec extends SparkSpec {
     val got = run(Seq("a b c a b a"), 3)
     assert(got === Map(
       "a" -> (("a", 1L, 3L)), "b" -> (("b", 1L, 2L)), "c" -> (("c", 1L, 1L))))
+  }
+
+  test("count-threshold stopping: sub-threshold rounds are no-ops") {
+    // (a,b) count 4 >= 3 merges in round 1; afterwards every pair
+    // count is < 3, so rounds 2..5 must leave the state untouched
+    val docs = Seq("ab ab ab ab xy")
+    val got = ops.Bpe.mergeRounds(docsDf(docs), 5, minCount = 3L)
+      .as[(String, String, Long, Long)].collect()
+      .map { case (w, m, n, c) => w -> ((m, n, c)) }.toMap
+    assert(got("ab")._1 === "ab")
+    assert(got("xy")._1 === "x y") // (x,y) count 1 < 3: never merged
+  }
+
+  test("k=8 threshold-stopped matches the reference on a randomized corpus") {
+    val rnd = new scala.util.Random(99)
+    val words = Seq.fill(60)((1 to (1 + rnd.nextInt(6)))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val docs = words.grouped(10).map(_.mkString(" ")).toSeq
+    val wordCounts = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val expect = refRounds(wordCounts, 8, minCount = 5L)
+    val got = ops.Bpe.mergeRounds(docsDf(docs), 8, minCount = 5L)
+      .as[(String, String, Long, Long)].collect()
+      .map { case (w, m, _, _) => w -> m }.toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (w, syms) =>
+      assert(got(w) === syms.mkString(" "), s"word $w")
+    }
   }
 
   test("k=3 rounds match the reference scan on a randomized corpus") {
