@@ -63,7 +63,12 @@ object InfoTheory {
     * OTHER shape on purpose: [[eventsEntropyUser]] keeps
     * combine-first (5 event types ⇒ huge combine ratio), and
     * [[textZipfSlope]] must not cluster by its 5-value lang key
-    * (parallelism collapse).
+    * (parallelism collapse). Skew boundary, measured at 10⁸ tokens
+    * (ScratchEntropyScale, BASELINE.md r10): with a 10 % mega-doc
+    * the single-doc partition straggles and this shape runs
+    * 1.7–2.1× SLOWER than the free-planned two-exchange form —
+    * on corpora with pathological per-doc skew, drop the
+    * repartition and let (doc,tok) hashing spread the hot doc.
     */
   val textEntropyExact: Q = (s, dir) => {
     table(s, dir, "documents")

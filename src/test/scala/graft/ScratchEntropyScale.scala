@@ -78,9 +78,7 @@ object ScratchEntropyScale {
           .multiply(pmod(xxhash64(col("id"), lit(1)), lit(vocab)))
           .divide(lit(vocab)).cast("long").as("tok"))
 
-    val t0 = System.nanoTime()
-    val ent = toks
-      .repartition(col("doc_id"))
+    def entropyOver(base: org.apache.spark.sql.DataFrame) = base
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
@@ -89,10 +87,28 @@ object ScratchEntropyScale {
         sum(col("cnt") * log2Fixed(col("cnt"))).as("scl"))
       .withColumn("h20",
         log2Fixed(col("n_tokens")) - expr("scl div n_tokens"))
-      .agg(count(lit(1)), sum(col("h20"))).collect()
+      .agg(count(lit(1)), sum(col("h20")))
+
+    // shape A: the shipped one-exchange form (repartition(doc_id)
+    // serves both aggs; loses map-side combine — the mega-doc rides
+    // one partition)
+    val t0 = System.nanoTime()
+    val ent = entropyOver(toks.repartition(col("doc_id"))).collect()
     println(f"entropy one-exchange: ${(System.nanoTime() - t0) / 1e9}%.1f s over $nTok tokens " +
       s"(docs=${ent(0).getLong(0)}, mega-doc=$megaDoc tokens)")
-    report("entropy")
+    report("entropy one-exchange")
+
+    // shape B: the free-planned two-exchange form (hash on (doc,tok)
+    // with partial agg, then re-shuffle the distinct-token rollup on
+    // doc) — the skew-robust sibling the scaladoc names as the
+    // inverse trade
+    val t1b = System.nanoTime()
+    val entB = entropyOver(toks).collect()
+    println(f"entropy two-exchange: ${(System.nanoTime() - t1b) / 1e9}%.1f s " +
+      s"(docs=${entB(0).getLong(0)})")
+    report("entropy two-exchange")
+
+    if (nEdge == 0L) { spark.stop(); return }
 
     // ---- subject 2: connected components over 3*10^7 edges ---------
     // a 10^6-node path (adversarial diameter) + random clusters of
