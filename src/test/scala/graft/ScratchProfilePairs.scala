@@ -69,6 +69,41 @@ object ScratchProfilePairs {
         .count()
     }
 
+    // D: deletion depth d=2 at τ=0.9 (Δ≤2 complete while u ≤ 29):
+    // signatures = full ∪ 1-deletions ∪ 2-deletions (≈ sz²/2 per
+    // profile) — the §8.r11.2 probe. Verify predicate 10·i ≥ 9·u.
+    if (forms("D")) time("D deletion-sig d=2 tau=0.9") {
+      val prof = cb.groupBy(col("c"))
+        .agg(sort_array(collect_set(col("e"))).as("brands"))
+        .localCheckpoint()
+      val d1 = prof.select(col("c"), explode(
+        concat(array(col("brands")),
+          transform(sequence(lit(0), size(col("brands")) - 1),
+            i => filter(col("brands"), (_, j) => j =!= i)))).as("sigarr"))
+      val d2 = prof.select(col("c"), explode(flatten(
+        transform(sequence(lit(0), size(col("brands")) - 2), i =>
+          transform(sequence(i + 1, size(col("brands")) - 1), j =>
+            filter(col("brands"), (_, p) => p =!= i && p =!= j)))))
+        .as("sigarr"))
+      val sigs = d1.union(d2)
+        .filter(size(col("sigarr")) >= 1)
+        .select(col("c"), xxhash64(concat_ws(",", col("sigarr"))).as("sig"))
+      val cand = sigs.select(col("sig"), col("c").as("a_id"))
+        .join(sigs.select(col("sig"), col("c").as("b_id")), Seq("sig"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .distinct()
+      cand
+        .join(prof.select(col("c").as("a_id"), col("brands").as("a_br")), "a_id")
+        .join(prof.select(col("c").as("b_id"), col("brands").as("b_br")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("a_br"), col("b_br"))).cast("long").as("i"),
+          (size(col("a_br")) + size(col("b_br")) -
+            size(array_intersect(col("a_br"), col("b_br")))).cast("long").as("u"))
+        .filter(col("i") * 10 >= col("u") * 9)
+        .count()
+    }
+
     if (forms("C")) time("C prefix candidates") {
       val base = cb.localCheckpoint()
       val inv = base
