@@ -113,14 +113,22 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("syms", split(col("w"), ""))
 
+  /** The trained vocabulary after k (optionally threshold-stopped)
+    * merge rounds: (w, cnt, syms) — the tokenizer model relation the
+    * training keys render and [[textBpeTokenize]] applies.
+    */
+  private[graft] def trainedVocab(docs: DataFrame, k: Int,
+      minCount: Long = 1L): DataFrame =
+    Iterate.fixed(0 until k, _ => true)(vocab(docs))(
+      (st, _) => mergeRound(st, minCount))
+
   /** k merge rounds over `docs` (optionally threshold-stopped);
     * output one row per distinct word: its merged segmentation
     * (space-joined), symbol count, and corpus occurrence count.
     */
   private[graft] def mergeRounds(docs: DataFrame, k: Int,
       minCount: Long = 1L): DataFrame =
-    Iterate.fixed(0 until k, _ => true)(vocab(docs))(
-      (st, _) => mergeRound(st, minCount))
+    trainedVocab(docs, k, minCount)
       .select(col("w"), concat_ws(" ", col("syms")).as("merged"),
         size(col("syms")).cast("long").as("n_syms"), col("cnt").as("n_occ"))
       .orderBy("w")
@@ -141,8 +149,40 @@ object Bpe {
   val textBpeTrain: Q = (s, dir) =>
     mergeRounds(table(s, dir, "documents"), TrainRounds, TrainMinCount)
 
+  /** The INFERENCE half of tokenizer training: segment every
+    * document with the [[textBpeTrain]] tokenizer and report
+    * per-document token statistics — word count, BPE token count,
+    * and chars-per-token (the compression ratio a token-budget
+    * planner consumes; exact single division of two exact longs).
+    *
+    * Scale: the trained vocabulary is a |vocab|-row relation; the
+    * document word stream joins it on the word key (broadcast when
+    * the vocab fits, shuffle otherwise — AQE's call), then one
+    * map-side-combinable per-doc rollup. Word occurrences, not
+    * distinct words, drive the join cardinality — exactly a
+    * tokenizer's runtime cost model.
+    */
+  val textBpeTokenize: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val model = trainedVocab(docs, TrainRounds, TrainMinCount)
+      .select(col("w"), size(col("syms")).cast("long").as("n_syms"))
+    docs
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .join(model, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_bpe_merge" -> textBpeMerge,
     "text_bpe_train" -> textBpeTrain,
+    "text_bpe_tokenize" -> textBpeTokenize,
   )
 }

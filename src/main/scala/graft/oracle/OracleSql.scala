@@ -2508,6 +2508,34 @@ object OracleSql {
   private val bpe: Map[String, String] = Map(
     "text_bpe_merge" -> bpeOracle(3, 1L),
     "text_bpe_train" -> bpeOracle(8, 1500L),
+    // ops.Bpe.textBpeTokenize: per-doc segmentation stats under the
+    // k=8 / minCount=1500 trained tokenizer. Reuses the training
+    // chain, then joins the word-OCCURRENCE stream per document.
+    "text_bpe_tokenize" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w
+         |  FROM documents WHERE trim(text) <> ''),
+         |wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM words WHERE w <> '' GROUP BY w),
+         |s0 AS MATERIALIZED (
+         |  SELECT w, CAST(u.i AS BIGINT) - 1 AS pos,
+         |         substr(w, CAST(u.i AS INT), 1) AS sym
+         |  FROM wc, unnest(generate_series(1, CAST(len(w) AS BIGINT))) AS u(i)),
+         |${BpeSql.chain(8, 1500L)},
+         |model AS MATERIALIZED (
+         |  SELECT w, count(*) AS n_syms FROM ${BpeSql.finalTable(8)} GROUP BY w),
+         |docw AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w
+         |  FROM documents WHERE trim(text) <> '')
+         |SELECT doc_id, count(*) AS n_words,
+         |       CAST(SUM(model.n_syms) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(SUM(len(docw.w)) AS BIGINT) AS n_chars,
+         |       CAST(CAST(SUM(len(docw.w)) AS BIGINT) AS DOUBLE)
+         |         / CAST(CAST(SUM(model.n_syms) AS BIGINT) AS DOUBLE) AS chars_per_token
+         |FROM docw JOIN model ON model.w = docw.w
+         |WHERE docw.w <> ''
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
   )
 
   private val bipartite: Map[String, String] = Map(

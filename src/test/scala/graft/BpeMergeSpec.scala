@@ -108,6 +108,17 @@ class BpeMergeSpec extends SparkSpec {
     }
   }
 
+  test("tokenize: per-doc BPE token count sits between word and char counts") {
+    val rows = ops.Bpe.textBpeTokenize(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, nw, nb, nc, r) =>
+      // each word is >= 1 token; each token is >= 1 char
+      assert(nb >= nw && nb <= nc, s"doc $d: words=$nw bpe=$nb chars=$nc")
+      assert(math.abs(r - nc.toDouble / nb.toDouble) < 1e-12, s"doc $d ratio")
+    }
+  }
+
   test("k=3 rounds match the reference scan on a randomized corpus") {
     val rnd = new scala.util.Random(42)
     val words = Seq.fill(40)((1 to (1 + rnd.nextInt(7)))
