@@ -76,30 +76,38 @@ object Bpe {
     * rounds no-ops too: count-threshold STOPPING expressed inside
     * the lazy plan, no driver scalar, fixed plan depth.
     */
-  private[ops] def mergeRound(state: DataFrame, minCount: Long = 1L): DataFrame = {
-    val pairCounts = state
-      .filter(size(col("syms")) >= 2)
-      .select(col("cnt"), explode(transform(
-        sequence(lit(1), size(col("syms")) - 1),
-        i => struct(element_at(col("syms"), i).as("pa"),
-          element_at(col("syms"), i + 1).as("pb")))).as("p"))
-      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-      .agg(sum(col("cnt")).as("pc"))
-    val best = pairCounts
-      .filter(col("pc") >= minCount)
-      .orderBy(col("pc").desc, col("pa"), col("pb"))
-      .limit(1)
-      .select(col("pa"), col("pb"))
+  /** Occurrence-weighted adjacent-pair counts of a vocabulary state. */
+  private def pairCounts(state: DataFrame): DataFrame = state
+    .filter(size(col("syms")) >= 2)
+    .select(col("cnt"), explode(transform(
+      sequence(lit(1), size(col("syms")) - 1),
+      i => struct(element_at(col("syms"), i).as("pa"),
+        element_at(col("syms"), i + 1).as("pb")))).as("p"))
+    .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+    .agg(sum(col("cnt")).as("pc"))
+
+  /** The round's rule under the total order, with its count; empty
+    * when no pair reaches `minCount`.
+    */
+  private def bestRule(pc: DataFrame, minCount: Long): DataFrame = pc
+    .filter(col("pc") >= minCount)
+    .orderBy(col("pc").desc, col("pa"), col("pb"))
+    .limit(1)
+
+  /** Apply a 0-or-1-row rule relation to the state. */
+  private def applyBest(state: DataFrame, best: DataFrame): DataFrame =
     // Left join on TRUE, not crossJoin: an exhausted vocabulary (every
     // word a single symbol → empty best) must leave state unchanged,
     // and a cross join against an empty side would erase it. The null
     // rule then fails the fold's match predicate on every row.
-    state.join(broadcast(best), lit(true), "left")
+    state.join(broadcast(best.select(col("pa"), col("pb"))), lit(true), "left")
       .select(col("w"), col("cnt"),
         when(col("pa").isNull || size(col("syms")) < 2, col("syms"))
           .otherwise(foldMerge(col("syms"), col("pa"), col("pb")))
           .as("syms"))
-  }
+
+  private[ops] def mergeRound(state: DataFrame, minCount: Long = 1L): DataFrame =
+    applyBest(state, bestRule(pairCounts(state), minCount))
 
   /** Initial state: distinct words with occurrence counts, each split
     * into single-character symbols. Same tokenizer as
@@ -180,9 +188,33 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** The RULE TABLE itself — the tokenizer artifact a serving system
+    * loads: one row per executed merge round (round index, the pair,
+    * its count at selection time), under the training parameters.
+    * Threshold-stopped rounds emit no row, so the table's length IS
+    * the effective training depth. Mirrors [[textBpeTrain]]'s loop
+    * but renders the per-round argmax instead of the final state
+    * (the loop is hand-rolled rather than Iterate.fixed because each
+    * round yields TWO relations: the next state and the rule row).
+    */
+  private[graft] def rulesTable(docs: DataFrame, k: Int,
+      minCount: Long): DataFrame = {
+    var st = vocab(docs).localCheckpoint()
+    val rules = (0 until k).map { r =>
+      val best = bestRule(pairCounts(st), minCount).localCheckpoint()
+      st = applyBest(st, best).localCheckpoint()
+      best.select(lit(r).as("round"), col("pa"), col("pb"), col("pc"))
+    }
+    rules.reduce(_ unionAll _).orderBy("round")
+  }
+
+  val textBpeRules: Q = (s, dir) =>
+    rulesTable(table(s, dir, "documents"), TrainRounds, TrainMinCount)
+
   val queries: Map[String, Q] = Map(
     "text_bpe_merge" -> textBpeMerge,
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_tokenize" -> textBpeTokenize,
+    "text_bpe_rules" -> textBpeRules,
   )
 }

@@ -2536,6 +2536,24 @@ object OracleSql {
          |WHERE docw.w <> ''
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // ops.Bpe.textBpeRules: the merge-rule table under the training
+    // parameters — per executed round, the argmax pair + its count.
+    "text_bpe_rules" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w
+         |  FROM documents WHERE trim(text) <> ''),
+         |wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM words WHERE w <> '' GROUP BY w),
+         |s0 AS MATERIALIZED (
+         |  SELECT w, CAST(u.i AS BIGINT) - 1 AS pos,
+         |         substr(w, CAST(u.i AS INT), 1) AS sym
+         |  FROM wc, unnest(generate_series(1, CAST(len(w) AS BIGINT))) AS u(i)),
+         |${BpeSql.chain(8, 1500L)}
+         |${(0 until 8).map(r =>
+             s"SELECT $r AS round, b.pa, b.pb, CAST(bp.pc AS BIGINT) AS pc FROM best$r b " +
+               s"JOIN bp$r bp ON bp.pa = b.pa AND bp.pb = b.pb")
+             .mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY round""".stripMargin,
   )
 
   private val bipartite: Map[String, String] = Map(

@@ -108,6 +108,21 @@ class BpeMergeSpec extends SparkSpec {
     }
   }
 
+  test("rules table: one row per executed round, threshold truncates the table") {
+    // round 1 merges (a,b) count 4; no later pair reaches 3 → exactly
+    // one rule row, at round 0
+    val rules = ops.Bpe.rulesTable(docsDf(Seq("ab ab ab ab xy")), 5, 3L)
+      .as[(Int, String, String, Long)].collect()
+    assert(rules.toSeq === Seq((0, "a", "b", 4L)))
+    // unthresholded on the same corpus: round 0 merges (a,b), round 1
+    // merges (x,y), round 2 finds an EXHAUSTED vocabulary (every word
+    // one symbol) and emits no row — the table length is the
+    // effective depth
+    val all = ops.Bpe.rulesTable(docsDf(Seq("ab ab ab ab xy")), 3, 1L)
+      .as[(Int, String, String, Long)].collect()
+    assert(all.toSeq === Seq((0, "a", "b", 4L), (1, "x", "y", 1L)))
+  }
+
   test("tokenize: per-doc BPE token count sits between word and char counts") {
     val rows = ops.Bpe.textBpeTokenize(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Long, Double)].collect()
