@@ -97,49 +97,120 @@ object Bipartite {
 
   /** The deletion-neighborhood join over any (c, brands sorted array)
     * profile relation — split out so specs can drive planted
-    * profiles through the exact blocking/verify path.
+    * profiles through the exact blocking/verify path. Since the
+    * round-10 resume this is the two-stage-verify [[deletionPairs]]
+    * form at (19/20, d=1): same rows as the verify-every-candidate
+    * original (A/B'd row-identical at sf0.001/0.01/0.1), measured
+    * ~2–3× faster at sf0.01 and ≈ parity at sf0.1 where the
+    * collision shuffle, common to both, dominates (BASELINE.md
+    * r10-resume row).
     */
-  private[graft] def allpairsFromProfiles(profilesDf: DataFrame): DataFrame = {
-    // Materialize the profile relation once: the signature self-join
-    // reads it from both sides, and an unmaterialized plan would
-    // re-run the projection scans per side.
+  private[graft] def allpairsFromProfiles(profilesDf: DataFrame): DataFrame =
+    deletionPairs(profilesDf, 19, 20, 1).orderBy("a_id", "b_id")
+
+  /** Generalized deletion-neighborhood pair join at τ = p/q with
+    * deletion depth d ∈ {1, 2} — complete for Δ ≤ d (qualifying pairs
+    * have |A∖B| ≤ d AND |B∖A| ≤ d whenever (1−τ)·u_max < d+1).
+    *
+    * Two-stage verify (§8.r11.1's "cheaper verify", measured in
+    * BASELINE.md r10-resume): a collision sig S is a common SUBSET of
+    * both profiles (S ⊆ A ∩ B, so |S| ≤ i), and for every pair within
+    * the completeness bound the deletions A∖B from A and B∖A from B
+    * produce S = A ∩ B exactly — so max |S| over a pair's collisions
+    * IS the intersection size for every qualifying pair, and a lower
+    * bound for every other. Stage 1 therefore thresholds on
+    * q·max|S| ≥ p·(sz_a + sz_b − max|S|) with NO array re-attach:
+    * underestimates only kill pairs that could never qualify. Stage 2
+    * re-attaches the brand arrays for the ~truth-sized survivor set
+    * and re-verifies exactly — which also annuls 64-bit xxhash
+    * collisions (a fake collision can only inflate stage 1's bound,
+    * i.e. admit a candidate stage 2 then rejects; it can never hide a
+    * real signature match). Net effect vs the verify-everything form:
+    * the per-candidate array work runs on |truth| rows instead of
+    * |candidates| rows, and the collision join still shuffles only
+    * fixed-width ints.
+    */
+  private[graft] def deletionPairs(profilesDf: DataFrame, p: Int, q: Int,
+      depth: Int): DataFrame = {
+    require(depth == 1 || depth == 2, s"deletion depth $depth unsupported")
+    require(2 * p > q, s"deletionPairs requires tau > 1/2 (got $p/$q): " +
+      "the small-signature pruning below assumes an i<=1 qualifying pair " +
+      "can only be two identical singletons")
     val prof = profilesDf.localCheckpoint()
-    // {full set} ∪ {single deletions}; empty deletion signatures of
-    // singleton profiles are dropped — at scale every singleton would
-    // collide on the empty signature (a pure hot-key with no possible
-    // qualifying pair behind it: two distinct singletons have J ≤ 1/2).
-    val sigs = prof.select(col("c"), explode(
+    val d1 = prof.select(col("c"), size(col("brands")).as("sz"), explode(
       concat(array(col("brands")),
         transform(sequence(lit(0), size(col("brands")) - 1),
           i => filter(col("brands"), (_, j) => j =!= i)))).as("sigarr"))
-      .filter(size(col("sigarr")) >= 1)
-      .select(col("c"), xxhash64(concat_ws(",", col("sigarr"))).as("sig"))
-    // The collision join carries ONLY (sig, id, id): a close pair
-    // collides on up to sz+1 signatures, so the pair set is deduped
-    // while the rows are 16 bytes — shuffling the brand arrays per
-    // collision row measured 19.8 s vs 9.0 s for this shape at sf0.1
-    // (BASELINE.md r10). The arrays re-attach afterwards from the
-    // checkpointed profile relation, once per candidate side.
-    val cand = sigs.select(col("sig"), col("c").as("a_id"))
-      .join(sigs.select(col("sig"), col("c").as("b_id")), Seq("sig"))
+    val raw = if (depth == 1) d1 else d1.union(
+      prof.select(col("c"), size(col("brands")).as("sz"), explode(flatten(
+        transform(sequence(lit(0), size(col("brands")) - 2), i =>
+          transform(sequence(i + 1, size(col("brands")) - 1), j =>
+            filter(col("brands"), (_, k) => k =!= i && k =!= j)))))
+        .as("sigarr")))
+    // Sub-2-element DELETION signatures dropped: with τ > 1/2, a
+    // qualifying pair with i ≤ 1 forces u = 1 (two identical
+    // singletons), whose shared signature is the 1-element FULL set —
+    // kept by the sl = sz disjunct; every other qualifying pair has
+    // i ≥ 2 and shares S = A∩B of size ≥ 2. Tiny subsets are the hot
+    // keys (every profile containing brand X collides on {X}), so
+    // this prune is what keeps collision groups semantic.
+    val sigs = raw.filter(size(col("sigarr")) >= 2 ||
+        size(col("sigarr")) === col("sz"))
+      .select(col("c"), col("sz"), size(col("sigarr")).as("sl"),
+        xxhash64(concat_ws(",", col("sigarr"))).as("sig"))
+    val stage1 = sigs
+      .select(col("sig"), col("c").as("a_id"), col("sz").as("sza"), col("sl").as("sla"))
+      .join(sigs.select(col("sig"), col("c").as("b_id"), col("sz").as("szb"),
+        col("sl").as("slb")), Seq("sig"))
       .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(least(col("sla"), col("slb"))).as("i_lb"),
+        max(col("sza")).as("sza"), max(col("szb")).as("szb"))
+      .filter(col("i_lb") * q >= (col("sza") + col("szb") - col("i_lb")) * p)
       .select(col("a_id"), col("b_id"))
-      .distinct()
-    cand
+    stage1
       .join(prof.select(col("c").as("a_id"), col("brands").as("a_br")), "a_id")
       .join(prof.select(col("c").as("b_id"), col("brands").as("b_br")), "b_id")
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("a_br"), col("b_br"))).cast("long").as("inter"),
         (size(col("a_br")) + size(col("b_br")) -
           size(array_intersect(col("a_br"), col("b_br")))).cast("long").as("uni"))
-      .filter(col("inter") * 20 >= col("uni") * 19)
+      .filter(col("inter") * q >= col("uni") * p)
       .withColumn("jaccard",
         col("inter").cast("double") / col("uni").cast("double"))
-      .orderBy("a_id", "b_id")
   }
+
+  /** Near-duplicate customer SEGMENTS: the transitive closure of the
+    * τ = 0.95 profile-similarity relation — [[deletionPairs]] pairs
+    * fed to [[Llm.connectedComponents]] (the same composition the
+    * document-dedup path ships as `dedup_connected_components`),
+    * labeling each paired customer with the min custkey reachable
+    * through J ≥ 0.95 links. Customers with no qualifying partner are
+    * singleton segments by definition and absent from the relation
+    * (callers left-anti-join, as with every pair/cluster key here).
+    *
+    * At sf0.01 this yields 27 segments over 464 customers (one
+    * 410-customer near-dup block + small tails) — the shape a
+    * dedup-by-cluster or stratified-sampling step consumes.
+    *
+    * 100 TB: linear-signature blocking (the pair join) + O(log d)
+    * star-contraction rounds (the closure) — both components' scale
+    * arguments are their own scaladocs; composition adds nothing
+    * driver-side beyond CC's one permitted per-round scalar. The
+    * depth-2 τ = 0.9 parameterization was measured end-to-end and NOT
+    * shipped as a key (1.8× the pair join's own cost on top of it —
+    * BASELINE.md r10-resume row); `deletionPairs(_, 9, 10, 2)` is the
+    * drop-in when a corpus needs the looser threshold.
+    */
+  val simProfileClusters: Q = (s, dir) =>
+    Llm.connectedComponents(
+      deletionPairs(profiles(s, dir), 19, 20, 1).select("a_id", "b_id"))
+      .select(col("id").as("custkey"), col("comp").as("cluster_id"))
+      .orderBy("custkey")
 
   val queries: Map[String, Q] = Map(
     "orders_brand_profile" -> ordersBrandProfile,
     "sim_profile_allpairs" -> simProfileAllpairs,
+    "sim_profile_clusters" -> simProfileClusters,
   )
 }

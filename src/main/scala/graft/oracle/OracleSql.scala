@@ -2592,6 +2592,37 @@ object OracleSql {
         |JOIN sz sb ON sb.c = cb2
         |WHERE 20 * i >= 19 * (sa.sz + sb.sz - i)
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // ops.Bipartite.simProfileClusters: transitive closure of the
+    // τ=0.95 pair relation. Same brute-force pair set as above (never
+    // assumes the deletion-neighborhood bound), then recursive-CTE
+    // reachability with min-id labeling — the dedup_connected_
+    // components oracle pattern on the profile graph.
+    "sim_profile_clusters" ->
+      """WITH RECURSIVE cb AS (
+        |  SELECT DISTINCT o_custkey AS c, p_brand AS e
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |sz AS (SELECT c, count(*) AS sz FROM cb GROUP BY c),
+        |pairs AS (
+        |  SELECT ca AS a_id, cb2 AS b_id FROM (
+        |    SELECT a.c AS ca, b.c AS cb2, count(*) AS i
+        |    FROM cb a JOIN cb b ON a.e = b.e AND a.c < b.c
+        |    GROUP BY a.c, b.c) x
+        |  JOIN sz sa ON sa.c = ca
+        |  JOIN sz sb ON sb.c = cb2
+        |  WHERE 20 * i >= 19 * (sa.sz + sb.sz - i)),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM pairs),
+        |walk(id, reach) AS (
+        |  SELECT u, u FROM edges GROUP BY u
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u)
+        |SELECT id AS custkey, min(reach) AS cluster_id
+        |FROM walk GROUP BY id ORDER BY custkey""".stripMargin,
   )
 
   val sql: Map[String, String] =

@@ -42,6 +42,46 @@ class BipartiteSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 1L, 1L)))
   }
 
+  test("depth-2 pairs at tau=0.9 equal brute force on planted profiles") {
+    // 12-element universe, sizes 1..12, deterministic membership —
+    // includes identical singletons (ids 20/21) and Δ=2 swaps
+    val u = ('a' to 'l').map(_.toString)
+    val planted: Seq[(Long, Seq[String])] =
+      (1L to 12L).map(i => i -> u.take(i.toInt)) ++
+        Seq(20L -> Seq("a"), 21L -> Seq("a"),
+          30L -> u, 31L -> (u.drop(2) ++ Seq("x", "y")).sorted, // Δ=4
+          32L -> (u.drop(1) :+ "x").sorted, // Δ=2 vs 30: J=11/13
+          33L -> u.drop(2)) // Δ=2 subset of 30: J=10/12
+    val got = ops.Bipartite.deletionPairs(profDf(planted), 9, 10, 2)
+      .select("a_id", "b_id", "inter", "uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sets = planted.map { case (id, br) => id -> br.toSet }
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      i = (sa & sb).size.toLong; un = (sa | sb).size.toLong
+      if i * 10 >= un * 9
+    } yield (a, b, i, un)).toSet
+    assert(got === brute)
+    assert(brute.contains((20L, 21L, 1L, 1L))) // identical singletons present
+    assert(brute.exists { case (a, b, _, un) => (a, b) == (11L, 12L) && un == 12L })
+  }
+
+  test("cluster composition labels paired customers with min reachable id") {
+    val u = ('a' to 'y').map(_.toString)
+    val planted: Seq[(Long, Seq[String])] = Seq(
+      1L -> u,                         // —— chain 1–2–3: 1~2 (J=24/25),
+      2L -> u.drop(1),                 //    2~3 (J=24/25), but 1~3 only
+      3L -> (u.drop(1) :+ "z").sorted, //    J=24/26 — transitive closure
+      10L -> Seq("q"), 11L -> Seq("q"), // identical singletons
+      99L -> Seq("r", "s", "t"))        // no partner → absent
+    val got = ops.Llm.connectedComponents(
+      ops.Bipartite.deletionPairs(profDf(planted), 19, 20, 1)
+        .select("a_id", "b_id"))
+      .select(col("id"), col("comp"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
   test("sf0.001 deletion-sig join equals the brute-force formulation") {
     val dir = "/root/testdata/sf0.001"
     val got = ops.Bipartite.simProfileAllpairs(spark, dir)

@@ -104,6 +104,34 @@ object ScratchProfilePairs {
         .count()
     }
 
+    // E/E1: the §8.r11.1 two-stage verify (collision-bound first,
+    // exact array re-verify on survivors only) vs D/A's
+    // verify-every-candidate — same profiles, same predicate.
+    def prof = cb.groupBy(col("c"))
+      .agg(sort_array(collect_set(col("e"))).as("brands"))
+
+    if (forms("E")) time("E hashverify d=2 tau=.9") {
+      ops.Bipartite.deletionPairs(prof, 9, 10, 2).count()
+    }
+
+    if (forms("E1")) time("E1 hashverify d=1 tau=.95") {
+      ops.Bipartite.deletionPairs(prof, 19, 20, 1).count()
+    }
+
+    // F/G: cluster end-to-end (pairs → connected components) — the
+    // §8.r11.1 consumer — at both parameterizations.
+    if (forms("F")) time("F clusters d=2 tau=.9") {
+      ops.Llm.connectedComponents(
+        ops.Bipartite.deletionPairs(prof, 9, 10, 2).select("a_id", "b_id"))
+        .count()
+    }
+
+    if (forms("G")) time("G clusters d=1 tau=.95") {
+      ops.Llm.connectedComponents(
+        ops.Bipartite.deletionPairs(prof, 19, 20, 1).select("a_id", "b_id"))
+        .count()
+    }
+
     if (forms("C")) time("C prefix candidates") {
       val base = cb.localCheckpoint()
       val inv = base
