@@ -130,6 +130,42 @@ object Bpe {
     Iterate.fixed(0 until k, _ => true)(vocab(docs))(
       (st, _) => mergeRound(st, minCount))
 
+  /** Driver-measured training loop (§8.r11.3): identical semantics to
+    * [[trainedVocab]], but the per-round argmax rule is COLLECTED
+    * (0-or-1 rows — the model parameter itself, the same bounded-
+    * driver-scalar class as [[Iterate.untilFixpoint]]'s count) and a
+    * sub-threshold round EXITS instead of planning a no-op. Two wins
+    * when k far exceeds the effective depth: dead rounds are skipped
+    * entirely (the in-plan form still pays a full pair-count + fold
+    * pass per dead round), and the live rule is inlined as literals,
+    * so rule application needs no broadcast join at all. A/B at
+    * k = 32 / minCount = 1500 on sf0.01 (threshold binds at round
+    * 10): BASELINE.md r10-resume row. The in-plan form remains the
+    * right shape when k ≈ effective depth and the plan must stay
+    * fully lazy (one action total); this is the right shape when the
+    * stop is expected early.
+    */
+  private[graft] def trainedVocabDriver(docs: DataFrame, k: Int,
+      minCount: Long = 1L): DataFrame = {
+    var st = vocab(docs).localCheckpoint()
+    var round = 0
+    var live = true
+    while (round < k && live) {
+      val best = bestRule(pairCounts(st), minCount)
+        .select(col("pa"), col("pb")).collect()
+      if (best.isEmpty) live = false
+      else {
+        val (pa, pb) = (best(0).getString(0), best(0).getString(1))
+        st = st.select(col("w"), col("cnt"),
+          when(size(col("syms")) < 2, col("syms"))
+            .otherwise(foldMerge(col("syms"), lit(pa), lit(pb))).as("syms"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    st
+  }
+
   /** k merge rounds over `docs` (optionally threshold-stopped);
     * output one row per distinct word: its merged segmentation
     * (space-joined), symbol count, and corpus occurrence count.

@@ -134,6 +134,19 @@ class BpeMergeSpec extends SparkSpec {
     }
   }
 
+  test("driver-measured training equals the in-plan form under an early stop") {
+    // corpus where minCount=3 binds after ~1 round: "aa" repeats, the
+    // rest is noise — the driver loop must exit early yet land on the
+    // exact vocabulary the k-plan-rounds form produces
+    val docs = Seq("aa aa aa aa", "aa ab ba", "cd ce")
+    val inPlan = ops.Bpe.trainedVocab(docsDf(docs), 10, 3L)
+      .select("w", "syms", "cnt").as[(String, Seq[String], Long)].collect().toSet
+    val driver = ops.Bpe.trainedVocabDriver(docsDf(docs), 10, 3L)
+      .select("w", "syms", "cnt").as[(String, Seq[String], Long)].collect().toSet
+    assert(driver === inPlan)
+    assert(inPlan.contains(("aa", Seq("aa"), 5L))) // the one live rule fired
+  }
+
   test("k=3 rounds match the reference scan on a randomized corpus") {
     val rnd = new scala.util.Random(42)
     val words = Seq.fill(40)((1 to (1 + rnd.nextInt(7)))
