@@ -130,34 +130,42 @@ object Bipartite {
     * |candidates| rows, and the collision join still shuffles only
     * fixed-width ints.
     */
-  private[graft] def deletionPairs(profilesDf: DataFrame, p: Int, q: Int,
-      depth: Int): DataFrame = {
+  /** (c, sz, sl, sig) deletion-signature rows of a profile relation —
+    * the row-local fan-out both [[deletionPairs]] and the persisted
+    * [[ProfileIndex]] share. Sub-2-element DELETION signatures are
+    * dropped: with τ > 1/2, a qualifying pair with i ≤ 1 forces u = 1
+    * (two identical singletons), whose shared signature is the
+    * 1-element FULL set — kept by the sl = sz disjunct; every other
+    * qualifying pair has i ≥ 2 and shares S = A∩B of size ≥ 2. Tiny
+    * subsets are the hot keys (every profile containing brand X
+    * collides on {X}), so this prune is what keeps collision groups
+    * semantic.
+    */
+  private[graft] def signatureRows(profilesDf: DataFrame, depth: Int): DataFrame = {
     require(depth == 1 || depth == 2, s"deletion depth $depth unsupported")
-    require(2 * p > q, s"deletionPairs requires tau > 1/2 (got $p/$q): " +
-      "the small-signature pruning below assumes an i<=1 qualifying pair " +
-      "can only be two identical singletons")
-    val prof = profilesDf.localCheckpoint()
-    val d1 = prof.select(col("c"), size(col("brands")).as("sz"), explode(
+    val d1 = profilesDf.select(col("c"), size(col("brands")).as("sz"), explode(
       concat(array(col("brands")),
         transform(sequence(lit(0), size(col("brands")) - 1),
           i => filter(col("brands"), (_, j) => j =!= i)))).as("sigarr"))
     val raw = if (depth == 1) d1 else d1.union(
-      prof.select(col("c"), size(col("brands")).as("sz"), explode(flatten(
+      profilesDf.select(col("c"), size(col("brands")).as("sz"), explode(flatten(
         transform(sequence(lit(0), size(col("brands")) - 2), i =>
           transform(sequence(i + 1, size(col("brands")) - 1), j =>
             filter(col("brands"), (_, k) => k =!= i && k =!= j)))))
         .as("sigarr")))
-    // Sub-2-element DELETION signatures dropped: with τ > 1/2, a
-    // qualifying pair with i ≤ 1 forces u = 1 (two identical
-    // singletons), whose shared signature is the 1-element FULL set —
-    // kept by the sl = sz disjunct; every other qualifying pair has
-    // i ≥ 2 and shares S = A∩B of size ≥ 2. Tiny subsets are the hot
-    // keys (every profile containing brand X collides on {X}), so
-    // this prune is what keeps collision groups semantic.
-    val sigs = raw.filter(size(col("sigarr")) >= 2 ||
+    raw.filter(size(col("sigarr")) >= 2 ||
         size(col("sigarr")) === col("sz"))
       .select(col("c"), col("sz"), size(col("sigarr")).as("sl"),
         xxhash64(concat_ws(",", col("sigarr"))).as("sig"))
+  }
+
+  private[graft] def deletionPairs(profilesDf: DataFrame, p: Int, q: Int,
+      depth: Int): DataFrame = {
+    require(2 * p > q, s"deletionPairs requires tau > 1/2 (got $p/$q): " +
+      "signatureRows' small-signature pruning assumes an i<=1 qualifying " +
+      "pair can only be two identical singletons")
+    val prof = profilesDf.localCheckpoint()
+    val sigs = signatureRows(prof, depth)
     val stage1 = sigs
       .select(col("sig"), col("c").as("a_id"), col("sz").as("sza"), col("sl").as("sla"))
       .join(sigs.select(col("sig"), col("c").as("b_id"), col("sz").as("szb"),
