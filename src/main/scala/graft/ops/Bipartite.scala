@@ -93,7 +93,8 @@ object Bipartite {
     * integer form 20·i ≥ 19·u and jaccard is the single division i/u.
     */
   val simProfileAllpairs: Q = (s, dir) =>
-    allpairsFromProfiles(profiles(s, dir))
+    deletionPairsCollapsed(profiles(s, dir), 19, 20, 1)
+      .orderBy("a_id", "b_id")
 
   /** The deletion-neighborhood join over any (c, brands sorted array)
     * profile relation — split out so specs can drive planted
@@ -188,6 +189,64 @@ object Bipartite {
         col("inter").cast("double") / col("uni").cast("double"))
   }
 
+  /** Exact-duplicate collapse before the near-dup join: one row per
+    * DISTINCT profile, carrying the min owner id as group
+    * representative and the duplicate count. Identical profiles are
+    * common in real interaction data (sf0.1: 14,999 customers but
+    * 11,993 distinct profiles, one 325-customer identical block), and
+    * a g-sized identical group multiplies EVERY collision row of its
+    * signatures by g² in the self-join — collapsing first makes the
+    * join cost a function of distinct-profile count while the
+    * (output-intrinsic) duplicate pairs are re-expanded afterward as
+    * pure generation. The groupBy/join key is the sorted brand array
+    * itself — exact, no hash-collapse risk.
+    */
+  private[graft] def collapseProfiles(profilesDf: DataFrame): DataFrame =
+    profilesDf
+      .groupBy(col("brands"))
+      .agg(min(col("c")).as("gid"), count(lit(1)).as("g"))
+
+  /** [[deletionPairs]] over distinct profiles + pair re-expansion:
+    * identical output (A/B'd row-identical, BASELINE.md r10-resume),
+    * with the signature join running at distinct-profile cardinality.
+    * Cross-group pairs inherit the representative pair's exact
+    * (inter, uni); within-group pairs are (sz, sz, J = 1) by
+    * definition — both expansions are joins against the small
+    * (c, gid) membership relation.
+    */
+  /** The (distinct-profile groups, member mapping) pair both collapsed
+    * operators below share. `groups`: (brands, gid, g); `members`:
+    * (c, gid, g, sz).
+    */
+  private def collapsedParts(profilesDf: DataFrame): (DataFrame, DataFrame) = {
+    val prof = profilesDf.localCheckpoint()
+    val groups = collapseProfiles(prof).localCheckpoint()
+    val members = prof.join(groups, "brands")
+      .select(col("c"), col("gid"), col("g"), size(col("brands")).as("sz"))
+    (groups, members)
+  }
+
+  private[graft] def deletionPairsCollapsed(profilesDf: DataFrame, p: Int,
+      q: Int, depth: Int): DataFrame = {
+    val (groups, members) = collapsedParts(profilesDf)
+    val repPairs = deletionPairs(
+      groups.select(col("gid").as("c"), col("brands")), p, q, depth)
+    val cross = repPairs
+      .join(members.select(col("gid").as("a_id"), col("c").as("ca")), "a_id")
+      .join(members.select(col("gid").as("b_id"), col("c").as("cb")), "b_id")
+      .select(least(col("ca"), col("cb")).as("a_id"),
+        greatest(col("ca"), col("cb")).as("b_id"),
+        col("inter"), col("uni"), col("jaccard"))
+    val dup = members.filter(col("g") >= 2)
+    val intra = dup.select(col("gid"), col("c").as("ca"), col("sz"))
+      .join(dup.select(col("gid"), col("c").as("cb")), "gid")
+      .filter(col("ca") < col("cb"))
+      .select(col("ca").as("a_id"), col("cb").as("b_id"),
+        col("sz").cast("long").as("inter"), col("sz").cast("long").as("uni"),
+        lit(1.0).as("jaccard"))
+    cross.unionAll(intra)
+  }
+
   /** Near-duplicate customer SEGMENTS: the transitive closure of the
     * τ = 0.95 profile-similarity relation — [[deletionPairs]] pairs
     * fed to [[Llm.connectedComponents]] (the same composition the
@@ -210,11 +269,24 @@ object Bipartite {
     * BASELINE.md r10-resume row); `deletionPairs(_, 9, 10, 2)` is the
     * drop-in when a corpus needs the looser threshold.
     */
-  val simProfileClusters: Q = (s, dir) =>
-    Llm.connectedComponents(
-      deletionPairs(profiles(s, dir), 19, 20, 1).select("a_id", "b_id"))
+  val simProfileClusters: Q = (s, dir) => {
+    // Closure over the COLLAPSED graph: representative pairs + one
+    // star edge per duplicate member (gid → c). Connectivity equals
+    // the full expanded pair relation's — every expanded pair routes
+    // through its reps via the stars, identical profiles always
+    // qualify (J = 1) — while an identical block of g customers
+    // contributes g−1 edges instead of C(g,2). gid = min member id,
+    // so min-label components are unchanged.
+    val (groups, members) = collapsedParts(profiles(s, dir))
+    val repPairs = deletionPairs(
+      groups.select(col("gid").as("c"), col("brands")), 19, 20, 1)
+      .select("a_id", "b_id")
+    val stars = members.filter(col("c") =!= col("gid"))
+      .select(col("gid").as("a_id"), col("c").as("b_id"))
+    Llm.connectedComponents(repPairs.unionAll(stars))
       .select(col("id").as("custkey"), col("comp").as("cluster_id"))
       .orderBy("custkey")
+  }
 
   val queries: Map[String, Q] = Map(
     "orders_brand_profile" -> ordersBrandProfile,

@@ -66,6 +66,28 @@ class BipartiteSpec extends SparkSpec {
     assert(brute.exists { case (a, b, _, un) => (a, b) == (11L, 12L) && un == 12L })
   }
 
+  test("collapsed join equals the direct join on profiles with duplicate groups") {
+    val u = ('a' to 'l').map(_.toString)
+    // three identical copies of one profile, two of another, plus
+    // near-dups and noise — exercises intra-group expansion, cross
+    // pair normalization (member ids interleave across groups), and
+    // singleton groups
+    val planted: Seq[(Long, Seq[String])] = Seq(
+      1L -> u, 5L -> u, 9L -> u,                 // identical block g=3
+      2L -> u.take(11), 7L -> u.take(11),        // identical block g=2, Δ=1 to u
+      3L -> u.take(6), 4L -> Seq("z"))
+    for ((p, q, d) <- Seq((19, 20, 1), (9, 10, 2))) {
+      val direct = ops.Bipartite.deletionPairs(profDf(planted), p, q, d)
+        .select("a_id", "b_id", "inter", "uni", "jaccard")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      val collapsed = ops.Bipartite.deletionPairsCollapsed(profDf(planted), p, q, d)
+        .select("a_id", "b_id", "inter", "uni", "jaccard")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(collapsed === direct, s"tau=$p/$q depth=$d")
+      assert(direct.contains((1L, 5L, 12L, 12L, 1.0))) // intra pair surfaced
+    }
+  }
+
   test("cluster composition labels paired customers with min reachable id") {
     val u = ('a' to 'y').map(_.toString)
     val planted: Seq[(Long, Seq[String])] = Seq(

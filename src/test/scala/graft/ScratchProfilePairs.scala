@@ -132,6 +132,16 @@ object ScratchProfilePairs {
         .count()
     }
 
+    // H/H2: exact-dup collapse before the join (distinct-profile
+    // cardinality in the signature self-join, pairs re-expanded).
+    if (forms("H")) time("H collapsed d=1 tau=.95") {
+      ops.Bipartite.deletionPairsCollapsed(prof, 19, 20, 1).count()
+    }
+
+    if (forms("H2")) time("H2 collapsed d=2 tau=.9") {
+      ops.Bipartite.deletionPairsCollapsed(prof, 9, 10, 2).count()
+    }
+
     if (forms("C")) time("C prefix candidates") {
       val base = cb.localCheckpoint()
       val inv = base
