@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ops.ClusterMaintenance: incremental CC labels — equivalence to
+  * from-scratch CC, merge relabeling, untouched-component stability,
+  * and the full ProfileIndex ingestion loop.
+  */
+class ClusterMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesDf(e: Seq[(Long, Long)]) = e.toDF("a_id", "b_id")
+
+  private def ccSet(e: Seq[(Long, Long)]): Set[(Long, Long)] =
+    ops.Llm.connectedComponents(edgesDf(e))
+      .as[(Long, Long)].collect().toSet
+
+  test("update equals from-scratch CC across randomized edge batches") {
+    val rnd = new scala.util.Random(7)
+    // 3 waves of random edges over a 200-node id space — plenty of
+    // merges, chains, and untouched survivors between waves
+    val waves = Seq.fill(3)(Seq.fill(60)(
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(p => p._1 != p._2))
+    var labels = ops.Llm.connectedComponents(edgesDf(waves.head))
+    var all = waves.head
+    for (w <- waves.tail) {
+      labels = ops.ClusterMaintenance.updateLabels(labels, edgesDf(w))
+      all = all ++ w
+      val got = labels.as[(Long, Long)].collect().toSet
+      assert(got === ccSet(all))
+    }
+  }
+
+  test("a bridging edge merges two components to the global min label") {
+    val labels = ops.Llm.connectedComponents(
+      edgesDf(Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 51L))))
+    val upd = ops.ClusterMaintenance.updateLabels(labels, edgesDf(Seq((3L, 10L))))
+      .as[(Long, Long)].collect().toSet
+    assert(upd === Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 1L), (11L, 1L),
+      (50L, 50L), (51L, 50L)))
+  }
+
+  test("new nodes attach; untouched components keep identical labels") {
+    val labels = ops.Llm.connectedComponents(
+      edgesDf(Seq((5L, 6L), (100L, 101L))))
+    val upd = ops.ClusterMaintenance.updateLabels(labels,
+      edgesDf(Seq((6L, 7L), (8L, 9L)))) // extend comp 5; brand-new comp 8
+      .as[(Long, Long)].collect().toSet
+    assert(upd === Set((5L, 5L), (6L, 5L), (7L, 5L),
+      (8L, 8L), (9L, 8L), (100L, 100L), (101L, 100L)))
+  }
+
+  test("ingest loop: three batches equal from-scratch clustering of the union corpus") {
+    val u = ('a' to 'y').map(_.toString)
+    def profDf(rows: Seq[(Long, Seq[String])]) =
+      rows.toDF("c", "brands").select(col("c"), sort_array(col("brands")).as("brands"))
+    val b1: Seq[(Long, Seq[String])] = Seq(
+      1L -> u, 2L -> u.drop(1), 30L -> u.take(8))
+    val b2: Seq[(Long, Seq[String])] = Seq(
+      3L -> u,                          // joins {1,2}
+      40L -> Seq("q"), 41L -> Seq("q")) // new identical pair
+    val b3: Seq[(Long, Seq[String])] = Seq(
+      42L -> Seq("q"),                  // joins {40,41}
+      50L -> u.take(8))                 // joins 30 (identical)
+    ops.ProfileIndex.buildIndex(profDf(b1), "pidx_cm")
+    try {
+      var labels = ops.Llm.connectedComponents(
+        ops.Bipartite.deletionPairsCollapsed(profDf(b1), 19, 20, 1)
+          .select("a_id", "b_id"))
+      var corpus = b1
+      for (b <- Seq(b2, b3)) {
+        labels = ops.ClusterMaintenance.ingest(spark, labels, profDf(b),
+          profDf(corpus), "pidx_cm", 19, 20)
+        corpus = corpus ++ b
+        val scratch = ops.Llm.connectedComponents(
+          ops.Bipartite.deletionPairsCollapsed(profDf(corpus), 19, 20, 1)
+            .select("a_id", "b_id"))
+          .as[(Long, Long)].collect().toSet
+        assert(labels.as[(Long, Long)].collect().toSet === scratch,
+          s"after batch of ${b.map(_._1)}")
+      }
+      assert(labels.as[(Long, Long)].collect().toSet ===
+        Set((1L, 1L), (2L, 1L), (3L, 1L), (40L, 40L), (41L, 40L),
+          (42L, 40L), (30L, 30L), (50L, 30L)))
+    } finally io.TableManifest.drop(spark, "pidx_cm")
+  }
+}
