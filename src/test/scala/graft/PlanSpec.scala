@@ -405,6 +405,26 @@ class PlanSpec extends SparkSpec {
         !l.contains("br")), p)
   }
 
+  test("sim_profile collapse: brands-keyed two-phase agg; expansion never nested-loops") {
+    // the collapse materializes behind a localCheckpoint (the sig join
+    // reads it from several sides), so audit its OWN plan: a
+    // brands-keyed aggregate with map-side combine — the self-join
+    // above it therefore runs at distinct-profile cardinality
+    val prof = ops.Bipartite.ordersBrandProfile(spark, dir)
+      .select(col("custkey").as("c"),
+        org.apache.spark.sql.functions.split(col("profile"), ",").as("brands"))
+    val cp = ops.Bipartite.collapseProfiles(prof)
+      .queryExecution.executedPlan.toString
+    assert(cp.linesIterator.exists(_.contains("HashAggregate(keys=[brands")), cp)
+    assert(cp.contains("partial_min") || cp.contains("partial_count"), cp)
+    // and the full collapsed join (the sim_profile_clusters input):
+    // every expansion join is an equi-join, never a cartesian/loop
+    val p = ops.Bipartite.deletionPairsCollapsed(prof, 19, 20, 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("text_bpe_merge: argmax is TakeOrdered(1), pair counts partial-agg") {
     val df = ops.Bpe.textBpeMerge(spark, dir)
     val p = df.queryExecution.executedPlan.toString
