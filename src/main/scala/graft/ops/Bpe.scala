@@ -244,8 +244,47 @@ object Bpe {
     rules.reduce(_ unionAll _).orderBy("round")
   }
 
+  /** [[rulesTable]] through the driver loop (§8.r11.3 follow-up):
+    * identical rule list, but each round's 0-or-1-row argmax is
+    * COLLECTED (k-bounded driver data — the rule rows ARE the
+    * output), dead rounds exit instead of planning, and the round
+    * needs one checkpoint instead of two plus no broadcast join.
+    * A/B'd vs the in-plan form in ScratchBpeFixpoint (BASELINE.md
+    * r10-resume); spec-pinned equal in BpeMergeSpec.
+    */
+  private[graft] def rulesTableDriver(docs: DataFrame, k: Int,
+      minCount: Long): DataFrame = {
+    val spark = docs.sparkSession
+    var st = vocab(docs).localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var live = true
+    while (rules.length < k && live) {
+      val best = bestRule(pairCounts(st), minCount)
+        .select(col("pa"), col("pb"), col("pc")).collect()
+      if (best.isEmpty) live = false
+      else {
+        val (pa, pb) = (best(0).getString(0), best(0).getString(1))
+        rules += ((rules.length, pa, pb, best(0).getLong(2)))
+        st = st.select(col("w"), col("cnt"),
+          when(size(col("syms")) < 2, col("syms"))
+            .otherwise(foldMerge(col("syms"), lit(pa), lit(pb))).as("syms"))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    spark.createDataset(rules.toSeq).toDF("round", "pa", "pb", "pc")
+      .orderBy("round")
+  }
+
+  /** Ships the DRIVER form: the collected per-round rule rows are the
+    * key's own k-bounded output (the IVF-centroid class of permitted
+    * driver data), and the loop measured faster even with every round
+    * live (1.05 vs 1.26 s warm at k=8; 2.7× at k=32 where 22 rounds
+    * are dead — BASELINE.md r10-resume). The in-plan [[rulesTable]]
+    * stays as the all-lazy alternative and the A/B control.
+    */
   val textBpeRules: Q = (s, dir) =>
-    rulesTable(table(s, dir, "documents"), TrainRounds, TrainMinCount)
+    rulesTableDriver(table(s, dir, "documents"), TrainRounds, TrainMinCount)
 
   val queries: Map[String, Q] = Map(
     "text_bpe_merge" -> textBpeMerge,

@@ -145,6 +145,13 @@ class BpeMergeSpec extends SparkSpec {
       .select("w", "syms", "cnt").as[(String, Seq[String], Long)].collect().toSet
     assert(driver === inPlan)
     assert(inPlan.contains(("aa", Seq("aa"), 5L))) // the one live rule fired
+    // and the rule TABLE forms agree under the same early stop
+    val rulesIn = ops.Bpe.rulesTable(docsDf(docs), 10, 3L)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val rulesDr = ops.Bpe.rulesTableDriver(docsDf(docs), 10, 3L)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(rulesDr === rulesIn)
+    assert(rulesIn.head === ((0, "a", "a", 5L)))
   }
 
   test("k=3 rounds match the reference scan on a randomized corpus") {

@@ -46,6 +46,21 @@ object ScratchBpeFixpoint {
       }
     }
 
+    for (rep <- 1 to 2) {
+      time(s"rules in-plan k=$k rep$rep") {
+        ops.Bpe.rulesTable(docs, k, minCount).count()
+      }
+      time(s"rules driver k=$k rep$rep") {
+        ops.Bpe.rulesTableDriver(docs, k, minCount).count()
+      }
+    }
+
+    val ra = ops.Bpe.rulesTable(docs, k, minCount)
+    val rb = ops.Bpe.rulesTableDriver(docs, k, minCount)
+    val rdiff = ra.exceptAll(rb).count() + rb.exceptAll(ra).count()
+    println(s"rules diff rows = $rdiff (must be 0)")
+    assert(rdiff == 0, "driver rules table diverged from in-plan form")
+
     val a = render(ops.Bpe.trainedVocab(docs, k, minCount))
     val b = render(ops.Bpe.trainedVocabDriver(docs, k, minCount))
     val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
