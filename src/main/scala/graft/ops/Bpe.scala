@@ -113,7 +113,7 @@ object Bpe {
     * into single-character symbols. Same tokenizer as
     * [[Curation2.textBpePairs]] (split on whitespace runs).
     */
-  private[ops] def vocab(docs: DataFrame): DataFrame =
+  private[graft] def vocab(docs: DataFrame): DataFrame =
     docs
       .filter(trim(col("text")) =!= "")
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
@@ -286,10 +286,51 @@ object Bpe {
   val textBpeRules: Q = (s, dir) =>
     rulesTableDriver(table(s, dir, "documents"), TrainRounds, TrainMinCount)
 
+  /** Apply an ORDERED rule list (round, pa, pb) to an arbitrary word
+    * relation — the serving-side half of tokenizer training: rules
+    * are applied left-greedily in training order, never re-derived.
+    * `ruleList` is driver-side (k-bounded — the model artifact), each
+    * rule inlined as literals, so the whole application is one lazy
+    * row-local plan over the target vocabulary.
+    */
+  private[graft] def applyRules(targetVocab: DataFrame,
+      ruleList: Seq[(String, String)]): DataFrame =
+    ruleList.foldLeft(targetVocab) { case (st, (pa, pb)) =>
+      st.select(col("w"), col("cnt"),
+        when(size(col("syms")) < 2, col("syms"))
+          .otherwise(foldMerge(col("syms"), lit(pa), lit(pb))).as("syms"))
+    }
+
+  /** Cross-corpus tokenizer application (train here, serve there):
+    * learn the rule list on `documents` under the training
+    * parameters, then segment the PART-NAME corpus with it — one row
+    * per distinct part-name word, its merged segmentation, symbol
+    * count, and occurrence count. The oracle replays the training
+    * chain AND the application chain relationally
+    * ([[graft.oracle.BpeSql.applyChain]]), so learned-rule transfer
+    * is itself hash-exact cross-engine.
+    *
+    * Scale: the rule list is k rows of driver data (the model); the
+    * application is row-local folds over the target vocabulary —
+    * no join between the corpora at all.
+    */
+  val textBpeApply: Q = (s, dir) => {
+    val rules = rulesTableDriver(
+      table(s, dir, "documents"), TrainRounds, TrainMinCount)
+      .select(col("pa"), col("pb")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val target = vocab(table(s, dir, "part").select(col("p_name").as("text")))
+    applyRules(target, rules)
+      .select(col("w"), concat_ws(" ", col("syms")).as("merged"),
+        size(col("syms")).cast("long").as("n_syms"), col("cnt").as("n_occ"))
+      .orderBy("w")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_bpe_merge" -> textBpeMerge,
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_tokenize" -> textBpeTokenize,
     "text_bpe_rules" -> textBpeRules,
+    "text_bpe_apply" -> textBpeApply,
   )
 }

@@ -63,4 +63,44 @@ object BpeSql {
 
   /** Name of the final symbol relation after k rounds. */
   def finalTable(k: Int): String = s"s$k"
+
+  /** One APPLICATION round over a separate corpus: consumes CTE `t$r`
+    * (w, pos, sym), emits `t${r+1}`, using the TRAINING chain's
+    * `best$r` already in scope — the rule is applied, never
+    * re-derived, which is exactly the train-here/serve-there split.
+    * Same gaps-and-islands even-offset semantics as [[round]].
+    */
+  private def applyRound(r: Int): String = {
+    val in = s"t$r"
+    s"""am$r AS MATERIALIZED (
+       |  SELECT a.w, a.pos
+       |  FROM $in a
+       |  JOIN $in b ON b.w = a.w AND b.pos = a.pos + 1
+       |  JOIN best$r ON a.sym = best$r.pa AND b.sym = best$r.pb),
+       |ak$r AS MATERIALIZED (
+       |  SELECT w, pos FROM (
+       |    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+       |    FROM (SELECT w, pos,
+       |            pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+       |          FROM am$r))
+       |  WHERE off % 2 = 0),
+       |t${r + 1} AS MATERIALIZED (
+       |  SELECT s.w,
+       |         CAST(row_number() OVER (PARTITION BY s.w ORDER BY s.pos) AS BIGINT) - 1 AS pos,
+       |         CASE WHEN k.pos IS NOT NULL THEN s.sym || nx.sym ELSE s.sym END AS sym
+       |  FROM $in s
+       |  LEFT JOIN ak$r k ON k.w = s.w AND k.pos = s.pos
+       |  LEFT JOIN $in nx ON nx.w = s.w AND nx.pos = s.pos + 1
+       |  LEFT JOIN ak$r pk ON pk.w = s.w AND pk.pos = s.pos - 1
+       |  WHERE pk.pos IS NULL)""".stripMargin
+  }
+
+  /** k application blocks (t0 → tk), to splice AFTER the training
+    * [[chain]] so each `best$r` is in scope.
+    */
+  def applyChain(k: Int): String =
+    (0 until k).map(applyRound).mkString(",\n")
+
+  /** Name of the final applied symbol relation after k rounds. */
+  def applyFinalTable(k: Int): String = s"t$k"
 }

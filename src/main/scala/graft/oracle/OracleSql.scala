@@ -2554,6 +2554,35 @@ object OracleSql {
                s"JOIN bp$r bp ON bp.pa = b.pa AND bp.pb = b.pb")
              .mkString("", "\nUNION ALL\n", "")}
          |ORDER BY round""".stripMargin,
+
+    // ops.Bpe.textBpeApply: learn on documents, segment PART NAMES —
+    // the training chain derives each best$r, the apply chain
+    // (BpeSql.applyChain) replays the merges over the part-name
+    // vocabulary without ever re-deriving a rule.
+    "text_bpe_apply" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w
+         |  FROM documents WHERE trim(text) <> ''),
+         |wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM words WHERE w <> '' GROUP BY w),
+         |s0 AS MATERIALIZED (
+         |  SELECT w, CAST(u.i AS BIGINT) - 1 AS pos,
+         |         substr(w, CAST(u.i AS INT), 1) AS sym
+         |  FROM wc, unnest(generate_series(1, CAST(len(w) AS BIGINT))) AS u(i)),
+         |${BpeSql.chain(8, 1500L)},
+         |pwords AS (
+         |  SELECT unnest(string_split(regexp_replace(trim(p_name), '\\s+', ' ', 'g'), ' ')) AS w
+         |  FROM part WHERE trim(p_name) <> ''),
+         |twc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM pwords WHERE w <> '' GROUP BY w),
+         |t0 AS MATERIALIZED (
+         |  SELECT w, CAST(u.i AS BIGINT) - 1 AS pos,
+         |         substr(w, CAST(u.i AS INT), 1) AS sym
+         |  FROM twc, unnest(generate_series(1, CAST(len(w) AS BIGINT))) AS u(i)),
+         |${BpeSql.applyChain(8)}
+         |SELECT s.w, string_agg(s.sym, ' ' ORDER BY s.pos) AS merged,
+         |       count(*) AS n_syms, twc.cnt AS n_occ
+         |FROM ${BpeSql.applyFinalTable(8)} s JOIN twc ON twc.w = s.w
+         |GROUP BY s.w, twc.cnt
+         |ORDER BY s.w""".stripMargin,
   )
 
   private val bipartite: Map[String, String] = Map(

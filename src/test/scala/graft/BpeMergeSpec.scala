@@ -154,6 +154,21 @@ class BpeMergeSpec extends SparkSpec {
     assert(rulesIn.head === ((0, "a", "a", 5L)))
   }
 
+  test("applyRules: ordered left-greedy transfer to a foreign vocabulary") {
+    // rules learned elsewhere, applied in order: (a,a) then (aa,a)
+    val target = Seq((1L, "aaa aaaa ab"))
+    val got = ops.Bpe.applyRules(
+      ops.Bpe.vocab(docsDf(target.map(_._2))),
+      Seq(("a", "a"), ("aa", "a")))
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    // aaa: (a,a) left-greedy → [aa, a]; then (aa,a) → [aaa]
+    assert(got("aaa") === Seq("aaa"))
+    // aaaa: (a,a) → [aa, aa]; (aa,a) finds no match → stays
+    assert(got("aaaa") === Seq("aa", "aa"))
+    // ab: untouched by both rules
+    assert(got("ab") === Seq("a", "b"))
+  }
+
   test("k=3 rounds match the reference scan on a randomized corpus") {
     val rnd = new scala.util.Random(42)
     val words = Seq.fill(40)((1 to (1 + rnd.nextInt(7)))
