@@ -71,6 +71,14 @@ object ClusterMaintenance {
     * documents). Returns labels equal to from-scratch CC over the
     * union corpus's pair relation (spec'd in ClusterMaintenanceSpec).
     */
+  /** Contract notes: `labels` is an (id, comp) relation as
+    * [[Llm.connectedComponents]] emits; `newProfiles` must be ids the
+    * index has NOT seen (re-ingesting an id appends duplicate
+    * signatures — harmless for correctness, since the probe drops
+    * self-matches and duplicate collisions dedupe in stage 1's
+    * groupBy, but it grows the index; dedupe arrivals upstream, as
+    * with [[IncrementalDedup]]).
+    */
   def ingest(spark: SparkSession, labels: DataFrame, newProfiles: DataFrame,
       indexedProfiles: DataFrame, tableName: String, p: Int, q: Int): DataFrame = {
     val cross = ProfileIndex.verifyExact(
