@@ -81,15 +81,134 @@ object ClusterMaintenance {
     */
   def ingest(spark: SparkSession, labels: DataFrame, newProfiles: DataFrame,
       indexedProfiles: DataFrame, tableName: String, p: Int, q: Int): DataFrame = {
+    val updated = updateLabels(labels,
+      batchEdges(spark, newProfiles, indexedProfiles, tableName, p, q))
+      .localCheckpoint() // pin before the index mutates under the lazy plan
+    ProfileIndex.appendToIndex(newProfiles, tableName)
+    updated
+  }
+
+  /** The batch's qualifying-pair edge set: batch↔indexed via the
+    * index probe + exact verify, batch-internal via the collapsed
+    * join. Duplicate edges across the two paths (possible when the
+    * index already holds part of the batch, e.g. a crash replay) are
+    * harmless — [[updateLabels]] consumes edges as a connectivity
+    * relation.
+    */
+  private def batchEdges(spark: SparkSession, newProfiles: DataFrame,
+      indexedProfiles: DataFrame, tableName: String, p: Int, q: Int): DataFrame = {
     val cross = ProfileIndex.verifyExact(
       ProfileIndex.probe(spark, newProfiles, tableName, p, q),
       newProfiles, indexedProfiles, p, q)
       .select(col("new_id").as("a_id"), col("indexed_id").as("b_id"))
     val intra = Bipartite.deletionPairsCollapsed(newProfiles, p, q,
       ProfileIndex.Depth).select("a_id", "b_id")
-    val updated = updateLabels(labels, cross.unionAll(intra))
-      .localCheckpoint() // pin before the index mutates under the lazy plan
-    ProfileIndex.appendToIndex(newProfiles, tableName)
-    updated
+    cross.unionAll(intra)
   }
+
+  // ---- committed label state (the §8.r11 item-1/2 design) ----------
+
+  /** Bump when the persisted label layout changes. */
+  val LabelSchemaVersion = 1
+
+  /** Persist the initial label relation as manifest version 0 —
+    * BEFORE any [[ingestCommitted]] stream starts (stream batch b
+    * commits version b+1, so the bootstrap's 0 keeps the version
+    * axis = the batch high-water mark; re-bootstrapping mid-stream
+    * requires a fresh streaming checkpoint for the same reason).
+    * Bucketed by `comp`: [[updateLabels]]' member lookup joins on it.
+    */
+  def bootstrapLabels(labels: DataFrame, labelsName: String,
+      buckets: Int = 8): Unit = {
+    val spark = labels.sparkSession
+    val t = graft.io.TableManifest.physicalName(labelsName, 0L)
+    spark.sql(s"DROP TABLE IF EXISTS $t") // unreferenced leftover staging only
+    graft.io.Sinks.writeBucketed(labels.select("id", "comp"), t, "comp", buckets)
+    graft.io.TableManifest.commit(spark, labelsName, 0L, LabelSchemaVersion)
+  }
+
+  /** The committed label relation. */
+  def loadLabels(spark: SparkSession, labelsName: String): DataFrame =
+    spark.table(graft.io.TableManifest.resolve(spark, labelsName,
+      LabelSchemaVersion))
+
+  /** EXACTLY-ONCE label maintenance under batch replay (the
+    * foreachBatch contract): the label manifest's version IS the
+    * batch high-water mark — batch b commits label version b+1, so a
+    * replayed batch (pointer already ≥ b+1) is skipped wholesale and
+    * the call returns false.
+    *
+    * Mutation order inside a live batch, and why each crash window
+    * replays safely:
+    *  1. write the updated labels as the (unreferenced) physical
+    *     table v(b+1) — a crash here leaves only staging the next
+    *     attempt overwrites;
+    *  2. append the batch's signatures to the index — a crash AFTER
+    *     this but before (3) means the replay recomputes labels
+    *     against an index that already holds the batch: self-matches
+    *     drop in the probe, batch-internal collisions duplicate the
+    *     intra edges (harmless, see [[batchEdges]]), and the
+    *     re-append leaves duplicate signature rows — at-least-once,
+    *     correctness-neutral (stage-1 groupBy dedupes collisions),
+    *     reclaimed by [[ProfileIndex.compact]];
+    *  3. commit the label pointer to b+1 — the atomic rename that
+    *     makes the batch visible; only after it does the skip guard
+    *     engage. Index-append-BEFORE-commit is load-bearing: the
+    *     reverse order could commit labels whose profiles never
+    *     reached the index, silently blinding every future probe.
+    * `beforeCommit` is the crash-injection hook (spec'd in
+    * ClusterMaintenanceSpec), mirroring TableManifest.compactBucketed.
+    */
+  def ingestCommitted(spark: SparkSession, batchId: Long,
+      newProfiles: DataFrame, indexedProfiles: DataFrame,
+      indexName: String, labelsName: String, buckets: Int = 8,
+      p: Int = 19, q: Int = 20,
+      beforeCommit: () => Unit = () => ()): Boolean = {
+    val ptr = graft.io.TableManifest.readPointer(spark, labelsName)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed labels at '$labelsName' — run bootstrapLabels first"))
+    if (ptr.version >= batchId + 1) false // replayed batch: fully committed
+    else {
+      val labels = loadLabels(spark, labelsName)
+      val updated = updateLabels(labels,
+        batchEdges(spark, newProfiles, indexedProfiles, indexName, p, q))
+      val t = graft.io.TableManifest.physicalName(labelsName, batchId + 1)
+      spark.sql(s"DROP TABLE IF EXISTS $t") // unreferenced leftover staging only
+      graft.io.Sinks.writeBucketed(updated.select("id", "comp"), t, "comp", buckets)
+      ProfileIndex.appendToIndex(newProfiles, indexName)
+      beforeCommit()
+      graft.io.TableManifest.commit(spark, labelsName, batchId + 1,
+        LabelSchemaVersion)
+      graft.io.TableManifest.vacuum(spark, labelsName)
+      true
+    }
+  }
+
+  /** Streaming wiring: [[ingestCommitted]] as a foreachBatch sink —
+    * the engine's monotone batchId drives the exactly-once guard, so
+    * a restart from the checkpoint replays cleanly (skipped if
+    * committed, recomputed if the crash hit mid-window).
+    * `indexedProfilesOf` supplies the CURRENT indexed-profile
+    * relation per batch (typically
+    * [[graft.io.Manifest.readSnapshot]] over a profile store the
+    * same pipeline upserts via [[Streaming.foreachBatchUpsert]] —
+    * the store must be maintained AHEAD of this sink in the batch
+    * lifecycle, i.e. upsert first, then ingest, mirroring how the
+    * spec drives it).
+    */
+  def labelMaintenanceSink(stream: DataFrame, checkpointDir: String,
+      indexName: String, labelsName: String,
+      indexedProfilesOf: SparkSession => DataFrame,
+      p: Int = 19, q: Int = 20): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.toDF().localCheckpoint() // pin: consumed by probe, intra join, and append
+        if (!b.isEmpty)
+          ingestCommitted(s, batchId, b, indexedProfilesOf(s),
+            indexName, labelsName, p = p, q = q)
+        ()
+      }
+      .start()
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   */
 class ClusterMaintenanceSpec extends SparkSpec {
   import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private def edgesDf(e: Seq[(Long, Long)]) = e.toDF("a_id", "b_id")
 
@@ -84,5 +85,103 @@ class ClusterMaintenanceSpec extends SparkSpec {
         Set((1L, 1L), (2L, 1L), (3L, 1L), (40L, 40L), (41L, 40L),
           (42L, 40L), (30L, 30L), (50L, 30L)))
     } finally io.TableManifest.drop(spark, "pidx_cm")
+  }
+
+  test("committed ingest: exactly-once labels under replay, crash-safe windows") {
+    val u = ('a' to 'y').map(_.toString)
+    def profDf(rows: Seq[(Long, Seq[String])]) =
+      rows.toDF("c", "brands").select(col("c"), sort_array(col("brands")).as("brands"))
+    def labelSet() = ops.ClusterMaintenance.loadLabels(spark, "clab_cm")
+      .select("id", "comp").as[(Long, Long)].collect().toSet
+    def indexFiles(): Int = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          ops.ProfileIndex.resolveTable(spark, "cidx_cm"))).location
+      new java.io.File(loc).listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val b0: Seq[(Long, Seq[String])] = Seq(1L -> u, 2L -> u.drop(1), 30L -> u.take(8))
+    val b1: Seq[(Long, Seq[String])] = Seq(3L -> u, 40L -> Seq("q"), 41L -> Seq("q"))
+    val b2: Seq[(Long, Seq[String])] = Seq(42L -> Seq("q"), 50L -> u.take(8))
+    ops.ProfileIndex.buildIndex(profDf(b0), "cidx_cm")
+    ops.ClusterMaintenance.bootstrapLabels(
+      ops.Llm.connectedComponents(
+        ops.Bipartite.deletionPairsCollapsed(profDf(b0), 19, 20, 1)
+          .select("a_id", "b_id")), "clab_cm")
+    try {
+      // batch 0 applies once; replaying it is a committed no-op
+      assert(ops.ClusterMaintenance.ingestCommitted(spark, 0L, profDf(b1),
+        profDf(b0), "cidx_cm", "clab_cm"))
+      val afterB0 = labelSet()
+      assert(afterB0 === Set((1L, 1L), (2L, 1L), (3L, 1L), (40L, 40L), (41L, 40L)))
+      val files = indexFiles()
+      assert(!ops.ClusterMaintenance.ingestCommitted(spark, 0L, profDf(b1),
+        profDf(b0), "cidx_cm", "clab_cm"), "replay must be skipped")
+      assert(labelSet() === afterB0)
+      assert(indexFiles() === files, "a skipped replay must not append")
+      // batch 1 crashes AFTER the index append, BEFORE the pointer
+      // commit — the worst window: labels must still read the old
+      // version, and the re-run must converge to the right state
+      // despite the index already holding the batch
+      intercept[RuntimeException] {
+        ops.ClusterMaintenance.ingestCommitted(spark, 1L, profDf(b2),
+          profDf(b0 ++ b1), "cidx_cm", "clab_cm",
+          beforeCommit = () => throw new RuntimeException("crash"))
+      }
+      assert(labelSet() === afterB0, "crashed batch must not be visible")
+      assert(ops.ClusterMaintenance.ingestCommitted(spark, 1L, profDf(b2),
+        profDf(b0 ++ b1), "cidx_cm", "clab_cm"), "replay of a crashed batch applies")
+      assert(labelSet() === Set((1L, 1L), (2L, 1L), (3L, 1L),
+        (40L, 40L), (41L, 40L), (42L, 40L), (30L, 30L), (50L, 30L)))
+      // and the final state equals from-scratch clustering of everything
+      val scratch = ops.Llm.connectedComponents(
+        ops.Bipartite.deletionPairsCollapsed(profDf(b0 ++ b1 ++ b2), 19, 20, 1)
+          .select("a_id", "b_id")).as[(Long, Long)].collect().toSet
+      assert(labelSet() === scratch)
+    } finally {
+      io.TableManifest.drop(spark, "cidx_cm")
+      io.TableManifest.drop(spark, "clab_cm")
+    }
+  }
+
+  test("streaming sink: labels converge to from-scratch across MemoryStream batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val u = ('a' to 'y').map(_.toString)
+    def profDf(rows: Seq[(Long, Seq[String])]) =
+      rows.toDF("c", "brands").select(col("c"), sort_array(col("brands")).as("brands"))
+    val b0: Seq[(Long, Seq[String])] = Seq(1L -> u, 30L -> u.take(8))
+    ops.ProfileIndex.buildIndex(profDf(b0), "sidx_cm")
+    ops.ClusterMaintenance.bootstrapLabels(
+      ops.Llm.connectedComponents(
+        ops.Bipartite.deletionPairsCollapsed(profDf(b0), 19, 20, 1)
+          .select("a_id", "b_id")), "slab_cm")
+    val dir = java.nio.file.Files.createTempDirectory("clsink").toString
+    // the indexed-profile relation grows as batches commit; the spec
+    // maintains it the way a real pipeline's profile store would
+    @volatile var corpus = b0
+    val stream = MemoryStream[(Long, Seq[String])]
+    val q = ops.ClusterMaintenance.labelMaintenanceSink(
+      stream.toDF().select(col("_1").as("c"), sort_array(col("_2")).as("brands")),
+      s"$dir/ckpt", "sidx_cm", "slab_cm", s => profDf(corpus))
+    try {
+      val w1: Seq[(Long, Seq[String])] = Seq(2L -> u.drop(1), 40L -> Seq("q"))
+      stream.addData(w1)
+      q.processAllAvailable()
+      corpus = corpus ++ w1
+      val w2: Seq[(Long, Seq[String])] = Seq(3L -> u, 41L -> Seq("q"))
+      stream.addData(w2)
+      q.processAllAvailable()
+      corpus = corpus ++ w2
+      val got = ops.ClusterMaintenance.loadLabels(spark, "slab_cm")
+        .select("id", "comp").as[(Long, Long)].collect().toSet
+      val scratch = ops.Llm.connectedComponents(
+        ops.Bipartite.deletionPairsCollapsed(profDf(corpus), 19, 20, 1)
+          .select("a_id", "b_id")).as[(Long, Long)].collect().toSet
+      assert(got === scratch)
+      assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (40L, 40L), (41L, 40L)))
+    } finally {
+      q.stop()
+      io.TableManifest.drop(spark, "sidx_cm")
+      io.TableManifest.drop(spark, "slab_cm")
+    }
   }
 }
