@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.functions._
 
@@ -193,7 +193,8 @@ object TableManifest {
     */
   def compactBucketed(spark: SparkSession, name: String, expectSchema: Int,
       beforeCommit: () => Unit = () => (),
-      afterCommit: () => Unit = () => ()): Unit = {
+      afterCommit: () => Unit = () => (),
+      transform: DataFrame => DataFrame = identity): Unit = {
     val cur = resolve(spark, name, expectSchema)
     val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(cur))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -206,7 +207,7 @@ object TableManifest {
     val next = nextVersion(spark, name)
     val nextT = physicalName(name, next)
     spark.sql(s"DROP TABLE IF EXISTS $nextT") // unreferenced leftover staging only
-    Sinks.writeBucketed(spark.read.parquet(meta.location.toString),
+    Sinks.writeBucketed(transform(spark.read.parquet(meta.location.toString)),
       nextT, key, spec.numBuckets)
     beforeCommit()
     commit(spark, name, next, expectSchema) // THE commit point

@@ -94,6 +94,21 @@ object ProfileIndex {
     graft.io.TableManifest.compactBucketed(
       spark, tableName, SchemaVersion, beforeCommit, afterCommit)
 
+  /** [[compact]] that also reclaims replay-duplicated signature rows
+    * (§8.r11 item 3): [[ClusterMaintenance.ingestCommitted]]'s
+    * crash-replay appends are at-least-once, leaving exact duplicate
+    * (sig, c, sz, sl) rows — correctness-neutral (the probe's stage-1
+    * groupBy dedupes collisions) but dead weight on every scan. A
+    * DISTINCT inside the compaction rewrite removes them; probe
+    * results are unchanged by construction.
+    */
+  def compactDedup(spark: SparkSession, tableName: String,
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => ()): Unit =
+    graft.io.TableManifest.compactBucketed(
+      spark, tableName, SchemaVersion, beforeCommit, afterCommit,
+      transform = _.distinct())
+
   /** Stage-1 candidates of a new profile batch against the index at
     * τ = p/q: every (new_id, indexed_id) whose intersection BOUND
     * max|S| passes q·i ≥ p·(sz_n + sz_x − i). Complete (no qualifying

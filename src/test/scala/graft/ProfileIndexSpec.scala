@@ -76,6 +76,34 @@ class ProfileIndexSpec extends SparkSpec {
     }
   }
 
+  test("compactDedup reclaims replay-duplicated rows; probe unchanged") {
+    val corpus: Seq[(Long, Seq[String])] = Seq(
+      1L -> universe, 2L -> universe.drop(1), 3L -> universe.take(10))
+    ops.ProfileIndex.buildIndex(profDf(corpus), "pidx_dd")
+    try {
+      def rows() = spark.table(
+        ops.ProfileIndex.resolveTable(spark, "pidx_dd")).count()
+      val clean = rows()
+      // a crash replay re-appends the same batch verbatim
+      ops.ProfileIndex.appendToIndex(profDf(corpus), "pidx_dd")
+      assert(rows() === clean * 2)
+      def probe() = ops.ProfileIndex.probe(spark,
+        profDf(Seq(10L -> universe)), "pidx_dd", 19, 20)
+        .select("new_id", "indexed_id").as[(Long, Long)].collect().toSet
+      val before = probe()
+      assert(before === Set((10L, 1L), (10L, 2L)))
+      ops.ProfileIndex.compactDedup(spark, "pidx_dd")
+      assert(rows() === clean, "distinct compaction must reclaim the duplicates")
+      assert(probe() === before, "probe semantics must survive the rewrite")
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          ops.ProfileIndex.resolveTable(spark, "pidx_dd")))
+      assert(meta.bucketSpec.exists(s =>
+        s.numBuckets == 8 && s.bucketColumnNames == Seq("sig")),
+        s"bucket spec must survive: ${meta.bucketSpec}")
+    } finally io.TableManifest.drop(spark, "pidx_dd")
+  }
+
   test("append grows the index without rewriting; probes match appended profiles") {
     ops.ProfileIndex.buildIndex(profDf(Seq(1L -> universe.take(12))), "pidx_app")
     try {
