@@ -211,4 +211,73 @@ object ClusterMaintenance {
         ()
       }
       .start()
+
+  // ---- the self-contained tri-store pipeline (§8.r11 item 2) -------
+
+  /** Pure bucket of a profile's owner id — stable as the store grows. */
+  private def profileBucket(nBuckets: Int) =
+    pmod(xxhash64(col("c")), lit(nBuckets.toLong)).cast("int")
+
+  /** Profile-store merge: one row per `c`, batch supersedes snapshot
+    * (profiles are full replacements, not versioned events — within a
+    * batch, `c` must be unique).
+    */
+  private def mergeProfiles(current: DataFrame, batchB: DataFrame): DataFrame =
+    current.join(batchB.select("c"), Seq("c"), "left_anti").unionByName(batchB)
+
+  /** Seed all three stores from an initial corpus, BEFORE
+    * [[profilePipeline]] starts: the bucketed profile snapshot (the
+    * future verify relation), the signature index, and label version
+    * 0. The snapshot seed uses staging dir `v-1`, below any stream
+    * batch id, so batch 0's own `v0` never collides.
+    */
+  def bootstrap(profiles: DataFrame, snapshotPath: String, indexName: String,
+      labelsName: String, nBuckets: Int = 16, buckets: Int = 8,
+      p: Int = 19, q: Int = 20): Unit = {
+    val prof = profiles.localCheckpoint()
+    Streaming.upsertBatchInto(snapshotPath,
+      prof.withColumn("bucket", profileBucket(nBuckets)), -1L, mergeProfiles)
+    ProfileIndex.buildIndex(prof, indexName, buckets)
+    bootstrapLabels(
+      Llm.connectedComponents(
+        Bipartite.deletionPairsCollapsed(prof, p, q, ProfileIndex.Depth)
+          .select("a_id", "b_id")),
+      labelsName, buckets)
+  }
+
+  /** The self-contained streaming near-dup pipeline: ONE foreachBatch
+    * maintains all three stores in replay-safe order — (1) bucketed
+    * profile-snapshot upsert ([[Streaming.upsertBatchInto]]'s staged
+    * + manifest-pointer discipline; content-idempotent on replay),
+    * then (2) the committed label/index ingest (exactly-once via the
+    * label-pointer guard). Upsert-BEFORE-ingest is load-bearing: the
+    * snapshot must cover every profile the index holds by the time a
+    * future batch reads it as the stage-2 verify relation; probing
+    * against a snapshot that already includes the current batch is
+    * harmless (self-matches drop in the probe, duplicate intra edges
+    * are connectivity no-ops). Crash between (1) and (2): replay
+    * re-merges the same content into a fresh staging dir and the
+    * ingest guard decides — committed → skip, crashed → recompute.
+    */
+  def profilePipeline(stream: DataFrame, snapshotPath: String,
+      checkpointDir: String, indexName: String, labelsName: String,
+      nBuckets: Int = 16, p: Int = 19,
+      q: Int = 20): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.toDF().localCheckpoint()
+        if (!b.isEmpty) {
+          Streaming.upsertBatchInto(snapshotPath,
+            b.withColumn("bucket", profileBucket(nBuckets)), batchId,
+            mergeProfiles)
+          val snap = graft.io.Manifest.readSnapshot(s, snapshotPath)
+            .drop("bucket")
+          ingestCommitted(s, batchId, b, snap, indexName, labelsName,
+            p = p, q = q)
+        }
+        ()
+      }
+      .start()
 }

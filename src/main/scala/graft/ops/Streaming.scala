@@ -150,61 +150,80 @@ object Streaming {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(snapshotPath)
-        // resolve the FS from the snapshot path, not the session
-        // default — the snapshot may live on a different scheme
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val batchB = batch.toDF().withColumn("bucket", upsertBucket(nBuckets))
-        // the batch's bucket set: ≤ nBuckets small ints — the only
-        // driver-visible data
-        val touched = batchB.select("bucket").distinct()
-          .collect().map(_.getInt(0)).sorted
-        if (touched.nonEmpty) {
-          val manifest = graft.io.Manifest.read(fs, root)
-          val currentDirs = touched.toSeq.flatMap(b => manifest.get(b).map(b -> _))
-          val current =
-            if (currentDirs.isEmpty) batchB.limit(0)
-            else currentDirs.map { case (b, rel) =>
-              spark.read.parquet(new org.apache.hadoop.fs.Path(root, rel).toString)
-                .withColumn("bucket", lit(b))
-            }.reduce(_.unionByName(_))
-          val merged = upsertLatest(current, batchB)
-          // staging dir: attempt-unique w.r.t. the LIVE manifest — a
-          // dir the current manifest references must never be deleted
-          // (the merge above lazily READS it, and it may be the only
-          // committed copy after a post-commit crash + replay)
-          val referenced = manifest.values.map(_.split("/", 2)(0)).toSet
-          var vdir = s"v$batchId"
-          var attempt = 0
-          while (referenced(vdir)) {
-            attempt += 1
-            vdir = s"v${batchId}r$attempt"
-          }
-          val vpath = new org.apache.hadoop.fs.Path(root, vdir)
-          fs.delete(vpath, true) // unreferenced leftover staging only
-          merged.write.partitionBy("bucket").mode("overwrite").parquet(vpath.toString)
-          // every touched bucket holds ≥1 batch row post-merge, so its
-          // staged dir must exist — verify BEFORE publishing anything
-          touched.foreach { b =>
-            if (!fs.exists(new org.apache.hadoop.fs.Path(vpath, s"bucket=$b")))
-              throw new IllegalStateException(
-                s"foreachBatchUpsert: merged output missing touched bucket $b under $vpath; " +
-                  "aborting commit (current snapshot left intact)")
-          }
-          val newManifest = manifest ++ touched.map(b => b -> s"$vdir/bucket=$b")
-          beforeCommit()
-          graft.io.Manifest.write(fs, root, newManifest) // THE commit point
-          // retention grace: keep the PREVIOUS manifest's dirs one
-          // more batch interval, so a reader that resolved it
-          // pre-commit finishes its lazy scan on intact files; dirs
-          // fall out once two generations stale
-          graft.io.Manifest.vacuum(fs, root, newManifest, referenced)
-          afterCommit()
-        }
+        upsertBatchInto(snapshotPath,
+          batch.toDF().withColumn("bucket", upsertBucket(nBuckets)),
+          batchId, upsertLatest, beforeCommit, afterCommit)
         ()
       }
       .start()
+
+  /** One crash-safe bucketed-upsert batch against a
+    * [[graft.io.Manifest]] snapshot — the shared core of
+    * [[foreachBatchUpsert]] and [[ClusterMaintenance]]'s profile
+    * store. `batchB` must carry an int `bucket` column that is a pure
+    * function of the upsert key; `merge(current, batchB)` combines
+    * the touched buckets' committed rows (bucket column restored)
+    * with the batch. Staging, touched-bucket verification, the
+    * manifest-pointer commit, and retention-grace vacuum are exactly
+    * the discipline the original sink carried (crash-spec'd in
+    * StreamingSpec — those specs now exercise this shared core).
+    */
+  private[graft] def upsertBatchInto(snapshotPath: String, batchB: DataFrame,
+      batchId: Long, merge: (DataFrame, DataFrame) => DataFrame,
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => ()): Unit = {
+    val spark = batchB.sparkSession
+    val root = new org.apache.hadoop.fs.Path(snapshotPath)
+    // resolve the FS from the snapshot path, not the session
+    // default — the snapshot may live on a different scheme
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the batch's bucket set: ≤ nBuckets small ints — the only
+    // driver-visible data
+    val touched = batchB.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.nonEmpty) {
+      val manifest = graft.io.Manifest.read(fs, root)
+      val currentDirs = touched.toSeq.flatMap(b => manifest.get(b).map(b -> _))
+      val current =
+        if (currentDirs.isEmpty) batchB.limit(0)
+        else currentDirs.map { case (b, rel) =>
+          spark.read.parquet(new org.apache.hadoop.fs.Path(root, rel).toString)
+            .withColumn("bucket", lit(b))
+        }.reduce(_.unionByName(_))
+      val merged = merge(current, batchB)
+      // staging dir: attempt-unique w.r.t. the LIVE manifest — a
+      // dir the current manifest references must never be deleted
+      // (the merge above lazily READS it, and it may be the only
+      // committed copy after a post-commit crash + replay)
+      val referenced = manifest.values.map(_.split("/", 2)(0)).toSet
+      var vdir = s"v$batchId"
+      var attempt = 0
+      while (referenced(vdir)) {
+        attempt += 1
+        vdir = s"v${batchId}r$attempt"
+      }
+      val vpath = new org.apache.hadoop.fs.Path(root, vdir)
+      fs.delete(vpath, true) // unreferenced leftover staging only
+      merged.write.partitionBy("bucket").mode("overwrite").parquet(vpath.toString)
+      // every touched bucket holds ≥1 batch row post-merge, so its
+      // staged dir must exist — verify BEFORE publishing anything
+      touched.foreach { b =>
+        if (!fs.exists(new org.apache.hadoop.fs.Path(vpath, s"bucket=$b")))
+          throw new IllegalStateException(
+            s"upsertBatchInto: merged output missing touched bucket $b under $vpath; " +
+              "aborting commit (current snapshot left intact)")
+      }
+      val newManifest = manifest ++ touched.map(b => b -> s"$vdir/bucket=$b")
+      beforeCommit()
+      graft.io.Manifest.write(fs, root, newManifest) // THE commit point
+      // retention grace: keep the PREVIOUS manifest's dirs one
+      // more batch interval, so a reader that resolved it
+      // pre-commit finishes its lazy scan on intact files; dirs
+      // fall out once two generations stale
+      graft.io.Manifest.vacuum(fs, root, newManifest, referenced)
+      afterCommit()
+    }
+  }
 
   /** Per-user cumulative stats carried in CUSTOM state via
     * `flatMapGroupsWithState` — the arbitrary-stateful-processing

@@ -184,4 +184,52 @@ class ClusterMaintenanceSpec extends SparkSpec {
       io.TableManifest.drop(spark, "slab_cm")
     }
   }
+
+  test("tri-store pipeline: snapshot, index, and labels stay mutually consistent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val u = ('a' to 'y').map(_.toString)
+    def profDf(rows: Seq[(Long, Seq[String])]) =
+      rows.toDF("c", "brands").select(col("c"), sort_array(col("brands")).as("brands"))
+    val b0: Seq[(Long, Seq[String])] = Seq(1L -> u, 30L -> u.take(8))
+    val dir = java.nio.file.Files.createTempDirectory("tristore").toString
+    val snap = s"$dir/profiles"
+    ops.ClusterMaintenance.bootstrap(profDf(b0), snap, "tidx_cm", "tlab_cm")
+    val stream = MemoryStream[(Long, Seq[String])]
+    val q = ops.ClusterMaintenance.profilePipeline(
+      stream.toDF().select(col("_1").as("c"), sort_array(col("_2")).as("brands")),
+      snap, s"$dir/ckpt", "tidx_cm", "tlab_cm")
+    try {
+      val w1: Seq[(Long, Seq[String])] = Seq(2L -> u.drop(1), 40L -> Seq("q"))
+      val w2: Seq[(Long, Seq[String])] = Seq(3L -> u, 41L -> Seq("q"), 50L -> u.take(8))
+      stream.addData(w1)
+      q.processAllAvailable()
+      stream.addData(w2)
+      q.processAllAvailable()
+      val corpus = b0 ++ w1 ++ w2
+      // snapshot holds exactly the corpus
+      val snapRows = io.Manifest.readSnapshot(spark, snap)
+        .select(col("c"), concat_ws(",", col("brands")).as("p"))
+        .as[(Long, String)].collect().toMap
+      assert(snapRows === corpus.map { case (c, br) =>
+        c -> br.sorted.mkString(",") }.toMap)
+      // labels equal from-scratch clustering of the corpus
+      val got = ops.ClusterMaintenance.loadLabels(spark, "tlab_cm")
+        .select("id", "comp").as[(Long, Long)].collect().toSet
+      val scratch = ops.Llm.connectedComponents(
+        ops.Bipartite.deletionPairsCollapsed(profDf(corpus), 19, 20, 1)
+          .select("a_id", "b_id")).as[(Long, Long)].collect().toSet
+      assert(got === scratch)
+      assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L),
+        (40L, 40L), (41L, 40L), (30L, 30L), (50L, 30L)))
+      // index covers every profile: a fresh probe finds the expected partner
+      val m = ops.ProfileIndex.probe(spark,
+        profDf(Seq(900L -> u.take(8))), "tidx_cm", 19, 20)
+        .select("new_id", "indexed_id").as[(Long, Long)].collect().toSet
+      assert(m === Set((900L, 30L), (900L, 50L)))
+    } finally {
+      q.stop()
+      io.TableManifest.drop(spark, "tidx_cm")
+      io.TableManifest.drop(spark, "tlab_cm")
+    }
+  }
 }
