@@ -266,18 +266,34 @@ object ClusterMaintenance {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val s = batch.sparkSession
         val b = batch.toDF().localCheckpoint()
-        if (!b.isEmpty) {
-          Streaming.upsertBatchInto(snapshotPath,
-            b.withColumn("bucket", profileBucket(nBuckets)), batchId,
-            mergeProfiles)
-          val snap = graft.io.Manifest.readSnapshot(s, snapshotPath)
-            .drop("bucket")
-          ingestCommitted(s, batchId, b, snap, indexName, labelsName,
-            p = p, q = q)
-        }
+        if (!b.isEmpty)
+          pipelineBatch(batchId, b, snapshotPath, indexName, labelsName,
+            nBuckets, p, q)
         ()
       }
       .start()
+
+  /** One [[profilePipeline]] batch — split out so the crash-matrix
+    * spec can drive every seam directly: `crashAt` injects a failure
+    * at the named seam ("upsert-commit" = inside the snapshot
+    * commit's critical section, "between" = after the snapshot
+    * committed but before any ingest work, "ingest-commit" = after
+    * the index append, before the label pointer). Replaying the same
+    * batchId after any crash converges: the upsert re-merge is
+    * content-idempotent and the ingest guard skips-or-recomputes.
+    */
+  private[graft] def pipelineBatch(batchId: Long, b: DataFrame,
+      snapshotPath: String, indexName: String, labelsName: String,
+      nBuckets: Int = 16, p: Int = 19, q: Int = 20,
+      crashAt: String => Unit = _ => ()): Unit = {
+    val s = b.sparkSession
+    Streaming.upsertBatchInto(snapshotPath,
+      b.withColumn("bucket", profileBucket(nBuckets)), batchId,
+      mergeProfiles, beforeCommit = () => crashAt("upsert-commit"))
+    crashAt("between")
+    val snap = graft.io.Manifest.readSnapshot(s, snapshotPath).drop("bucket")
+    ingestCommitted(s, batchId, b, snap, indexName, labelsName,
+      p = p, q = q, beforeCommit = () => crashAt("ingest-commit"))
+  }
 }

@@ -232,4 +232,58 @@ class ClusterMaintenanceSpec extends SparkSpec {
       io.TableManifest.drop(spark, "tlab_cm")
     }
   }
+
+  test("crash matrix: a kill at every pipeline seam recovers to tri-store consistency") {
+    val u = ('a' to 'y').map(_.toString)
+    def profDf(rows: Seq[(Long, Seq[String])]) =
+      rows.toDF("c", "brands").select(col("c"), sort_array(col("brands")).as("brands"))
+    val b0: Seq[(Long, Seq[String])] = Seq(1L -> u, 30L -> u.take(8))
+    // one batch per seam, each extending the cluster structure so a
+    // lost batch would be visible in the label comparison
+    val waves: Seq[(String, Seq[(Long, Seq[String])])] = Seq(
+      "upsert-commit" -> Seq(2L -> u.drop(1)),
+      "between" -> Seq(40L -> Seq("q"), 41L -> Seq("q")),
+      "ingest-commit" -> Seq(3L -> u, 50L -> u.take(8)))
+    val dir = java.nio.file.Files.createTempDirectory("crashmatrix").toString
+    val snap = s"$dir/profiles"
+    ops.ClusterMaintenance.bootstrap(profDf(b0), snap, "xidx_cm", "xlab_cm")
+    try {
+      var corpus = b0
+      waves.zipWithIndex.foreach { case ((seam, w), i) =>
+        val bid = i.toLong
+        // first attempt dies at this wave's seam …
+        intercept[RuntimeException] {
+          ops.ClusterMaintenance.pipelineBatch(bid, profDf(w), snap,
+            "xidx_cm", "xlab_cm",
+            crashAt = at => if (at == seam) throw new RuntimeException(s"kill@$at"))
+        }
+        // … the replay (same batchId, no injection) must converge
+        ops.ClusterMaintenance.pipelineBatch(bid, profDf(w), snap,
+          "xidx_cm", "xlab_cm")
+        corpus = corpus ++ w
+        val got = ops.ClusterMaintenance.loadLabels(spark, "xlab_cm")
+          .select("id", "comp").as[(Long, Long)].collect().toSet
+        val scratch = ops.Llm.connectedComponents(
+          ops.Bipartite.deletionPairsCollapsed(profDf(corpus), 19, 20, 1)
+            .select("a_id", "b_id")).as[(Long, Long)].collect().toSet
+        assert(got === scratch, s"labels diverged after crash at '$seam'")
+        val snapRows = io.Manifest.readSnapshot(spark, snap)
+          .select("c").as[Long].collect().toSet
+        assert(snapRows === corpus.map(_._1).toSet,
+          s"snapshot diverged after crash at '$seam'")
+      }
+      // the index, having survived three crash-replays (one of them
+      // post-append), still probes correctly — and compactDedup
+      // reclaims whatever the replays duplicated without changing it
+      def probe() = ops.ProfileIndex.probe(spark,
+        profDf(Seq(900L -> u.take(8))), "xidx_cm", 19, 20)
+        .select("new_id", "indexed_id").as[(Long, Long)].collect().toSet
+      assert(probe() === Set((900L, 30L), (900L, 50L)))
+      ops.ProfileIndex.compactDedup(spark, "xidx_cm")
+      assert(probe() === Set((900L, 30L), (900L, 50L)))
+    } finally {
+      io.TableManifest.drop(spark, "xidx_cm")
+      io.TableManifest.drop(spark, "xlab_cm")
+    }
+  }
 }
