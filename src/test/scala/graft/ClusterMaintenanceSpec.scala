@@ -233,6 +233,39 @@ class ClusterMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("updateLabels is edge-source-agnostic: incremental DOCUMENT clusters over the MinHash index") {
+    // the maintenance layer composed with IncrementalDedup instead of
+    // ProfileIndex — same closure algebra, different similarity domain
+    def doc(extra: String, stem: String): String =
+      (1 to 40).map(i => s"${stem}a$i ${stem}b$i ${stem}c$i").mkString(" ") + " " + extra
+    def pairsOf(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      ops.IncrementalDedup.matchAgainstIndex(spark, batch, "midx_cm")
+        .select(col("new_id").as("a_id"), col("indexed_id").as("b_id"))
+    val b0 = Seq((1L, doc("", "alpha")), (2L, doc("tail", "alpha")),
+      (30L, doc("", "beta"))).toDF("doc_id", "text")
+    ops.IncrementalDedup.buildIndex(b0, "midx_cm")
+    try {
+      var labels = ops.Llm.connectedComponents(pairsOf(b0))
+      val waves = Seq(
+        Seq((3L, doc("other tail", "alpha"))),           // joins {1,2}
+        Seq((31L, doc("small change", "beta")),          // joins {30}
+          (50L, doc("", "gamma"))))                      // novel singleton
+      var corpus = b0
+      for (w <- waves) {
+        val batch = w.toDF("doc_id", "text")
+        labels = ops.ClusterMaintenance.updateLabels(labels, pairsOf(batch))
+          .localCheckpoint()
+        ops.IncrementalDedup.appendToIndex(batch, "midx_cm")
+        corpus = corpus.unionByName(batch)
+        val scratch = ops.Llm.connectedComponents(pairsOf(corpus))
+          .as[(Long, Long)].collect().toSet
+        assert(labels.as[(Long, Long)].collect().toSet === scratch)
+      }
+      assert(labels.as[(Long, Long)].collect().toSet ===
+        Set((1L, 1L), (2L, 1L), (3L, 1L), (30L, 30L), (31L, 30L)))
+    } finally io.TableManifest.drop(spark, "midx_cm")
+  }
+
   test("crash matrix: a kill at every pipeline seam recovers to tri-store consistency") {
     val u = ('a' to 'y').map(_.toString)
     def profDf(rows: Seq[(Long, Seq[String])]) =
