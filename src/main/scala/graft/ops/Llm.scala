@@ -575,6 +575,53 @@ object Llm {
       .withColumn("split", splitName(col("bucket")))
       .orderBy("doc_id")
 
+  /** The mixture specification for [[sampleMixtureExact]]: target
+    * ppm proportions per language, summing to 10⁶. One constant
+    * feeds BOTH the Spark plan and the generated oracle VALUES
+    * clause (the Exp2Sql single-source-of-truth discipline).
+    */
+  private[graft] val MixtureWeights: Seq[(String, Long)] = Seq(
+    "en" -> 400000L, "de" -> 150000L, "es" -> 150000L,
+    "fr" -> 150000L, "zh" -> 150000L)
+
+  /** EXACT data-mixture sampling (round 10 resume) — the fixed-ratio
+    * mixing step of training-corpus assembly: find the LARGEST total
+    * T whose per-language quotas floor(T·w_l) all fit inside the
+    * available counts (the binding language sets T; here fr binds at
+    * sf0.01), then admit exactly quota_l docs per language by
+    * deterministic hash rank. Everything is integer or
+    * exact-in-double (all products < 2⁵³), the rank key is the house
+    * md5 under its own salt with a doc_id tiebreaker, and the window
+    * is language-partitioned — so the sample is a pure function of
+    * the corpus, identical across engines, runs, and partitionings.
+    * Scale: one tiny per-language count agg, two 1-to-5-row
+    * broadcasts, one partitioned window — no wide shuffle beyond the
+    * per-language rank.
+    */
+  val sampleMixtureExact: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val w = {
+      import s.implicits._
+      MixtureWeights.toDF("lang", "w_ppm")
+    }
+    val tTotal = docs.groupBy(col("lang")).agg(count(lit(1)).as("avail"))
+      .join(w, "lang")
+      .agg(min(floor(col("avail") * lit(1000000L) / col("w_ppm"))
+        .cast("long")).as("t_total"))
+    val quotas = w.crossJoin(broadcast(tTotal))
+      .select(col("lang"),
+        floor(col("t_total") * col("w_ppm") / lit(1000000L))
+          .cast("long").as("quota"))
+    val rk = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(md5(concat_ws("|", lit("graft-mix"),
+        col("doc_id").cast("string"))), col("doc_id"))
+    docs.withColumn("rank", row_number().over(rk).cast("long"))
+      .join(broadcast(quotas), "lang")
+      .filter(col("rank") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("rank"))
+      .orderBy("lang", "rank")
+  }
+
   /** Temperature-flattened domain sampling (round 7) — the
     * multilingual/multi-source rebalancing step of LLM data mixing
     * (the α-temperature scheme of mBERT/XLM-R): large domains are
@@ -747,6 +794,7 @@ object Llm {
     "sim_pairwise_threshold_lsh" -> simPairwiseThresholdLsh,
     "sample_hash_split" -> sampleHashSplit,
     "sample_temperature" -> sampleTemperature,
+    "sample_mixture_exact" -> sampleMixtureExact,
     "sample_temperature_rational" -> sampleTemperatureRational,
     "sample_stratified_hash" -> sampleStratifiedHash,
     "dedup_latest_wins" -> dedupLatestWins,

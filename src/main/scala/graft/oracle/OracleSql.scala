@@ -894,6 +894,26 @@ object OracleSql {
         |FROM c WHERE cum_toks <= 2000
         |ORDER BY lang, cum_toks, doc_id""".stripMargin,
 
+    // ops.Llm.sampleMixtureExact: exact fixed-ratio mixing — the
+    // VALUES clause is generated from the SAME Scala constant the
+    // Spark plan uses (Llm.MixtureWeights), one source of truth.
+    "sample_mixture_exact" ->
+      s"""WITH w(lang, w_ppm) AS (VALUES ${
+           graft.ops.Llm.MixtureWeights
+             .map { case (l, p) => s"('$l', $p)" }.mkString(", ")}),
+         |av AS (SELECT lang, count(*) AS avail FROM documents GROUP BY lang),
+         |tt AS (SELECT min((avail * 1000000) // w_ppm) AS t_total
+         |       FROM av JOIN w USING (lang)),
+         |q AS (SELECT lang, (tt.t_total * w_ppm) // 1000000 AS quota FROM w, tt),
+         |r AS (SELECT doc_id, lang,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY md5('graft-mix' || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+         |      FROM documents)
+         |SELECT r.doc_id, r.lang, CAST(r.rank AS BIGINT) AS rank
+         |FROM r JOIN q USING (lang)
+         |WHERE r.rank <= q.quota
+         |ORDER BY lang, rank""".stripMargin,
+
     "sample_temperature" ->
       """WITH d AS (SELECT doc_id, lang FROM documents),
         |n AS (SELECT lang, count(*) AS lang_total FROM d GROUP BY lang),

@@ -355,4 +355,31 @@ class LlmSpec extends SparkSpec {
         s"α=1/2 integer thr must equal the float-form thr for $lang")
     }
   }
+
+  test("exact mixture: quotas apportion the binding-language budget, deterministic membership") {
+    val dir = "/root/testdata/sf0.01"
+    val out = ops.Llm.sampleMixtureExact(spark, dir)
+      .select("doc_id", "lang", "rank").as[(Long, String, Long)].collect()
+    val avail = io.Readers.table(spark, dir, "documents")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val w = ops.Llm.MixtureWeights.toMap
+    // reference apportionment: T = min_l floor(avail_l*1e6/w_l),
+    // quota_l = floor(T*w_l/1e6)
+    val t = w.map { case (l, p) => avail(l) * 1000000L / p }.min
+    val expectQuota = w.map { case (l, p) => l -> t * p / 1000000L }
+    val gotPerLang = out.groupBy(_._2).map { case (l, rs) => l -> rs.length.toLong }
+    assert(gotPerLang === expectQuota.filter(_._2 > 0))
+    // quotas never exceed availability, and the binding language is tight
+    expectQuota.foreach { case (l, qn) => assert(qn <= avail(l)) }
+    assert(expectQuota.exists { case (l, qn) =>
+      avail(l) * 1000000L / w(l) == t }, "some language must bind the budget")
+    // ranks are 1..quota_l dense per language (deterministic admission)
+    out.groupBy(_._2).foreach { case (l, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to expectQuota(l)).toSeq, l)
+    }
+    // a second evaluation is bit-identical (pure function of the corpus)
+    val again = ops.Llm.sampleMixtureExact(spark, dir)
+      .select("doc_id", "lang", "rank").as[(Long, String, Long)].collect()
+    assert(again.toSeq === out.toSeq)
+  }
 }
