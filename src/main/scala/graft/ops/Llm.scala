@@ -584,6 +584,38 @@ object Llm {
     "en" -> 400000L, "de" -> 150000L, "es" -> 150000L,
     "fr" -> 150000L, "zh" -> 150000L)
 
+  /** Fixed budget for [[sampleMixtureEpochs]], in documents. */
+  private[graft] val MixtureBudgetDocs = 1000L
+
+  /** Repeat-factor planning — the DUAL of [[sampleMixtureExact]]:
+    * instead of shrinking the total until every quota fits
+    * availability, keep a FIXED total budget and compute how many
+    * full EPOCHS of each language the quota implies plus the
+    * partial-epoch remainder (the Chinchilla-style "how many times do
+    * we repeat the small languages" table a data-mixing plan loads).
+    * quota_l = floor(B·w_l/10⁶); epochs_l = quota_l div avail_l;
+    * partial_l = quota_l mod avail_l; repeat_factor is the one
+    * correctly-rounded double division at the end. Five-row output —
+    * a pure aggregation, broadcast-joined weights.
+    */
+  val sampleMixtureEpochs: Q = (s, dir) => {
+    val w = {
+      import s.implicits._
+      MixtureWeights.toDF("lang", "w_ppm")
+    }
+    table(s, dir, "documents").groupBy(col("lang"))
+      .agg(count(lit(1)).as("avail"))
+      .join(broadcast(w), "lang")
+      .select(col("lang"), col("avail"),
+        floor(col("w_ppm") * lit(MixtureBudgetDocs) / lit(1000000L))
+          .cast("long").as("quota"))
+      .withColumn("full_epochs", (col("quota") / col("avail")).cast("long"))
+      .withColumn("partial_docs", col("quota") % col("avail"))
+      .withColumn("repeat_factor",
+        col("quota").cast("double") / col("avail").cast("double"))
+      .orderBy("lang")
+  }
+
   /** EXACT data-mixture sampling (round 10 resume) — the fixed-ratio
     * mixing step of training-corpus assembly: find the LARGEST total
     * T whose per-language quotas floor(T·w_l) all fit inside the
@@ -795,6 +827,7 @@ object Llm {
     "sample_hash_split" -> sampleHashSplit,
     "sample_temperature" -> sampleTemperature,
     "sample_mixture_exact" -> sampleMixtureExact,
+    "sample_mixture_epochs" -> sampleMixtureEpochs,
     "sample_temperature_rational" -> sampleTemperatureRational,
     "sample_stratified_hash" -> sampleStratifiedHash,
     "dedup_latest_wins" -> dedupLatestWins,

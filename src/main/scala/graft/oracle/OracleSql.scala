@@ -914,6 +914,22 @@ object OracleSql {
          |WHERE r.rank <= q.quota
          |ORDER BY lang, rank""".stripMargin,
 
+    // ops.Llm.sampleMixtureEpochs: repeat-factor planning at the
+    // fixed document budget — same generated weight VALUES.
+    "sample_mixture_epochs" ->
+      s"""WITH w(lang, w_ppm) AS (VALUES ${
+           graft.ops.Llm.MixtureWeights
+             .map { case (l, p) => s"('$l', $p)" }.mkString(", ")}),
+         |av AS (SELECT lang, count(*) AS avail FROM documents GROUP BY lang)
+         |SELECT av.lang, av.avail,
+         |       (w_ppm * ${graft.ops.Llm.MixtureBudgetDocs}) // 1000000 AS quota,
+         |       ((w_ppm * ${graft.ops.Llm.MixtureBudgetDocs}) // 1000000) // av.avail AS full_epochs,
+         |       ((w_ppm * ${graft.ops.Llm.MixtureBudgetDocs}) // 1000000) % av.avail AS partial_docs,
+         |       CAST((w_ppm * ${graft.ops.Llm.MixtureBudgetDocs}) // 1000000 AS DOUBLE)
+         |         / CAST(av.avail AS DOUBLE) AS repeat_factor
+         |FROM av JOIN w USING (lang)
+         |ORDER BY lang""".stripMargin,
+
     "sample_temperature" ->
       """WITH d AS (SELECT doc_id, lang FROM documents),
         |n AS (SELECT lang, count(*) AS lang_total FROM d GROUP BY lang),

@@ -382,4 +382,20 @@ class LlmSpec extends SparkSpec {
       .select("doc_id", "lang", "rank").as[(Long, String, Long)].collect()
     assert(again.toSeq === out.toSeq)
   }
+
+  test("mixture epochs: quota decomposes as full_epochs*avail + partial, factor consistent") {
+    val rows = ops.Llm.sampleMixtureEpochs(spark, "/root/testdata/sf0.01")
+      .select("lang", "avail", "quota", "full_epochs", "partial_docs", "repeat_factor")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSet === ops.Llm.MixtureWeights.map(_._1).toSet)
+    rows.foreach { case (l, avail, quota, ep, part, rf) =>
+      assert(quota === ops.Llm.MixtureWeights.toMap.apply(l) *
+        ops.Llm.MixtureBudgetDocs / 1000000L, l)
+      assert(quota === ep * avail + part, l)
+      assert(part >= 0 && part < avail, l)
+      assert(math.abs(rf - quota.toDouble / avail.toDouble) == 0.0, l)
+    }
+    // the corpus must actually exercise repetition (some lang repeats)
+    assert(rows.exists(_._4 >= 1), "fixture must include an over-budget language")
+  }
 }
