@@ -374,8 +374,105 @@ object InfoTheory {
       .orderBy("doc_id")
   }
 
+  /** BM25 query-term set: shared single source of truth for the Spark
+    * key and the DuckDB oracle ([[graft.oracle.OracleSql]] interpolates
+    * this list), so a term-set edit cannot desynchronize the engines.
+    */
+  val Bm25QueryTerms: Seq[String] = Seq("spark", "stream", "vector", "window")
+
+  /** BM25 constants as exact ppm integers (k1 = 1.2, b = 0.75) —
+    * interpolated into BOTH engines' integer arithmetic. */
+  val Bm25K1Ppm = 1200000L        // k1
+  val Bm25K1p1Ppm = 2200000L      // k1 + 1
+  val Bm25BPpm = 750000L          // b
+  val Bm25OneMinusBPpm = 250000L  // 1 - b
+
+  /** Okapi BM25 top-10 document retrieval for a fixed query-term set —
+    * the relevance-scoring primitive a curation pipeline uses to mine
+    * on-topic documents from a web corpus (and the standard lexical
+    * baseline next to the embedding-cosine family). ENTIRELY on the
+    * oracle-able float frontier: both the IDF logarithm and the TF
+    * saturation rational are evaluated in fixed-point integer
+    * arithmetic, so the DuckDB oracle replays every intermediate bit
+    * (no round-and-pray on `ln`).
+    *
+    * Per (doc d, term t):
+    *   idf₂₀(t)  = L₂₀(2N+2) − L₂₀(2·df+1)
+    *               — the Lucene idf ln(1 + (N−df+½)/(df+½)) with the
+    *               halves cleared by doubling: (N+1)/(df+½) =
+    *               (2N+2)/(2df+1); always positive; L₂₀ =
+    *               [[graft.functions.NumericExpressions.Log2Fixed]]
+    *               (base-2 rather than e — a constant factor ln2
+    *               common to every score, so ranking is unchanged).
+    *   sat_ppm   = tf·(k1+1)·10¹² div (tf·10⁶ + k1·norm_ppm div 10⁶)
+    *   norm_ppm  = (1−b)·10⁶ + b·dlnorm_ppm div 10⁶
+    *   dlnorm_ppm= dl·10¹² div avgdl_µ,  avgdl_µ = Σdl·10⁶ div N
+    *   score     = Σ_t idf₂₀·sat_ppm  (Q20·ppm integer)
+    * Every `div` is positive-operand truncating division at a
+    * documented point, identical in both engines. Overflow headroom:
+    * dl·10¹² < 2⁶³ up to ~9·10⁶ tokens/doc; tf·(k1+1)·10¹² < 2⁶³ up
+    * to tf ≈ 4·10⁶; idf₂₀·sat_ppm ≤ L₂₀(2N+2)·2.2·10⁶ < 2⁶³ for any
+    * N < 2⁶² — all beyond any real document.
+    *
+    * N and avgdl are over the TOKENIZED corpus (docs with ≥ 1 token);
+    * docs matching no query term are absent, as in any inverted index.
+    *
+    * Scale — the token stream NEVER shuffles. Because the query-term
+    * set is a literal, per-doc tf for each query term and dl are
+    * row-local array expressions (`size(filter(arr, _ = t))` — codegen,
+    * no explode); the only aggregate is the 1-ROW corpus-stats pass
+    * (Σdl, N, df per query term — all algebraic, map-side combined)
+    * which comes back as a 1-row broadcast carrying the precomputed
+    * idf₂₀ per term; scoring is then pure row-local integer math and
+    * the top-10 is a TakeOrdered (per-partition heap + driver merge,
+    * no global sort). Zero hash exchanges end-to-end: the cost is two
+    * column-pruned scans of `text` (stats pass + scoring pass), which
+    * beats one scan + a full token shuffle at any scale. For AD-HOC
+    * queries (term set not compile-time), materialize the (term, doc,
+    * tf) relation bucketed by term ([[graft.io]] pattern) — the
+    * posting-list form — and this key becomes a bucket probe.
+    */
+  val textBm25Topk: Q = (s, dir) => {
+    val qt = Bm25QueryTerms
+    val perdoc = table(s, dir, "documents")
+      .select(col("doc_id"), filter(tokens, x => x =!= "").as("arr"))
+      .select(col("doc_id") +: size(col("arr")).cast("long").as("dl") +:
+        qt.indices.map(i =>
+          size(filter(col("arr"), x => x === qt(i))).cast("long").as(s"tf_$i")): _*)
+    val statAggs = sum(col("dl")).as("total_tok") +:
+      count(when(col("dl") > 0, 1)).as("n_docs") +:
+      qt.indices.map(i => count(when(col(s"tf_$i") > 0, 1)).as(s"df_$i"))
+    val stats = perdoc
+      .agg(statAggs.head, statAggs.tail: _*)
+      .withColumn("avgdl_u", expr("total_tok * 1000000 div n_docs"))
+      .select(col("avgdl_u") +: qt.indices.map(i =>
+        (log2Fixed(lit(2) * col("n_docs") + lit(2)) -
+          log2Fixed(lit(2) * col(s"df_$i") + lit(1))).as(s"idf20_$i")): _*)
+    perdoc
+      .filter(qt.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .withColumn("norm_ppm",
+        expr(s"$Bm25OneMinusBPpm + $Bm25BPpm * " +
+          s"(dl * 1000000000000 div avgdl_u) div 1000000"))
+      .withColumn("n_hit",
+        qt.indices.map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("bm25_u",
+        qt.indices.map(i => col(s"idf20_$i") *
+          expr(s"tf_$i * $Bm25K1p1Ppm * 1000000 div " +
+            s"(tf_$i * 1000000 + $Bm25K1Ppm * norm_ppm div 1000000)"))
+          .reduce(_ + _))
+      .orderBy(col("bm25_u").desc, col("doc_id"))
+      .limit(10)
+      .withColumn("bm25",
+        col("bm25_u").cast("double") / lit(1048576.0) / lit(1000000.0)
+          * lit(0.6931471805599453))
+      .select(col("doc_id"), col("n_hit"), col("bm25_u"), col("bm25"))
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_gini_impurity" -> aggGiniImpurity,
+    "text_bm25_topk" -> textBm25Topk,
     "sample_perplexity_temperature" -> samplePerplexityTemperature,
     "text_entropy_exact" -> textEntropyExact,
     "events_entropy_user" -> eventsEntropyUser,

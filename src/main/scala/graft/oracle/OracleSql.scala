@@ -2294,6 +2294,57 @@ object OracleSql {
          |FROM per_doc JOIN lgn ON lgn.v = per_doc.n_tokens
          |ORDER BY doc_id""".stripMargin,
 
+    // ops.InfoTheory.textBm25Topk: Okapi BM25 with the IDF logarithm
+    // on the Log2Sql integer chain and the TF-saturation rational as
+    // explicit truncating divisions — the whole score bit-replayed.
+    // Query terms and the k1/b ppm constants interpolate from the SAME
+    // Scala constants the Spark side uses (one source of truth).
+    "text_bm25_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM tok WHERE term <> '' GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |corp AS (
+         |  SELECT total_tok, n_docs, total_tok * 1000000 // n_docs AS avgdl_u
+         |  FROM (SELECT CAST(SUM(tf) AS BIGINT) AS total_tok,
+         |               COUNT(DISTINCT doc_id) AS n_docs FROM tf)),
+         |q AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+         |  FROM tf JOIN dl USING (doc_id)
+         |  WHERE tf.term IN (${graft.ops.InfoTheory.Bm25QueryTerms.map(t => s"'$t'").mkString(", ")})),
+         |dft AS (SELECT term, count(*) AS df FROM q GROUP BY term),
+         |${Log2Sql.chain("lg",
+            "SELECT DISTINCT 2*df+1 AS v FROM dft " +
+              "UNION SELECT DISTINCT 2*n_docs+2 AS v FROM corp")},
+         |idf AS (
+         |  SELECT dft.term, lgn.l20 - lgd.l20 AS idf20, corp.avgdl_u
+         |  FROM dft CROSS JOIN corp
+         |  JOIN lg lgn ON lgn.v = 2*corp.n_docs+2
+         |  JOIN lg lgd ON lgd.v = 2*dft.df+1),
+         |scored AS (
+         |  SELECT q.doc_id, idf.idf20,
+         |         ((q.tf * ${graft.ops.InfoTheory.Bm25K1p1Ppm}) * 1000000)
+         |           // (q.tf * 1000000
+         |               + ((${graft.ops.InfoTheory.Bm25K1Ppm}
+         |                   * (${graft.ops.InfoTheory.Bm25OneMinusBPpm}
+         |                      + ((${graft.ops.InfoTheory.Bm25BPpm}
+         |                          * (q.dl * 1000000000000 // idf.avgdl_u)) // 1000000)))
+         |                  // 1000000)) AS sat_ppm
+         |  FROM q JOIN idf USING (term)),
+         |sel AS (
+         |  SELECT doc_id, count(*) AS n_hit,
+         |         CAST(SUM(idf20 * sat_ppm) AS BIGINT) AS bm25_u
+         |  FROM scored GROUP BY doc_id
+         |  ORDER BY bm25_u DESC, doc_id LIMIT 10)
+         |SELECT doc_id, n_hit, bm25_u,
+         |       CAST(bm25_u AS DOUBLE) / 1048576.0 / 1000000.0 * 0.6931471805599453 AS bm25
+         |FROM sel
+         |ORDER BY bm25_u DESC, doc_id""".stripMargin,
+
     // ops.InfoTheory.textPerplexityExact: the entropy pipeline's H₂₀
     // fed through the Exp2Sql replica — log AND exp both bit-replayed.
     "text_perplexity_exact" ->

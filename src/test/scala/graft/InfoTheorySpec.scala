@@ -312,4 +312,53 @@ class InfoTheorySpec extends SparkSpec {
     // descending, deterministic order
     assert(got.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
+
+  test("text_bm25_topk: fixed-point scores agree with double-precision BM25; ranking is honest") {
+    val dir = "/root/testdata/sf0.001"
+    val got = ops.InfoTheory.textBm25Topk(spark, dir)
+      .select("doc_id", "n_hit", "bm25_u", "bm25")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 10)
+    // key output is strictly ordered by (score desc, doc_id)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+    case _ => }
+
+    // independent double-precision reference over the same tokenizer
+    val docs = io.Readers.table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.replaceAll("\\s+", " ").toLowerCase
+        .split(" ").filter(_.nonEmpty)
+    }.filter(_._2.nonEmpty)
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.length).sum / n
+    val qTerms = ops.InfoTheory.Bm25QueryTerms.toSet
+    val dfMap = qTerms.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    def score(ws: Array[String]): (Int, Double) = {
+      val dl = ws.length.toDouble
+      val tfm = ws.groupBy(identity).map { case (w, g) => w -> g.length.toDouble }
+      val hits = qTerms.toSeq.filter(tfm.contains)
+      val s = hits.map { t =>
+        val idf = math.log((n + 1.0) / (dfMap(t) + 0.5))
+        val tf = tfm(t)
+        idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+      (hits.size, s)
+    }
+    val ref = toks.map { case (id, ws) => id -> score(ws) }.toMap
+    got.foreach { case (id, nHit, _, bm25) =>
+      val (refHit, refScore) = ref(id)
+      assert(nHit === refHit.toLong, s"doc $id n_hit")
+      assert(math.abs(bm25 - refScore) < 1e-4, s"doc $id: $bm25 vs $refScore")
+    }
+    // the returned 10 dominate: no absent doc outscores the weakest
+    // returned one by more than fixed-point tolerance
+    val returned = got.map(_._1).toSet
+    val floor10 = got.map(_._4).min
+    ref.foreach { case (id, (_, s)) =>
+      if (!returned.contains(id)) assert(s <= floor10 + 1e-4, s"doc $id excluded but $s > $floor10")
+    }
+  }
 }

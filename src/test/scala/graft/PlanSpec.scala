@@ -337,6 +337,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("log2_fixed"), p)
   }
 
+  test("text_bm25_topk: ZERO hash exchanges — row-local tf/dl, 1-row stats broadcast, TakeOrdered") {
+    val df = ops.InfoTheory.textBm25Topk(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the literal query-term set makes per-doc tf and dl row-local
+    // array expressions, so the token stream never shuffles; the only
+    // aggregate is the 1-row corpus-stats pass (SinglePartition), and
+    // scoring rides its broadcast
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"token stream must not shuffle:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // top-10 never global-sorts
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("log2_fixed"), p)
+  }
+
   test("graph_adamic_adar: weight attach and edge probe execute below the pair agg") {
     val df = ops.Graph.graphAdamicAdar(spark, dir)
     df.collect()
