@@ -799,8 +799,73 @@ object Analytics {
       .limit(20)
   }
 
+  /** Association rules at the BRAND level — the classic
+    * support / confidence / lift table over co-purchased part brands
+    * ([[ordersMarketBasket]] ranks raw partkey pairs by lift; this key
+    * emits the full RULE table a recommender or assortment planner
+    * consumes, at catalog-attribute granularity where counts are dense
+    * enough for the ratios to mean something).
+    *
+    * All ratios are INTEGER ppm at documented truncation points
+    * (support = pair·10⁶ div n, confidence a→b = pair·10⁶ div cnt_a,
+    * both directions) so the oracle hash-matches exactly. Lift is the
+    * one double — computed as CAST(pair AS DOUBLE)·n ÷ cnt_a ÷ cnt_b
+    * in that exact operation order in both engines (each step is a
+    * single correctly-rounded IEEE op, so the bits agree), and
+    * deliberately NOT as an int64 product first: pair·n overflows
+    * 64-bit long before 10¹⁰ baskets, the double form never does.
+    *
+    * Scale: the brand dim broadcasts into the lineitem scan; the
+    * basket relation repartitions by orderkey once and that clustering
+    * serves the distinct, both sides of the self-join (the second side
+    * is a reused exchange, pinned in PlanSpec), and the per-order pair
+    * fan-out (bounded: ≤ C(|brands|,2) per order). n_baskets counts
+    * distinct orderkeys straight off lineitem — no join, partial
+    * dedup per partition. Known cost, accepted: the per-brand count
+    * branch re-shuffles the skinny (okey,brand) relation instead of
+    * reusing the pair path's exchange — Catalyst's ReuseExchange
+    * rewrites the self-join side but not this branch (its child
+    * canonicalizes differently once the part-dim broadcast inside it
+    * is itself replaced by a ReusedExchange). 16 bytes/row; at 100 TB
+    * this is ~1% of the pair path's work.
+    */
+  val ordersAssociationRules: Q = (s, dir) => {
+    val MinSupportPpm = 1000L // rules below 0.1% support are noise
+    val basket = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .join(broadcast(table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand").as("brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("okey"), col("brand"))
+      .repartition(col("okey"))
+      .distinct()
+    // basket count straight off lineitem: every line has a brand (FK),
+    // so distinct orderkeys of lineitem = distinct baskets — no join,
+    // no (okey,brand) distinct, just a partial-deduped count
+    val n = table(s, dir, "lineitem")
+      .agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+    val supp = basket.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
+    basket.select(col("okey"), col("brand").as("a"))
+      .join(basket.select(col("okey"), col("brand").as("b")), Seq("okey"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("pair_cnt"))
+      .join(broadcast(supp.select(col("brand").as("a"), col("cnt").as("cnt_a"))), Seq("a"))
+      .join(broadcast(supp.select(col("brand").as("b"), col("cnt").as("cnt_b"))), Seq("b"))
+      .crossJoin(broadcast(n))
+      .withColumn("support_ppm", expr("pair_cnt * 1000000 div n_baskets"))
+      .filter(col("support_ppm") >= MinSupportPpm)
+      .withColumn("conf_ab_ppm", expr("pair_cnt * 1000000 div cnt_a"))
+      .withColumn("conf_ba_ppm", expr("pair_cnt * 1000000 div cnt_b"))
+      .withColumn("lift", col("pair_cnt").cast("double") * col("n_baskets")
+        / col("cnt_a") / col("cnt_b"))
+      .select(col("a"), col("b"), col("pair_cnt"), col("cnt_a"), col("cnt_b"),
+        col("support_ppm"), col("conf_ab_ppm"), col("conf_ba_ppm"), col("lift"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "orders_market_basket" -> ordersMarketBasket,
+    "orders_association_rules" -> ordersAssociationRules,
     "events_pattern_match" -> eventsPatternMatch,
     "events_attribution" -> eventsAttribution,
     "agg_weighted_median" -> aggWeightedMedian,

@@ -2160,6 +2160,31 @@ object OracleSql {
 
     // market-basket pair lift over order baskets; >=3 support,
     // (lift DESC, a, b) total order makes the LIMIT deterministic
+    // ops.Analytics.ordersAssociationRules: integer-ppm support and
+    // confidences; lift in the documented IEEE op order
+    // (DOUBLE(pair) * n / cnt_a / cnt_b) so the bits agree.
+    "orders_association_rules" ->
+      """WITH basket AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem),
+        |supp AS (SELECT brand, count(*) AS cnt FROM basket GROUP BY brand),
+        |pairs AS (
+        |  SELECT x.brand AS a, y.brand AS b, count(*) AS pair_cnt
+        |  FROM basket x JOIN basket y ON x.okey = y.okey AND x.brand < y.brand
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.pair_cnt, sa.cnt AS cnt_a, sb.cnt AS cnt_b,
+        |       p.pair_cnt * 1000000 // n.n_baskets AS support_ppm,
+        |       p.pair_cnt * 1000000 // sa.cnt AS conf_ab_ppm,
+        |       p.pair_cnt * 1000000 // sb.cnt AS conf_ba_ppm,
+        |       CAST(p.pair_cnt AS DOUBLE) * n.n_baskets / sa.cnt / sb.cnt AS lift
+        |FROM pairs p
+        |JOIN supp sa ON sa.brand = p.a
+        |JOIN supp sb ON sb.brand = p.b
+        |CROSS JOIN n
+        |WHERE p.pair_cnt * 1000000 // n.n_baskets >= 1000
+        |ORDER BY p.a, p.b""".stripMargin,
+
     "orders_market_basket" ->
       """WITH basket AS (
         |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),

@@ -347,4 +347,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(truth.nonEmpty, "corpus should contain at least one match")
     assert(out == truth)
   }
+
+  test("orders_association_rules: counts, ppm ratios and lift match the driver-side reference") {
+    val dir = "/root/testdata/sf0.001"
+    val got = ops.Analytics.ordersAssociationRules(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getDouble(8))).toMap
+    assert(got.nonEmpty)
+
+    val li = io.Readers.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+    val brandOf = io.Readers.table(spark, dir, "part")
+      .select("p_partkey", "p_brand").as[(Long, String)].collect().toMap
+    val baskets = li.map { case (o, p) => (o, brandOf(p)) }.distinct
+      .groupBy(_._1).map { case (o, xs) => o -> xs.map(_._2).toSet }
+    val n = baskets.size.toLong
+    val cnt = baskets.values.flatten.groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val pairCnt = baskets.values.flatMap { bs =>
+      bs.toSeq.sorted.combinations(2).map { case Seq(a, b) => (a, b) }
+    }.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+
+    // every emitted rule matches the reference exactly
+    got.foreach { case ((a, b), (pc, ca, cb, supPpm, confAb, confBa, lift)) =>
+      assert(pairCnt((a, b)) === pc, s"pair ($a,$b)")
+      assert(cnt(a) === ca && cnt(b) === cb)
+      assert(supPpm === pc * 1000000L / n)
+      assert(confAb === pc * 1000000L / ca)
+      assert(confBa === pc * 1000000L / cb)
+      assert(math.abs(lift - pc.toDouble * n / ca / cb) < 1e-12)
+    }
+    // exactly the rules at/above the 0.1% support floor are emitted
+    val want = pairCnt.filter { case (_, pc) => pc * 1000000L / n >= 1000L }.keySet
+    assert(got.keySet === want)
+  }
 }

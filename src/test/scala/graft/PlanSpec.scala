@@ -302,6 +302,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("orders_association_rules: brand dim broadcasts; self-join reuses the basket exchange") {
+    val df = ops.Analytics.ordersAssociationRules(spark, dir)
+    df.collect()
+    // the adaptive string appends an "Initial Plan" section that
+    // double-prints every exchange; audit the FINAL section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the part→brand attach must broadcast into the lineitem scan
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the self-join's second side reuses the a-side basket exchange;
+    // the per-brand count branch's re-shuffle is the ONE accepted
+    // extra (scaladoc: ReuseExchange misses it) — so exactly two
+    // materialized okey repartitions and at least one okey reuse
+    val okeyEx = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(okey") &&
+        !l.contains("ReusedExchange")).toSeq
+    assert(okeyEx.size == 2,
+      s"expected two materialized okey exchanges:\n${okeyEx.mkString("\n")}")
+    assert(p.linesIterator.exists(l =>
+      l.contains("ReusedExchange") && l.contains("okey")), p)
+    // n_baskets comes off lineitem directly — no okey repartition there
+    assert(!p.contains("NestedLoopJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("graph_k_core and label propagation: loop joins never sort-merge (broadcast or hash)") {
     Seq(ops.Graph.graphKCore, ops.Graph.graphLabelPropagation).foreach { q =>
       val df = q(spark, dir)
