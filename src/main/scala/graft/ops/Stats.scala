@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.Determinism.Money
+import graft.Determinism.{Money, dec}
 import graft.io.Readers.table
 
 /** Catalog statistics (round 6): the ANALYZE-style per-column profile
@@ -113,8 +113,64 @@ object Stats {
       .orderBy("l_returnflag")
   }
 
+  /** Per-group WINSORIZED mean — the robust-statistics companion to
+    * `anomaly_mad`/`anomaly_zscore`: clip account balances to the
+    * [p5, p95] order statistics of their market segment, then average.
+    * The outlier-resistant central tendency a fraud/credit model
+    * feeds on where a plain mean is dragged by whale accounts.
+    *
+    * Percentiles are NEAREST-RANK order statistics with an explicit
+    * integer index — lo = value at row_number (n−1)·5 div 100 + 1
+    * ordered by (bal, custkey) — not an interpolating `percentile()`
+    * call, because interpolation semantics differ across engines while
+    * the value AT an integer rank is engine-independent (ties don't
+    * matter: whatever tiebreak order, the bal at position k is the
+    * k-th order statistic). All money math on DECIMAL(18,2) with one
+    * final correctly-rounded double cast (graft.Determinism).
+    *
+    * Scale: the segment window is ONE exchange; the bounds aggregate
+    * rides the same clustering and broadcasts back (≤ |segments|
+    * rows), and the clamp+mean pass is algebraic. Honest caveat, same
+    * as `text_zipf_slope`'s: a 5-value partition key serializes the
+    * per-group sort at 5 tasks — for warehouse-scale groups swap the
+    * exact bounds for KLL quantiles ([[graft.ops.QuantileService]],
+    * mergeable, fully parallel) and keep the clamp+mean pass
+    * unchanged; the exact form is the oracle-able reference.
+    */
+  val statWinsorize: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val c = table(s, dir, "customer")
+      .select(col("c_mktsegment").as("segment"), dec(col("c_acctbal")).as("bal"),
+        col("c_custkey"))
+    val ranked = c
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("segment")).orderBy(col("bal"), col("c_custkey"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
+    val bounds = ranked.groupBy(col("segment")).agg(
+      max(col("n")).as("n"),
+      max(when(col("rn") === expr("(n - 1) * 5 div 100 + 1"), col("bal"))).as("lo"),
+      max(when(col("rn") === expr("(n - 1) * 95 div 100 + 1"), col("bal"))).as("hi"))
+    ranked
+      .join(broadcast(bounds.select(col("segment"), col("lo"), col("hi"))), "segment")
+      .withColumn("clamped", greatest(col("lo"), least(col("hi"), col("bal"))))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("clamped")).as("wsum"),
+        max(col("lo")).as("lo_d"),
+        max(col("hi")).as("hi_d"),
+        count(when(col("bal") < col("lo"), 1)).as("n_clip_lo"),
+        count(when(col("bal") > col("hi"), 1)).as("n_clip_hi"))
+      .select(col("segment"), col("n"),
+        col("lo_d").cast("double").as("lo"),
+        col("hi_d").cast("double").as("hi"),
+        (col("wsum").cast("double") / col("n")).as("winsor_mean"),
+        col("n_clip_lo"), col("n_clip_hi"))
+      .orderBy(col("segment"))
+  }
+
   val queries: Map[String, Q] = Map(
     "catalog_column_stats" -> catalogColumnStats,
     "stat_linreg_group" -> statLinregGroup,
+    "stat_winsorize" -> statWinsorize,
   )
 }

@@ -1478,6 +1478,33 @@ object OracleSql {
     }.mkString(" | ")
 
   private val statsLayout: Map[String, String] = Map(
+    // ops.Stats.statWinsorize: nearest-rank order statistics by
+    // explicit integer index (engine-independent, unlike interpolating
+    // percentile()), decimal clamp+sum, one double cast at the end
+    "stat_winsorize" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS segment,
+        |         CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_custkey
+        |  FROM customer),
+        |r AS (
+        |  SELECT segment, bal,
+        |         row_number() OVER (PARTITION BY segment ORDER BY bal, c_custkey) AS rn,
+        |         count(*) OVER (PARTITION BY segment) AS n
+        |  FROM c),
+        |b AS (
+        |  SELECT segment, max(n) AS n,
+        |         max(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN bal END) AS lo,
+        |         max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN bal END) AS hi
+        |  FROM r GROUP BY segment)
+        |SELECT r.segment, b.n,
+        |       CAST(b.lo AS DOUBLE) AS lo, CAST(b.hi AS DOUBLE) AS hi,
+        |       CAST(SUM(CASE WHEN r.bal < b.lo THEN b.lo
+        |                WHEN r.bal > b.hi THEN b.hi ELSE r.bal END) AS DOUBLE) / b.n AS winsor_mean,
+        |       count(CASE WHEN r.bal < b.lo THEN 1 END) AS n_clip_lo,
+        |       count(CASE WHEN r.bal > b.hi THEN 1 END) AS n_clip_hi
+        |FROM r JOIN b USING (segment)
+        |GROUP BY r.segment, b.n, b.lo, b.hi
+        |ORDER BY r.segment""".stripMargin,
     // decimal-exact base sums -> identical IEEE closed-form both
     // engines (see ops/Stats.scala statLinregGroup)
     "stat_linreg_group" ->

@@ -381,4 +381,34 @@ class AnalyticsSpec extends SparkSpec {
     val want = pairCnt.filter { case (_, pc) => pc * 1000000L / n >= 1000L }.keySet
     assert(got.keySet === want)
   }
+
+  test("stat_winsorize: bounds are exact nearest-rank order statistics; clipped mean matches") {
+    val dir = "/root/testdata/sf0.001"
+    val got = ops.Stats.statWinsorize(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6))).toMap
+
+    val cust = io.Readers.table(spark, dir, "customer")
+      .select("c_mktsegment", "c_acctbal").as[(String, Double)].collect()
+    val bySeg = cust.groupBy(_._1).map { case (seg, xs) =>
+      seg -> xs.map(x => BigDecimal(x._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sorted.toVector
+    }
+    assert(got.keySet === bySeg.keySet)
+    bySeg.foreach { case (seg, vals) =>
+      val n = vals.length
+      val lo = vals(((n - 1) * 5 / 100 + 1) - 1)
+      val hi = vals(((n - 1) * 95 / 100 + 1) - 1)
+      val clipped = vals.map(v => if (v < lo) lo else if (v > hi) hi else v)
+      val mean = (clipped.sum / n).toDouble
+      val (gn, glo, ghi, gmean, gClipLo, gClipHi) = got(seg)
+      assert(gn === n.toLong, seg)
+      assert(glo === lo.toDouble && ghi === hi.toDouble, seg)
+      assert(math.abs(gmean - mean) < 1e-9, s"$seg: $gmean vs $mean")
+      assert(gClipLo === vals.count(_ < lo).toLong, seg)
+      assert(gClipHi === vals.count(_ > hi).toLong, seg)
+      // winsorization pulled the mean toward the median vs the raw mean
+      assert(lo <= hi)
+    }
+  }
 }
