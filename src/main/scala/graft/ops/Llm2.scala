@@ -693,8 +693,39 @@ object Llm2 {
   val packSequencesQ: Q = (s, dir) =>
     packSequences(table(s, dir, "documents"), budget = 512)
 
+  /** Hashing-trick featurizer (Weinberger et al.'s feature hashing):
+    * every token maps to one of 64 buckets by the house md5 discipline
+    * (salt `graft-fh`, first 8 hex chars → integer — the same
+    * construction as [[Llm.hashBucket]], so the mapping is a pure
+    * function of the term: stable across runs, engines, corpora and
+    * partitionings). Output is the sparse (doc, bucket, tf) relation a
+    * linear model or n-gram classifier trains on — the POINT vs
+    * tf-idf is that no vocabulary dim table exists: no global term
+    * index to build, broadcast, or keep consistent across corpus
+    * versions, which is what makes the trick the standard featurizer
+    * at web scale. 64 buckets keeps collisions visible for the spec;
+    * production uses 2¹⁸⁺ — one literal.
+    *
+    * Scale: tokenize → row-local bucket hash → ONE map-side-combined
+    * aggregate on (doc_id, bucket) (partials collapse to ≤ 64 rows
+    * per doc per partition before the shuffle). Embarrassingly
+    * parallel; nothing global anywhere.
+    */
+  val textFeatureHash: Q = (s, dir) => {
+    table(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .withColumn("bucket",
+        conv(substring(md5(concat_ws("|", lit("graft-fh"), col("term"))), 1, 8),
+          16, 10).cast("long") % 64)
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pack_sequences" -> packSequencesQ,
+    "text_feature_hash" -> textFeatureHash,
     "text_repetition_stats" -> textRepetitionStats,
     "text_ngram_freq" -> textNgramFreq,
     "text_pii_scrub" -> textPiiScrub,

@@ -1154,6 +1154,20 @@ object OracleSql {
   )
 
   private val llm2: Map[String, String] = Map(
+    // ops.Llm2.textFeatureHash: the house md5 bucket construction,
+    // salt graft-fh, 64 buckets
+    "text_feature_hash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(('0x' || substr(md5('graft-fh' || '|' || term), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |       count(*) AS tf
+        |FROM t WHERE term <> ''
+        |GROUP BY 1, 2
+        |ORDER BY doc_id, bucket""".stripMargin,
+
     "text_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -275,4 +275,36 @@ class Llm2Spec extends SparkSpec {
       .as[Double].collect()
     assert(self.forall(s => math.abs(s - 1.0) < 1e-9))
   }
+
+  test("text_feature_hash: buckets match an independent md5 reference; mass is conserved") {
+    val dir = "/root/testdata/sf0.001"
+    val got = ops.Llm2.textFeatureHash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent reference: JDK MessageDigest, same salt discipline
+    def bucket(term: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft-fh|$term".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val docs = io.Readers.table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val want = docs.flatMap { case (id, t) =>
+      t.trim.replaceAll("\\s+", " ").toLowerCase.split(" ").filter(_.nonEmpty)
+        .map(w => (id, bucket(w)))
+    }.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    assert(got === want)
+    // conservation: per-doc bucket mass equals the token count
+    val tokCount = docs.map { case (id, t) =>
+      id -> t.trim.replaceAll("\\s+", " ").toLowerCase.split(" ").count(_.nonEmpty).toLong
+    }.filter(_._2 > 0).toMap
+    val gotPerDoc = got.groupBy(_._1._1).map { case (id, m) => id -> m.values.sum }
+    assert(gotPerDoc === tokCount)
+    // the 64-bucket space actually collides on this vocabulary (the
+    // trick's accepted trade — distinct terms > occupied buckets)
+    val distinctTerms = docs.flatMap(_._2.trim.replaceAll("\\s+", " ")
+      .toLowerCase.split(" ").filter(_.nonEmpty)).distinct.length
+    val occupied = got.keySet.map(_._2).size
+    assert(occupied <= 64 && occupied <= distinctTerms)
+  }
 }
