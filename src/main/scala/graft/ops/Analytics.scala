@@ -863,9 +863,66 @@ object Analytics {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Lag-k autocorrelation of the daily event-count series per event
+    * type (k ∈ {1, 2, 3, 7}) — the seasonality detector: r₇ ≈ 1 means
+    * weekly periodicity, r₁ near 0 means white noise. The number a
+    * forecasting/anomaly pipeline inspects before choosing its model.
+    *
+    * Engine-exact discipline: the series is integer COUNTS, the six
+    * sufficient statistics (n', Σx, Σy, Σxy, Σx², Σy² over the lag-k
+    * aligned pairs) are exact int64 sums, and the Pearson finish is a
+    * pinned IEEE op sequence — num = DOUBLE(n'·Σxy − Σx·Σy), den =
+    * sqrt(DOUBLE(n'·Σx²−Σx²)) · sqrt(DOUBLE(n'·Σy²−Σy²)), r = num/den
+    * (sqrt, ·, / are each correctly rounded, so both engines emit
+    * identical bits; the two sqrts multiply BEFORE dividing — an int64
+    * product of the variance terms would overflow first). Degenerate
+    * zero-variance slices are filtered in both engines (the r9
+    * zipf-slope lesson: 0/0 is NaN in Spark but version-dependent in
+    * DuckDB). Overflow headroom: n'·Σxy < 2⁶³ up to ~3·10⁹ events per
+    * (type, day) at 10³ days; beyond, widen the products to
+    * DECIMAL(38,0) — same plan shape.
+    *
+    * Scale: one map-side-combined (type, day) count, one lag window
+    * over the |types|·|days| DAILY relation (tiny — the raw stream
+    * never enters a window), a 4-arm stack, and one more combined
+    * aggregate. The zipf parallelism caveat applies to the window's
+    * 5-value key, but on the daily rollup it is irrelevant at any
+    * scale.
+    */
+  val timeSeriesAutocorr: Q = (s, dir) => {
+    val daily = table(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lags = Seq(1, 2, 3, 7)
+    val wide = lags.foldLeft(daily) { (df, k) =>
+      df.withColumn(s"y$k", lead(col("cnt"), k).over(w))
+    }
+    val arms = lags.map(k => s"${k}L, y$k").mkString(", ")
+    wide
+      .select(col("event_type"), col("cnt"),
+        expr(s"stack(${lags.size}, $arms) as (k, y)"))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cnt")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("cnt") * col("y")).as("sxy"),
+        sum(col("cnt") * col("cnt")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .filter(col("vx") > 0 && col("vy") > 0)
+      .withColumn("autocorr",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))))
+      .select(col("event_type"), col("k"), col("n"), col("autocorr"))
+      .orderBy(col("event_type"), col("k"))
+  }
+
   val queries: Map[String, Q] = Map(
     "orders_market_basket" -> ordersMarketBasket,
     "orders_association_rules" -> ordersAssociationRules,
+    "time_series_autocorr" -> timeSeriesAutocorr,
     "events_pattern_match" -> eventsPatternMatch,
     "events_attribution" -> eventsAttribution,
     "agg_weighted_median" -> aggWeightedMedian,

@@ -2201,6 +2201,42 @@ object OracleSql {
 
     // market-basket pair lift over order baskets; >=3 support,
     // (lift DESC, a, b) total order makes the LIMIT deterministic
+    // ops.Analytics.timeSeriesAutocorr: exact int sums; Pearson finish
+    // in the pinned IEEE order num / (sqrt(vx) * sqrt(vy))
+    "time_series_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT event_type, cnt,
+        |         lead(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+        |         lead(cnt, 2) OVER (PARTITION BY event_type ORDER BY day) AS y2,
+        |         lead(cnt, 3) OVER (PARTITION BY event_type ORDER BY day) AS y3,
+        |         lead(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
+        |  FROM daily),
+        |long AS (
+        |  SELECT event_type, 1 AS k, cnt, y1 AS y FROM wide WHERE y1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 2, cnt, y2 FROM wide WHERE y2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 3, cnt, y3 FROM wide WHERE y3 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 7, cnt, y7 FROM wide WHERE y7 IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, k, count(*) AS n,
+        |         CAST(SUM(cnt) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(cnt * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(cnt * cnt) AS BIGINT) AS sxx,
+        |         CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM long GROUP BY 1, 2)
+        |SELECT event_type, CAST(k AS BIGINT) AS k, n,
+        |       CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |          sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr
+        |FROM s
+        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |ORDER BY event_type, k""".stripMargin,
+
     // ops.Analytics.ordersAssociationRules: integer-ppm support and
     // confidences; lift in the documented IEEE op order
     // (DOUBLE(pair) * n / cnt_a / cnt_b) so the bits agree.

@@ -382,6 +382,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.keySet === want)
   }
 
+  test("time_series_autocorr equals the driver-side Pearson over lagged daily counts") {
+    val dir = "/root/testdata/sf0.001"
+    val got = ops.Analytics.timeSeriesAutocorr(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val ev = io.Readers.table(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+      .as[(String, java.sql.Date)].collect()
+    val daily = ev.groupBy(identity).map { case ((t, d), g) => (t, d.toLocalDate) -> g.length.toLong }
+    val series = daily.groupBy(_._1._1).map { case (t, m) =>
+      t -> m.toSeq.map { case ((_, d), c) => (d, c) }.sortBy(_._1.toEpochDay).map(_._2).toVector
+    }
+    for ((t, xs) <- series; k <- Seq(1, 2, 3, 7) if xs.length > k) {
+      val pairs = xs.dropRight(k).zip(xs.drop(k))
+      val n = pairs.length.toDouble
+      val sx = pairs.map(_._1).sum.toDouble; val sy = pairs.map(_._2).sum.toDouble
+      val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+      val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+      val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      if (vx > 0 && vy > 0) {
+        val r = (n * sxy - sx * sy) / math.sqrt(vx) / math.sqrt(vy)
+        val (gn, gr) = got((t, k.toLong))
+        assert(gn === pairs.length.toLong, s"($t,$k)")
+        assert(math.abs(gr - r) < 1e-12, s"($t,$k): $gr vs $r")
+        assert(gr >= -1.0 - 1e-9 && gr <= 1.0 + 1e-9)
+      }
+    }
+  }
+
   test("stat_winsorize: bounds are exact nearest-rank order statistics; clipped mean matches") {
     val dir = "/root/testdata/sf0.001"
     val got = ops.Stats.statWinsorize(spark, dir).collect()
