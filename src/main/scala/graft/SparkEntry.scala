@@ -13,7 +13,8 @@ object SparkEntry {
       ops.Streaming.queries ++ ops.Curation.queries ++
       ops.Stats.queries ++ ops.Layout.queries ++ ops.Analytics.queries ++
       ops.Curation2.queries ++ ops.Graph.queries ++
-      ops.InfoTheory.queries ++ ops.Bpe.queries ++ ops.Bipartite.queries
+      ops.InfoTheory.queries ++ ops.Bpe.queries ++ ops.Bipartite.queries ++
+      ops.Quality.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = oracle.OracleSql.sql

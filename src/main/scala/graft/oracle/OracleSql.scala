@@ -2201,6 +2201,55 @@ object OracleSql {
 
     // market-basket pair lift over order baskets; >=3 support,
     // (lift DESC, a, b) total order makes the LIMIT deterministic
+    // ops.Quality.dqAuditRules: FK reconciliation via left join on
+    // deduped parent keys + combined domain-rule passes
+    "dq_audit_rules" ->
+      """WITH
+        |fk1 AS (
+        |  SELECT 'fk_lineitem_orderkey' AS rule, count(*) AS n_checked,
+        |         count(CASE WHEN p.k IS NULL THEN 1 END) AS n_violations
+        |  FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    ON c.l_orderkey = p.k),
+        |fk2 AS (
+        |  SELECT 'fk_lineitem_partkey', count(*),
+        |         count(CASE WHEN p.k IS NULL THEN 1 END)
+        |  FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON c.l_partkey = p.k),
+        |fk3 AS (
+        |  SELECT 'fk_orders_custkey', count(*),
+        |         count(CASE WHEN p.k IS NULL THEN 1 END)
+        |  FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    ON c.o_custkey = p.k),
+        |fk4 AS (
+        |  SELECT 'fk_customer_nationkey', count(*),
+        |         count(CASE WHEN p.k IS NULL THEN 1 END)
+        |  FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |    ON c.c_nationkey = p.k),
+        |dli AS (
+        |  SELECT count(*) AS n_checked,
+        |         count(CASE WHEN l_quantity <= 0 THEN 1 END) AS v0,
+        |         count(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 END) AS v1
+        |  FROM lineitem),
+        |dor AS (
+        |  SELECT count(*) AS n_checked,
+        |         count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS v0
+        |  FROM orders),
+        |ddo AS (
+        |  SELECT count(*) AS n_checked,
+        |         count(CASE WHEN n_chars <= 0 OR length(trim(text)) = 0 THEN 1 END) AS v0
+        |  FROM documents),
+        |allrules AS (
+        |  SELECT * FROM fk1 UNION ALL SELECT * FROM fk2
+        |  UNION ALL SELECT * FROM fk3 UNION ALL SELECT * FROM fk4
+        |  UNION ALL SELECT 'dom_lineitem_quantity_pos', n_checked, v0 FROM dli
+        |  UNION ALL SELECT 'dom_lineitem_discount_range', n_checked, v1 FROM dli
+        |  UNION ALL SELECT 'dom_orders_totalprice_pos', n_checked, v0 FROM dor
+        |  UNION ALL SELECT 'dom_documents_nonempty', n_checked, v0 FROM ddo)
+        |SELECT rule, n_checked, n_violations,
+        |       n_violations * 1000000 // n_checked AS viol_ppm
+        |FROM allrules
+        |ORDER BY rule""".stripMargin,
+
     // ops.Analytics.timeSeriesAutocorr: exact int sums; Pearson finish
     // in the pinned IEEE order num / (sqrt(vx) * sqrt(vy))
     "time_series_autocorr" ->
