@@ -269,14 +269,21 @@ object Bipartite {
     * BASELINE.md r10-resume row); `deletionPairs(_, 9, 10, 2)` is the
     * drop-in when a corpus needs the looser threshold.
     */
-  val simProfileClusters: Q = (s, dir) => {
-    // Closure over the COLLAPSED graph: representative pairs + one
-    // star edge per duplicate member (gid → c). Connectivity equals
-    // the full expanded pair relation's — every expanded pair routes
-    // through its reps via the stars, identical profiles always
-    // qualify (J = 1) — while an identical block of g customers
-    // contributes g−1 edges instead of C(g,2). gid = min member id,
-    // so min-label components are unchanged.
+  val simProfileClusters: Q = (s, dir) =>
+    clusterLabels(s, dir)
+      .select(col("id").as("custkey"), col("comp").as("cluster_id"))
+      .orderBy("custkey")
+
+  /** The (id, comp) label relation behind [[simProfileClusters]] and
+    * [[dedupClusterHistogram]] — closure over the COLLAPSED graph:
+    * representative pairs + one star edge per duplicate member
+    * (gid → c). Connectivity equals the full expanded pair relation's
+    * — every expanded pair routes through its reps via the stars,
+    * identical profiles always qualify (J = 1) — while an identical
+    * block of g customers contributes g−1 edges instead of C(g,2).
+    * gid = min member id, so min-label components are unchanged.
+    */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val (groups, members) = collapsedParts(profiles(s, dir))
     val repPairs = deletionPairs(
       groups.select(col("gid").as("c"), col("brands")), 19, 20, 1)
@@ -284,13 +291,40 @@ object Bipartite {
     val stars = members.filter(col("c") =!= col("gid"))
       .select(col("gid").as("a_id"), col("c").as("b_id"))
     Llm.connectedComponents(repPairs.unionAll(stars))
-      .select(col("id").as("custkey"), col("comp").as("cluster_id"))
-      .orderBy("custkey")
+  }
+
+  /** Cluster-SIZE histogram of the near-duplicate segments — THE
+    * dedup-planning summary: how much of the corpus sits in how-large
+    * duplicate blocks (one giant block ⇒ collapse-to-representative
+    * wins big; all pairs ⇒ pair-wise suppression is enough), plus the
+    * singleton mass (customers with no J ≥ 0.95 partner, size-1 rows)
+    * so the histogram partitions the WHOLE profiled population:
+    * Σ n_customers = |profiles|. One row per size:
+    * (size, n_clusters, n_customers).
+    *
+    * Scale: the label relation's own scale argument (linear signature
+    * blocking + log-rounds closure), then two tiny aggregates over
+    * |labeled| rows and one anti-join of the skinny profile keys
+    * against the labels. Nothing new materializes.
+    */
+  val dedupClusterHistogram: Q = (s, dir) => {
+    val labels = clusterLabels(s, dir)
+    val hist = labels.groupBy(col("comp")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_customers", col("size") * col("n_clusters"))
+    val single = profiles(s, dir).select(col("c").as("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+      .select(lit(1L).as("size"), col("n_clusters"),
+        col("n_clusters").as("n_customers"))
+    hist.unionByName(single).orderBy(col("size"))
   }
 
   val queries: Map[String, Q] = Map(
     "orders_brand_profile" -> ordersBrandProfile,
     "sim_profile_allpairs" -> simProfileAllpairs,
     "sim_profile_clusters" -> simProfileClusters,
+    "dedup_cluster_histogram" -> dedupClusterHistogram,
   )
 }

@@ -2890,6 +2890,44 @@ object OracleSql {
         |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u)
         |SELECT id AS custkey, min(reach) AS cluster_id
         |FROM walk GROUP BY id ORDER BY custkey""".stripMargin,
+
+    // ops.Bipartite.dedupClusterHistogram: same reachability closure,
+    // rolled up to the size histogram + the singleton mass so the
+    // rows partition the whole profiled population
+    "dedup_cluster_histogram" ->
+      """WITH RECURSIVE cb AS (
+        |  SELECT DISTINCT o_custkey AS c, p_brand AS e
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |sz AS (SELECT c, count(*) AS sz FROM cb GROUP BY c),
+        |pairs AS (
+        |  SELECT ca AS a_id, cb2 AS b_id FROM (
+        |    SELECT a.c AS ca, b.c AS cb2, count(*) AS i
+        |    FROM cb a JOIN cb b ON a.e = b.e AND a.c < b.c
+        |    GROUP BY a.c, b.c) x
+        |  JOIN sz sa ON sa.c = ca
+        |  JOIN sz sb ON sb.c = cb2
+        |  WHERE 20 * i >= 19 * (sa.sz + sb.sz - i)),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM pairs),
+        |walk(id, reach) AS (
+        |  SELECT u, u FROM edges GROUP BY u
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+        |lab AS (SELECT id, min(reach) AS cid FROM walk GROUP BY id),
+        |csz AS (SELECT cid, count(*) AS size FROM lab GROUP BY cid),
+        |hist AS (
+        |  SELECT size, count(*) AS n_clusters, size * count(*) AS n_customers
+        |  FROM csz GROUP BY size),
+        |single AS (
+        |  SELECT count(*) AS n FROM sz WHERE c NOT IN (SELECT id FROM lab))
+        |SELECT size, n_clusters, n_customers FROM hist
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), n, n FROM single WHERE n > 0
+        |ORDER BY size""".stripMargin,
   )
 
   val sql: Map[String, String] =

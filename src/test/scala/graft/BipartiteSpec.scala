@@ -134,4 +134,26 @@ class BipartiteSpec extends SparkSpec {
     assert(got === brute)
     assert(got.nonEmpty) // the corpus genuinely produces pairs
   }
+
+  test("dedup_cluster_histogram partitions the profiled population; sizes agree with the label key") {
+    val dir = "/root/testdata/sf0.001"
+    val hist = ops.Bipartite.dedupClusterHistogram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // n_customers = size * n_clusters on every row
+    hist.foreach { case (sz, nc, ncust) => assert(ncust === sz * nc) }
+    // the histogram partitions the whole profiled population
+    val nProfiled = ops.Bipartite.ordersBrandProfile(spark, dir).count()
+    assert(hist.map(_._3).sum === nProfiled)
+    // sizes >= 2 rows reproduce the cluster key's component sizes
+    val labels = ops.Bipartite.simProfileClusters(spark, dir).collect()
+      .map(r => r.getLong(1))
+    val wantHist = labels.groupBy(identity).map(_._2.length.toLong)
+      .groupBy(identity).map { case (sz, g) => sz -> g.size.toLong }
+    val gotMulti = hist.filter(_._1 >= 2).map(t => t._1 -> t._2).toMap
+    assert(gotMulti === wantHist)
+    // singleton row = profiled minus labeled (present iff nonzero)
+    val nLabeled = labels.length.toLong
+    val single = hist.filter(_._1 == 1).map(_._2).sum
+    assert(single === nProfiled - nLabeled)
+  }
 }
