@@ -321,10 +321,42 @@ object Bipartite {
     hist.unionByName(single).orderBy(col("size"))
   }
 
+  /** Dedup-aware sampling over the near-dup segments — the SemDeDup
+    * keep-policy generalized: every cluster's REPRESENTATIVE (the
+    * min-id label, deterministic) is always kept, and each other
+    * member passes a house md5-ppm gate at threshold 10⁶ div size —
+    * i.e. probability 1/size, so a cluster's expected kept mass is
+    * representative + 1 regardless of how large the duplicate block
+    * is. That is the sampling lever [[dedupClusterHistogram]] plans
+    * for: duplicated content stops scaling with its duplication
+    * factor while retaining intra-cluster variety for training.
+    * Membership is a pure function of (custkey, cluster size) — the
+    * usual house-gate stability argument (own salt, composable with
+    * the split/sample gates).
+    *
+    * Scale: the label relation + one size window on the comp
+    * clustering + a row-local gate. Nothing new shuffles: the window
+    * rides the closure output's partitioning.
+    */
+  val sampleClusterInverse: Q = (s, dir) => {
+    val labels = clusterLabels(s, dir)
+    val ppm = conv(substring(md5(concat_ws("|", lit("graft-cluster-inv"),
+      col("id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000000
+    labels
+      .withColumn("size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
+      .withColumn("thr", expr("1000000 div size"))
+      .filter(col("id") === col("comp") || ppm < col("thr"))
+      .select(col("id").as("custkey"), col("comp").as("cluster_id"),
+        col("size"), col("thr"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "orders_brand_profile" -> ordersBrandProfile,
     "sim_profile_allpairs" -> simProfileAllpairs,
     "sim_profile_clusters" -> simProfileClusters,
     "dedup_cluster_histogram" -> dedupClusterHistogram,
+    "sample_cluster_inverse" -> sampleClusterInverse,
   )
 }

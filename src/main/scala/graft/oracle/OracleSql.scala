@@ -2928,6 +2928,42 @@ object OracleSql {
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), n, n FROM single WHERE n > 0
         |ORDER BY size""".stripMargin,
+
+    // ops.Bipartite.sampleClusterInverse: representative always kept,
+    // members gated at ppm threshold 10^6 // size (house md5 salt
+    // graft-cluster-inv)
+    "sample_cluster_inverse" ->
+      """WITH RECURSIVE cb AS (
+        |  SELECT DISTINCT o_custkey AS c, p_brand AS e
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |sz AS (SELECT c, count(*) AS sz FROM cb GROUP BY c),
+        |pairs AS (
+        |  SELECT ca AS a_id, cb2 AS b_id FROM (
+        |    SELECT a.c AS ca, b.c AS cb2, count(*) AS i
+        |    FROM cb a JOIN cb b ON a.e = b.e AND a.c < b.c
+        |    GROUP BY a.c, b.c) x
+        |  JOIN sz sa ON sa.c = ca
+        |  JOIN sz sb ON sb.c = cb2
+        |  WHERE 20 * i >= 19 * (sa.sz + sb.sz - i)),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM pairs),
+        |walk(id, reach) AS (
+        |  SELECT u, u FROM edges GROUP BY u
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+        |lab AS (SELECT id, min(reach) AS cid FROM walk GROUP BY id),
+        |csz AS (SELECT cid, count(*) AS size FROM lab GROUP BY cid)
+        |SELECT l.id AS custkey, l.cid AS cluster_id, c.size,
+        |       1000000 // c.size AS thr
+        |FROM lab l JOIN csz c ON c.cid = l.cid
+        |WHERE l.id = l.cid
+        |   OR CAST(('0x' || substr(md5('graft-cluster-inv' || '|' || CAST(l.id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 1000000 < 1000000 // c.size
+        |ORDER BY custkey""".stripMargin,
   )
 
   val sql: Map[String, String] =

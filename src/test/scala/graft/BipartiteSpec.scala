@@ -156,4 +156,29 @@ class BipartiteSpec extends SparkSpec {
     val single = hist.filter(_._1 == 1).map(_._2).sum
     assert(single === nProfiled - nLabeled)
   }
+
+  test("sample_cluster_inverse: representative always kept, members exactly by the md5 gate") {
+    val dir = "/root/testdata/sf0.001"
+    val labels = ops.Bipartite.simProfileClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val sizes = labels.groupBy(_._2).map { case (c, g) => c -> g.length.toLong }
+    def ppm(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft-cluster-inv|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1000000
+    }
+    val want = labels.filter { case (id, comp) =>
+      id == comp || ppm(id) < 1000000L / sizes(comp)
+    }.toMap
+    val got = ops.Bipartite.sampleClusterInverse(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(t => t._1 -> t._2).toMap === want)
+    got.foreach { case (_, comp, size, thr) =>
+      assert(size === sizes(comp))
+      assert(thr === 1000000L / size)
+    }
+    // every cluster keeps its representative
+    assert(sizes.keySet.subsetOf(got.map(_._1).toSet))
+  }
 }
