@@ -432,9 +432,16 @@ object InfoTheory {
     * tf) relation bucketed by term ([[graft.io]] pattern) — the
     * posting-list form — and this key becomes a bucket probe.
     */
-  val textBm25Topk: Q = (s, dir) => {
-    val qt = Bm25QueryTerms
-    val perdoc = table(s, dir, "documents")
+  val textBm25Topk: Q = (s, dir) =>
+    bm25RowLocal(table(s, dir, "documents"), Bm25QueryTerms)
+
+  /** The row-local BM25 pipeline behind [[textBm25Topk]], parameterized
+    * on the term set — also the independent reference
+    * [[graft.ops.PostingIndex]]'s ad-hoc probe is spec'd against.
+    */
+  def bm25RowLocal(docs: org.apache.spark.sql.DataFrame,
+      qt: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val perdoc = docs
       .select(col("doc_id"), filter(tokens, x => x =!= "").as("arr"))
       .select(col("doc_id") +: size(col("arr")).cast("long").as("dl") +:
         qt.indices.map(i =>
