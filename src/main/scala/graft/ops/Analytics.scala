@@ -919,10 +919,41 @@ object Analytics {
       .orderBy(col("event_type"), col("k"))
   }
 
+  /** Hour-of-week activity profile per event type — the seasonality
+    * BASELINE behind [[timeSeriesAutocorr]]'s detector: 7×24 cells of
+    * (count, ppm share of the type's total), the relation an anomaly
+    * monitor compares live traffic against and a capacity planner
+    * reads peak/trough ratios from.
+    *
+    * Day-of-week is computed as (epoch_day + 4) mod 7 (0 = Sunday;
+    * 1970-01-01 was a Thursday) — pure integer arithmetic instead of
+    * the engines' dayofweek() builtins, whose 0-vs-1 base differs
+    * across engines and locales. Hours are UTC in both engines
+    * (session-pinned). Shares are integer ppm.
+    *
+    * Scale: one map-side-combined aggregate to ≤ |types|·168 rows;
+    * the share window runs on that tiny relation, never the stream.
+    */
+  val eventsSeasonalityHourly: Q = (s, dir) => {
+    val agg = table(s, dir, "events")
+      .select(col("event_type"),
+        ((unix_date(to_date(col("ts"))) + 4) % 7).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .groupBy(col("event_type"), col("dow"), col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    agg
+      .withColumn("type_total",
+        sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("share_ppm", expr("cnt * 1000000 div type_total"))
+      .select(col("event_type"), col("dow"), col("hr"), col("cnt"), col("share_ppm"))
+      .orderBy(col("event_type"), col("dow"), col("hr"))
+  }
+
   val queries: Map[String, Q] = Map(
     "orders_market_basket" -> ordersMarketBasket,
     "orders_association_rules" -> ordersAssociationRules,
     "time_series_autocorr" -> timeSeriesAutocorr,
+    "events_seasonality_hourly" -> eventsSeasonalityHourly,
     "events_pattern_match" -> eventsPatternMatch,
     "events_attribution" -> eventsAttribution,
     "agg_weighted_median" -> aggWeightedMedian,

@@ -2201,6 +2201,22 @@ object OracleSql {
 
     // market-basket pair lift over order baskets; >=3 support,
     // (lift DESC, a, b) total order makes the LIMIT deterministic
+    // ops.Analytics.eventsSeasonalityHourly: dow = (epoch_day+4)%7 —
+    // integer arithmetic, not the engines' divergent dayofweek()
+    "events_seasonality_hourly" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow,
+        |         CAST(hour(ts) AS BIGINT) AS hr
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, dow, hr, count(*) AS cnt
+        |  FROM e GROUP BY 1, 2, 3)
+        |SELECT event_type, dow, hr, cnt,
+        |       cnt * 1000000 // CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm
+        |FROM a
+        |ORDER BY event_type, dow, hr""".stripMargin,
+
     // ops.Quality.dqAuditRules: FK reconciliation via left join on
     // deduped parent keys + combined domain-rule passes
     "dq_audit_rules" ->

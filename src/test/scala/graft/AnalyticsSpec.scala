@@ -382,6 +382,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.keySet === want)
   }
 
+  test("events_seasonality_hourly: cells partition each type's events; dow arithmetic is correct") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = ops.Analytics.eventsSeasonalityHourly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, dow, hr, _, _) =>
+      assert(dow >= 0 && dow <= 6 && hr >= 0 && hr <= 23)
+    }
+    // per type: cell counts partition the type's event total
+    val totals = io.Readers.table(spark, sfDir, "events")
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotTotals = got.groupBy(_._1).map { case (t, g) => t -> g.map(_._4).sum }
+    assert(gotTotals === totals)
+    // shares are floor-ppm of the cell ratio and sum to ~1e6 per type
+    got.groupBy(_._1).foreach { case (t, g) =>
+      val tot = totals(t)
+      g.foreach { case (_, _, _, cnt, ppm) => assert(ppm === cnt * 1000000L / tot) }
+      val s = g.map(_._5).sum
+      assert(s <= 1000000L && s > 1000000L - g.length, s"$t share sum $s")
+    }
+    // dow reference: JDK LocalDate day-of-week on a sampled event
+    val sample = io.Readers.table(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("d"),
+        ((unix_date(to_date(col("ts"))) + 4) % 7).as("dow"))
+      .limit(50).as[(java.sql.Date, Int)].collect()
+    sample.foreach { case (d, dow) =>
+      val want = d.toLocalDate.getDayOfWeek.getValue % 7 // java: Mon=1..Sun=7 -> Sun=0
+      assert(dow === want, s"$d")
+    }
+  }
+
   test("time_series_autocorr equals the driver-side Pearson over lagged daily counts") {
     val dir = "/root/testdata/sf0.001"
     val got = ops.Analytics.timeSeriesAutocorr(spark, dir).collect()
