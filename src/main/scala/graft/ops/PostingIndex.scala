@@ -66,9 +66,14 @@ object PostingIndex {
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
 
-  private def batchStats(rows: DataFrame): DataFrame =
+  /** One stats row per ingest; `batch_id` = −1 for build/manual
+    * appends, the engine's batchId for streaming ingest (the
+    * exactly-once guard key).
+    */
+  private def batchStats(rows: DataFrame, batchId: Long): DataFrame =
     rows.agg(countDistinct(col("doc_id")).as("n_docs"),
       sum(col("tf")).as("total_tok"))
+      .withColumn("batch_id", lit(batchId))
 
   /** Tokenize + index a documents table as a fresh manifest version. */
   def buildIndex(docs: DataFrame, tableName: String, buckets: Int = 8): Unit = {
@@ -79,7 +84,7 @@ object PostingIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${statsTable(t)}")
     val rows = postingRows(docs).localCheckpoint()
     graft.io.Sinks.writeBucketed(rows, t, "term", buckets)
-    batchStats(rows).write.mode("overwrite").format("parquet")
+    batchStats(rows, -1L).write.mode("overwrite").format("parquet")
       .saveAsTable(statsTable(t))
     graft.io.TableManifest.commit(spark, tableName, v, SchemaVersion)
     graft.io.TableManifest.vacuum(spark, tableName)
@@ -101,7 +106,7 @@ object PostingIndex {
     rows.write.mode("append")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(t)
-    batchStats(rows).write.mode("append").format("parquet")
+    batchStats(rows, -1L).write.mode("append").format("parquet")
       .saveAsTable(statsTable(t))
   }
 
@@ -125,6 +130,7 @@ object PostingIndex {
         spark.table(statsTable(cur))
           .agg(sum(col("n_docs")).as("n_docs"),
             sum(col("total_tok")).as("total_tok"))
+          .withColumn("batch_id", lit(-1L))
           .write.mode("overwrite").format("parquet")
           .saveAsTable(statsTable(nextT))
       })
@@ -139,7 +145,11 @@ object PostingIndex {
   def bm25Topk(spark: SparkSession, tableName: String, terms: Seq[String],
       k: Int = 10): DataFrame = {
     val t = resolveTable(spark, tableName)
+    // dropDuplicates on the probe key: streaming-replay appends are
+    // at-least-once (verbatim row duplicates) — the dedup costs only
+    // the probed rows and is the identity on a clean index
     val hits = spark.table(t).filter(col("term").isin(terms: _*))
+      .dropDuplicates("term", "doc_id")
     val corp = spark.table(statsTable(t))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_tok")).as("total_tok"))
       .withColumn("avgdl_u", expr("total_tok * 1000000 div n_docs"))
@@ -165,5 +175,78 @@ object PostingIndex {
         col("bm25_u").cast("double") / lit(1048576.0) / lit(1000000.0)
           * lit(0.6931471805599453))
       .select(col("doc_id"), col("n_hit"), col("bm25_u"), col("bm25"))
+  }
+
+  /** Exactly-once-guarded streaming ingest of one engine batch:
+    * SKIP if the stats sidecar already carries this batch_id (the
+    * batch fully committed before a restart); otherwise append
+    * postings FIRST, stats row LAST. Crash windows, by order:
+    * after postings / before stats → replay re-appends the postings
+    * (verbatim duplicates — neutral: the probe dedups on
+    * (term, doc_id) and [[compactDedup]] reclaims) and writes the
+    * stats row once, so N and Σdl are EXACTLY-once — scores never
+    * drift under replay. Returns true if the batch was applied.
+    */
+  private[graft] def appendBatch(docs: DataFrame, batchId: Long,
+      tableName: String,
+      afterPostingsAppend: () => Unit = () => ()): Boolean = {
+    val spark = docs.sparkSession
+    val t = resolveTable(spark, tableName)
+    val committed = spark.table(statsTable(t))
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (committed) false
+    else {
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalStateException(
+          s"$t has no bucket spec — rebuild the index"))
+      val rows = postingRows(docs).localCheckpoint()
+      rows.write.mode("append")
+        .bucketBy(buckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(t)
+      afterPostingsAppend() // crash-injection seam (spec)
+      batchStats(rows, batchId).write.mode("append").format("parquet")
+        .saveAsTable(statsTable(t))
+      true
+    }
+  }
+
+  /** Streaming wiring: continuous index maintenance as a foreachBatch
+    * sink — the engine's monotone batchId drives [[appendBatch]]'s
+    * replay guard, so a checkpoint restart is clean. Batch contract
+    * as everywhere in the family: new doc_ids only.
+    */
+  def maintenanceSink(stream: DataFrame, checkpointDir: String,
+      tableName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        if (!b.isEmpty) { appendBatch(b, batchId, tableName); () }
+      }
+      .start()
+
+  /** [[compact]] that also reclaims replay-duplicated posting rows:
+    * duplicates are VERBATIM row copies (same (term, doc_id, tf, dl)
+    * — a doc's postings are deterministic), so a full-row distinct
+    * restores the clean index; probe semantics unchanged (it was
+    * already dedup-guarded). Stats rows are exactly-once by
+    * construction and just collapse.
+    */
+  def compactDedup(spark: SparkSession, tableName: String): Unit = {
+    val cur = resolveTable(spark, tableName)
+    graft.io.TableManifest.compactBucketed(spark, tableName, SchemaVersion,
+      beforeCommit = () => {
+        val nextT = graft.io.TableManifest.physicalName(tableName,
+          graft.io.TableManifest.nextVersion(spark, tableName))
+        spark.sql(s"DROP TABLE IF EXISTS ${statsTable(nextT)}")
+        spark.table(statsTable(cur))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("total_tok")).as("total_tok"))
+          .withColumn("batch_id", lit(-1L))
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable(statsTable(nextT))
+      },
+      transform = _.distinct())
   }
 }

@@ -80,4 +80,61 @@ class PostingIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS postidx_c__v1_stats")
     }
   }
+
+  test("streaming ingest converges to from-scratch; crash replay never drifts scores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = docs.select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (seed, rest) = all.splitAt(all.length / 2)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val terms = Seq("stream", "merge", "table")
+    ops.PostingIndex.buildIndex(seed.toSeq.toDF("doc_id", "text"), "postidx_s")
+    try {
+      val stream = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("postidx-ckpt").toString
+      val q = ops.PostingIndex.maintenanceSink(
+        stream.toDF().toDF("doc_id", "text"), ckpt, "postidx_s")
+      try {
+        stream.addData(b1.toSeq); q.processAllAvailable()
+        stream.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val ref = asTuples(ops.InfoTheory.bm25RowLocal(
+        all.toSeq.toDF("doc_id", "text"), terms))
+      assert(asTuples(ops.PostingIndex.bm25Topk(spark, "postidx_s", terms)) === ref)
+
+      // crash AFTER the postings append, BEFORE the stats row: replay
+      // re-applies; postings duplicate (probe-deduped), stats stay
+      // exactly-once, scores identical
+      val extra = Seq((900001L, "stream stream merge extra doc"),
+        (900002L, "table scan extra"))
+      val full = all.toSeq ++ extra
+      intercept[RuntimeException] {
+        ops.PostingIndex.appendBatch(extra.toDF("doc_id", "text"), 77L, "postidx_s",
+          afterPostingsAppend = () => throw new RuntimeException("crash"))
+      }
+      assert(ops.PostingIndex.appendBatch(
+        extra.toDF("doc_id", "text"), 77L, "postidx_s"))
+      val ref2 = asTuples(ops.InfoTheory.bm25RowLocal(
+        full.toDF("doc_id", "text"), terms))
+      assert(asTuples(ops.PostingIndex.bm25Topk(spark, "postidx_s", terms)) === ref2)
+      // fully-committed batch replays as a no-op
+      assert(!ops.PostingIndex.appendBatch(
+        extra.toDF("doc_id", "text"), 77L, "postidx_s"))
+
+      // compactDedup reclaims the crash-duplicated postings rows
+      val t0 = ops.PostingIndex.resolveTable(spark, "postidx_s")
+      val before = spark.table(t0).count()
+      ops.PostingIndex.compactDedup(spark, "postidx_s")
+      val t1 = ops.PostingIndex.resolveTable(spark, "postidx_s")
+      val after = spark.table(t1).count()
+      assert(after < before, s"$before -> $after")
+      assert(spark.table(t1).count() === spark.table(t1).distinct().count())
+      assert(asTuples(ops.PostingIndex.bm25Topk(spark, "postidx_s", terms)) === ref2)
+    } finally {
+      Seq("postidx_s__v0", "postidx_s__v0_stats", "postidx_s__v1", "postidx_s__v1_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
