@@ -307,12 +307,24 @@ object Bipartite {
     * |labeled| rows and one anti-join of the skinny profile keys
     * against the labels. Nothing new materializes.
     */
-  val dedupClusterHistogram: Q = (s, dir) => {
-    val labels = clusterLabels(s, dir)
+  val dedupClusterHistogram: Q = (s, dir) =>
+    histogramOver(clusterLabels(s, dir), profiles(s, dir).select(col("c").as("id")))
+
+  /** The histogram rollup over ANY (id, comp) label relation — the
+    * MATERIALIZED-LABEL path: a deployment that maintains the label
+    * table continuously ([[ClusterMaintenance.bootstrapLabels]] /
+    * `ingestCommitted`) calls this with
+    * [[ClusterMaintenance.loadLabels]] and pays two tiny aggregates
+    * instead of the closure recompute the self-contained key performs
+    * (the three closure keys each re-derive it in-suite — BASELINE.md
+    * r11 control row quantifies the cost). Spec'd row-identical to
+    * the key on a committed label table.
+    */
+  def histogramOver(labels: DataFrame, profiledIds: DataFrame): DataFrame = {
     val hist = labels.groupBy(col("comp")).agg(count(lit(1)).as("size"))
       .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_customers", col("size") * col("n_clusters"))
-    val single = profiles(s, dir).select(col("c").as("id"))
+    val single = profiledIds
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .agg(count(lit(1)).as("n_clusters"))
       .filter(col("n_clusters") > 0)
@@ -338,8 +350,13 @@ object Bipartite {
     * clustering + a row-local gate. Nothing new shuffles: the window
     * rides the closure output's partitioning.
     */
-  val sampleClusterInverse: Q = (s, dir) => {
-    val labels = clusterLabels(s, dir)
+  val sampleClusterInverse: Q = (s, dir) =>
+    inverseSampleOver(clusterLabels(s, dir))
+
+  /** The keep-policy rollup over ANY (id, comp) label relation — the
+    * materialized-label path, as [[histogramOver]].
+    */
+  def inverseSampleOver(labels: DataFrame): DataFrame = {
     val ppm = conv(substring(md5(concat_ws("|", lit("graft-cluster-inv"),
       col("id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000000
     labels

@@ -181,4 +181,23 @@ class BipartiteSpec extends SparkSpec {
     // every cluster keeps its representative
     assert(sizes.keySet.subsetOf(got.map(_._1).toSet))
   }
+
+  test("materialized-label path: committed label table drives both consumers row-identically") {
+    val dir = "/root/testdata/sf0.001"
+    // commit the closure labels as a real bucketed label table
+    val labels = ops.Bipartite.simProfileClusters(spark, dir)
+      .select(col("custkey").as("id"), col("cluster_id").as("comp"))
+    ops.ClusterMaintenance.bootstrapLabels(labels, "r11labels")
+    try {
+      val loaded = ops.ClusterMaintenance.loadLabels(spark, "r11labels")
+      val profiled = ops.Bipartite.ordersBrandProfile(spark, dir)
+        .select(col("custkey").as("id"))
+      assert(ops.Bipartite.histogramOver(loaded, profiled).collect().toSeq ===
+        ops.Bipartite.dedupClusterHistogram(spark, dir).collect().toSeq)
+      assert(ops.Bipartite.inverseSampleOver(loaded).collect().toSeq ===
+        ops.Bipartite.sampleClusterInverse(spark, dir).collect().toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS r11labels__v0")
+    }
+  }
 }
