@@ -36,6 +36,16 @@ import graft.functions.NumericExpressions.log2Fixed
   * build (linear, map-side combined); probe cost is
   * O(Σ_t |postings(t)|) — the classic search-engine economics —
   * with the per-doc score rollup shuffling only probed hits.
+  * MEASURED boundary (ScratchBm25Corpus @ 10⁷ docs / 3.7·10⁸
+  * postings, BASELINE.md r11): rare-term probes 3.5 s vs 21–33 s for
+  * the indexless full scan — but STOP-WORD-hot terms (~70 % df) probe
+  * SLOWER than the full scan (87–127 s), because bucket pruning
+  * collapses read parallelism to the probed buckets while the posting
+  * lists are corpus-sized. The production path for hot terms is the
+  * standard one: doc-sharded posting lists (a shard column alongside
+  * term, probe enumerates (term, shard) pairs) — or simply routing
+  * high-df terms to the scan path, since a term in most documents
+  * carries near-zero idf weight anyway.
   */
 object PostingIndex {
 
@@ -75,16 +85,21 @@ object PostingIndex {
       sum(col("tf")).as("total_tok"))
       .withColumn("batch_id", lit(batchId))
 
-  /** Tokenize + index a documents table as a fresh manifest version. */
+  /** Tokenize + index a documents table as a fresh manifest version.
+    * Stats come from reading the WRITTEN table back (a column-pruned
+    * (doc_id, tf) scan of what was just laid down) — NOT from a
+    * localCheckpoint of the posting relation: materializing ~40
+    * postings/doc through the block manager measured 10× the cost of
+    * the read-back at 10⁷ docs (ScratchBm25Corpus, BASELINE.md r11).
+    */
   def buildIndex(docs: DataFrame, tableName: String, buckets: Int = 8): Unit = {
     val spark = docs.sparkSession
     val v = graft.io.TableManifest.nextVersion(spark, tableName)
     val t = graft.io.TableManifest.physicalName(tableName, v)
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTable(t)}")
-    val rows = postingRows(docs).localCheckpoint()
-    graft.io.Sinks.writeBucketed(rows, t, "term", buckets)
-    batchStats(rows, -1L).write.mode("overwrite").format("parquet")
+    graft.io.Sinks.writeBucketed(postingRows(docs), t, "term", buckets)
+    batchStats(spark.table(t), -1L).write.mode("overwrite").format("parquet")
       .saveAsTable(statsTable(t))
     graft.io.TableManifest.commit(spark, tableName, v, SchemaVersion)
     graft.io.TableManifest.vacuum(spark, tableName)
@@ -145,6 +160,14 @@ object PostingIndex {
   def bm25Topk(spark: SparkSession, tableName: String, terms: Seq[String],
       k: Int = 10): DataFrame = {
     val t = resolveTable(spark, tableName)
+    // probe-time freshness: appends may come from OTHER sessions (the
+    // streaming microbatch clone) whose saveAsTable invalidates only
+    // their own relation cache — this session's cached file listing
+    // would silently serve the pre-append corpus (found when the
+    // build's stats read-back started priming that cache). A refresh
+    // is a metadata re-list, not a data read.
+    spark.catalog.refreshTable(t)
+    spark.catalog.refreshTable(statsTable(t))
     // dropDuplicates on the probe key: streaming-replay appends are
     // at-least-once (verbatim row duplicates) — the dedup costs only
     // the probed rows and is the identity on a clean index
@@ -192,6 +215,7 @@ object PostingIndex {
       afterPostingsAppend: () => Unit = () => ()): Boolean = {
     val spark = docs.sparkSession
     val t = resolveTable(spark, tableName)
+    spark.catalog.refreshTable(statsTable(t)) // replay guard must see the latest commit
     val committed = spark.table(statsTable(t))
       .filter(col("batch_id") === batchId).limit(1).count() > 0
     if (committed) false
