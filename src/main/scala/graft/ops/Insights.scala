@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Determinism._
+import graft.io.Readers.table
+
+/** Concentration / burst / independence profiling (round 11, second
+  * session): the monitoring-and-planning relations a data platform
+  * derives from the same star schema the pipelines run on — revenue
+  * concentration (who funds the business), burst detection (what
+  * misbehaved today), categorical independence (is a dimension
+  * informative), and exact-k uniform sampling (the audit draw).
+  *
+  * Determinism discipline per SURVEY §7.4 throughout: money in exact
+  * decimal cents, shares/rates in integer ppm, the one chi-square
+  * float computed in a pinned single-expression IEEE order identical
+  * in both engines.
+  */
+object Insights {
+
+  import Relational.Q
+
+  /** Revenue-concentration (Pareto/Lorenz) profile per market segment:
+    * customers ranked by exact order-revenue cents within their
+    * segment, split into 10 exact-rank deciles (decile 1 = top
+    * spenders; `(rn-1)*10 div n + 1` — pure integer, no boundary-value
+    * ambiguity), then per decile the customer count, revenue mass and
+    * the CUMULATIVE top-down share in integer ppm. Decile 1's
+    * cum_share_ppm is the "top-10 %-of-customers" number a revenue
+    * planner quotes.
+    *
+    * Exactness: o_totalprice has ≤2 decimals, so per-customer revenue
+    * is an exact BIGINT in cents (decimal sum × 100); every derived
+    * number is integer arithmetic (cum·10⁶ div total stays under 2⁶³
+    * while a segment's total revenue < ~9·10¹² dollars — beyond that,
+    * widen to DECIMAL(38,0) before the ppm multiply).
+    *
+    * Scale: one shuffle to per-customer aggregates, then the rank
+    * window runs PARTITIONED by segment (the winsorize shape). At
+    * 100 TB a single segment's customer list is still huge — the
+    * documented swap is KLL-sketch decile boundaries (agg_kll_quantiles
+    * machinery) + a broadcast boundary join, keeping the cum rollup on
+    * the 10-row-per-segment relation unchanged.
+    */
+  val ordersParetoShare: Q = (s, dir) => {
+    val rev = table(s, dir, "orders")
+      .join(broadcast(table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("segment"), col("o_custkey"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("rev_cents"))
+    val byDecile = rev
+      .withColumn("rn", row_number().over(Window.partitionBy(col("segment"))
+        .orderBy(col("rev_cents").desc, col("o_custkey"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
+      .withColumn("decile", expr("(rn - 1) * 10 div n + 1"))
+      .groupBy(col("segment"), col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev_cents")).as("rev_cents"))
+    byDecile
+      .withColumn("cum_cents", sum(col("rev_cents")).over(
+        Window.partitionBy(col("segment")).orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_cents",
+        sum(col("rev_cents")).over(Window.partitionBy(col("segment"))))
+      .select(col("segment"), col("decile"), col("n_customers"),
+        col("rev_cents"),
+        expr("cum_cents * 1000000 div total_cents").as("cum_share_ppm"))
+      .orderBy(col("segment"), col("decile"))
+  }
+
+  /** Daily burst detection per event type: a day is a burst when its
+    * count exceeds 2× the trailing-week average — cnt·days7 > 2·prev7
+    * in pure integers (avg = prev7/days7 never materializes as a
+    * float), with ≥4 prior active days required so the baseline is
+    * meaningful. The trailing window is a calendar RANGE frame over
+    * epoch_day (7 PRECEDING .. 1 PRECEDING), not a ROWS frame — gaps
+    * in the day sequence must shrink the baseline, not stretch it.
+    *
+    * Output keeps EVERY (type, day) row with its baseline and flag —
+    * the monitor's input relation — rather than only bursts (which on
+    * a uniform corpus is empty and asserts nothing).
+    *
+    * Scale: one map-side-combined aggregate to |types|·|days| rows;
+    * the range window runs on that rollup partitioned by type, never
+    * on the raw stream.
+    */
+  val eventsBurstDays: Q = (s, dir) => {
+    val daily = table(s, dir, "events")
+      .select(col("event_type"), unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rangeBetween(-7, -1)
+    daily
+      .withColumn("prev7", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("days7", count(lit(1)).over(w))
+      .withColumn("is_burst",
+        when(col("days7") >= 4 && col("cnt") * col("days7") > lit(2) * col("prev7"), 1L)
+          .otherwise(0L))
+      .select("event_type", "epoch_day", "cnt", "prev7", "days7", "is_burst")
+      .orderBy("event_type", "epoch_day")
+  }
+
+  /** Chi-square independence cells for segment × nation: the FULL
+    * contingency grid — observed segments × observed nations, with
+    * o = 0 where a combination never occurs — carrying observed count,
+    * expected count and the cell's χ² contribution. The zero cells
+    * are load-bearing: dropping them under-counts the statistic
+    * (Σe = n only holds over the complete grid) and is exactly the
+    * mistake an "aggregate only what exists" plan makes silently.
+    *
+    * The ONLY floats are computed in a pinned three-step IEEE order
+    * identical in both engines: e = double(r·c)/double(n) (r·c exact
+    * in int64 — overflow at r·c > 9·10¹⁸ means ~3·10⁹ rows per
+    * marginal; widen to DECIMAL beyond), d = double(o) − e, contrib =
+    * d·d/e. No float is ever SUMMED (the χ² statistic itself is the
+    * consumer's fold over these ~125 rows in whatever order it
+    * chooses); every per-row value is a deterministic composition of
+    * correctly-rounded ops on exactly-representable integers.
+    *
+    * Scale: one combined aggregate to |segments|·|nations| cells, two
+    * marginal rollups of that, and a dimension-cardinality-bounded
+    * cross join (5×25 here; a grid over two genuinely high-cardinality
+    * dimensions is a different statistic — bucket first). The grand
+    * total rides the house 1-row broadcast-scalar pattern.
+    */
+  val statChi2Cells: Q = (s, dir) => {
+    val cells = table(s, dir, "customer")
+      .groupBy(col("c_mktsegment").as("segment"), col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("o"))
+    val segs = cells.groupBy(col("segment")).agg(sum(col("o")).as("row_tot"))
+    val nats = cells.groupBy(col("nationkey")).agg(sum(col("o")).as("col_tot"))
+    segs.crossJoin(broadcast(nats))
+      .join(cells, Seq("segment", "nationkey"), "left_outer")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(cells.agg(sum(col("o")).as("n"))))
+      .withColumn("e",
+        (col("row_tot") * col("col_tot")).cast("double") / col("n").cast("double"))
+      .withColumn("d", col("o").cast("double") - col("e"))
+      .select(col("segment"), col("nationkey"), col("o"),
+        col("e"), (col("d") * col("d") / col("e")).as("chi2_contrib"))
+      .orderBy(col("segment"), col("nationkey"))
+  }
+
+  /** Exact-k uniform sample per stratum (bottom-k by the house hash) —
+    * the audit draw: k=20 customers per market segment, chosen as the
+    * k smallest `md5(salt|custkey)` values (salt `graft-bottomk`, own
+    * salt for the usual independence-of-gates argument). Bottom-k by a
+    * fixed hash is a KMV synopsis: the draw is uniform, exactly k, and
+    * STABLE under corpus growth — an arriving customer evicts at most
+    * one incumbent (rate-based gates like sample_stratified_hash can't
+    * pin an exact k; a random ORDER BY can't replay).
+    *
+    * Hash ties are broken by custkey, so membership is a total order
+    * prefix — deterministic in both engines.
+    *
+    * Scale: the rank window sorts within each segment partition. The
+    * 100 TB path keeps a k-sized min-heap per (stratum, partition) via
+    * mapPartitions — bottom-k is mergeable, so per-partition bottom-k
+    * then re-rank over |strata|·k·|partitions| survivors is exact and
+    * shuffle-light; the window form here IS that plan's final re-rank.
+    */
+  val sampleBottomkStratified: Q = (s, dir) => {
+    val h = md5(concat_ws("|", lit("graft-bottomk"), col("c_custkey").cast("string")))
+    table(s, dir, "customer")
+      .select(col("c_mktsegment").as("segment"), col("c_custkey"), h.as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("segment")).orderBy(col("h"), col("c_custkey"))))
+      .filter(col("rk") <= 20)
+      .select("segment", "c_custkey", "h", "rk")
+      .orderBy("segment", "rk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "orders_pareto_share" -> ordersParetoShare,
+    "events_burst_days" -> eventsBurstDays,
+    "stat_chi2_cells" -> statChi2Cells,
+    "sample_bottomk_stratified" -> sampleBottomkStratified,
+  )
+}

@@ -421,6 +421,38 @@ object Relational {
       LIMIT 10""")
   }
 
+  /** TPC-H Q5 ("local supplier volume") over SQL text — the 6-way
+    * join-ORDERING showcase: region → nation is a 5×25-row dim chain,
+    * customer and supplier both constrain nationkey (the
+    * c_nationkey = s_nationkey equality makes the join graph cyclic),
+    * and lineitem is the fact. Catalyst's job here is to broadcast
+    * every dim (region, nation, supplier — and customer at this SF)
+    * and leave exactly one shuffle pair for orders ⋈ lineitem; the
+    * o_orderdate year predicate must reach the orders scan as a
+    * pushed filter. Revenue per the house decimal-exact discipline.
+    * At 100 TB customer stops broadcasting and becomes a shuffle join
+    * on custkey — the plan degrades join-by-join, never re-shapes.
+    */
+  val sqlTpchQ5: Q = (s, dir) => {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => table(s, dir, t).createOrReplaceTempView(t))
+    s.sql("""
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""")
+  }
+
   /** Correlated EXISTS / NOT EXISTS over SQL text — the subquery
     * surface a SQL engine must DECORRELATE to survive scale: Catalyst
     * rewrites both into semi/anti hash joins (asserted in PlanSpec; a
@@ -612,6 +644,7 @@ object Relational {
     "join_interval_overlap" -> joinIntervalOverlap,
     "reshape_unpivot" -> reshapeUnpivot,
     "sql_tpch_q3" -> sqlTpchQ3,
+    "sql_tpch_q5" -> sqlTpchQ5,
     "sql_exists_subquery" -> sqlExistsSubquery,
     "sql_scalar_subquery" -> sqlScalarSubquery,
     "sql_lateral_join" -> sqlLateralJoin,

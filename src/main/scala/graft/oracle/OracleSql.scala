@@ -2982,8 +2982,108 @@ object OracleSql {
         |ORDER BY custkey""".stripMargin,
   )
 
+  // ops.Insights + the round-11 second-session SQL-path key. Same
+  // determinism contracts as the Spark side: exact integer cents/ppm,
+  // nearest-rank deciles, calendar RANGE frames, and the chi-square
+  // floats in the identical pinned three-step IEEE order.
+  private val insights: Map[String, String] = Map(
+    "sql_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "orders_pareto_share" ->
+      """WITH rev AS (
+        |  SELECT c_mktsegment AS segment, o_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT segment, o_custkey, rev_cents,
+        |         ROW_NUMBER() OVER (PARTITION BY segment
+        |                            ORDER BY rev_cents DESC, o_custkey) AS rn,
+        |         COUNT(*) OVER (PARTITION BY segment) AS n
+        |  FROM rev),
+        |g AS (
+        |  SELECT segment, (rn - 1) * 10 // n + 1 AS decile,
+        |         count(*) AS n_customers,
+        |         CAST(sum(rev_cents) AS BIGINT) AS rev_cents
+        |  FROM ranked GROUP BY 1, 2)
+        |SELECT segment, decile, n_customers, rev_cents,
+        |       CAST(SUM(rev_cents) OVER (PARTITION BY segment ORDER BY decile) AS BIGINT)
+        |         * 1000000
+        |         // CAST(SUM(rev_cents) OVER (PARTITION BY segment) AS BIGINT) AS cum_share_ppm
+        |FROM g
+        |ORDER BY segment, decile""".stripMargin,
+
+    "events_burst_days" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, epoch_day, cnt,
+        |         CAST(COALESCE(SUM(cnt) OVER tw, 0) AS BIGINT) AS prev7,
+        |         CAST(COUNT(*) OVER tw AS BIGINT) AS days7
+        |  FROM daily
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY epoch_day
+        |                RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, epoch_day, cnt, prev7, days7,
+        |       CAST(CASE WHEN days7 >= 4 AND cnt * days7 > 2 * prev7
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_burst
+        |FROM w
+        |ORDER BY event_type, epoch_day""".stripMargin,
+
+    "stat_chi2_cells" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS segment, c_nationkey AS nationkey, count(*) AS o
+        |  FROM customer GROUP BY 1, 2),
+        |segs AS (SELECT segment, CAST(sum(o) AS BIGINT) AS row_tot FROM cells GROUP BY 1),
+        |nats AS (SELECT nationkey, CAST(sum(o) AS BIGINT) AS col_tot FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |grid AS (
+        |  SELECT s.segment, na.nationkey, s.row_tot, na.col_tot,
+        |         COALESCE(c.o, 0) AS o
+        |  FROM segs s CROSS JOIN nats na
+        |  LEFT JOIN cells c ON c.segment = s.segment AND c.nationkey = na.nationkey),
+        |ex AS (
+        |  SELECT segment, nationkey, o,
+        |         CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE) AS e
+        |  FROM grid, t)
+        |SELECT segment, nationkey, o, e,
+        |       (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS chi2_contrib
+        |FROM ex
+        |ORDER BY segment, nationkey""".stripMargin,
+
+    "sample_bottomk_stratified" ->
+      """WITH h AS (
+        |  SELECT c_mktsegment AS segment, c_custkey,
+        |         md5('graft-bottomk' || '|' || CAST(c_custkey AS VARCHAR)) AS h
+        |  FROM customer),
+        |r AS (
+        |  SELECT segment, c_custkey, h,
+        |         ROW_NUMBER() OVER (PARTITION BY segment ORDER BY h, c_custkey) AS rk
+        |  FROM h)
+        |SELECT segment, c_custkey, h, rk
+        |FROM r WHERE rk <= 20
+        |ORDER BY segment, rk""".stripMargin,
+  )
+
   val sql: Map[String, String] =
     relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++
       llm ++ streaming ++ llm2 ++ curation ++ statsLayout ++ analytics ++
-      analytics2 ++ graph ++ round8 ++ infoTheory ++ bpe ++ bipartite
+      analytics2 ++ graph ++ round8 ++ infoTheory ++ bpe ++ bipartite ++
+      insights
 }
