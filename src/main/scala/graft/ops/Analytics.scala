@@ -888,6 +888,16 @@ object Analytics {
     * aggregate. The zipf parallelism caveat applies to the window's
     * 5-value key, but on the daily rollup it is irrelevant at any
     * scale.
+    *
+    * GAPLESS-SERIES ASSUMPTION (r11 advice): `lead(cnt, k)` pairs by
+    * ROW position in day order, i.e. lag-k means "k OBSERVED days
+    * later" — on a series with calendar gaps the pairs misalign and
+    * the r₇-weekly reading weakens (contrast [[graft.ops.Insights]]'
+    * events_burst_days, which uses a calendar RANGE frame for exactly
+    * this reason). The events corpus is day-dense per type, and the
+    * oracle replays the SAME row-lag semantics, so cross-engine
+    * equality is unaffected; for gappy series, join on day = day + k
+    * (calendar lag) in both engines instead.
     */
   val timeSeriesAutocorr: Q = (s, dir) => {
     val daily = table(s, dir, "events")

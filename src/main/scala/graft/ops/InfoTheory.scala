@@ -440,7 +440,11 @@ object InfoTheory {
     * [[graft.ops.PostingIndex]]'s ad-hoc probe is spec'd against.
     */
   def bm25RowLocal(docs: org.apache.spark.sql.DataFrame,
-      qt: Seq[String]): org.apache.spark.sql.DataFrame = {
+      qt0: Seq[String]): org.apache.spark.sql.DataFrame = {
+    // distinct terms, mirroring PostingIndex.bm25Topk: a duplicated
+    // query term would otherwise score per position here (tf_i per
+    // positional term) but once through the index's (term, doc) rows
+    val qt = qt0.distinct
     val perdoc = docs
       .select(col("doc_id"), filter(tokens, x => x =!= "").as("arr"))
       .select(col("doc_id") +: size(col("arr")).cast("long").as("dl") +:

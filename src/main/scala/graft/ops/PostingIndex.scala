@@ -38,19 +38,28 @@ import graft.functions.NumericExpressions.log2Fixed
   * with the per-doc score rollup shuffling only probed hits.
   * MEASURED boundary (ScratchBm25Corpus @ 10⁷ docs / 3.7·10⁸
   * postings, BASELINE.md r11): rare-term probes 3.5 s vs 21–33 s for
-  * the indexless full scan — but STOP-WORD-hot terms (~70 % df) probe
-  * SLOWER than the full scan (87–127 s), because bucket pruning
-  * collapses read parallelism to the probed buckets while the posting
-  * lists are corpus-sized. The production path for hot terms is the
-  * standard one: doc-sharded posting lists (a shard column alongside
-  * term, probe enumerates (term, shard) pairs) — or simply routing
-  * high-df terms to the scan path, since a term in most documents
-  * carries near-zero idf weight anyway.
+  * the indexless full scan — but STOP-WORD-hot terms (~70 % df) on an
+  * UNSHARDED index probe SLOWER than the full scan (87–127 s),
+  * because bucket pruning collapses read parallelism to the probed
+  * buckets while the posting lists are corpus-sized. The fix is BUILT
+  * (round 12): `buildIndex(..., shards = S)` doc-shards the posting
+  * lists — the bucketing key becomes the composite `ts = term#shard`
+  * (shard = xxhash64(doc_id) mod S) and the probe enumerates the S
+  * (term, shard) literals, so a hot term's list spreads across up to
+  * S buckets/tasks while a rare term still prunes to ≤ S bucket
+  * values. S rides the stats sidecar (probes/appends self-configure);
+  * choose S ≈ the per-bucket task parallelism you want on the hottest
+  * term, and buckets ≥ S so shards don't re-collide. Re-measured @
+  * 10⁷ docs: see BASELINE.md r12. The alternative remains routing
+  * ~zero-idf high-df terms to the scan path at the caller.
   */
 object PostingIndex {
 
-  /** Bump when the posting row layout changes. */
-  val SchemaVersion = 1
+  /** Bump when the posting row layout changes. v2: optional doc-shard
+    * composite key `ts` in the posting row + `shards` in the stats
+    * sidecar (the hot-term fix).
+    */
+  val SchemaVersion = 2
 
   private val StatsSuffix = "_stats"
 
@@ -62,12 +71,16 @@ object PostingIndex {
   private def toks(c: org.apache.spark.sql.Column) =
     split(lower(regexp_replace(trim(c), "\\s+", " ")), " ")
 
-  /** The posting relation of a documents table: (term, doc_id, tf, dl),
-    * one exchange (the doc_id clustering serves the tf aggregate and
-    * the dl window — the entropy-family argument).
+  /** The posting relation of a documents table: (term, doc_id, tf, dl
+    * [, ts]), one exchange (the doc_id clustering serves the tf
+    * aggregate and the dl window — the entropy-family argument).
+    * With `shards` > 1 each row also carries the composite bucketing
+    * key `ts = term#shard`, `shard = xxhash64(doc_id) mod shards` —
+    * doc-sharded posting lists, so one term's postings spread over up
+    * to `shards` buckets instead of collapsing into one.
     */
-  private[graft] def postingRows(docs: DataFrame): DataFrame =
-    docs
+  private[graft] def postingRows(docs: DataFrame, shards: Int = 1): DataFrame = {
+    val base = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .repartition(col("doc_id"))
@@ -75,15 +88,27 @@ object PostingIndex {
       .agg(count(lit(1)).as("tf"))
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    if (shards <= 1) base
+    else base.withColumn("ts",
+      concat_ws("#", col("term"), pmod(xxhash64(col("doc_id")), lit(shards))))
+  }
 
   /** One stats row per ingest; `batch_id` = −1 for build/manual
     * appends, the engine's batchId for streaming ingest (the
-    * exactly-once guard key).
+    * exactly-once guard key). `shards` records the index's doc-shard
+    * fan-out (constant per index — layout metadata riding the sidecar
+    * so probes and appends self-configure; collapse takes max).
     */
-  private def batchStats(rows: DataFrame, batchId: Long): DataFrame =
+  private def batchStats(rows: DataFrame, batchId: Long, shards: Int): DataFrame =
     rows.agg(countDistinct(col("doc_id")).as("n_docs"),
       sum(col("tf")).as("total_tok"))
       .withColumn("batch_id", lit(batchId))
+      .withColumn("shards", lit(shards.toLong))
+
+  /** The index's doc-shard fan-out, read from the stats sidecar. */
+  private def shardsOf(spark: SparkSession, physical: String): Int =
+    spark.table(statsTable(physical))
+      .agg(coalesce(max(col("shards")), lit(1L))).head().getLong(0).toInt
 
   /** Tokenize + index a documents table as a fresh manifest version.
     * Stats come from reading the WRITTEN table back (a column-pruned
@@ -92,37 +117,54 @@ object PostingIndex {
     * postings/doc through the block manager measured 10× the cost of
     * the read-back at 10⁷ docs (ScratchBm25Corpus, BASELINE.md r11).
     */
-  def buildIndex(docs: DataFrame, tableName: String, buckets: Int = 8): Unit = {
+  def buildIndex(docs: DataFrame, tableName: String, buckets: Int = 8,
+      shards: Int = 1): Unit = {
     val spark = docs.sparkSession
     val v = graft.io.TableManifest.nextVersion(spark, tableName)
     val t = graft.io.TableManifest.physicalName(tableName, v)
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTable(t)}")
-    graft.io.Sinks.writeBucketed(postingRows(docs), t, "term", buckets)
-    batchStats(spark.table(t), -1L).write.mode("overwrite").format("parquet")
-      .saveAsTable(statsTable(t))
+    val key = if (shards > 1) "ts" else "term"
+    graft.io.Sinks.writeBucketed(postingRows(docs, shards), t, key, buckets)
+    batchStats(spark.table(t), -1L, shards).write.mode("overwrite")
+      .format("parquet").saveAsTable(statsTable(t))
     graft.io.TableManifest.commit(spark, tableName, v, SchemaVersion)
     graft.io.TableManifest.vacuum(spark, tableName)
   }
 
   /** Append a NEW batch of documents (caller contract: doc_ids not
     * already indexed). Postings append per bucket; the stats sidecar
-    * gains one row — nothing rewrites, so probes racing an append see
-    * a consistent (if slightly stale) corpus.
+    * gains one row — nothing rewrites, so a concurrent probe never
+    * errors, but its view is MIXED, not snapshot-stale: postings land
+    * first and stats last, so a probe racing the window may count the
+    * new docs in df while N/avgdl still exclude them (a transient idf
+    * skew on the probed terms, bounded by the batch size; the crash
+    * window of [[appendBatch]] persists the same mix until replay).
+    * Snapshot isolation, where needed, is what [[compact]]'s atomic
+    * pointer flip provides — run probes against a compacted version.
     */
   def appendToIndex(docs: DataFrame, tableName: String): Unit = {
     val spark = docs.sparkSession
     val t = resolveTable(spark, tableName)
-    val buckets = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(t))
-      .bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalStateException(
-        s"$t has no bucket spec — appending would mix layouts; rebuild the index"))
-    val rows = postingRows(docs).localCheckpoint()
+    val (key, buckets) = bucketLayout(spark, t)
+    val shards = shardsOf(spark, t)
+    val rows = postingRows(docs, shards).localCheckpoint()
     rows.write.mode("append")
-      .bucketBy(buckets, "term").sortBy("term")
+      .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(t)
-    batchStats(rows, -1L).write.mode("append").format("parquet")
+    batchStats(rows, -1L, shards).write.mode("append").format("parquet")
       .saveAsTable(statsTable(t))
+  }
+
+  /** The committed table's (bucket key, bucket count) — appends must
+    * replicate the existing layout exactly or the bucketed scan lies.
+    */
+  private def bucketLayout(spark: SparkSession, physical: String): (String, Int) = {
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(physical))
+      .bucketSpec.getOrElse(throw new IllegalStateException(
+        s"$physical has no bucket spec — appending would mix layouts; rebuild the index"))
+    (spec.bucketColumnNames.head, spec.numBuckets)
   }
 
   /** Collapse append growth into a fresh version (atomic publish).
@@ -134,22 +176,19 @@ object PostingIndex {
     * A crash between the sidecar write and the commit leaves an
     * unreferenced staging pair, reclaimed by the next compaction's
     * DROPs — probes keep serving the old version either way.
+    *
+    * The collapsed row's batch_id is the HIGH-WATER committed
+    * streaming batch_id (max over the collapsed rows; −1 if only
+    * build/manual batches exist) — NOT a constant −1, which would
+    * erase the exactly-once ledger: a stream that crashed after
+    * [[appendBatch]] fully committed batch N but before the engine
+    * checkpointed would, after a compaction, replay batch N against a
+    * guard that no longer remembers it, double-counting N/Σdl. The
+    * `>=` guard in [[appendBatch]] reads the high-water row correctly
+    * because engine batch ids are monotone.
     */
-  def compact(spark: SparkSession, tableName: String): Unit = {
-    val cur = resolveTable(spark, tableName)
-    graft.io.TableManifest.compactBucketed(spark, tableName, SchemaVersion,
-      beforeCommit = () => {
-        val nextT = graft.io.TableManifest.physicalName(tableName,
-          graft.io.TableManifest.nextVersion(spark, tableName))
-        spark.sql(s"DROP TABLE IF EXISTS ${statsTable(nextT)}")
-        spark.table(statsTable(cur))
-          .agg(sum(col("n_docs")).as("n_docs"),
-            sum(col("total_tok")).as("total_tok"))
-          .withColumn("batch_id", lit(-1L))
-          .write.mode("overwrite").format("parquet")
-          .saveAsTable(statsTable(nextT))
-      })
-  }
+  def compact(spark: SparkSession, tableName: String): Unit =
+    compactWith(spark, tableName, identity)
 
   /** Ad-hoc BM25 top-k probe: reads ONLY the buckets the query terms
     * hash to; df comes from the probed postings, N/avgdl from the
@@ -157,8 +196,12 @@ object PostingIndex {
     * to [[InfoTheory.bm25RowLocal]] (spec'd equal on arbitrary term
     * sets). Output: (doc_id, n_hit, bm25_u, bm25).
     */
-  def bm25Topk(spark: SparkSession, tableName: String, terms: Seq[String],
+  def bm25Topk(spark: SparkSession, tableName: String, terms0: Seq[String],
       k: Int = 10): DataFrame = {
+    // distinct terms: the posting relation holds one row per (term,
+    // doc), so a duplicated query term would score once here but
+    // per-position in the row-local reference — both paths normalize
+    val terms = terms0.distinct
     val t = resolveTable(spark, tableName)
     // probe-time freshness: appends may come from OTHER sessions (the
     // streaming microbatch clone) whose saveAsTable invalidates only
@@ -168,11 +211,30 @@ object PostingIndex {
     // is a metadata re-list, not a data read.
     spark.catalog.refreshTable(t)
     spark.catalog.refreshTable(statsTable(t))
+    // doc-sharded index: enumerate the (term, shard) composite keys so
+    // the isin stays a literal list and bucket pruning still applies —
+    // a hot term's postings now spread across up to `shards` buckets
+    // (and that many scan tasks) instead of one corpus-sized list
+    val shards = shardsOf(spark, t)
     // dropDuplicates on the probe key: streaming-replay appends are
     // at-least-once (verbatim row duplicates) — the dedup costs only
-    // the probed rows and is the identity on a clean index
-    val hits = spark.table(t).filter(col("term").isin(terms: _*))
-      .dropDuplicates("term", "doc_id")
+    // the probed rows and is the identity on a clean index. On the
+    // sharded layout the dedup keys on (ts, doc_id) — equivalent
+    // (shard is a function of doc_id, so a (term, doc_id) pair always
+    // carries the same ts) AND it keeps the scan's ts-clustering
+    // "interesting" to the planner: keyed on (term, doc_id) alone,
+    // DisableUnnecessaryBucketedScan drops the bucketed scan and
+    // bucket pruning with it (observed in spec).
+    val hits =
+      if (shards <= 1)
+        spark.table(t).filter(col("term").isin(terms: _*))
+          .dropDuplicates("term", "doc_id")
+      else {
+        val keys = for (t0 <- terms; s <- 0 until shards) yield s"$t0#$s"
+        spark.table(t).filter(col("ts").isin(keys: _*))
+          .dropDuplicates("ts", "doc_id")
+          .select("term", "doc_id", "tf", "dl")
+      }
     val corp = spark.table(statsTable(t))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_tok")).as("total_tok"))
       .withColumn("avgdl_u", expr("total_tok * 1000000 div n_docs"))
@@ -209,6 +271,14 @@ object PostingIndex {
     * (term, doc_id) and [[compactDedup]] reclaims) and writes the
     * stats row once, so N and Σdl are EXACTLY-once — scores never
     * drift under replay. Returns true if the batch was applied.
+    *
+    * The committed check is `batch_id >= batchId`, not equality:
+    * engine batch ids are monotone and applied in order, so ANY stats
+    * row at-or-above the replayed id proves it committed — including
+    * the single high-water row a [[compact]] collapses the ledger to
+    * (an equality guard would forget compacted batches and re-apply
+    * them). Manual batches' −1 rows can never satisfy the guard for an
+    * engine id (those start at 0).
     */
   private[graft] def appendBatch(docs: DataFrame, batchId: Long,
       tableName: String,
@@ -217,19 +287,17 @@ object PostingIndex {
     val t = resolveTable(spark, tableName)
     spark.catalog.refreshTable(statsTable(t)) // replay guard must see the latest commit
     val committed = spark.table(statsTable(t))
-      .filter(col("batch_id") === batchId).limit(1).count() > 0
+      .filter(col("batch_id") >= batchId).limit(1).count() > 0
     if (committed) false
     else {
-      val buckets = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(t))
-        .bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalStateException(
-          s"$t has no bucket spec — rebuild the index"))
-      val rows = postingRows(docs).localCheckpoint()
+      val (key, buckets) = bucketLayout(spark, t)
+      val shards = shardsOf(spark, t)
+      val rows = postingRows(docs, shards).localCheckpoint()
       rows.write.mode("append")
-        .bucketBy(buckets, "term").sortBy("term")
+        .bucketBy(buckets, key).sortBy(key)
         .format("parquet").saveAsTable(t)
       afterPostingsAppend() // crash-injection seam (spec)
-      batchStats(rows, batchId).write.mode("append").format("parquet")
+      batchStats(rows, batchId, shards).write.mode("append").format("parquet")
         .saveAsTable(statsTable(t))
       true
     }
@@ -255,9 +323,13 @@ object PostingIndex {
     * — a doc's postings are deterministic), so a full-row distinct
     * restores the clean index; probe semantics unchanged (it was
     * already dedup-guarded). Stats rows are exactly-once by
-    * construction and just collapse.
+    * construction and collapse to the high-water row (see [[compact]]).
     */
-  def compactDedup(spark: SparkSession, tableName: String): Unit = {
+  def compactDedup(spark: SparkSession, tableName: String): Unit =
+    compactWith(spark, tableName, _.distinct())
+
+  private def compactWith(spark: SparkSession, tableName: String,
+      transform: DataFrame => DataFrame): Unit = {
     val cur = resolveTable(spark, tableName)
     graft.io.TableManifest.compactBucketed(spark, tableName, SchemaVersion,
       beforeCommit = () => {
@@ -266,11 +338,12 @@ object PostingIndex {
         spark.sql(s"DROP TABLE IF EXISTS ${statsTable(nextT)}")
         spark.table(statsTable(cur))
           .agg(sum(col("n_docs")).as("n_docs"),
-            sum(col("total_tok")).as("total_tok"))
-          .withColumn("batch_id", lit(-1L))
+            sum(col("total_tok")).as("total_tok"),
+            coalesce(max(col("batch_id")), lit(-1L)).as("batch_id"),
+            coalesce(max(col("shards")), lit(1L)).as("shards"))
           .write.mode("overwrite").format("parquet")
           .saveAsTable(statsTable(nextT))
       },
-      transform = _.distinct())
+      transform = transform)
   }
 }

@@ -36,7 +36,7 @@ class PostingIndexSpec extends SparkSpec {
       val got = asTuples(ops.PostingIndex.bm25Topk(spark, "postidx_a",
         Seq("data", "zzz_absent")))
       assert(got === ref)
-    } finally spark.sql("DROP TABLE IF EXISTS postidx_a__v0")
+    } finally io.TableManifest.drop(spark, "postidx_a")
   }
 
   test("probe scan is bucket-pruned to the query terms; index side never re-shuffles by term") {
@@ -53,7 +53,7 @@ class PostingIndexSpec extends SparkSpec {
       // no exchange re-partitions the postings by term (the layout IS
       // the term clustering); only the per-doc rollup shuffles hits
       assert(!p.contains("Exchange hashpartitioning(term"), p)
-    } finally spark.sql("DROP TABLE IF EXISTS postidx_b__v0")
+    } finally io.TableManifest.drop(spark, "postidx_b")
   }
 
   test("append sees the union corpus; compact collapses stats and preserves every probe") {
@@ -73,12 +73,7 @@ class PostingIndexSpec extends SparkSpec {
       assert(t1 !== t0)
       assert(spark.table(t1 + "_stats").count() === 1L)
       assert(asTuples(ops.PostingIndex.bm25Topk(spark, "postidx_c", terms)) === ref)
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS postidx_c__v0")
-      spark.sql("DROP TABLE IF EXISTS postidx_c__v0_stats")
-      spark.sql("DROP TABLE IF EXISTS postidx_c__v1")
-      spark.sql("DROP TABLE IF EXISTS postidx_c__v1_stats")
-    }
+    } finally io.TableManifest.drop(spark, "postidx_c")
   }
 
   test("streaming ingest converges to from-scratch; crash replay never drifts scores") {
@@ -132,9 +127,57 @@ class PostingIndexSpec extends SparkSpec {
       assert(after < before, s"$before -> $after")
       assert(spark.table(t1).count() === spark.table(t1).distinct().count())
       assert(asTuples(ops.PostingIndex.bm25Topk(spark, "postidx_s", terms)) === ref2)
-    } finally {
-      Seq("postidx_s__v0", "postidx_s__v0_stats", "postidx_s__v1", "postidx_s__v1_stats")
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    }
+      // compaction must PRESERVE the committed ledger: the collapsed
+      // stats row carries the high-water batch_id, so a checkpoint-less
+      // replay of batch 77 after compaction is still a no-op (the
+      // r11-advice double-count scenario: crash after commit, compact,
+      // restart)
+      assert(spark.table(t1 + "_stats").count() === 1L)
+      assert(!ops.PostingIndex.appendBatch(
+        extra.toDF("doc_id", "text"), 77L, "postidx_s"))
+      assert(asTuples(ops.PostingIndex.bm25Topk(spark, "postidx_s", terms)) === ref2)
+    } finally io.TableManifest.drop(spark, "postidx_s")
+  }
+
+  test("doc-sharded index: probe bit-exact, hot term spreads across shard buckets, append keeps layout") {
+    ops.PostingIndex.buildIndex(docs, "postidx_sh", buckets = 8, shards = 4)
+    try {
+      // bit-exact vs the row-local reference, single- and multi-term
+      for (terms <- Seq(Seq("data"), Seq("merge", "sort", "join", "hash", "scan"))) {
+        val ref = asTuples(ops.InfoTheory.bm25RowLocal(docs, terms))
+        assert(asTuples(ops.PostingIndex.bm25Topk(spark, "postidx_sh", terms)) === ref,
+          s"terms=$terms")
+      }
+      // a 1-term probe enumerates 4 (term,shard) keys -> pruned to >1
+      // and <=4 of 8 buckets (the parallelism the unsharded layout
+      // collapses to 1); pruning itself must still be in effect
+      val df = ops.PostingIndex.bm25Topk(spark, "postidx_sh", Seq("data"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val counts = "SelectedBucketsCount: (\\d+) out of 8".r
+        .findAllMatchIn(p).map(_.group(1).toInt).toSeq
+      assert(counts.nonEmpty, s"expected bucket pruning:\n$p")
+      assert(counts.forall(c => c >= 2 && c <= 4), s"bucket spread: $counts")
+      // append self-configures onto the sharded layout
+      val extra = Seq((800001L, "data data merge appended doc"))
+      import spark.implicits._
+      ops.PostingIndex.appendToIndex(extra.toDF("doc_id", "text"), "postidx_sh")
+      val union = docs.select("doc_id", "text")
+        .union(extra.toDF("doc_id", "text"))
+      val ref2 = asTuples(ops.InfoTheory.bm25RowLocal(union, Seq("data", "merge")))
+      assert(asTuples(ops.PostingIndex.bm25Topk(
+        spark, "postidx_sh", Seq("data", "merge"))) === ref2)
+    } finally io.TableManifest.drop(spark, "postidx_sh")
+  }
+
+  test("duplicate query terms normalize identically in probe and row-local reference") {
+    ops.PostingIndex.buildIndex(docs, "postidx_d")
+    try {
+      val dup = Seq("data", "data", "query")
+      val ref = asTuples(ops.InfoTheory.bm25RowLocal(docs, dup))
+      assert(asTuples(ops.PostingIndex.bm25Topk(spark, "postidx_d", dup)) === ref)
+      // and both equal the distinct-list result
+      assert(ref === asTuples(ops.InfoTheory.bm25RowLocal(docs, Seq("data", "query"))))
+    } finally io.TableManifest.drop(spark, "postidx_d")
   }
 }

@@ -37,6 +37,7 @@ object ScratchBm25Corpus {
 
     val nDocs = args.headOption.map(_.toLong).getOrElse(10000000L)
     val buildOnly = args.contains("buildonly")
+    val shardOnly = args.contains("shardonly") // subject 3 alone (re-measure)
     val vocab = 1000L
 
     val stageMax = new ConcurrentHashMap[Int, AtomicLong]()
@@ -90,7 +91,7 @@ object ScratchBm25Corpus {
     val rareTerms = Seq("t900", "t950", "t990")       // quadratic tail
 
     // ---- subject 1: ad-hoc WITHOUT an index (full scan per query) --
-    if (!buildOnly) {
+    if (!buildOnly && !shardOnly) {
       (1 to 2).foreach { i =>
         timed(s"row-local full-scan, hot terms, rep$i") {
           ops.InfoTheory.bm25RowLocal(docs, hotTerms).collect()
@@ -102,26 +103,51 @@ object ScratchBm25Corpus {
     }
 
     // ---- subject 2: index once, probe cheaply ----------------------
-    timed("PostingIndex build (one-time)") {
-      ops.PostingIndex.buildIndex(docs, "bm25scale", buckets = 32)
-    }
-    (1 to 2).foreach { i =>
-      timed(s"index probe, hot terms, rep$i") {
-        ops.PostingIndex.bm25Topk(spark, "bm25scale", hotTerms).collect()
+    if (!shardOnly) {
+      timed("PostingIndex build (one-time)") {
+        ops.PostingIndex.buildIndex(docs, "bm25scale", buckets = 32)
       }
-    }
-    (1 to 2).foreach { i =>
-      timed(s"index probe, rare terms, rep$i") {
-        ops.PostingIndex.bm25Topk(spark, "bm25scale", rareTerms).collect()
+      (1 to 2).foreach { i =>
+        timed(s"index probe, hot terms, rep$i") {
+          ops.PostingIndex.bm25Topk(spark, "bm25scale", hotTerms).collect()
+        }
       }
+      (1 to 2).foreach { i =>
+        timed(s"index probe, rare terms, rep$i") {
+          ops.PostingIndex.bm25Topk(spark, "bm25scale", rareTerms).collect()
+        }
+      }
+
+      // equality spot-check at scale: probe == row-local on rare terms
+      val a = ops.PostingIndex.bm25Topk(spark, "bm25scale", rareTerms).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+      val b = ops.InfoTheory.bm25RowLocal(docs, rareTerms).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+      println(s"probe==rowLocal: ${a == b}")
     }
 
-    // equality spot-check at scale: probe == row-local on rare terms
-    val a = ops.PostingIndex.bm25Topk(spark, "bm25scale", rareTerms).collect()
+    // ---- subject 3: doc-SHARDED index — the hot-term fix (r12) -----
+    // shards=32 spreads any term's posting list over ≤32 of 64
+    // buckets; a rare term reads ≤32 bucket VALUES but its rows are
+    // few either way — the asymmetric trade the hot path needs.
+    timed("PostingIndex SHARDED build (one-time, buckets=64 shards=32)") {
+      ops.PostingIndex.buildIndex(docs, "bm25shard", buckets = 64, shards = 32)
+    }
+    (1 to 2).foreach { i =>
+      timed(s"SHARDED probe, hot terms, rep$i") {
+        ops.PostingIndex.bm25Topk(spark, "bm25shard", hotTerms).collect()
+      }
+    }
+    (1 to 2).foreach { i =>
+      timed(s"SHARDED probe, rare terms, rep$i") {
+        ops.PostingIndex.bm25Topk(spark, "bm25shard", rareTerms).collect()
+      }
+    }
+    val as = ops.PostingIndex.bm25Topk(spark, "bm25shard", hotTerms).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSeq
-    val b = ops.InfoTheory.bm25RowLocal(docs, rareTerms).collect()
+    val bs = ops.InfoTheory.bm25RowLocal(docs, hotTerms).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSeq
-    println(s"probe==rowLocal: ${a == b}")
+    println(s"sharded probe==rowLocal (hot): ${as == bs}")
     spark.stop()
   }
 }
