@@ -230,8 +230,21 @@ object PostingIndex {
         spark.table(t).filter(col("term").isin(terms: _*))
           .dropDuplicates("term", "doc_id")
       else {
-        val keys = for (t0 <- terms; s <- 0 until shards) yield s"$t0#$s"
-        spark.table(t).filter(col("ts").isin(keys: _*))
+        // ONE isin PER TERM, OR'd — not a single flattened list. The
+        // flattened |terms|·shards-value In exceeds
+        // spark.sql.parquet.pushdown.inFilterThreshold (10) and gets
+        // pushed to parquet as a min/max RANGE across all terms'
+        // composite keys, which straddles the vocabulary and skips no
+        // row group (measured at 10⁷ docs: 5.6M records/task — the
+        // whole bucket — vs the unsharded layout's exact-In skipping).
+        // A per-term In, even in range form, spans only that term's
+        // `term#` prefix, so sortBy(ts) row groups outside it skip;
+        // bucket pruning unions the per-disjunct sets.
+        val perTerm = terms.map { t0 =>
+          val keys = (0 until shards).map(s => s"$t0#$s")
+          col("ts").isin(keys: _*)
+        }
+        spark.table(t).filter(perTerm.reduce(_ || _))
           .dropDuplicates("ts", "doc_id")
           .select("term", "doc_id", "tf", "dl")
       }

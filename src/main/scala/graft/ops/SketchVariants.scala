@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Determinism.dec
+import graft.io.Readers.table
+
+/** KLL-sketch-boundary variants of the exact order-statistic keys —
+  * the documented 100 TB swap in `orders_pareto_share`'s scaladoc
+  * (ops/Insights.scala: "KLL-sketch decile boundaries + a broadcast
+  * boundary join, keeping the cum rollup unchanged") and
+  * `stat_winsorize`'s ("swap exact bounds for KLL sketch quantiles,
+  * keep the algebraic clamp+mean"), made real as COMPONENTS
+  * (r11-verdict item 7; no registry change — the exact keys stay the
+  * oracle'd contract).
+  *
+  * Why the swap matters at 100 TB: the exact keys compute boundaries
+  * by `row_number()` windows partitioned by segment — one sort of
+  * EVERY row per segment. A segment at 100 TB is billions of rows
+  * through one sort. The sketch form replaces that with one
+  * map-side-combined aggregation to |segments| KLL sketches
+  * (O(k·log(n/k)) state each — [[Udx.KllBuf]]), boundary extraction
+  * on the driver from the tiny sketch rows, and a broadcast boundary
+  * join back; every remaining step is an algebraic rollup. Nothing
+  * anywhere is per-row sorted.
+  *
+  * What is given up, PRECISELY: each boundary's rank is off by at
+  * most the sketch's self-certified `errBound` (exact worst-case
+  * certificate carried per sketch, valid under any partitioning and
+  * merge order — KllSpec). SketchBoundarySpec asserts that
+  * certificate against exactly-computed ranks on the real corpus,
+  * and that the downstream pipeline is bit-deterministic GIVEN the
+  * boundaries (the variant with k ≥ segment size runs errBound = 0).
+  *
+  * Everything is computed in integer CENTS (exactly representable in
+  * Double far beyond any segment's revenue; KLL stores real data
+  * items, so boundaries are actual corpus values, not interpolants).
+  */
+object SketchVariants {
+
+  private val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.kryo[Udx.KllBuf])
+
+  /** Per-group KLL sketches of `valueCol` (must be an exact-integer
+    * cents column castable to Double), collected to the driver: the
+    * ONLY driver-side state is |groups| sketches of O(k·log(n/k)).
+    */
+  private def groupSketches(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): Map[String, Udx.KllBuf] = {
+    val udafKll = udaf(new Udx.KllQuantiles(k), Encoders.scalaDouble)
+    df.groupBy(col(groupCol))
+      .agg(udafKll(col(valueCol).cast("double")).as("sk"))
+      .select(col(groupCol), col("sk")).as[(String, Udx.KllBuf)](pairEnc)
+      .collect().toMap
+  }
+
+  /** The per-customer exact revenue relation `orders_pareto_share`
+    * deciles over: (segment, o_custkey, rev_cents) — stage 1 of the
+    * exact key, shared verbatim so the variants differ ONLY in how
+    * boundaries are found.
+    */
+  def customerRevenue(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .join(broadcast(table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("segment"), col("o_custkey"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("rev_cents"))
+
+  /** Sketch-boundary Pareto/Lorenz profile — `orders_pareto_share`
+    * with KLL decile cuts instead of the rank window. Decile 1 = top
+    * spenders, as in the exact key: ascending cuts c₁…c₉ at
+    * q = 0.1…0.9 from each segment's sketch; a customer lands in
+    * ascending decile 1 + #{j : rev > cⱼ}, reported as top-down
+    * decile 11 − that. Ties on a cut value land together (a value
+    * split the exact key resolves by custkey tiebreak cannot be
+    * expressed by value cuts — that, plus errBound rank slack per
+    * cut, is the entire deviation surface from the exact key).
+    * Returns (segment, decile, n_customers, rev_cents,
+    * cum_share_ppm) exactly like the exact key, with the same
+    * integer-ppm cum rollup over ≤ 10 rows per segment.
+    */
+  def paretoShareSketch(s: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = customerRevenue(s, dir)
+    val cuts = groupSketches(rev, "segment", "rev_cents", k).toSeq.flatMap {
+      case (seg, sk) => (1 to 9).map(j => (seg, j, sk.quantile(j / 10.0).toLong))
+    }
+    val cutsDf = s.createDataFrame(cuts).toDF("segment", "j", "cut")
+    val byDecile = rev
+      .join(broadcast(cutsDf), Seq("segment"))
+      .groupBy(col("segment"), col("o_custkey"), col("rev_cents"))
+      .agg(sum(when(col("rev_cents") > col("cut"), 1L).otherwise(0L)).as("above"))
+      .withColumn("decile", lit(10L) - col("above")) // top-down: 1 = top
+      .groupBy(col("segment"), col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev_cents")).as("rev_cents"))
+    byDecile
+      .withColumn("cum_cents", sum(col("rev_cents")).over(
+        Window.partitionBy(col("segment")).orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_cents",
+        sum(col("rev_cents")).over(Window.partitionBy(col("segment"))))
+      .select(col("segment"), col("decile"), col("n_customers"),
+        col("rev_cents"),
+        expr("cum_cents * 1000000 div total_cents").as("cum_share_ppm"))
+      .orderBy(col("segment"), col("decile"))
+  }
+
+  /** The per-customer balance relation `stat_winsorize` clamps:
+    * (segment, c_custkey, bal_cents) — exact integer cents.
+    */
+  def customerBalance(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+        (dec(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
+
+  /** Sketch-boundary winsorized mean — `stat_winsorize` with KLL
+    * p5/p95 bounds instead of the nearest-rank window. The clamp and
+    * mean are the same algebraic pipeline; only boundary discovery
+    * changes. Output mirrors the exact key's shape (segment, n, lo,
+    * hi, winsor_mean, n_clip_lo, n_clip_hi) with lo/hi/mean in
+    * dollars (cents ÷ 100 — exact in double for the final divide on
+    * a per-segment scalar).
+    */
+  def winsorizeSketch(s: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val bal = customerBalance(s, dir)
+    val bounds = groupSketches(bal, "segment", "bal_cents", k).toSeq.map {
+      case (seg, sk) => (seg, sk.quantile(0.05).toLong, sk.quantile(0.95).toLong)
+    }
+    val boundsDf = s.createDataFrame(bounds).toDF("segment", "lo_c", "hi_c")
+    bal
+      .join(broadcast(boundsDf), Seq("segment"))
+      .withColumn("clamped", greatest(col("lo_c"), least(col("hi_c"), col("bal_cents"))))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("clamped")).as("wsum"),
+        max(col("lo_c")).as("lo_c"),
+        max(col("hi_c")).as("hi_c"),
+        count(when(col("bal_cents") < col("lo_c"), 1)).as("n_clip_lo"),
+        count(when(col("bal_cents") > col("hi_c"), 1)).as("n_clip_hi"))
+      .select(col("segment"), col("n"),
+        (col("lo_c").cast("double") / 100.0).as("lo"),
+        (col("hi_c").cast("double") / 100.0).as("hi"),
+        (col("wsum").cast("double") / col("n") / 100.0).as("winsor_mean"),
+        col("n_clip_lo"), col("n_clip_hi"))
+      .orderBy(col("segment"))
+  }
+
+  /** The boundary certificates for a group's sketch at quantiles qs,
+    * against EXACT ranks computed from `df` — the spec's assertion
+    * surface, exposed so the fixture and spec share one definition.
+    * For each q: b = sketch.quantile(q), t = max(1, ⌈q·n⌉), and the
+    * KLL contract is  rank_<(b) ≤ t − 1 + errBound  and
+    * rank_≤(b) ≥ t − errBound  (true weight strictly below b cannot
+    * overshoot the target by more than the certificate, and weight
+    * at-or-below cannot undershoot it).
+    */
+  def boundaryCertificates(df: DataFrame, groupCol: String, valueCol: String,
+      sketches: Map[String, Udx.KllBuf], qs: Seq[Double])
+      : Seq[(String, Double, Boolean)] =
+    sketches.toSeq.flatMap { case (g, sk) =>
+      val vals = df.filter(col(groupCol) === g)
+        .select(col(valueCol).cast("double")).collect().map(_.getDouble(0))
+      qs.map { q =>
+        val b = sk.quantile(q)
+        val t = math.max(1L, math.ceil(q * sk.n).toLong)
+        val rankLt = vals.count(_ < b).toLong
+        val rankLe = vals.count(_ <= b).toLong
+        val ok = rankLt <= t - 1 + sk.errBound && rankLe >= t - sk.errBound
+        (g, q, ok)
+      }
+    }
+
+  /** Spec/fixture helper: the per-group sketches themselves. */
+  def revenueSketches(s: SparkSession, dir: String, k: Int): Map[String, Udx.KllBuf] =
+    groupSketches(customerRevenue(s, dir), "segment", "rev_cents", k)
+
+  def balanceSketches(s: SparkSession, dir: String, k: Int): Map[String, Udx.KllBuf] =
+    groupSketches(customerBalance(s, dir), "segment", "bal_cents", k)
+}
