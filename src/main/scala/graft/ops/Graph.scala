@@ -372,7 +372,52 @@ object Graph {
       .limit(20)
   }
 
+  /** Multi-source BFS shortest-hop layers (round 12) — the frontier
+    * iteration the family lacked: CC contracts, PageRank diffuses,
+    * label-prop votes; BFS expands a FRONTIER, the primitive under
+    * reachability/impact-radius questions ("everything within 4
+    * co-order hops of the recalled parts"). Seeds are the parts with
+    * partkey ≡ 0 (mod 97) — deterministic, present at every SF —
+    * over the UNDIRECTED order-sequence graph; output is each
+    * reached node's minimal hop count (≤ 4).
+    *
+    * Per round: one shuffle join of the (shrinking) frontier to the
+    * checkpointed edge relation + one anti-join against the settled
+    * set — O(Σ frontier·deg) total work, the textbook distributed
+    * BFS economics; the hop bound caps the barrier count at 4
+    * regardless of data (contrast CC's O(log diameter) rounds). The
+    * anti-join keeps only FIRST discoveries, so a node's hop is
+    * minimal by construction — no min-agg needed. At 100 TB the
+    * same loop runs with edges as a bucketed table (per-round join
+    * re-uses the layout instead of re-shuffling); the frontier
+    * relation is the only moving state.
+    *
+    * Oracle: DuckDB recursive CTE with UNION (state dedup on
+    * (node, hop)) + MIN(hop) — set-semantics BFS, bounded states.
+    */
+  val graphBfsLayers: Q = (s, dir) => {
+    val dir0 = orderSequenceEdges(s, dir)
+    val edges = dir0
+      .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var dist = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 97 === 0)
+      .select(col("node"), lit(0L).as("hop")).localCheckpoint()
+    var frontier = dist
+    for (h <- 1 to 4) {
+      val nbrs = frontier.select(col("node").as("src"))
+        .join(edges, "src")
+        .select(col("dst").as("node")).distinct()
+      val fresh = nbrs.join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hop")).localCheckpoint()
+      dist = dist.union(fresh).localCheckpoint()
+      frontier = fresh
+    }
+    dist.orderBy(col("node"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_bfs_layers" -> graphBfsLayers,
     "graph_pagerank" -> graphPagerank,
     "graph_triangle_count" -> graphTriangleCount,
     "graph_label_propagation" -> graphLabelPropagation,

@@ -173,10 +173,60 @@ object Insights {
       .orderBy("segment", "rk")
   }
 
+  /** Mann–Whitney rank-sum cells for every unordered segment pair
+    * (round 12) — the nonparametric two-sample location test beside
+    * [[statChi2Cells]]' independence test: "does segment A's balance
+    * distribution sit above segment B's?", asked without normality
+    * assumptions. Emits per pair the tie-adjusted doubled rank sum
+    * R2_a = Σ 2·avgrank (avg rank of a tie group spanning positions
+    * lo..hi is (lo+hi)/2, so 2·avgrank = 2·lo + cnt − 1 — INTEGER,
+    * the whole key stays on the exact frontier) and both doubled U
+    * statistics 2U_a = R2_a − n_a(n_a+1), 2U_b = 2n_a·n_b − 2U_a.
+    * The consumer divides by 2 and normalizes; no float ever forms
+    * here.
+    *
+    * Scale: the pair join fans each row out ×(|segments|−1) — bounded
+    * by DIMENSION cardinality, not data. The rank window runs
+    * partitioned per pair; a pair's partition is two segments'
+    * customers through one sort — the winsorize-family caveat, with
+    * the same documented 100 TB swap: two KLL sketches per segment
+    * give every value's rank estimate within the certified bound
+    * ([[SketchVariants]]), keeping the U statistic sketch-sized.
+    * Overflow: R2 ≤ 2·(n_a+n_b)² < 2⁶³ below ~2·10⁹ rows per pair;
+    * widen to DECIMAL(38,0) beyond.
+    */
+  val statMannWhitney: Q = (s, dir) => {
+    val c = table(s, dir, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        (dec(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
+    val segs = c.select(col("segment")).distinct()
+    val pairs = segs.select(col("segment").as("seg_a"))
+      .crossJoin(segs.select(col("segment").as("seg_b")))
+      .filter(col("seg_a") < col("seg_b"))
+    val member = c.join(broadcast(pairs),
+      col("segment") === col("seg_a") || col("segment") === col("seg_b"))
+    val w = Window.partitionBy(col("seg_a"), col("seg_b")).orderBy(col("bal_cents"))
+    val wt = Window.partitionBy(col("seg_a"), col("seg_b"), col("bal_cents"))
+    member
+      .withColumn("lo", rank().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wt))
+      .withColumn("r2", lit(2L) * col("lo") + col("cnt") - 1)
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(
+        count(when(col("segment") === col("seg_a"), 1)).as("n_a"),
+        count(when(col("segment") === col("seg_b"), 1)).as("n_b"),
+        sum(when(col("segment") === col("seg_a"), col("r2"))).as("r2_a"))
+      .withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + 1))
+      .withColumn("u2_b", lit(2L) * col("n_a") * col("n_b") - col("u2_a"))
+      .select("seg_a", "seg_b", "n_a", "n_b", "r2_a", "u2_a", "u2_b")
+      .orderBy("seg_a", "seg_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "orders_pareto_share" -> ordersParetoShare,
     "events_burst_days" -> eventsBurstDays,
     "stat_chi2_cells" -> statChi2Cells,
     "sample_bottomk_stratified" -> sampleBottomkStratified,
+    "stat_mann_whitney" -> statMannWhitney,
   )
 }

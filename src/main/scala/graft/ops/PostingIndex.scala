@@ -146,6 +146,10 @@ object PostingIndex {
   def appendToIndex(docs: DataFrame, tableName: String): Unit = {
     val spark = docs.sparkSession
     val t = resolveTable(spark, tableName)
+    // same cross-session staleness class as the probe's refresh (r11):
+    // the shards read below must see the committed sidecar, not a
+    // cached pre-append file listing
+    spark.catalog.refreshTable(statsTable(t))
     val (key, buckets) = bucketLayout(spark, t)
     val shards = shardsOf(spark, t)
     val rows = postingRows(docs, shards).localCheckpoint()

@@ -3079,6 +3079,61 @@ object OracleSql {
         |SELECT segment, c_custkey, h, rk
         |FROM r WHERE rk <= 20
         |ORDER BY segment, rk""".stripMargin,
+
+    // ops.Graph.graphBfsLayers: UNION recursion dedups (node, hop)
+    // states so the expansion is bounded by 5·|nodes|, and MIN(hop)
+    // reproduces the frontier loop's first-discovery semantics
+    "graph_bfs_layers" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT l_orderkey, l_partkey,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                               ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |ed0 AS (
+        |  SELECT DISTINCT l_partkey AS src, dst FROM seq
+        |  WHERE dst IS NOT NULL AND dst <> l_partkey),
+        |edges AS (SELECT src, dst FROM ed0 UNION SELECT dst, src FROM ed0),
+        |bfs(node, hop) AS (
+        |  SELECT DISTINCT src AS node, 0 AS hop FROM edges WHERE src % 97 = 0
+        |  UNION
+        |  SELECT e.dst, b.hop + 1 FROM bfs b JOIN edges e ON e.src = b.node
+        |  WHERE b.hop < 4)
+        |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+        |FROM bfs GROUP BY node
+        |ORDER BY node""".stripMargin,
+
+    // ops.Insights.statMannWhitney: tie-adjusted doubled ranks
+    // (2·avgrank = 2·lo + cnt − 1, pure integer) — RANK gives the tie
+    // group's low position, the value-partition COUNT its size
+    "stat_mann_whitney" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS segment,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |segs AS (SELECT DISTINCT segment FROM c),
+        |pairs AS (
+        |  SELECT a.segment AS seg_a, b.segment AS seg_b
+        |  FROM segs a CROSS JOIN segs b WHERE a.segment < b.segment),
+        |m AS (
+        |  SELECT p.seg_a, p.seg_b, c.segment, c.bal_cents
+        |  FROM pairs p JOIN c ON c.segment = p.seg_a OR c.segment = p.seg_b),
+        |r AS (
+        |  SELECT seg_a, seg_b, segment,
+        |         CAST(RANK() OVER (PARTITION BY seg_a, seg_b
+        |                           ORDER BY bal_cents) AS BIGINT) AS lo,
+        |         CAST(COUNT(*) OVER (PARTITION BY seg_a, seg_b, bal_cents) AS BIGINT) AS cnt
+        |  FROM m),
+        |g AS (
+        |  SELECT seg_a, seg_b,
+        |         CAST(count(CASE WHEN segment = seg_a THEN 1 END) AS BIGINT) AS n_a,
+        |         CAST(count(CASE WHEN segment = seg_b THEN 1 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN segment = seg_a THEN 2 * lo + cnt - 1 END) AS BIGINT) AS r2_a
+        |  FROM r GROUP BY 1, 2)
+        |SELECT seg_a, seg_b, n_a, n_b, r2_a,
+        |       CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+        |       CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b
+        |FROM g
+        |ORDER BY seg_a, seg_b""".stripMargin,
   )
 
   val sql: Map[String, String] =

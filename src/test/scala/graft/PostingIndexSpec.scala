@@ -76,7 +76,7 @@ class PostingIndexSpec extends SparkSpec {
     } finally io.TableManifest.drop(spark, "postidx_c")
   }
 
-  test("streaming ingest converges to from-scratch; crash replay never drifts scores") {
+  test("streaming ingest converges to from-scratch; crash replay never drifts scores (SHARDED index)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -85,7 +85,10 @@ class PostingIndexSpec extends SparkSpec {
     val (seed, rest) = all.splitAt(all.length / 2)
     val (b1, b2) = rest.splitAt(rest.length / 2)
     val terms = Seq("stream", "merge", "table")
-    ops.PostingIndex.buildIndex(seed.toSeq.toDF("doc_id", "text"), "postidx_s")
+    // sharded: the deployment combination — streaming appends must
+    // self-configure onto the composite-key layout via the sidecar
+    ops.PostingIndex.buildIndex(seed.toSeq.toDF("doc_id", "text"), "postidx_s",
+      buckets = 8, shards = 4)
     try {
       val stream = MemoryStream[(Long, String)]
       val ckpt = java.nio.file.Files.createTempDirectory("postidx-ckpt").toString
