@@ -222,11 +222,115 @@ object Insights {
       .orderBy("seg_a", "seg_b")
   }
 
+  /** Two-sample Kolmogorov–Smirnov cells for every unordered segment
+    * pair (round 12) — the distribution-EQUALITY test completing the
+    * nonparametric bench beside [[statMannWhitney]] (location) and
+    * [[statChi2Cells]] (independence): D = max_v |F̂_a(v) − F̂_b(v)|,
+    * reported as the exact integer numerator d_num =
+    * max |n_b·cumA(v) − n_a·cumB(v)| over the pair's distinct-value
+    * spine with denominator d_den = n_a·n_b, plus the location ks_at
+    * where the gap peaks (ties → smallest value: rank window ordered
+    * (d_num DESC, value ASC), deterministic in both engines). The
+    * ECDF step function attains its extrema exactly at observed
+    * values, so scanning the distinct spine is complete — no float
+    * ever forms.
+    *
+    * Scale: pair fan-out bounded by dimension cardinality (like the
+    * sibling tests); the per-value rollup is one map-side-combined
+    * aggregate, and the cumulative + argmax windows run on the
+    * DISTINCT-VALUE spine (≤ |values| rows per pair), not the raw
+    * rows. Overflow: n_b·cumA < n_a·n_b < 2⁶³ below ~3·10⁹ rows per
+    * side; widen to DECIMAL(38,0) beyond. 100 TB swap shared with
+    * the family: two KLL sketches per segment bound D within the
+    * certified rank error ([[SketchVariants]]).
+    */
+  val statKsTest: Q = (s, dir) => {
+    val c = table(s, dir, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        (dec(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
+    val segs = c.select(col("segment")).distinct()
+    val pairs = segs.select(col("segment").as("seg_a"))
+      .crossJoin(segs.select(col("segment").as("seg_b")))
+      .filter(col("seg_a") < col("seg_b"))
+    val perVal = c.join(broadcast(pairs),
+        col("segment") === col("seg_a") || col("segment") === col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"), col("bal_cents"))
+      .agg(count(when(col("segment") === col("seg_a"), 1)).as("ca"),
+        count(when(col("segment") === col("seg_b"), 1)).as("cb"))
+    val wCum = Window.partitionBy(col("seg_a"), col("seg_b"))
+      .orderBy(col("bal_cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("seg_a"), col("seg_b"))
+    perVal
+      .withColumn("cum_a", sum(col("ca")).over(wCum))
+      .withColumn("cum_b", sum(col("cb")).over(wCum))
+      .withColumn("n_a", sum(col("ca")).over(wAll))
+      .withColumn("n_b", sum(col("cb")).over(wAll))
+      .withColumn("d_num",
+        abs(col("n_b") * col("cum_a") - col("n_a") * col("cum_b")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("seg_a"), col("seg_b"))
+          .orderBy(col("d_num").desc, col("bal_cents"))))
+      .filter(col("rk") === 1)
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        col("d_num"), (col("n_a") * col("n_b")).as("d_den"),
+        col("bal_cents").as("ks_at"))
+      .orderBy("seg_a", "seg_b")
+  }
+
+  /** CUSUM changepoint per event type (round 12) — "where did the
+    * rate shift?": against the uniform-rate null over the type's
+    * observed span [d0, d1], the cumulative count's maximal deviation
+    * from the straight line, dev(d) = |span·cum(d) − total·(d−d0+1)|,
+    * evaluated in pure integers at every observed day (between
+    * observed days both terms move linearly, so maxima over a gap
+    * occur at its endpoints; the statistic is evaluated on observed
+    * days, matching the oracle row-for-row — documented, like the
+    * burst key's calendar-frame choice). Emits per type the span,
+    * total, the argmax day cp_day (ties → earliest), the cumulative
+    * count there, and the integer deviation numerator dev_num (the
+    * consumer normalizes by span·total). A uniform corpus yields
+    * small dev_num; a planted rate shift puts cp_day at the shift.
+    *
+    * Scale: one map-side-combined aggregate to |types|·|days| rows;
+    * every window (cumulative, span bounds, argmax rank) runs on that
+    * rollup partitioned by type — never the raw stream. Overflow:
+    * span·cum < 2⁶³ until span·total ≈ 9·10¹⁸ (≈ 10⁵ days × 10¹⁴
+    * events/type); widen to DECIMAL(38,0) beyond.
+    */
+  val eventsCusumChangepoint: Q = (s, dir) => {
+    val daily = table(s, dir, "events")
+      .select(col("event_type"),
+        unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .withColumn("d0", min(col("epoch_day")).over(wAll))
+      .withColumn("d1", max(col("epoch_day")).over(wAll))
+      .withColumn("span", col("d1") - col("d0") + 1)
+      .withColumn("dev_num", abs(col("span") * col("cum")
+        - col("total") * (col("epoch_day") - col("d0") + 1)))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("dev_num").desc, col("epoch_day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("d0"), col("d1"), col("span"),
+        col("total"), col("epoch_day").as("cp_day"),
+        col("cum").as("cum_at_cp"), col("dev_num"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "orders_pareto_share" -> ordersParetoShare,
     "events_burst_days" -> eventsBurstDays,
     "stat_chi2_cells" -> statChi2Cells,
     "sample_bottomk_stratified" -> sampleBottomkStratified,
     "stat_mann_whitney" -> statMannWhitney,
+    "stat_ks_test" -> statKsTest,
+    "events_cusum_changepoint" -> eventsCusumChangepoint,
   )
 }

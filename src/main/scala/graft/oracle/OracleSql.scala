@@ -3134,6 +3134,77 @@ object OracleSql {
         |       CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b
         |FROM g
         |ORDER BY seg_a, seg_b""".stripMargin,
+
+    // ops.Insights.statKsTest: ECDF extrema live on the observed
+    // values, so the distinct-value spine scan is complete; argmax
+    // tie-break (d_num DESC, value ASC) via rank window in both engines
+    "stat_ks_test" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS segment,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |segs AS (SELECT DISTINCT segment FROM c),
+        |pairs AS (
+        |  SELECT a.segment AS seg_a, b.segment AS seg_b
+        |  FROM segs a CROSS JOIN segs b WHERE a.segment < b.segment),
+        |pv AS (
+        |  SELECT p.seg_a, p.seg_b, c.bal_cents,
+        |         count(CASE WHEN c.segment = p.seg_a THEN 1 END) AS ca,
+        |         count(CASE WHEN c.segment = p.seg_b THEN 1 END) AS cb
+        |  FROM pairs p JOIN c ON c.segment = p.seg_a OR c.segment = p.seg_b
+        |  GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT seg_a, seg_b, bal_cents,
+        |         CAST(SUM(ca) OVER wc AS BIGINT) AS cum_a,
+        |         CAST(SUM(cb) OVER wc AS BIGINT) AS cum_b,
+        |         CAST(SUM(ca) OVER wa AS BIGINT) AS n_a,
+        |         CAST(SUM(cb) OVER wa AS BIGINT) AS n_b
+        |  FROM pv
+        |  WINDOW wc AS (PARTITION BY seg_a, seg_b ORDER BY bal_cents
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wa AS (PARTITION BY seg_a, seg_b)),
+        |d AS (
+        |  SELECT seg_a, seg_b, n_a, n_b,
+        |         CAST(abs(n_b * cum_a - n_a * cum_b) AS BIGINT) AS d_num,
+        |         bal_cents,
+        |         row_number() OVER (PARTITION BY seg_a, seg_b
+        |           ORDER BY abs(n_b * cum_a - n_a * cum_b) DESC, bal_cents) AS rk
+        |  FROM sc)
+        |SELECT seg_a, seg_b, n_a, n_b, d_num,
+        |       CAST(n_a * n_b AS BIGINT) AS d_den, bal_cents AS ks_at
+        |FROM d WHERE rk = 1
+        |ORDER BY seg_a, seg_b""".stripMargin,
+
+    // ops.Insights.eventsCusumChangepoint: statistic evaluated on
+    // observed days (gap extrema occur at endpoints — scaladoc);
+    // argmax ties → earliest day, rank window in both engines
+    "events_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT event_type, epoch_day, cnt,
+        |         CAST(SUM(cnt) OVER wc AS BIGINT) AS cum,
+        |         CAST(SUM(cnt) OVER wa AS BIGINT) AS total,
+        |         MIN(epoch_day) OVER wa AS d0,
+        |         MAX(epoch_day) OVER wa AS d1
+        |  FROM daily
+        |  WINDOW wc AS (PARTITION BY event_type ORDER BY epoch_day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wa AS (PARTITION BY event_type)),
+        |d AS (
+        |  SELECT event_type, d0, d1, d1 - d0 + 1 AS span, total, epoch_day, cum,
+        |         CAST(abs((d1 - d0 + 1) * cum - total * (epoch_day - d0 + 1)) AS BIGINT) AS dev_num,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY abs((d1 - d0 + 1) * cum - total * (epoch_day - d0 + 1)) DESC,
+        |                    epoch_day) AS rk
+        |  FROM sc)
+        |SELECT event_type, d0, d1, CAST(span AS BIGINT) AS span, total,
+        |       epoch_day AS cp_day, cum AS cum_at_cp, dev_num
+        |FROM d WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
   )
 
   val sql: Map[String, String] =
