@@ -27,7 +27,7 @@ object Graph {
     * sequence is deterministic even though lineitem carries duplicate
     * (orderkey, linenumber) rows (tied rows are value-identical).
     */
-  private def orderSequenceEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def orderSequenceEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_orderkey"))
@@ -400,20 +400,33 @@ object Graph {
     val edges = dir0
       .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    var dist = edges.select(col("src").as("node")).distinct()
+    val seeds = edges.select(col("src").as("node")).distinct()
       .filter(col("node") % 97 === 0)
-      .select(col("node"), lit(0L).as("hop")).localCheckpoint()
-    var frontier = dist
-    for (h <- 1 to 4) {
+    bfsLayers(edges, seeds, 4).orderBy(col("node"))
+  }
+
+  /** The frontier loop behind [[graphBfsLayers]], injectable for
+    * crafted-graph specs. `edges` must already be undirected (both
+    * orientations present), distinct, and checkpointed — it is read
+    * once per round. Each round checkpoints ONLY the fresh frontier;
+    * the settled set stays a lazy union of those per-round
+    * checkpoints, so no node is ever re-materialized after its
+    * discovery round.
+    */
+  private[graft] def bfsLayers(edges: org.apache.spark.sql.DataFrame,
+      seeds: org.apache.spark.sql.DataFrame, maxHop: Int): org.apache.spark.sql.DataFrame = {
+    var frontier = seeds.select(col("node"), lit(0L).as("hop")).localCheckpoint()
+    var dist = frontier
+    for (h <- 1 to maxHop) {
       val nbrs = frontier.select(col("node").as("src"))
         .join(edges, "src")
         .select(col("dst").as("node")).distinct()
       val fresh = nbrs.join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("hop")).localCheckpoint()
-      dist = dist.union(fresh).localCheckpoint()
+      dist = dist.union(fresh)
       frontier = fresh
     }
-    dist.orderBy(col("node"))
+    dist
   }
 
   val queries: Map[String, Q] = Map(

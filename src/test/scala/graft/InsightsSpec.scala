@@ -93,6 +93,95 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  // shared brute-force input for the two-sample tests: per segment,
+  // the exact cent values, re-derived independently of Readers' path
+  private def balCentsBySeg: Map[String, Array[Long]] =
+    graft.io.Readers.table(spark, dir, "customer")
+      .select(col("c_mktsegment"),
+        (graft.Determinism.dec(col("c_acctbal")) * 100).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  test("stat_mann_whitney: doubled rank sums match an average-rank replay; U identities hold") {
+    val rows = ops.Insights.statMannWhitney(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val segs = balCentsBySeg
+    val expectPairs = for {
+      a <- segs.keys; b <- segs.keys if a < b
+    } yield (a, b)
+    assert(rows.keySet === expectPairs.toSet)
+    rows.foreach { case ((a, b), (nA, nB, r2A, u2A, u2B)) =>
+      val (va, vb) = (segs(a), segs(b))
+      assert(nA === va.length.toLong && nB === vb.length.toLong)
+      // average-rank replay: tie group at positions lo..hi has
+      // 2*avgrank = lo + hi for every member
+      val combined = (va.map((_, 'a')) ++ vb.map((_, 'b'))).sortBy(_._1)
+      var pos = 0
+      var r2 = 0L
+      combined.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, grp) =>
+        val lo = pos + 1L
+        val hi = pos + grp.length.toLong
+        r2 += (lo + hi) * grp.count(_._2 == 'a')
+        pos += grp.length
+      }
+      assert(r2A === r2, s"rank sum $a/$b")
+      assert(u2A === r2A - nA * (nA + 1), s"U definition $a/$b")
+      assert(u2A + u2B === 2L * nA * nB, s"U complement identity $a/$b")
+    }
+  }
+
+  test("stat_ks_test: D numerator and location match a full-ECDF scan") {
+    val rows = ops.Insights.statKsTest(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val segs = balCentsBySeg
+    rows.foreach { case ((a, b), (nA, nB, dNum, dDen, ksAt)) =>
+      val (va, vb) = (segs(a).sorted, segs(b).sorted)
+      assert(nA === va.length.toLong && nB === vb.length.toLong)
+      assert(dDen === nA * nB)
+      val values = (va ++ vb).distinct.sorted
+      val scan = values.map { v =>
+        val cumA = va.count(_ <= v).toLong
+        val cumB = vb.count(_ <= v).toLong
+        (math.abs(nB * cumA - nA * cumB), v)
+      }
+      val best = scan.maxBy(_._1)._1
+      assert(dNum === best, s"D numerator $a/$b")
+      assert(ksAt === scan.filter(_._1 == best).map(_._2).min, s"tie location $a/$b")
+      // ECDF gap never exceeds its bound n_a*n_b
+      assert(dNum <= dDen, s"normalized D > 1 for $a/$b")
+    }
+  }
+
+  test("events_cusum_changepoint: deviation and argmax match a daily-count replay") {
+    val rows = ops.Insights.eventsCusumChangepoint(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    val daily = graft.io.Readers.table(spark, dir, "events")
+      .select(col("event_type"), unix_date(to_date(col("ts"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap).toMap
+    assert(rows.keySet === daily.keySet)
+    rows.foreach { case (typ, (d0, d1, span, total, cpDay, cumAtCp, devNum)) =>
+      val counts = daily(typ)
+      assert(d0 === counts.keys.min && d1 === counts.keys.max)
+      assert(span === d1 - d0 + 1 && total === counts.values.sum)
+      val scan = counts.keys.toSeq.sorted.map { d =>
+        val cum = counts.filter(_._1 <= d).values.sum
+        (math.abs(span * cum - total * (d - d0 + 1)), d, cum)
+      }
+      val best = scan.maxBy(_._1)._1
+      val winner = scan.filter(_._1 == best).minBy(_._2)
+      assert(devNum === best, s"deviation $typ")
+      assert(cpDay === winner._2 && cumAtCp === winner._3, s"argmax $typ")
+    }
+  }
+
   test("sql_tpch_q5: every dimension joins broadcast; the fact pair shuffles once") {
     val plan = ops.Relational.sqlTpchQ5(spark, dir).queryExecution.executedPlan.toString
     // region, nation, supplier, customer all small enough to broadcast at test SF

@@ -464,6 +464,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("stat two-sample family: pair fan-out is a bounded broadcast, customer scan prunes to 2 cols") {
+    for (q <- Seq(ops.Insights.statMannWhitney, ops.Insights.statKsTest)) {
+      val p = plan(q)
+      // the OR-equality membership join runs against the BROADCAST
+      // |pairs|-row relation (dimension-bounded) — never a sort-merge
+      // or cartesian over the raw rows
+      assert(p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+      val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(rs.contains("c_mktsegment") && rs.contains("c_acctbal"), rs)
+      assert(!rs.contains("c_name") && !rs.contains("c_address"), s"pruning failed: $rs")
+    }
+  }
+
+  test("events_cusum_changepoint: windows run on the daily rollup, raw scan pruned and partial-agg'd") {
+    val p = plan(ops.Insights.eventsCusumChangepoint)
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("ts") && rs.contains("event_type"), rs)
+    assert(!rs.contains("props") && !rs.contains("user_id"), s"pruning failed: $rs")
+    // map-side combine before the rollup exchange; windows add only
+    // type-partitioned exchanges on the rollup
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 3, s"too many exchanges:\n$p")
+  }
+
   test("text_bpe_merge: argmax is TakeOrdered(1), pair counts partial-agg") {
     val df = ops.Bpe.textBpeMerge(spark, dir)
     val p = df.queryExecution.executedPlan.toString
