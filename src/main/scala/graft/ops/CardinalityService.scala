@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.TableManifest
+
+/** Persisted distinct-count SERVICE — the cardinality sibling of
+  * [[QuantileService]]: per-day HLL sketches of a key stream are
+  * persisted as a tiny manifest-committed table (day, n_rows, sk),
+  * new days append through the same atomic pointer swap, and any
+  * later "how many distinct users in [d1, d2]?" is answered from the
+  * stored sketch rows alone — merge, never rescan history. This is
+  * the query `events_dau_wau` answers in-plan for ONE fixed window;
+  * the service answers it for EVERY window forever, which is the
+  * 100 TB deployment shape: sketch each day once at ingest (one
+  * distributed agg over that day only), then serve any-range
+  * cardinality from O(days · 2^lgK) bytes.
+  *
+  * Sketches are Spark's own DataSketches HLL binaries
+  * (`hll_sketch_agg`, lgConfigK pinned) — mergeable losslessly via
+  * register-wise max, so a union over stored per-day sketches is
+  * state-identical to one sketch over the concatenated raw stream
+  * (spec-asserted: merged estimates EQUAL one-shot estimates, not
+  * just approximate them). Storage is [[graft.io.TableManifest]]'s
+  * pointer contract (immutable `name__vN` tables + one atomic
+  * rename; crash-injected on both commit seams in the spec), with
+  * [[SchemaVersion]] carried so a stale layout fails fast.
+  *
+  * Scale: the day table has one row per day — thousands of rows for
+  * years, each ≤ ~2^lgK bytes dense. Appending day D sketches that
+  * day's rows only; range queries read |days| sketch rows
+  * (partition-prunable by day at real scale) through ONE
+  * `hll_union_agg` — no driver-side merge loop. The rolling-window
+  * variant runs an UNPARTITIONED window, deliberately: its input is
+  * the calendar-bounded day table, never raw history (the documented
+  * exception class to the no-unpartitioned-windows gate).
+  */
+object CardinalityService {
+
+  /** Bump when the stored row layout or sketch config changes. */
+  val SchemaVersion = 1
+
+  /** lgConfigK: 2^12 registers → ~0.8 % relative standard error. */
+  private val LgK = 12
+
+  /** Per-day sketch rows: one distributed agg over the incoming rows.
+    * Shared by build and append so both store identical layouts.
+    */
+  private def daySketches(events: DataFrame, keyCol: String): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        hll_sketch_agg(col(keyCol), lit(LgK)).as("sk"))
+
+  private def publish(spark: SparkSession, name: String, rows: DataFrame,
+      version: Option[Long], beforeCommit: () => Unit,
+      afterCommit: () => Unit): Unit = {
+    val v = version.getOrElse(TableManifest.nextVersion(spark, name))
+    val t = TableManifest.physicalName(name, v)
+    spark.sql(s"DROP TABLE IF EXISTS $t") // unreferenced leftover staging only
+    rows.write.mode("overwrite").format("parquet").saveAsTable(t)
+    beforeCommit()
+    TableManifest.commit(spark, name, v, SchemaVersion) // THE commit point
+    afterCommit()
+    TableManifest.vacuum(spark, name)
+  }
+
+  /** Build (or rebuild) the service table from scratch. */
+  def build(spark: SparkSession, name: String, events: DataFrame,
+      keyCol: String = "user_id", version: Option[Long] = None,
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => ()): Unit =
+    publish(spark, name, daySketches(events, keyCol), version,
+      beforeCommit, afterCommit)
+
+  /** Append newly-arrived days: existing rows carry over verbatim
+    * (immutable facts about closed days); a day present on BOTH sides
+    * is REPLACED by the incoming build — the late-data re-ingest
+    * semantics of [[QuantileService.appendDays]].
+    */
+  def appendDays(spark: SparkSession, name: String, events: DataFrame,
+      keyCol: String = "user_id",
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => ()): Unit = {
+    val cur = TableManifest.resolve(spark, name, SchemaVersion)
+    val incoming = daySketches(events, keyCol)
+    val kept = spark.table(cur)
+      .join(incoming.select(col("day")), Seq("day"), "left_anti")
+    publish(spark, name, kept.unionByName(incoming), None,
+      beforeCommit, afterCommit)
+  }
+
+  /** Stored sketch rows restricted to an inclusive day range. */
+  private def rangeRows(spark: SparkSession, name: String,
+      fromDay: Option[String], toDay: Option[String]): DataFrame = {
+    val cur = TableManifest.resolve(spark, name, SchemaVersion)
+    Seq(fromDay.map(d => col("day") >= d), toDay.map(d => col("day") <= d))
+      .flatten.foldLeft(spark.table(cur))(_ filter _)
+  }
+
+  /** Distinct-key estimate over an inclusive day range (None =
+    * unbounded): (estimate, total rows, days merged). Reads ONLY the
+    * stored sketch rows; the union is one distributed agg.
+    */
+  def distinctOver(spark: SparkSession, name: String,
+      fromDay: Option[String] = None, toDay: Option[String] = None): (Long, Long, Long) = {
+    val r = rangeRows(spark, name, fromDay, toDay)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"),
+        sum(col("n_rows")).as("n_rows"), count(lit(1)).as("days"))
+      .collect()(0)
+    require(r.getLong(2) > 0, s"no sketch rows in [$fromDay, $toDay] at '$name'")
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** The trailing-window distinct curve (e.g. windowDays = 7 → WAU
+    * per day), served from stored sketches only: for every stored
+    * day, the union of the sketches in its trailing calendar window.
+    * The RANGE frame runs on epoch-day, so calendar gaps shrink the
+    * window rather than stretching it (the burst-key discipline).
+    * Output: (day, days_in_window, est) — one row per stored day.
+    */
+  def rollingDistinct(spark: SparkSession, name: String,
+      windowDays: Int): DataFrame = {
+    val cur = TableManifest.resolve(spark, name, SchemaVersion)
+    val w = Window.orderBy(col("epoch_day"))
+      .rangeBetween(-(windowDays.toLong - 1), 0)
+    spark.table(cur)
+      .withColumn("epoch_day", unix_date(to_date(col("day"))).cast("long"))
+      .withColumn("days_in_window", count(lit(1)).over(w))
+      .withColumn("est", hll_sketch_estimate(
+        hll_union_agg(col("sk"), lit(false)).over(w)))
+      .select(col("day"), col("days_in_window"), col("est"))
+      .orderBy(col("day"))
+  }
+}
