@@ -92,6 +92,35 @@ object CardinalityService {
       beforeCommit, afterCommit)
   }
 
+  /** Incremental MERGE of possibly-partial day data — the streaming
+    * ingest semantics ([[Streaming.foreachBatchCardinality]]): where
+    * [[appendDays]] REPLACES an overlapping day (batch re-ingest of a
+    * closed day), mergeDays COMBINES the stored sketch with the
+    * incoming one (micro-batches keep arriving for an open day).
+    * Unlike the KLL sibling this needs NO UDF: `hll_union` is the
+    * codegen'd binary register-max over the full-outer day join —
+    * and because the union is lossless, merge order never affects
+    * served estimates.
+    */
+  def mergeDays(spark: SparkSession, name: String, events: DataFrame,
+      keyCol: String = "user_id", version: Option[Long] = None,
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => ()): Unit = {
+    val cur = TableManifest.resolve(spark, name, SchemaVersion)
+    val incoming = daySketches(events, keyCol)
+    val merged = spark.table(cur)
+      .select(col("day"), col("n_rows").as("n_old"), col("sk").as("sk_old"))
+      .join(incoming.select(col("day"), col("n_rows").as("n_new"),
+        col("sk").as("sk_new")), Seq("day"), "full_outer")
+      .select(col("day"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("n_rows"),
+        when(col("sk_old").isNull, col("sk_new"))
+          .when(col("sk_new").isNull, col("sk_old"))
+          .otherwise(hll_union(col("sk_old"), col("sk_new"))).as("sk"))
+    publish(spark, name, merged, version, beforeCommit, afterCommit)
+  }
+
   /** Stored sketch rows restricted to an inclusive day range. */
   private def rangeRows(spark: SparkSession, name: String,
       fromDay: Option[String], toDay: Option[String]): DataFrame = {

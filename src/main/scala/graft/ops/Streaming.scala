@@ -277,6 +277,42 @@ object Streaming {
       .outputMode("append")
       .start()
 
+  /** [[applyQuantileBatch]]'s cardinality twin: same idempotence
+    * contract (manifest version = batchId + 1; an at-or-behind
+    * pointer marks a replay → no-op — n_rows would double-count even
+    * though the HLL union itself is idempotent), same first-batch
+    * build / later-batch [[CardinalityService.mergeDays]] split.
+    */
+  def applyCardinalityBatch(name: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val applied = graft.io.TableManifest.readPointer(spark, name)
+      .exists(_.version >= batchId + 1)
+    if (!applied && !batch.isEmpty) {
+      if (graft.io.TableManifest.readPointer(spark, name).isEmpty)
+        CardinalityService.build(spark, name, batch, version = Some(batchId + 1))
+      else
+        CardinalityService.mergeDays(spark, name, batch, version = Some(batchId + 1))
+    }
+  }
+
+  /** Streaming ingest for [[CardinalityService]]: sketch each
+    * micro-batch's (ts, user_id) rows once at arrival and union them
+    * into the persisted per-day sketch table under the same atomic
+    * manifest commit — after any batch, a distinct-count query over
+    * any day range is served from the stored sketches alone. Per
+    * batch this scans ONLY the batch plus the calendar-bounded day
+    * table; history is never rescanned.
+    */
+  def foreachBatchCardinality(stream: DataFrame, name: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyCardinalityBatch(name)(batch.toDF(), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** Per-KEY streaming quantiles — the state-store half of the
     * percentile-service story ([[QuantileService]] persists per-DAY
     * sketches in a manifest table; this keeps a live KLL sketch per

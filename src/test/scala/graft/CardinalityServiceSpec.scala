@@ -104,6 +104,50 @@ class CardinalityServiceSpec extends SparkSpec {
     } finally io.TableManifest.drop(spark, "csvc_roll")
   }
 
+  test("streaming ingest: open-day batches union, replayed batch is a no-op, converges to batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val name = "csvc_stream"
+    val ckpt = java.nio.file.Files.createTempDirectory("csvc_ckpt").toString
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = ops.Streaming.foreachBatchCardinality(
+      stream.toDF().toDF("ts", "user_id"), name, ckpt)
+    try {
+      // batches 0 and 1 both feed day 1 (open-day micro-batches MERGE,
+      // not replace — user 7 recurs across batches and must count once)
+      stream.addData(Seq((ts("2024-03-01 10:00:00"), 7L),
+        (ts("2024-03-01 11:00:00"), 8L)))
+      q.processAllAvailable()
+      stream.addData(Seq((ts("2024-03-01 12:00:00"), 7L),
+        (ts("2024-03-02 09:00:00"), 9L)))
+      q.processAllAvailable()
+      assert(ops.CardinalityService.distinctOver(spark, name) === ((3L, 4L, 2L)),
+        "3 distinct users over 4 rows in 2 days")
+      // post-commit replay (crash before the checkpoint advanced)
+      val replay = Seq((ts("2024-03-01 12:00:00"), 7L),
+        (ts("2024-03-02 09:00:00"), 9L)).toDF("ts", "user_id")
+      ops.Streaming.applyCardinalityBatch(name)(replay, 1L)
+      assert(ops.CardinalityService.distinctOver(spark, name)._2 === 4L,
+        "replayed batch must not re-count its rows")
+      // streamed state == one-shot batch build over the union of batches
+      val all = Seq((ts("2024-03-01 10:00:00"), 7L), (ts("2024-03-01 11:00:00"), 8L),
+        (ts("2024-03-01 12:00:00"), 7L), (ts("2024-03-02 09:00:00"), 9L))
+        .toDF("ts", "user_id")
+      ops.CardinalityService.build(spark, "csvc_stream_ref", all)
+      try {
+        for (d <- Seq("2024-03-01", "2024-03-02")) {
+          assert(ops.CardinalityService.distinctOver(spark, name, Some(d), Some(d))
+            === ops.CardinalityService.distinctOver(spark, "csvc_stream_ref", Some(d), Some(d)),
+            s"day $d")
+        }
+      } finally io.TableManifest.drop(spark, "csvc_stream_ref")
+    } finally {
+      q.stop()
+      io.TableManifest.drop(spark, name)
+    }
+  }
+
   test("crash before commit leaves the old version serving; replay completes") {
     val firstHalf = events.filter(dayofmonth(col("ts")) <= 15)
     ops.CardinalityService.build(spark, "csvc_crash", firstHalf)
