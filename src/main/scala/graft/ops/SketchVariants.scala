@@ -171,6 +171,59 @@ object SketchVariants {
       }
     }
 
+  /** Sketch-based two-sample Kolmogorov–Smirnov — `stat_ks_test`'s
+    * documented 100 TB swap: instead of the per-pair cumulative
+    * window over the distinct-value spine (a sort of every value in
+    * both segments), ONE map-side-combined aggregation to |segments|
+    * KLL sketches, then every pair's D evaluated driver-side from
+    * the two sketches alone. Candidate points are the union of the
+    * sketches' RETAINED items (actual corpus values); at each, both
+    * ECDFs are read via `rankOf` on weighted items. Returns the
+    * integer numerator max |n_b·rankLe_a(v) − n_a·rankLe_b(v)| like
+    * the exact key.
+    *
+    * Certificate status, honestly: at lossless k (no compaction,
+    * errBound = 0) every retained item is a corpus value with exact
+    * rank, so the numerator EQUALS the exact key's d_num
+    * (spec-asserted). At compacting k each rank carries ±errBound
+    * and the candidate grid has finite rank resolution (coarsest
+    * level weight), so the normalized deviation is bounded by
+    * Σ errBound/n plus Σ maxWeight/n as a HEURISTIC (the grid-gap
+    * term is not a certified KLL invariant) — asserted empirically
+    * in the spec, not claimed as a contract.
+    */
+  def ksFromSketches(a: Udx.KllBuf, b: Udx.KllBuf): Long = {
+    def retained(sk: Udx.KllBuf): Seq[Double] = sk.levels.toSeq.flatten
+    def rankLe(sk: Udx.KllBuf, v: Double): Long = sk.rankOf(Math.nextUp(v))
+    val cands = (retained(a) ++ retained(b)).distinct
+    require(cands.nonEmpty, "both sketches empty")
+    cands.map(v => math.abs(b.n * rankLe(a, v) - a.n * rankLe(b, v))).max
+  }
+
+  /** The heuristic normalized slack for [[ksFromSketches]] at
+    * compacting k (see scaladoc): rank error + grid resolution,
+    * both sides.
+    */
+  def ksSlack(a: Udx.KllBuf, b: Udx.KllBuf): Double = {
+    def maxW(sk: Udx.KllBuf): Long = 1L << (sk.levels.size - 1)
+    (a.errBound + maxW(a)).toDouble / a.n + (b.errBound + maxW(b)).toDouble / b.n
+  }
+
+  /** The full pairwise relation `stat_ks_test` emits, from sketches:
+    * (seg_a, seg_b, n_a, n_b, d_num_est) for every unordered pair —
+    * |segments| sketches once, |pairs| driver-side evaluations of
+    * O(k·log(n/k)) items each.
+    */
+  def ksTestSketch(s: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val sks = balanceSketches(s, dir, k)
+    val rows = sks.keys.toSeq.sorted.combinations(2).map { case Seq(sa, sb) =>
+      (sa, sb, sks(sa).n, sks(sb).n, ksFromSketches(sks(sa), sks(sb)))
+    }.toSeq
+    s.createDataFrame(rows)
+      .toDF("seg_a", "seg_b", "n_a", "n_b", "d_num_est")
+      .orderBy(col("seg_a"), col("seg_b"))
+  }
+
   /** Spec/fixture helper: the per-group sketches themselves. */
   def revenueSketches(s: SparkSession, dir: String, k: Int): Map[String, Udx.KllBuf] =
     groupSketches(customerRevenue(s, dir), "segment", "rev_cents", k)

@@ -104,4 +104,36 @@ class SketchBoundarySpec extends SparkSpec {
         s"$seg mean: sketch=$sMean exact=$exMean dLo=$dLo dHi=$dHi")
     }
   }
+
+  test("ksTestSketch at lossless k: integer numerator EQUALS the exact key's d_num") {
+    val exact = ops.Insights.statKsTest(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val sk = ops.SketchVariants.ksTestSketch(spark, dir, k = 4096).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(sk.keySet === exact.keySet)
+    sk.foreach { case (pair, (nA, nB, dEst)) =>
+      val (enA, enB, dNum) = exact(pair)
+      assert(nA === enA && nB === enB, s"counts $pair")
+      assert(dEst === dNum, s"lossless D must be exact at $pair")
+    }
+  }
+
+  test("ksTestSketch at compacting k: normalized deviation within the heuristic slack") {
+    val k = 64
+    val sks = ops.SketchVariants.balanceSketches(spark, dir, k)
+    assert(sks.values.exists(_.errBound > 0), "k=64 must compact on ~300-value groups")
+    val exact = ops.Insights.statKsTest(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(4).toDouble / (r.getLong(2) * r.getLong(3))))
+      .toMap
+    val est = ops.SketchVariants.ksTestSketch(spark, dir, k).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(4).toDouble / (r.getLong(2) * r.getLong(3))))
+      .toMap
+    est.foreach { case (pair @ (sa, sb), dN) =>
+      val slack = ops.SketchVariants.ksSlack(sks(sa), sks(sb))
+      assert(math.abs(dN - exact(pair)) <= slack,
+        s"$pair: est=$dN exact=${exact(pair)} slack=$slack")
+    }
+  }
 }
