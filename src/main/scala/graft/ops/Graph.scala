@@ -429,8 +429,35 @@ object Graph {
     dist
   }
 
+  /** Log₂-binned degree distribution of the undirected order-sequence
+    * graph (round 12) — the first profile a graph practitioner pulls
+    * (is this power-law? where do the hubs start?). Per bin
+    * ⌊log₂ deg⌋: node count, min/max degree, total edge-endpoint
+    * mass. The bin index is computed INTEGER-EXACTLY as
+    * length(bin(deg)) − 1 (binary digit count — no float log₂ near
+    * power-of-two boundaries in either engine).
+    *
+    * Scale: degrees are one map-side-combined agg over the edge
+    * relation; the histogram is a second agg over |nodes| rows to
+    * ≤ 64 bins. Nothing sorts, nothing windows.
+    */
+  val graphDegreeHist: Q = (s, dir) => {
+    val dir0 = orderSequenceEdges(s, dir)
+    val und = dir0
+      .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    und.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .withColumn("bin", (length(bin(col("deg"))) - 1).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"), sum(col("deg")).as("endpoint_mass"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_bfs_layers" -> graphBfsLayers,
+    "graph_degree_hist" -> graphDegreeHist,
     "graph_pagerank" -> graphPagerank,
     "graph_triangle_count" -> graphTriangleCount,
     "graph_label_propagation" -> graphLabelPropagation,

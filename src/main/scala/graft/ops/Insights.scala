@@ -324,6 +324,52 @@ object Insights {
       .orderBy("event_type")
   }
 
+  /** Kaplan–Meier survival table per acquisition cohort (round 12) —
+    * the survival-analysis family (time-to-churn with censoring) the
+    * bench lacked. A user's lifetime is last_day − first_day over
+    * their event stream; their COHORT is the lexicographically first
+    * event_type on their first active day (the "acquisition channel"
+    * read — deterministic). Users still active near the corpus edge
+    * (last_day within 7 days of the global max) are RIGHT-CENSORED:
+    * their lifetime is a lower bound, so they leave the risk set
+    * without counting as deaths. Emits the estimator's SUFFICIENT
+    * STATISTICS, all integers — per (cohort, distinct lifetime t):
+    * n_risk (cohort users with lifetime ≥ t), d_event (uncensored
+    * = t), c_censor (censored = t) — the exact-frontier discipline:
+    * the consumer forms S(t) = Π (1 − dᵢ/nᵢ) in whatever float
+    * regime it wants; no cumulative float product crosses the engine
+    * boundary, and cohort curves are directly comparable.
+    *
+    * Scale: one combined agg to per-user bounds (the only pass over
+    * raw events), one user-cardinality join to pull the first-day
+    * type, a rollup to |cohorts|·|lifetimes| rows, and the reverse
+    * cumulative risk window PARTITIONED by cohort on that spine.
+    */
+  val eventsSurvivalKm: Q = (s, dir) => {
+    val ev = table(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_date(to_date(col("ts"))).cast("long").as("d"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val cohort = ev.join(perUser, Seq("user_id"))
+      .filter(col("d") === col("d0"))
+      .groupBy(col("user_id")).agg(min(col("event_type")).as("cohort"))
+    val horizon = perUser.agg(max(col("d1")).as("dmax"))
+    val life = perUser.join(cohort, Seq("user_id"))
+      .crossJoin(broadcast(horizon))
+      .select(col("cohort"), (col("d1") - col("d0")).as("t"),
+        when(col("d1") > col("dmax") - 7, 1L).otherwise(0L).as("censored"))
+    val spine = life.groupBy(col("cohort"), col("t"))
+      .agg(sum(lit(1) - col("censored")).as("d_event"),
+        sum(col("censored")).as("c_censor"))
+    val wRisk = Window.partitionBy(col("cohort")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .withColumn("n_risk", sum(col("d_event") + col("c_censor")).over(wRisk))
+      .select("cohort", "t", "n_risk", "d_event", "c_censor")
+      .orderBy("cohort", "t")
+  }
+
   val queries: Map[String, Q] = Map(
     "orders_pareto_share" -> ordersParetoShare,
     "events_burst_days" -> eventsBurstDays,
@@ -332,5 +378,6 @@ object Insights {
     "stat_mann_whitney" -> statMannWhitney,
     "stat_ks_test" -> statKsTest,
     "events_cusum_changepoint" -> eventsCusumChangepoint,
+    "events_survival_km" -> eventsSurvivalKm,
   )
 }

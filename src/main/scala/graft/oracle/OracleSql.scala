@@ -3205,6 +3205,56 @@ object OracleSql {
         |       epoch_day AS cp_day, cum AS cum_at_cp, dev_num
         |FROM d WHERE rk = 1
         |ORDER BY event_type""".stripMargin,
+
+    // ops.Insights.eventsSurvivalKm: integer KM sufficient statistics
+    // per (cohort, lifetime); n_risk = reverse cumulative membership
+    "events_survival_km" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM ev GROUP BY 1),
+        |coh AS (
+        |  SELECT e.user_id, MIN(e.event_type) AS cohort
+        |  FROM ev e JOIN pu ON pu.user_id = e.user_id AND e.d = pu.d0
+        |  GROUP BY 1),
+        |hz AS (SELECT MAX(d1) AS dmax FROM pu),
+        |life AS (
+        |  SELECT c.cohort, pu.d1 - pu.d0 AS t,
+        |         CASE WHEN pu.d1 > hz.dmax - 7 THEN 1 ELSE 0 END AS censored
+        |  FROM pu JOIN coh c ON c.user_id = pu.user_id CROSS JOIN hz),
+        |spine AS (
+        |  SELECT cohort, t,
+        |         CAST(SUM(1 - censored) AS BIGINT) AS d_event,
+        |         CAST(SUM(censored) AS BIGINT) AS c_censor
+        |  FROM life GROUP BY 1, 2)
+        |SELECT cohort, t,
+        |       CAST(SUM(d_event + c_censor) OVER (PARTITION BY cohort ORDER BY t DESC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
+        |       d_event, c_censor
+        |FROM spine
+        |ORDER BY cohort, t""".stripMargin,
+
+    // ops.Graph.graphDegreeHist: integer-exact log2 bin via binary
+    // digit count — length(bin(deg)) - 1 in both engines
+    "graph_degree_hist" ->
+      """WITH seq AS (
+        |  SELECT l_orderkey, l_partkey,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                               ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |ed0 AS (
+        |  SELECT DISTINCT l_partkey AS src, dst FROM seq
+        |  WHERE dst IS NOT NULL AND dst <> l_partkey),
+        |edges AS (SELECT src, dst FROM ed0 UNION SELECT dst, src FROM ed0),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1)
+        |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |       MIN(deg) AS min_deg, MAX(deg) AS max_deg,
+        |       CAST(SUM(deg) AS BIGINT) AS endpoint_mass
+        |FROM deg GROUP BY 1
+        |ORDER BY bin""".stripMargin,
   )
 
   val sql: Map[String, String] =
