@@ -182,6 +182,55 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("events_survival_km: risk sets, censoring, and cohorts match a per-user replay") {
+    val rows = ops.Insights.eventsSurvivalKm(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val ev = graft.io.Readers.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_date(to_date(col("ts"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val dmax = ev.map(_._3).max
+    val life = byUser.map { case (_, es) =>
+      val d0 = es.map(_._3).min
+      val d1 = es.map(_._3).max
+      val cohort = es.filter(_._3 == d0).map(_._2).min
+      (cohort, d1 - d0, d1 > dmax - 7)
+    }.toSeq
+    // every (cohort, lifetime) present, nothing else
+    assert(rows.keySet === life.map(l => (l._1, l._2)).toSet)
+    rows.foreach { case ((coh, t), (nRisk, dEvent, cCensor)) =>
+      val cohLives = life.filter(_._1 == coh)
+      assert(nRisk === cohLives.count(_._2 >= t).toLong, s"risk set $coh/$t")
+      assert(dEvent === cohLives.count(l => l._2 == t && !l._3).toLong, s"events $coh/$t")
+      assert(cCensor === cohLives.count(l => l._2 == t && l._3).toLong, s"censored $coh/$t")
+    }
+    // KM invariant: risk set at the smallest lifetime = cohort size
+    rows.keys.map(_._1).toSeq.distinct.foreach { coh =>
+      val tMin = rows.keys.filter(_._1 == coh).map(_._2).min
+      assert(rows((coh, tMin))._1 === life.count(_._1 == coh).toLong, s"cohort size $coh")
+    }
+  }
+
+  test("graph_degree_hist: bins partition the node set; bit-length binning is exact") {
+    val hist = ops.Graph.graphDegreeHist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val d0 = ops.Graph.orderSequenceEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (d0 ++ d0.map(_.swap)).distinct.groupBy(_._1).view.mapValues(_.length.toLong)
+    val expect = deg.values.toSeq.groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d))
+    assert(hist.map(_._1).toSet === expect.keySet.map(_.toLong))
+    hist.foreach { case (bin, n, mn, mx, mass) =>
+      val ds = expect(bin.toInt)
+      assert(n === ds.length.toLong && mn === ds.min && mx === ds.max && mass === ds.sum,
+        s"bin $bin")
+      // bin really is floor(log2): every degree in [2^bin, 2^(bin+1))
+      assert(mn >= (1L << bin) && mx < (1L << (bin + 1)), s"bin bounds $bin")
+    }
+    assert(hist.map(_._2).sum === deg.size.toLong, "bins partition the nodes")
+  }
+
   test("sql_tpch_q5: every dimension joins broadcast; the fact pair shuffles once") {
     val plan = ops.Relational.sqlTpchQ5(spark, dir).queryExecution.executedPlan.toString
     // region, nation, supplier, customer all small enough to broadcast at test SF
