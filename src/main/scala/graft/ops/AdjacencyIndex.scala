@@ -83,11 +83,12 @@ object AdjacencyIndex {
     * (edges are facts); a replayed append converges to the same set.
     */
   def appendEdges(spark: SparkSession, name: String, edges: DataFrame,
+      version: Option[Long] = None,
       beforeCommit: () => Unit = () => (),
       afterCommit: () => Unit = () => ()): Unit = {
     val cur = TableManifest.resolve(spark, name, SchemaVersion)
     val merged = spark.table(cur).unionByName(normalized(edges)).distinct()
-    publish(spark, name, merged, bucketsOf(spark, cur), None,
+    publish(spark, name, merged, bucketsOf(spark, cur), version,
       beforeCommit, afterCommit)
   }
 

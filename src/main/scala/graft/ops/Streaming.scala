@@ -313,6 +313,42 @@ object Streaming {
       .outputMode("append")
       .start()
 
+  /** The adjacency member of the foreachBatch-sink family: edge
+    * micro-batches fold into [[AdjacencyIndex]] under the same
+    * version-pinned idempotence contract. Unlike the sketch sinks,
+    * the merge itself (set-union) is idempotent — the batchId+1 pin
+    * exists to make a replay a NO-OP rather than a harmless-but-full
+    * table rewrite (append re-buckets the whole relation; the class
+    * scaladoc's large-batch economics apply doubly under streaming).
+    */
+  def applyAdjacencyBatch(name: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val applied = graft.io.TableManifest.readPointer(spark, name)
+      .exists(_.version >= batchId + 1)
+    if (!applied && !batch.isEmpty) {
+      if (graft.io.TableManifest.readPointer(spark, name).isEmpty)
+        AdjacencyIndex.build(spark, name, batch, version = Some(batchId + 1))
+      else
+        AdjacencyIndex.appendEdges(spark, name, batch,
+          version = Some(batchId + 1))
+    }
+  }
+
+  /** Streaming ingest for [[AdjacencyIndex]]: each micro-batch of
+    * (src, dst) edges set-unions into the persisted bucketed
+    * adjacency; after any batch, BFS/degree/neighbor probes serve
+    * the full graph-so-far from the stored layout.
+    */
+  def foreachBatchAdjacency(stream: DataFrame, name: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyAdjacencyBatch(name)(batch.toDF(), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** Per-KEY streaming quantiles — the state-store half of the
     * percentile-service story ([[QuantileService]] persists per-DAY
     * sketches in a manifest table; this keeps a live KLL sketch per

@@ -88,6 +88,40 @@ class AdjacencyIndexSpec extends SparkSpec {
     } finally io.TableManifest.drop(spark, "adj_app")
   }
 
+  test("streaming edge ingest: batches union into the adjacency; replay is a version no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val name = "adj_stream"
+    val ckpt = java.nio.file.Files.createTempDirectory("adj_ckpt").toString
+    val stream = MemoryStream[(Long, Long)]
+    val q = ops.Streaming.foreachBatchAdjacency(
+      stream.toDF().toDF("src", "dst"), name, ckpt)
+    try {
+      stream.addData(Seq(1L -> 2L, 2L -> 3L))
+      q.processAllAvailable()
+      stream.addData(Seq(3L -> 4L, 1L -> 2L)) // duplicate edge re-arrives
+      q.processAllAvailable()
+      def edgeSet = ops.AdjacencyIndex.edges(spark, name)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = Set(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 3L -> 4L, 4L -> 3L)
+      assert(edgeSet === expect)
+      // post-commit replay: version pin makes it a no-op (pointer static)
+      val vBefore = io.TableManifest.readPointer(spark, name).get.version
+      ops.Streaming.applyAdjacencyBatch(name)(
+        Seq(3L -> 4L).toDF("src", "dst"), 1L)
+      assert(io.TableManifest.readPointer(spark, name).get.version === vBefore,
+        "replayed batch must not publish a new version")
+      assert(edgeSet === expect)
+      // probes serve the streamed graph: BFS from 1 reaches everything
+      val hops = ops.AdjacencyIndex.bfsOver(spark, name,
+        Seq(1L).toDF("node"), 4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hops === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    } finally {
+      q.stop()
+      io.TableManifest.drop(spark, name)
+    }
+  }
+
   test("crash before commit leaves the old version serving") {
     class InjectedCrash extends RuntimeException("injected crash")
     ops.AdjacencyIndex.build(spark, "adj_crash", corpusEdges.limit(100))
