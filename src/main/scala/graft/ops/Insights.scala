@@ -324,50 +324,115 @@ object Insights {
       .orderBy("event_type")
   }
 
-  /** Kaplan–Meier survival table per acquisition cohort (round 12) —
-    * the survival-analysis family (time-to-churn with censoring) the
-    * bench lacked. A user's lifetime is last_day − first_day over
-    * their event stream; their COHORT is the lexicographically first
-    * event_type on their first active day (the "acquisition channel"
-    * read — deterministic). Users still active near the corpus edge
-    * (last_day within 7 days of the global max) are RIGHT-CENSORED:
-    * their lifetime is a lower bound, so they leave the risk set
-    * without counting as deaths. Emits the estimator's SUFFICIENT
-    * STATISTICS, all integers — per (cohort, distinct lifetime t):
-    * n_risk (cohort users with lifetime ≥ t), d_event (uncensored
-    * = t), c_censor (censored = t) — the exact-frontier discipline:
-    * the consumer forms S(t) = Π (1 − dᵢ/nᵢ) in whatever float
-    * regime it wants; no cumulative float product crosses the engine
-    * boundary, and cohort curves are directly comparable.
+  /** Kaplan–Meier survival table per market-segment cohort
+    * (round 12) — the survival-analysis family (time-to-churn with
+    * censoring) the bench lacked. A customer's LIFETIME is
+    * last − first order date (days); customers whose last order falls
+    * within 90 days of the corpus horizon are RIGHT-CENSORED: their
+    * lifetime is a lower bound, so they leave the risk set without
+    * counting as churn. (The events table cannot host this key: its
+    * 30-day uniform corpus puts every user inside any sane censor
+    * window — 100 % censored, zero death times, a vacuous gate.)
+    * Emits the estimator's SUFFICIENT STATISTICS, all integers — per
+    * (cohort, distinct lifetime t): n_risk (cohort customers with
+    * lifetime ≥ t), d_event (uncensored = t), c_censor (censored
+    * = t) — the exact-frontier discipline: the consumer forms
+    * S(t) = Π (1 − dᵢ/nᵢ) in whatever float regime it wants; no
+    * cumulative float product crosses the engine boundary, and
+    * cohort curves are directly comparable ([[statLogrankCells]]
+    * does exactly that).
     *
-    * Scale: one combined agg to per-user bounds (the only pass over
-    * raw events), one user-cardinality join to pull the first-day
-    * type, a rollup to |cohorts|·|lifetimes| rows, and the reverse
+    * Scale: one combined agg to per-customer date bounds (the only
+    * pass over orders), a broadcast dim join for the segment, a
+    * rollup to |cohorts|·|lifetimes| rows, and the reverse
     * cumulative risk window PARTITIONED by cohort on that spine.
     */
-  val eventsSurvivalKm: Q = (s, dir) => {
-    val ev = table(s, dir, "events")
-      .select(col("user_id"), col("event_type"),
-        unix_date(to_date(col("ts"))).cast("long").as("d"))
-    val perUser = ev.groupBy(col("user_id"))
+  /** The KM spine shared by [[ordersSurvivalKm]] and
+    * [[statLogrankCells]]: (cohort, t, d_event, c_censor, n_risk).
+    */
+  private[graft] def survivalSpine(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val perCust = table(s, dir, "orders")
+      .select(col("o_custkey"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("d"))
+      .groupBy(col("o_custkey"))
       .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
-    val cohort = ev.join(perUser, Seq("user_id"))
-      .filter(col("d") === col("d0"))
-      .groupBy(col("user_id")).agg(min(col("event_type")).as("cohort"))
-    val horizon = perUser.agg(max(col("d1")).as("dmax"))
-    val life = perUser.join(cohort, Seq("user_id"))
+    val seg = table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("cohort"))
+    val horizon = perCust.agg(max(col("d1")).as("dmax"))
+    val life = perCust
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
       .crossJoin(broadcast(horizon))
       .select(col("cohort"), (col("d1") - col("d0")).as("t"),
-        when(col("d1") > col("dmax") - 7, 1L).otherwise(0L).as("censored"))
+        when(col("d1") > col("dmax") - 90, 1L).otherwise(0L).as("censored"))
     val spine = life.groupBy(col("cohort"), col("t"))
       .agg(sum(lit(1) - col("censored")).as("d_event"),
         sum(col("censored")).as("c_censor"))
     val wRisk = Window.partitionBy(col("cohort")).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine
-      .withColumn("n_risk", sum(col("d_event") + col("c_censor")).over(wRisk))
+    spine.withColumn("n_risk", sum(col("d_event") + col("c_censor")).over(wRisk))
+  }
+
+  val ordersSurvivalKm: Q = (s, dir) =>
+    survivalSpine(s, dir)
       .select("cohort", "t", "n_risk", "d_event", "c_censor")
       .orderBy("cohort", "t")
+
+  /** Log-rank test cells for every unordered cohort pair (round 12) —
+    * the comparison consumer of [[ordersSurvivalKm]]'s curves: "is
+    * segment A's churn hazard different from B's?", answered by the
+    * standard log-rank decomposition at each DEATH time t of the
+    * merged pair: with nₐ, n_b at risk and d = dₐ + d_b deaths,
+    * Oₐ = dₐ, E[Oₐ] = nₐ·d/n and Var = d·nₐ·n_b·(n−d) / (n²·(n−1)).
+    * Emitted as INTEGER numerators/denominators per (pair, t) —
+    * o_a, e_num = nₐ·d, e_den = n, v_num = d·nₐ·n_b·(n−d),
+    * v_den = n²·(n−1) — so the consumer forms Z = Σ(Oₐ−E)/√ΣV in its
+    * own float regime; nothing float crosses the engine boundary.
+    *
+    * The subtle step is evaluating each cohort's risk set at the
+    * OTHER cohort's death times: n_risk is a right-continuous
+    * decreasing step function defined on a cohort's own spine, so on
+    * the merged spine the value at t is the nearest own-spine value
+    * at time ≥ t — a `last(ignoreNulls)` carry over a t-DESC window
+    * per pair (identical `IGNORE NULLS` semantics in DuckDB); past a
+    * cohort's largest lifetime the carry is null → 0 at risk.
+    *
+    * Scale: the spine is |cohorts|·|lifetimes| (calendar-bounded);
+    * the pair fan-out is dimension-bounded; every window runs on the
+    * merged pair spine, never raw rows. Overflow: v_num ≤ n⁴ < 2⁶³
+    * below ~55k users per pair — beyond, widen the two products to
+    * DECIMAL(38,0) (same plan shape).
+    */
+  val statLogrankCells: Q = (s, dir) => {
+    val spine = survivalSpine(s, dir)
+    val cohorts = spine.select(col("cohort")).distinct()
+    val pairs = cohorts.select(col("cohort").as("ca"))
+      .crossJoin(cohorts.select(col("cohort").as("cb")))
+      .filter(col("ca") < col("cb"))
+    val sa = spine.join(broadcast(pairs), col("cohort") === col("ca"))
+      .select(col("ca"), col("cb"), col("t"),
+        col("d_event").as("d_a0"), col("n_risk").as("n_a0"))
+    val sb = spine.join(broadcast(pairs), col("cohort") === col("cb"))
+      .select(col("ca"), col("cb"), col("t"),
+        col("d_event").as("d_b0"), col("n_risk").as("n_b0"))
+    val merged = sa.join(sb, Seq("ca", "cb", "t"), "full_outer")
+    val wCarry = Window.partitionBy(col("ca"), col("cb"))
+      .orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("n_a", coalesce(last(col("n_a0"), ignoreNulls = true).over(wCarry), lit(0L)))
+      .withColumn("n_b", coalesce(last(col("n_b0"), ignoreNulls = true).over(wCarry), lit(0L)))
+      .withColumn("d_a", coalesce(col("d_a0"), lit(0L)))
+      .withColumn("d_b", coalesce(col("d_b0"), lit(0L)))
+      .withColumn("d", col("d_a") + col("d_b"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .filter(col("d") > 0) // log-rank sums over death times only
+      .select(col("ca"), col("cb"), col("t"),
+        col("d_a").as("o_a"), col("n_a"), col("n_b"),
+        (col("n_a") * col("d")).as("e_num"), col("n").as("e_den"),
+        (col("d") * col("n_a") * col("n_b") * (col("n") - col("d"))).as("v_num"),
+        (col("n") * col("n") * (col("n") - 1)).as("v_den"))
+      .orderBy("ca", "cb", "t")
   }
 
   val queries: Map[String, Q] = Map(
@@ -378,6 +443,7 @@ object Insights {
     "stat_mann_whitney" -> statMannWhitney,
     "stat_ks_test" -> statKsTest,
     "events_cusum_changepoint" -> eventsCusumChangepoint,
-    "events_survival_km" -> eventsSurvivalKm,
+    "orders_survival_km" -> ordersSurvivalKm,
+    "stat_logrank_cells" -> statLogrankCells,
   )
 }

@@ -3206,24 +3206,21 @@ object OracleSql {
         |FROM d WHERE rk = 1
         |ORDER BY event_type""".stripMargin,
 
-    // ops.Insights.eventsSurvivalKm: integer KM sufficient statistics
-    // per (cohort, lifetime); n_risk = reverse cumulative membership
-    "events_survival_km" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type,
-        |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
-        |  FROM events),
+    // ops.Insights.ordersSurvivalKm: integer KM sufficient statistics
+    // per (segment cohort, lifetime); n_risk = reverse cumulative
+    // membership; churn horizon = 90 days before the corpus max
+    "orders_survival_km" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+        |  FROM orders),
         |pu AS (
-        |  SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM ev GROUP BY 1),
-        |coh AS (
-        |  SELECT e.user_id, MIN(e.event_type) AS cohort
-        |  FROM ev e JOIN pu ON pu.user_id = e.user_id AND e.d = pu.d0
-        |  GROUP BY 1),
+        |  SELECT o_custkey, MIN(d) AS d0, MAX(d) AS d1 FROM o GROUP BY 1),
         |hz AS (SELECT MAX(d1) AS dmax FROM pu),
         |life AS (
-        |  SELECT c.cohort, pu.d1 - pu.d0 AS t,
-        |         CASE WHEN pu.d1 > hz.dmax - 7 THEN 1 ELSE 0 END AS censored
-        |  FROM pu JOIN coh c ON c.user_id = pu.user_id CROSS JOIN hz),
+        |  SELECT c.c_mktsegment AS cohort, pu.d1 - pu.d0 AS t,
+        |         CASE WHEN pu.d1 > hz.dmax - 90 THEN 1 ELSE 0 END AS censored
+        |  FROM pu JOIN customer c ON c.c_custkey = pu.o_custkey CROSS JOIN hz),
         |spine AS (
         |  SELECT cohort, t,
         |         CAST(SUM(1 - censored) AS BIGINT) AS d_event,
@@ -3235,6 +3232,63 @@ object OracleSql {
         |       d_event, c_censor
         |FROM spine
         |ORDER BY cohort, t""".stripMargin,
+
+    // ops.Insights.statLogrankCells: integer log-rank cells; the
+    // cross-cohort risk-set carry is last_value(IGNORE NULLS) over a
+    // t-DESC frame — identical right-continuous step semantics
+    "stat_logrank_cells" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+        |  FROM orders),
+        |pu AS (
+        |  SELECT o_custkey, MIN(d) AS d0, MAX(d) AS d1 FROM o GROUP BY 1),
+        |hz AS (SELECT MAX(d1) AS dmax FROM pu),
+        |life AS (
+        |  SELECT c.c_mktsegment AS cohort, pu.d1 - pu.d0 AS t,
+        |         CASE WHEN pu.d1 > hz.dmax - 90 THEN 1 ELSE 0 END AS censored
+        |  FROM pu JOIN customer c ON c.c_custkey = pu.o_custkey CROSS JOIN hz),
+        |spine AS (
+        |  SELECT cohort, t,
+        |         CAST(SUM(1 - censored) AS BIGINT) AS d_event,
+        |         CAST(SUM(censored) AS BIGINT) AS c_censor
+        |  FROM life GROUP BY 1, 2),
+        |km AS (
+        |  SELECT cohort, t, d_event,
+        |         CAST(SUM(d_event + c_censor) OVER (PARTITION BY cohort ORDER BY t DESC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        |  FROM spine),
+        |cohs AS (SELECT DISTINCT cohort FROM km),
+        |pairs AS (
+        |  SELECT a.cohort AS ca, b.cohort AS cb
+        |  FROM cohs a CROSS JOIN cohs b WHERE a.cohort < b.cohort),
+        |sa AS (
+        |  SELECT p.ca, p.cb, k.t, k.d_event AS d_a0, k.n_risk AS n_a0
+        |  FROM pairs p JOIN km k ON k.cohort = p.ca),
+        |sb AS (
+        |  SELECT p.ca, p.cb, k.t, k.d_event AS d_b0, k.n_risk AS n_b0
+        |  FROM pairs p JOIN km k ON k.cohort = p.cb),
+        |m AS (
+        |  SELECT COALESCE(sa.ca, sb.ca) AS ca, COALESCE(sa.cb, sb.cb) AS cb,
+        |         COALESCE(sa.t, sb.t) AS t, d_a0, n_a0, d_b0, n_b0
+        |  FROM sa FULL OUTER JOIN sb
+        |    ON sa.ca = sb.ca AND sa.cb = sb.cb AND sa.t = sb.t),
+        |carried AS (
+        |  SELECT ca, cb, t,
+        |         COALESCE(last_value(n_a0 IGNORE NULLS) OVER wc, 0) AS n_a,
+        |         COALESCE(last_value(n_b0 IGNORE NULLS) OVER wc, 0) AS n_b,
+        |         COALESCE(d_a0, 0) AS d_a, COALESCE(d_b0, 0) AS d_b
+        |  FROM m
+        |  WINDOW wc AS (PARTITION BY ca, cb ORDER BY t DESC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT ca, cb, t, d_a AS o_a, n_a, n_b,
+        |       CAST(n_a * (d_a + d_b) AS BIGINT) AS e_num,
+        |       CAST(n_a + n_b AS BIGINT) AS e_den,
+        |       CAST((d_a + d_b) * n_a * n_b * (n_a + n_b - d_a - d_b) AS BIGINT) AS v_num,
+        |       CAST((n_a + n_b) * (n_a + n_b) * (n_a + n_b - 1) AS BIGINT) AS v_den
+        |FROM carried
+        |WHERE d_a + d_b > 0
+        |ORDER BY ca, cb, t""".stripMargin,
 
     // ops.Graph.graphDegreeHist: integer-exact log2 bin via binary
     // digit count — length(bin(deg)) - 1 in both engines

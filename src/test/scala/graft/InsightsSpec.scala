@@ -182,23 +182,32 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
-  test("events_survival_km: risk sets, censoring, and cohorts match a per-user replay") {
-    val rows = ops.Insights.eventsSurvivalKm(spark, dir).collect()
+  /** Per-customer (cohort, lifetime, censored) replay shared by the
+    * two survival tests.
+    */
+  private def survivalLives: Seq[(String, Long, Boolean)] = {
+    val orders = graft.io.Readers.table(spark, dir, "orders")
+      .select(col("o_custkey"), unix_date(to_date(col("o_orderdate"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val seg = graft.io.Readers.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dmax = orders.map(_._2).max
+    orders.groupBy(_._1).map { case (ck, os) =>
+      val d0 = os.map(_._2).min
+      val d1 = os.map(_._2).max
+      (seg(ck), d1 - d0, d1 > dmax - 90)
+    }.toSeq
+  }
+
+  test("orders_survival_km: risk sets and censoring match a per-customer replay") {
+    val rows = ops.Insights.ordersSurvivalKm(spark, dir).collect()
       .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
-    val ev = graft.io.Readers.table(spark, dir, "events")
-      .select(col("user_id"), col("event_type"),
-        unix_date(to_date(col("ts"))).cast("long"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    val byUser = ev.groupBy(_._1)
-    val dmax = ev.map(_._3).max
-    val life = byUser.map { case (_, es) =>
-      val d0 = es.map(_._3).min
-      val d1 = es.map(_._3).max
-      val cohort = es.filter(_._3 == d0).map(_._2).min
-      (cohort, d1 - d0, d1 > dmax - 7)
-    }.toSeq
-    // every (cohort, lifetime) present, nothing else
+    val life = survivalLives
+    // censoring must actually split the population (a 100%-censored
+    // corpus would make every downstream statistic vacuous)
+    assert(life.exists(_._3) && life.exists(!_._3), "both fates present")
     assert(rows.keySet === life.map(l => (l._1, l._2)).toSet)
     rows.foreach { case ((coh, t), (nRisk, dEvent, cCensor)) =>
       val cohLives = life.filter(_._1 == coh)
@@ -210,6 +219,35 @@ class InsightsSpec extends SparkSpec {
     rows.keys.map(_._1).toSeq.distinct.foreach { coh =>
       val tMin = rows.keys.filter(_._1 == coh).map(_._2).min
       assert(rows((coh, tMin))._1 === life.count(_._1 == coh).toLong, s"cohort size $coh")
+    }
+  }
+
+  test("stat_logrank_cells: O/E/V cells match a direct risk-set replay; identities hold") {
+    val rows = ops.Insights.statLogrankCells(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getLong(8), r.getLong(9))))
+      .toMap
+    assert(rows.nonEmpty, "death times must exist")
+    val life = survivalLives
+    val cohorts = life.map(_._1).distinct.sorted
+    val expectKeys = for {
+      a <- cohorts; b <- cohorts if a < b
+      t <- life.filter(l => (l._1 == a || l._1 == b) && !l._3).map(_._2).distinct
+    } yield (a, b, t)
+    assert(rows.keySet === expectKeys.toSet, "exactly the pair death times")
+    rows.foreach { case ((a, b, t), (oA, nA, nB, eNum, eDen, vNum, vDen)) =>
+      val la = life.filter(_._1 == a)
+      val lb = life.filter(_._1 == b)
+      val dA = la.count(l => l._2 == t && !l._3).toLong
+      val dB = lb.count(l => l._2 == t && !l._3).toLong
+      val rA = la.count(_._2 >= t).toLong
+      val rB = lb.count(_._2 >= t).toLong
+      val d = dA + dB
+      val n = rA + rB
+      assert(oA === dA && nA === rA && nB === rB, s"counts $a/$b/$t")
+      assert(eNum === rA * d && eDen === n, s"expectation $a/$b/$t")
+      assert(vNum === d * rA * rB * (n - d) && vDen === n * n * (n - 1), s"variance $a/$b/$t")
     }
   }
 
