@@ -491,6 +491,19 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 3, s"too many exchanges:\n$p")
   }
 
+  test("survival family: orders scan prunes to 2 cols, segment dim broadcasts, windows on spines") {
+    for (q <- Seq(ops.Insights.ordersSurvivalKm, ops.Insights.statLogrankCells)) {
+      val p = plan(q)
+      val rs = p.linesIterator.filter(l => l.contains("ReadSchema") && l.contains("orders"))
+        .mkString
+      assert(rs.contains("o_custkey") && rs.contains("o_orderdate"), rs)
+      assert(!rs.contains("o_totalprice") && !rs.contains("o_comment"),
+        s"orders pruning failed: $rs")
+      assert(p.contains("BroadcastHashJoin"), "segment dim must broadcast")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("text_bpe_merge: argmax is TakeOrdered(1), pair counts partial-agg") {
     val df = ops.Bpe.textBpeMerge(spark, dir)
     val p = df.queryExecution.executedPlan.toString
