@@ -455,9 +455,125 @@ object Graph {
       .orderBy(col("bin"))
   }
 
+  /** Degree-assortativity sufficient statistics of the undirected
+    * order-sequence graph (round 12, second session) — the one-number
+    * answer to "do hubs co-occur with hubs?" (social graphs: yes,
+    * assortative; bipartite-projection/basket graphs: typically
+    * disassortative — popular parts pair with long-tail parts).
+    * Emits ONE row of INTEGER sums over the canonical (u<v) edge
+    * list with endpoint degrees (du, dv): m = |edges|,
+    * s_prod = Σ du·dv, s_sum = Σ (du+dv), s_sq = Σ (du²+dv²). The
+    * consumer forms Newman's r = [s_prod/m − (s_sum/2m)²] /
+    * [s_sq/2m − (s_sum/2m)²] in its own float regime — nothing float
+    * crosses the boundary.
+    *
+    * Scale: degrees are one map-side-combined agg; attaching them to
+    * edges is two shuffle joins on the node key (the degree relation
+    * is |nodes|-sized — NOT broadcastable at 100 TB, and the plan
+    * never assumes it); the final fold is a single all-algebraic
+    * aggregate. Overflow: s_sq ≤ 2·m·maxdeg² — past ~10⁹ edges with
+    * 10⁵-degree hubs, widen the products to DECIMAL(38,0) (same plan
+    * shape).
+    */
+  val graphDegreeAssortativity: Q = (s, dir) => {
+    val dir0 = orderSequenceEdges(s, dir)
+    val und = dir0
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint() // scanned for degrees AND per-edge attach
+    assortativityCells(und)
+  }
+
+  /** The sufficient-statistic fold behind [[graphDegreeAssortativity]],
+    * injectable for crafted-graph specs. `und` must be the canonical
+    * (u<v, distinct) edge list.
+    */
+  private[graft] def assortativityCells(
+      und: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("du") * col("dv")).as("s_prod"),
+        sum(col("du") + col("dv")).as("s_sum"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("s_sq"))
+  }
+
+  /** Local-clustering-coefficient profile of the undirected
+    * order-sequence graph (round 12, second session) — "how cliquish
+    * is each node's neighborhood?", the structural complement of
+    * [[graphDegreeHist]] (degree says how MANY neighbors; clustering
+    * says how tightly they interlink — the small-world signature is
+    * high clustering at moderate degree). Per node with deg ≥ 2:
+    * c_v = 2T_v / (deg_v(deg_v−1)), binned on the LOG₂-INVERSE scale
+    * cbin = ⌊log₂(deg(deg−1) div 2T)⌋ — cbin 0 is c ∈ (½, 1]
+    * (near-cliques), each next bin halves the coefficient — computed
+    * INTEGER-EXACTLY as length(bin(q))−1 of the integer quotient
+    * (the [[graphDegreeHist]] bit-length idiom; a LINEAR ventile grid
+    * was built first and measured DEGENERATE here — basket graphs are
+    * sparse-triangle, 100 % of nodes below c = 0.05 at every SF, one
+    * bucket). Zero-triangle nodes are load-bearing (sentinel
+    * cbin = −1, the open neighborhoods — dropping them is the classic
+    * aggregate-only-what-joins mistake); emitted per cbin: n_nodes,
+    * tri_sum = Σ T_v, wedge2_sum = Σ deg(deg−1) (the exact integer
+    * numerator/denominator masses of the bin's mean coefficient).
+    *
+    * Scale: the wedge→closure join pair is [[graphTriangleCount]]'s
+    * measured shape (never doc×doc — wedges are generated off the
+    * canonical edge list and probed against it); per-node corner
+    * counts and the ≤21-bin rollup are map-side-combined aggs. The
+    * LEFT join keeps degree-only nodes; at 100 TB it's a shuffle
+    * join on the node key like the assortativity attach.
+    */
+  val graphClusteringLocal: Q = (s, dir) => {
+    val dir0 = orderSequenceEdges(s, dir)
+    val und = dir0
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint() // scanned three times by the wedge closure
+    clusteringProfile(und)
+  }
+
+  /** The per-node (deg, tri) → cbin rollup behind
+    * [[graphClusteringLocal]], injectable for crafted-graph specs.
+    * `und` must be the canonical (u<v, distinct) edge list.
+    */
+  private[graft] def clusteringProfile(
+      und: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wedges = und.join(und.select(col("u").as("v2"), col("v").as("w")),
+        col("v") === col("v2"))
+      .select(col("u"), col("v"), col("w"))
+    val tris = wedges.join(und.select(col("u").as("u3"), col("v").as("w3")),
+        col("u") === col("u3") && col("w") === col("w3"))
+      .select(col("u"), col("v"), col("w"))
+    val triPerNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(triPerNode, Seq("node"), "left_outer")
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      .withColumn("cbin", when(col("tri") === 0, lit(-1L))
+        .otherwise((length(bin(expr("deg * (deg - 1) div (2 * tri)"))) - 1)
+          .cast("long")))
+      .groupBy(col("cbin"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("tri")).as("tri_sum"),
+        sum(col("deg") * (col("deg") - 1)).as("wedge2_sum"))
+      .orderBy(col("cbin"))
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_bfs_layers" -> graphBfsLayers,
     "graph_degree_hist" -> graphDegreeHist,
+    "graph_degree_assortativity" -> graphDegreeAssortativity,
+    "graph_clustering_local" -> graphClusteringLocal,
     "graph_pagerank" -> graphPagerank,
     "graph_triangle_count" -> graphTriangleCount,
     "graph_label_propagation" -> graphLabelPropagation,

@@ -435,6 +435,127 @@ object Insights {
       .orderBy("ca", "cb", "t")
   }
 
+  /** Kruskal–Wallis sufficient statistics per market segment
+    * (round 12, second session) — the k-SAMPLE extension completing
+    * the nonparametric bench: Mann–Whitney asks "do these TWO
+    * segments differ in location?"; Kruskal–Wallis asks it of ALL
+    * segments at once (the rank-based one-way ANOVA). Emits per
+    * segment the group size n_g and the tie-adjusted DOUBLED global
+    * rank sum r2_g = Σ 2·midrank (midranks over the pooled sample),
+    * plus the pooled size n_total and the global tie-correction sum
+    * tie3_sum = Σ_v (t_v³ − t_v) — everything INTEGER; the consumer
+    * forms H = [12/(N(N+1)) Σ R_g²/n_g − 3(N+1)] / (1 − tie3/(N³−N))
+    * in its own float regime.
+    *
+    * THE PLAN-SAFE DECOMPOSITION (the reason this key is not just
+    * "rank the union"): pooled midranks need a GLOBAL rank window —
+    * a single-task global sort, banned by the house plan gate and a
+    * genuine scale-killer. Instead the pooled doubled rank sum
+    * decomposes exactly over pairwise Mann–Whitney statistics:
+    *
+    *   2R_g = n_g(n_g+1) + Σ_{h≠g} 2U_{g over h}
+    *
+    * (each element's pooled cntBelow/cntEqual splits by the group the
+    * other element lives in; the own-group term telescopes to
+    * n_g(n_g+1) − n_g and the cross terms are exactly the doubled-U
+    * cells [[statMannWhitney]] already computes — spec'd equal to a
+    * brute-force pooled-midrank replay). Every window is partitioned
+    * per PAIR; the tie sum is one map-side-combined value rollup with
+    * no window at all.
+    *
+    * Scale: pair fan-out bounded by dimension cardinality (k segments
+    * → k(k−1)/2 pair partitions); per-pair windows carry the
+    * winsorize-family caveat with the same KLL swap
+    * ([[SketchVariants]]). Overflow: r2_g ≤ 2N² < 2⁶³ below ~2·10⁹
+    * pooled rows; widen to DECIMAL(38,0) beyond.
+    */
+  val statKruskalWallis: Q = (s, dir) => {
+    val c = table(s, dir, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        (dec(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
+    val segs = c.select(col("segment")).distinct()
+    val pairs = segs.select(col("segment").as("seg_a"))
+      .crossJoin(segs.select(col("segment").as("seg_b")))
+      .filter(col("seg_a") < col("seg_b"))
+    val w = Window.partitionBy(col("seg_a"), col("seg_b")).orderBy(col("bal_cents"))
+    val wt = Window.partitionBy(col("seg_a"), col("seg_b"), col("bal_cents"))
+    val cells = c.join(broadcast(pairs),
+        col("segment") === col("seg_a") || col("segment") === col("seg_b"))
+      .withColumn("lo", rank().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wt))
+      .withColumn("r2", lit(2L) * col("lo") + col("cnt") - 1)
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(
+        count(when(col("segment") === col("seg_a"), 1)).as("n_a"),
+        count(when(col("segment") === col("seg_b"), 1)).as("n_b"),
+        sum(when(col("segment") === col("seg_a"), col("r2"))).as("r2_a"))
+      .withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + 1))
+      .withColumn("u2_b", lit(2L) * col("n_a") * col("n_b") - col("u2_a"))
+    val directed = cells
+      .select(col("seg_a").as("segment"), col("u2_a").as("u2"))
+      .union(cells.select(col("seg_b"), col("u2_b")))
+      .groupBy(col("segment")).agg(sum(col("u2")).as("u2_sum"))
+    val sizes = c.groupBy(col("segment")).agg(count(lit(1)).as("n_g"))
+    val ties = c.groupBy(col("bal_cents")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie3_sum"),
+        sum(col("t")).as("n_total"))
+    sizes.join(directed, Seq("segment"))
+      .withColumn("r2_g", col("n_g") * (col("n_g") + 1) + col("u2_sum"))
+      .crossJoin(broadcast(ties))
+      .select("segment", "n_g", "r2_g", "n_total", "tie3_sum")
+      .orderBy("segment")
+  }
+
+  /** Spearman rank-correlation sufficient statistics per market
+    * segment (round 12, second session) — the robust-association
+    * member of the family: "does customer wealth (acctbal) track
+    * customer spend (lifetime order revenue) within a segment?",
+    * answered on RANKS so outliers and any monotone rescaling drop
+    * out (Pearson over midranks ≡ Spearman with the standard tie
+    * treatment). Customers with no orders participate with revenue 0
+    * (a left join — dropping them would bias the association toward
+    * actives).
+    *
+    * Exact frontier: both coordinates enter as DOUBLED midranks
+    * (2·mr = 2·lo + cnt − 1, integer, the Mann–Whitney idiom); the
+    * emitted cells are the integer sums n, s_xy = Σ r2x·r2y,
+    * s_xx = Σ r2x², s_yy = Σ r2y². The consumer forms
+    * ρ = (n·s_xy − n²(n+1)²) / √((n·s_xx − n²(n+1)²)(n·s_yy − n²(n+1)²))
+    * — Σ r2x = Σ r2y = n(n+1) identically (tie-invariant), so the
+    * marginal sums need not cross the boundary; the spec asserts the
+    * identity anyway.
+    *
+    * Scale: one shuffle to per-customer revenue, a broadcast dim
+    * join, and two rank windows PARTITIONED by segment (winsorize
+    * caveat + KLL swap, as the whole family). Overflow:
+    * s_xy ≤ 4n³ < 2⁶³ below ~1.3·10⁶ rows per segment; widen to
+    * DECIMAL(38,0) beyond (same plan shape).
+    */
+  val statSpearmanCells: Q = (s, dir) => {
+    val rev = table(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("rev_cents"))
+    val c = table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        (dec(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
+      .join(rev, col("o_custkey") === col("c_custkey"), "left_outer")
+      .withColumn("rev_cents", coalesce(col("rev_cents"), lit(0L)))
+    val wx = Window.partitionBy(col("segment")).orderBy(col("bal_cents"))
+    val wxt = Window.partitionBy(col("segment"), col("bal_cents"))
+    val wy = Window.partitionBy(col("segment")).orderBy(col("rev_cents"))
+    val wyt = Window.partitionBy(col("segment"), col("rev_cents"))
+    c.withColumn("r2x", lit(2L) * rank().over(wx).cast("long")
+        + count(lit(1)).over(wxt) - 1)
+      .withColumn("r2y", lit(2L) * rank().over(wy).cast("long")
+        + count(lit(1)).over(wyt) - 1)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2x") * col("r2y")).as("s_xy"),
+        sum(col("r2x") * col("r2x")).as("s_xx"),
+        sum(col("r2y") * col("r2y")).as("s_yy"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, Q] = Map(
     "orders_pareto_share" -> ordersParetoShare,
     "events_burst_days" -> eventsBurstDays,
@@ -445,5 +566,7 @@ object Insights {
     "events_cusum_changepoint" -> eventsCusumChangepoint,
     "orders_survival_km" -> ordersSurvivalKm,
     "stat_logrank_cells" -> statLogrankCells,
+    "stat_kruskal_wallis" -> statKruskalWallis,
+    "stat_spearman_cells" -> statSpearmanCells,
   )
 }

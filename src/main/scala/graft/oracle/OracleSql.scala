@@ -3309,6 +3309,127 @@ object OracleSql {
         |       CAST(SUM(deg) AS BIGINT) AS endpoint_mass
         |FROM deg GROUP BY 1
         |ORDER BY bin""".stripMargin,
+
+    // ops.Graph.graphDegreeAssortativity: integer sufficient sums
+    // over the canonical edge list with endpoint degrees
+    "graph_degree_assortativity" ->
+      """WITH seq AS (
+        |  SELECT l_orderkey, l_partkey,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                               ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |ed0 AS (
+        |  SELECT DISTINCT l_partkey AS src, dst FROM seq
+        |  WHERE dst IS NOT NULL AND dst <> l_partkey),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM ed0),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT du.deg AS du, dv.deg AS dv
+        |  FROM und JOIN deg du ON du.node = und.u
+        |           JOIN deg dv ON dv.node = und.v)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |       CAST(SUM(du * dv) AS BIGINT) AS s_prod,
+        |       CAST(SUM(du + dv) AS BIGINT) AS s_sum,
+        |       CAST(SUM(du * du + dv * dv) AS BIGINT) AS s_sq
+        |FROM j""".stripMargin,
+
+    // ops.Graph.graphClusteringLocal: log2-inverse coefficient bin
+    // via the bit-length idiom, integer-exact in both engines;
+    // zero-triangle deg≥2 nodes kept by the left join (cbin −1)
+    "graph_clustering_local" ->
+      """WITH seq AS (
+        |  SELECT l_orderkey, l_partkey,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                               ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |ed0 AS (
+        |  SELECT DISTINCT l_partkey AS src, dst FROM seq
+        |  WHERE dst IS NOT NULL AND dst <> l_partkey),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM ed0),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |tris AS (
+        |  SELECT e1.u, e1.v, e2.v AS w
+        |  FROM und e1
+        |  JOIN und e2 ON e1.v = e2.u
+        |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT u AS node FROM tris
+        |  UNION ALL SELECT v FROM tris
+        |  UNION ALL SELECT w FROM tris),
+        |tpn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM corners GROUP BY 1),
+        |base AS (
+        |  SELECT d.deg, COALESCE(t.tri, 0) AS tri
+        |  FROM deg d LEFT JOIN tpn t ON t.node = d.node
+        |  WHERE d.deg >= 2)
+        |SELECT CASE WHEN tri = 0 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST(length(bin(deg * (deg - 1) // (2 * tri))) - 1 AS BIGINT)
+        |       END AS cbin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |       CAST(SUM(tri) AS BIGINT) AS tri_sum,
+        |       CAST(SUM(deg * (deg - 1)) AS BIGINT) AS wedge2_sum
+        |FROM base GROUP BY 1
+        |ORDER BY cbin""".stripMargin,
+
+    // ops.Insights.statKruskalWallis: the oracle ranks the POOLED
+    // sample directly (global midranks — fine here, the oracle has no
+    // plan gate), which independently cross-checks the engine's
+    // pairwise 2R_g = n_g(n_g+1) + Σ u2 decomposition
+    "stat_kruskal_wallis" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS segment,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |r AS (
+        |  SELECT segment,
+        |         CAST(RANK() OVER (ORDER BY bal_cents) AS BIGINT) AS lo,
+        |         CAST(COUNT(*) OVER (PARTITION BY bal_cents) AS BIGINT) AS cnt
+        |  FROM c),
+        |g AS (
+        |  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |         CAST(SUM(2 * lo + cnt - 1) AS BIGINT) AS r2_g
+        |  FROM r GROUP BY 1),
+        |ties AS (
+        |  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie3_sum,
+        |         CAST(SUM(t) AS BIGINT) AS n_total
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c GROUP BY bal_cents))
+        |SELECT segment, n_g, r2_g, n_total, tie3_sum
+        |FROM g CROSS JOIN ties
+        |ORDER BY segment""".stripMargin,
+
+    // ops.Insights.statSpearmanCells: doubled midranks on both axes
+    // (2·lo + cnt − 1), integer moment sums; customers without orders
+    // participate with revenue 0 via the left join
+    "stat_spearman_cells" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT c_mktsegment AS segment,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+        |         COALESCE(rev.rev_cents, 0) AS rev_cents
+        |  FROM customer LEFT JOIN rev ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT segment,
+        |         2 * CAST(RANK() OVER (PARTITION BY segment ORDER BY bal_cents) AS BIGINT)
+        |           + CAST(COUNT(*) OVER (PARTITION BY segment, bal_cents) AS BIGINT) - 1 AS r2x,
+        |         2 * CAST(RANK() OVER (PARTITION BY segment ORDER BY rev_cents) AS BIGINT)
+        |           + CAST(COUNT(*) OVER (PARTITION BY segment, rev_cents) AS BIGINT) - 1 AS r2y
+        |  FROM c)
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(r2x * r2y) AS BIGINT) AS s_xy,
+        |       CAST(SUM(r2x * r2x) AS BIGINT) AS s_xx,
+        |       CAST(SUM(r2y * r2y) AS BIGINT) AS s_yy
+        |FROM r GROUP BY 1
+        |ORDER BY segment""".stripMargin,
   )
 
   val sql: Map[String, String] =

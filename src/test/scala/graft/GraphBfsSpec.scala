@@ -55,4 +55,63 @@ class GraphBfsSpec extends SparkSpec {
     }
     assert(rows === dist)
   }
+
+  // canonical (u<v, distinct) edge list — the shape clusteringProfile
+  // and assortativityCells require
+  private def canon(pairs: (Long, Long)*) =
+    pairs.toDF("a", "b")
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+
+  test("clustering profile: crafted graph lands every structure in its exact bin") {
+    // triangle {1,2,3} + node 4 closing edge (1,2)   → all cbin 0
+    // path 5-6-7: node 6 has deg 2, no triangle      → sentinel cbin −1
+    // star center 10 over 11..16 with chord 11-12    → c=1/15, q=15 → cbin 3
+    val g = canon(
+      1L -> 2L, 1L -> 3L, 2L -> 3L, 4L -> 1L, 4L -> 2L,
+      5L -> 6L, 6L -> 7L,
+      10L -> 11L, 10L -> 12L, 10L -> 13L, 10L -> 14L, 10L -> 15L, 10L -> 16L,
+      11L -> 12L)
+    val got = ops.Graph.clusteringProfile(g).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      -1L -> (1L, 0L, 2L),            // node 6
+      0L -> (6L, 8L, 20L),            // 1,2,3,4 (tri 2,2,1,1) + 11,12 (tri 1,1)
+      3L -> (1L, 1L, 30L)))           // node 10: deg 6, T=1, q=15
+  }
+
+  test("assortativity cells: star is exactly −1, path P4 is exactly −1/2") {
+    // exact rational form: r = (4m·s_prod − s_sum²) / (2m·s_sq − s_sum²)
+    def rParts(cells: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val row = cells.collect().head
+      val (m, sp, ss, sq) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      (4 * m * sp - ss * ss, 2 * m * sq - ss * ss)
+    }
+    // K1,3: every edge pairs the hub (deg 3) with a leaf (deg 1)
+    val star = ops.Graph.assortativityCells(canon(1L -> 2L, 1L -> 3L, 1L -> 4L))
+    assert(star.collect().head.toSeq === Seq(3L, 9L, 12L, 30L))
+    val (n1, d1) = rParts(star)
+    assert(n1 === -d1 && d1 > 0) // r = −1 exactly
+    // P4: textbook r = −1/2
+    val (n2, d2) = rParts(ops.Graph.assortativityCells(canon(1L -> 2L, 2L -> 3L, 3L -> 4L)))
+    assert(2 * n2 === -d2 && d2 > 0) // r = −1/2 exactly
+  }
+
+  test("clustering + assortativity corpus invariants at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val d0 = ops.Graph.orderSequenceEdges(spark, dir).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .distinct
+    val deg = (d0.map(_._1) ++ d0.map(_._2)).groupBy(identity).view.mapValues(_.length).toMap
+    // assortativity m equals the canonical edge count; sum identity holds
+    val a = ops.Graph.graphDegreeAssortativity(spark, dir).collect().head
+    assert(a.getLong(0) === d0.length.toLong)
+    assert(a.getLong(2) === d0.map { case (u, v) => deg(u).toLong + deg(v) }.sum)
+    // clustering bins partition the deg>=2 nodes; wedge mass matches
+    val bins = ops.Graph.graphClusteringLocal(spark, dir).collect()
+    val deg2 = deg.filter(_._2 >= 2)
+    assert(bins.map(_.getLong(1)).sum === deg2.size.toLong)
+    assert(bins.map(_.getLong(3)).sum ===
+      deg2.values.map(d => d.toLong * (d - 1)).sum)
+  }
 }

@@ -277,4 +277,78 @@ class InsightsSpec extends SparkSpec {
     // one shuffle pair for orders ⋈ lineitem at most, plus the final agg
     assert(shuffles <= 4, s"too many hash exchanges in Q5 plan:\n$plan")
   }
+
+  test("stat_kruskal_wallis: pairwise decomposition equals brute-force pooled midranks") {
+    val rows = ops.Insights.statKruskalWallis(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val segs = balCentsBySeg
+    // brute force: pool EVERYTHING, assign doubled midranks (lo + hi
+    // per tie group), sum per segment — the global window the engine
+    // plan is forbidden to run
+    val pooled = segs.toSeq.flatMap { case (g, vs) => vs.map(v => (v, g)) }.sortBy(_._1)
+    val r2BySeg = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var pos = 0
+    pooled.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, grp) =>
+      val lo = pos + 1L
+      val hi = pos + grp.length.toLong
+      grp.foreach { case (_, g) => r2BySeg(g) += lo + hi }
+      pos += grp.length
+    }
+    val n = pooled.length.toLong
+    val tie3 = pooled.groupBy(_._1).values
+      .map(g => { val t = g.length.toLong; t * t * t - t }).sum
+    assert(rows.map(_._1).toSet === segs.keySet)
+    rows.foreach { case (g, nG, r2G, nTotal, tie3Sum) =>
+      assert(nG === segs(g).length.toLong, s"n_g $g")
+      assert(r2G === r2BySeg(g), s"pooled doubled rank sum $g")
+      assert(nTotal === n && tie3Sum === tie3, s"globals $g")
+    }
+    // the sum-of-rank-sums invariant: Σ 2R_g = N(N+1)
+    assert(rows.map(_._3).sum === n * (n + 1), "rank sums partition the pool")
+  }
+
+  test("stat_spearman_cells: moment sums match a midrank replay; marginal identity holds") {
+    val rows = ops.Insights.statSpearmanCells(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // independent replay: per segment, (bal, revenue) per customer with
+    // no-order customers at revenue 0, doubled midranks on each axis
+    val rev = graft.io.Readers.table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(graft.Determinism.dec(col("o_totalprice"))) * 100).cast("long").as("rc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cust = graft.io.Readers.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (graft.Determinism.dec(col("c_acctbal")) * 100).cast("long"))
+      .collect().map(r => (r.getString(1), r.getLong(2), rev.getOrElse(r.getLong(0), 0L)))
+    def doubledMidranks(vs: Seq[Long]): Map[Long, Long] = {
+      // value → 2·midrank = lo + hi of its tie block
+      val sorted = vs.sorted
+      var pos = 0
+      sorted.groupBy(identity).toSeq.sortBy(_._1).map { case (v, grp) =>
+        val lo = pos + 1L; val hi = pos + grp.length.toLong
+        pos += grp.length
+        v -> (lo + hi)
+      }.toMap
+    }
+    val bySeg = cust.groupBy(_._1)
+    assert(rows.map(_._1).toSet === bySeg.keySet)
+    rows.foreach { case (seg, n, sXy, sXx, sYy) =>
+      val ds = bySeg(seg)
+      val rx = doubledMidranks(ds.map(_._2).toSeq)
+      val ry = doubledMidranks(ds.map(_._3).toSeq)
+      val pairs = ds.map { case (_, x, y) => (rx(x), ry(y)) }
+      assert(n === ds.length.toLong, s"n $seg")
+      assert(sXy === pairs.map { case (a, b) => a * b }.sum, s"s_xy $seg")
+      assert(sXx === pairs.map { case (a, _) => a * a }.sum, s"s_xx $seg")
+      assert(sYy === pairs.map { case (_, b) => b * b }.sum, s"s_yy $seg")
+      // marginal identity Σ r2 = n(n+1) on both axes (tie-invariant)
+      assert(pairs.map(_._1).sum === n * (n + 1) && pairs.map(_._2).sum === n * (n + 1))
+      // and the derived ρ is a valid correlation
+      val num = (n * sXy - n * n * (n + 1) * (n + 1)).toDouble
+      val den = math.sqrt((n * sXx - n * n * (n + 1) * (n + 1)).toDouble) *
+        math.sqrt((n * sYy - n * n * (n + 1) * (n + 1)).toDouble)
+      val rho = num / den
+      assert(rho >= -1.0 && rho <= 1.0, s"rho $seg = $rho")
+    }
+  }
 }
