@@ -42,6 +42,12 @@ object CardinalityService {
   /** Bump when the stored row layout or sketch config changes. */
   val SchemaVersion = 1
 
+  /** The KEYED layout (dim, day, n_rows, sk) is a different schema —
+    * its own version so a keyed table read through the unkeyed API
+    * (or vice versa) fails fast at resolve instead of mis-parsing.
+    */
+  val KeyedSchemaVersion = 2
+
   /** lgConfigK: 2^12 registers → ~0.8 % relative standard error. */
   private val LgK = 12
 
@@ -56,13 +62,13 @@ object CardinalityService {
 
   private def publish(spark: SparkSession, name: String, rows: DataFrame,
       version: Option[Long], beforeCommit: () => Unit,
-      afterCommit: () => Unit): Unit = {
+      afterCommit: () => Unit, schemaVersion: Int = SchemaVersion): Unit = {
     val v = version.getOrElse(TableManifest.nextVersion(spark, name))
     val t = TableManifest.physicalName(name, v)
     spark.sql(s"DROP TABLE IF EXISTS $t") // unreferenced leftover staging only
     rows.write.mode("overwrite").format("parquet").saveAsTable(t)
     beforeCommit()
-    TableManifest.commit(spark, name, v, SchemaVersion) // THE commit point
+    TableManifest.commit(spark, name, v, schemaVersion) // THE commit point
     afterCommit()
     TableManifest.vacuum(spark, name)
   }
@@ -141,6 +147,127 @@ object CardinalityService {
       .collect()(0)
     require(r.getLong(2) > 0, s"no sketch rows in [$fromDay, $toDay] at '$name'")
     (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  // ───────────────────────── keyed variant ─────────────────────────
+  // Per-(dimension, day) sketches — e.g. per-event-type DAU. Decided
+  // (not carried) in round 12: the consumer is the sketched
+  // audience-overlap matrix below, the at-scale path of the EXACT
+  // `events_type_overlap` key (whose per-user fan-out re-reads raw
+  // history for every query window; the keyed service answers any
+  // window from stored registers). Layout (dim, day, n_rows, sk)
+  // under KeyedSchemaVersion so layouts can't silently mix.
+
+  private def keyedDaySketches(events: DataFrame, dimCol: String,
+      keyCol: String): DataFrame =
+    events
+      .groupBy(col(dimCol).as("dim"),
+        to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        hll_sketch_agg(col(keyCol), lit(LgK)).as("sk"))
+
+  /** Build (or rebuild) a keyed service table from scratch. */
+  def buildKeyed(spark: SparkSession, name: String, events: DataFrame,
+      dimCol: String = "event_type", keyCol: String = "user_id",
+      version: Option[Long] = None,
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => ()): Unit =
+    publish(spark, name, keyedDaySketches(events, dimCol, keyCol), version,
+      beforeCommit, afterCommit, KeyedSchemaVersion)
+
+  /** Incremental merge of possibly-partial (dim, day) data — the
+    * keyed [[mergeDays]]: stored and incoming sketches combine via
+    * the codegen'd register-max `hll_union` over a full-outer join on
+    * (dim, day); lossless, so merge order never affects estimates.
+    */
+  def mergeDaysKeyed(spark: SparkSession, name: String, events: DataFrame,
+      dimCol: String = "event_type", keyCol: String = "user_id",
+      version: Option[Long] = None,
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => ()): Unit = {
+    val cur = TableManifest.resolve(spark, name, KeyedSchemaVersion)
+    val incoming = keyedDaySketches(events, dimCol, keyCol)
+    val merged = spark.table(cur)
+      .select(col("dim"), col("day"), col("n_rows").as("n_old"),
+        col("sk").as("sk_old"))
+      .join(incoming.select(col("dim"), col("day"), col("n_rows").as("n_new"),
+        col("sk").as("sk_new")), Seq("dim", "day"), "full_outer")
+      .select(col("dim"), col("day"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("n_rows"),
+        when(col("sk_old").isNull, col("sk_new"))
+          .when(col("sk_new").isNull, col("sk_old"))
+          .otherwise(hll_union(col("sk_old"), col("sk_new"))).as("sk"))
+    publish(spark, name, merged, version, beforeCommit, afterCommit,
+      KeyedSchemaVersion)
+  }
+
+  /** Stored keyed sketch rows restricted to an inclusive day range. */
+  private def keyedRangeRows(spark: SparkSession, name: String,
+      fromDay: Option[String], toDay: Option[String]): DataFrame = {
+    val cur = TableManifest.resolve(spark, name, KeyedSchemaVersion)
+    Seq(fromDay.map(d => col("day") >= d), toDay.map(d => col("day") <= d))
+      .flatten.foldLeft(spark.table(cur))(_ filter _)
+  }
+
+  /** Per-dimension distinct estimate over an inclusive day range:
+    * (dim, est, n_rows, days) — one `hll_union_agg` partitioned by
+    * dim over the stored rows only.
+    */
+  def distinctByDim(spark: SparkSession, name: String,
+      fromDay: Option[String] = None, toDay: Option[String] = None): DataFrame =
+    keyedRangeRows(spark, name, fromDay, toDay)
+      .groupBy(col("dim"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"),
+        sum(col("n_rows")).as("n_rows"), count(lit(1)).as("days"))
+      .orderBy(col("dim"))
+
+  /** The trailing-window distinct curve per dimension — the keyed
+    * [[rollingDistinct]], and the shape that REMOVES its documented
+    * unpartitioned-window exception: here the RANGE frame is
+    * partitioned by dim over the |dims|·|days| day table.
+    */
+  def rollingDistinctKeyed(spark: SparkSession, name: String,
+      windowDays: Int): DataFrame = {
+    val cur = TableManifest.resolve(spark, name, KeyedSchemaVersion)
+    val w = Window.partitionBy(col("dim")).orderBy(col("epoch_day"))
+      .rangeBetween(-(windowDays.toLong - 1), 0)
+    spark.table(cur)
+      .withColumn("epoch_day", unix_date(to_date(col("day"))).cast("long"))
+      .withColumn("days_in_window", count(lit(1)).over(w))
+      .withColumn("est", hll_sketch_estimate(
+        hll_union_agg(col("sk"), lit(false)).over(w)))
+      .select(col("dim"), col("day"), col("days_in_window"), col("est"))
+      .orderBy(col("dim"), col("day"))
+  }
+
+  /** Sketched audience-overlap matrix over a day range — the keyed
+    * service's consumer and the at-scale form of the exact
+    * `events_type_overlap` key: per unordered dim pair, est_a, est_b,
+    * est_union (one register-max union of the two merged sketches)
+    * and est_inter = max(0, est_a + est_b − est_union)
+    * (inclusion–exclusion; clamped because the subtraction can go
+    * slightly negative at sketch error for near-disjoint pairs —
+    * exactly the regime where the EXACT key is cheap, so the two
+    * forms cover each other). Everything stays in-plan: per-dim
+    * unions are one partitioned agg over stored rows, the pair join
+    * is dimension-bounded.
+    */
+  def pairOverlapEstimates(spark: SparkSession, name: String,
+      fromDay: Option[String] = None, toDay: Option[String] = None): DataFrame = {
+    val perDim = keyedRangeRows(spark, name, fromDay, toDay)
+      .groupBy(col("dim"))
+      .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+    val a = perDim.select(col("dim").as("dim_a"), col("sk").as("sk_a"))
+    val b = perDim.select(col("dim").as("dim_b"), col("sk").as("sk_b"))
+    a.join(b, col("dim_a") < col("dim_b"))
+      .select(col("dim_a"), col("dim_b"),
+        hll_sketch_estimate(col("sk_a")).as("est_a"),
+        hll_sketch_estimate(col("sk_b")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("est_union"))
+      .withColumn("est_inter",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .orderBy(col("dim_a"), col("dim_b"))
   }
 
   /** The trailing-window distinct curve (e.g. windowDays = 7 → WAU

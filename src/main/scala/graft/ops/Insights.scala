@@ -556,6 +556,86 @@ object Insights {
       .orderBy("segment")
   }
 
+  /** Gini coefficient of user engagement per event type (round 12,
+    * second session) — the single-number inequality reading beside
+    * [[ordersParetoShare]]'s decile curve: "is this event type's
+    * volume spread across its audience or concentrated in a few
+    * heavy users?". Emitted as the EXACT INTEGER rational per type:
+    * with users sorted ascending by activity, rn = 1..n,
+    * g_num = Σ (2·rn − n − 1)·cnt and g_den = n·total, so
+    * G = g_num/g_den ∈ [0, 1) — the standard sorted-weights Gini
+    * identity. The sort key (cnt, user_id) is a total order, and the
+    * Σ over any tie block is permutation-invariant (equal cnt ×
+    * consecutive weights), so both engines agree bit-exactly without
+    * relying on tie luck.
+    *
+    * Scale: one map-side-combined rollup to (type, user) counts; the
+    * one window is PARTITIONED by event type. A single type's user
+    * list is data-sized — the documented 100 TB swap is the KLL
+    * decile-boundary form ([[SketchVariants]]): Gini from a quantile
+    * sketch is the Lorenz-curve trapezoid sum over sketch boundaries,
+    * certified-error. Overflow: g_num < 2n·total — past
+    * n·total ≈ 4·10¹⁸ widen to DECIMAL(38,0).
+    */
+  val eventsGiniActivity: Q = (s, dir) => {
+    val perUser = table(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt"), col("user_id"))
+    perUser
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("total_events"),
+        sum(col("rn") * col("cnt")).as("s_rc"))
+      // Σ(2rn − n − 1)·cnt = 2·Σrn·cnt − (n+1)·Σcnt — the window never
+      // nests inside the aggregate
+      .withColumn("g_num",
+        lit(2L) * col("s_rc") - (col("n_users") + 1) * col("total_events"))
+      .withColumn("g_den", col("n_users") * col("total_events"))
+      .select("event_type", "n_users", "total_events", "g_num", "g_den")
+      .orderBy("event_type")
+  }
+
+  /** Audience-overlap matrix between event types (round 12, second
+    * session) — exact set-intersection cells for every unordered type
+    * pair: n_a, n_b (distinct users per type), n_inter (users doing
+    * BOTH), n_union = n_a + n_b − n_inter. The consumer reads Jaccard
+    * / containment / lift off the integer cells. ZERO-overlap pairs
+    * are load-bearing and kept by the grid + left join (the
+    * [[statChi2Cells]] full-grid discipline — an inner-join-only plan
+    * silently drops exactly the disjoint pairs an audience planner
+    * cares about).
+    *
+    * Scale: the intersection NEVER joins user sets pairwise —
+    * per-user type sets fan out to type-pairs locally (≤ |types|²
+    * rows per user, dimension-bounded) and one map-side-combined
+    * count per pair does the rest; sizes are one rollup. The pair
+    * grid is dimension-cardinality-bounded (T² cells).
+    */
+  val eventsTypeOverlap: Q = (s, dir) => {
+    val ut = table(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val types = ut.select(col("event_type")).distinct()
+    val grid = types.select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    val inter = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    grid
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+      .join(inter, Seq("type_a", "type_b"), "left_outer")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_inter"), (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "orders_pareto_share" -> ordersParetoShare,
     "events_burst_days" -> eventsBurstDays,
@@ -568,5 +648,7 @@ object Insights {
     "stat_logrank_cells" -> statLogrankCells,
     "stat_kruskal_wallis" -> statKruskalWallis,
     "stat_spearman_cells" -> statSpearmanCells,
+    "events_gini_activity" -> eventsGiniActivity,
+    "events_type_overlap" -> eventsTypeOverlap,
   )
 }

@@ -3430,6 +3430,56 @@ object OracleSql {
         |       CAST(SUM(r2y * r2y) AS BIGINT) AS s_yy
         |FROM r GROUP BY 1
         |ORDER BY segment""".stripMargin,
+
+    // ops.Insights.eventsGiniActivity: sorted-weights Gini as the
+    // exact integer rational; same (cnt, user_id) total order and the
+    // same 2·Σrn·cnt − (n+1)·total decomposition
+    "events_gini_activity" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, cnt,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                 ORDER BY cnt, user_id) AS BIGINT) AS rn
+        |  FROM pu),
+        |g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |         CAST(SUM(cnt) AS BIGINT) AS total_events,
+        |         CAST(SUM(rn * cnt) AS BIGINT) AS s_rc
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_users, total_events,
+        |       CAST(2 * s_rc - (n_users + 1) * total_events AS BIGINT) AS g_num,
+        |       CAST(n_users * total_events AS BIGINT) AS g_den
+        |FROM g
+        |ORDER BY event_type""".stripMargin,
+
+    // ops.Insights.eventsTypeOverlap: full pair grid with zero-overlap
+    // cells kept (the chi2 full-grid discipline); intersection via
+    // per-user local type-pair fan-out, never a set×set join
+    "events_type_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |types AS (SELECT DISTINCT event_type FROM ut),
+        |grid AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM types a CROSS JOIN types b WHERE a.event_type < b.event_type),
+        |inter AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM ut x JOIN ut y ON x.user_id = y.user_id
+        |  WHERE x.event_type < y.event_type
+        |  GROUP BY 1, 2),
+        |sizes AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1)
+        |SELECT g.type_a, g.type_b, sa.n AS n_a, sb.n AS n_b,
+        |       COALESCE(i.n_inter, 0) AS n_inter,
+        |       CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union
+        |FROM grid g
+        |JOIN sizes sa ON sa.event_type = g.type_a
+        |JOIN sizes sb ON sb.event_type = g.type_b
+        |LEFT JOIN inter i ON i.type_a = g.type_a AND i.type_b = g.type_b
+        |ORDER BY g.type_a, g.type_b""".stripMargin,
   )
 
   val sql: Map[String, String] =

@@ -172,4 +172,92 @@ class CardinalityServiceSpec extends SparkSpec {
       } finally io.TableManifest.drop(spark, "csvc_crash_ref")
     } finally io.TableManifest.drop(spark, "csvc_crash")
   }
+
+  // ─────────────────────── keyed variant ───────────────────────
+
+  private def typedEvents = io.Readers.table(spark, dir, "events")
+    .select(col("ts"), col("event_type"), col("user_id"))
+
+  private def oneShotWhere(cond: org.apache.spark.sql.Column): Long =
+    oneShot(typedEvents.filter(cond))
+
+  test("keyed build: per-dim estimates equal one-shot sketches; rolling window partitioned by dim") {
+    ops.CardinalityService.buildKeyed(spark, "csvc_k", typedEvents)
+    try {
+      val byDim = ops.CardinalityService.distinctByDim(spark, "csvc_k")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(byDim.length > 1, "fixture needs multiple event types")
+      byDim.foreach { case (dim, est, nRows) =>
+        assert(est === oneShotWhere(col("event_type") === dim), s"dim $dim")
+        assert(nRows === typedEvents.filter(col("event_type") === dim).count())
+      }
+      // rolling curve: merge-equality per (dim, trailing window)
+      val roll = ops.CardinalityService.rollingDistinctKeyed(spark, "csvc_k", 7)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+      assert(roll.nonEmpty)
+      // spot-check a handful (full cross-product replay is slow)
+      roll.sortBy(t => (t._1, t._2)).grouped(7).map(_.head).foreach {
+        case (dim, day, est) =>
+          val d1 = java.time.LocalDate.parse(day).toEpochDay
+          assert(est === oneShotWhere(col("event_type") === dim &&
+            unix_date(to_date(col("ts"))).cast("long").between(d1 - 6, d1)),
+            s"rolling $dim/$day")
+      }
+      // the keyed day-table window is PARTITIONED (removes the unkeyed
+      // form's documented unpartitioned-window exception)
+      val plan = ops.CardinalityService.rollingDistinctKeyed(spark, "csvc_k", 7)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window [") || plan.contains("windowspecdefinition(dim"),
+        "rolling window must partition by dim")
+    } finally io.TableManifest.drop(spark, "csvc_k")
+  }
+
+  test("keyed merge: half-streams converge to the one-shot build, per (dim, day)") {
+    val half1 = typedEvents.filter(col("user_id") % 2 === 0)
+    val half2 = typedEvents.filter(col("user_id") % 2 =!= 0)
+    ops.CardinalityService.buildKeyed(spark, "csvc_km", half1)
+    try {
+      ops.CardinalityService.mergeDaysKeyed(spark, "csvc_km", half2)
+      ops.CardinalityService.buildKeyed(spark, "csvc_km_ref", typedEvents)
+      try {
+        val a = ops.CardinalityService.distinctByDim(spark, "csvc_km").collect()
+        val b = ops.CardinalityService.distinctByDim(spark, "csvc_km_ref").collect()
+        assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+          "merged halves must be state-identical to the full build")
+      } finally io.TableManifest.drop(spark, "csvc_km_ref")
+    } finally io.TableManifest.drop(spark, "csvc_km")
+  }
+
+  test("pair overlap estimates track the exact type-overlap matrix") {
+    ops.CardinalityService.buildKeyed(spark, "csvc_ov", typedEvents)
+    try {
+      val est = ops.CardinalityService.pairOverlapEstimates(spark, "csvc_ov")
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val exact = ops.Insights.eventsTypeOverlap(spark, dir).collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(4)))).toMap
+      assert(est.keySet === exact.keySet, "same pair grid")
+      est.foreach { case (pair, (eA, eB, eU, eI)) =>
+        val (nA, nB, nU, nI) = exact(pair)
+        // lgK=12 → ~0.8 % RSE per sketch; 5σ gates on each estimate,
+        // inclusion–exclusion error on the intersection is bounded by
+        // the union-scale gate (three estimates' errors sum)
+        assert(math.abs(eA - nA).toDouble <= math.max(4.0, 0.04 * nA), s"est_a $pair")
+        assert(math.abs(eB - nB).toDouble <= math.max(4.0, 0.04 * nB), s"est_b $pair")
+        assert(math.abs(eU - nU).toDouble <= math.max(4.0, 0.04 * nU), s"est_union $pair")
+        assert(math.abs(eI - nI).toDouble <= math.max(8.0, 0.12 * nU), s"est_inter $pair")
+      }
+    } finally io.TableManifest.drop(spark, "csvc_ov")
+  }
+
+  test("keyed and unkeyed layouts cannot silently mix") {
+    ops.CardinalityService.buildKeyed(spark, "csvc_mix", typedEvents)
+    try {
+      intercept[Exception] {
+        ops.CardinalityService.distinctOver(spark, "csvc_mix")
+      }
+    } finally io.TableManifest.drop(spark, "csvc_mix")
+  }
 }

@@ -351,4 +351,42 @@ class InsightsSpec extends SparkSpec {
       assert(rho >= -1.0 && rho <= 1.0, s"rho $seg = $rho")
     }
   }
+
+  test("events_gini_activity: integer rational matches the sorted-weights replay; G in [0,1)") {
+    val rows = ops.Insights.eventsGiniActivity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val perUser = graft.io.Readers.table(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = perUser.groupBy(_._1)
+    assert(rows.map(_._1).toSet === byType.keySet)
+    rows.foreach { case (t, n, total, gNum, gDen) =>
+      val cs = byType(t).sortBy(u => (u._3, u._2)).map(_._3) // the key's total order
+      assert(n === cs.length.toLong && total === cs.sum)
+      val expected = cs.zipWithIndex.map { case (c, i) => (2L * (i + 1) - n - 1) * c }.sum
+      assert(gNum === expected, s"g_num $t")
+      assert(gDen === n * total)
+      assert(gNum >= 0 && gNum < gDen, s"G bounds $t")
+    }
+  }
+
+  test("events_type_overlap: full grid, set-replay intersections, inclusion-exclusion") {
+    val rows = ops.Insights.eventsTypeOverlap(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val ut = graft.io.Readers.table(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val users = ut.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = users.keySet.toSeq.sorted
+    // every unordered pair appears exactly once — including any with
+    // zero overlap
+    assert(rows.map(_._1).toSet ===
+      (for (a <- types; b <- types if a < b) yield (a, b)).toSet)
+    rows.foreach { case ((a, b), (nA, nB, inter, union)) =>
+      assert(nA === users(a).size.toLong && nB === users(b).size.toLong)
+      assert(inter === users(a).intersect(users(b)).size.toLong, s"inter $a/$b")
+      assert(union === users(a).union(users(b)).size.toLong, s"union $a/$b")
+    }
+  }
 }
