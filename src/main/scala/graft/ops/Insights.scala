@@ -636,6 +636,104 @@ object Insights {
       .orderBy("type_a", "type_b")
   }
 
+  /** Cohort LTV curves (round 12, second session) — the
+    * months-since-acquisition revenue ramp per signup cohort, the
+    * relation under every "when does a cohort pay back?" planning
+    * chart. Cohort = the customer's FIRST order month; age = whole
+    * months since (computed as the integer
+    * (year−year₀)·12 + (month−month₀) on month-truncated dates — no
+    * months_between float). Emitted per (cohort, age): active
+    * customer count, exact decimal-cent revenue, the cumulative
+    * revenue ramp, and the cohort's size — all INTEGER; the consumer
+    * divides cum_rev_cents by cohort_size for the LTV-per-head curve.
+    *
+    * Scale: one shuffle to per-(customer, month) revenue, a second
+    * combined rollup to |cohorts|·|ages| cells (calendar-bounded);
+    * the cumulative window runs PARTITIONED by cohort on that spine.
+    * The cohort size rides the spine as a window max of the age-0
+    * active count? No — sizes are a 1-rollup broadcast join (every
+    * cohort member has an age-0 order BY CONSTRUCTION of the cohort,
+    * so cohort_size = n_active at age 0; computed independently and
+    * spec-asserted equal to the age-0 row).
+    */
+  val ordersCohortLtv: Q = (s, dir) => {
+    val o = table(s, dir, "orders")
+      .select(col("o_custkey"),
+        date_trunc("month", to_date(col("o_orderdate"))).cast("date").as("m"),
+        dec(col("o_totalprice")).as("price"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("m0"))
+    val perAge = o.join(first, Seq("o_custkey"))
+      .withColumn("age",
+        (year(col("m")) - year(col("m0"))) * 12 + (month(col("m")) - month(col("m0"))))
+      .groupBy(col("m0").cast("string").as("cohort"), col("age").cast("long").as("age"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        (sum(col("price")) * 100).cast("long").as("rev_cents"))
+    val sizes = first.groupBy(col("m0").cast("string").as("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    perAge
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(
+        Window.partitionBy(col("cohort")).orderBy(col("age"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select("cohort", "age", "n_active", "rev_cents", "cum_rev_cents",
+        "cohort_size")
+      .orderBy("cohort", "age")
+  }
+
+  /** Theil-T inequality decomposition of customer revenue by market
+    * segment (round 12, second session) — the DECOMPOSABLE
+    * counterpart of [[eventsGiniActivity]]: Gini gives one number,
+    * Theil splits it exactly into between-segment and within-segment
+    * components (the property planners use to ask "is revenue
+    * inequality a segment-mix story or an inside-segment story?").
+    *
+    * On the exact frontier via the fixed-point log machinery
+    * ([[graft.functions.NumericExpressions.Log2Fixed]], oracle
+    * replayed by [[graft.oracle.Log2Sql]]): in log₂ units,
+    * X·2²⁰·T = Σᵢ xᵢ·(L(xᵢ·N) − L(X)) — every L argument an
+    * INTEGER (xᵢ·N, not xᵢ/μ), so the whole key is integer
+    * arithmetic, bit-exact cross-engine. Emitted per segment: n_g,
+    * x_g (cents), w_num = Σᵢ xᵢ·(L(xᵢ·N_g) − L(X_g)) (the
+    * within-segment numerator) and b_num = X_g·(L(X_g·N) − L(X·N_g))
+    * (the between term), plus the global (n_total, x_total) scalars;
+    * the consumer forms T_within = Σw/(X·2²⁰), T_between =
+    * Σb/(X·2²⁰), T ≈ T_within + T_between (exact up to the ±3·10⁻⁶
+    * log tolerance — the spec bounds the residual at 10⁻⁴ against a
+    * directly-computed pooled T).
+    *
+    * Scale: one shuffle to per-customer revenue, the log chain runs
+    * on AGGREGATED rows (|customers| scalar evaluations of ~40 long
+    * ops each), segment rollups are map-side-combined, globals ride
+    * the 1-row broadcast pattern. Overflow: L's argument xᵢ·N < 2⁶³
+    * needs xᵢ·N below 9·10¹⁸ — at 100 TB rescale x to whole dollars
+    * (Theil is scale-invariant) before the multiply; documented, not
+    * needed at bench SF.
+    */
+  val ordersTheilDecomposition: Q = (s, dir) => {
+    import graft.functions.NumericExpressions.log2Fixed
+    val rev = table(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("x"))
+    val cust = table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val xi = rev.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("segment"), col("x"))
+    val grp = xi.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("x_g"))
+    val glob = grp.agg(sum(col("n_g")).as("n_total"), sum(col("x_g")).as("x_total"))
+    val withinNum = xi
+      .join(broadcast(grp), Seq("segment"))
+      .groupBy(col("segment"))
+      .agg(sum(col("x") * (log2Fixed(col("x") * col("n_g"))
+        - log2Fixed(col("x_g")))).as("w_num"))
+    grp.join(withinNum, Seq("segment"))
+      .crossJoin(broadcast(glob))
+      .withColumn("b_num", col("x_g") * (log2Fixed(col("x_g") * col("n_total"))
+        - log2Fixed(col("x_total") * col("n_g"))))
+      .select("segment", "n_g", "x_g", "w_num", "b_num", "n_total", "x_total")
+      .orderBy("segment")
+  }
+
   val queries: Map[String, Q] = Map(
     "orders_pareto_share" -> ordersParetoShare,
     "events_burst_days" -> eventsBurstDays,
@@ -650,5 +748,7 @@ object Insights {
     "stat_spearman_cells" -> statSpearmanCells,
     "events_gini_activity" -> eventsGiniActivity,
     "events_type_overlap" -> eventsTypeOverlap,
+    "orders_cohort_ltv" -> ordersCohortLtv,
+    "orders_theil_decomposition" -> ordersTheilDecomposition,
   )
 }

@@ -3480,6 +3480,73 @@ object OracleSql {
         |JOIN sizes sb ON sb.event_type = g.type_b
         |LEFT JOIN inter i ON i.type_a = g.type_a AND i.type_b = g.type_b
         |ORDER BY g.type_a, g.type_b""".stripMargin,
+
+    // ops.Insights.ordersCohortLtv: integer month age, exact decimal
+    // cents, cumulative ramp partitioned by cohort
+    "orders_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |fst AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY 1),
+        |pa AS (
+        |  SELECT CAST(f.m0 AS VARCHAR) AS cohort,
+        |         CAST((year(o.m) - year(f.m0)) * 12
+        |              + (month(o.m) - month(f.m0)) AS BIGINT) AS age,
+        |         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+        |         CAST(SUM(o.price) * 100 AS BIGINT) AS rev_cents
+        |  FROM o JOIN fst f ON f.o_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |sizes AS (
+        |  SELECT CAST(m0 AS VARCHAR) AS cohort,
+        |         CAST(COUNT(*) AS BIGINT) AS cohort_size
+        |  FROM fst GROUP BY 1)
+        |SELECT pa.cohort, age, n_active, rev_cents,
+        |       CAST(SUM(rev_cents) OVER (PARTITION BY pa.cohort ORDER BY age
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_rev_cents,
+        |       cohort_size
+        |FROM pa JOIN sizes ON sizes.cohort = pa.cohort
+        |ORDER BY pa.cohort, age""".stripMargin,
+
+    // ops.Insights.ordersTheilDecomposition: every log argument is an
+    // INTEGER (x·N forms, never x/mu), replayed bit-exactly on the
+    // Log2Sql chain over the distinct argument set
+    "orders_theil_decomposition" ->
+      s"""WITH rev AS (
+         |  SELECT o_custkey,
+         |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |xi AS (
+         |  SELECT c.c_mktsegment AS segment, rev.x
+         |  FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey),
+         |grp AS (
+         |  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_g,
+         |         CAST(SUM(x) AS BIGINT) AS x_g
+         |  FROM xi GROUP BY 1),
+         |gtot AS (
+         |  SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
+         |         CAST(SUM(x_g) AS BIGINT) AS x_total
+         |  FROM grp),
+         |args AS (
+         |  SELECT xi.x * grp.n_g AS v FROM xi JOIN grp USING (segment)
+         |  UNION SELECT x_g FROM grp
+         |  UNION SELECT grp.x_g * gtot.n_total FROM grp CROSS JOIN gtot
+         |  UNION SELECT gtot.x_total * grp.n_g FROM grp CROSS JOIN gtot),
+         |${graft.oracle.Log2Sql.chain("lg", "SELECT v FROM args")},
+         |wn AS (
+         |  SELECT xi.segment, CAST(SUM(xi.x * (la.l20 - lb.l20)) AS BIGINT) AS w_num
+         |  FROM xi JOIN grp USING (segment)
+         |  JOIN lg la ON la.v = xi.x * grp.n_g
+         |  JOIN lg lb ON lb.v = grp.x_g
+         |  GROUP BY 1)
+         |SELECT grp.segment, grp.n_g, grp.x_g, wn.w_num,
+         |       CAST(grp.x_g * (lc.l20 - ld.l20) AS BIGINT) AS b_num,
+         |       gtot.n_total, gtot.x_total
+         |FROM grp JOIN wn ON wn.segment = grp.segment CROSS JOIN gtot
+         |JOIN lg lc ON lc.v = grp.x_g * gtot.n_total
+         |JOIN lg ld ON ld.v = gtot.x_total * grp.n_g
+         |ORDER BY grp.segment""".stripMargin,
   )
 
   val sql: Map[String, String] =

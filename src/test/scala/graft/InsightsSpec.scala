@@ -389,4 +389,59 @@ class InsightsSpec extends SparkSpec {
       assert(union === users(a).union(users(b)).size.toLong, s"union $a/$b")
     }
   }
+
+  test("orders_cohort_ltv: age-0 row IS the cohort; ramp is monotone; revenue conserves") {
+    val rows = ops.Insights.ordersCohortLtv(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, ds) =>
+      val sorted = ds.sortBy(_._2)
+      // every member's first order is in the cohort month ⇒ age 0 exists
+      // and its active count equals the cohort size
+      assert(sorted.head._2 === 0L, s"age-0 row $c")
+      assert(sorted.head._3 === sorted.head._6, s"age-0 actives = cohort size $c")
+      assert(ds.forall(_._3 <= ds.head._6), s"actives never exceed size $c")
+      // the ramp is the running sum of the per-age revenue
+      assert(sorted.map(_._4).scanLeft(0L)(_ + _).tail.toSeq ===
+        sorted.map(_._5).toSeq, s"cumulative ramp $c")
+    }
+    // conservation: revenue lands in exactly one (cohort, age) cell
+    val total = graft.io.Readers.table(spark, dir, "orders")
+      .agg((sum(graft.Determinism.dec(col("o_totalprice"))) * 100).cast("long"))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._4).sum === total, "total revenue conserves")
+    // and every customer is in exactly one cohort
+    val nCust = graft.io.Readers.table(spark, dir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(byCohort.values.map(_.head._6).sum === nCust)
+  }
+
+  test("orders_theil_decomposition: between + within reconstruct the pooled Theil index") {
+    import graft.functions.NumericExpressions.log2FixedJ
+    val rows = ops.Insights.ordersTheilDecomposition(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val xs = graft.io.Readers.table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(graft.Determinism.dec(col("o_totalprice"))) * 100).cast("long").as("x"))
+      .collect().map(_.getLong(1))
+    val n = xs.length.toLong
+    val xTot = xs.sum
+    assert(rows.forall(r => r._6 === n && r._7 === xTot), "globals")
+    assert(rows.map(_._2).sum === n && rows.map(_._3).sum === xTot, "marginals")
+    // the pooled Theil numerator, replayed directly in-JVM on the same
+    // fixed-point kernel: T·X·2^20 = Σ x·(L(x·N) − L(X))
+    val tDirect = xs.map(x => x * (log2FixedJ(x * n) - log2FixedJ(xTot))).sum
+    val tDecomposed = rows.map(_._4).sum + rows.map(_._5).sum
+    val scale = xTot.toDouble * (1L << 20)
+    assert(math.abs(tDirect - tDecomposed) / scale < 1e-4,
+      s"decomposition residual ${math.abs(tDirect - tDecomposed) / scale}")
+    // inequality components are nonnegative (up to log tolerance)
+    val tol = (6.0 / (1L << 20)) * xTot // ±3e-6·2^20 per log, two logs
+    assert(rows.forall(_._4 >= -tol), "within >= 0")
+    assert(rows.map(_._5).sum >= -tol, "between >= 0")
+    // and the index is genuinely positive on this corpus
+    assert(tDecomposed > 0, "pooled inequality positive")
+  }
 }

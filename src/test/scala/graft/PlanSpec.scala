@@ -514,4 +514,56 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.exists(l =>
       l.contains("HashAggregate") && l.contains("partial_sum")), p)
   }
+
+  test("rank-test family: pair fan-out is a broadcast loop over the tiny pair grid, never a cartesian") {
+    for (q <- Seq(ops.Insights.statMannWhitney, ops.Insights.statKsTest,
+        ops.Insights.statKruskalWallis)) {
+      val p = plan(q)
+      // the OR-condition membership join must be a broadcast nested
+      // loop against the ≤k² pair relation — a CartesianProduct here
+      // would mean the broadcast was lost and the fan-out went D×D
+      assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+    }
+  }
+
+  test("events_type_overlap: intersection is an equi-join on user_id; sizes broadcast") {
+    val p = plan(ops.Insights.eventsTypeOverlap)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the per-user fan-out joins on user_id (hash or sort-merge —
+    // never a nested loop over the distinct rollups)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("gini + assortativity: two-phase aggs, single partitioned window, no nested loops") {
+    val g = plan(ops.Insights.eventsGiniActivity)
+    assert(g.linesIterator.count(_.contains("- Window [")) === 1, g.take(2000))
+    assert("HashAggregate".r.findAllIn(g).size >= 2, "expected partial+final agg")
+    val a = plan(ops.Graph.graphDegreeAssortativity)
+    assert(!a.contains("BroadcastNestedLoopJoin") && !a.contains("CartesianProduct"),
+      a.take(2000))
+    assert(a.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")), a.take(2000))
+  }
+
+  test("orders_cohort_ltv: orders scan prunes to 3 cols, cum window on the cohort spine") {
+    val p = plan(ops.Insights.ordersCohortLtv)
+    val rs = p.linesIterator.filter(l => l.contains("ReadSchema") && l.contains("orders"))
+      .mkString
+    assert(rs.contains("o_custkey") && rs.contains("o_orderdate")
+      && rs.contains("o_totalprice"), rs)
+    assert(!rs.contains("o_comment") && !rs.contains("o_clerk"),
+      s"orders pruning failed: $rs")
+    assert(p.linesIterator.count(_.contains("- Window [")) === 1, p.take(2000))
+  }
+
+  test("orders_theil_decomposition: log2_fixed runs post-aggregation inside codegen") {
+    val df = ops.Insights.ordersTheilDecomposition(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("log2_fixed(")).getOrElse("")
+    assert(line.nonEmpty, s"log2_fixed not in the executed plan:\n${p.take(2000)}")
+    assert(line.contains("*("), s"log2_fixed not in a codegen stage: $line")
+  }
 }
