@@ -481,8 +481,51 @@ object InfoTheory {
       .select(col("doc_id"), col("n_hit"), col("bm25_u"), col("bm25"))
   }
 
+  /** Per-language vocabulary coverage curve (round 12, second
+    * session) — the tokenizer/vocab-sizing planning relation: "what
+    * fraction of the corpus token mass do the top-k vocabulary
+    * entries cover?", sampled at k = 1, 2, 4, … (power-of-two spine,
+    * rn & (rn−1) = 0 — branch-free in both engines) plus the full
+    * vocabulary endpoint. Emits per (lang, k): the cumulative token
+    * mass through rank k, the slice's total mass, and its vocabulary
+    * size — all INTEGER; coverage = cum/total is the consumer's
+    * division. Ranking order (cnt DESC, tok) is the [[textZipfSlope]]
+    * total order, so the two keys describe the SAME curve (slope vs
+    * integral).
+    *
+    * Scale: the (lang, tok) rollup is the zipf shape (map-side
+    * combined, one shuffle); the rank + cumulative windows run
+    * partitioned by lang over the VOCABULARY (distinct tokens), never
+    * raw token instances; the emitted spine is ~log₂|vocab| rows per
+    * lang. The per-lang window carries the zipf caveat: a lang's
+    * vocabulary is one partition's sort — at a 10⁹-type vocabulary,
+    * swap to the bucketed two-level cumulative (per-bucket rollup +
+    * bounded triangular prefix join) without changing the emitted
+    * rows.
+    */
+  val textVocabCoverage: Q = (s, dir) => {
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("tok"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+    table(s, dir, "documents")
+      .select(col("lang"), explode(tokens).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(wCum))
+      .withColumn("total_cnt", sum(col("cnt")).over(wAll))
+      .withColumn("vocab_size", count(lit(1)).over(wAll))
+      .filter(expr("(rn & (rn - 1)) = 0") || col("rn") === col("vocab_size"))
+      .select(col("lang"), col("rn").as("k"), col("cum_cnt"),
+        col("total_cnt"), col("vocab_size"))
+      .orderBy("lang", "k")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_gini_impurity" -> aggGiniImpurity,
+    "text_vocab_coverage" -> textVocabCoverage,
     "text_bm25_topk" -> textBm25Topk,
     "sample_perplexity_temperature" -> samplePerplexityTemperature,
     "text_entropy_exact" -> textEntropyExact,

@@ -734,6 +734,95 @@ object Insights {
       .orderBy("segment")
   }
 
+  /** Wald–Wolfowitz runs test per market segment (round 12, second
+    * session) — SEQUENCE randomness, the dimension none of the other
+    * nonparametric keys touch (they all test distributions; this
+    * tests ORDER): is the date-ordered sequence of a segment's order
+    * values above/below its median a random alternation, or does
+    * demand cluster in high/low streaks? Emits the integer
+    * sufficient statistics per segment: n_plus (orders strictly
+    * above the segment median value), n_minus (the rest — the
+    * ties-to-below convention, documented and replayed identically
+    * in the oracle), and runs = 1 + #{sign flips} along the
+    * (o_orderdate, o_orderkey) total order. The consumer forms
+    * Z = (R − μ)/σ with μ = 2n₊n₋/n + 1.
+    *
+    * The median is the EXACT lower median (value at rank
+    * ⌈n/2⌉ = (n+1) div 2 in value order, custkey-free tie-break by
+    * orderkey) — a rank window partitioned by segment, joined back
+    * as a ≤|segments|-row broadcast.
+    *
+    * Scale: three segment-partitioned windows (median rank, the
+    * median pick, the lag), all on the orders relation — the
+    * winsorize-family caveat + KLL swap applies to the median;
+    * the lag window is the sessionize shape (sort within segment by
+    * time). Nothing global, nothing quadratic.
+    */
+  val ordersRunsTest: Q = (s, dir) => {
+    val o = table(s, dir, "orders")
+      .join(broadcast(table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"), col("o_orderkey"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("d"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("v"))
+    val wVal = Window.partitionBy(col("segment")).orderBy(col("v"), col("o_orderkey"))
+    val medians = o
+      .withColumn("rv", row_number().over(wVal).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
+      .filter(col("rv") === expr("(n + 1) div 2"))
+      .select(col("segment"), col("v").as("med"))
+    val wSeq = Window.partitionBy(col("segment")).orderBy(col("d"), col("o_orderkey"))
+    o.join(broadcast(medians), Seq("segment"))
+      .withColumn("sign", when(col("v") > col("med"), 1L).otherwise(0L))
+      .withColumn("flip",
+        when(lag(col("sign"), 1).over(wSeq).isNull, 0L)
+          .when(lag(col("sign"), 1).over(wSeq) =!= col("sign"), 1L)
+          .otherwise(0L))
+      .groupBy(col("segment"))
+      .agg(sum(col("sign")).as("n_plus"),
+        sum(lit(1L) - col("sign")).as("n_minus"),
+        (sum(col("flip")) + 1).as("runs"))
+      .orderBy("segment")
+  }
+
+  /** Benford leading-digit profile of order values by priority class
+    * (round 12, second session) — the data-forensics screen: natural
+    * multi-scale money amounts follow Benford's law (P(d) =
+    * log₁₀(1+1/d)); a priority class whose digit histogram deviates
+    * hard is fabricated, capped, or administratively priced. Emits
+    * the FULL priority × digit-1..9 grid (zero cells kept — the
+    * [[statChi2Cells]] discipline) with observed count and the
+    * class's row total, all INTEGER; the consumer compares against
+    * the Benford expectation in its own float regime (log₁₀
+    * constants never cross the engine boundary).
+    *
+    * The leading digit is extracted lexically — first character of
+    * the cents value's decimal string — which is exact and identical
+    * in both engines (no float log₁₀ near power-of-ten boundaries;
+    * cents > 0 always, so no sign/zero edge).
+    *
+    * Scale: one map-side-combined rollup to ≤ 9·|priorities| cells;
+    * the grid is dimension-bounded; row totals ride a tiny broadcast.
+    */
+  val ordersBenfordDigits: Q = (s, dir) => {
+    val obs = table(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("v"))
+      .withColumn("digit", substring(col("v").cast("string"), 1, 1).cast("long"))
+      .groupBy(col("priority"), col("digit"))
+      .agg(count(lit(1)).as("o"))
+    val prios = obs.select(col("priority")).distinct()
+    val digits = s.range(1, 10).select(col("id").as("digit"))
+    val tots = obs.groupBy(col("priority")).agg(sum(col("o")).as("prio_tot"))
+    prios.crossJoin(broadcast(digits))
+      .join(obs, Seq("priority", "digit"), "left_outer")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .join(broadcast(tots), Seq("priority"))
+      .select("priority", "digit", "o", "prio_tot")
+      .orderBy("priority", "digit")
+  }
+
   val queries: Map[String, Q] = Map(
     "orders_pareto_share" -> ordersParetoShare,
     "events_burst_days" -> eventsBurstDays,
@@ -750,5 +839,7 @@ object Insights {
     "events_type_overlap" -> eventsTypeOverlap,
     "orders_cohort_ltv" -> ordersCohortLtv,
     "orders_theil_decomposition" -> ordersTheilDecomposition,
+    "orders_runs_test" -> ordersRunsTest,
+    "orders_benford_digits" -> ordersBenfordDigits,
   )
 }

@@ -453,6 +453,47 @@ object Relational {
       ORDER BY revenue DESC, n_name""")
   }
 
+  /** TPC-H Q10 over SQL text (round 12, second session) — the
+    * returned-item revenue report: which customers returned the most
+    * value in a quarter? Completes the TPC-H trio (Q3 shipping
+    * priority, Q5 six-way cyclic join, Q10 wide-payload top-k): the
+    * distinguishing shape is a GROUP BY over a WIDE payload
+    * (every carried customer column rides the aggregation key —
+    * the fixture's customer table is narrower than stock TPC-H, so
+    * the payload here is 4 columns + nation) followed by
+    * a top-20 — the planner must keep the payload columns OUT of the
+    * join/shuffle until the aggregate (Catalyst prunes then re-joins
+    * nothing — all live in the grouping key, the classic Q10
+    * cardinality bet that |customers with returns in the quarter| is
+    * small) and the top-20 must be TakeOrdered, not a global sort.
+    * Revenue is the exact decimal product-sum cast once to double
+    * (the house Q5 discipline); ties broken by c_custkey.
+    *
+    * Scale: lineitem⋈orders is the one big shuffle pair (the quarter
+    * + returnflag predicates prune the fact scans); customer joins
+    * shuffle at 100 TB (payload too wide to broadcast — degrades
+    * join-by-join, never re-shapes); nation broadcasts forever.
+    */
+  val sqlTpchQ10: Q = (s, dir) => {
+    Seq("customer", "orders", "lineitem", "nation")
+      .foreach(t => table(s, dir, t).createOrReplaceTempView(t))
+    s.sql("""
+      SELECT c_custkey, c_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             c_acctbal, c_mktsegment, n_name
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""")
+  }
+
   /** Correlated EXISTS / NOT EXISTS over SQL text — the subquery
     * surface a SQL engine must DECORRELATE to survive scale: Catalyst
     * rewrites both into semi/anti hash joins (asserted in PlanSpec; a
@@ -645,6 +686,7 @@ object Relational {
     "reshape_unpivot" -> reshapeUnpivot,
     "sql_tpch_q3" -> sqlTpchQ3,
     "sql_tpch_q5" -> sqlTpchQ5,
+    "sql_tpch_q10" -> sqlTpchQ10,
     "sql_exists_subquery" -> sqlExistsSubquery,
     "sql_scalar_subquery" -> sqlScalarSubquery,
     "sql_lateral_join" -> sqlLateralJoin,

@@ -313,6 +313,40 @@ object Streaming {
       .outputMode("append")
       .start()
 
+  /** Keyed twin of [[applyCardinalityBatch]] — per-(dim, day) sketch
+    * maintenance under the same version-pinned replay guard: a batch
+    * whose version is already committed is a no-op, so post-commit
+    * crash replays never double-count n_rows (the sketch union
+    * itself is lossless either way).
+    */
+  def applyCardinalityKeyedBatch(name: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val applied = graft.io.TableManifest.readPointer(spark, name)
+      .exists(_.version >= batchId + 1)
+    if (!applied && !batch.isEmpty) {
+      if (graft.io.TableManifest.readPointer(spark, name).isEmpty)
+        CardinalityService.buildKeyed(spark, name, batch, version = Some(batchId + 1))
+      else
+        CardinalityService.mergeDaysKeyed(spark, name, batch, version = Some(batchId + 1))
+    }
+  }
+
+  /** Streaming ingest for the KEYED [[CardinalityService]] — the
+    * per-event-type audience service fed straight from the event
+    * stream: after any batch, per-type distinct curves and the
+    * sketched type-overlap matrix are served from stored registers
+    * alone ([[CardinalityService.pairOverlapEstimates]]).
+    */
+  def foreachBatchCardinalityKeyed(stream: DataFrame, name: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyCardinalityKeyedBatch(name)(batch.toDF(), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** The adjacency member of the foreachBatch-sink family: edge
     * micro-batches fold into [[AdjacencyIndex]] under the same
     * version-pinned idempotence contract. Unlike the sketch sinks,

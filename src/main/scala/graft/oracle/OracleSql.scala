@@ -3481,6 +3481,97 @@ object OracleSql {
         |LEFT JOIN inter i ON i.type_a = g.type_a AND i.type_b = g.type_b
         |ORDER BY g.type_a, g.type_b""".stripMargin,
 
+    // ops.InfoTheory.textVocabCoverage: power-of-two rank spine via
+    // rn & (rn-1) = 0, same (cnt DESC, tok) total order as zipf
+    "text_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |         unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok WHERE tok <> '' GROUP BY lang, tok),
+        |ranked AS (
+        |  SELECT lang, cnt,
+        |         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |         CAST(SUM(cnt) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt,
+        |         CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total_cnt,
+        |         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS vocab_size
+        |  FROM counts
+        |  WINDOW w AS (PARTITION BY lang ORDER BY cnt DESC, tok))
+        |SELECT lang, rn AS k, cum_cnt, total_cnt, vocab_size
+        |FROM ranked
+        |WHERE (rn & (rn - 1)) = 0 OR rn = vocab_size
+        |ORDER BY lang, k""".stripMargin,
+
+    // ops.Insights.ordersBenfordDigits: lexical leading digit of the
+    // cents string (exact in both engines), full priority x digit grid
+    "orders_benford_digits" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders),
+        |obs AS (
+        |  SELECT priority,
+        |         CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |         CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM v GROUP BY 1, 2),
+        |prios AS (SELECT DISTINCT priority FROM obs),
+        |digits AS (SELECT CAST(range AS BIGINT) AS digit FROM range(1, 10)),
+        |tots AS (SELECT priority, CAST(SUM(o) AS BIGINT) AS prio_tot FROM obs GROUP BY 1)
+        |SELECT p.priority, d.digit, COALESCE(obs.o, 0) AS o, t.prio_tot
+        |FROM prios p CROSS JOIN digits d
+        |LEFT JOIN obs ON obs.priority = p.priority AND obs.digit = d.digit
+        |JOIN tots t ON t.priority = p.priority
+        |ORDER BY p.priority, d.digit""".stripMargin,
+
+    // ops.Relational.sqlTpchQ10: exact decimal product-sum cast once;
+    // top-20 tie-broken by c_custkey
+    "sql_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       c_acctbal, c_mktsegment, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-10-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    // ops.Insights.ordersRunsTest: lower median at rank (n+1)//2,
+    // ties-to-below sign convention, runs = 1 + sign flips along the
+    // (date, orderkey) total order — identical in both engines
+    "orders_runs_test" ->
+      """WITH o AS (
+        |  SELECT c.c_mktsegment AS segment, o_orderkey,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders JOIN customer c ON c.c_custkey = o_custkey),
+        |r AS (
+        |  SELECT segment, o_orderkey, d, v,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY segment
+        |                                 ORDER BY v, o_orderkey) AS BIGINT) AS rv,
+        |         CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+        |  FROM o),
+        |med AS (
+        |  SELECT segment, v AS med FROM r WHERE rv = (n + 1) // 2),
+        |sgn AS (
+        |  SELECT o.segment,
+        |         CASE WHEN o.v > med.med THEN 1 ELSE 0 END AS sign,
+        |         LAG(CASE WHEN o.v > med.med THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY o.segment ORDER BY o.d, o.o_orderkey) AS prev
+        |  FROM o JOIN med ON med.segment = o.segment)
+        |SELECT segment, CAST(SUM(sign) AS BIGINT) AS n_plus,
+        |       CAST(SUM(1 - sign) AS BIGINT) AS n_minus,
+        |       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> sign THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+        |FROM sgn GROUP BY 1
+        |ORDER BY segment""".stripMargin,
+
     // ops.Insights.ordersCohortLtv: integer month age, exact decimal
     // cents, cumulative ramp partitioned by cohort
     "orders_cohort_ltv" ->

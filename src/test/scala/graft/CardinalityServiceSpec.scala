@@ -252,6 +252,58 @@ class CardinalityServiceSpec extends SparkSpec {
     } finally io.TableManifest.drop(spark, "csvc_ov")
   }
 
+  test("keyed streaming ingest: open-day batches merge per dim, replay is a no-op, converges to batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val name = "csvc_kstream"
+    val ckpt = java.nio.file.Files.createTempDirectory("csvc_kckpt").toString
+    val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q = ops.Streaming.foreachBatchCardinalityKeyed(
+      stream.toDF().toDF("ts", "event_type", "user_id"), name, ckpt)
+    try {
+      // user 7 recurs in 'click' across batches: must count once there,
+      // and independently in 'view' (dims keep separate registers)
+      stream.addData(Seq((ts("2024-03-01 10:00:00"), "click", 7L),
+        (ts("2024-03-01 11:00:00"), "click", 8L),
+        (ts("2024-03-01 11:30:00"), "view", 7L)))
+      q.processAllAvailable()
+      stream.addData(Seq((ts("2024-03-01 12:00:00"), "click", 7L),
+        (ts("2024-03-02 09:00:00"), "view", 9L)))
+      q.processAllAvailable()
+      val byDim = ops.CardinalityService.distinctByDim(spark, name)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(byDim === Map("click" -> (2L, 3L), "view" -> (2L, 2L)),
+        s"per-dim estimates after two batches: $byDim")
+      // post-commit replay (crash before the checkpoint advanced)
+      val replay = Seq((ts("2024-03-01 12:00:00"), "click", 7L),
+        (ts("2024-03-02 09:00:00"), "view", 9L))
+        .toDF("ts", "event_type", "user_id")
+      ops.Streaming.applyCardinalityKeyedBatch(name)(replay, 1L)
+      val afterReplay = ops.CardinalityService.distinctByDim(spark, name)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(afterReplay === Map("click" -> 3L, "view" -> 2L),
+        "replayed batch must not re-count its rows")
+      // streamed state == one-shot keyed build over the batch union
+      val all = Seq((ts("2024-03-01 10:00:00"), "click", 7L),
+        (ts("2024-03-01 11:00:00"), "click", 8L),
+        (ts("2024-03-01 11:30:00"), "view", 7L),
+        (ts("2024-03-01 12:00:00"), "click", 7L),
+        (ts("2024-03-02 09:00:00"), "view", 9L))
+        .toDF("ts", "event_type", "user_id")
+      ops.CardinalityService.buildKeyed(spark, "csvc_kstream_ref", all)
+      try {
+        val a = ops.CardinalityService.distinctByDim(spark, name).collect()
+        val b = ops.CardinalityService.distinctByDim(spark, "csvc_kstream_ref").collect()
+        assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+          "streamed state must equal the batch build")
+      } finally io.TableManifest.drop(spark, "csvc_kstream_ref")
+    } finally {
+      q.stop()
+      io.TableManifest.drop(spark, name)
+    }
+  }
+
   test("keyed and unkeyed layouts cannot silently mix") {
     ops.CardinalityService.buildKeyed(spark, "csvc_mix", typedEvents)
     try {

@@ -178,6 +178,40 @@ class InfoTheorySpec extends SparkSpec {
     }
   }
 
+  test("text_vocab_coverage: power-of-two spine + endpoint, monotone mass, agrees with a counted replay") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = ops.InfoTheory.textVocabCoverage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // independent tokenization replay, same order as zipf
+    val counts = io.Readers.table(spark, dir, "documents")
+      .select(col("lang"), explode(split(
+        lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (lang, g) =>
+        lang -> g.map(t => (t._3, t._2)).sortBy(t => (-t._1, t._2)).map(_._1)
+      }
+    assert(rows.map(_._1).toSet === counts.keySet)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sorted = counts(lang)
+      val vocab = sorted.length.toLong
+      val total = sorted.sum
+      // spine: every power of two <= vocab, plus the endpoint exactly once
+      val wantKs = Iterator.iterate(1L)(_ * 2).takeWhile(_ <= vocab).toSet + vocab
+      assert(rs.map(_._2).toSet === wantKs, s"spine for $lang")
+      rs.foreach { case (_, k, cum, tot, vs) =>
+        assert(vs === vocab, s"vocab_size $lang")
+        assert(tot === total, s"total_cnt $lang")
+        assert(cum === sorted.take(k.toInt).sum, s"cum at k=$k $lang")
+      }
+      // endpoint covers everything; mass is monotone in k
+      assert(rs.find(_._2 == vocab).get._3 === total)
+      val byK = rs.sortBy(_._2).map(_._3)
+      assert(byK.zip(byK.tail).forall { case (a, b) => a <= b }, s"monotone $lang")
+    }
+  }
+
   test("text_zipf_slope tracks the double-precision OLS over log-log ranks") {
     val dir = "/root/testdata/sf0.001"
     val fixed = ops.InfoTheory.textZipfSlope(spark, dir)

@@ -444,4 +444,57 @@ class InsightsSpec extends SparkSpec {
     // and the index is genuinely positive on this corpus
     assert(tDecomposed > 0, "pooled inequality positive")
   }
+
+  test("orders_benford_digits: full grid, totals conserve, lexical digit matches arithmetic leading digit") {
+    val rows = ops.Insights.ordersBenfordDigits(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byPrio = rows.groupBy(_._1)
+    // full 9-cell grid per priority, zero cells included
+    byPrio.foreach { case (p, cells) =>
+      assert(cells.map(_._2).sorted.toSeq === (1L to 9L), s"grid incomplete for $p")
+      assert(cells.map(_._3).sum === cells.head._4, s"observed counts must sum to prio_tot for $p")
+      assert(cells.map(_._4).distinct.length === 1, s"prio_tot constant within $p")
+    }
+    // brute-force replay: leading digit of the cents value, arithmetic form
+    val o = graft.io.Readers.table(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        (graft.Determinism.dec(col("o_totalprice")) * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def lead(v: Long): Long = { var x = v; while (x >= 10) x /= 10; x }
+    val want = o.groupBy(t => (t._1, lead(t._2))).map { case (k, g) => k -> g.length.toLong }
+    rows.foreach { case (p, d, obs, _) =>
+      assert(obs === want.getOrElse((p, d), 0L), s"cell ($p,$d)")
+    }
+    assert(rows.map(_._3).sum === o.length.toLong, "grand total conserves")
+  }
+
+  test("orders_runs_test: runs match a sequential replay; lower-median conventions hold") {
+    val rows = ops.Insights.ordersRunsTest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val o = graft.io.Readers.table(spark, dir, "orders")
+      .join(graft.io.Readers.table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"),
+        unix_date(to_date(col("o_orderdate"))).cast("long"),
+        (graft.Determinism.dec(col("o_totalprice")) * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySeg = o.groupBy(_._1)
+    assert(rows.map(_._1).toSet === bySeg.keySet)
+    rows.foreach { case (seg, nPlus, nMinus, runs) =>
+      val ds = bySeg(seg)
+      // lower median at rank (n+1) div 2 in (v, orderkey) order
+      val byVal = ds.sortBy(t => (t._4, t._2))
+      val med = byVal((ds.length + 1) / 2 - 1)._4
+      val seq = ds.sortBy(t => (t._3, t._2)).map(t => if (t._4 > med) 1L else 0L)
+      assert(nPlus === seq.count(_ == 1L).toLong, s"n_plus $seg")
+      assert(nMinus === seq.count(_ == 0L).toLong, s"n_minus $seg")
+      val expectedRuns = 1L + seq.sliding(2).count(w => w.length == 2 && w(0) != w(1))
+      assert(runs === expectedRuns, s"runs $seg")
+      // conventions: population splits, runs bounded, ties-to-below
+      // keeps the above side the strictly smaller-or-equal half
+      assert(nPlus + nMinus === ds.length.toLong)
+      assert(runs >= 1 && runs <= ds.length.toLong)
+      assert(nPlus <= nMinus, s"ties-to-below keeps n_plus <= n_minus $seg")
+    }
+  }
 }

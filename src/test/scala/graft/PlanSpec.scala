@@ -558,6 +558,25 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("- Window [")) === 1, p.take(2000))
   }
 
+  test("sql_tpch_q10: quarter + returnflag push to the scans, nation broadcasts, top-20 is TakeOrdered") {
+    val p = plan(ops.Relational.sqlTpchQ10)
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+    assert(p.contains("BroadcastHashJoin"), "nation must broadcast")
+    val ordersScan = p.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate")).mkString
+    assert(ordersScan.contains("GreaterThanOrEqual") || ordersScan.contains("LessThan"),
+      s"date range not pushed: $ordersScan")
+    val liScan = p.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("l_returnflag")).mkString
+    assert(liScan.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed: $liScan")
+  }
+
+  test("orders_runs_test: all three windows are segment-partitioned; median relation broadcasts") {
+    val p = plan(ops.Insights.ordersRunsTest)
+    assert(p.contains("BroadcastHashJoin"), "median + segment dims must broadcast")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("orders_theil_decomposition: log2_fixed runs post-aggregation inside codegen") {
     val df = ops.Insights.ordersTheilDecomposition(spark, dir)
     df.collect()
