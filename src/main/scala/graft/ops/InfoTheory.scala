@@ -523,9 +523,62 @@ object InfoTheory {
       .orderBy("lang", "k")
   }
 
+  /** Kneser–Ney continuation profile (round 12, third session) — the
+    * language-model smoothing cells: for each of the top-20 tokens per
+    * language (by left-context diversity), the raw count, the
+    * CONTINUATION count N₁₊(•w) (distinct left neighbors — KN's
+    * unigram numerator: "how many contexts does w complete?"), the
+    * fertility N₁₊(w•) (distinct right neighbors), and the language's
+    * total bigram type count (KN's denominator). The consumer forms
+    * P_KN(w) = N₁₊(•w)/|bigram types| directly; the cont-vs-raw gap is
+    * the classic "Francisco" diagnostic (high count, one context).
+    * Bigrams are position-adjacent within a document, never across
+    * docs — the [[textCondEntropyBigram]] extraction, identical in
+    * both engines.
+    *
+    * Scale: posexplode + one lag window on doc_id (the bigram shape);
+    * three map-side-combined rollups over the bigram TYPE relation
+    * (≤ distinct pairs, not instances); the top-20 rank window runs
+    * per lang over the VOCABULARY — the zipf caveat (10⁹-type vocab →
+    * bucketed two-level top-k) applies.
+    */
+  val textKnContinuation: Q = (s, dir) => {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toksP = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        posexplode(tokens).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val big = toksP
+      .withColumn("prev", lag(col("tok"), 1).over(wDoc))
+      .filter(col("prev").isNotNull)
+      .select(col("lang"), col("prev"), col("tok"))
+    val uni = toksP.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val cont = big.groupBy(col("lang"), col("tok"))
+      .agg(countDistinct(col("prev")).as("cont_types"))
+    val fert = big.groupBy(col("lang"), col("prev"))
+      .agg(countDistinct(col("tok")).as("fert_types"))
+      .withColumnRenamed("prev", "tok")
+    val bt = big.select(col("lang"), col("prev"), col("tok")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("bigram_types"))
+    val wTop = Window.partitionBy(col("lang"))
+      .orderBy(col("cont_types").desc, col("tok"))
+    uni.join(cont, Seq("lang", "tok"), "left_outer")
+      .join(fert, Seq("lang", "tok"), "left_outer")
+      .select(col("lang"), col("tok"), col("cnt"),
+        coalesce(col("cont_types"), lit(0L)).as("cont_types"),
+        coalesce(col("fert_types"), lit(0L)).as("fert_types"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= 20)
+      .join(broadcast(bt), Seq("lang"))
+      .select(col("lang"), col("rn"), col("tok"), col("cnt"),
+        col("cont_types"), col("fert_types"), col("bigram_types"))
+      .orderBy("lang", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_gini_impurity" -> aggGiniImpurity,
     "text_vocab_coverage" -> textVocabCoverage,
+    "text_kn_continuation" -> textKnContinuation,
     "text_bm25_topk" -> textBm25Topk,
     "sample_perplexity_temperature" -> samplePerplexityTemperature,
     "text_entropy_exact" -> textEntropyExact,

@@ -823,7 +823,144 @@ object Insights {
       .orderBy("priority", "digit")
   }
 
+  /** One-way ANOVA sufficient statistics per market segment (round 12,
+    * third session) — the PARAMETRIC twin of [[statKruskalWallis]]
+    * (same grouping, same response; that key tests rank distributions,
+    * this one mean levels): per segment the count, exact cents sum,
+    * and exact cents sum-of-squares. The consumer forms
+    * F = MSB/MSW from these cells alone (grand totals are sums of the
+    * rows); Welch's heteroscedastic variant reads off the same cells
+    * per group. All exact: v is integer cents, Σv² carried in
+    * DECIMAL(38,0) (v² ≤ ~4·10¹⁵ and n ≤ ~10⁹ stays far under 10³⁸ —
+    * the overflow headroom the runs/spearman keys lack at BIGINT) and
+    * EMITTED as its exact decimal string: past int64 the engines'
+    * wide-integer surface types diverge (Decimal vs HUGEINT float-ing
+    * through pandas), but the digit string is portable and hashable.
+    *
+    * Scale: one broadcast dim join + one map-side-combined rollup to
+    * ≤|segments| rows. Nothing else.
+    */
+  val statAnovaCells: Q = (s, dir) => {
+    table(s, dir, "orders")
+      .join(broadcast(table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"), (dec(col("o_totalprice")) * 100).cast("long").as("v"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sum_cents"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)")
+          .cast("string").as("sumsq_cents"))
+      .orderBy("segment")
+  }
+
+  /** Per-event-type interarrival profile (round 12, third session) —
+    * the usage-cadence relation: how long between a user's consecutive
+    * events of each type? Gaps in exact integer MICROSECONDS
+    * (unix_micros both engines — no float epoch, no second-truncation
+    * direction mismatch), per type: users with ≥2 events, gap count,
+    * exact gap sum, the exact lower median gap (rank (n+1) div 2 in
+    * (gap, event_id-of-the-later-event) order — the [[ordersRunsTest]]
+    * convention), and the max. Types where no user repeats are absent
+    * by construction (both engines inner-join the median relation).
+    *
+    * Scale: the lag window shuffles once on (type, user) — the
+    * sessionize shape; the median rank window partitions by TYPE over
+    * gap rows (≈ event count) — the winsorize caveat applies: at
+    * 10⁹ gaps/type swap the median for the KLL service quantile
+    * ([[SketchVariants]]). sum_gap_us overflows BIGINT only past
+    * ~10⁵ user-years per type — widen to DECIMAL(38,0) there.
+    */
+  val eventsInterarrival: Q = (s, dir) => {
+    val wSeq = Window.partitionBy(col("t"), col("u")).orderBy(col("us"), col("event_id"))
+    val gaps = table(s, dir, "events")
+      .select(col("event_type").as("t"), col("user_id").as("u"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(wSeq))
+      .filter(col("gap").isNotNull)
+    val wRank = Window.partitionBy(col("t")).orderBy(col("gap"), col("event_id"))
+    val med = gaps
+      .withColumn("rg", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("t"))))
+      .filter(col("rg") === expr("(n + 1) div 2"))
+      .select(col("t"), col("gap").as("med_gap_us"))
+    gaps.groupBy(col("t"))
+      .agg(countDistinct(col("u")).as("n_users"),
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sum_gap_us"),
+        max(col("gap")).as("max_gap_us"))
+      .join(broadcast(med), Seq("t"))
+      .select(col("t").as("event_type"), col("n_users"), col("n_gaps"),
+        col("sum_gap_us"), col("med_gap_us"), col("max_gap_us"))
+      .orderBy("event_type")
+  }
+
+  /** Daily open-order backlog (round 12, third session) — the
+    * operations curve: how many orders are in flight (ordered, not yet
+    * fully shipped) on each calendar day? An order is open on
+    * [o_orderdate, max(l_shipdate)] inclusive (close clamped to the
+    * open day — greatest() in both engines). THE PLAN POINT: this is
+    * the interval-count problem solved by EVENT DIFFERENCING, never an
+    * interval×spine join (+1 at open, −1 the day after close, prefix
+    * sum over the calendar spine) — and the prefix sum itself is the
+    * documented TWO-LEVEL CUMULATIVE actually implemented: within
+    * 512-day blocks a block-partitioned running sum, across blocks a
+    * bounded triangular prefix join over the ≤|blocks| block totals
+    * (broadcast) — NO unpartitioned window anywhere, at any spine
+    * length. The oracle replays a straight cumulative; equality is the
+    * algebraic proof the decomposition is exact.
+    *
+    * Emits per epoch-day d on the [min open, max close] spine:
+    * opened, closed (orders closing that day), backlog. Invariants
+    * spec'd: backlog ≥ 0, backlog(hi) = closed(hi), conservation
+    * against a brute-force interval count.
+    *
+    * Scale: close dates are one map-side rollup of lineitem; deltas
+    * aggregate to ≤2 rows/day; the spine is calendar-bounded. The
+    * orders⋈lineitem-rollup join shuffles on orderkey — the one real
+    * exchange.
+    */
+  val ordersOpenBacklog: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(unix_date(to_date(col("l_shipdate")))).cast("long").as("close0"))
+    val o = table(s, dir, "orders")
+      .select(col("o_orderkey"), unix_date(to_date(col("o_orderdate"))).cast("long").as("open_d"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("open_d"), greatest(col("close0"), col("open_d")).as("close_d"))
+    val opened = o.groupBy(col("open_d").as("d")).agg(count(lit(1)).as("opened"))
+    val closed = o.groupBy(col("close_d").as("d")).agg(count(lit(1)).as("closed"))
+    val deltas = opened.select(col("d"), col("opened").as("delta"))
+      .unionByName(closed.select((col("d") + 1).as("d"), (-col("closed")).as("delta")))
+      .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+    val spine = o.agg(min(col("open_d")).as("lo"), max(col("close_d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val withDelta = spine.join(deltas, Seq("d"), "left_outer")
+      .join(opened, Seq("d"), "left_outer")
+      .join(closed, Seq("d"), "left_outer")
+      .select(col("d"), coalesce(col("delta"), lit(0L)).as("delta"),
+        coalesce(col("opened"), lit(0L)).as("opened"),
+        coalesce(col("closed"), lit(0L)).as("closed"))
+      .withColumn("y", expr("d div 512"))
+    val wIn = Window.partitionBy(col("y")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBlock = withDelta.groupBy(col("y")).agg(sum(col("delta")).as("block_tot"))
+    val base = perBlock.as("a")
+      .join(broadcast(perBlock.as("b")), col("b.y") < col("a.y"), "left_outer")
+      .groupBy(col("a.y").as("y"))
+      .agg(coalesce(sum(col("b.block_tot")), lit(0L)).as("base"))
+    withDelta
+      .withColumn("cum_in", sum(col("delta")).over(wIn))
+      .join(broadcast(base), Seq("y"))
+      .select(col("d"), col("opened"), col("closed"),
+        (col("base") + col("cum_in")).as("backlog"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stat_anova_cells" -> statAnovaCells,
+    "events_interarrival" -> eventsInterarrival,
+    "orders_open_backlog" -> ordersOpenBacklog,
     "orders_pareto_share" -> ordersParetoShare,
     "events_burst_days" -> eventsBurstDays,
     "stat_chi2_cells" -> statChi2Cells,

@@ -494,6 +494,45 @@ object Relational {
       LIMIT 20""")
   }
 
+  /** TPC-H Q18 over SQL text (round 12, third session) — the
+    * large-volume-customer report: orders whose total lineitem
+    * quantity clears a threshold, with their customers, top-100 by
+    * order value. The distinguishing shape this adds to the Q3/Q5/Q10
+    * set is the AGGREGATE-THEN-SEMI-JOIN: the IN (GROUP BY … HAVING)
+    * subquery must decorrelate to a semi join against the aggregated
+    * fact (plan-gated LeftSemi — a per-row re-aggregation would be
+    * quadratic), and lineitem is read TWICE with different shapes
+    * (filtered rollup vs detail join) — Catalyst keeps the scans
+    * independent, each with its own pruning. Threshold 180 sits in
+    * the fixture's per-order Σqty tail (max 458 @ sf0.01). Quantities
+    * are integral doubles cast to BIGINT in both engines (never
+    * summed as float); top-100 is TakeOrdered, tie-broken by
+    * o_orderkey.
+    *
+    * Scale: both lineitem passes shuffle on orderkey (AQE can reuse
+    * the exchange); the HAVING rollup is map-side combined; customer
+    * attaches per the Q10 degradation argument.
+    */
+  val sqlTpchQ18: Q = (s, dir) => {
+    Seq("customer", "orders", "lineitem")
+      .foreach(t => table(s, dir, t).createOrReplaceTempView(t))
+    s.sql("""
+      SELECT c_custkey, c_name, o_orderkey,
+             CAST(o_orderdate AS DATE) AS o_date,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_cents,
+             sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 180)
+      GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY totalprice_cents DESC, o_orderkey
+      LIMIT 100""")
+  }
+
   /** Correlated EXISTS / NOT EXISTS over SQL text — the subquery
     * surface a SQL engine must DECORRELATE to survive scale: Catalyst
     * rewrites both into semi/anti hash joins (asserted in PlanSpec; a
@@ -687,6 +726,7 @@ object Relational {
     "sql_tpch_q3" -> sqlTpchQ3,
     "sql_tpch_q5" -> sqlTpchQ5,
     "sql_tpch_q10" -> sqlTpchQ10,
+    "sql_tpch_q18" -> sqlTpchQ18,
     "sql_exists_subquery" -> sqlExistsSubquery,
     "sql_scalar_subquery" -> sqlScalarSubquery,
     "sql_lateral_join" -> sqlLateralJoin,

@@ -3481,6 +3481,142 @@ object OracleSql {
         |LEFT JOIN inter i ON i.type_a = g.type_a AND i.type_b = g.type_b
         |ORDER BY g.type_a, g.type_b""".stripMargin,
 
+    // ops.Insights.statAnovaCells: exact cents moments, sumsq in
+    // DECIMAL(38,0) via HUGEINT product (BIGINT v*v would overflow)
+    "stat_anova_cells" ->
+      """SELECT c.c_mktsegment AS segment,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(v) AS BIGINT) AS sum_cents,
+        |       CAST(SUM(CAST(v AS HUGEINT) * v) AS VARCHAR) AS sumsq_cents
+        |FROM (SELECT o_custkey,
+        |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |      FROM orders) o
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY 1
+        |ORDER BY segment""".stripMargin,
+
+    // ops.Insights.eventsInterarrival: exact microsecond gaps, lower
+    // median at rank (n+1)//2 in (gap, later-event-id) order
+    "events_interarrival" ->
+      """WITH e AS (
+        |  SELECT event_type AS t, user_id AS u, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT t, u, event_id,
+        |         us - LAG(us) OVER (PARTITION BY t, u ORDER BY us, event_id) AS gap
+        |  FROM e),
+        |gg AS (SELECT * FROM g WHERE gap IS NOT NULL),
+        |r AS (
+        |  SELECT t, gap,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY t ORDER BY gap, event_id) AS BIGINT) AS rg,
+        |         CAST(COUNT(*) OVER (PARTITION BY t) AS BIGINT) AS n
+        |  FROM gg),
+        |med AS (SELECT t, gap AS med_gap_us FROM r WHERE rg = (n + 1) // 2),
+        |a AS (
+        |  SELECT t, CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+        |         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |         CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+        |         CAST(MAX(gap) AS BIGINT) AS max_gap_us
+        |  FROM gg GROUP BY 1)
+        |SELECT a.t AS event_type, n_users, n_gaps, sum_gap_us,
+        |       med.med_gap_us, max_gap_us
+        |FROM a JOIN med ON med.t = a.t
+        |ORDER BY event_type""".stripMargin,
+
+    // ops.Insights.ordersOpenBacklog: event differencing + straight
+    // cumulative (the Spark side's two-level decomposition must agree)
+    "orders_open_backlog" ->
+      """WITH cl AS (
+        |  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close0
+        |  FROM lineitem GROUP BY 1),
+        |o AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS open_d,
+        |         CAST(datediff('day', DATE '1970-01-01',
+        |              GREATEST(close0, CAST(o_orderdate AS DATE))) AS BIGINT) AS close_d
+        |  FROM orders JOIN cl ON cl.l_orderkey = o_orderkey),
+        |op AS (SELECT open_d AS d, CAST(COUNT(*) AS BIGINT) AS opened FROM o GROUP BY 1),
+        |clc AS (SELECT close_d AS d, CAST(COUNT(*) AS BIGINT) AS closed FROM o GROUP BY 1),
+        |bounds AS (SELECT MIN(open_d) AS lo, MAX(close_d) AS hi FROM o),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS d FROM bounds),
+        |del AS (
+        |  SELECT d, SUM(delta) AS delta FROM (
+        |    SELECT d, opened AS delta FROM op
+        |    UNION ALL
+        |    SELECT d + 1, -closed FROM clc) GROUP BY 1),
+        |j AS (
+        |  SELECT s.d, COALESCE(op.opened, 0) AS opened,
+        |         COALESCE(clc.closed, 0) AS closed,
+        |         COALESCE(del.delta, 0) AS delta
+        |  FROM spine s
+        |  LEFT JOIN op ON op.d = s.d
+        |  LEFT JOIN clc ON clc.d = s.d
+        |  LEFT JOIN del ON del.d = s.d)
+        |SELECT d, CAST(opened AS BIGINT) AS opened, CAST(closed AS BIGINT) AS closed,
+        |       CAST(SUM(delta) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+        |                             AND CURRENT ROW) AS BIGINT) AS backlog
+        |FROM j ORDER BY d""".stripMargin,
+
+    // ops.InfoTheory.textKnContinuation: bigram zip extraction (the
+    // cond-entropy idiom), left/right type diversity, top-20 per lang
+    "text_kn_continuation" ->
+      """WITH tokarr AS (
+        |  SELECT doc_id, lang,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |toks AS (
+        |  SELECT lang, unnest(toks) AS tok FROM tokarr),
+        |big AS (
+        |  SELECT lang,
+        |         unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS prev,
+        |         unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS tok
+        |  FROM tokarr WHERE len(toks) >= 2),
+        |uni AS (
+        |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks WHERE tok <> '' GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT lang, tok, CAST(COUNT(DISTINCT prev) AS BIGINT) AS cont_types
+        |  FROM big GROUP BY 1, 2),
+        |fert AS (
+        |  SELECT lang, prev AS tok, CAST(COUNT(DISTINCT tok) AS BIGINT) AS fert_types
+        |  FROM big GROUP BY 1, 2),
+        |bt AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS bigram_types
+        |  FROM (SELECT DISTINCT lang, prev, tok FROM big) GROUP BY 1),
+        |j AS (
+        |  SELECT u.lang, u.tok, u.cnt,
+        |         COALESCE(c.cont_types, 0) AS cont_types,
+        |         COALESCE(f.fert_types, 0) AS fert_types
+        |  FROM uni u
+        |  LEFT JOIN cont c ON c.lang = u.lang AND c.tok = u.tok
+        |  LEFT JOIN fert f ON f.lang = u.lang AND f.tok = u.tok),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |            ORDER BY cont_types DESC, tok) AS BIGINT) AS rn
+        |  FROM j)
+        |SELECT r.lang, rn, tok, cnt, cont_types, fert_types, bt.bigram_types
+        |FROM r JOIN bt ON bt.lang = r.lang
+        |WHERE rn <= 20
+        |ORDER BY r.lang, rn""".stripMargin,
+
+    // ops.Relational.sqlTpchQ18: integral-double quantities cast to
+    // BIGINT before summing; top-100 tie-broken by o_orderkey
+    "sql_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS o_date,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_cents,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 180)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY totalprice_cents DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
     // ops.InfoTheory.textVocabCoverage: power-of-two rank spine via
     // rn & (rn-1) = 0, same (cnt DESC, tok) total order as zipf
     "text_vocab_coverage" ->

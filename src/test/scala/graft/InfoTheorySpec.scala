@@ -212,6 +212,41 @@ class InfoTheorySpec extends SparkSpec {
     }
   }
 
+  test("text_kn_continuation: continuation/fertility counts match an adjacency replay") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = ops.InfoTheory.textKnContinuation(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // replay: per doc the token sequence, bigrams = adjacent pairs
+    val docs = io.Readers.table(spark, dir, "documents")
+      .select(col("lang"), split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " "))
+      .as[(String, Seq[String])].collect()
+      .map { case (l, ts) => (l, ts.filter(_.nonEmpty)) }
+    val uni = docs.flatMap { case (l, ts) => ts.map((l, _)) }
+      .groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val bigrams = docs.flatMap { case (l, ts) =>
+      ts.zip(ts.drop(1)).map { case (p, c) => (l, p, c) } }.toSet
+    val cont = bigrams.groupBy(b => (b._1, b._3)).map { case (k, g) => k -> g.size.toLong }
+    val fert = bigrams.groupBy(b => (b._1, b._2)).map { case (k, g) => k -> g.size.toLong }
+    val bt = bigrams.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+    rows.foreach { case (lang, rn, tok, cnt, c, f, b) =>
+      assert(cnt === uni((lang, tok)), s"cnt $lang/$tok")
+      assert(c === cont.getOrElse((lang, tok), 0L), s"cont $lang/$tok")
+      assert(f === fert.getOrElse((lang, tok), 0L), s"fert $lang/$tok")
+      assert(b === bt(lang), s"bigram_types $lang")
+      assert(rn >= 1 && rn <= 20)
+    }
+    // top-20 is genuinely the continuation-ordered head: every emitted
+    // cont count >= the best cont count NOT emitted for that lang
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val emitted = rs.map(_._3).toSet
+      val bestOut = cont.collect {
+        case ((l, t), c) if l == lang && !emitted(t) => c }
+      if (bestOut.nonEmpty)
+        assert(rs.map(_._5).min >= bestOut.max, s"head property $lang")
+    }
+  }
+
   test("text_zipf_slope tracks the double-precision OLS over log-log ranks") {
     val dir = "/root/testdata/sf0.001"
     val fixed = ops.InfoTheory.textZipfSlope(spark, dir)

@@ -445,6 +445,79 @@ class InsightsSpec extends SparkSpec {
     assert(tDecomposed > 0, "pooled inequality positive")
   }
 
+  test("stat_anova_cells: moments match a brute-force replay; sumsq string is the exact big integer") {
+    val rows = ops.Insights.statAnovaCells(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), BigInt(r.getString(3))))
+    val o = graft.io.Readers.table(spark, dir, "orders")
+      .join(graft.io.Readers.table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        (graft.Determinism.dec(col("o_totalprice")) * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySeg = o.groupBy(_._1)
+    assert(rows.map(_._1).toSet === bySeg.keySet)
+    rows.foreach { case (seg, n, s1, s2) =>
+      val vs = bySeg(seg).map(_._2)
+      assert(n === vs.length.toLong, s"n $seg")
+      assert(s1 === vs.sum, s"sum $seg")
+      assert(s2 === vs.map(v => BigInt(v) * BigInt(v)).sum, s"sumsq $seg")
+    }
+  }
+
+  test("events_interarrival: gaps match a per-user sequential replay; median convention holds") {
+    val rows = ops.Insights.eventsInterarrival(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val e = graft.io.Readers.table(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per (type, user): sort by (us, event_id), successive diffs tagged
+    // with the LATER event's id (the median tie-break key)
+    val gaps = e.groupBy(t => (t._1, t._2)).toSeq.flatMap { case ((ty, _), g) =>
+      val s = g.sortBy(t => (t._3, t._4))
+      s.zip(s.tail).map { case (a, b) => (ty, b._3 - a._3, b._4) }
+    }
+    val byType = gaps.groupBy(_._1)
+    assert(rows.map(_._1).toSet === byType.keySet.filter(t => byType(t).nonEmpty))
+    rows.foreach { case (ty, nUsers, nGaps, sumG, medG, maxG) =>
+      val g = byType(ty)
+      assert(nGaps === g.length.toLong, s"n_gaps $ty")
+      assert(sumG === g.map(_._2).sum, s"sum $ty")
+      assert(maxG === g.map(_._2).max, s"max $ty")
+      val ordered = g.sortBy(t => (t._2, t._3))
+      assert(medG === ordered((g.length + 1) / 2 - 1)._2, s"median $ty")
+      val usersWithRepeat = e.groupBy(t => (t._1, t._2))
+        .count { case ((t, _), grp) => t == ty && grp.length >= 2 }
+      assert(nUsers === usersWithRepeat.toLong, s"n_users $ty")
+    }
+  }
+
+  test("orders_open_backlog: equals a brute-force interval count; endpoint + conservation invariants") {
+    val rows = ops.Insights.ordersOpenBacklog(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val iv = graft.io.Readers.table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(unix_date(to_date(col("l_shipdate")))).cast("long").as("c"))
+      .join(graft.io.Readers.table(spark, dir, "orders")
+        .select(col("o_orderkey"), unix_date(to_date(col("o_orderdate"))).cast("long").as("o")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o"), greatest(col("c"), col("o")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lo = iv.map(_._1).min; val hi = iv.map(_._2).max
+    assert(rows.map(_._1).toSeq === (lo to hi).toSeq, "spine is the full closed range")
+    rows.foreach { case (d, opened, closed, backlog) =>
+      assert(backlog === iv.count { case (o, c) => o <= d && d <= c }.toLong,
+        s"backlog at $d")
+      assert(opened === iv.count(_._1 == d).toLong, s"opened at $d")
+      assert(closed === iv.count(_._2 == d).toLong, s"closed at $d")
+      assert(backlog >= 0L)
+    }
+    assert(rows.map(_._2).sum === iv.length.toLong, "every order opens once")
+    assert(rows.map(_._3).sum === iv.length.toLong, "every order closes once")
+    val last = rows.last
+    assert(last._4 === last._3, "final-day backlog = final-day closes")
+  }
+
   test("orders_benford_digits: full grid, totals conserve, lexical digit matches arithmetic leading digit") {
     val rows = ops.Insights.ordersBenfordDigits(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

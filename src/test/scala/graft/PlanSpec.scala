@@ -577,6 +577,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("sql_tpch_q18: IN-subquery decorrelates to a semi join; top-100 is TakeOrdered") {
+    val p = plan(ops.Relational.sqlTpchQ18)
+    assert(p.contains("LeftSemi"), "HAVING subquery must become a semi join")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("orders_open_backlog: two-level cumulative leaves no unpartitioned window") {
+    val df = ops.Insights.ordersOpenBacklog(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the block-partitioned running sum")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in backlog plan: $w"))
+    val p = plan(ops.Insights.ordersOpenBacklog)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("events_interarrival: every window is partitioned; median relation broadcasts") {
+    val df = ops.Insights.eventsInterarrival(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned: $w"))
+    assert(plan(ops.Insights.eventsInterarrival).contains("BroadcastHashJoin"))
+  }
+
   test("orders_theil_decomposition: log2_fixed runs post-aggregation inside codegen") {
     val df = ops.Insights.ordersTheilDecomposition(spark, dir)
     df.collect()
