@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -140,14 +141,25 @@ object InfoTheory {
     * the plan is unchanged; the regression itself is algebraic
     * (map-side combinable sums).
     */
-  val textZipfSlope: Q = (s, dir) => {
-    val wRank = Window.partitionBy(col("lang"))
-      .orderBy(col("cnt").desc, col("tok"))
-    table(s, dir, "documents")
-      .select(col("lang"), explode(tokens).as("tok"))
+  val textZipfSlope: Q = (s, dir) =>
+    zipfFromCounts(vocabCounts(table(s, dir, "documents")))
+
+  /** The (lang, tok, cnt) vocabulary rollup of a documents table —
+    * the relation the count-based text keys and [[VocabService]]
+    * share (the service persists exactly this shape as additive
+    * partials, so served curves are row-identical by construction).
+    */
+  private[graft] def vocabCounts(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), explode(tokens).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** [[textZipfSlope]]'s pipeline from a (lang, tok, cnt) relation. */
+  private[graft] def zipfFromCounts(counts: DataFrame): DataFrame = {
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("tok"))
+    counts
       .withColumn("rank", row_number().over(wRank))
       .select(col("lang"),
         shiftright(log2Fixed(col("rank")), 10).as("x"),
@@ -503,16 +515,16 @@ object InfoTheory {
     * bounded triangular prefix join) without changing the emitted
     * rows.
     */
-  val textVocabCoverage: Q = (s, dir) => {
+  val textVocabCoverage: Q = (s, dir) =>
+    coverageFromCounts(vocabCounts(table(s, dir, "documents")))
+
+  /** [[textVocabCoverage]]'s pipeline from a (lang, tok, cnt) relation. */
+  private[graft] def coverageFromCounts(counts: DataFrame): DataFrame = {
     val wRank = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("tok"))
     val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("lang"))
-    table(s, dir, "documents")
-      .select(col("lang"), explode(tokens).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("lang"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+    counts
       .withColumn("rn", row_number().over(wRank).cast("long"))
       .withColumn("cum_cnt", sum(col("cnt")).over(wCum))
       .withColumn("total_cnt", sum(col("cnt")).over(wAll))

@@ -347,6 +347,37 @@ object Streaming {
       .outputMode("append")
       .start()
 
+  /** Streaming ingest for the [[VocabService]] — the vocabulary
+    * member of the foreachBatch-sink family: document micro-batches
+    * tokenize ONCE into additive partials under the service's
+    * exactly-once contract ([[VocabService.appendBatch]]: sidecar
+    * high-water guard, partials-first ledger-last, deterministic
+    * replay collapse). Unlike the sketch sinks the folded state is
+    * EXACT — after any batch, served curves equal a from-scratch
+    * build over everything ingested (spec-asserted).
+    */
+  def applyVocabBatch(name: String)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      // first batch bootstraps an EMPTY table (batch data goes through
+      // appendBatch so the exactly-once ledger covers it — a build
+      // carrying batch 0 under manual id −1 would replay-double it)
+      if (graft.io.TableManifest.readPointer(spark, name).isEmpty)
+        VocabService.build(spark, name, batch.limit(0))
+      VocabService.appendBatch(batch, batchId, name)
+      ()
+    }
+
+  def foreachBatchVocab(stream: DataFrame, name: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyVocabBatch(name)(batch.toDF(), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** The adjacency member of the foreachBatch-sink family: edge
     * micro-batches fold into [[AdjacencyIndex]] under the same
     * version-pinned idempotence contract. Unlike the sketch sinks,
