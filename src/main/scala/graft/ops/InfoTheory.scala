@@ -587,7 +587,61 @@ object InfoTheory {
       .orderBy("lang", "rn")
   }
 
+  /** Heaps-law vocabulary growth curve (round 12, third session) —
+    * the GROWTH complement of [[textVocabCoverage]]'s static curve
+    * (Zipf and Heaps are the two faces of the same corpus law): per
+    * language, as documents accumulate in doc_id order, the
+    * vocabulary size and token mass after the first k docs, sampled
+    * at k = 1, 2, 4, … (the power-of-two spine) plus the full-corpus
+    * endpoint. The consumer fits V ≈ K·nᵝ to read the Heaps exponent;
+    * the curve's flattening rate is the "is more data still buying
+    * new vocabulary?" planning signal.
+    *
+    * Exactness without re-scanning prefixes: a token type's
+    * contribution is its FIRST-SEEN doc rank (min over the per-lang
+    * doc sequence), so vocab_size(k) = Σ_{seq≤k} new_types(seq) — one
+    * rollup + a cumulative window, never k prefix recounts. Docs with
+    * no tokens stay on the spine with dl = 0 (left join — both
+    * engines).
+    *
+    * Scale: tokenize once; first-seen is one (lang, tok) rollup; the
+    * doc-sequence rank + cumulative windows run per lang over the
+    * DOC spine — at 10⁹ docs/lang swap rank and prefix sum for the
+    * bucketed two-level form (the backlog key implements it); the
+    * emitted spine is ~log₂ n_docs rows per lang.
+    */
+  val textHeapsCurve: Q = (s, dir) => {
+    val wDocSeq = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val docSeq = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("seq", row_number().over(wDocSeq).cast("long"))
+    val docToks = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(tokens).as("tok"))
+      .filter(col("tok") =!= "")
+    val dl = docToks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val firstSeen = docToks.join(docSeq, Seq("doc_id", "lang"))
+      .groupBy(col("lang"), col("tok")).agg(min(col("seq")).as("seq"))
+    val newTypes = firstSeen.groupBy(col("lang"), col("seq"))
+      .agg(count(lit(1)).as("nt"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+    docSeq.join(dl, Seq("doc_id"), "left_outer")
+      .join(newTypes, Seq("lang", "seq"), "left_outer")
+      .select(col("lang"), col("seq"),
+        coalesce(col("dl"), lit(0L)).as("dl"),
+        coalesce(col("nt"), lit(0L)).as("nt"))
+      .withColumn("vocab_size", sum(col("nt")).over(wCum))
+      .withColumn("token_mass", sum(col("dl")).over(wCum))
+      .withColumn("n_docs", count(lit(1)).over(wAll))
+      .filter(expr("(seq & (seq - 1)) = 0") || col("seq") === col("n_docs"))
+      .select(col("lang"), col("seq").as("k_docs"), col("vocab_size"),
+        col("token_mass"), col("n_docs"))
+      .orderBy("lang", "k_docs")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_heaps_curve" -> textHeapsCurve,
     "agg_gini_impurity" -> aggGiniImpurity,
     "text_vocab_coverage" -> textVocabCoverage,
     "text_kn_continuation" -> textKnContinuation,

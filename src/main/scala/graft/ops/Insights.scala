@@ -957,7 +957,89 @@ object Insights {
       .orderBy("d")
   }
 
+  /** Categorical mix-drift monitor (round 12, third session) — the
+    * distribution-shift screen a pipeline runs on its own dimensions:
+    * per order-month, the KL divergence (bits) of that month's
+    * order-priority mix from the all-time mix. KL ≈ 0 ⇒ the month is
+    * distributionally ordinary; a spike marks a regime change
+    * (campaign, backlog policy, data bug) — the temporal twin of
+    * [[InfoTheory.textKlDivergence]]'s domain-purity screen, and the
+    * same exact fixed-point machinery: every log argument is an
+    * INTEGER count, terms go negative so nothing divides until the
+    * single emitted double Σ/(n·2²⁰) (identical IEEE op both
+    * engines).
+    *
+    * Scale: one (month, priority) rollup (map-side combined,
+    * dimension-bounded cells); the marginals re-aggregate the cells
+    * and broadcast back. Nothing corpus-sized past the first rollup.
+    */
+  val ordersMixDrift: Q = (s, dir) => {
+    import graft.functions.NumericExpressions.log2Fixed
+    val counts = table(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_orderpriority").as("priority"))
+      .groupBy(col("month"), col("priority"))
+      .agg(count(lit(1)).as("c"))
+    val corpus = counts.groupBy(col("priority")).agg(sum(col("c")).as("ctot"))
+    val monthTot = counts.groupBy(col("month")).agg(sum(col("c")).as("n"))
+    val grand = monthTot.agg(sum(col("n")).as("ntot"))
+    counts
+      .join(broadcast(corpus), "priority")
+      .join(broadcast(monthTot), "month")
+      .join(broadcast(grand))
+      .withColumn("term", col("c") *
+        (log2Fixed(col("c")) + log2Fixed(col("ntot"))
+          - log2Fixed(col("n")) - log2Fixed(col("ctot"))))
+      .groupBy(col("month"))
+      .agg(max(col("n")).as("n_orders"), sum(col("term")).as("num"))
+      .select(col("month"), col("n_orders"),
+        (col("num").cast("double") / (col("n_orders") * lit(1048576L)).cast("double"))
+          .as("kl_bits"))
+      .orderBy("month")
+  }
+
+  /** Brown–Forsythe (median-centered Levene) sufficient statistics
+    * per market segment (round 12, third session) — the variance-
+    * homogeneity gatekeeper for [[statAnovaCells]] (ANOVA's F assumes
+    * equal group variances; this is the robust test OF that
+    * assumption): per segment n, the exact lower median (the
+    * [[ordersRunsTest]] convention), Σ|v−med| in exact cents, and
+    * Σ(v−med)² emitted as the exact decimal string (the ANOVA-cells
+    * overflow discipline). The consumer forms the BF statistic from
+    * the cells; using medians (not means) is what makes it robust —
+    * and what reuses the median machinery this family already
+    * carries.
+    *
+    * Scale: one rank window per segment for the median (winsorize
+    * caveat + KLL swap), a broadcast join back, one map-side rollup.
+    */
+  val statLeveneCells: Q = (s, dir) => {
+    val o = table(s, dir, "orders")
+      .join(broadcast(table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"), col("o_orderkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("v"))
+    val wVal = Window.partitionBy(col("segment")).orderBy(col("v"), col("o_orderkey"))
+    val med = o
+      .withColumn("rv", row_number().over(wVal).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
+      .filter(col("rv") === expr("(n + 1) div 2"))
+      .select(col("segment"), col("v").as("med"))
+    o.join(broadcast(med), Seq("segment"))
+      .withColumn("d", abs(col("v") - col("med")))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med_cents"),
+        sum(col("d")).as("sum_dev_cents"),
+        sum(col("d").cast("decimal(38,0)") * col("d")).cast("decimal(38,0)")
+          .cast("string").as("sumsq_dev_cents"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "orders_mix_drift" -> ordersMixDrift,
+    "stat_levene_cells" -> statLeveneCells,
     "stat_anova_cells" -> statAnovaCells,
     "events_interarrival" -> eventsInterarrival,
     "orders_open_backlog" -> ordersOpenBacklog,

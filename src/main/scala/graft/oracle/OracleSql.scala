@@ -3481,6 +3481,90 @@ object OracleSql {
         |LEFT JOIN inter i ON i.type_a = g.type_a AND i.type_b = g.type_b
         |ORDER BY g.type_a, g.type_b""".stripMargin,
 
+    // ops.Insights.ordersMixDrift: the KL chain on (month, priority)
+    // cells — every log argument an integer count
+    "orders_mix_drift" ->
+      s"""WITH counts AS (
+         |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         |         o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS c
+         |  FROM orders GROUP BY 1, 2),
+         |corpus AS (SELECT priority, CAST(SUM(c) AS BIGINT) AS ctot FROM counts GROUP BY 1),
+         |month_tot AS (SELECT month, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+         |grand AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM month_tot),
+         |${Log2Sql.chain("lgc", "SELECT DISTINCT c AS v FROM counts")},
+         |${Log2Sql.chain("lgt", "SELECT DISTINCT ctot AS v FROM corpus")},
+         |${Log2Sql.chain("lgn", "SELECT DISTINCT n AS v FROM month_tot")},
+         |${Log2Sql.chain("lgg", "SELECT DISTINCT ntot AS v FROM grand")}
+         |SELECT counts.month, month_tot.n AS n_orders,
+         |       CAST(SUM(c * (lgc.l20 + lgg.l20 - lgn.l20 - lgt.l20)) AS DOUBLE)
+         |         / CAST(month_tot.n * 1048576 AS DOUBLE) AS kl_bits
+         |FROM counts
+         |JOIN corpus ON corpus.priority = counts.priority
+         |JOIN month_tot ON month_tot.month = counts.month
+         |CROSS JOIN grand
+         |JOIN lgc ON lgc.v = counts.c
+         |JOIN lgt ON lgt.v = corpus.ctot
+         |JOIN lgn ON lgn.v = month_tot.n
+         |JOIN lgg ON lgg.v = grand.ntot
+         |GROUP BY counts.month, month_tot.n
+         |ORDER BY counts.month""".stripMargin,
+
+    // ops.Insights.statLeveneCells: runs-test median conventions,
+    // HUGEINT sumsq emitted as the exact digit string
+    "stat_levene_cells" ->
+      """WITH o AS (
+        |  SELECT c.c_mktsegment AS segment, o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders JOIN customer c ON c.c_custkey = o_custkey),
+        |r AS (
+        |  SELECT segment, v,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY segment
+        |                                 ORDER BY v, o_orderkey) AS BIGINT) AS rv,
+        |         CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+        |  FROM o),
+        |med AS (SELECT segment, v AS med FROM r WHERE rv = (n + 1) // 2),
+        |d AS (
+        |  SELECT o.segment, ABS(o.v - med.med) AS d, med.med
+        |  FROM o JOIN med ON med.segment = o.segment)
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MAX(med) AS BIGINT) AS med_cents,
+        |       CAST(SUM(d) AS BIGINT) AS sum_dev_cents,
+        |       CAST(SUM(CAST(d AS HUGEINT) * d) AS VARCHAR) AS sumsq_dev_cents
+        |FROM d GROUP BY 1
+        |ORDER BY segment""".stripMargin,
+
+    // ops.InfoTheory.textHeapsCurve: first-seen doc rank per type +
+    // cumulative over the per-lang doc spine; zero-token docs kept
+    "text_heaps_curve" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS seq,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |tokf AS (
+        |  SELECT lang, seq, unnest(toks) AS tok FROM docs),
+        |tokc AS (SELECT * FROM tokf WHERE tok <> ''),
+        |dl AS (SELECT lang, seq, CAST(COUNT(*) AS BIGINT) AS dl FROM tokc GROUP BY 1, 2),
+        |fs AS (SELECT lang, tok, MIN(seq) AS seq FROM tokc GROUP BY 1, 2),
+        |nt AS (SELECT lang, seq, CAST(COUNT(*) AS BIGINT) AS nt FROM fs GROUP BY 1, 2),
+        |base AS (
+        |  SELECT d.lang, d.seq, COALESCE(dl.dl, 0) AS dl, COALESCE(nt.nt, 0) AS nt
+        |  FROM (SELECT lang, seq FROM docs) d
+        |  LEFT JOIN dl ON dl.lang = d.lang AND dl.seq = d.seq
+        |  LEFT JOIN nt ON nt.lang = d.lang AND nt.seq = d.seq),
+        |c AS (
+        |  SELECT lang, seq,
+        |         CAST(SUM(nt) OVER w AS BIGINT) AS vocab_size,
+        |         CAST(SUM(dl) OVER w AS BIGINT) AS token_mass,
+        |         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY lang ORDER BY seq
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT lang, seq AS k_docs, vocab_size, token_mass, n_docs
+        |FROM c
+        |WHERE (seq & (seq - 1)) = 0 OR seq = n_docs
+        |ORDER BY lang, k_docs""".stripMargin,
+
     // ops.Insights.statAnovaCells: exact cents moments, sumsq in
     // DECIMAL(38,0) via HUGEINT product (BIGINT v*v would overflow)
     "stat_anova_cells" ->

@@ -212,6 +212,40 @@ class InfoTheorySpec extends SparkSpec {
     }
   }
 
+  test("text_heaps_curve: prefix counts match a literal prefix replay; endpoint closes the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = ops.InfoTheory.textHeapsCurve(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = io.Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " "))
+      .as[(Long, String, Seq[String])].collect()
+      .map { case (id, l, ts) => (id, l, ts.filter(_.nonEmpty)) }
+    val byLang = docs.groupBy(_._2).map { case (l, g) => l -> g.sortBy(_._1) }
+    assert(rows.map(_._1).toSet === byLang.keySet)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val seq = byLang(lang)
+      val n = seq.length.toLong
+      val wantKs = Iterator.iterate(1L)(_ * 2).takeWhile(_ <= n).toSet + n
+      assert(rs.map(_._2).toSet === wantKs, s"spine $lang")
+      rs.foreach { case (_, k, vocab, mass, nDocs) =>
+        assert(nDocs === n)
+        val prefix = seq.take(k.toInt)
+        assert(vocab === prefix.flatMap(_._3).distinct.length.toLong,
+          s"vocab at k=$k $lang (literal prefix recount)")
+        assert(mass === prefix.map(_._3.length.toLong).sum, s"mass at k=$k $lang")
+      }
+      // growth curve is monotone and concave-ish: vocab never exceeds mass
+      val byK = rs.sortBy(_._2)
+      byK.sliding(2).foreach {
+        case Array((_, _, v1, m1, _), (_, _, v2, m2, _)) =>
+          assert(v1 <= v2 && m1 <= m2, s"monotone $lang")
+        case _ =>
+      }
+      byK.foreach { case (_, _, v, m, _) => assert(v <= m, s"types <= tokens $lang") }
+    }
+  }
+
   test("text_kn_continuation: continuation/fertility counts match an adjacency replay") {
     val dir = "/root/testdata/sf0.001"
     val rows = ops.InfoTheory.textKnContinuation(spark, dir).collect()

@@ -445,6 +445,52 @@ class InsightsSpec extends SparkSpec {
     assert(tDecomposed > 0, "pooled inequality positive")
   }
 
+  test("orders_mix_drift: fixed-point KL tracks a double-precision replay; nonnegative") {
+    val rows = ops.Insights.ordersMixDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val o = graft.io.Readers.table(spark, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM"), col("o_orderpriority"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val global = o.groupBy(_._2).map { case (p, g) => p -> g.length.toDouble }
+    val nTot = o.length.toDouble
+    val byMonth = o.groupBy(_._1)
+    assert(rows.map(_._1).toSet === byMonth.keySet)
+    rows.foreach { case (m, n, kl) =>
+      val g = byMonth(m)
+      assert(n === g.length.toLong)
+      val ref = g.groupBy(_._2).map { case (p, cells) =>
+        val pm = cells.length.toDouble / g.length
+        val q = global(p) / nTot
+        cells.length.toDouble / g.length * (math.log(pm / q) / math.log(2.0))
+      }.sum
+      assert(math.abs(kl - ref) < 1e-4, s"KL $m: $kl vs $ref")
+      assert(kl >= -1e-9, s"KL must be nonnegative at $m")
+    }
+  }
+
+  test("stat_levene_cells: deviations about the lower median match a replay; sumsq exact") {
+    val rows = ops.Insights.statLeveneCells(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        BigInt(r.getString(4))))
+    val o = graft.io.Readers.table(spark, dir, "orders")
+      .join(graft.io.Readers.table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"),
+        (graft.Determinism.dec(col("o_totalprice")) * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySeg = o.groupBy(_._1)
+    assert(rows.map(_._1).toSet === bySeg.keySet)
+    rows.foreach { case (seg, n, med, sumD, sumSq) =>
+      val g = bySeg(seg)
+      assert(n === g.length.toLong)
+      val wantMed = g.sortBy(t => (t._3, t._2)).apply((g.length + 1) / 2 - 1)._3
+      assert(med === wantMed, s"median convention $seg")
+      val devs = g.map(t => math.abs(t._3 - wantMed))
+      assert(sumD === devs.sum, s"sum dev $seg")
+      assert(sumSq === devs.map(d => BigInt(d) * BigInt(d)).sum, s"sumsq $seg")
+    }
+  }
+
   test("stat_anova_cells: moments match a brute-force replay; sumsq string is the exact big integer") {
     val rows = ops.Insights.statAnovaCells(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), BigInt(r.getString(3))))
