@@ -201,6 +201,14 @@ object Graph {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
+    lpLabels(und).orderBy(col("node"))
+  }
+
+  /** The 3-round min-label flood over a canonical undirected edge
+    * relation — shared by [[graphLabelPropagation]] and the
+    * modularity cells (same partition, two consumers).
+    */
+  private[graft] def lpLabels(und: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val nodes = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .distinct()
@@ -208,14 +216,72 @@ object Graph {
       .union(und.select(col("v").as("src"), col("u").as("dst")))
       .union(nodes.select(col("node").as("src"), col("node").as("dst")))
       .localCheckpoint() // static across iterations, scanned 3×
-    val labels = Iterate.fixed(1 to 3, Iterate.never)(
+    Iterate.fixed(1 to 3, Iterate.never)(
       nodes.select(col("node"), col("node").as("label"))) { (l, _) =>
       adj
         .join(broadcast(l), col("src") === col("node"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("label"))
     }
-    labels.orderBy(col("node"))
+  }
+
+  /** Newman modularity sufficient statistics of the label-propagation
+    * partition (round 12, third session) — "was the community
+    * structure the flood found actually modular?": per label the node
+    * count, internal-edge count e_c, and degree sum d_c, plus the
+    * global edge count m (a constant column off a 1-row broadcast);
+    * the consumer forms Q = Σ_c (e_c/m − (d_c/2m)²) — exact rational
+    * in the integer cells (crafted-graph spec pins two disjoint
+    * triangles at Q = 1/2 EXACTLY). Communities are [[lpLabels]]'
+    * radius-3 min-label partition — deterministic, so fully
+    * oracle-able (the oracle replays the same 3 unrolled rounds and
+    * the same cells).
+    *
+    * Scale: labels attach to edges via two joins on the node key (the
+    * assortativity-key degradation argument: the label relation is
+    * node-sized, NOT broadcastable at 100 TB — plain joins, AQE
+    * picks); degrees and cells are map-side-combined rollups;
+    * everything else is dimension-bounded.
+    */
+  val graphModularityCells: Q = (s, dir) => {
+    // the k-core deterministic 10 % edge sample: the FULL co-order
+    // part graph is so dense that 3 flood rounds collapse it into one
+    // community (measured: 1 cell at every SF — Q degenerates to 0);
+    // the sampled graph fractures into real communities, which is the
+    // regime a modularity screen exists for
+    val und = orderSequenceEdges(s, dir)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .filter(Llm.hashBucket("graft-modularity")(
+        concat_ws("|", col("u"), col("v"))) < 10)
+      .localCheckpoint() // labels + degrees + internal count re-scan it
+    modularityCells(und)
+  }
+
+  /** [[graphModularityCells]] over an arbitrary canonical undirected
+    * edge relation (crafted-graph specs call this directly).
+    */
+  private[graft] def modularityCells(und: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val labels = lpLabels(und)
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val nodeCells = labels.join(deg, Seq("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val eInt = und
+      .join(labels.select(col("node").as("u"), col("label").as("lab_u")), Seq("u"))
+      .join(labels.select(col("node").as("v"), col("label").as("lab_v")), Seq("v"))
+      .filter(col("lab_u") === col("lab_v"))
+      .groupBy(col("lab_u").as("label"))
+      .agg(count(lit(1)).as("e_int"))
+    val m = und.agg(count(lit(1)).as("m"))
+    nodeCells.join(eInt, Seq("label"), "left_outer")
+      .select(col("label"), col("n_nodes"), col("deg_sum"),
+        coalesce(col("e_int"), lit(0L)).as("e_int"))
+      .crossJoin(broadcast(m))
+      .orderBy(col("label"))
   }
 
   /** k-core decomposition by 3 unrolled peel rounds at k = 2: each
@@ -577,6 +643,7 @@ object Graph {
     "graph_pagerank" -> graphPagerank,
     "graph_triangle_count" -> graphTriangleCount,
     "graph_label_propagation" -> graphLabelPropagation,
+    "graph_modularity_cells" -> graphModularityCells,
     "graph_k_core" -> graphKCore,
     "graph_jaccard_neighbors" -> graphJaccardNeighbors,
     "graph_adamic_adar" -> graphAdamicAdar,

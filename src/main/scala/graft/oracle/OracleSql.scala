@@ -2128,6 +2128,58 @@ object OracleSql {
         |l3 AS (SELECT a.dst AS node, min(l.label) AS label
         |       FROM l2 l JOIN adj a ON l.node = a.src GROUP BY a.dst)
         |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
+
+    // ops.Graph.graphModularityCells: the SAME 3 unrolled min-label
+    // rounds, then per-label node/degree/internal-edge cells + m
+    "graph_modularity_cells" ->
+      """WITH e0 AS (
+        |  SELECT l_partkey AS src,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                               ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |undall AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e0 WHERE dst IS NOT NULL AND dst <> src),
+        |und AS (
+        |  SELECT u, v FROM undall
+        |  WHERE CAST(('0x' || substr(md5('graft-modularity' || '|' ||
+        |          CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 100 < 10),
+        |nodes AS (
+        |  SELECT DISTINCT u AS node FROM und
+        |  UNION SELECT DISTINCT v FROM und),
+        |adj AS (
+        |  SELECT u AS src, v AS dst FROM und
+        |  UNION ALL SELECT v, u FROM und
+        |  UNION ALL SELECT node, node FROM nodes),
+        |l0 AS (SELECT node, node AS label FROM nodes),
+        |l1 AS (SELECT a.dst AS node, min(l.label) AS label
+        |       FROM l0 l JOIN adj a ON l.node = a.src GROUP BY a.dst),
+        |l2 AS (SELECT a.dst AS node, min(l.label) AS label
+        |       FROM l1 l JOIN adj a ON l.node = a.src GROUP BY a.dst),
+        |l3 AS (SELECT a.dst AS node, min(l.label) AS label
+        |       FROM l2 l JOIN adj a ON l.node = a.src GROUP BY a.dst),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY node),
+        |node_cells AS (
+        |  SELECT l3.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |         CAST(SUM(deg.deg) AS BIGINT) AS deg_sum
+        |  FROM l3 JOIN deg ON deg.node = l3.node GROUP BY 1),
+        |e_int AS (
+        |  SELECT lu.label, CAST(COUNT(*) AS BIGINT) AS e_int
+        |  FROM und
+        |  JOIN l3 lu ON lu.node = und.u
+        |  JOIN l3 lv ON lv.node = und.v
+        |  WHERE lu.label = lv.label GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und)
+        |SELECT nc.label, nc.n_nodes, nc.deg_sum,
+        |       COALESCE(e_int.e_int, 0) AS e_int, m.m
+        |FROM node_cells nc
+        |LEFT JOIN e_int ON e_int.label = nc.label
+        |CROSS JOIN m
+        |ORDER BY nc.label""".stripMargin,
   )
 
   private val round8: Map[String, String] = Map(

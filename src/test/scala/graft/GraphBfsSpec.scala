@@ -97,6 +97,34 @@ class GraphBfsSpec extends SparkSpec {
     assert(2 * n2 === -d2 && d2 > 0) // r = −1/2 exactly
   }
 
+  test("modularity cells: two disjoint triangles give Q = 1/2 exactly; invariants on corpus") {
+    // two disjoint triangles: flood converges to components; per
+    // community e_c = 3, d_c = 6, m = 6 → Q = 2·(3/6 − (6/12)²) = 1/2
+    val tri2 = ops.Graph.modularityCells(canon(
+      1L -> 2L, 2L -> 3L, 1L -> 3L,
+      10L -> 11L, 11L -> 12L, 10L -> 12L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(tri2.toSeq === Seq((1L, 3L, 6L, 3L, 6L), (10L, 3L, 6L, 3L, 6L)))
+    val q = tri2.map { case (_, _, dc, ec, m) =>
+      ec.toDouble / m - math.pow(dc.toDouble / (2 * m), 2) }.sum
+    assert(math.abs(q - 0.5) < 1e-12, s"Q = $q")
+    // corpus invariants at sf0.001: cells partition nodes and edges
+    val rows = ops.Graph.graphModularityCells(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val m = rows.head._5
+    assert(rows.forall(_._5 == m))
+    assert(rows.map(_._4).sum <= m, "internal edges never exceed m")
+    assert(rows.map(_._3).sum === 2 * m, "degree sums close over 2m")
+    // NOTE deliberately NOT asserted: e_int >= n−1. A same-label set
+    // is NOT necessarily connected in its induced subgraph — a node 3
+    // hops from the label root joins the community while intermediate
+    // nodes may carry smaller labels from elsewhere (observed on the
+    // corpus sample).
+    val qCorpus = rows.map { case (_, _, dc, ec, mm) =>
+      ec.toDouble / mm - math.pow(dc.toDouble / (2 * mm), 2) }.sum
+    assert(qCorpus > 0 && qCorpus <= 1, s"sampled co-order graph is modular: Q = $qCorpus")
+  }
+
   test("clustering + assortativity corpus invariants at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val d0 = ops.Graph.orderSequenceEdges(spark, dir).collect()
