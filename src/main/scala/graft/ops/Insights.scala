@@ -1037,7 +1037,53 @@ object Insights {
       .orderBy("segment")
   }
 
+  /** Recency-decayed engagement leaderboard (round 12, third
+    * session) — the feature-engineering staple no other key covers:
+    * per event type, the top-10 users by EXPONENTIALLY TIME-DECAYED
+    * event mass (half-life 7 days), the score a ranking/serving
+    * pipeline wants instead of raw counts (which never forget). The
+    * whole pipeline is exact integer fixed-point cross-engine:
+    * "now" is the corpus max timestamp (deterministic, relative —
+    * never wall clock), age in whole days, h = age·2²⁰ div 7 clamped
+    * to the exp2 domain, and the decayed weight is
+    * w₂₀ = 2⁴⁰ div exp2_fixed(h) — the RECIPROCAL of the grown
+    * exponential, because [[graft.functions.NumericExpressions
+    * .Exp2Fixed]]'s domain is nonnegative; identical floor division
+    * in both engines, with w₂₀ hitting exact 0 past ~20 half-lives
+    * (the natural cutoff — no shift-overflow edge anywhere).
+    * score₂₀ = Σw₂₀ per (type, user); emitted per type: rank,
+    * user, raw n_events, score₂₀ (consumer divides by 2²⁰).
+    *
+    * Scale: one (type, user) rollup (map-side combined) with the
+    * scalar decay chain inside codegen; the top-10 rank window runs
+    * per type over USER aggregates (the winsorize caveat; at 10⁹
+    * users/type swap for the two-level top-k). The 1-row "now"
+    * rides a broadcast.
+    */
+  val eventsDecayEngagement: Q = (s, dir) => {
+    import graft.functions.NumericExpressions.exp2Fixed
+    val e = table(s, dir, "events")
+      .select(col("event_type").as("t"), col("user_id").as("u"),
+        unix_micros(col("ts")).as("us"))
+    val now = e.agg(max(col("us")).as("now_us"))
+    val wTop = Window.partitionBy(col("t"))
+      .orderBy(col("score20").desc, col("u"))
+    e.crossJoin(broadcast(now))
+      .withColumn("age_d", expr("(now_us - us) div 86400000000"))
+      .withColumn("h", least(expr("age_d * 1048576 div 7"), lit(42L * 1048576L)))
+      .withColumn("e2", exp2Fixed(col("h")))
+      .withColumn("w20", expr("1099511627776 div e2"))
+      .groupBy(col("t"), col("u"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w20")).as("score20"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("t").as("event_type"), col("rn"), col("u").as("user_id"),
+        col("n_events"), col("score20"))
+      .orderBy("event_type", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_decay_engagement" -> eventsDecayEngagement,
     "orders_mix_drift" -> ordersMixDrift,
     "stat_levene_cells" -> statLeveneCells,
     "stat_anova_cells" -> statAnovaCells,

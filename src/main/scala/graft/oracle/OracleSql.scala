@@ -3533,6 +3533,32 @@ object OracleSql {
         |LEFT JOIN inter i ON i.type_a = g.type_a AND i.type_b = g.type_b
         |ORDER BY g.type_a, g.type_b""".stripMargin,
 
+    // ops.Insights.eventsDecayEngagement: w20 = 2^40 // exp2_fixed(h)
+    // on whole-day ages about the corpus max timestamp
+    "events_decay_engagement" ->
+      s"""WITH e AS (
+         |  SELECT event_type AS t, user_id AS u, epoch_us(ts) AS us, event_id
+         |  FROM events),
+         |now_us AS (SELECT MAX(us) AS now_us FROM e),
+         |aged AS (
+         |  SELECT t, u,
+         |         LEAST(((now_us - us) // 86400000000) * 1048576 // 7,
+         |               44040192) AS h
+         |  FROM e CROSS JOIN now_us),
+         |${Exp2Sql.chain("e2s", "SELECT DISTINCT h AS v FROM aged")},
+         |scored AS (
+         |  SELECT t, u, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |         CAST(SUM(1099511627776 // e2s.e2) AS BIGINT) AS score20
+         |  FROM aged JOIN e2s ON e2s.v = aged.h
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY t
+         |            ORDER BY score20 DESC, u) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT t AS event_type, rn, u AS user_id, n_events, score20
+         |FROM r WHERE rn <= 10
+         |ORDER BY event_type, rn""".stripMargin,
+
     // ops.Insights.ordersMixDrift: the KL chain on (month, priority)
     // cells — every log argument an integer count
     "orders_mix_drift" ->

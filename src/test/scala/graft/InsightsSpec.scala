@@ -445,6 +445,40 @@ class InsightsSpec extends SparkSpec {
     assert(tDecomposed > 0, "pooled inequality positive")
   }
 
+  test("events_decay_engagement: exact fixed-point replay; decay tracks the true exponential") {
+    val rows = ops.Insights.eventsDecayEngagement(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val e = graft.io.Readers.table(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val now = e.map(_._3).max
+    def w20(us: Long): Long = {
+      val ageD = (now - us) / 86400000000L
+      val h = math.min(ageD * 1048576L / 7L, 42L * 1048576L)
+      1099511627776L / graft.functions.NumericExpressions.exp2FixedJ(h)
+    }
+    val scores = e.groupBy(t => (t._1, t._2)).map { case ((ty, u), g) =>
+      (ty, u) -> (g.length.toLong, g.map(t => w20(t._3)).sum) }
+    rows.foreach { case (ty, rn, u, n, s20) =>
+      assert(scores((ty, u)) === ((n, s20)), s"exact replay ($ty,$u)")
+      assert(rn >= 1 && rn <= 10)
+      // fixed-point tracks the true 2^(-age/7) decay within fp granularity
+      val trueScore = e.filter(t => t._1 == ty && t._2 == u)
+        .map(t => math.pow(2.0, -(((now - t._3) / 86400000000L).toDouble / 7.0)))
+        .sum
+      assert(math.abs(s20 / 1048576.0 - trueScore) < 0.15 * math.max(1.0, trueScore),
+        s"decay sanity ($ty,$u): ${s20 / 1048576.0} vs $trueScore")
+    }
+    // top-10 head property per type
+    rows.groupBy(_._1).foreach { case (ty, rs) =>
+      val emitted = rs.map(_._3).toSet
+      val bestOut = scores.collect {
+        case ((t, u), (_, s)) if t == ty && !emitted(u) => s }
+      if (bestOut.nonEmpty)
+        assert(rs.map(_._5).min >= bestOut.max, s"head property $ty")
+    }
+  }
+
   test("orders_mix_drift: fixed-point KL tracks a double-precision replay; nonnegative") {
     val rows = ops.Insights.ordersMixDrift(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
