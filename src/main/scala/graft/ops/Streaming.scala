@@ -378,6 +378,31 @@ object Streaming {
       .outputMode("append")
       .start()
 
+  /** Streaming ingest for the [[BigramService]] — the IDEMPOTENT
+    * member of the foreachBatch-sink family: pair types union into
+    * the stored set, so replay is harmless by construction (the
+    * ledger check only skips a pointless rewrite). Bootstrap mirrors
+    * the vocab sink.
+    */
+  def applyBigramBatch(name: String)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      if (graft.io.TableManifest.readPointer(spark, name).isEmpty)
+        BigramService.build(spark, name, batch.limit(0))
+      BigramService.appendBatch(batch, batchId, name)
+      ()
+    }
+
+  def foreachBatchBigrams(stream: DataFrame, name: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyBigramBatch(name)(batch.toDF(), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** The adjacency member of the foreachBatch-sink family: edge
     * micro-batches fold into [[AdjacencyIndex]] under the same
     * version-pinned idempotence contract. Unlike the sketch sinks,
