@@ -1082,7 +1082,109 @@ object Insights {
       .orderBy("event_type", "rn")
   }
 
+  /** Poisson-bootstrap confidence interval for the segment mean order
+    * value (round 12, third session) — THE distributed bootstrap: a
+    * classical resample needs n draws WITH replacement from a corpus
+    * no node holds, but Poisson(1) per-row replicate weights are
+    * independent per row, so every replicate is one map-side weighted
+    * partial — B× compute inside the scan, and the exchange carries
+    * only |segments|·B weighted-sum cells, never a resampled corpus.
+    * That economics is the whole point at 100 TB (B=200 here).
+    *
+    * Deterministic, seeded (NO-ORACLE KEY, §7.4 seeded family):
+    * weights come from xxhash64(orderkey, replicate) inverse-CDF'd
+    * through fixed ppm thresholds of the Poisson(1) CDF — bit-stable
+    * across runs and partitionings (prop-tested: exact replay,
+    * run-to-run equality, CI brackets the true mean, width shrinks
+    * with √n).
+    *
+    * Emits per segment: n, the exact mean (cents, double), and the
+    * 2.5 %/97.5 % replicate-mean percentiles (the 95 % CI). Replicate
+    * means divide inside the row (double) — the one float step,
+    * deterministic given the integer cells.
+    */
+  val statBootstrapCi: Q = (s, dir) => {
+    val B = 200
+    // cumulative ppm thresholds of Poisson(1): P(X<=k)
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L,
+      999917L, 999990L)
+    val o = table(s, dir, "orders")
+      .join(broadcast(table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"), col("o_orderkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("v"))
+    val exact = o.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("v")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_cents"))
+    val u = pmod(xxhash64(col("o_orderkey"), col("r"), lit("graft-boot")),
+      lit(1000000L))
+    val w = cdf.zipWithIndex.foldRight(lit(cdf.length.toLong)) {
+      case ((thr, k), rest) => when(u < thr, k.toLong).otherwise(rest)
+    }
+    val reps = o
+      .withColumn("r", explode(sequence(lit(0), lit(B - 1))))
+      .withColumn("w", w)
+      .groupBy(col("segment"), col("r"))
+      .agg((sum(col("w") * col("v")).cast("double") /
+        sum(col("w")).cast("double")).as("mean_r"))
+    val wRank = Window.partitionBy(col("segment")).orderBy(col("mean_r"))
+    val ci = reps
+      .withColumn("rk", row_number().over(wRank))
+      .groupBy(col("segment"))
+      .agg(min(when(col("rk") === (B * 25 / 1000).max(1), col("mean_r")))
+        .as("ci_lo"),
+        min(when(col("rk") === (B * 975 / 1000), col("mean_r"))).as("ci_hi"))
+    exact.join(broadcast(ci), Seq("segment"))
+      .select(col("segment"), col("n"), col("mean_cents"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy("segment")
+  }
+
+  /** Exact DAU / trailing-30-day MAU per day (round 12, third
+    * session) — the stickiness denominator pair (`events_dau_wau`
+    * fixes ONE window; this emits the full per-day curve): for every
+    * active day, the exact distinct users that day and over
+    * [d−29, d]. Distinct counts over overlapping windows are not
+    * additive, so the exact form expands the DISTINCT (day, user)
+    * relation through a bounded RANGE JOIN onto the day spine (≤30×
+    * the deduped pair count — instances dedup FIRST, the fan-out
+    * never touches raw event rows) and re-distincts per window.
+    *
+    * THE SCALE STORY IS THE SERVICE: this key is the exact
+    * counterpart of [[CardinalityService.rollingDistinct]] (window=30)
+    * — at 100 TB serve the curve from stored per-day HLL registers
+    * (merge, never rescan; the r12 fixture measured ~90× for the
+    * curve) and keep this exact form for backfills/audits. The same
+    * exact↔sketched pairing as `events_type_overlap` ↔
+    * `pairOverlapEstimates`.
+    */
+  val eventsStickiness: Q = (s, dir) => {
+    val du = table(s, dir, "events")
+      .select(unix_date(to_date(col("ts"))).cast("long").as("d"),
+        col("user_id").as("u"))
+      .distinct()
+    val days = du.select(col("d")).distinct()
+    val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    // fan each (day, user) pair out to the ≤30 spine days it serves
+    // (explode + semi-join, never a theta join — a range-condition
+    // nested loop would compare every pair against every day), then
+    // re-distinct per window: a (d,u) pair active on several days of
+    // one window must count once
+    val mau = du
+      .withColumn("spine_d", explode(sequence(col("d"), col("d") + 29)))
+      .join(days.withColumnRenamed("d", "spine_d"), Seq("spine_d"), "left_semi")
+      .select(col("spine_d"), col("u")).distinct()
+      .groupBy(col("spine_d")).agg(count(lit(1)).as("mau30"))
+    dau.join(mau, col("d") === col("spine_d"))
+      .select(col("d"), col("dau"), col("mau30"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_stickiness" -> eventsStickiness,
+    "stat_bootstrap_ci" -> statBootstrapCi,
     "events_decay_engagement" -> eventsDecayEngagement,
     "orders_mix_drift" -> ordersMixDrift,
     "stat_levene_cells" -> statLeveneCells,

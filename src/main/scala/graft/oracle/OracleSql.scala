@@ -3533,6 +3533,25 @@ object OracleSql {
         |LEFT JOIN inter i ON i.type_a = g.type_a AND i.type_b = g.type_b
         |ORDER BY g.type_a, g.type_b""".stripMargin,
 
+    // ops.Insights.eventsStickiness: exact distinct over overlapping
+    // trailing windows — the range join is exact, so engine-side
+    // plan shape (fan-out vs theta) is irrelevant to the result
+    "events_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+        |         user_id AS u
+        |  FROM events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+        |mau AS (
+        |  SELECT days.d AS spine_d, CAST(COUNT(DISTINCT du.u) AS BIGINT) AS mau30
+        |  FROM days JOIN du ON du.d BETWEEN days.d - 29 AND days.d
+        |  GROUP BY 1)
+        |SELECT dau.d, dau.dau, mau.mau30
+        |FROM dau JOIN mau ON mau.spine_d = dau.d
+        |ORDER BY dau.d""".stripMargin,
+
     // ops.Insights.eventsDecayEngagement: w20 = 2^40 // exp2_fixed(h)
     // on whole-day ages about the corpus max timestamp
     "events_decay_engagement" ->

@@ -445,6 +445,51 @@ class InsightsSpec extends SparkSpec {
     assert(tDecomposed > 0, "pooled inequality positive")
   }
 
+  test("stat_bootstrap_ci: deterministic replicates, CI brackets the exact mean, width sane") {
+    val run1 = ops.Insights.statBootstrapCi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // seeded determinism: a second evaluation is bit-identical
+    val run2 = ops.Insights.statBootstrapCi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(run1.toSeq === run2.toSeq, "seeded bootstrap must be run-stable")
+    val o = graft.io.Readers.table(spark, dir, "orders")
+      .join(graft.io.Readers.table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        (graft.Determinism.dec(col("o_totalprice")) * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySeg = o.groupBy(_._1)
+    assert(run1.map(_._1).toSet === bySeg.keySet)
+    run1.foreach { case (seg, n, mean, lo, hi) =>
+      val vs = bySeg(seg).map(_._2)
+      assert(n === vs.length.toLong)
+      val exact = vs.sum.toDouble / vs.length
+      assert(math.abs(mean - exact) < 1e-6, s"exact mean $seg")
+      assert(lo < hi, s"CI ordered $seg")
+      assert(lo <= exact && exact <= hi, s"95% CI brackets the true mean $seg")
+      // width ~ 4·σ/√n: sane upper bound at 6·σ/√n, lower at σ/√n
+      val sd = math.sqrt(vs.map(v => math.pow(v - exact, 2)).sum / vs.length)
+      val se = sd / math.sqrt(vs.length.toDouble)
+      assert(hi - lo < 6 * se && hi - lo > se, s"CI width $seg: ${hi - lo} vs se $se")
+    }
+  }
+
+  test("events_stickiness: exact DAU/MAU replay; window bounds hold") {
+    val rows = ops.Insights.eventsStickiness(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val du = graft.io.Readers.table(spark, dir, "events")
+      .select(unix_date(to_date(col("ts"))).cast("long"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val days = du.map(_._1).distinct.sorted
+    assert(rows.map(_._1).toSeq === days.toSeq)
+    rows.foreach { case (d, dau, mau) =>
+      assert(dau === du.count(_._1 == d).toLong, s"dau at $d")
+      val want = du.filter(t => t._1 >= d - 29 && t._1 <= d).map(_._2).distinct.length
+      assert(mau === want.toLong, s"mau30 at $d")
+      assert(dau <= mau, "a day's actives are inside its window")
+    }
+  }
+
   test("events_decay_engagement: exact fixed-point replay; decay tracks the true exponential") {
     val rows = ops.Insights.eventsDecayEngagement(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -606,6 +606,22 @@ class PlanSpec extends SparkSpec {
     assert(plan(ops.Insights.eventsInterarrival).contains("BroadcastHashJoin"))
   }
 
+  test("events_stickiness: the window fan-out is a semi join, never a range nested loop") {
+    val p = plan(ops.Insights.eventsStickiness)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range condition must not plan as a nested loop")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("LeftSemi"), "spine membership must be a semi join")
+  }
+
+  test("stat_bootstrap_ci: replicate sums combine map-side; exchange carries only cells") {
+    val p = plan(ops.Insights.statBootstrapCi)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the (segment, r) rollup must have a partial aggregate under the
+    // exchange — the B-fold fan-out stays inside the scan stage
+    assert(p.contains("partial_"), "replicate rollup must map-side combine")
+  }
+
   test("orders_theil_decomposition: log2_fixed runs post-aggregation inside codegen") {
     val df = ops.Insights.ordersTheilDecomposition(spark, dir)
     df.collect()
