@@ -1182,7 +1182,49 @@ object Insights {
       .orderBy("d")
   }
 
+  /** Order-fulfillment SLA cells per priority class (round 12, third
+    * session) — the operations twin of [[ordersOpenBacklog]] on the
+    * same interval model (open = o_orderdate, close = max l_shipdate,
+    * clamped): per priority the count, exact total lag days, the
+    * exact lower-median lag, the lower-p90 lag (rank (9n+9) div 10 —
+    * i.e. the value at ceil(0.9n), documented and replayed
+    * identically), and the max. The p90-vs-median gap is the SLA
+    * tail a fulfillment planner watches per priority class.
+    *
+    * Scale: the lineitem close-date rollup + one orderkey join (the
+    * backlog exchange); the rank window partitions by priority
+    * (winsorize caveat + KLL swap); cells are map-side.
+    */
+  val ordersFulfillmentLag: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(unix_date(to_date(col("l_shipdate")))).cast("long").as("close0"))
+    val o = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("open_d"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("priority"), col("o_orderkey"),
+        (greatest(col("close0"), col("open_d")) - col("open_d")).as("lag_d"))
+    val wRank = Window.partitionBy(col("priority")).orderBy(col("lag_d"), col("o_orderkey"))
+    val ranked = o
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("priority"))))
+    val med = ranked.filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("priority"), col("lag_d").as("med_lag_days"))
+    val p90 = ranked.filter(col("rk") === expr("(9 * n + 9) div 10"))
+      .select(col("priority"), col("lag_d").as("p90_lag_days"))
+    o.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("lag_d")).as("sum_lag_days"),
+        max(col("lag_d")).as("max_lag_days"))
+      .join(broadcast(med), Seq("priority"))
+      .join(broadcast(p90), Seq("priority"))
+      .select(col("priority"), col("n"), col("sum_lag_days"),
+        col("med_lag_days"), col("p90_lag_days"), col("max_lag_days"))
+      .orderBy("priority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "orders_fulfillment_lag" -> ordersFulfillmentLag,
     "events_stickiness" -> eventsStickiness,
     "stat_bootstrap_ci" -> statBootstrapCi,
     "events_decay_engagement" -> eventsDecayEngagement,

@@ -723,7 +723,39 @@ object Llm2 {
       .orderBy(col("doc_id"), col("bucket"))
   }
 
+  /** Deterministic per-epoch training shuffle (round 12, third
+    * session) — the data-loader order op: epoch e's order is a sort by
+    * md5("graft-epoch"|e|doc_id), so every epoch is a DIFFERENT but
+    * perfectly REPRODUCIBLE permutation (re-runs, resumes, and audits
+    * see byte-identical order; no RNG state to checkpoint) and
+    * epochs are independent by the salt-composition argument of
+    * [[Llm.hashBucket]]. Emits the first 20 positions of epochs 0–2
+    * with the shuffle key (verifiable by anyone with md5).
+    *
+    * Scale: the full-resolution 32-hex key never needs a global sort
+    * to SERVE training — readers range-partition on the key prefix
+    * (256 shards by first 2 hex chars is uniform by construction);
+    * the top-20-per-epoch emitted here is TakeOrdered-per-group, the
+    * rank window over the epoch partition (3 fixed epochs — each
+    * window is corpus-sized: the documented top-k caveat; production
+    * reads the order, it never ranks it).
+    */
+  val sampleEpochShuffle: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch")).orderBy(col("shuffle_key"), col("doc_id"))
+    table(s, dir, "documents")
+      .select(col("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(2L))))
+      .withColumn("shuffle_key", md5(concat_ws("|", lit("graft-epoch"),
+        col("epoch").cast("string"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 20)
+      .select(col("epoch"), col("rn"), col("doc_id"), col("shuffle_key"))
+      .orderBy("epoch", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sample_epoch_shuffle" -> sampleEpochShuffle,
     "pack_sequences" -> packSequencesQ,
     "text_feature_hash" -> textFeatureHash,
     "text_repetition_stats" -> textRepetitionStats,

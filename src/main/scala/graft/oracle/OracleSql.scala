@@ -3533,6 +3533,54 @@ object OracleSql {
         |LEFT JOIN inter i ON i.type_a = g.type_a AND i.type_b = g.type_b
         |ORDER BY g.type_a, g.type_b""".stripMargin,
 
+    // ops.Llm2.sampleEpochShuffle: md5 shuffle key, byte-identical
+    // hex in both engines
+    "sample_epoch_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT e.epoch, d.doc_id,
+        |         md5('graft-epoch' || '|' || CAST(e.epoch AS VARCHAR) || '|'
+        |             || CAST(d.doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents d
+        |  CROSS JOIN (SELECT CAST(unnest(generate_series(0, 2)) AS BIGINT) AS epoch) e),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+        |            ORDER BY shuffle_key, doc_id) AS BIGINT) AS rn
+        |  FROM keyed)
+        |SELECT epoch, rn, doc_id, shuffle_key
+        |FROM r WHERE rn <= 20
+        |ORDER BY epoch, rn""".stripMargin,
+
+    // ops.Insights.ordersFulfillmentLag: lower median + lower p90 at
+    // rank (9n+9)//10, the backlog interval model
+    "orders_fulfillment_lag" ->
+      """WITH cl AS (
+        |  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close0
+        |  FROM lineitem GROUP BY 1),
+        |o AS (
+        |  SELECT o_orderpriority AS priority, o_orderkey,
+        |         CAST(datediff('day', CAST(o_orderdate AS DATE),
+        |              GREATEST(close0, CAST(o_orderdate AS DATE))) AS BIGINT) AS lag_d
+        |  FROM orders JOIN cl ON cl.l_orderkey = o_orderkey),
+        |r AS (
+        |  SELECT priority, lag_d,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY priority
+        |                                 ORDER BY lag_d, o_orderkey) AS BIGINT) AS rk,
+        |         CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+        |  FROM o),
+        |med AS (SELECT priority, lag_d AS med_lag_days FROM r WHERE rk = (n + 1) // 2),
+        |p90 AS (SELECT priority, lag_d AS p90_lag_days FROM r WHERE rk = (9 * n + 9) // 10),
+        |a AS (
+        |  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(lag_d) AS BIGINT) AS sum_lag_days,
+        |         CAST(MAX(lag_d) AS BIGINT) AS max_lag_days
+        |  FROM o GROUP BY 1)
+        |SELECT a.priority, a.n, a.sum_lag_days, med.med_lag_days,
+        |       p90.p90_lag_days, a.max_lag_days
+        |FROM a
+        |JOIN med ON med.priority = a.priority
+        |JOIN p90 ON p90.priority = a.priority
+        |ORDER BY a.priority""".stripMargin,
+
     // ops.Insights.eventsStickiness: exact distinct over overlapping
     // trailing windows — the range join is exact, so engine-side
     // plan shape (fan-out vs theta) is irrelevant to the result

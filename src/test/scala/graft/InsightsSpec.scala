@@ -445,6 +445,34 @@ class InsightsSpec extends SparkSpec {
     assert(tDecomposed > 0, "pooled inequality positive")
   }
 
+  test("orders_fulfillment_lag: lag cells match an interval replay; rank conventions hold") {
+    val rows = ops.Insights.ordersFulfillmentLag(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val iv = graft.io.Readers.table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(unix_date(to_date(col("l_shipdate")))).cast("long").as("c"))
+      .join(graft.io.Readers.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("o")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (greatest(col("c"), col("o")) - col("o")).as("lag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byPrio = iv.groupBy(_._1)
+    assert(rows.map(_._1).toSet === byPrio.keySet)
+    rows.foreach { case (p, n, sumL, med, p90, maxL) =>
+      val g = byPrio(p)
+      assert(n === g.length.toLong)
+      assert(sumL === g.map(_._3).sum)
+      assert(maxL === g.map(_._3).max)
+      val sorted = g.sortBy(t => (t._3, t._2)).map(_._3)
+      assert(med === sorted((g.length + 1) / 2 - 1), s"median $p")
+      assert(p90 === sorted((9 * g.length + 9) / 10 - 1), s"p90 $p")
+      assert(med <= p90 && p90 <= maxL, s"order statistics ordered $p")
+    }
+  }
+
   test("stat_bootstrap_ci: deterministic replicates, CI brackets the exact mean, width sane") {
     val run1 = ops.Insights.statBootstrapCi(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))

@@ -307,4 +307,32 @@ class Llm2Spec extends SparkSpec {
     val occupied = got.keySet.map(_._2).size
     assert(occupied <= 64 && occupied <= distinctTerms)
   }
+
+  test("sample_epoch_shuffle: epochs are distinct reproducible permutations; head is the global min") {
+    val dir = "/root/testdata/sf0.001"
+    val run1 = ops.Llm2.sampleEpochShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val run2 = ops.Llm2.sampleEpochShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(run1.toSeq === run2.toSeq, "shuffle must be run-stable")
+    assert(run1.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 2L))
+    // distinct permutations: the top-20 doc sequences differ across epochs
+    val heads = run1.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(heads(0L) != heads(1L) && heads(1L) != heads(2L),
+      "epochs must not repeat an order")
+    // the emitted head IS the 20 globally-smallest keys per epoch
+    val docIds = io.Readers.table(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0))
+    def key(e: Long, d: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"graft-epoch|$e|$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    (0L to 2L).foreach { e =>
+      val want = docIds.map(d => (key(e, d), d)).sortBy(identity).take(20)
+      val got = run1.filter(_._1 == e).sortBy(_._2).map(t => (t._4, t._3)).toSeq
+      assert(got === want.toSeq, s"epoch $e head must be the md5-order minimum")
+    }
+  }
 }
