@@ -121,4 +121,18 @@ object AdjacencyIndex {
   def degrees(spark: SparkSession, name: String): DataFrame =
     edges(spark, name).groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
+
+  /** Modularity cells of the stored graph (round 12, third session) —
+    * [[Graph.modularityCells]] driven off the persisted adjacency:
+    * canonicalize the stored both-orientations relation back to u<v
+    * once, then the same flood + cells, so a graph maintained by
+    * streaming edge ingest serves community-quality screens without
+    * re-deriving edges from raw facts (spec: row-identical to the
+    * in-plan form over the same edge set).
+    */
+  def modularityOver(spark: SparkSession, name: String): DataFrame =
+    Graph.modularityCells(
+      edges(spark, name).filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+        .localCheckpoint())
 }

@@ -137,4 +137,19 @@ class AdjacencyIndexSpec extends SparkSpec {
       assert(ops.AdjacencyIndex.edges(spark, "adj_crash").count() > before)
     } finally io.TableManifest.drop(spark, "adj_crash")
   }
+
+  test("modularityOver == the in-plan cells over the same edge set") {
+    ops.AdjacencyIndex.build(spark, "adj_mod", corpusEdges)
+    try {
+      val got = ops.AdjacencyIndex.modularityOver(spark, "adj_mod")
+        .collect().map(_.toSeq)
+      val und = corpusEdges
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      val ref = ops.Graph.modularityCells(und).collect().map(_.toSeq)
+      assert(got.toSeq === ref.toSeq,
+        "stored-graph cells must equal the in-plan form")
+    } finally io.TableManifest.drop(spark, "adj_mod")
+  }
 }

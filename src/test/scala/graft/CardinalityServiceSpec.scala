@@ -304,6 +304,35 @@ class CardinalityServiceSpec extends SparkSpec {
     }
   }
 
+  test("rollingDistinct(30) tracks the exact events_stickiness curve within sketch error") {
+    // the documented scale path of the exact key (§2 events_stickiness):
+    // serve the DAU/MAU curve from stored per-day registers — this is
+    // the exact↔sketched certificate pairOverlapEstimates carries for
+    // the overlap key, closed here for the stickiness pair
+    val dir = "/root/testdata/sf0.001"
+    val events = io.Readers.table(spark, dir, "events")
+    ops.CardinalityService.build(spark, "csvc_stick", events)
+    try {
+      val exact = ops.Insights.eventsStickiness(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val mauByDay = ops.CardinalityService.rollingDistinct(spark, "csvc_stick", 30)
+        .collect().map(r => (java.time.LocalDate.parse(r.getString(0)).toEpochDay,
+          r.getLong(2))).toMap
+      val dauByDay = ops.CardinalityService.rollingDistinct(spark, "csvc_stick", 1)
+        .collect().map(r => (java.time.LocalDate.parse(r.getString(0)).toEpochDay,
+          r.getLong(2))).toMap
+      assert(mauByDay.keySet === exact.keySet)
+      // lgK=12 → rse ≈ 1.04/√2¹² ≈ 1.6 %; accept 5σ ≈ 8 %
+      exact.foreach { case (d, (dauX, mauX)) =>
+        val dauS = dauByDay(d); val mauS = mauByDay(d)
+        assert(math.abs(dauS - dauX).toDouble <= math.max(3.0, 0.08 * dauX),
+          s"DAU day $d: sketch $dauS vs exact $dauX")
+        assert(math.abs(mauS - mauX).toDouble <= math.max(3.0, 0.08 * mauX),
+          s"MAU30 day $d: sketch $mauS vs exact $mauX")
+      }
+    } finally io.TableManifest.drop(spark, "csvc_stick")
+  }
+
   test("keyed and unkeyed layouts cannot silently mix") {
     ops.CardinalityService.buildKeyed(spark, "csvc_mix", typedEvents)
     try {
