@@ -326,11 +326,54 @@ object Bpe {
       .orderBy("w")
   }
 
+  /** Tokenizer-efficiency planning relation (§8.r13.8): per language,
+    * the corpus-wide FERTILITY (BPE tokens per word) and compression
+    * (chars per token) of the [[textBpeTrain]] tokenizer — the two
+    * numbers a multilingual token-budget planner actually consumes
+    * (a language whose fertility runs high is under-served by the
+    * merge rules; chars/token is the budget conversion rate). Exact
+    * integer cells (n_words, n_tokens, n_chars) per lang; the two
+    * ratios are single divisions of exact longs, bit-stable
+    * cross-engine like [[textBpeTokenize]]'s.
+    *
+    * Scale shape — the deliberate difference from [[textBpeTokenize]]:
+    * word OCCURRENCES collapse to per-(lang, word) counts FIRST (one
+    * map-side-combinable rollup), and only the distinct (lang, word)
+    * relation joins the |vocab|-row model, weighted by `cnt`. At
+    * 100 TB that swaps a join driven by ~10¹³ running words for one
+    * driven by ~10⁸·|langs| distinct pairs — the same
+    * aggregate-before-join discipline as the vocabulary trick the
+    * trainer itself rides. Output is |langs| rows; everything after
+    * the rollup is bounded.
+    */
+  val textBpeFertility: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val model = trainedVocab(docs, TrainRounds, TrainMinCount)
+      .select(col("w"), size(col("syms")).cast("long").as("n_syms"))
+    docs
+      .filter(trim(col("text")) =!= "")
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(model, "w")
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_syms")).as("n_tokens"),
+        sum(col("cnt") * length(col("w")).cast("long")).as("n_chars"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_bpe_merge" -> textBpeMerge,
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_tokenize" -> textBpeTokenize,
     "text_bpe_rules" -> textBpeRules,
     "text_bpe_apply" -> textBpeApply,
+    "text_bpe_fertility" -> textBpeFertility,
   )
 }

@@ -2861,6 +2861,41 @@ object OracleSql {
              .mkString("", "\nUNION ALL\n", "")}
          |ORDER BY round""".stripMargin,
 
+    // ops.Bpe.textBpeFertility: per-language fertility (tokens/word)
+    // and compression (chars/token) of the k=8/minCount=1500 trained
+    // tokenizer. The occurrence stream collapses to (lang, w) counts
+    // BEFORE joining the model — the Spark side's aggregate-before-
+    // join shape, replayed so the weighting is cross-checked too.
+    "text_bpe_fertility" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w
+         |  FROM documents WHERE trim(text) <> ''),
+         |wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM words WHERE w <> '' GROUP BY w),
+         |s0 AS MATERIALIZED (
+         |  SELECT w, CAST(u.i AS BIGINT) - 1 AS pos,
+         |         substr(w, CAST(u.i AS INT), 1) AS sym
+         |  FROM wc, unnest(generate_series(1, CAST(len(w) AS BIGINT))) AS u(i)),
+         |${BpeSql.chain(8, 1500L)},
+         |model AS MATERIALIZED (
+         |  SELECT w, count(*) AS n_syms FROM ${BpeSql.finalTable(8)} GROUP BY w),
+         |lw AS (
+         |  SELECT lang,
+         |         unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w
+         |  FROM documents WHERE trim(text) <> ''),
+         |lwc AS (
+         |  SELECT lang, w, count(*) AS cnt FROM lw WHERE w <> '' GROUP BY lang, w)
+         |SELECT lang,
+         |       CAST(SUM(lwc.cnt) AS BIGINT) AS n_words,
+         |       CAST(SUM(lwc.cnt * model.n_syms) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(lwc.cnt * len(lwc.w)) AS BIGINT) AS n_chars,
+         |       CAST(CAST(SUM(lwc.cnt * model.n_syms) AS BIGINT) AS DOUBLE)
+         |         / CAST(CAST(SUM(lwc.cnt) AS BIGINT) AS DOUBLE) AS fertility,
+         |       CAST(CAST(SUM(lwc.cnt * len(lwc.w)) AS BIGINT) AS DOUBLE)
+         |         / CAST(CAST(SUM(lwc.cnt * model.n_syms) AS BIGINT) AS DOUBLE) AS chars_per_token
+         |FROM lwc JOIN model ON model.w = lwc.w
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
+
     // ops.Bpe.textBpeApply: learn on documents, segment PART NAMES —
     // the training chain derives each best$r, the apply chain
     // (BpeSql.applyChain) replays the merges over the part-name

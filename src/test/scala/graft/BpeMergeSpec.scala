@@ -169,6 +169,36 @@ class BpeMergeSpec extends SparkSpec {
     assert(got("ab") === Seq("a", "b"))
   }
 
+  test("fertility: per-lang cells reconcile exactly with the per-doc tokenize rollup") {
+    // the fertility relation is the per-lang marginal of the per-doc
+    // tokenize stats under the SAME trained tokenizer — summing
+    // textBpeTokenize's cells through the doc→lang map must reproduce
+    // every integer cell exactly (cross-key conservation), and the
+    // ratio invariants bound the floats
+    val dir = "/root/testdata/sf0.001"
+    val fert = ops.Bpe.textBpeFertility(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(fert.nonEmpty)
+    val docLang = io.Readers.table(spark, dir, "documents")
+      .select("doc_id", "lang")
+    val rolled = ops.Bpe.textBpeTokenize(spark, dir)
+      .join(docLang, "doc_id")
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("n_words").as("w"),
+        org.apache.spark.sql.functions.sum("n_bpe_tokens").as("t"),
+        org.apache.spark.sql.functions.sum("n_chars").as("c"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(fert.map(_._1).toSet === rolled.keySet)
+    fert.foreach { case (lang, nw, nt, nc, f, cpt) =>
+      assert((nw, nt, nc) === rolled(lang), s"lang $lang cells")
+      // each word >= 1 token, each token >= 1 char → 1 <= f, cpt >= 1
+      assert(nt >= nw && nc >= nt, s"lang $lang ordering")
+      assert(math.abs(f - nt.toDouble / nw.toDouble) === 0.0, s"lang $lang fertility")
+      assert(math.abs(cpt - nc.toDouble / nt.toDouble) === 0.0, s"lang $lang cpt")
+    }
+  }
+
   test("k=3 rounds match the reference scan on a randomized corpus") {
     val rnd = new scala.util.Random(42)
     val words = Seq.fill(40)((1 to (1 + rnd.nextInt(7)))
