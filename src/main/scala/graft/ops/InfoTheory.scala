@@ -493,6 +493,74 @@ object InfoTheory {
       .select(col("doc_id"), col("n_hit"), col("bm25_u"), col("bm25"))
   }
 
+  /** Dirichlet smoothing pseudo-count μ (Zhai & Lafferty's standard
+    * 2000), an exact integer — interpolated into both engines. */
+  val LmMu = 2000L
+
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    * 2001) — the LANGUAGE-MODEL member of the retrieval family,
+    * completing the pair with [[textBm25Topk]]'s probabilistic-
+    * relevance scoring (the two standard lexical baselines; their
+    * rank disagreement on long vs short documents is itself a
+    * curation diagnostic). Score per candidate doc, summed over the
+    * fixed query-term set:
+    *
+    *   log p(q|d) = Σ_t log[(tf_t + μ·cf_t/C) / (dl + μ)]
+    *              = Σ_t [L₂₀(tf_t·C + μ·cf_t)] − |q|·L₂₀(C·(dl+μ))
+    *
+    * with cf_t the collection frequency, C the corpus token count —
+    * every log argument an INTEGER (the rational's halves cleared by
+    * cross-multiplying), so the whole score rides
+    * [[graft.functions.NumericExpressions.Log2Fixed]] and the DuckDB
+    * oracle replays it bit for bit, like BM25's idf. Unlike BM25 a
+    * query term with tf = 0 still contributes (the smoothing mass) —
+    * the wide tf_i column formulation makes that row-local; docs
+    * matching NO term are absent (their score is a doc-independent-
+    * ranked constant only through dl — standard candidate pruning).
+    *
+    * Scale: identical zero-exchange shape to [[bm25RowLocal]] — one
+    * 1-row algebraic stats pass (C, cf per literal term) broadcast
+    * back, row-local fixed-point scoring, TakeOrdered(10). Overflow:
+    * tf·C + μ·cf < 2⁶³ needs tf·C ≲ 9·10¹⁸ — at C = 10¹³ corpus
+    * tokens, safe to tf ≈ 9·10⁵; C·(dl+μ) safe to dl ≈ 9·10⁵ at the
+    * same C. Both are beyond real documents; past them, pre-divide C
+    * by 2ᵏ (a constant −k·|q|·2²⁰ shift common to every score).
+    */
+  val textLmDirichletTopk: Q = (s, dir) =>
+    lmDirichletRowLocal(table(s, dir, "documents"), Bm25QueryTerms)
+
+  /** The row-local Dirichlet-LM pipeline behind
+    * [[textLmDirichletTopk]], parameterized on the term set (the
+    * [[graft.ops.PostingIndex]] probe is spec'd against it).
+    */
+  def lmDirichletRowLocal(docs: org.apache.spark.sql.DataFrame,
+      qt0: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val qt = qt0.distinct
+    val perdoc = docs
+      .select(col("doc_id"), filter(tokens, x => x =!= "").as("arr"))
+      .select(col("doc_id") +: size(col("arr")).cast("long").as("dl") +:
+        qt.indices.map(i =>
+          size(filter(col("arr"), x => x === qt(i))).cast("long").as(s"tf_$i")): _*)
+    val statAggs = sum(col("dl")).as("c_tok") +:
+      qt.indices.map(i => sum(col(s"tf_$i")).as(s"cf_$i"))
+    val stats = perdoc.agg(statAggs.head, statAggs.tail: _*)
+    perdoc
+      .filter(qt.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .withColumn("n_hit",
+        qt.indices.map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("lm20",
+        qt.indices.map(i =>
+          log2Fixed(col(s"tf_$i") * col("c_tok") + lit(LmMu) * col(s"cf_$i")))
+          .reduce(_ + _) -
+          lit(qt.size.toLong) * log2Fixed(col("c_tok") * (col("dl") + lit(LmMu))))
+      .orderBy(col("lm20").desc, col("doc_id"))
+      .limit(10)
+      .withColumn("lm_bits", col("lm20").cast("double") / lit(1048576.0))
+      .select(col("doc_id"), col("n_hit"), col("lm20"), col("lm_bits"))
+  }
+
   /** Per-language vocabulary coverage curve (round 12, second
     * session) — the tokenizer/vocab-sizing planning relation: "what
     * fraction of the corpus token mass do the top-k vocabulary
@@ -646,6 +714,7 @@ object InfoTheory {
     "text_vocab_coverage" -> textVocabCoverage,
     "text_kn_continuation" -> textKnContinuation,
     "text_bm25_topk" -> textBm25Topk,
+    "text_lm_dirichlet_topk" -> textLmDirichletTopk,
     "sample_perplexity_temperature" -> samplePerplexityTemperature,
     "text_entropy_exact" -> textEntropyExact,
     "events_entropy_user" -> eventsEntropyUser,

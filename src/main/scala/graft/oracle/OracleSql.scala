@@ -2564,6 +2564,51 @@ object OracleSql {
          |FROM sel
          |ORDER BY bm25_u DESC, doc_id""".stripMargin,
 
+    // ops.InfoTheory.textLmDirichletTopk: Dirichlet query-likelihood
+    // with every log argument cross-multiplied to an integer and fed
+    // through the Log2Sql chain — the whole score bit-replayed, like
+    // BM25. Candidate docs (>=1 hit) score ALL query terms (tf = 0
+    // contributes the smoothing mass), via the grid left join.
+    "text_lm_dirichlet_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM tok WHERE term <> '' GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |corp AS (SELECT CAST(SUM(tf) AS BIGINT) AS c_tok FROM tf),
+         |qtf AS (
+         |  SELECT doc_id, term, tf FROM tf
+         |  WHERE term IN (${graft.ops.InfoTheory.Bm25QueryTerms.map(t => s"'$t'").mkString(", ")})),
+         |cft AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM qtf GROUP BY term),
+         |cand AS (SELECT DISTINCT doc_id FROM qtf),
+         |grid AS (
+         |  SELECT cand.doc_id, cft.term, cft.cf, COALESCE(qtf.tf, 0) AS tf, dl.dl
+         |  FROM cand CROSS JOIN cft
+         |  LEFT JOIN qtf ON qtf.doc_id = cand.doc_id AND qtf.term = cft.term
+         |  JOIN dl ON dl.doc_id = cand.doc_id),
+         |${Log2Sql.chain("lg",
+            "SELECT DISTINCT grid.tf * corp.c_tok + " +
+              s"${graft.ops.InfoTheory.LmMu} * grid.cf AS v FROM grid CROSS JOIN corp " +
+              "UNION SELECT DISTINCT corp.c_tok * (dl.dl + " +
+              s"${graft.ops.InfoTheory.LmMu}) AS v FROM dl CROSS JOIN corp")},
+         |sel AS (
+         |  SELECT g.doc_id,
+         |         CAST(SUM(CASE WHEN g.tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |         CAST(SUM(ln.l20) - COUNT(*) * MIN(ld.l20) AS BIGINT) AS lm20
+         |  FROM grid g
+         |  CROSS JOIN corp
+         |  JOIN lg ln ON ln.v = g.tf * corp.c_tok + ${graft.ops.InfoTheory.LmMu} * g.cf
+         |  JOIN lg ld ON ld.v = corp.c_tok * (g.dl + ${graft.ops.InfoTheory.LmMu})
+         |  GROUP BY g.doc_id
+         |  ORDER BY lm20 DESC, doc_id LIMIT 10)
+         |SELECT doc_id, n_hit, lm20,
+         |       CAST(lm20 AS DOUBLE) / 1048576.0 AS lm_bits
+         |FROM sel
+         |ORDER BY lm20 DESC, doc_id""".stripMargin,
+
     // ops.InfoTheory.textPerplexityExact: the entropy pipeline's H₂₀
     // fed through the Exp2Sql replica — log AND exp both bit-replayed.
     "text_perplexity_exact" ->

@@ -416,6 +416,54 @@ class InfoTheorySpec extends SparkSpec {
     assert(got.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("text_lm_dirichlet_topk: fixed-point scores agree with double-precision Dirichlet LM; ranking is honest") {
+    val dir = "/root/testdata/sf0.001"
+    val got = ops.InfoTheory.textLmDirichletTopk(spark, dir)
+      .select("doc_id", "n_hit", "lm20", "lm_bits")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 10)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+    case _ => }
+
+    // independent double-precision reference over the same tokenizer
+    val docs = io.Readers.table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.replaceAll("\\s+", " ").toLowerCase
+        .split(" ").filter(_.nonEmpty)
+    }.filter(_._2.nonEmpty)
+    val cTok = toks.map(_._2.length.toLong).sum.toDouble
+    val mu = ops.InfoTheory.LmMu.toDouble
+    val qTerms = ops.InfoTheory.Bm25QueryTerms
+    val cfMap = qTerms.map(t =>
+      t -> toks.map(_._2.count(_ == t).toLong).sum.toDouble).toMap
+    def score(ws: Array[String]): (Int, Double) = {
+      val dl = ws.length.toDouble
+      val tfm = ws.groupBy(identity).map { case (w, g) => w -> g.length.toDouble }
+      val hits = qTerms.count(tfm.contains)
+      val s = qTerms.map { t =>
+        val tf = tfm.getOrElse(t, 0.0)
+        math.log((tf + mu * cfMap(t) / cTok) / (dl + mu)) / math.log(2.0)
+      }.sum
+      (hits, s)
+    }
+    val ref = toks.map { case (id, ws) => id -> score(ws) }.toMap
+    got.foreach { case (id, nHit, _, lmBits) =>
+      val (refHit, refScore) = ref(id)
+      assert(nHit === refHit.toLong, s"doc $id n_hit")
+      assert(math.abs(lmBits - refScore) < 1e-3, s"doc $id: $lmBits vs $refScore")
+    }
+    // the returned 10 dominate among candidate (>=1 hit) docs
+    val returned = got.map(_._1).toSet
+    val floor10 = got.map(_._4).min
+    ref.foreach { case (id, (hits, s)) =>
+      if (hits > 0 && !returned.contains(id))
+        assert(s <= floor10 + 1e-3, s"doc $id excluded but $s > $floor10")
+    }
+  }
+
   test("text_bm25_topk: fixed-point scores agree with double-precision BM25; ranking is honest") {
     val dir = "/root/testdata/sf0.001"
     val got = ops.InfoTheory.textBm25Topk(spark, dir)
