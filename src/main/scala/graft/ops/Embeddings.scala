@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoder
+
+import graft.io.Readers.table
+
+/** Embedding-corpus analytics — the second-moment and quantization
+  * primitives an embedding-heavy training pipeline needs beside the
+  * similarity family ([[Llm]]/[[Llm2]]): the Gram/covariance cells
+  * that feed PCA / whitening / spectral diagnostics, and the int8
+  * quantization profile that sizes a compressed ANN serving tier.
+  *
+  * Cross-engine determinism discipline: float embeddings enter every
+  * relation through an EXACT transform — either a power-of-two
+  * fixed-point quantization (a binary64 multiply by 2ᵏ never rounds,
+  * and `floor` is exact), or IEEE operations in a parenthesized
+  * order replayed verbatim by the oracle — so the emitted cells are
+  * integers (or bit-stable doubles) and the DuckDB gate hashes them
+  * exactly. No float SUM whose value depends on reduction order ever
+  * crosses the engine boundary (integer sums are associative).
+  */
+object Embeddings {
+
+  import Relational.Q
+
+  /** Gram fixed-point scale 2¹⁴: q = ⌊x·2¹⁴⌋ ∈ [−2¹⁴, 2¹⁴] for
+    * unit-ball components, so a product is ≤ 2²⁸ and an int64 cell
+    * holds Σ over ~3·10¹⁰ vectors before overflow — the 100 TB
+    * corpus bound; past it, shard the sum by vec_id range and add
+    * the ≤ d² partials in DECIMAL (documented, not needed here).
+    */
+  val GramScale = 16384.0    // 2^14
+  val GramScaleBits = 14
+
+  /** Upper-triangle Gram-matrix cells of the embedding corpus:
+    * G[i,j] = Σ_vec q_i·q_j over the 2¹⁴-fixed-point components —
+    * the distributed second-moment accumulation behind PCA,
+    * whitening, covariance-shrinkage diagnostics, and the "is this
+    * embedding space collapsing?" screen (trace mass vs off-diagonal
+    * mass). Consumer divides by n·2²⁸ for the empirical Gram in
+    * float and eigendecomposes the d×d result driver-side (d² cells
+    * is KB-scale for any real d).
+    *
+    * Scale shape: the d(d+1)/2 products per vector are ROW-LOCAL
+    * (nested `transform` over index sequences — no self-join, no
+    * explode-then-shuffle of components), and the only exchange is
+    * the map-side-combined (i, j) rollup whose key space is d², so
+    * the shuffle carries ≤ d²·partitions cells regardless of corpus
+    * size. The quantization multiply is by a power of two — exact in
+    * binary64 — so ⌊x·2¹⁴⌋ is bit-identical in any IEEE engine.
+    */
+  /** Typed upper-triangle Gram accumulator: buffer = [n, cell₀ …] as
+    * one flat long array, lazily sized from the first vector's
+    * dimension; reduce is d(d+1)/2 multiply-adds with ZERO per-row
+    * allocation, merge is elementwise add (fully mergeable partials —
+    * ONE buffer per partition crosses the exchange, never per-cell
+    * rows). Integer adds are associative, so the cells are exact and
+    * partitioning-invariant. This is the case the custom-Aggregator
+    * escape hatch exists for: the declarative form
+    * ([[gramCellsDeclarative]]) must materialize d(d+1)/2 structs per
+    * row before exploding — measured 3.0× slower at sf0.1 (2.07 vs
+    * 0.68 s isolated, BASELINE.md r12 fourth-session row) with the
+    * gap pure allocation, and the ratio only worsens with corpus
+    * size since both exchange the same ≤ d²·partitions cells.
+    */
+  final class GramAgg extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b0: Array[Long], q: Array[Long]): Array[Long] = {
+      val d = q.length
+      val b = if (b0.length == 0) new Array[Long](1 + d * (d + 1) / 2) else b0
+      b(0) += 1L
+      var k = 1
+      var i = 0
+      while (i < d) {
+        val qi = q(i)
+        var j = i
+        while (j < d) { b(k) += qi * q(j); k += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      if (x.length == 0) y
+      else if (y.length == 0) x
+      else {
+        var i = 0
+        while (i < x.length) { x(i) += y(i); i += 1 }
+        x
+      }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  val embedGramCells: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    // d is schema metadata (a 1-value driver lookup, corpus-size
+    // independent) — it sizes the (pos → i, j) unflattening relation
+    val d = emb.select(size(col("embedding"))).head.getInt(0)
+    val idx = s.createDataFrame(
+      (for { i <- 0 until d; j <- i until d } yield (i, j)).zipWithIndex
+        .map { case ((i, j), k) => (k, i.toLong, j.toLong) })
+      .toDF("pos", "i", "j")
+    val packed = emb
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * lit(GramScale)).cast("long")).as("q"))
+      .agg(udaf(new GramAgg, ExpressionEncoder[Array[Long]]())(col("q")).as("b"))
+      .select(element_at(col("b"), 1).as("n_vecs"),
+        slice(col("b"), 2, d * (d + 1) / 2).as("cells"))
+    packed
+      .select(col("n_vecs"), posexplode(col("cells")).as(Seq("pos", "g")))
+      .join(broadcast(idx), "pos")
+      .select(col("i"), col("j"), col("n_vecs"), col("g"))
+      .orderBy("i", "j")
+  }
+
+  /** The all-declarative A/B control for [[embedGramCells]] (nested
+    * transform → struct fan-out → hash rollup): identical cells,
+    * measured 3.0× slower on per-row allocation — kept as the shape
+    * a no-custom-code deployment would use.
+    */
+  private[graft] def gramCellsDeclarative(emb: DataFrame): DataFrame = {
+    val q = emb.select(transform(col("embedding"),
+      x => floor(x.cast("double") * lit(GramScale)).cast("long")).as("q"))
+    q.select(explode(flatten(transform(
+        sequence(lit(1), size(col("q"))),
+        i => transform(sequence(i, size(col("q"))),
+          j => struct((i - 1).cast("long").as("i"), (j - 1).cast("long").as("j"),
+            (element_at(col("q"), i) * element_at(col("q"), j)).as("p")))))).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("c.p")).as("g"))
+      .orderBy("i", "j")
+  }
+
+  /** Per-label symmetric int8 quantization profile: each vector is
+    * quantized against its own max-abs scale (q = ⌊(x/s)·127⌋), and
+    * the label-level cells report how the int8 grid treats that
+    * label's region of the space — n_zero (components the grid
+    * flushes to zero: resolution loss), n_sat (components at the
+    * clip boundary), Σq² (retained energy in grid units), and the
+    * 2²⁰-fixed-point sum of scales (the dequantization constants).
+    * The serving consumer reads this to pick per-label scale
+    * overrides before building a compressed ANN tier.
+    *
+    * Determinism: s = max|x| is an exact float max; (x/s)·127 is two
+    * binary64 operations in a parenthesized order the oracle replays
+    * verbatim — deterministic IEEE, identical bits in both engines —
+    * and ⌊·⌋ lands on an integer; scale·2²⁰ is a power-of-two
+    * multiply (exact). All emitted cells are integers.
+    *
+    * Scale shape: everything per-vector is row-local array math
+    * (transform/filter/aggregate — no explode), then ONE map-side-
+    * combined rollup to |labels| cells.
+    */
+  val embedQuantizeInt8: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val withQ = emb
+      .withColumn("scale",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") / col("scale") * lit(127.0)).cast("long")))
+    withQ
+      .select(col("label"),
+        aggregate(col("q"), lit(0L), (a, v) => a + v * v).as("q2"),
+        size(filter(col("q"), v => v === 0L)).cast("long").as("nz"),
+        size(filter(col("q"), v => abs(v) === 127L)).cast("long").as("ns"),
+        floor(col("scale") * lit(1048576.0)).cast("long").as("sfp"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("nz")).as("n_zero"),
+        sum(col("ns")).as("n_sat"),
+        sum(col("q2")).as("sum_q2"),
+        sum(col("sfp")).as("sum_scale_fp"))
+      .orderBy("label")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "embed_gram_cells" -> embedGramCells,
+    "embed_quantize_int8" -> embedQuantizeInt8,
+  )
+}

@@ -4085,9 +4085,64 @@ object OracleSql {
          |ORDER BY grp.segment""".stripMargin,
   )
 
+  // ops.Embeddings: second-moment and quantization cells. Floats
+  // enter through exact transforms (power-of-two fixed point) or
+  // verbatim-ordered IEEE ops, so every emitted cell hashes exactly.
+  private val embeddings: Map[String, String] = Map(
+    // ops.Embeddings.embedGramCells: upper-triangle Gram cells over
+    // the 2^14 fixed-point components — the flat (vec, i, qi) form
+    // self-joined per vector replays Spark's row-local pair fan-out.
+    "embed_gram_cells" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 16384.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |flat AS (
+        |  SELECT vec_id, CAST(u.i AS BIGINT) AS i, q[CAST(u.i AS INT)] AS qi
+        |  FROM q, unnest(generate_series(1, CAST(len(q) AS BIGINT))) AS u(i))
+        |SELECT a.i - 1 AS i, b.i - 1 AS j, count(*) AS n_vecs,
+        |       CAST(SUM(a.qi * b.qi) AS BIGINT) AS g
+        |FROM flat a
+        |JOIN flat b ON b.vec_id = a.vec_id AND b.i >= a.i
+        |GROUP BY a.i, b.i
+        |ORDER BY i, j""".stripMargin,
+
+    // ops.Embeddings.embedQuantizeInt8: per-label int8 profile; the
+    // (x/s)*127 order is parenthesized identically to the Spark
+    // expression so the IEEE bits match.
+    "embed_quantize_int8" ->
+      """WITH flat AS (
+        |  SELECT vec_id, label,
+        |         CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |       unnest(generate_series(1, CAST(len(embedding) AS BIGINT))) AS u(i)),
+        |sc AS (SELECT vec_id, MAX(abs(x)) AS s FROM flat GROUP BY vec_id),
+        |qv AS (
+        |  SELECT flat.vec_id, flat.label,
+        |         CAST(floor((flat.x / sc.s) * 127.0) AS BIGINT) AS qk
+        |  FROM flat JOIN sc ON sc.vec_id = flat.vec_id),
+        |pv AS (
+        |  SELECT vec_id, label,
+        |         CAST(SUM(qk * qk) AS BIGINT) AS q2,
+        |         CAST(SUM(CASE WHEN qk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz,
+        |         CAST(SUM(CASE WHEN abs(qk) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+        |  FROM qv GROUP BY vec_id, label),
+        |sf AS (
+        |  SELECT vec_id, CAST(floor(s * 1048576.0) AS BIGINT) AS sfp FROM sc)
+        |SELECT pv.label, count(*) AS n_vecs,
+        |       CAST(SUM(pv.nz) AS BIGINT) AS n_zero,
+        |       CAST(SUM(pv.ns) AS BIGINT) AS n_sat,
+        |       CAST(SUM(pv.q2) AS BIGINT) AS sum_q2,
+        |       CAST(SUM(sf.sfp) AS BIGINT) AS sum_scale_fp
+        |FROM pv JOIN sf ON sf.vec_id = pv.vec_id
+        |GROUP BY pv.label
+        |ORDER BY pv.label""".stripMargin,
+  )
+
   val sql: Map[String, String] =
     relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++
       llm ++ streaming ++ llm2 ++ curation ++ statsLayout ++ analytics ++
       analytics2 ++ graph ++ round8 ++ infoTheory ++ bpe ++ bipartite ++
-      insights
+      insights ++ embeddings
 }

@@ -1,0 +1,84 @@
+package graft
+
+/** ops.Embeddings: Gram cells + int8 quantization profile. The JVM
+  * replays below execute the SAME IEEE binary64 operations the Spark
+  * expressions compile to, so equality is exact, not approximate —
+  * the float frontier is crossed only through power-of-two scaling
+  * and verbatim-ordered ops.
+  */
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus: Array[(Long, Array[Float], Int)] =
+    io.Readers.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect()
+
+  test("gram cells: aggregator output equals the brute-force JVM replay") {
+    val vecs = corpus
+    val d = vecs.head._2.length
+    val n = vecs.length.toLong
+    val ref = Array.ofDim[Long](d, d)
+    vecs.foreach { case (_, e, _) =>
+      val q = e.map(x => math.floor(x.toDouble * ops.Embeddings.GramScale).toLong)
+      for (i <- 0 until d; j <- i until d) ref(i)(j) += q(i) * q(j)
+    }
+    val got = ops.Embeddings.embedGramCells(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === d * (d + 1) / 2)
+    got.foreach { case (i, j, nv, g) =>
+      assert(nv === n)
+      assert(g === ref(i.toInt)(j.toInt), s"cell ($i,$j)")
+    }
+  }
+
+  test("gram cells: the declarative A/B control emits identical rows") {
+    val agg = ops.Embeddings.embedGramCells(spark, dir).collect().map(_.toSeq)
+    val dec = ops.Embeddings.gramCellsDeclarative(
+      io.Readers.table(spark, dir, "embeddings")).collect().map(_.toSeq)
+    assert(agg.toSeq === dec.toSeq)
+  }
+
+  test("gram cells: Cauchy–Schwarz on every off-diagonal; trace is the quantized corpus energy") {
+    val cells = ops.Embeddings.embedGramCells(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (i, j, _, g) => (i, j) -> g }.toMap
+    val n = corpus.length.toDouble
+    cells.foreach { case ((i, j), g) =>
+      if (i != j) {
+        // exact integer Cauchy–Schwarz via BigInt (no overflow risk)
+        assert(BigInt(g) * BigInt(g) <= BigInt(cells((i, i))) * BigInt(cells((j, j))),
+          s"CS at ($i,$j)")
+      } else assert(g >= 0L, s"diag $i")
+    }
+    // unit-norm corpus: Σ_i G[i,i] = Σ_vec |q|² ≈ n·2²⁸, within the
+    // per-component quantization slack (|q|² ∈ [(|x|·2¹⁴−1)², …])
+    val trace = (0L until cells.keys.map(_._1).max + 1)
+      .map(i => cells((i, i))).sum.toDouble
+    val exact = n * ops.Embeddings.GramScale * ops.Embeddings.GramScale
+    assert(math.abs(trace - exact) / exact < 0.01, s"trace $trace vs $exact")
+  }
+
+  test("int8 profile: brute-force JVM replay; every vector saturates at least one component") {
+    val vecs = corpus
+    val ref = scala.collection.mutable.Map.empty[Int, (Long, Long, Long, Long, Long)]
+      .withDefaultValue((0L, 0L, 0L, 0L, 0L))
+    vecs.foreach { case (_, e, label) =>
+      val s = e.map(x => math.abs(x.toDouble)).max
+      val q = e.map(x => math.floor((x.toDouble / s) * 127.0).toLong)
+      val (nv, nz, ns, q2, sf) = ref(label)
+      ref(label) = (nv + 1, nz + q.count(_ == 0L), ns + q.count(v => math.abs(v) == 127L),
+        q2 + q.map(v => v * v).sum, sf + math.floor(s * 1048576.0).toLong)
+    }
+    val got = ops.Embeddings.embedQuantizeInt8(spark, dir)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet === ref.keySet)
+    got.foreach { case (label, nv, nz, ns, q2, sf) =>
+      assert((nv, nz, ns, q2, sf) === ref(label), s"label $label")
+      // the max-abs component always lands on ±127 exactly
+      assert(ns >= nv, s"label $label saturation")
+    }
+  }
+}
