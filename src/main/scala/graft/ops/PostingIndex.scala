@@ -207,51 +207,7 @@ object PostingIndex {
     // per-position in the row-local reference — both paths normalize
     val terms = terms0.distinct
     val t = resolveTable(spark, tableName)
-    // probe-time freshness: appends may come from OTHER sessions (the
-    // streaming microbatch clone) whose saveAsTable invalidates only
-    // their own relation cache — this session's cached file listing
-    // would silently serve the pre-append corpus (found when the
-    // build's stats read-back started priming that cache). A refresh
-    // is a metadata re-list, not a data read.
-    spark.catalog.refreshTable(t)
-    spark.catalog.refreshTable(statsTable(t))
-    // doc-sharded index: enumerate the (term, shard) composite keys so
-    // the isin stays a literal list and bucket pruning still applies —
-    // a hot term's postings now spread across up to `shards` buckets
-    // (and that many scan tasks) instead of one corpus-sized list
-    val shards = shardsOf(spark, t)
-    // dropDuplicates on the probe key: streaming-replay appends are
-    // at-least-once (verbatim row duplicates) — the dedup costs only
-    // the probed rows and is the identity on a clean index. On the
-    // sharded layout the dedup keys on (ts, doc_id) — equivalent
-    // (shard is a function of doc_id, so a (term, doc_id) pair always
-    // carries the same ts) AND it keeps the scan's ts-clustering
-    // "interesting" to the planner: keyed on (term, doc_id) alone,
-    // DisableUnnecessaryBucketedScan drops the bucketed scan and
-    // bucket pruning with it (observed in spec).
-    val hits =
-      if (shards <= 1)
-        spark.table(t).filter(col("term").isin(terms: _*))
-          .dropDuplicates("term", "doc_id")
-      else {
-        // ONE isin PER TERM, OR'd — not a single flattened list. The
-        // flattened |terms|·shards-value In exceeds
-        // spark.sql.parquet.pushdown.inFilterThreshold (10) and gets
-        // pushed to parquet as a min/max RANGE across all terms'
-        // composite keys, which straddles the vocabulary and skips no
-        // row group (measured at 10⁷ docs: 5.6M records/task — the
-        // whole bucket — vs the unsharded layout's exact-In skipping).
-        // A per-term In, even in range form, spans only that term's
-        // `term#` prefix, so sortBy(ts) row groups outside it skip;
-        // bucket pruning unions the per-disjunct sets.
-        val perTerm = terms.map { t0 =>
-          val keys = (0 until shards).map(s => s"$t0#$s")
-          col("ts").isin(keys: _*)
-        }
-        spark.table(t).filter(perTerm.reduce(_ || _))
-          .dropDuplicates("ts", "doc_id")
-          .select("term", "doc_id", "tf", "dl")
-      }
+    val hits = probeHits(spark, t, terms)
     val corp = spark.table(statsTable(t))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_tok")).as("total_tok"))
       .withColumn("avgdl_u", expr("total_tok * 1000000 div n_docs"))
@@ -277,6 +233,109 @@ object PostingIndex {
         col("bm25_u").cast("double") / lit(1048576.0) / lit(1000000.0)
           * lit(0.6931471805599453))
       .select(col("doc_id"), col("n_hit"), col("bm25_u"), col("bm25"))
+  }
+
+  /** The probed posting rows for a distinct term list: (term, doc_id,
+    * tf, dl), bucket-pruned and replay-dedup'd — the shared front end
+    * of every probe ([[bm25Topk]], [[lmTopk]]).
+    *
+    * Probe-time freshness: appends may come from OTHER sessions (the
+    * streaming microbatch clone) whose saveAsTable invalidates only
+    * their own relation cache — this session's cached file listing
+    * would silently serve the pre-append corpus (found when the
+    * build's stats read-back started priming that cache). A refresh
+    * is a metadata re-list, not a data read.
+    *
+    * Doc-sharded index: enumerate the (term, shard) composite keys so
+    * the isin stays a literal list and bucket pruning still applies —
+    * a hot term's postings spread over up to `shards` buckets (and
+    * that many scan tasks) instead of one corpus-sized list. ONE isin
+    * PER TERM, OR'd — not a single flattened list: the flattened
+    * |terms|·shards-value In exceeds
+    * spark.sql.parquet.pushdown.inFilterThreshold (10) and gets
+    * pushed to parquet as a min/max RANGE across all terms' composite
+    * keys, which straddles the vocabulary and skips no row group
+    * (measured at 10⁷ docs: 5.6M records/task — the whole bucket — vs
+    * the unsharded layout's exact-In skipping). A per-term In, even in
+    * range form, spans only that term's `term#` prefix, so sortBy(ts)
+    * row groups outside it skip; bucket pruning unions the disjuncts.
+    *
+    * dropDuplicates on the probe key: streaming-replay appends are
+    * at-least-once (verbatim row duplicates) — the dedup costs only
+    * the probed rows and is the identity on a clean index. On the
+    * sharded layout the dedup keys on (ts, doc_id) — equivalent
+    * (shard is a function of doc_id) AND it keeps the scan's
+    * ts-clustering "interesting" to the planner: keyed on
+    * (term, doc_id) alone, DisableUnnecessaryBucketedScan drops the
+    * bucketed scan and bucket pruning with it (observed in spec).
+    */
+  private def probeHits(spark: SparkSession, t: String,
+      terms: Seq[String]): DataFrame = {
+    spark.catalog.refreshTable(t)
+    spark.catalog.refreshTable(statsTable(t))
+    val shards = shardsOf(spark, t)
+    if (shards <= 1)
+      spark.table(t).filter(col("term").isin(terms: _*))
+        .dropDuplicates("term", "doc_id")
+    else {
+      val perTerm = terms.map { t0 =>
+        val keys = (0 until shards).map(s => s"$t0#$s")
+        col("ts").isin(keys: _*)
+      }
+      spark.table(t).filter(perTerm.reduce(_ || _))
+        .dropDuplicates("ts", "doc_id")
+        .select("term", "doc_id", "tf", "dl")
+    }
+  }
+
+  /** Ad-hoc Dirichlet query-likelihood top-k probe — the
+    * [[InfoTheory.lmDirichletRowLocal]] score served from the index
+    * (spec'd bit-identical). The absent-term decomposition keeps the
+    * probe at posting-list cost: a term the doc does NOT contain
+    * contributes the doc-independent L₂₀(μ·cf_t), so
+    *
+    *   lm20(d) = Σ_hits [L₂₀(tf·C + μ·cf) − L₂₀(μ·cf)]
+    *           + Σ_t L₂₀(μ·cf_t)  −  |q|·L₂₀(C·(dl+μ))
+    *
+    * — one pass over the probed hits plus a broadcast scalar; no
+    * doc×term grid is ever materialized (the row-local form pays wide
+    * tf columns instead; both sum identical L₂₀ integers, which is
+    * the exact-equality argument). cf_t comes from the probed
+    * postings themselves (a term's posting list is complete), C from
+    * the stats sidecar. Same contract as BM25: query terms must occur
+    * in the corpus (cf ≥ 1; |q| counts present terms).
+    */
+  def lmTopk(spark: SparkSession, tableName: String, terms0: Seq[String],
+      k: Int = 10, mu: Long = InfoTheory.LmMu): DataFrame = {
+    val terms = terms0.distinct
+    val t = resolveTable(spark, tableName)
+    val hits = probeHits(spark, t, terms)
+    val corp = spark.table(statsTable(t))
+      .agg(sum(col("total_tok")).as("c_tok"))
+    val cf = hits.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val scal = cf.crossJoin(broadcast(corp))
+      .agg(sum(log2Fixed(lit(mu) * col("cf"))).as("base20"),
+        count(lit(1)).as("n_terms"),
+        first(col("c_tok")).as("c_tok"))
+    hits.join(broadcast(cf), "term")
+      .crossJoin(broadcast(scal))
+      .withColumn("adj",
+        log2Fixed(col("tf") * col("c_tok") + lit(mu) * col("cf")) -
+          log2Fixed(lit(mu) * col("cf")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(col("adj")).as("adjsum"),
+        first(col("dl")).as("dl"),
+        first(col("base20")).as("base20"),
+        first(col("n_terms")).as("n_terms"),
+        first(col("c_tok")).as("c_tok"))
+      .withColumn("lm20",
+        col("adjsum") + col("base20") -
+          col("n_terms") * log2Fixed(col("c_tok") * (col("dl") + lit(mu))))
+      .orderBy(col("lm20").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("lm_bits", col("lm20").cast("double") / lit(1048576.0))
+      .select(col("doc_id"), col("n_hit"), col("lm20"), col("lm_bits"))
   }
 
   /** Exactly-once-guarded streaming ingest of one engine batch:

@@ -39,6 +39,29 @@ class PostingIndexSpec extends SparkSpec {
     } finally io.TableManifest.drop(spark, "postidx_a")
   }
 
+  test("LM probe == lmDirichletRowLocal bit-exact; absent-term decomposition holds on ad-hoc sets") {
+    ops.PostingIndex.buildIndex(docs, "postidx_lm")
+    try {
+      // the shipped key's exact output reproduces through the index
+      val viaKey = asTuples(ops.InfoTheory.textLmDirichletTopk(spark, dir))
+      val viaIdx = asTuples(ops.PostingIndex.lmTopk(
+        spark, "postidx_lm", ops.InfoTheory.Bm25QueryTerms))
+      assert(viaIdx === viaKey)
+      // ad-hoc sets: the probe's absent-term decomposition must sum to
+      // the row-local wide-column score exactly (identical L20 terms)
+      for (terms <- Seq(Seq("data", "query"), Seq("customer"),
+          Seq("merge", "sort", "join", "hash", "scan"))) {
+        val ref = asTuples(ops.InfoTheory.lmDirichletRowLocal(docs, terms))
+        val got = asTuples(ops.PostingIndex.lmTopk(spark, "postidx_lm", terms))
+        assert(got === ref, s"terms=$terms")
+      }
+      // duplicate terms normalize identically on both paths
+      val refDup = asTuples(ops.InfoTheory.lmDirichletRowLocal(docs, Seq("data", "data", "query")))
+      val gotDup = asTuples(ops.PostingIndex.lmTopk(spark, "postidx_lm", Seq("data", "data", "query")))
+      assert(gotDup === refDup)
+    } finally io.TableManifest.drop(spark, "postidx_lm")
+  }
+
   test("probe scan is bucket-pruned to the query terms; index side never re-shuffles by term") {
     ops.PostingIndex.buildIndex(docs, "postidx_b")
     try {
