@@ -178,8 +178,34 @@ object Embeddings {
       .orderBy("label")
   }
 
+  /** Per-label centroid sufficient statistics: per (label, dim) the
+    * vector count and Σq over the 2¹⁴-fixed-point components — the
+    * FIRST-moment companion of [[embedGramCells]] (consumer divides
+    * s_q / (n·2¹⁴) for the mean vector): the bulk step of centroid
+    * classifiers, k-means refinement over a labeled corpus, and the
+    * per-class embedding-drift monitor. Exact integer cells
+    * (|labels|·d of them), additive across any corpus split — which
+    * is what makes the incremental service form
+    * ([[GramService]]) trivial to keep exactly-once.
+    *
+    * Scale: one posexplode (d rows per vector — unavoidable for a
+    * per-dim rollup, but carrying only (label, dim, q)) into a
+    * map-side-combined agg whose key space is |labels|·d; the
+    * exchange is cells, never vectors. Overflow: |Σq| ≤ n·2¹⁴ —
+    * int64-safe to ~5·10¹⁴ vectors per label.
+    */
+  val embedCentroidCells: Q = (s, dir) => {
+    table(s, dir, "embeddings")
+      .select(col("label"), posexplode(transform(col("embedding"),
+        x => floor(x.cast("double") * lit(GramScale)).cast("long"))).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("s_q"))
+      .orderBy("label", "dim")
+  }
+
   val queries: Map[String, Q] = Map(
     "embed_gram_cells" -> embedGramCells,
     "embed_quantize_int8" -> embedQuantizeInt8,
+    "embed_centroid_cells" -> embedCentroidCells,
   )
 }

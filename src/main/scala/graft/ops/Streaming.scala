@@ -403,6 +403,35 @@ object Streaming {
       .outputMode("append")
       .start()
 
+  /** Streaming ingest for the [[GramService]] — the second-moment
+    * member of the foreachBatch-sink family: embedding micro-batches
+    * fold ONCE through the Gram accumulator into additive integer
+    * partials under the service's exactly-once contract
+    * ([[GramService.appendBatch]]: ledger high-water guard,
+    * partials-first ledger-last, deterministic replay collapse). Like
+    * the vocab sink the folded state is EXACT — after any batch,
+    * served cells equal a from-scratch build over everything ingested
+    * (spec-asserted).
+    */
+  def applyGramBatch(name: String)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      if (graft.io.TableManifest.readPointer(spark, name).isEmpty)
+        GramService.build(spark, name, batch.limit(0))
+      GramService.appendBatch(batch, batchId, name)
+      ()
+    }
+
+  def foreachBatchGram(stream: DataFrame, name: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyGramBatch(name)(batch.toDF(), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** The adjacency member of the foreachBatch-sink family: edge
     * micro-batches fold into [[AdjacencyIndex]] under the same
     * version-pinned idempotence contract. Unlike the sketch sinks,

@@ -4108,6 +4108,18 @@ object OracleSql {
         |GROUP BY a.i, b.i
         |ORDER BY i, j""".stripMargin,
 
+    // ops.Embeddings.embedCentroidCells: per-(label, dim) first-
+    // moment cells over the same 2^14 fixed-point components.
+    "embed_centroid_cells" ->
+      """WITH flat AS (
+        |  SELECT label, CAST(u.i AS BIGINT) - 1 AS dim,
+        |         CAST(floor(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) * 16384.0) AS BIGINT) AS q
+        |  FROM embeddings,
+        |       unnest(generate_series(1, CAST(len(embedding) AS BIGINT))) AS u(i))
+        |SELECT label, dim, count(*) AS n_vecs, CAST(SUM(q) AS BIGINT) AS s_q
+        |FROM flat GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
+
     // ops.Embeddings.embedQuantizeInt8: per-label int8 profile; the
     // (x/s)*127 order is parenthesized identically to the Spark
     // expression so the IEEE bits match.

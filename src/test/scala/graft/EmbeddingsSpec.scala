@@ -61,6 +61,30 @@ class EmbeddingsSpec extends SparkSpec {
     assert(math.abs(trace - exact) / exact < 0.01, s"trace $trace vs $exact")
   }
 
+  test("centroid cells: brute-force JVM replay; per-dim label marginals cover the corpus") {
+    val vecs = corpus
+    val d = vecs.head._2.length
+    val ref = scala.collection.mutable.Map.empty[(Int, Int), (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    vecs.foreach { case (_, e, label) =>
+      e.zipWithIndex.foreach { case (x, dim) =>
+        val q = math.floor(x.toDouble * ops.Embeddings.GramScale).toLong
+        val (n, s) = ref((label, dim))
+        ref((label, dim)) = (n + 1, s + q)
+      }
+    }
+    val got = ops.Embeddings.embedCentroidCells(spark, dir)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(got.length === ref.size)
+    got.foreach { case (label, dim, n, s) =>
+      assert((n, s) === ref((label, dim.toInt)), s"cell ($label,$dim)")
+    }
+    // every (label, dim) grid point present; n marginal covers corpus
+    (0 until d).foreach { dim =>
+      assert(got.filter(_._2 == dim.toLong).map(_._3).sum === vecs.length.toLong)
+    }
+  }
+
   test("int8 profile: brute-force JVM replay; every vector saturates at least one component") {
     val vecs = corpus
     val ref = scala.collection.mutable.Map.empty[Int, (Long, Long, Long, Long, Long)]
