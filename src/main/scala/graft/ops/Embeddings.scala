@@ -62,10 +62,13 @@ object Embeddings {
     * partitioning-invariant. This is the case the custom-Aggregator
     * escape hatch exists for: the declarative form
     * ([[gramCellsDeclarative]]) must materialize d(d+1)/2 structs per
-    * row before exploding — measured 3.0× slower at sf0.1 (2.07 vs
-    * 0.68 s isolated, BASELINE.md r12 fourth-session row) with the
-    * gap pure allocation, and the ratio only worsens with corpus
-    * size since both exchange the same ≤ d²·partitions cells.
+    * row before exploding — measured 3.0× slower at sf0.1's 2000
+    * vectors (2.07 vs 0.68 s isolated — mostly fixed overhead) and
+    * ~50× at 10⁶ / ~100× at 10⁷-corpus scale (37.5 vs 0.7 s, and
+    * 237–257 vs 2.4 s on the same 10⁶ subset — ScratchGramScale,
+    * BASELINE.md r12 fourth-session rows): the gap is pure per-row
+    * allocation and GROWS with corpus size, since both shapes
+    * exchange the same ≤ d²·partitions cells.
     */
   final class GramAgg extends Aggregator[Array[Long], Array[Long], Array[Long]] {
     override def zero: Array[Long] = Array.emptyLongArray
@@ -120,8 +123,9 @@ object Embeddings {
 
   /** The all-declarative A/B control for [[embedGramCells]] (nested
     * transform → struct fan-out → hash rollup): identical cells,
-    * measured 3.0× slower on per-row allocation — kept as the shape
-    * a no-custom-code deployment would use.
+    * measured ~50× slower at 10⁶ vectors on per-row allocation
+    * (BASELINE.md r12 fourth-session rows) — kept as the shape a
+    * no-custom-code deployment would use, and as the A/B control.
     */
   private[graft] def gramCellsDeclarative(emb: DataFrame): DataFrame = {
     val q = emb.select(transform(col("embedding"),
