@@ -533,6 +533,73 @@ object Relational {
       LIMIT 100""")
   }
 
+  /** TPC-H Q1 over SQL text (round 12, fourth session) — the pricing
+    * summary report, the benchmark's canonical SCAN-AGGREGATE shape:
+    * one fact pass, a 4-cell grouping (returnflag × linestatus), and
+    * the discount/tax product chain. All money math is INTEGER —
+    * cents via the house decimal-cast-then-scale idiom, the
+    * disc_price and charge products carried at 10⁴/10⁶ fixed scales
+    * (sum_charge_e6 ≲ 10¹¹ per row → int64-safe past 10⁷ rows/cell;
+    * at 100 TB switch the two product sums to DECIMAL(38,0), the
+    * ANOVA digit-string discipline) — so no decimal-precision
+    * reduction ever rounds differently across engines (a triple
+    * DECIMAL product would exceed Spark's 38-digit cap and
+    * round; the stock-TPC-H averages are omitted for the same
+    * reason — consumers divide the emitted sums in their own float
+    * regime). The shipdate predicate must reach the scan pushed.
+    *
+    * Scale: THE map-side-combine showcase — 4 grouping cells mean
+    * the exchange carries 4·partitions rows regardless of fact size;
+    * everything else is codegen'd row math on the scan.
+    */
+  val sqlTpchQ1: Q = (s, dir) => {
+    table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_base_cents,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS sum_disc_e4,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 * (100 + CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT))) AS sum_charge_e6,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  }
+
+  /** TPC-H Q6 over SQL text (round 12, fourth session) — the
+    * forecasting-revenue-change query, the benchmark's pure
+    * PREDICATE-PUSHDOWN showcase: no join, no grouping — a
+    * three-predicate scan (year range, discount band, quantity cap)
+    * into a single revenue cell. Pushdown discipline (plan-checked):
+    * shipdate range and quantity cap push to the parquet scan as-is;
+    * the discount band is TWO-LAYERED — a pushable raw-double range
+    * with boundaries 0.045/0.075 (midpoints between the fixture's
+    * 0.01-granular values, so the float comparison can never sit on
+    * a data point) does the row-group skipping, and the DEFINITIVE
+    * band evaluates on the exact integer percent post-scan (a bare
+    * double BETWEEN 0.05 AND 0.07 would be a float-boundary hazard —
+    * those constants are not exactly representable; a bare CAST band
+    * would not push at all). Revenue = Σ cents·disc_pct at fixed
+    * scale 10⁴, exact; row count rides along as the audit cell.
+    */
+  val sqlTpchQ6: Q = (s, dir) => {
+    table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS revenue_e4,
+             count(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount > 0.045 AND l_discount < 0.075
+        AND CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) BETWEEN 5 AND 7
+        AND l_quantity < 24""")
+  }
+
   /** Correlated EXISTS / NOT EXISTS over SQL text — the subquery
     * surface a SQL engine must DECORRELATE to survive scale: Catalyst
     * rewrites both into semi/anti hash joins (asserted in PlanSpec; a
@@ -723,8 +790,10 @@ object Relational {
     "join_range_bucketed" -> joinRangeBucketed,
     "join_interval_overlap" -> joinIntervalOverlap,
     "reshape_unpivot" -> reshapeUnpivot,
+    "sql_tpch_q1" -> sqlTpchQ1,
     "sql_tpch_q3" -> sqlTpchQ3,
     "sql_tpch_q5" -> sqlTpchQ5,
+    "sql_tpch_q6" -> sqlTpchQ6,
     "sql_tpch_q10" -> sqlTpchQ10,
     "sql_tpch_q18" -> sqlTpchQ18,
     "sql_exists_subquery" -> sqlExistsSubquery,

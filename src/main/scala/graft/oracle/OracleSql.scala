@@ -3910,6 +3910,36 @@ object OracleSql {
 
     // ops.Relational.sqlTpchQ18: integral-double quantities cast to
     // BIGINT before summing; top-100 tie-broken by o_orderkey
+    // ops.Relational.sqlTpchQ1: pricing summary with all money math
+    // on exact integer cents / fixed 10^4 & 10^6 product scales.
+    "sql_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |                * (100 + CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // ops.Relational.sqlTpchQ6: the pushdown showcase; the discount
+    // band compares exact integer percents, never float boundaries.
+    "sql_tpch_q6" ->
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount > 0.045 AND l_discount < 0.075
+        |  AND CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+
     "sql_tpch_q18" ->
       """SELECT c_custkey, c_name, o_orderkey,
         |       CAST(o_orderdate AS DATE) AS o_date,

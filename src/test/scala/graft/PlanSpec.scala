@@ -376,6 +376,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("log2_fixed"), p)
   }
 
+  test("text_lm_dirichlet_topk: ZERO hash exchanges — the BM25 shape with the LM score") {
+    val df = ops.InfoTheory.textLmDirichletTopk(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"token stream must not shuffle:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("log2_fixed"), p)
+  }
+
+  test("sql_tpch_q6: shipdate/quantity/discount-range push to the scan; 4-column read schema") {
+    val df = ops.Relational.sqlTpchQ6(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the plan toString truncates PushedFilters — the formatted
+    // explain prints them in full
+    val scan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the pushable layer: date range, quantity cap, raw-double band
+    assert(scan.contains("GreaterThanOrEqual(l_shipdate"), scan)
+    assert(scan.contains("LessThan(l_quantity"), scan)
+    assert(scan.contains("GreaterThan(l_discount,0.045)"), scan)
+    // column pruning: only the 4 referenced columns reach the reader
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("l_quantity") && rs.contains("l_extendedprice") &&
+      rs.contains("l_discount") && rs.contains("l_shipdate"), rs)
+    assert(!rs.contains("l_orderkey") && !rs.contains("l_tax"), rs)
+    // no join, no shuffle beyond the single-cell final agg
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("graph_adamic_adar: weight attach and edge probe execute below the pair agg") {
     val df = ops.Graph.graphAdamicAdar(spark, dir)
     df.collect()
