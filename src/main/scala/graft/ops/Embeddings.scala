@@ -207,6 +207,49 @@ object Embeddings {
       .orderBy("label", "dim")
   }
 
+  /** Driver-side top-eigenpair of a Gram cell relation — the consumer
+    * that completes the PCA story: [[embedGramCells]] (or
+    * [[GramService.cellsOver]]) reduces the corpus to d² KB-scale
+    * integer cells; this folds them into the leading principal
+    * direction with fixed-iteration power iteration (deterministic:
+    * fixed uniform start, fixed count — no convergence-dependent
+    * branching, so two runs agree bit-for-bit). Returns (eigenvalue,
+    * unit eigenvector) of the EMPIRICAL mean-square matrix G/(n·2²⁸)
+    * — the "is the embedding space collapsing onto one axis?" number
+    * and the whitening seed. Driver cost O(iters·d²): microseconds
+    * for any real d — this is the IVF-centroid class of permitted
+    * driver work (the corpus never leaves the cluster; only cells
+    * do).
+    */
+  def topEigen(cells: DataFrame, iters: Int = 100): (Double, Array[Double]) = {
+    val rows = cells.select(col("i"), col("j"), col("n_vecs"), col("g")).collect()
+    require(rows.nonEmpty, "empty cell relation")
+    val d = rows.map(_.getLong(0)).max.toInt + 1
+    val n = rows.head.getLong(2).toDouble
+    val scale = n * GramScale * GramScale
+    val a = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, g) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(3))
+      a(i)(j) = g / scale
+      a(j)(i) = g / scale
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(d)(i => {
+        var s = 0.0; var j = 0
+        while (j < d) { s += a(i)(j) * v(j); j += 1 }
+        s
+      })
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / norm)
+      lambda = norm
+      it += 1
+    }
+    (lambda, v)
+  }
+
   val queries: Map[String, Q] = Map(
     "embed_gram_cells" -> embedGramCells,
     "embed_quantize_int8" -> embedQuantizeInt8,

@@ -85,6 +85,45 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("topEigen recovers a planted principal direction; Rayleigh dominance holds") {
+    // planted anisotropic corpus: x = a·u + small hash noise, u fixed
+    val d = 16
+    val u = Array.tabulate(d)(i => math.sin(i + 1.0))
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val unit = u.map(_ / un)
+    val vecs = (0 until 2000).map { k =>
+      val a = (k % 7 - 3).toDouble / 3.0
+      (k.toLong, Array.tabulate(d)(i =>
+        (a * unit(i) + ((k * 31 + i * 17) % 11 - 5) / 200.0).toFloat))
+    }
+    import spark.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val cells = ops.Embeddings.gramCellsDeclarative(df)
+    val (lambda, v) = ops.Embeddings.topEigen(cells)
+    val cos = math.abs(v.zip(unit).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.99, s"cosine to planted direction $cos")
+    assert(lambda > 0.0)
+    // Rayleigh dominance: the returned pair beats arbitrary probes
+    val rows = cells.collect().map(r =>
+      ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(3))).toMap
+    val n = 2000.0 * ops.Embeddings.GramScale * ops.Embeddings.GramScale
+    def rayleigh(w: Array[Double]): Double = {
+      val nw = math.sqrt(w.map(x => x * x).sum)
+      val x = w.map(_ / nw)
+      (for (i <- 0 until d; j <- 0 until d) yield {
+        val g = rows.getOrElse((math.min(i, j), math.max(i, j)), 0L) / n
+        x(i) * g * x(j)
+      }).sum
+    }
+    (1 to 5).foreach { s =>
+      val probe = Array.tabulate(d)(i => ((s * 13 + i * 7) % 9 - 4).toDouble)
+      assert(rayleigh(probe) <= lambda + 1e-9, s"probe $s beat the eigenpair")
+    }
+    // determinism: a second run is bit-identical
+    val (l2, v2) = ops.Embeddings.topEigen(cells)
+    assert(l2 === lambda && v2.toSeq === v.toSeq)
+  }
+
   test("int8 profile: brute-force JVM replay; every vector saturates at least one component") {
     val vecs = corpus
     val ref = scala.collection.mutable.Map.empty[Int, (Long, Long, Long, Long, Long)]
