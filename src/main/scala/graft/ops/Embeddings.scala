@@ -207,6 +207,43 @@ object Embeddings {
       .orderBy("label", "dim")
   }
 
+  /** Label-affinity matrix from the centroid sufficient statistics —
+    * the cross-class confusability screen: for every unordered label
+    * pair (a ≤ b) the exact integer dot product Σ_dim s_a·s_b of the
+    * per-label component sums, plus both counts. The consumer forms
+    * centroid cosine as dot_ab/√(dot_aa·dot_bb) (diagonal rows
+    * included for exactly that); near-1 off-diagonal cosines flag
+    * label pairs whose embedding regions collide — the "merge these
+    * classes or fix the labeler" diagnostic. Dot products are carried
+    * in DECIMAL(38,0) and EMITTED as digit strings (the
+    * `stat_anova_cells` overflow discipline: s ≤ n·2¹⁴ per cell, so
+    * s_a·s_b exceeds int64 past ~10⁵ vectors/label, but never
+    * approaches 38 digits before ~10¹⁶).
+    *
+    * Scale: composes on the CELLS, not the corpus — the |labels|·d
+    * centroid relation self-joins on dim (shuffle of cells only) into
+    * a |labels|²-cell map-side rollup. The corpus is touched once,
+    * by the same rollup `embed_centroid_cells` ships.
+    */
+  val embedLabelAffinity: Q = (s, dir) => {
+    val cc = table(s, dir, "embeddings")
+      .select(col("label"), posexplode(transform(col("embedding"),
+        x => floor(x.cast("double") * lit(GramScale)).cast("long")).as("q")).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+    val a = cc.select(col("label").as("label_a"), col("dim"),
+      col("n").as("n_a"), col("s").as("s_a"))
+    val b = cc.select(col("label").as("label_b"), col("dim"),
+      col("n").as("n_b"), col("s").as("s_b"))
+    a.join(b, Seq("dim"))
+      .filter(col("label_a") <= col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(col("s_a").cast("decimal(38,0)") * col("s_b").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("string").as("dot_dec"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Driver-side top-eigenpair of a Gram cell relation — the consumer
     * that completes the PCA story: [[embedGramCells]] (or
     * [[GramService.cellsOver]]) reduces the corpus to d² KB-scale
@@ -254,5 +291,6 @@ object Embeddings {
     "embed_gram_cells" -> embedGramCells,
     "embed_quantize_int8" -> embedQuantizeInt8,
     "embed_centroid_cells" -> embedCentroidCells,
+    "embed_label_affinity" -> embedLabelAffinity,
   )
 }

@@ -4150,6 +4150,26 @@ object OracleSql {
         |FROM flat GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
 
+    // ops.Embeddings.embedLabelAffinity: cross-label centroid dot
+    // products as digit strings (HUGEINT → VARCHAR; the anova cells'
+    // wide-integer portability discipline).
+    "embed_label_affinity" ->
+      """WITH flat AS (
+        |  SELECT label, CAST(u.i AS BIGINT) - 1 AS dim,
+        |         CAST(floor(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) * 16384.0) AS BIGINT) AS q
+        |  FROM embeddings,
+        |       unnest(generate_series(1, CAST(len(embedding) AS BIGINT))) AS u(i)),
+        |cc AS (
+        |  SELECT label, dim, count(*) AS n, CAST(SUM(q) AS BIGINT) AS s
+        |  FROM flat GROUP BY label, dim)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |       CAST(MIN(a.n) AS BIGINT) AS n_a, CAST(MIN(b.n) AS BIGINT) AS n_b,
+        |       CAST(SUM(CAST(a.s AS HUGEINT) * CAST(b.s AS HUGEINT)) AS VARCHAR) AS dot_dec
+        |FROM cc a
+        |JOIN cc b ON b.dim = a.dim AND a.label <= b.label
+        |GROUP BY a.label, b.label
+        |ORDER BY label_a, label_b""".stripMargin,
+
     // ops.Embeddings.embedQuantizeInt8: per-label int8 profile; the
     // (x/s)*127 order is parenthesized identically to the Spark
     // expression so the IEEE bits match.

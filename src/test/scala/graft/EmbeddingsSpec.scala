@@ -85,6 +85,35 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("label affinity: JVM replay; centroid cosines land in [-1, 1] with unit diagonal") {
+    val vecs = corpus
+    val d = vecs.head._2.length
+    val sums = scala.collection.mutable.Map.empty[Int, Array[BigInt]]
+    val ns = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    vecs.foreach { case (_, e, label) =>
+      val s = sums.getOrElseUpdate(label, Array.fill(d)(BigInt(0)))
+      e.zipWithIndex.foreach { case (x, i) =>
+        s(i) += BigInt(math.floor(x.toDouble * ops.Embeddings.GramScale).toLong)
+      }
+      ns(label) += 1
+    }
+    val got = ops.Embeddings.embedLabelAffinity(spark, dir)
+      .as[(Int, Int, Long, Long, String)].collect()
+    val labels = sums.keys.toSeq.sorted
+    assert(got.length === labels.size * (labels.size + 1) / 2)
+    val dotMap = got.map(r => (r._1, r._2) -> BigInt(r._5)).toMap
+    got.foreach { case (la, lb, na, nb, dot) =>
+      val ref = (0 until d).map(i => sums(la)(i) * sums(lb)(i)).sum
+      assert(BigInt(dot) === ref, s"pair ($la,$lb)")
+      assert(na === ns(la) && nb === ns(lb))
+    }
+    // consumer cosine: |dot_ab| <= sqrt(dot_aa*dot_bb), diagonal = 1
+    got.filter(r => r._1 != r._2).foreach { case (la, lb, _, _, _) =>
+      val ab = dotMap((la, lb)); val aa = dotMap((la, la)); val bb = dotMap((lb, lb))
+      assert(ab * ab <= aa * bb, s"Cauchy–Schwarz at ($la,$lb)")
+    }
+  }
+
   test("topEigen recovers a planted principal direction; Rayleigh dominance holds") {
     // planted anisotropic corpus: x = a·u + small hash noise, u fixed
     val d = 16
