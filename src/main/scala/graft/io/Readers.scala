@@ -58,6 +58,24 @@ object Readers {
     * land with all data columns NULL and the raw line preserved in
     * `_corrupt_record`; callers split on `_corrupt_record IS NULL`.
     */
+  /** Schema-evolution parquet read: union the file schemas
+    * (`mergeSchema` — columns added by later writers surface as NULL
+    * on older files) and pin the id column type so downstream joins
+    * never see a widening surprise. The batch-ingest contract for a
+    * dataset whose producers add columns over time — the 211-class
+    * pipeline's "the agency added a field" case: old files keep
+    * serving, new columns are nullable, nothing rewrites.
+    *
+    * Scale note: `mergeSchema` reads every file's FOOTER at planning
+    * time — O(files) driver metadata work, fine for day-partitioned
+    * datasets (10³–10⁵ files), wrong for 10⁷ tiny files (compact
+    * first, or carry the unioned schema explicitly). Data pages are
+    * untouched; column pruning and pushdown work as usual against
+    * the merged schema.
+    */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def csvWithQuarantine(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val withCorrupt = schema.add("_corrupt_record", "string")
     spark.read

@@ -21,6 +21,39 @@ class IngestSinkSpec extends SparkSpec {
     StructField("id", IntegerType), StructField("name", StringType),
     StructField("amount", DoubleType)))
 
+  test("schema-evolution parquet read: added column NULL on old files, pruning/pushdown intact") {
+    val dir = tmpDir("evolve")
+    // epoch 1: producer writes (id, amount); epoch 2 adds `status`
+    Seq((1, 10.0), (2, 20.0)).toDF("id", "amount")
+      .write.mode("overwrite").parquet(s"$dir/e1")
+    Seq((3, 30.0, "ok"), (4, 40.0, "late")).toDF("id", "amount", "status")
+      .write.mode("overwrite").parquet(s"$dir/e2")
+    // move files under one root (two epochs of the same dataset)
+    val root = tmpDir("evolve_all")
+    for (e <- Seq("e1", "e2");
+        f <- new java.io.File(s"$dir/$e").listFiles.filter(_.getName.endsWith(".parquet")))
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(root, s"$e-${f.getName}"))
+    val merged = io.Readers.parquetMerged(spark, root)
+    assert(merged.columns.toSet === Set("id", "amount", "status"))
+    val rows = merged.select("id", "amount", "status").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), Option(r.getString(2))))
+    assert(rows.toSeq === Seq((1, 10.0, None), (2, 20.0, None),
+      (3, 30.0, Some("ok")), (4, 40.0, Some("late"))))
+    // a plain (non-merge) read of the union root must NOT silently
+    // show the new column when it samples an old file's schema —
+    // mergeSchema is the explicit contract, not an ambient default
+    // (Spark picks an arbitrary file's footer; we only assert the
+    // merged read, which is deterministic)
+    // pruning + pushdown still reach the scan through the merged schema
+    val filtered = merged.filter(col("id") > 2).select("id", "status")
+    val scan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(scan.contains("GreaterThan(id,2)"), scan)
+    assert(scan.contains("ReadSchema: struct<id:int,status:string>"), scan)
+    assert(filtered.count() === 2L)
+  }
+
   test("CSV ingest quarantines malformed rows, keeps good ones typed") {
     val dir = tmpDir("csv")
     Files.writeString(java.nio.file.Paths.get(dir, "in.csv"),
