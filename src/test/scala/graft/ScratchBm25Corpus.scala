@@ -148,6 +148,34 @@ object ScratchBm25Corpus {
     val bs = ops.InfoTheory.bm25RowLocal(docs, hotTerms).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSeq
     println(s"sharded probe==rowLocal (hot): ${as == bs}")
+
+    // ---- subject 4: Dirichlet-LM probes over the SAME sharded index
+    // (§8.r13.11) — the probe front end is shared with BM25, so the
+    // expectation is matching economics; the LM-specific extra is the
+    // per-term cf rollup over the probed postings (bounded by hits).
+    (1 to 2).foreach { i =>
+      timed(s"row-local LM full-scan, hot terms, rep$i") {
+        ops.InfoTheory.lmDirichletRowLocal(docs, hotTerms).collect()
+      }
+    }
+    timed("row-local LM full-scan, rare terms") {
+      ops.InfoTheory.lmDirichletRowLocal(docs, rareTerms).collect()
+    }
+    (1 to 2).foreach { i =>
+      timed(s"SHARDED LM probe, hot terms, rep$i") {
+        ops.PostingIndex.lmTopk(spark, "bm25shard", hotTerms).collect()
+      }
+    }
+    (1 to 2).foreach { i =>
+      timed(s"SHARDED LM probe, rare terms, rep$i") {
+        ops.PostingIndex.lmTopk(spark, "bm25shard", rareTerms).collect()
+      }
+    }
+    val al = ops.PostingIndex.lmTopk(spark, "bm25shard", hotTerms).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val bl = ops.InfoTheory.lmDirichletRowLocal(docs, hotTerms).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    println(s"sharded LM probe==rowLocal (hot): ${al == bl}")
     spark.stop()
   }
 }
