@@ -3178,6 +3178,36 @@ object OracleSql {
         |FROM w
         |ORDER BY event_type, epoch_day""".stripMargin,
 
+    // ops.Insights.eventsTheilsenTrend: median pairwise slope per
+    // type; selection order (slope_double, dy, dx, d1, d2) is total
+    // and cross-engine identical (double of exact longs + int tail).
+    "events_theilsen_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type,
+        |         CAST(b.cnt - a.cnt AS BIGINT) AS dy,
+        |         CAST(b.epoch_day - a.epoch_day AS BIGINT) AS dx,
+        |         a.epoch_day AS d1, b.epoch_day AS d2,
+        |         CAST(CAST(b.cnt - a.cnt AS BIGINT) AS DOUBLE)
+        |           / CAST(b.epoch_day - a.epoch_day AS DOUBLE) AS slope
+        |  FROM daily a
+        |  JOIN daily b ON b.event_type = a.event_type AND b.epoch_day > a.epoch_day),
+        |rk AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY slope, dy, dx, d1, d2) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+        |  FROM pairs)
+        |SELECT rk.event_type, nd.n_days, rk.np AS n_pairs, rk.dy, rk.dx, rk.slope
+        |FROM rk JOIN nd ON nd.event_type = rk.event_type
+        |WHERE rk.rn = (rk.np + 1) // 2
+        |ORDER BY rk.event_type""".stripMargin,
+
     "stat_chi2_cells" ->
       """WITH cells AS (
         |  SELECT c_mktsegment AS segment, c_nationkey AS nationkey, count(*) AS o

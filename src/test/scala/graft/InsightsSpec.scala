@@ -723,4 +723,34 @@ class InsightsSpec extends SparkSpec {
       assert(nPlus <= nMinus, s"ties-to-below keeps n_plus <= n_minus $seg")
     }
   }
+
+  test("events_theilsen_trend: brute-force pairwise-slope median replay; audit cells consistent") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val daily = io.Readers.table(spark, dir, "events")
+      .select(col("event_type"), unix_date(to_date(col("ts"))).cast("long").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = ops.Insights.eventsTheilsenTrend(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val byType = daily.groupBy(_._1)
+    assert(got.map(_._1).toSet === byType.keySet)
+    got.foreach { case (t, nDays, nPairs, dy, dx, slope) =>
+      val ds = byType(t).sortBy(_._2)
+      assert(nDays === ds.length.toLong)
+      val pairs = for {
+        i <- ds.indices; j <- (i + 1) until ds.length
+      } yield {
+        val (dyP, dxP) = (ds(j)._3 - ds(i)._3, ds(j)._2 - ds(i)._2)
+        (dyP.toDouble / dxP.toDouble, dyP, dxP, ds(i)._2, ds(j)._2)
+      }
+      assert(nPairs === pairs.length.toLong)
+      val med = pairs.sorted.apply((pairs.length + 1) / 2 - 1)
+      assert((dy, dx) === ((med._2, med._3)), s"type $t median pair")
+      assert(slope === med._1, s"type $t slope")
+      // the exact rational and the double agree to representation
+      assert(math.abs(slope - dy.toDouble / dx.toDouble) === 0.0)
+    }
+  }
 }
