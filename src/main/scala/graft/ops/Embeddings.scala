@@ -287,6 +287,66 @@ object Embeddings {
     (lambda, v)
   }
 
+  /** Top-k eigenpairs by Hotelling deflation — [[topEigen]] repeated
+    * on A − Σ λⱼvⱼvⱼᵀ: after each recovered pair the matrix loses
+    * that direction, so the next power iteration converges to the
+    * next eigenvector (symmetric PSD matrices make this exact).
+    * Deterministic like the single-pair form. k ≤ d; driver cost
+    * O(k·iters·d²) — still microseconds at real d.
+    */
+  def topEigenK(cells: DataFrame, k: Int,
+      iters: Int = 200): Seq[(Double, Array[Double])] = {
+    val rows = cells.select(col("i"), col("j"), col("n_vecs"), col("g")).collect()
+    require(rows.nonEmpty, "empty cell relation")
+    val d = rows.map(_.getLong(0)).max.toInt + 1
+    val n = rows.head.getLong(2).toDouble
+    val scale = n * GramScale * GramScale
+    val a = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, g) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(3))
+      a(i)(j) = g / scale; a(j)(i) = g / scale
+    }
+    (0 until math.min(k, d)).map { _ =>
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var lambda = 0.0
+      var it = 0
+      while (it < iters) {
+        val w = Array.tabulate(d)(i => {
+          var s = 0.0; var j = 0
+          while (j < d) { s += a(i)(j) * v(j); j += 1 }
+          s
+        })
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(_ / norm)
+        lambda = norm
+        it += 1
+      }
+      // deflate in place: A -= lambda v vT
+      for (i <- 0 until d; j <- 0 until d) a(i)(j) -= lambda * v(i) * v(j)
+      (lambda, v)
+    }
+  }
+
+  /** PCA-whitening transform from driver-side eigenpairs: appends a
+    * k-dim `z` column, zᵢ = (vᵢ·x)/√λᵢ — the decorrelated,
+    * unit-variance coordinates an embedding-similarity or clustering
+    * stage wants when raw dimensions are anisotropic. ENTIRELY
+    * row-local: the eigenpairs inline as literals (the model
+    * artifact, KB-scale — the BPE-rules pattern), so the transform
+    * is one codegen'd projection per row with no join, no shuffle,
+    * no UDF. Whitened covariance ≈ I_k is spec-asserted.
+    */
+  def whitened(emb: DataFrame, pairs: Seq[(Double, Array[Double])],
+      vecCol: String = "embedding"): DataFrame = {
+    val comps = pairs.map { case (lambda, v) =>
+      val dot = v.zipWithIndex.map { case (vi, i) =>
+        lit(vi) * element_at(col(vecCol), i + 1).cast("double")
+      }.reduce(_ + _)
+      dot / lit(math.sqrt(lambda))
+    }
+    emb.withColumn("z", array(comps: _*))
+  }
+
   val queries: Map[String, Q] = Map(
     "embed_gram_cells" -> embedGramCells,
     "embed_quantize_int8" -> embedQuantizeInt8,

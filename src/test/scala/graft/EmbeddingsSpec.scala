@@ -153,6 +153,40 @@ class EmbeddingsSpec extends SparkSpec {
     assert(l2 === lambda && v2.toSeq === v.toSeq)
   }
 
+  test("topEigenK deflation recovers two planted directions; whitening decorrelates them") {
+    val d = 12
+    // two orthogonal planted directions with distinct energies
+    val u1 = Array.tabulate(d)(i => if (i < d / 2) 1.0 / math.sqrt(d / 2.0) else 0.0)
+    val u2 = Array.tabulate(d)(i => if (i >= d / 2) 1.0 / math.sqrt(d / 2.0) else 0.0)
+    val vecs = (0 until 4000).map { k =>
+      val a = (k % 9 - 4).toDouble / 2.0          // strong axis
+      val b = (k % 5 - 2).toDouble / 4.0          // weaker axis
+      (k.toLong, Array.tabulate(d)(i =>
+        (a * u1(i) + b * u2(i) + ((k * 37 + i * 13) % 7 - 3) / 500.0).toFloat))
+    }
+    import spark.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val cells = ops.Embeddings.gramCellsDeclarative(df).localCheckpoint()
+    val pairs = ops.Embeddings.topEigenK(cells, 2)
+    assert(pairs.length === 2)
+    val Seq((l1, v1), (l2, v2)) = pairs
+    assert(l1 > l2 && l2 > 0.0, s"ordered energies $l1 $l2")
+    assert(math.abs(v1.zip(u1).map { case (x, y) => x * y }.sum) > 0.99, "first direction")
+    assert(math.abs(v2.zip(u2).map { case (x, y) => x * y }.sum) > 0.99, "second direction")
+    assert(math.abs(v1.zip(v2).map { case (x, y) => x * y }.sum) < 1e-6, "orthogonal")
+    // whitening: z covariance ≈ I within tolerance (row-local plan)
+    val z = ops.Embeddings.whitened(df, pairs)
+    val p = z.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("BatchEvalPython"), p)
+    val zs = z.select("z").as[Seq[Double]].collect()
+    val n = zs.length.toDouble
+    val cov = Array.ofDim[Double](2, 2)
+    zs.foreach(r => for (i <- 0 until 2; j <- 0 until 2) cov(i)(j) += r(i) * r(j) / n)
+    assert(math.abs(cov(0)(0) - 1.0) < 0.05, s"var z0 ${cov(0)(0)}")
+    assert(math.abs(cov(1)(1) - 1.0) < 0.05, s"var z1 ${cov(1)(1)}")
+    assert(math.abs(cov(0)(1)) < 0.05, s"cross ${cov(0)(1)}")
+  }
+
   test("int8 profile: brute-force JVM replay; every vector saturates at least one component") {
     val vecs = corpus
     val ref = scala.collection.mutable.Map.empty[Int, (Long, Long, Long, Long, Long)]
