@@ -2221,6 +2221,51 @@ object OracleSql {
         |  SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
         |GROUP BY node ORDER BY node""".stripMargin,
 
+    // ops.Graph.graphKTruss: 2 unrolled k=3 peel rounds (support =
+    // common-neighbor count probed against the CURRENT edge set),
+    // emitting the round-2 edges with recomputed support.
+    "graph_k_truss" ->
+      """WITH e0p AS (
+        |  SELECT l_partkey AS src,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                               ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |eall AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e0p WHERE dst IS NOT NULL AND dst <> src),
+        |e0 AS (
+        |  SELECT u, v FROM eall
+        |  WHERE CAST(('0x' || substr(md5('graft-ktruss' || '|' ||
+        |          CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 100 < 30),
+        |a0 AS (SELECT u AS node, v AS nbr FROM e0 UNION ALL SELECT v, u FROM e0),
+        |c0 AS (
+        |  SELECT x.node AS u, y.node AS v, count(*) AS supp
+        |  FROM a0 x JOIN a0 y ON y.nbr = x.nbr AND x.node < y.node
+        |  JOIN e0 e ON e.u = x.node AND e.v = y.node
+        |  GROUP BY x.node, y.node),
+        |e1 AS (
+        |  SELECT e0.u, e0.v FROM e0
+        |  JOIN c0 ON c0.u = e0.u AND c0.v = e0.v WHERE c0.supp >= 1),
+        |a1 AS (SELECT u AS node, v AS nbr FROM e1 UNION ALL SELECT v, u FROM e1),
+        |c1 AS (
+        |  SELECT x.node AS u, y.node AS v, count(*) AS supp
+        |  FROM a1 x JOIN a1 y ON y.nbr = x.nbr AND x.node < y.node
+        |  JOIN e1 e ON e.u = x.node AND e.v = y.node
+        |  GROUP BY x.node, y.node),
+        |e2 AS (
+        |  SELECT e1.u, e1.v FROM e1
+        |  JOIN c1 ON c1.u = e1.u AND c1.v = e1.v WHERE c1.supp >= 1),
+        |a2 AS (SELECT u AS node, v AS nbr FROM e2 UNION ALL SELECT v, u FROM e2),
+        |c2 AS (
+        |  SELECT x.node AS u, y.node AS v, count(*) AS supp
+        |  FROM a2 x JOIN a2 y ON y.nbr = x.nbr AND x.node < y.node
+        |  JOIN e2 e ON e.u = x.node AND e.v = y.node
+        |  GROUP BY x.node, y.node)
+        |SELECT e2.u, e2.v, CAST(COALESCE(c2.supp, 0) AS BIGINT) AS supp
+        |FROM e2 LEFT JOIN c2 ON c2.u = e2.u AND c2.v = e2.v
+        |ORDER BY e2.u, e2.v""".stripMargin,
+
     // SCAN structural similarity: Jaccard of endpoint neighborhoods
     // for every EDGE (open neighborhoods, union = deg a + deg b −
     // common); (jaccard DESC, a, b) is total so LIMIT is deterministic

@@ -142,4 +142,28 @@ class GraphBfsSpec extends SparkSpec {
     assert(bins.map(_.getLong(3)).sum ===
       deg2.values.map(d => d.toLong * (d - 1)).sum)
   }
+
+  test("k-truss peel: crafted graph — pendants and bridges dissolve, shared edges carry support 2") {
+    import spark.implicits._
+    // triangle {1,2,3} + triangle {3,4,5} sharing node 3, bridged by
+    // edge (3,6) to pendant path 6-7; second component: two triangles
+    // {10,11,12} and {11,12,13} SHARING EDGE (11,12)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L),
+      (3L, 6L), (6L, 7L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (11L, 13L), (12L, 13L))
+      .toDF("u", "v").localCheckpoint()
+    val got = ops.Graph.trussEdges(edges, minSupp = 1L, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // bridge (3,6) and pendant (6,7) peel; all triangle edges survive
+    assert(!got.contains((3L, 6L)) && !got.contains((6L, 7L)))
+    assert(got.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L),
+      (4L, 5L), (10L, 11L), (10L, 12L), (11L, 12L), (11L, 13L), (12L, 13L)))
+    // the shared edge closes both triangles; every other edge one
+    assert(got((11L, 12L)) === 2L)
+    (got - ((11L, 12L))).foreach { case (e, s) => assert(s === 1L, s"edge $e") }
+    // k=4 (minSupp 2) keeps NOTHING here: peeling (11,13)/(12,13)/
+    // (10,11)/(10,12) in round 1 strips (11,12)'s support in round 2
+    val k4 = ops.Graph.trussEdges(edges, minSupp = 2L, rounds = 2).collect()
+    assert(k4.isEmpty, k4.mkString(","))
+  }
 }
