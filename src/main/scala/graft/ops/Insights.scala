@@ -1009,6 +1009,61 @@ object Insights {
       .orderBy("d")
   }
 
+  /** Daily peak session concurrency (round 12, fourth session) — the
+    * capacity-planning curve: the maximum number of SIMULTANEOUSLY
+    * open sessions each day, where sessions are the
+    * [[Windows.eventsSessionize]] 30-minute-gap intervals
+    * [first event, last event] (same definition, replayed by the
+    * oracle). The interval-count discipline of [[ordersOpenBacklog]]
+    * at MICROSECOND resolution: +1 at session start, −1 at end+1µs,
+    * deltas pre-aggregated per distinct timestamp (simultaneous
+    * boundaries are order-free by construction), then the two-level
+    * cumulative with CALENDAR DAYS as the blocks — within-day running
+    * sum partitioned by day, cross-day carry via the bounded
+    * triangular prefix join over per-day totals (broadcast; days are
+    * calendar-bounded) — NO unpartitioned window at any event volume.
+    * The day peak compares the carry-in (day-start concurrency)
+    * against every boundary prefix, so a day whose first move is a
+    * session END still reports its true start-of-day peak. Days with
+    * zero boundary events are absent by construction (their
+    * concurrency is constant = the neighbor's carry).
+    *
+    * Oracle replays a straight per-day cumulative over the same
+    * deltas — equality is the algebraic proof of the day-block
+    * decomposition, as with the backlog key.
+    */
+  val eventsPeakConcurrency: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+    val sess = table(s, dir, "events")
+      .withColumn("brk",
+        when(gapUs.isNull.or(gapUs > lit(30L * 60L * 1000000L)), 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("brk")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(unix_micros(col("ts"))).as("a"), max(unix_micros(col("ts"))).as("b"))
+    val deltas = sess.select(col("a").as("us"), lit(1L).as("delta"))
+      .unionByName(sess.select((col("b") + 1).as("us"), lit(-1L).as("delta")))
+      .groupBy(col("us")).agg(sum(col("delta")).as("delta"))
+      .withColumn("d", expr("us div 86400000000"))
+    val perDay = deltas.groupBy(col("d")).agg(sum(col("delta")).as("day_tot"))
+    val carry = perDay.as("a")
+      .join(broadcast(perDay.as("b")), col("b.d") < col("a.d"), "left_outer")
+      .groupBy(col("a.d").as("d"))
+      .agg(coalesce(sum(col("b.day_tot")), lit(0L)).as("carry_in"))
+    val wIn = Window.partitionBy(col("d")).orderBy(col("us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("cum_in", sum(col("delta")).over(wIn))
+      .join(broadcast(carry), Seq("d"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_bounds"),
+        max(col("carry_in")).as("carry_in"),
+        greatest(max(col("carry_in")),
+          max(col("carry_in") + col("cum_in"))).as("peak"))
+      .orderBy("d")
+  }
+
   /** Categorical mix-drift monitor (round 12, third session) — the
     * distribution-shift screen a pipeline runs on its own dimensions:
     * per order-month, the KL divergence (bits) of that month's
@@ -1288,6 +1343,7 @@ object Insights {
     "orders_pareto_share" -> ordersParetoShare,
     "events_burst_days" -> eventsBurstDays,
     "events_theilsen_trend" -> eventsTheilsenTrend,
+    "events_peak_concurrency" -> eventsPeakConcurrency,
     "stat_chi2_cells" -> statChi2Cells,
     "sample_bottomk_stratified" -> sampleBottomkStratified,
     "stat_mann_whitney" -> statMannWhitney,

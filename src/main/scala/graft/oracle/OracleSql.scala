@@ -3223,6 +3223,49 @@ object OracleSql {
         |FROM w
         |ORDER BY event_type, epoch_day""".stripMargin,
 
+    // ops.Insights.eventsPeakConcurrency: session-interval sweep;
+    // the oracle's STRAIGHT per-day cumulative against the Spark
+    // side's day-blocked two-level form is the decomposition proof.
+    "events_peak_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+        |           AS session_seq
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_seq,
+        |         CAST(min(epoch_us(ts)) AS BIGINT) AS a,
+        |         CAST(max(epoch_us(ts)) AS BIGINT) AS b
+        |  FROM s GROUP BY user_id, session_seq),
+        |deltas AS (
+        |  SELECT us, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+        |    SELECT a AS us, 1 AS delta FROM sess
+        |    UNION ALL SELECT b + 1, -1 FROM sess)
+        |  GROUP BY us),
+        |dd AS (SELECT us, delta, us // 86400000000 AS d FROM deltas),
+        |pd AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS day_tot FROM dd GROUP BY d),
+        |carry AS (
+        |  SELECT a.d, CAST(COALESCE(SUM(b.day_tot), 0) AS BIGINT) AS carry_in
+        |  FROM pd a LEFT JOIN pd b ON b.d < a.d GROUP BY a.d),
+        |cum AS (
+        |  SELECT d, us, delta,
+        |         CAST(SUM(delta) OVER (PARTITION BY d ORDER BY us) AS BIGINT) AS cum_in
+        |  FROM dd)
+        |SELECT cum.d, count(*) AS n_bounds,
+        |       CAST(MAX(carry.carry_in) AS BIGINT) AS carry_in,
+        |       CAST(greatest(MAX(carry.carry_in),
+        |                     MAX(carry.carry_in + cum.cum_in)) AS BIGINT) AS peak
+        |FROM cum JOIN carry ON carry.d = cum.d
+        |GROUP BY cum.d
+        |ORDER BY cum.d""".stripMargin,
+
     // ops.Insights.eventsTheilsenTrend: median pairwise slope per
     // type; selection order (slope_double, dy, dx, d1, d2) is total
     // and cross-engine identical (double of exact longs + int tail).

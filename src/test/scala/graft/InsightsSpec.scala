@@ -724,6 +724,44 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("events_peak_concurrency: brute-force timeline sweep replay; conservation holds") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val ev = io.Readers.table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference sessionization: 30-min gap per user in (ts, event_id) order
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var (a, b) = (sorted.head._2, sorted.head._2)
+      sorted.tail.foreach { r =>
+        if (r._2 - b > 1800000000L) { out += ((a, b)); a = r._2; b = r._2 }
+        else b = r._2
+      }
+      out += ((a, b)); out
+    }.toSeq
+    // sweep: delta map, per-day straight cumulative with carry
+    val deltas = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    sessions.foreach { case (a, b) => deltas(a) += 1; deltas(b + 1) -= 1 }
+    val byDay = deltas.toSeq.sortBy(_._1).groupBy(_._1 / 86400000000L)
+    var carry = 0L
+    val ref = byDay.keys.toSeq.sorted.map { d =>
+      val bounds = byDay(d).sortBy(_._1)
+      var cur = carry; var peak = carry
+      bounds.foreach { case (_, dl) => cur += dl; peak = math.max(peak, cur) }
+      val row = (d, bounds.length.toLong, carry, peak)
+      carry = cur
+      row
+    }
+    val got = ops.Insights.eventsPeakConcurrency(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === ref, "timeline sweep replay")
+    // conservation: everything that opens closes — final carry is zero
+    assert(carry === 0L)
+    got.foreach { case (d, _, ci, peak) => assert(peak >= ci && peak >= 0L, s"day $d") }
+  }
+
   test("events_theilsen_trend: brute-force pairwise-slope median replay; audit cells consistent") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
