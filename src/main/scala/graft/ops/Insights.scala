@@ -1009,6 +1009,49 @@ object Insights {
       .orderBy("d")
   }
 
+  /** Seasonal-naive forecast backtest (round 12, fourth session) —
+    * the baseline every real forecaster must beat, backtested over
+    * the corpus's own history: for each event type, the lag-7
+    * CALENDAR forecast (ŷ(d) = y(d−7)) and the lag-1 persistence
+    * forecast (ŷ(d) = y(d−1)) are scored on every day where both the
+    * actual and the forecast source exist (calendar JOINS, not row
+    * lags — the `time_series_autocorr` gap caveat engineered away:
+    * a missing day simply contributes no evaluation row instead of
+    * silently misaligning). Emitted per type: evaluation counts,
+    * Σ|err|, Σerr (bias), max|err|, and Σactual — all exact integers;
+    * the consumer forms MAE/WAPE/bias in its own float regime.
+    * sae7 < sae1 is the "weekly structure is real" read, the
+    * operational twin of `events_seasonality_hourly`.
+    *
+    * Scale: one map-side rollup to |types|·|days| cells, two
+    * self-joins ON THE ROLLUP (calendar-key equi-joins), one final
+    * |types|-cell agg. Nothing touches raw events twice.
+    */
+  val eventsSnaiveBacktest: Q = (s, dir) => {
+    val daily = table(s, dir, "events")
+      .select(col("event_type"), unix_date(to_date(col("ts"))).cast("long").as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    def lagged(k: Int) = daily
+      .select(col("event_type"), (col("d") + k).as("d"), col("cnt").as(s"prev$k"))
+    daily
+      .join(lagged(7), Seq("event_type", "d"), "left_outer")
+      .join(lagged(1), Seq("event_type", "d"), "left_outer")
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("prev7").isNotNull, 1)).as("n7"),
+        sum(when(col("prev7").isNotNull, abs(col("cnt") - col("prev7")))).as("sae7"),
+        sum(when(col("prev7").isNotNull, col("cnt") - col("prev7"))).as("bias7"),
+        max(when(col("prev7").isNotNull, abs(col("cnt") - col("prev7")))).as("maxae7"),
+        count(when(col("prev1").isNotNull, 1)).as("n1"),
+        sum(when(col("prev1").isNotNull, abs(col("cnt") - col("prev1")))).as("sae1"),
+        sum(when(col("prev1").isNotNull, col("cnt") - col("prev1"))).as("bias1"),
+        max(when(col("prev1").isNotNull, abs(col("cnt") - col("prev1")))).as("maxae1"),
+        sum(when(col("prev7").isNotNull, col("cnt"))).as("sum_actual7"))
+      .orderBy("event_type")
+  }
+
   /** Daily peak session concurrency (round 12, fourth session) — the
     * capacity-planning curve: the maximum number of SIMULTANEOUSLY
     * open sessions each day, where sessions are the
@@ -1344,6 +1387,7 @@ object Insights {
     "events_burst_days" -> eventsBurstDays,
     "events_theilsen_trend" -> eventsTheilsenTrend,
     "events_peak_concurrency" -> eventsPeakConcurrency,
+    "events_snaive_backtest" -> eventsSnaiveBacktest,
     "stat_chi2_cells" -> statChi2Cells,
     "sample_bottomk_stratified" -> sampleBottomkStratified,
     "stat_mann_whitney" -> statMannWhitney,

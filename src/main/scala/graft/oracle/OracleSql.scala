@@ -3223,6 +3223,33 @@ object OracleSql {
         |FROM w
         |ORDER BY event_type, epoch_day""".stripMargin,
 
+    // ops.Insights.eventsSnaiveBacktest: lag-7/lag-1 calendar
+    // forecast backtest cells — calendar joins, never row lags.
+    "events_snaive_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type, a.d, a.cnt, p7.cnt AS prev7, p1.cnt AS prev1
+        |  FROM daily a
+        |  LEFT JOIN daily p7 ON p7.event_type = a.event_type AND p7.d = a.d - 7
+        |  LEFT JOIN daily p1 ON p1.event_type = a.event_type AND p1.d = a.d - 1)
+        |SELECT event_type,
+        |       CAST(count(CASE WHEN prev7 IS NOT NULL THEN 1 END) AS BIGINT) AS n7,
+        |       CAST(sum(CASE WHEN prev7 IS NOT NULL THEN abs(cnt - prev7) END) AS BIGINT) AS sae7,
+        |       CAST(sum(CASE WHEN prev7 IS NOT NULL THEN cnt - prev7 END) AS BIGINT) AS bias7,
+        |       CAST(max(CASE WHEN prev7 IS NOT NULL THEN abs(cnt - prev7) END) AS BIGINT) AS maxae7,
+        |       CAST(count(CASE WHEN prev1 IS NOT NULL THEN 1 END) AS BIGINT) AS n1,
+        |       CAST(sum(CASE WHEN prev1 IS NOT NULL THEN abs(cnt - prev1) END) AS BIGINT) AS sae1,
+        |       CAST(sum(CASE WHEN prev1 IS NOT NULL THEN cnt - prev1 END) AS BIGINT) AS bias1,
+        |       CAST(max(CASE WHEN prev1 IS NOT NULL THEN abs(cnt - prev1) END) AS BIGINT) AS maxae1,
+        |       CAST(sum(CASE WHEN prev7 IS NOT NULL THEN cnt END) AS BIGINT) AS sum_actual7
+        |FROM j
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // ops.Insights.eventsPeakConcurrency: session-interval sweep;
     // the oracle's STRAIGHT per-day cumulative against the Spark
     // side's day-blocked two-level form is the decomposition proof.

@@ -724,6 +724,35 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("events_snaive_backtest: brute-force calendar-lag replay; gap days contribute no row") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val daily = io.Readers.table(spark, dir, "events")
+      .select(col("event_type"), unix_date(to_date(col("ts"))).cast("long").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(r => r._2 -> r._3).toMap
+    }
+    val got = ops.Insights.eventsSnaiveBacktest(spark, dir).collect()
+    assert(got.map(_.getString(0)).toSet === byType.keySet)
+    got.foreach { r =>
+      val m = byType(r.getString(0))
+      def cells(k: Int) = {
+        val evals = m.keys.toSeq.filter(d => m.contains(d - k)).sorted
+        val errs = evals.map(d => m(d) - m(d - k))
+        (evals.length.toLong, errs.map(math.abs).sum, errs.sum,
+          if (errs.isEmpty) 0L else errs.map(math.abs).max)
+      }
+      val (n7, sae7, b7, mx7) = cells(7)
+      val (n1, sae1, b1, mx1) = cells(1)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) === ((n7, sae7, b7, mx7)))
+      assert((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)) === ((n1, sae1, b1, mx1)))
+      val sumActual7 = m.keys.toSeq.filter(d => m.contains(d - 7)).map(m).sum
+      assert(r.getLong(9) === sumActual7)
+    }
+  }
+
   test("events_peak_concurrency: brute-force timeline sweep replay; conservation holds") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
