@@ -1009,6 +1009,35 @@ object Insights {
       .orderBy("d")
   }
 
+  /** Herfindahl–Hirschman engagement concentration per event type
+    * (round 12, fourth session) — the market-concentration standard
+    * applied to user activity: HHI = Σᵢ shareᵢ² over users, the
+    * SQUARED-share complement of `events_gini_activity` (Gini ranks,
+    * HHI squares — a few mega-users move HHI much harder; antitrust
+    * thresholds 0.15/0.25 read directly). Emitted as exact integer
+    * cells (n_users, total, sum_sq = Σcntᵢ²) plus the single double
+    * division sum_sq/total² (deterministic IEEE of exact longs —
+    * the fertility-key discipline; 1/n_users ≤ hhi ≤ 1 spec'd).
+    * Overflow: sum_sq ≤ total·max_cnt < 2⁶³ up to ~10⁹ events/type
+    * at 10⁹-event users; past that, DECIMAL(38,0) digit strings (the
+    * ANOVA discipline).
+    *
+    * Scale: one map-side (type, user) rollup, one map-side Σcnt²
+    * rollup to |types| cells. No window, no join.
+    */
+  val eventsHhiConcentration: Q = (s, dir) => {
+    table(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cnt")).as("total"),
+        sum(col("cnt") * col("cnt")).as("sum_sq"))
+      .withColumn("hhi",
+        col("sum_sq").cast("double") / (col("total") * col("total")).cast("double"))
+      .orderBy("event_type")
+  }
+
   /** Seasonal-naive forecast backtest (round 12, fourth session) —
     * the baseline every real forecaster must beat, backtested over
     * the corpus's own history: for each event type, the lag-7
@@ -1388,6 +1417,7 @@ object Insights {
     "events_theilsen_trend" -> eventsTheilsenTrend,
     "events_peak_concurrency" -> eventsPeakConcurrency,
     "events_snaive_backtest" -> eventsSnaiveBacktest,
+    "events_hhi_concentration" -> eventsHhiConcentration,
     "stat_chi2_cells" -> statChi2Cells,
     "sample_bottomk_stratified" -> sampleBottomkStratified,
     "stat_mann_whitney" -> statMannWhitney,

@@ -3223,6 +3223,22 @@ object OracleSql {
         |FROM w
         |ORDER BY event_type, epoch_day""".stripMargin,
 
+    // ops.Insights.eventsHhiConcentration: squared-share user
+    // concentration cells; hhi = one IEEE division of exact longs.
+    "events_hhi_concentration" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |       count(*) AS n_users,
+        |       CAST(sum(cnt) AS BIGINT) AS total,
+        |       CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
+        |       CAST(CAST(sum(cnt * cnt) AS BIGINT) AS DOUBLE)
+        |         / CAST(CAST(sum(cnt) AS BIGINT) * CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS hhi
+        |FROM pu
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // ops.Insights.eventsSnaiveBacktest: lag-7/lag-1 calendar
     // forecast backtest cells — calendar joins, never row lags.
     "events_snaive_backtest" ->

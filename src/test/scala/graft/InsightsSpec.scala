@@ -724,6 +724,26 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("events_hhi_concentration: JVM replay; 1/n <= hhi <= 1 and the uniform bound binds") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val pu = io.Readers.table(spark, dir, "events")
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val got = ops.Insights.eventsHhiConcentration(spark, dir).collect()
+    val byType = pu.groupBy(_._1)
+    assert(got.map(_.getString(0)).toSet === byType.keySet)
+    got.foreach { r =>
+      val cs = byType(r.getString(0)).map(_._2)
+      val (n, tot, sq) = (cs.length.toLong, cs.sum, cs.map(c => c * c).sum)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((n, tot, sq)))
+      val hhi = r.getDouble(4)
+      assert(hhi === sq.toDouble / (tot.toDouble * tot.toDouble))
+      // Cauchy–Schwarz lower bound (equality iff uniform) and the max
+      assert(hhi >= 1.0 / n - 1e-12 && hhi <= 1.0 + 1e-12, s"hhi $hhi n $n")
+    }
+  }
+
   test("events_snaive_backtest: brute-force calendar-lag replay; gap days contribute no row") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
