@@ -600,6 +600,74 @@ object Relational {
         AND l_quantity < 24""")
   }
 
+  /** TPC-H Q14 over SQL text (round 12, fourth session) — the
+    * promotion-effect monitor: what fraction of a month's discounted
+    * revenue came from PROMO-type parts? The shape this adds to the
+    * set is CONDITIONAL AGGREGATION OVER A JOIN — one fact⋈dim join,
+    * two sums from the same rows (CASE inside the agg, never two
+    * passes). Money on the Q1 integer discipline (disc_e4 exact);
+    * the share is the single IEEE division of two exact longs. The
+    * fixture's p_type is the category head ('PROMO', not
+    * 'PROMO BURNISHED…'), so the predicate is equality rather than
+    * LIKE — same semantics, exactly indexable.
+    *
+    * Scale: shipdate month pushed to the fact scan; part broadcast
+    * (shuffle at 100 TB part counts — degrades, never re-shapes);
+    * the agg is one map-side-combined single cell.
+    */
+  val sqlTpchQ14: Q = (s, dir) => {
+    table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(s, dir, "part").createOrReplaceTempView("part")
+    s.sql("""
+      SELECT sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 ELSE 0 END) AS promo_e4,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS total_e4,
+             count(*) AS n_rows,
+             CAST(sum(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+                      ELSE 0 END) AS DOUBLE)
+               / CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS DOUBLE)
+               AS promo_share
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""")
+  }
+
+  /** TPC-H Q19 over SQL text (round 12, fourth session; adapted —
+    * the fixture's part table has no p_container, so the disjuncts
+    * band on (brand, size, quantity) instead; the SHAPE is the
+    * point): discounted revenue under an OR-OF-ANDS predicate that
+    * mixes columns from BOTH join sides — the query that
+    * historically knocked planners into nested loops. The contract
+    * plan-gated here: the l_partkey = p_partkey equi-join must stay
+    * a HASH join (the OR evaluates as a post-join filter /
+    * residual), never a BroadcastNestedLoopJoin; quantity bounds and
+    * the all-disjunct size upper bound still push to the scans.
+    * Money on the Q1 integer discipline.
+    */
+  val sqlTpchQ19: Q = (s, dir) => {
+    table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(s, dir, "part").createOrReplaceTempView("part")
+    s.sql("""
+      SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS revenue_e4,
+             count(*) AS n_rows
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)""")
+  }
+
   /** Correlated EXISTS / NOT EXISTS over SQL text — the subquery
     * surface a SQL engine must DECORRELATE to survive scale: Catalyst
     * rewrites both into semi/anti hash joins (asserted in PlanSpec; a
@@ -795,6 +863,8 @@ object Relational {
     "sql_tpch_q5" -> sqlTpchQ5,
     "sql_tpch_q6" -> sqlTpchQ6,
     "sql_tpch_q10" -> sqlTpchQ10,
+    "sql_tpch_q14" -> sqlTpchQ14,
+    "sql_tpch_q19" -> sqlTpchQ19,
     "sql_tpch_q18" -> sqlTpchQ18,
     "sql_exists_subquery" -> sqlExistsSubquery,
     "sql_scalar_subquery" -> sqlScalarSubquery,

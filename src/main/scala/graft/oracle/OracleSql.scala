@@ -4101,6 +4101,43 @@ object OracleSql {
         |  AND CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) BETWEEN 5 AND 7
         |  AND l_quantity < 24""".stripMargin,
 
+    // ops.Relational.sqlTpchQ14: promo revenue share — conditional
+    // aggregation over the join, integer money, one IEEE division.
+    "sql_tpch_q14" ->
+      """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+        |            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                 * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |            ELSE 0 END) AS BIGINT) AS promo_e4,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS total_e4,
+        |       count(*) AS n_rows,
+        |       CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |                 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |         / CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                     * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |         AS promo_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+
+    // ops.Relational.sqlTpchQ19 (adapted): OR-of-ANDs mixed-side
+    // predicate over the equi-join; same integer money discipline.
+    "sql_tpch_q19" ->
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |         AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |         AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |         AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
     "sql_tpch_q18" ->
       """SELECT c_custkey, c_name, o_orderkey,
         |       CAST(o_orderdate AS DATE) AS o_date,

@@ -407,6 +407,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("sql_tpch_q19: the OR-of-ANDs mixed-side predicate keeps the equi hash join") {
+    val df = ops.Relational.sqlTpchQ19(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"OR-of-ANDs must not fall to a nested loop:\n$p")
+    assert(p.contains("HashJoin"), p) // broadcast or shuffled — either hash form
+  }
+
   test("graph_adamic_adar: weight attach and edge probe execute below the pair agg") {
     val df = ops.Graph.graphAdamicAdar(spark, dir)
     df.collect()
