@@ -98,6 +98,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "log2_fixed(c) expects one integral column")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("hilbert_d16"),
+      new ExpressionInfo(
+        classOf[graft.functions.NumericExpressions.Hilbert16].getName, "hilbert_d16"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x, y) => graft.functions.NumericExpressions.Hilbert16(x, y)
+        case _ => throw new IllegalArgumentException(
+          "hilbert_d16(x, y) expects two integral columns")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("exp2_fixed"),
       new ExpressionInfo(
         classOf[graft.functions.NumericExpressions.Exp2Fixed].getName, "exp2_fixed"),

@@ -64,7 +64,41 @@ object Layout {
       tiebreak = Seq("l_orderkey", "l_linenumber"))
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zval")
 
+  /** Cluster a frame on the Hilbert curve over two columns — the
+    * stronger-locality re-layout sort (see
+    * [[graft.functions.NumericExpressions.Hilbert16]]).
+    */
+  def sortByHilbert(df: DataFrame, x: String, y: String,
+      tiebreak: Seq[String]): DataFrame =
+    df.withColumn("hval",
+      graft.functions.NumericExpressions.hilbertD16(col(x), col(y)))
+      .orderBy(("hval" +: tiebreak).map(col): _*)
+
+  /** The Hilbert companion of [[layoutZorderKey]]: lineitem keyed by
+    * the (l_partkey, l_suppkey) Hilbert index — same clustering
+    * contract, with the curve's guaranteed unit-step adjacency
+    * (consecutive key values are ALWAYS 2-D neighbors; the Z-curve
+    * jumps at power-of-two seams). MEASURED HONESTLY against the
+    * folklore (ExpressionsSpec A/B): at 64-chunk granularity on
+    * uniform points the two curves prune band and rectangle probes
+    * within a few chunks of each other in EITHER direction — the
+    * spec asserts parity, not superiority; Hilbert's value is the
+    * bounded worst case, and having BOTH keys lets a layout job pick
+    * per-table on its own measured probes. The 16-round rotation
+    * loop is a native codegen expression — a flat column formula
+    * explodes exponentially under CollapseProject (scaladoc'd in
+    * NumericExpressions.Hilbert16).
+    */
+  val layoutHilbertKey: Q = (s, dir) =>
+    sortByHilbert(
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey",
+      tiebreak = Seq("l_orderkey", "l_linenumber"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "hval")
+
   val queries: Map[String, Q] = Map(
     "layout_zorder_key" -> layoutZorderKey,
+    "layout_hilbert_key" -> layoutHilbertKey,
   )
 }

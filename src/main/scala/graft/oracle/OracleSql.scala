@@ -1564,6 +1564,20 @@ object OracleSql {
          |FROM lineitem
          |ORDER BY zval NULLS LAST, l_orderkey NULLS LAST, l_linenumber NULLS LAST""".stripMargin,
 
+    // ops.Layout.layoutHilbertKey: the 16 rotate/reflect rounds
+    // replayed as the HilbertSql CTE chain — pure nonnegative
+    // integer arithmetic, bit-exact vs the codegen loop.
+    "layout_hilbert_key" ->
+      s"""WITH ${HilbertSql.chain("h",
+            "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+              "l_partkey % 65536 AS x, l_suppkey % 65536 AS y, " +
+              "CAST(0 AS BIGINT) AS d FROM lineitem",
+            "l_orderkey, l_linenumber, l_partkey, l_suppkey")}
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |       CAST(d AS BIGINT) AS hval
+         |FROM h0
+         |ORDER BY hval NULLS LAST, l_orderkey NULLS LAST, l_linenumber NULLS LAST""".stripMargin,
+
     "text_chunk_overlap" ->
       """WITH t AS (
         |  SELECT doc_id,
