@@ -14,7 +14,8 @@ object SparkEntry {
       ops.Stats.queries ++ ops.Layout.queries ++ ops.Analytics.queries ++
       ops.Curation2.queries ++ ops.Graph.queries ++
       ops.InfoTheory.queries ++ ops.Bpe.queries ++ ops.Bipartite.queries ++
-      ops.Quality.queries ++ ops.Insights.queries ++ ops.Embeddings.queries
+      ops.Quality.queries ++ ops.Insights.queries ++
+      ops.Embeddings.queries ++ ops.Tpch.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = oracle.OracleSql.sql

@@ -4414,9 +4414,182 @@ object OracleSql {
         |ORDER BY pv.label""".stripMargin,
   )
 
+  // ops.Tpch — the round-12 fifth-session TPC-H completion wave. Same
+  // text as the Spark side except every BIGINT sum is re-CAST to
+  // BIGINT (DuckDB's sum(BIGINT) returns HUGEINT, which pandas would
+  // float) — the q18 discipline.
+  private val tpch: Map[String, String] = Map(
+    "sql_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "sql_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(sum(disc_e4) AS BIGINT) AS revenue_e4, count(*) AS n_rows
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         year(l_shipdate) AS l_year,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS disc_e4
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "sql_tpch_q8" ->
+      """SELECT o_year,
+        |       CAST(sum(CASE WHEN nation = 'NATION_3' THEN disc_e4 ELSE 0 END) AS BIGINT) AS target_e4,
+        |       CAST(sum(disc_e4) AS BIGINT) AS total_e4,
+        |       CAST(CAST(sum(CASE WHEN nation = 'NATION_3' THEN disc_e4 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |         / CAST(CAST(sum(disc_e4) AS BIGINT) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS disc_e4,
+        |         n2.n_name AS nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND p_type = 'STANDARD') all_nations
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    "sql_tpch_q9" ->
+      """SELECT nation, o_year, CAST(sum(amount_e4) AS BIGINT) AS sum_profit_e4,
+        |       count(*) AS n_rows
+        |FROM (
+        |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |           - CAST(l_quantity AS BIGINT)
+        |             * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 80 AS amount_e4
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%red%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "sql_tpch_q12" ->
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+        |       count(*) AS n_rows
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "sql_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "sql_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |             * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS total_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_e4
+        |FROM supplier
+        |JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_e4 = (SELECT max(total_e4) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "sql_tpch_q17" ->
+      """SELECT count(*) AS n_small,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3' AND p_size <= 10
+        |  AND 5 * CAST(l_quantity AS BIGINT)
+        |        * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |      < (SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem l2
+        |         WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "sql_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
+
+    "sql_tpch_q22" ->
+      """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |       CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS totacctbal_cents
+        |FROM customer c
+        |WHERE c_nationkey IN (3, 7, 11, 17, 21)
+        |  AND CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        * (SELECT count(*) FROM customer c2
+        |           WHERE c2.c_acctbal > 0 AND c2.c_nationkey IN (3, 7, 11, 17, 21))
+        |      > (SELECT CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |         FROM customer c2
+        |         WHERE c2.c_acctbal > 0 AND c2.c_nationkey IN (3, 7, 11, 17, 21))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-08-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+  )
+
   val sql: Map[String, String] =
     relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++
       llm ++ streaming ++ llm2 ++ curation ++ statsLayout ++ analytics ++
       analytics2 ++ graph ++ round8 ++ infoTheory ++ bpe ++ bipartite ++
-      insights ++ embeddings
+      insights ++ embeddings ++ tpch
 }

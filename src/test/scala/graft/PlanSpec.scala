@@ -669,4 +669,42 @@ class PlanSpec extends SparkSpec {
     assert(line.nonEmpty, s"log2_fixed not in the executed plan:\n${p.take(2000)}")
     assert(line.contains("*("), s"log2_fixed not in a codegen stage: $line")
   }
+
+  test("sql_tpch_q4: EXISTS decorrelates to LeftSemi carrying the non-equi lateness condition") {
+    val p = plan(ops.Tpch.sqlTpchQ4)
+    val semi = p.linesIterator.find(_.contains("LeftSemi")).getOrElse("")
+    assert(semi.nonEmpty, s"no semi join:\n${p.take(2000)}")
+    assert(semi.contains("INTERVAL") && semi.contains("l_shipdate"),
+      s"lateness must ride the join condition, not a post-join filter: $semi")
+    val ordersScan = p.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate")).mkString
+    assert(ordersScan.contains("GreaterThanOrEqual"), s"quarter not pushed: $ordersScan")
+  }
+
+  test("sql_tpch_q13: the ON-clause priority filter pushes to the orders scan under the outer join") {
+    val p = plan(ops.Tpch.sqlTpchQ13)
+    assert(p.contains("LeftOuter"), p.take(2000))
+    val ordersScan = p.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("o_orderpriority")).mkString
+    assert(ordersScan.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"ON-filter not pushed: $ordersScan")
+  }
+
+  test("sql_tpch_q17: correlated scalars decorrelate to partkey rollups — no nested loop, no re-execution") {
+    val p = plan(ops.Tpch.sqlTpchQ17)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // both scalar aggregates appear as partkey-grouped HashAggregates
+    assert(p.linesIterator.count(l =>
+      l.contains("HashAggregate(keys=[l_partkey")) >= 2, p.take(3000))
+  }
+
+  test("sql_tpch_q21: EXISTS and NOT EXISTS become semi + anti joins; top-10 is TakeOrdered") {
+    val p = plan(ops.Tpch.sqlTpchQ21)
+    assert(p.contains("LeftSemi"), "other-supplier EXISTS must be a semi join")
+    val anti = p.linesIterator.find(_.contains("LeftAnti")).getOrElse("")
+    assert(anti.nonEmpty, s"no anti join:\n${p.take(2000)}")
+    assert(anti.contains("INTERVAL"), s"outer-correlated lateness must ride the anti join: $anti")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+  }
 }
