@@ -708,7 +708,66 @@ object InfoTheory {
       .orderBy("lang", "k_docs")
   }
 
+  /** Top-20 collocations per language by pointwise mutual
+    * information — the phrase-mining / multi-word-expression detector
+    * beside [[textCondEntropyBigram]] (entropy profiles the WHOLE
+    * next-token distribution; PMI surfaces the individual pairs that
+    * stick together):
+    *
+    *   PMI(w₁,w₂) = log₂ (p(w₁w₂) / (p(w₁·)·p(·w₂)))
+    *              = log₂ (c·N / (c_left·c_right))
+    *
+    * over the bigram space (marginals of the bigram distribution,
+    * the self-consistent convention — unigram-over-token-space
+    * differs by the last-token-per-doc edge). Engine-exact on the
+    * house fixed-point chain: pmi_20 = L(c·N) − L(c_left·c_right)
+    * with L = log2_fixed — products exact in int64 up to N ≈ 3·10⁹
+    * bigrams per lang (beyond: the four-term split L(c)+L(N)−L(c_l)
+    * −L(c_r), same chain, documented swap). The min-count gate
+    * (c ≥ 5) is the classic rare-pair guard — PMI is maximal for
+    * hapax pairs and meaningless there. Ranking is BY the fixed-point
+    * integer (deterministic cross-engine), ties broken (w₁, w₂)
+    * lexically.
+    *
+    * Scale: the bigram count is the one wide shuffle (map-side
+    * combined); both marginals re-aggregate the counted TYPE
+    * relation (strictly smaller); N is a ≤|langs|-row broadcast; the
+    * top-20 rank window runs per lang over the c ≥ 5 survivors. The
+    * per-lang window carries the winsorize-family caveat; the
+    * bucketed-top-k swap applies past ~10⁸ surviving pairs/lang.
+    */
+  val textPmiCollocations: Q = (s, dir) => {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        posexplode(tokens).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      .filter(col("nxt").isNotNull)
+    val c2 = big.groupBy(col("lang"), col("tok").as("w1"), col("nxt").as("w2"))
+      .agg(count(lit(1)).as("c_pair"))
+    val cl = c2.groupBy(col("lang"), col("w1")).agg(sum(col("c_pair")).as("c_left"))
+    val cr = c2.groupBy(col("lang"), col("w2")).agg(sum(col("c_pair")).as("c_right"))
+    val n = c2.groupBy(col("lang")).agg(sum(col("c_pair")).as("n_bigrams"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("pmi_20").desc, col("w1"), col("w2"))
+    c2.filter(col("c_pair") >= 5)
+      .join(cl, Seq("lang", "w1"))
+      .join(cr, Seq("lang", "w2"))
+      .join(broadcast(n), "lang")
+      .withColumn("pmi_20",
+        log2Fixed(col("c_pair") * col("n_bigrams"))
+          - log2Fixed(col("c_left") * col("c_right")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 20)
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+        col("w1"), col("w2"), col("c_pair"), col("c_left"), col("c_right"),
+        col("n_bigrams"), col("pmi_20"))
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_pmi_collocations" -> textPmiCollocations,
     "text_heaps_curve" -> textHeapsCurve,
     "agg_gini_impurity" -> aggGiniImpurity,
     "text_vocab_coverage" -> textVocabCoverage,

@@ -155,6 +155,58 @@ object Insights {
       .orderBy("event_type")
   }
 
+  /** Mann–Kendall trend test cells per event type — the SIGNIFICANCE
+    * companion of [[eventsTheilsenTrend]] (Theil–Sen answers "how
+    * steep is the robust trend?", Mann–Kendall answers "is there a
+    * monotone trend at all?" — the two are the standard pairing, the
+    * slope estimator and its nonparametric test, over the same daily
+    * series):
+    *
+    *   S = Σ_{i<j} sgn(cnt_j − cnt_i)  (day order)
+    *   18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)  (tie-corrected)
+    *
+    * INTEGER throughout: S, the tie term (over count-value tie
+    * groups), and the 18-scaled variance numerator all stay int64 —
+    * the consumer forms Z = (S − sgn(S)) / √(var18/18) in its own
+    * float regime. Overflow is structurally impossible:
+    * n(n−1)(2n+5) < 2⁶³ until n ≈ 2·10⁶ DAYS (≈ 5,500 years of
+    * series).
+    *
+    * Scale: the raw stream collapses to the |types|·|days| rollup
+    * first (one map-side agg — the burst/Theil–Sen discipline); the
+    * pair fan-out is |days|²/2 per type, bounded by the corpus TIME
+    * SPAN, not corpus size, and aggregates map-side to one row per
+    * type; the tie rollup re-aggregates the daily relation. Past
+    * ~10⁴ days, S decomposes over a merge-rank pass (inversion
+    * counting) — documented swap, same cells.
+    */
+  val statMannKendall: Q = (s, dir) => {
+    val daily = table(s, dir, "events")
+      .select(col("event_type"), unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.select(col("event_type"), col("epoch_day").as("d1"), col("cnt").as("c1"))
+    val b = daily.select(col("event_type"), col("epoch_day").as("d2"), col("cnt").as("c2"))
+    val sStat = a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        when(col("c2") > col("c1"), 1L).when(col("c2") < col("c1"), -1L)
+          .otherwise(0L).as("sgn"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("sgn")).as("s_stat"), count(lit(1)).as("n_pairs"))
+    val ties = daily.groupBy(col("event_type"), col("cnt"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_num"),
+        sum(col("t")).as("n_days"))
+    sStat.join(ties, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"), col("s_stat"),
+        col("tie_num"),
+        (col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+          - col("tie_num")).as("var18_num"))
+      .orderBy("event_type")
+  }
+
   /** Chi-square independence cells for segment × nation: the FULL
     * contingency grid — observed segments × observed nations, with
     * o = 0 where a combination never occurs — carrying observed count,
@@ -1415,6 +1467,7 @@ object Insights {
     "orders_pareto_share" -> ordersParetoShare,
     "events_burst_days" -> eventsBurstDays,
     "events_theilsen_trend" -> eventsTheilsenTrend,
+    "stat_mann_kendall" -> statMannKendall,
     "events_peak_concurrency" -> eventsPeakConcurrency,
     "events_snaive_backtest" -> eventsSnaiveBacktest,
     "events_hhi_concentration" -> eventsHhiConcentration,

@@ -2865,6 +2865,46 @@ object OracleSql {
          |FROM agg JOIN ctx ON ctx.lang = agg.lang
          |ORDER BY agg.lang""".stripMargin,
 
+    // ops.InfoTheory.textPmiCollocations: pmi_20 = L(c·N) − L(cl·cr)
+    // on the Log2Sql chain over the two product values
+    "text_pmi_collocations" ->
+      s"""WITH tokarr AS (
+         |  SELECT lang,
+         |         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM documents),
+         |big AS (
+         |  SELECT lang,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS w1,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS w2
+         |  FROM tokarr WHERE len(toks) >= 2),
+         |c2 AS (
+         |  SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+         |  FROM big GROUP BY 1, 2, 3),
+         |cl AS (SELECT lang, w1, CAST(SUM(c_pair) AS BIGINT) AS c_left FROM c2 GROUP BY 1, 2),
+         |cr AS (SELECT lang, w2, CAST(SUM(c_pair) AS BIGINT) AS c_right FROM c2 GROUP BY 1, 2),
+         |nb AS (SELECT lang, CAST(SUM(c_pair) AS BIGINT) AS n_bigrams FROM c2 GROUP BY 1),
+         |joined AS (
+         |  SELECT c2.lang, c2.w1, c2.w2, c2.c_pair, cl.c_left, cr.c_right, nb.n_bigrams,
+         |         c2.c_pair * nb.n_bigrams AS pn, cl.c_left * cr.c_right AS pd
+         |  FROM c2
+         |  JOIN cl ON cl.lang = c2.lang AND cl.w1 = c2.w1
+         |  JOIN cr ON cr.lang = c2.lang AND cr.w2 = c2.w2
+         |  JOIN nb ON nb.lang = c2.lang
+         |  WHERE c2.c_pair >= 5),
+         |${Log2Sql.chain("lgn", "SELECT DISTINCT pn AS v FROM joined")},
+         |${Log2Sql.chain("lgd", "SELECT DISTINCT pd AS v FROM joined")},
+         |ranked AS (
+         |  SELECT joined.*, lgn.l20 - lgd.l20 AS pmi_20,
+         |         CAST(row_number() OVER (PARTITION BY joined.lang
+         |                ORDER BY lgn.l20 - lgd.l20 DESC, joined.w1, joined.w2) AS BIGINT) AS rank
+         |  FROM joined
+         |  JOIN lgn ON lgn.v = joined.pn
+         |  JOIN lgd ON lgd.v = joined.pd)
+         |SELECT lang, rank, w1, w2, c_pair, c_left, c_right, n_bigrams,
+         |       CAST(pmi_20 AS BIGINT) AS pmi_20
+         |FROM ranked WHERE rank <= 20
+         |ORDER BY lang, rank""".stripMargin,
+
     "graph_adamic_adar" ->
       s"""WITH e0 AS (
          |  SELECT l_partkey AS src,
@@ -3352,6 +3392,35 @@ object OracleSql {
         |FROM rk JOIN nd ON nd.event_type = rk.event_type
         |WHERE rk.rn = (rk.np + 1) // 2
         |ORDER BY rk.event_type""".stripMargin,
+
+    // ops.Insights.statMannKendall: integer S + tie-corrected
+    // 18-scaled variance numerator over the daily rollup
+    "stat_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |         CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1
+        |                       WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+        |         count(*) AS n_pairs
+        |  FROM daily a
+        |  JOIN daily b ON b.event_type = a.event_type AND b.epoch_day > a.epoch_day
+        |  GROUP BY 1),
+        |tie AS (
+        |  SELECT event_type,
+        |         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_num,
+        |         CAST(SUM(t) AS BIGINT) AS n_days
+        |  FROM (SELECT event_type, cnt, CAST(count(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT s.event_type, tie.n_days, s.n_pairs, s.s_stat, tie.tie_num,
+        |       CAST(tie.n_days * (tie.n_days - 1) * (2 * tie.n_days + 5)
+        |            - tie.tie_num AS BIGINT) AS var18_num
+        |FROM s JOIN tie ON tie.event_type = s.event_type
+        |ORDER BY s.event_type""".stripMargin,
 
     "stat_chi2_cells" ->
       """WITH cells AS (

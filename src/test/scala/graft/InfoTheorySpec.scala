@@ -281,6 +281,43 @@ class InfoTheorySpec extends SparkSpec {
     }
   }
 
+  test("text_pmi_collocations: JVM fixed-point replay + marginal identity + head property") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = ops.InfoTheory.textPmiCollocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    val docs = io.Readers.table(spark, dir, "documents")
+      .select(col("lang"), split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " "))
+      .as[(String, Seq[String])].collect()
+      .map { case (l, ts) => (l, ts.filter(_.nonEmpty)) }
+    val big = docs.flatMap { case (l, ts) =>
+      ts.zip(ts.drop(1)).map { case (p, c) => (l, p, c) } }
+    val c2 = big.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val cl = big.groupBy(b => (b._1, b._2)).map { case (k, g) => k -> g.length.toLong }
+    val cr = big.groupBy(b => (b._1, b._3)).map { case (k, g) => k -> g.length.toLong }
+    val nb = big.groupBy(_._1).map { case (k, g) => k -> g.length.toLong }
+    import functions.NumericExpressions.log2FixedJ
+    val pmiOf = (l: String, w1: String, w2: String) =>
+      log2FixedJ(c2((l, w1, w2)) * nb(l)) - log2FixedJ(cl((l, w1)) * cr((l, w2)))
+    rows.foreach { case (lang, rank, w1, w2, cp, cLeft, cRight, n, pmi20) =>
+      assert(cp === c2((lang, w1, w2)) && cp >= 5)
+      assert(cLeft === cl((lang, w1)) && cRight === cr((lang, w2)))
+      assert(n === nb(lang))
+      assert(pmi20 === pmiOf(lang, w1, w2), s"pmi $lang/$w1 $w2")
+      assert(rank >= 1 && rank <= 20)
+    }
+    // head property: every emitted pmi >= the best pmi NOT emitted
+    // among the c>=5 survivors of that lang
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val emitted = rs.map(r => (r._3, r._4)).toSet
+      val bestOut = c2.collect {
+        case ((l, w1, w2), c) if l == lang && c >= 5 && !emitted((w1, w2)) =>
+          pmiOf(l, w1, w2) }
+      if (bestOut.nonEmpty)
+        assert(rs.map(_._9).min >= bestOut.max, s"head property $lang")
+    }
+  }
+
   test("text_zipf_slope tracks the double-precision OLS over log-log ranks") {
     val dir = "/root/testdata/sf0.001"
     val fixed = ops.InfoTheory.textZipfSlope(spark, dir)

@@ -840,4 +840,33 @@ class InsightsSpec extends SparkSpec {
       assert(math.abs(slope - dy.toDouble / dx.toDouble) === 0.0)
     }
   }
+
+  test("stat_mann_kendall: brute-force S + tie-variance replay; cells consistent") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val daily = io.Readers.table(spark, dir, "events")
+      .select(col("event_type"), unix_date(to_date(col("ts"))).cast("long").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = ops.Insights.statMannKendall(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val byType = daily.groupBy(_._1)
+    assert(got.map(_._1).toSet === byType.keySet)
+    got.foreach { case (t, nDays, nPairs, sStat, tieNum, var18) =>
+      val ds = byType(t).sortBy(_._2)
+      val n = ds.length.toLong
+      assert(nDays === n)
+      assert(nPairs === n * (n - 1) / 2)
+      val sExp = (for {
+        i <- ds.indices; j <- (i + 1) until ds.length
+      } yield java.lang.Long.signum(ds(j)._3 - ds(i)._3).toLong).sum
+      assert(sStat === sExp, s"type $t S")
+      val tieExp = ds.groupBy(_._3).values
+        .map(g => { val tt = g.size.toLong; tt * (tt - 1) * (2 * tt + 5) }).sum
+      assert(tieNum === tieExp, s"type $t ties")
+      assert(var18 === n * (n - 1) * (2 * n + 5) - tieExp)
+      assert(var18 >= 0 && math.abs(sStat) <= nPairs)
+    }
+  }
 }
