@@ -99,6 +99,35 @@ object Embeddings {
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** First-moment sibling of [[GramAgg]]: buffer = (count, Σq₀ … Σq_{d−1})
+    * — one (d+1)-long array per partition per group instead of d
+    * exploded rows per VECTOR (the same allocation argument that made
+    * the Gram aggregator ~50–100× the declarative fold at 10⁶–10⁷
+    * vectors; A/B'd for the first moment in ScratchCentroidScale).
+    */
+  final class CentroidAgg extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b0: Array[Long], q: Array[Long]): Array[Long] = {
+      val d = q.length
+      val b = if (b0.length == 0) new Array[Long](1 + d) else b0
+      b(0) += 1L
+      var i = 0
+      while (i < d) { b(1 + i) += q(i); i += 1 }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      if (x.length == 0) y
+      else if (y.length == 0) x
+      else {
+        var i = 0
+        while (i < x.length) { x(i) += y(i); i += 1 }
+        x
+      }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
   val embedGramCells: Q = (s, dir) => {
     val emb = table(s, dir, "embeddings")
     // d is schema metadata (a 1-value driver lookup, corpus-size
@@ -192,20 +221,40 @@ object Embeddings {
     * is what makes the incremental service form
     * ([[GramService]]) trivial to keep exactly-once.
     *
-    * Scale: one posexplode (d rows per vector — unavoidable for a
-    * per-dim rollup, but carrying only (label, dim, q)) into a
-    * map-side-combined agg whose key space is |labels|·d; the
-    * exchange is cells, never vectors. Overflow: |Σq| ≤ n·2¹⁴ —
-    * int64-safe to ~5·10¹⁴ vectors per label.
+    * Scale: per-label [[CentroidAgg]] fold — one (d+1)-long buffer
+    * per (partition, label), map-side combined; the exchange carries
+    * |labels|·partitions buffers, never vectors (the posexplode form
+    * — d rows per VECTOR — is kept as [[centroidCellsDeclarative]],
+    * the A/B control; the Gram lesson says the allocation gap grows
+    * with corpus size, measured for the first moment in
+    * ScratchCentroidScale). Overflow: |Σq| ≤ n·2¹⁴ — int64-safe to
+    * ~5·10¹⁴ vectors per label.
     */
-  val embedCentroidCells: Q = (s, dir) => {
-    table(s, dir, "embeddings")
+  def centroidCellsOf(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"), transform(col("embedding"),
+        x => floor(x.cast("double") * lit(GramScale)).cast("long")).as("q"))
+      .groupBy(col("label"))
+      .agg(udaf(new CentroidAgg, ExpressionEncoder[Array[Long]]())(col("q")).as("b"))
+      .select(col("label"), element_at(col("b"), 1).as("n_vecs"),
+        posexplode(slice(col("b"), 2, 1000000)).as(Seq("dim", "s_q")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("n_vecs"), col("s_q"))
+      .orderBy("label", "dim")
+
+  /** The no-custom-code A/B control for [[centroidCellsOf]]:
+    * posexplode to d rows per vector, hash rollup. Identical cells.
+    */
+  private[graft] def centroidCellsDeclarative(emb: DataFrame): DataFrame =
+    emb
       .select(col("label"), posexplode(transform(col("embedding"),
         x => floor(x.cast("double") * lit(GramScale)).cast("long"))).as(Seq("dim", "q")))
       .groupBy(col("label"), col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("s_q"))
       .orderBy("label", "dim")
-  }
+
+  val embedCentroidCells: Q = (s, dir) =>
+    centroidCellsOf(table(s, dir, "embeddings"))
 
   /** Label-affinity matrix from the centroid sufficient statistics —
     * the cross-class confusability screen: for every unordered label
@@ -225,16 +274,16 @@ object Embeddings {
     * a |labels|²-cell map-side rollup. The corpus is touched once,
     * by the same rollup `embed_centroid_cells` ships.
     */
-  val embedLabelAffinity: Q = (s, dir) => {
-    val cc = table(s, dir, "embeddings")
-      .select(col("label"), posexplode(transform(col("embedding"),
-        x => floor(x.cast("double") * lit(GramScale)).cast("long")).as("q")).as(Seq("dim", "q")))
-      .groupBy(col("label"), col("dim"))
-      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+  /** The affinity matrix from a CELLS relation (label, dim, n_vecs,
+    * s_q) — factored so the persisted service
+    * ([[CentroidService.affinityOver]]) composes on stored partials
+    * with the exact same expressions as the batch key.
+    */
+  private[graft] def affinityOfCells(cc: DataFrame): DataFrame = {
     val a = cc.select(col("label").as("label_a"), col("dim"),
-      col("n").as("n_a"), col("s").as("s_a"))
+      col("n_vecs").as("n_a"), col("s_q").as("s_a"))
     val b = cc.select(col("label").as("label_b"), col("dim"),
-      col("n").as("n_b"), col("s").as("s_b"))
+      col("n_vecs").as("n_b"), col("s_q").as("s_b"))
     a.join(b, Seq("dim"))
       .filter(col("label_a") <= col("label_b"))
       .groupBy(col("label_a"), col("label_b"))
@@ -243,6 +292,9 @@ object Embeddings {
           .cast("decimal(38,0)").cast("string").as("dot_dec"))
       .orderBy("label_a", "label_b")
   }
+
+  val embedLabelAffinity: Q = (s, dir) =>
+    affinityOfCells(centroidCellsOf(table(s, dir, "embeddings")))
 
   /** Driver-side top-eigenpair of a Gram cell relation — the consumer
     * that completes the PCA story: [[embedGramCells]] (or

@@ -432,6 +432,31 @@ object Streaming {
       .outputMode("append")
       .start()
 
+  /** The keyed (per-label) member of the embedding-sink pair:
+    * labeled micro-batches fold through [[CentroidService]] under the
+    * same exactly-once triple as the Gram sink; after any batch the
+    * served centroid cells AND the affinity matrix equal a
+    * from-scratch build over everything ingested (spec-asserted).
+    */
+  def applyCentroidBatch(name: String)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      if (graft.io.TableManifest.readPointer(spark, name).isEmpty)
+        CentroidService.build(spark, name, batch.limit(0))
+      CentroidService.appendBatch(batch, batchId, name)
+      ()
+    }
+
+  def foreachBatchCentroid(stream: DataFrame, name: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyCentroidBatch(name)(batch.toDF(), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** The adjacency member of the foreachBatch-sink family: edge
     * micro-batches fold into [[AdjacencyIndex]] under the same
     * version-pinned idempotence contract. Unlike the sketch sinks,
