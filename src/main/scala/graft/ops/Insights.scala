@@ -207,6 +207,86 @@ object Insights {
       .orderBy("event_type")
   }
 
+  /** ABC/XYZ inventory classification matrix — the two-axis
+    * assortment screen every supply/catalog pipeline runs: parts
+    * classed by cumulative revenue share (A ≤ 80 %, B ≤ 95 %, C
+    * beyond — Pareto cuts on the part dimension) × demand
+    * variability of the monthly quantity series (X steady, Y
+    * variable, Z erratic). Emits the ≤9-cell matrix with part counts
+    * and exact revenue mass.
+    *
+    * BOTH classifications decide on INTEGERS — no float boundary can
+    * flip cross-engine:
+    *  - ABC: rank parts by (rev_e4 DESC, partkey), cumulative share
+    *    in ppm = cum·10⁶ div total (the `orders_pareto_share`
+    *    idiom); cuts at 800 000 / 950 000 ppm.
+    *  - XYZ: CV² = (n·Σq² − S²)/S² over the monthly-quantity series
+    *    with n = the part's OBSERVED month count (S = Σq, Σq² over
+    *    those months). Cross-multiplied cuts: X iff
+    *    4·(n·Σq² − S²) ≤ S² (CV ≤ ½), Y iff n·Σq² − S² ≤ S²
+    *    (CV ≤ 1), else Z. Basis choice MEASURED, not assumed: on
+    *    the corpus-span basis (n = all 82 months, zero months
+    *    counted) this fixture's intermittent part demand — parts
+    *    sell in ~25 of 82 months — puts the CV² median at 3.6 and
+    *    EVERY part in Z, a degenerate axis (the
+    *    `graph_modularity_cells` precedent); the observed-month
+    *    basis measures variability among demand months (X/Y/Z =
+    *    2329/17632/39 at sf0.1) and leaves intermittency to its own
+    *    standard dimension (ADI — the emitted per-part month count
+    *    is its numerator). Int64-safe while n·Σq² < 2⁶³; DECIMAL
+    *    swap documented beyond.
+    *
+    * Only parts with ≥1 lineitem classify (a zero-demand part has
+    * S = 0 and the CV² cuts degenerate to 0 ≤ 0 — "steady at zero"
+    * — which is the wrong business answer; the unsold tail is its
+    * own audit, not an XYZ class).
+    *
+    * Scale: revenue + monthly rollups cluster on partkey; the ABC
+    * cumulative runs over the PART DIMENSION sorted by revenue —
+    * dimension-bounded, and the documented escape at 10¹⁰-part
+    * catalogs is the `orders_open_backlog` two-level cumulative
+    * (block-partitioned running sum + broadcast block totals); the
+    * final matrix is a ≤9-cell map-side rollup.
+    */
+  val ordersAbcXyz: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+    val rev = li.groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
+        (lit(100) - (col("l_discount").cast("decimal(18,2)") * 100).cast("long")))
+        .as("rev_e4"))
+    val monthly = li
+      .select(col("l_partkey"), trunc(col("l_shipdate"), "month").as("m"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_partkey"), col("m"))
+      .agg(sum(col("q")).as("mq"))
+    val xyz = monthly.groupBy(col("l_partkey"))
+      .agg(sum(col("mq")).as("s"), sum(col("mq") * col("mq")).as("q2"),
+        count(lit(1)).as("n_months"))
+      .withColumn("vnum", col("n_months") * col("q2") - col("s") * col("s"))
+      .withColumn("xyz_class",
+        when(lit(4) * col("vnum") <= col("s") * col("s"), "X")
+          .when(col("vnum") <= col("s") * col("s"), "Y")
+          .otherwise("Z"))
+    val wCum = Window.orderBy(col("rev_e4").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val abc = rev
+      .withColumn("cum", sum(col("rev_e4")).over(wCum))
+      .crossJoin(broadcast(rev.agg(sum(col("rev_e4")).as("total"))))
+      // cum·10⁶ exceeds int64 once Σrev_e4 > 9.2·10¹² (already at
+      // sf0.01) — the ppm product runs in DECIMAL(38,0) (HUGEINT on
+      // the oracle side), floor-div back to a long share
+      .withColumn("cum_ppm",
+        expr("CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"))
+      .withColumn("abc_class",
+        when(col("cum_ppm") <= 800000L, "A")
+          .when(col("cum_ppm") <= 950000L, "B")
+          .otherwise("C"))
+    abc.join(xyz, "l_partkey")
+      .groupBy(col("abc_class"), col("xyz_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_e4")).as("rev_e4"))
+      .orderBy("abc_class", "xyz_class")
+  }
+
   /** Chi-square independence cells for segment × nation: the FULL
     * contingency grid — observed segments × observed nations, with
     * o = 0 where a combination never occurs — carrying observed count,
@@ -1468,6 +1548,7 @@ object Insights {
     "events_burst_days" -> eventsBurstDays,
     "events_theilsen_trend" -> eventsTheilsenTrend,
     "stat_mann_kendall" -> statMannKendall,
+    "orders_abc_xyz" -> ordersAbcXyz,
     "events_peak_concurrency" -> eventsPeakConcurrency,
     "events_snaive_backtest" -> eventsSnaiveBacktest,
     "events_hhi_concentration" -> eventsHhiConcentration,

@@ -234,7 +234,46 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Trailing one-hour RANGE frame per user — the TIME-INTERVAL
+    * window frame the family's other keys don't exercise (rows
+    * frames count ROWS; this one bounds the frame by the ORDER
+    * VALUE): at every event, how many events and how much value did
+    * the same user generate in the preceding hour including this
+    * one? The rate-limiting / velocity-check primitive (fraud
+    * screens, API quotas, burst gating at event granularity — the
+    * event-level sibling of `events_burst_days`' calendar frame).
+    *
+    * The frame ORDER key is exact integer MICROSECONDS
+    * (unix_micros/epoch_us — the `events_interarrival` discipline),
+    * so the [ts − 1h, ts] bound is an integer range both engines
+    * evaluate identically, and RANGE-frame peer semantics (equal
+    * timestamps share a frame) agree by construction. Value is
+    * summed as exact cents. Output keyed by event_id (total order).
+    *
+    * Scale: ONE window, partitioned by user_id — per-user state in
+    * one pass, no self-join against a spine (the interval-join
+    * formulation of the same question shuffles the fact TWICE and
+    * carries the hour's fan-out; the frame carries running state
+    * only). Skewed users degrade gracefully: frame state is the
+    * hour's event count, not the user's history.
+    */
+  val winTimeRangeFrame: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    table(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+      .withColumn("trailing_cents", sum(col("cents")).over(w))
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("trailing_n"), col("trailing_cents"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_time_range_frame" -> winTimeRangeFrame,
     "win_streak_islands" -> winStreakIslands,
     "win_row_number_topk" -> winRowNumberTopk,
     "win_rank_dense" -> winRankDense,

@@ -3422,6 +3422,55 @@ object OracleSql {
         |FROM s JOIN tie ON tie.event_type = s.event_type
         |ORDER BY s.event_type""".stripMargin,
 
+    // ops.Windows.winTimeRangeFrame: integer-microsecond RANGE frame
+    "win_time_range_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |       CAST(count(*) OVER w AS BIGINT) AS trailing_n,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w AS BIGINT) AS trailing_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // ops.Insights.ordersAbcXyz: integer ppm Pareto cuts x
+    // cross-multiplied CV^2 cuts over the corpus month spine
+    "orders_abc_xyz" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |             * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS rev_e4
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev_e4) AS BIGINT) AS total FROM rev),
+        |abc AS (
+        |  SELECT l_partkey, rev_e4,
+        |         CAST(SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM rev),
+        |abc2 AS (
+        |  SELECT l_partkey, rev_e4,
+        |         CASE WHEN CAST(cum AS HUGEINT) * 1000000 // total <= 800000 THEN 'A'
+        |              WHEN CAST(cum AS HUGEINT) * 1000000 // total <= 950000 THEN 'B'
+        |              ELSE 'C' END AS abc_class
+        |  FROM abc CROSS JOIN tot),
+        |monthly AS (
+        |  SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS mq
+        |  FROM lineitem GROUP BY 1, 2),
+        |xyz AS (
+        |  SELECT l_partkey,
+        |         CASE WHEN 4 * (n_months * q2 - s * s) <= s * s THEN 'X'
+        |              WHEN n_months * q2 - s * s <= s * s THEN 'Y'
+        |              ELSE 'Z' END AS xyz_class
+        |  FROM (SELECT l_partkey, CAST(sum(mq) AS BIGINT) AS s,
+        |               CAST(sum(mq * mq) AS BIGINT) AS q2,
+        |               CAST(count(*) AS BIGINT) AS n_months
+        |        FROM monthly GROUP BY 1))
+        |SELECT abc_class, xyz_class, count(*) AS n_parts,
+        |       CAST(sum(rev_e4) AS BIGINT) AS rev_e4
+        |FROM abc2 JOIN xyz USING (l_partkey)
+        |GROUP BY 1, 2
+        |ORDER BY abc_class, xyz_class""".stripMargin,
+
     "stat_chi2_cells" ->
       """WITH cells AS (
         |  SELECT c_mktsegment AS segment, c_nationkey AS nationkey, count(*) AS o

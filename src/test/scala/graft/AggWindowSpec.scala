@@ -180,4 +180,28 @@ class AggWindowSpec extends SparkSpec {
       .agg(max("rs")).collect().head.getDecimal(0)
     assert(BigDecimal(last) === BigDecimal("15.33"))
   }
+
+  test("win_time_range_frame: brute-force trailing-hour replay per user") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = graft.io.Readers.table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = raw.groupBy(_._2)
+    val got = ops.Windows.winTimeRangeFrame(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size === raw.length)
+    raw.foreach { case (eid, u, us, _) =>
+      val frame = byUser(u).filter(e => e._3 >= us - 3600000000L && e._3 <= us)
+      assert(got(eid) === ((frame.length.toLong, frame.map(_._4).sum)),
+        s"event $eid user $u")
+    }
+    // the frame is a single partitioned window — no self-join, no
+    // unpartitioned state
+    val plan = ops.Windows.winTimeRangeFrame(spark, dir)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.size === 1 && windows.head.partitionSpec.nonEmpty)
+  }
 }

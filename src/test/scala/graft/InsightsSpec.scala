@@ -869,4 +869,41 @@ class InsightsSpec extends SparkSpec {
       assert(var18 >= 0 && math.abs(sStat) <= nPairs)
     }
   }
+
+  test("orders_abc_xyz: brute-force class replay + part/revenue conservation") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val li = io.Readers.table(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        ((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
+          (lit(100) - (col("l_discount").cast("decimal(18,2)") * 100).cast("long"))).as("e4"),
+        trunc(col("l_shipdate"), "month").as("m"),
+        col("l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDate(2).toString, r.getLong(3)))
+    val rev = li.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+    val total = rev.values.sum
+    val order = rev.toSeq.sortBy { case (p, r) => (-r, p) }
+    val abc = {
+      var cum = 0L
+      order.map { case (p, r) =>
+        cum += r
+        val ppm = (BigInt(cum) * 1000000 / BigInt(total)).toLong
+        p -> (if (ppm <= 800000L) "A" else if (ppm <= 950000L) "B" else "C")
+      }.toMap
+    }
+    val xyz = li.groupBy(_._1).map { case (p, g) =>
+      val mq = g.groupBy(_._3).map { case (_, rows) => rows.map(_._4).sum }.toSeq
+      val (n, s2, q2) = (mq.length.toLong, mq.sum, mq.map(x => x * x).sum)
+      val v = n * q2 - s2 * s2
+      p -> (if (4 * v <= s2 * s2) "X" else if (v <= s2 * s2) "Y" else "Z")
+    }
+    val want = rev.keys.groupBy(p => (abc(p), xyz(p))).map { case (k, ps) =>
+      k -> (ps.size.toLong, ps.map(rev).sum) }
+    val got = ops.Insights.ordersAbcXyz(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+    assert(got.values.map(_._1).sum === rev.size.toLong, "part conservation")
+    assert(got.values.map(_._2).sum === total, "revenue conservation")
+  }
 }
