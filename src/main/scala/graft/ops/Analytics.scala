@@ -959,7 +959,57 @@ object Analytics {
       .orderBy(col("event_type"), col("dow"), col("hr"))
   }
 
+  /** Classical additive seasonal decomposition CELLS per event type —
+    * trend / seasonal / residual over the daily series, every
+    * component an EXACT integer rational (the engine never divides):
+    *
+    *   trend(d)    = tsum/7          (centered 7-day calendar sum;
+    *                                  interior days only — frame must
+    *                                  hold exactly 7 observed days)
+    *   seasonal(w) = S_w/(7·n_w)     (S_w = Σ over dow-group of
+    *                                  7c − tsum; n_w = group size)
+    *   residual(d) = r_num/(7·n_w),  r_num = n_w·(7c − tsum) − S_w
+    *
+    * Emitted per interior (type, day): cnt, tsum, dow, s_num = S_w,
+    * n_dow = n_w, r_num — denominators reconstruct as 7 and 7·n_w;
+    * the decomposition identity c = tsum/7 + S_w/(7n_w) + r_num/(7n_w)
+    * holds EXACTLY in rationals (spec replays it over a common
+    * denominator, and Σ r_num within each dow-group is provably 0 —
+    * both asserted). The trend window is a calendar RANGE frame
+    * (±3 days on epoch_day — the `events_burst_days` gap discipline:
+    * missing days shrink the frame and the interior filter drops the
+    * day rather than silently stretching the window).
+    *
+    * Scale: raw stream → |types|·|days| rollup (one map-side agg);
+    * the RANGE window partitioned by type; the dow rollup
+    * |types|·7 cells map-side; everything downstream of the first
+    * agg is calendar-bounded.
+    */
+  val timeSeriesStlCells: Q = (s, dir) => {
+    val daily = table(s, dir, "events")
+      .select(col("event_type"),
+        unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wTrend = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rangeBetween(-3, 3)
+    val interior = daily
+      .withColumn("tsum", sum(col("cnt")).over(wTrend))
+      .withColumn("fdays", count(lit(1)).over(wTrend))
+      .filter(col("fdays") === 7)
+      .withColumn("dow", pmod(col("epoch_day"), lit(7L)))
+      .withColumn("det7", lit(7) * col("cnt") - col("tsum"))
+    val seasonal = interior.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("det7")).as("s_num"), count(lit(1)).as("n_dow"))
+    interior.join(seasonal, Seq("event_type", "dow"))
+      .select(col("event_type"), col("epoch_day"), col("cnt"), col("tsum"),
+        col("dow"), col("s_num"), col("n_dow"),
+        (col("n_dow") * col("det7") - col("s_num")).as("r_num"))
+      .orderBy("event_type", "epoch_day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "time_series_stl_cells" -> timeSeriesStlCells,
     "orders_market_basket" -> ordersMarketBasket,
     "orders_association_rules" -> ordersAssociationRules,
     "time_series_autocorr" -> timeSeriesAutocorr,

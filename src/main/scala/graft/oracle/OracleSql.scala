@@ -3527,6 +3527,68 @@ object OracleSql {
         |FROM bfs GROUP BY node
         |ORDER BY node""".stripMargin,
 
+    // ops.Graph.graphHarmonicBounded: per-seed min-hop collapse of the
+    // origin-tracking recursive CTE; harmonic as the denominator-6 integer
+    "graph_harmonic_bounded" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT l_orderkey, l_partkey,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                               ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |ed0 AS (
+        |  SELECT DISTINCT l_partkey AS src, dst FROM seq
+        |  WHERE dst IS NOT NULL AND dst <> l_partkey),
+        |edges AS (SELECT src, dst FROM ed0 UNION SELECT dst, src FROM ed0),
+        |bfs(seed, node, hop) AS (
+        |  SELECT DISTINCT src AS seed, src AS node, 0 AS hop
+        |  FROM edges WHERE src % 389 = 0
+        |  UNION
+        |  SELECT b.seed, e.dst, b.hop + 1 FROM bfs b JOIN edges e ON e.src = b.node
+        |  WHERE b.hop < 3),
+        |md AS (
+        |  SELECT seed, node, MIN(hop) AS hop FROM bfs GROUP BY seed, node),
+        |hist AS (
+        |  SELECT seed,
+        |         CAST(SUM(CASE WHEN hop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN hop = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(SUM(CASE WHEN hop = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM md WHERE hop >= 1 GROUP BY seed)
+        |SELECT seed, n1, n2, n3,
+        |       CAST(n1 * 6 + n2 * 3 + n3 * 2 AS BIGINT) AS harmonic_x6
+        |FROM hist
+        |ORDER BY seed""".stripMargin,
+
+    // ops.Analytics.timeSeriesStlCells: calendar RANGE trend frame,
+    // interior-day filter, exact-rational seasonal/residual numerators
+    "time_series_stl_cells" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, epoch_day, cnt,
+        |         CAST(SUM(cnt) OVER w AS BIGINT) AS tsum,
+        |         CAST(COUNT(*) OVER w AS BIGINT) AS fdays
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+        |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |interior AS (
+        |  SELECT event_type, epoch_day, cnt, tsum,
+        |         epoch_day % 7 AS dow,
+        |         7 * cnt - tsum AS det7
+        |  FROM tr WHERE fdays = 7),
+        |seasonal AS (
+        |  SELECT event_type, dow, CAST(SUM(det7) AS BIGINT) AS s_num,
+        |         CAST(COUNT(*) AS BIGINT) AS n_dow
+        |  FROM interior GROUP BY 1, 2)
+        |SELECT i.event_type, i.epoch_day, i.cnt, i.tsum, i.dow,
+        |       se.s_num, se.n_dow,
+        |       CAST(se.n_dow * i.det7 - se.s_num AS BIGINT) AS r_num
+        |FROM interior i
+        |JOIN seasonal se ON se.event_type = i.event_type AND se.dow = i.dow
+        |ORDER BY i.event_type, i.epoch_day""".stripMargin,
+
     // ops.Insights.statMannWhitney: tie-adjusted doubled ranks
     // (2·avgrank = 2·lo + cnt − 1, pure integer) — RANK gives the tie
     // group's low position, the value-partition COUNT its size

@@ -473,4 +473,33 @@ class AnalyticsSpec extends SparkSpec {
       assert(lo <= hi)
     }
   }
+
+  test("time_series_stl_cells: exact decomposition identity; residuals sum to zero per dow group") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = ops.Analytics.timeSeriesStlCells(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    // identity c = tsum/7 + s_num/(7n) + r_num/(7n), over the common
+    // denominator 7n: 7n·c = n·tsum + s_num + r_num — exact integers
+    rows.foreach { case (t, d, c, tsum, dow, sNum, nDow, rNum) =>
+      assert(7 * nDow * c === nDow * tsum + sNum + rNum, s"identity $t/$d")
+      assert(dow === java.lang.Math.floorMod(d, 7L))
+    }
+    // per (type, dow): Σ r_num = 0 exactly (the seasonal mean removes it)
+    rows.groupBy(r => (r._1, r._5)).foreach { case (k, g) =>
+      assert(g.map(_._8).sum === 0L, s"residual sum $k")
+    }
+    // trend replay: tsum equals the literal ±3-day window sum
+    val daily = io.Readers.table(spark, dir, "events")
+      .groupBy(col("event_type"), unix_date(to_date(col("ts"))).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    rows.foreach { case (t, d, _, tsum, _, _, _, _) =>
+      val win = (d - 3 to d + 3).flatMap(dd => daily.get((t, dd)))
+      assert(win.size === 7, s"interior day $t/$d must have a full frame")
+      assert(tsum === win.sum, s"trend $t/$d")
+    }
+  }
 }

@@ -166,4 +166,34 @@ class GraphBfsSpec extends SparkSpec {
     val k4 = ops.Graph.trussEdges(edges, minSupp = 2L, rounds = 2).collect()
     assert(k4.isEmpty, k4.mkString(","))
   }
+
+  test("graph_harmonic_bounded: driver-side per-seed BFS replay; histogram consistent") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val dir0 = ops.Graph.orderSequenceEdges(spark, dir)
+    val edges = dir0.union(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).toSet }
+    val seeds = adj.keySet.filter(_ % 389 == 0)
+    def bfs(seed: Long): Map[Long, Int] = {
+      var dist = Map(seed -> 0)
+      var frontier = Set(seed)
+      for (h <- 1 to 3) {
+        val nxt = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .filterNot(dist.contains)
+        nxt.foreach(n => dist += n -> h)
+        frontier = nxt
+      }
+      dist
+    }
+    val got = ops.Graph.graphHarmonicBounded(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === seeds)
+    seeds.foreach { s =>
+      val d = bfs(s)
+      val (n1, n2, n3) = (d.count(_._2 == 1).toLong, d.count(_._2 == 2).toLong,
+        d.count(_._2 == 3).toLong)
+      assert(got(s) === ((n1, n2, n3, 6 * n1 + 3 * n2 + 2 * n3)), s"seed $s")
+    }
+  }
 }
