@@ -207,6 +207,56 @@ object Insights {
       .orderBy("event_type")
   }
 
+  /** Weekly growth accounting per event type — the user-lifecycle
+    * state machine every product-analytics stack runs (new /
+    * retained / resurrected / churned; quick ratio = (new+res)/churn
+    * reads off): a user-week is NEW in the user's first active week,
+    * RETAINED when the previous week was active too, RESURRECTED
+    * when active after a gap; CHURN is attributed to the week AFTER
+    * an active week with an inactive successor (bounded to weeks
+    * before the corpus horizon — the last week cannot churn yet).
+    *
+    * Weeks are `epoch_day div 7` — a pure integer bucketing both
+    * engines evaluate identically (calendar ISO weeks differ in
+    * engine/locale edge rules; the analysis needs equal-width
+    * buckets, not calendar labels). All counts integer.
+    *
+    * Scale: the raw stream collapses to the distinct (type, user,
+    * week) presence relation (one map-side agg); states come from
+    * ONE lag/lead window partitioned by (type, user); the weekly
+    * rollup is |types|·|weeks| cells. Nothing touches the corpus
+    * twice.
+    */
+  val eventsLifecycleStates: Q = (s, dir) => {
+    val presence = table(s, dir, "events")
+      .select(col("event_type"),
+        col("user_id"),
+        expr("CAST(unix_date(to_date(ts)) AS BIGINT) div 7").as("wk"))
+      .distinct()
+    val wUser = Window.partitionBy(col("event_type"), col("user_id")).orderBy(col("wk"))
+    val maxWk = presence.agg(max(col("wk")).as("max_wk"))
+    val st = presence
+      .withColumn("prev", lag(col("wk"), 1).over(wUser))
+      .withColumn("nxt", lead(col("wk"), 1).over(wUser))
+    val active = st.select(col("event_type"), col("wk"),
+      when(col("prev").isNull, "new")
+        .when(col("prev") === col("wk") - 1, "retained")
+        .otherwise("resurrected").as("state"))
+    val churn = st
+      .crossJoin(broadcast(maxWk))
+      .filter(col("wk") < col("max_wk") &&
+        (col("nxt").isNull || col("nxt") > col("wk") + 1))
+      .select(col("event_type"), (col("wk") + 1).as("wk"),
+        lit("churned").as("state"))
+    active.unionByName(churn)
+      .groupBy(col("event_type"), col("wk"))
+      .agg(sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("state") === "churned", 1L).otherwise(0L)).as("n_churned"))
+      .orderBy("event_type", "wk")
+  }
+
   /** ABC/XYZ inventory classification matrix — the two-axis
     * assortment screen every supply/catalog pipeline runs: parts
     * classed by cumulative revenue share (A ≤ 80 %, B ≤ 95 %, C
@@ -1549,6 +1599,7 @@ object Insights {
     "events_theilsen_trend" -> eventsTheilsenTrend,
     "stat_mann_kendall" -> statMannKendall,
     "orders_abc_xyz" -> ordersAbcXyz,
+    "events_lifecycle_states" -> eventsLifecycleStates,
     "events_peak_concurrency" -> eventsPeakConcurrency,
     "events_snaive_backtest" -> eventsSnaiveBacktest,
     "events_hhi_concentration" -> eventsHhiConcentration,

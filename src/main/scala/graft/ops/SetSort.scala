@@ -70,6 +70,36 @@ object SetSort {
     y96.except(y97).orderBy("custkey")
   }
 
+  /** INTERSECT ALL + EXCEPT ALL — BAG semantics, the multiplicity-
+    * preserving siblings of [[setIntersect]]/[[setExcept]] (a customer
+    * with 3 orders in 1996 and 2 in 1997 contributes min(3,2) = 2
+    * intersect rows and 3−2 = 1 except row; the DISTINCT forms erase
+    * exactly this multiplicity information). One relation, both ops,
+    * rolled up to (custkey, n_inter, n_exc) so the result is
+    * total-ordered and the multiplicities are auditable directly.
+    *
+    * Catalyst plans both as aggregate-then-generate (count per key on
+    * each side, then replicate min/diff times) — no row-by-row
+    * matching; the rollup collapses the generated rows right back,
+    * which is exactly why emitting counts (not the replicated bag) is
+    * the honest surface for a gate. Scale: two pruned scans + one
+    * shuffle each on custkey.
+    */
+  val setOpsBag: Q = (s, dir) => {
+    val o = table(s, dir, "orders")
+    val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey").as("custkey"))
+    val y97 = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey").as("custkey"))
+    val inter = y96.intersectAll(y97)
+      .groupBy("custkey").agg(count(lit(1)).as("n_inter"))
+    val exc = y96.exceptAll(y97)
+      .groupBy("custkey").agg(count(lit(1)).as("n_exc"))
+    inter.join(exc, Seq("custkey"), "full_outer")
+      .select(col("custkey"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        coalesce(col("n_exc"), lit(0L)).as("n_exc"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "sort_multikey_nulls" -> sortMultikeyNulls,
     "limit_topk_global" -> limitTopkGlobal,
@@ -77,5 +107,6 @@ object SetSort {
     "set_union_distinct" -> setUnionDistinct,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
+    "set_ops_bag" -> setOpsBag,
   )
 }

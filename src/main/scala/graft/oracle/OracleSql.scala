@@ -3422,6 +3422,58 @@ object OracleSql {
         |FROM s JOIN tie ON tie.event_type = s.event_type
         |ORDER BY s.event_type""".stripMargin,
 
+    // ops.SetSort.setOpsBag: INTERSECT ALL / EXCEPT ALL multiplicities
+    "set_ops_bag" ->
+      """WITH y96 AS (
+        |  SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |y97 AS (
+        |  SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997),
+        |inter AS (
+        |  SELECT custkey, count(*) AS n_inter
+        |  FROM (SELECT custkey FROM y96 INTERSECT ALL SELECT custkey FROM y97)
+        |  GROUP BY 1),
+        |exc AS (
+        |  SELECT custkey, count(*) AS n_exc
+        |  FROM (SELECT custkey FROM y96 EXCEPT ALL SELECT custkey FROM y97)
+        |  GROUP BY 1)
+        |SELECT COALESCE(inter.custkey, exc.custkey) AS custkey,
+        |       CAST(COALESCE(n_inter, 0) AS BIGINT) AS n_inter,
+        |       CAST(COALESCE(n_exc, 0) AS BIGINT) AS n_exc
+        |FROM inter FULL OUTER JOIN exc ON exc.custkey = inter.custkey
+        |ORDER BY custkey""".stripMargin,
+
+    // ops.Insights.eventsLifecycleStates: weekly growth accounting
+    "events_lifecycle_states" ->
+      """WITH presence AS (
+        |  SELECT DISTINCT event_type,
+        |         user_id,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) // 7 AS wk
+        |  FROM events),
+        |mx AS (SELECT MAX(wk) AS max_wk FROM presence),
+        |st AS (
+        |  SELECT event_type, user_id, wk,
+        |         LAG(wk) OVER w AS prev, LEAD(wk) OVER w AS nxt
+        |  FROM presence
+        |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY wk)),
+        |labeled AS (
+        |  SELECT event_type, wk,
+        |         CASE WHEN prev IS NULL THEN 'new'
+        |              WHEN prev = wk - 1 THEN 'retained'
+        |              ELSE 'resurrected' END AS state
+        |  FROM st
+        |  UNION ALL
+        |  SELECT event_type, wk + 1, 'churned'
+        |  FROM st CROSS JOIN mx
+        |  WHERE wk < max_wk AND (nxt IS NULL OR nxt > wk + 1))
+        |SELECT event_type, wk,
+        |       CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |       CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |       CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |       CAST(SUM(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+        |FROM labeled
+        |GROUP BY 1, 2
+        |ORDER BY event_type, wk""".stripMargin,
+
     // ops.Windows.winTimeRangeFrame: integer-microsecond RANGE frame
     "win_time_range_frame" ->
       """SELECT event_id, user_id, epoch_us(ts) AS us,

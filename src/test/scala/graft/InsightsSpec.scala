@@ -906,4 +906,44 @@ class InsightsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum === rev.size.toLong, "part conservation")
     assert(got.values.map(_._2).sum === total, "revenue conservation")
   }
+
+  test("events_lifecycle_states: brute-force state-machine replay + conservation") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val presence = io.Readers.table(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(unix_date(to_date(ts)) AS BIGINT) div 7").as("wk"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val maxWk = presence.map(_._3).max
+    val byTU = presence.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted).toMap
+    val counts = scala.collection.mutable.Map.empty[(String, Long, String), Long]
+      .withDefaultValue(0L)
+    byTU.foreach { case ((t, _), wks) =>
+      wks.zipWithIndex.foreach { case (w, i) =>
+        val state =
+          if (i == 0) "new"
+          else if (wks(i - 1) == w - 1) "retained"
+          else "resurrected"
+        counts((t, w, state)) += 1
+        val nxt = if (i + 1 < wks.length) Some(wks(i + 1)) else None
+        if (w < maxWk && nxt.forall(_ > w + 1)) counts((t, w + 1, "churned")) += 1
+      }
+    }
+    val got = ops.Insights.eventsLifecycleStates(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val wantKeys = counts.keys.map(k => (k._1, k._2)).toSet
+    assert(got.keySet === wantKeys)
+    got.foreach { case ((t, w), (nn, nr, ns, nc)) =>
+      assert(nn === counts((t, w, "new")), s"new $t/$w")
+      assert(nr === counts((t, w, "retained")), s"retained $t/$w")
+      assert(ns === counts((t, w, "resurrected")), s"resurrected $t/$w")
+      assert(nc === counts((t, w, "churned")), s"churned $t/$w")
+    }
+    // conservation: Σ new over weeks = the type's distinct user count
+    got.toSeq.groupBy(_._1._1).foreach { case (t, rows) =>
+      assert(rows.map(_._2._1).sum === byTU.keys.count(_._1 == t).toLong, s"new-sum $t")
+    }
+  }
 }

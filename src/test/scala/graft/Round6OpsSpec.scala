@@ -170,4 +170,20 @@ class Round6OpsSpec extends SparkSpec {
     val nEvents = io.Readers.table(spark, sf, "events").count()
     assert(total == nEvents, "sessions must partition all events")
   }
+
+  test("set_ops_bag: multiplicities equal the min/diff multiset replay") {
+    val o = io.Readers.table(spark, sf, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val c96 = o.filter(_._2 == 1996).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val c97 = o.filter(_._2 == 1997).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val want = (c96.keySet ++ c97.keySet).flatMap { k =>
+      val a = c96.getOrElse(k, 0L); val b = c97.getOrElse(k, 0L)
+      val inter = math.min(a, b); val exc = math.max(0L, a - b)
+      if (inter > 0 || exc > 0) Some(k -> (inter, exc)) else None
+    }.toMap
+    val got = ops.SetSort.setOpsBag(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want)
+  }
 }
