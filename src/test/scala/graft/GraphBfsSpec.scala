@@ -196,4 +196,39 @@ class GraphBfsSpec extends SparkSpec {
       assert(got(s) === ((n1, n2, n3, 6 * n1 + 3 * n2 + 2 * n3)), s"seed $s")
     }
   }
+
+  test("graph_hyperball_reach: hop-0 exact, monotone, within 5σ of the exact BFS reach sums") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = ops.Graph.graphHyperballReach(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    val n = rows.head._2
+    // hop 0: every register holds exactly its own node — estimate exact
+    assert(rows.head._3 === n && rows.head._4 === 1L && rows.head._5 === 1L)
+    // monotone neighborhood function
+    assert(rows.sliding(2).forall(p => p(1)._3 >= p(0)._3))
+    // exact reach sums via driver BFS from EVERY node
+    val d0 = ops.Graph.orderSequenceEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (d0 ++ d0.map(_.swap)).distinct.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Array.fill(4)(0L)
+    adj.keys.foreach { s =>
+      var dist = Set(s); var frontier = Set(s)
+      exact(0) += 1
+      for (h <- 1 to 3) {
+        val nxt = frontier.flatMap(adj.getOrElse(_, Set.empty)).diff(dist)
+        dist ++= nxt; frontier = nxt
+        exact(h) += dist.size
+      }
+    }
+    // lgK=12 → rse ≈ 1.04/√2¹² ≈ 1.6 %; per-node errors are not
+    // independent but 8 % (5σ) on the SUM is a conservative gate
+    rows.foreach { case (h, _, sumEst, _, _) =>
+      val ex = exact(h.toInt)
+      assert(math.abs(sumEst - ex).toDouble <= math.max(3.0, 0.08 * ex),
+        s"hop $h: est $sumEst vs exact $ex")
+    }
+  }
 }
