@@ -766,7 +766,67 @@ object InfoTheory {
       .orderBy("lang", "rank")
   }
 
+  /** Per-document bigram-LM surprisal on the fixed-point chain — the
+    * LANGUAGE-MODEL document scorer completing the LM family
+    * ([[textPerplexityExact]] scores against the doc's OWN unigram
+    * distribution; this scores against the CORPUS bigram model, so a
+    * doc of common words in weird order now scores high — the
+    * word-salad / shuffled-text detector unigram perplexity is blind
+    * to). Jelinek–Mercer interpolation with λ = ½:
+    *
+    *   P(w | p) = (c₂(pw)/c₁(p) + c_r(w)/N) / 2
+    *            = (c₂·N + c_r·c₁) / (2·c₁·N)
+    *
+    * — one exact integer rational per bigram, so its surprisal is
+    * L(2·c₁·N) − L(c₂·N + c_r·c₁) on the log₂ chain (≥ 0 always:
+    * c₂ ≤ c₁ and c_r ≤ N bound the numerator), bit-exact
+    * cross-engine via Log2Sql. The ½ mixture keeps unseen bigrams
+    * finite (c₂ = 0 → backoff to the continuation unigram), and
+    * every count is corpus-side — a doc is scored against the model
+    * INCLUDING itself (the self-inclusion convention documented; a
+    * held-out split is a composition with `sample_hash_split`).
+    * Emitted per doc: n_bigrams, total bits₂₀, and bits/bigram (one
+    * IEEE division). Products int64-safe to N ≈ 3·10⁹ bigrams/lang
+    * (DECIMAL swap documented).
+    *
+    * Scale: bigram counts once (map-side), the doc-grain join is
+    * (lang, p, w)-keyed against the TYPE relation (strictly smaller
+    * than the token stream), marginals re-aggregate the counted
+    * relation, N broadcasts; the log chain runs in codegen at doc
+    * grain.
+    */
+  val textBigramLmPerplexity: Q = (s, dir) => {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        posexplode(tokens).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("lang"), col("tok").as("p"), col("nxt").as("w"))
+    val c2 = big.groupBy(col("lang"), col("p"), col("w")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("lang"), col("p")).agg(sum(col("c2")).as("c1"))
+    val cr = c2.groupBy(col("lang"), col("w")).agg(sum(col("c2")).as("cr"))
+    val n = c2.groupBy(col("lang")).agg(sum(col("c2")).as("n"))
+    big
+      .join(c2, Seq("lang", "p", "w"))
+      .join(c1, Seq("lang", "p"))
+      .join(cr, Seq("lang", "w"))
+      .join(broadcast(n), "lang")
+      .withColumn("bits20",
+        log2Fixed(lit(2) * col("c1") * col("n"))
+          - log2Fixed(col("c2") * col("n") + col("cr") * col("c1")))
+      .groupBy(col("doc_id"))
+      .agg(first(col("lang")).as("lang"), count(lit(1)).as("n_bigrams"),
+        sum(col("bits20")).as("total_bits20"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("total_bits20"),
+        (col("total_bits20").cast("double") /
+          (col("n_bigrams") * lit(1048576L)).cast("double")).as("bits_per_bigram"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_bigram_lm_perplexity" -> textBigramLmPerplexity,
     "text_pmi_collocations" -> textPmiCollocations,
     "text_heaps_curve" -> textHeapsCurve,
     "agg_gini_impurity" -> aggGiniImpurity,

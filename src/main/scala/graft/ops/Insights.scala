@@ -1359,6 +1359,49 @@ object Insights {
       .orderBy("month")
   }
 
+  /** Mutual-information cells for segment × priority — the
+    * INFORMATION-THEORETIC sibling of [[statChi2Cells]] on the same
+    * kind of contingency grid (χ² asks "how far from independence in
+    * squared-error units?"; MI asks "how many BITS does knowing the
+    * segment tell you about the priority?"):
+    *
+    *   MI = Σ_xy p(xy)·log₂(p(xy)·N / (r_x·c_y))
+    *
+    * Each observed cell is emitted with its exact integer term
+    * c_xy·(L(c_xy·N) − L(r_x·c_y)) on the fixed-point chain (the
+    * `orders_mix_drift` idiom) — the consumer's MI is Σ term /
+    * (N·2²⁰), and NEGATIVE terms (cells below independence) carry
+    * real signal, so nothing clamps. Zero cells contribute exactly 0
+    * to MI (lim p→0 p·log p = 0) and are omitted — unlike χ², where
+    * dropping them under-counts (documented asymmetry with the chi2
+    * key). Products c_xy·N, r_x·c_y int64-safe to N ≈ 3·10⁹.
+    *
+    * Scale: one map-side rollup to |segments|·|priorities| cells,
+    * two marginal re-rollups, broadcast scalars, the log chain in
+    * codegen on ≤25 rows.
+    */
+  val statMutualInfoCells: Q = (s, dir) => {
+    import graft.functions.NumericExpressions.log2Fixed
+    val cells = table(s, dir, "orders")
+      .join(broadcast(table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("segment"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("c"))
+    val rx = cells.groupBy(col("segment")).agg(sum(col("c")).as("r"))
+    val cy = cells.groupBy(col("priority")).agg(sum(col("c")).as("cc"))
+    val n = cells.agg(sum(col("c")).as("n"))
+    cells
+      .join(broadcast(rx), "segment")
+      .join(broadcast(cy), "priority")
+      .join(broadcast(n))
+      .select(col("segment"), col("priority"), col("c"), col("r"),
+        col("cc").as("c_col"), col("n"),
+        (col("c") * (log2Fixed(col("c") * col("n"))
+          - log2Fixed(col("r") * col("cc")))).as("term_num"))
+      .orderBy("segment", "priority")
+  }
+
   /** Brown–Forsythe (median-centered Levene) sufficient statistics
     * per market segment (round 12, third session) — the variance-
     * homogeneity gatekeeper for [[statAnovaCells]] (ANOVA's F assumes
@@ -1600,6 +1643,7 @@ object Insights {
     "stat_mann_kendall" -> statMannKendall,
     "orders_abc_xyz" -> ordersAbcXyz,
     "events_lifecycle_states" -> eventsLifecycleStates,
+    "stat_mutual_info_cells" -> statMutualInfoCells,
     "events_peak_concurrency" -> eventsPeakConcurrency,
     "events_snaive_backtest" -> eventsSnaiveBacktest,
     "events_hhi_concentration" -> eventsHhiConcentration,

@@ -3422,6 +3422,70 @@ object OracleSql {
         |FROM s JOIN tie ON tie.event_type = s.event_type
         |ORDER BY s.event_type""".stripMargin,
 
+    // ops.Insights.statMutualInfoCells: per-cell exact MI terms on the
+    // fixed-point chain over the two integer products
+    "stat_mutual_info_cells" -> s"""WITH cells AS (
+      |  SELECT c.c_mktsegment AS segment, o_orderpriority AS priority,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM orders JOIN customer c ON c.c_custkey = o_custkey
+      |  GROUP BY 1, 2),
+      |rx AS (SELECT segment, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |cy AS (SELECT priority, CAST(SUM(c) AS BIGINT) AS cc FROM cells GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+      |j AS (
+      |  SELECT cells.segment, cells.priority, cells.c, rx.r, cy.cc AS c_col, nt.n,
+      |         cells.c * nt.n AS pn, rx.r * cy.cc AS pd
+      |  FROM cells
+      |  JOIN rx ON rx.segment = cells.segment
+      |  JOIN cy ON cy.priority = cells.priority
+      |  CROSS JOIN nt),
+      |${Log2Sql.chain("lgn", "SELECT DISTINCT pn AS v FROM j")},
+      |${Log2Sql.chain("lgd", "SELECT DISTINCT pd AS v FROM j")}
+      |SELECT j.segment, j.priority, j.c, j.r, j.c_col, j.n,
+      |       CAST(j.c * (lgn.l20 - lgd.l20) AS BIGINT) AS term_num
+      |FROM j
+      |JOIN lgn ON lgn.v = j.pn
+      |JOIN lgd ON lgd.v = j.pd
+      |ORDER BY j.segment, j.priority""".stripMargin,
+
+    // ops.InfoTheory.textBigramLmPerplexity: JM-smoothed bigram
+    // surprisal, chains over the distinct per-TYPE num/den products
+    "text_bigram_lm_perplexity" -> s"""WITH tokarr AS (
+      |  SELECT doc_id, lang,
+      |         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, lang,
+      |         unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS p,
+      |         unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS w
+      |  FROM tokarr WHERE len(toks) >= 2),
+      |c2 AS (SELECT lang, p, w, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2, 3),
+      |c1 AS (SELECT lang, p, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1, 2),
+      |cr AS (SELECT lang, w, CAST(SUM(c2) AS BIGINT) AS cr FROM c2 GROUP BY 1, 2),
+      |nt AS (SELECT lang, CAST(SUM(c2) AS BIGINT) AS n FROM c2 GROUP BY 1),
+      |ty AS (
+      |  SELECT c2.lang, c2.p, c2.w,
+      |         2 * c1.c1 * nt.n AS pd, c2.c2 * nt.n + cr.cr * c1.c1 AS pn
+      |  FROM c2
+      |  JOIN c1 ON c1.lang = c2.lang AND c1.p = c2.p
+      |  JOIN cr ON cr.lang = c2.lang AND cr.w = c2.w
+      |  JOIN nt ON nt.lang = c2.lang),
+      |${Log2Sql.chain("lgd", "SELECT DISTINCT pd AS v FROM ty")},
+      |${Log2Sql.chain("lgn", "SELECT DISTINCT pn AS v FROM ty")},
+      |scored AS (
+      |  SELECT big.doc_id, big.lang, lgd.l20 - lgn.l20 AS bits20
+      |  FROM big
+      |  JOIN ty ON ty.lang = big.lang AND ty.p = big.p AND ty.w = big.w
+      |  JOIN lgd ON lgd.v = ty.pd
+      |  JOIN lgn ON lgn.v = ty.pn)
+      |SELECT doc_id, MIN(lang) AS lang, count(*) AS n_bigrams,
+      |       CAST(SUM(bits20) AS BIGINT) AS total_bits20,
+      |       CAST(CAST(SUM(bits20) AS BIGINT) AS DOUBLE)
+      |         / CAST(count(*) * 1048576 AS DOUBLE) AS bits_per_bigram
+      |FROM scored
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin,
+
     // ops.SetSort.setOpsBag: INTERSECT ALL / EXCEPT ALL multiplicities
     "set_ops_bag" ->
       """WITH y96 AS (

@@ -318,6 +318,39 @@ class InfoTheorySpec extends SparkSpec {
     }
   }
 
+  test("text_bigram_lm_perplexity: JVM replay; surprisal nonnegative; bigram counts conserve") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = io.Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " "))
+      .as[(Long, String, Seq[String])].collect()
+      .map { case (id, l, ts) => (id, l, ts.filter(_.nonEmpty)) }
+    val big = docs.flatMap { case (id, l, ts) =>
+      ts.zip(ts.drop(1)).map { case (p, w) => (id, l, p, w) } }
+    val c2 = big.groupBy(b => (b._2, b._3, b._4)).view.mapValues(_.length.toLong).toMap
+    val c1 = big.groupBy(b => (b._2, b._3)).view.mapValues(_.length.toLong).toMap
+    val cr = big.groupBy(b => (b._2, b._4)).view.mapValues(_.length.toLong).toMap
+    val nl = big.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    import functions.NumericExpressions.log2FixedJ
+    val wantBits = big.groupBy(_._1).view.mapValues { bs =>
+      bs.map { case (_, l, p, w) =>
+        val den = 2L * c1((l, p)) * nl(l)
+        val num = c2((l, p, w)) * nl(l) + cr((l, w)) * c1((l, p))
+        log2FixedJ(den) - log2FixedJ(num)
+      }.sum
+    }.toMap
+    val got = ops.InfoTheory.textBigramLmPerplexity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length === wantBits.size)
+    got.foreach { case (id, nb, bits, bpb) =>
+      assert(bits === wantBits(id), s"doc $id")
+      assert(bits >= 0L, s"surprisal must be nonnegative: doc $id")
+      assert(bpb === bits.toDouble / (nb * 1048576.0))
+    }
+    // conservation: Σ n_bigrams over docs = Σ per-lang bigram totals
+    assert(got.map(_._2).sum === nl.values.sum)
+  }
+
   test("text_zipf_slope tracks the double-precision OLS over log-log ranks") {
     val dir = "/root/testdata/sf0.001"
     val fixed = ops.InfoTheory.textZipfSlope(spark, dir)

@@ -946,4 +946,24 @@ class InsightsSpec extends SparkSpec {
       assert(rows.map(_._2._1).sum === byTU.keys.count(_._1 == t).toLong, s"new-sum $t")
     }
   }
+
+  test("stat_mutual_info_cells: JVM fixed-point replay; MI nonnegative; marginals conserve") {
+    import functions.NumericExpressions.log2FixedJ
+    val rows = ops.Insights.statMutualInfoCells(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val n = rows.head._6
+    assert(rows.map(_._3).sum === n, "cells partition N")
+    rows.foreach { case (_, _, c, r, cc, nn, term) =>
+      assert(nn === n)
+      assert(term === c * (log2FixedJ(c * nn) - log2FixedJ(r * cc)))
+    }
+    // marginal consistency: Σ over a segment's cells = its r
+    rows.groupBy(_._1).foreach { case (seg, g) =>
+      assert(g.map(_._3).sum === g.head._4, s"row marginal $seg")
+    }
+    // MI >= 0 up to fixed-point truncation (~3e-6 bits/term)
+    val miBits = rows.map(_._7).sum.toDouble / (n * 1048576.0)
+    assert(miBits >= -1e-4, s"MI = $miBits")
+  }
 }
