@@ -292,11 +292,11 @@ object Insights {
     * own audit, not an XYZ class).
     *
     * Scale: revenue + monthly rollups cluster on partkey; the ABC
-    * cumulative runs over the PART DIMENSION sorted by revenue —
-    * dimension-bounded, and the documented escape at 10¹⁰-part
-    * catalogs is the `orders_open_backlog` two-level cumulative
-    * (block-partitioned running sum + broadcast block totals); the
-    * final matrix is a ≤9-cell map-side rollup.
+    * cumulative is IMPLEMENTED two-level (count-balanced revenue
+    * buckets + within-bucket windows + a ≤32-row broadcast prefix —
+    * no unpartitioned window at ANY catalog size, PlanSpec's global
+    * gate enforces it); the final matrix is a ≤9-cell map-side
+    * rollup.
     */
   val ordersAbcXyz: Q = (s, dir) => {
     val li = table(s, dir, "lineitem")
@@ -317,10 +317,29 @@ object Insights {
         when(lit(4) * col("vnum") <= col("s") * col("s"), "X")
           .when(col("vnum") <= col("s") * col("s"), "Y")
           .otherwise("Z"))
-    val wCum = Window.orderBy(col("rev_e4").desc, col("l_partkey"))
+    // the Pareto cumulative runs as the BUCKETED TWO-LEVEL form (the
+    // global-sort gate vetoes an unpartitioned window even over a
+    // dimension — caught by PlanSpec at gate time): count-balanced
+    // revenue buckets via the quantile-family seeding
+    // ([[Analytics.balancedBuckets]]; boundaries only ROUTE rows, so
+    // sketch error shifts load, never results — equal revenues land in
+    // one bucket by construction), within-bucket running sums, and a
+    // ≤32-row triangular broadcast prefix of higher-revenue buckets
+    val bucketed = Analytics.balancedBuckets(
+      rev.withColumn("g", lit("g")), "g", "rev_e4", 32)
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("rev_e4").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val abc = rev
-      .withColumn("cum", sum(col("rev_e4")).over(wCum))
+    val btot = bucketed.groupBy(col("bucket")).agg(sum(col("rev_e4")).as("bt"))
+    val prefix = btot.select(col("bucket"), col("bt"))
+      .join(broadcast(btot.select(col("bucket").as("hb"), col("bt").as("hbt"))),
+        col("hb") > col("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(coalesce(sum(col("hbt")), lit(0L)).as("pre"))
+    val abc = bucketed
+      .withColumn("cum_in", sum(col("rev_e4")).over(wIn))
+      .join(broadcast(prefix), "bucket")
+      .withColumn("cum", col("pre") + col("cum_in"))
       .crossJoin(broadcast(rev.agg(sum(col("rev_e4")).as("total"))))
       // cum·10⁶ exceeds int64 once Σrev_e4 > 9.2·10¹² (already at
       // sf0.01) — the ppm product runs in DECIMAL(38,0) (HUGEINT on
