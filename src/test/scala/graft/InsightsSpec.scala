@@ -966,4 +966,37 @@ class InsightsSpec extends SparkSpec {
     val miBits = rows.map(_._7).sum.toDouble / (n * 1048576.0)
     assert(miBits >= -1e-4, s"MI = $miBits")
   }
+
+  test("events_shapley_attribution: driver-side power-set replay; efficiency axiom holds x24") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val ev = io.Readers.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val chs = ev.map(_._2).distinct.filter(_ != "purchase").sorted
+    assert(chs.length === 4, "the x24 scale assumes 4 channels on this corpus")
+    val bit = chs.zipWithIndex.toMap
+    val buyTs = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._3).min }
+    val maskOf = buyTs.map { case (u, bts) =>
+      u -> ev.filter(e => e._1 == u && e._2 != "purchase" && e._3 < bts)
+        .map(e => 1L << bit(e._2)).foldLeft(0L)(_ | _)
+    }
+    val mCount = maskOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def v(s: Long): Long = mCount.filter { case (m, _) => (m & s) == m }.values.sum
+    val fact = Array(1L, 1L, 2L, 6L)
+    val want = chs.map { c =>
+      val b = 1L << bit(c)
+      val phi = (0L until 16L).filter(s => (s & b) == 0).map { s =>
+        val pop = java.lang.Long.bitCount(s)
+        fact(pop) * fact(3 - pop) * (v(s + b) - v(s))
+      }.sum
+      c -> phi
+    }.toMap
+    val got = ops.Insights.eventsShapleyAttribution(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === want)
+    // efficiency: Σφ·24⁻¹ = v(C) − v(∅)
+    assert(got.values.sum === 24L * (v(15L) - v(0L)), "efficiency axiom")
+  }
 }
