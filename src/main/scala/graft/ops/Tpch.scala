@@ -403,7 +403,158 @@ object Tpch {
       ORDER BY c_nationkey""")
   }
 
+  /** TPC-H Q2 (adapted — the fixture has no partsupp, so the
+    * part-supplier relation is DERIVED from observed trade:
+    * ps(part, supplier) with cost = the minimum observed unit price
+    * `cents·10⁴ div qty`, exact integer floor in both engines) — the
+    * minimum-cost-supplier report: for small STANDARD parts, the
+    * EUROPE supplier(s) whose unit price equals the region-wide
+    * minimum for that part. The planner obstacle is the CORRELATED
+    * MIN SUBQUERY OVER A DERIVED RELATION re-used on both sides —
+    * the subquery repeats the ps derivation + region walk and must
+    * decorrelate to an aggregate join on partkey, never a per-part
+    * re-scan. Integer unit prices make the min-equality tie-exact
+    * (stock Q2's float min has the Q15 tie hazard).
+    *
+    * Scale: the ps rollup clusters lineitem on (part, supplier)
+    * once per side; region/nation broadcast; the min-equality joins
+    * on partkey.
+    */
+  val sqlTpchQ2: Q = (s, dir) => {
+    views(s, dir, "part", "supplier", "lineitem", "nation", "region")
+    s.sql("""
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000
+                   div CAST(l_quantity AS BIGINT)) AS unit_e6
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+             s_name, n_name, p_partkey, unit_e6
+      FROM part
+      JOIN ps ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size <= 5 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+        AND unit_e6 = (
+          SELECT MIN(ps2.unit_e6)
+          FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      ORDER BY acctbal_cents DESC, s_name, p_partkey
+      LIMIT 100""")
+  }
+
+  /** TPC-H Q11 (adapted — part "stock value" is the traded value
+    * Σ cents·qty of the nation's suppliers, partsupp being absent) —
+    * the important-stock report: parts whose value held by NATION_3
+    * suppliers exceeds a fixed fraction (10⁻⁴) of that nation's
+    * total. The shape is the SCALAR SUBQUERY IN HAVING over the SAME
+    * aggregate — the group filter references a second aggregation of
+    * the very relation being grouped, and the fraction comparison is
+    * the integer cross-multiplication v·10⁴ > total (no float
+    * threshold). Stock Q11 scales its fraction by 1/SF for exactly
+    * the reason documented here: shares shrink as the corpus grows,
+    * so the fixed fraction reads as a top-tail filter at any SF
+    * (1 055 rows at sf0.01, 3 818 at sf0.1 — non-vacuous at both).
+    *
+    * Scale: one (nation-pruned) partkey rollup feeds both the groups
+    * and the 1-row total; Catalyst evaluates the scalar once and
+    * broadcasts it into the HAVING filter.
+    */
+  val sqlTpchQ11: Q = (s, dir) => {
+    views(s, dir, "supplier", "lineitem", "nation")
+    s.sql("""
+      WITH val AS (
+        SELECT l_partkey,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   * CAST(l_quantity AS BIGINT)) AS v
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey)
+      SELECT l_partkey, v AS value_e2q
+      FROM val
+      WHERE v * 10000 > (SELECT SUM(v) FROM val)
+      ORDER BY value_e2q DESC, l_partkey""")
+  }
+
+  /** TPC-H Q16 (adapted — the part-supplier relation is the observed
+    * lineitem trade, and the stock "customer complaints" comment
+    * filter becomes the negative-balance supplier screen) — the
+    * parts/supplier-relationship report: how many DISTINCT qualified
+    * suppliers traded each (brand, type, size) combination, for a
+    * size list, excluding one brand and excluding complaint
+    * suppliers. The shape is NOT IN (subquery) — Catalyst must plan
+    * a null-aware anti join — combined with count(DISTINCT) over
+    * grouped dims.
+    *
+    * Scale: the exclusion subquery is a ≤|suppliers| broadcast anti
+    * join; the distinct count shuffles (brand, type, size, suppkey)
+    * once (partial distinct map-side); part broadcasts.
+    */
+  val sqlTpchQ16: Q = (s, dir) => {
+    views(s, dir, "part", "supplier", "lineitem")
+    s.sql("""
+      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#5'
+        AND p_size IN (1, 5, 9, 15, 25, 35, 44, 49)
+        AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  }
+
+  /** TPC-H Q20 (adapted — "availability" is the part's total 1996
+    * traded quantity, partsupp being absent; a supplier qualifies on
+    * a part when their share of it exceeds HALF, the stock 0.5
+    * factor) — the potential-part-promotion report: NATION_9
+    * suppliers who dominated a red part's 1996 supply. The
+    * benchmark's deepest nesting: IN (GROUP BY … HAVING >
+    * correlated-scalar) — the inner scalar re-aggregates lineitem
+    * correlated on the OUTER GROUPING COLUMN, and both layers must
+    * decorrelate (semi join over an aggregate join), never re-execute
+    * per group. Quantities integer; the half threshold is the
+    * cross-multiplication 2·sq > total.
+    *
+    * Scale: both lineitem passes prune on the year + the red-part
+    * broadcast; the correlated scalar becomes a partkey rollup
+    * joined to the (supplier, part) rollup; the IN becomes a semi
+    * join on suppkey.
+    */
+  val sqlTpchQ20: Q = (s, dir) => {
+    views(s, dir, "supplier", "lineitem", "part", "nation")
+    s.sql("""
+      SELECT s_suppkey, s_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_9'
+        AND s_suppkey IN (
+          SELECT li.l_suppkey
+          FROM lineitem li
+          JOIN part ON p_partkey = li.l_partkey
+          WHERE p_name LIKE '%red%'
+            AND li.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND li.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY li.l_suppkey, li.l_partkey
+          HAVING SUM(CAST(li.l_quantity AS BIGINT)) * 2 > (
+            SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+            WHERE l2.l_partkey = li.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      ORDER BY s_suppkey""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_tpch_q2" -> sqlTpchQ2,
+    "sql_tpch_q11" -> sqlTpchQ11,
+    "sql_tpch_q16" -> sqlTpchQ16,
+    "sql_tpch_q20" -> sqlTpchQ20,
     "sql_tpch_q4" -> sqlTpchQ4,
     "sql_tpch_q7" -> sqlTpchQ7,
     "sql_tpch_q8" -> sqlTpchQ8,

@@ -4918,9 +4918,85 @@ object OracleSql {
         |ORDER BY c_nationkey""".stripMargin,
   )
 
+  // ops.Tpch wave 2 — Q2/Q11/Q16/Q20 adapted over the lineitem-derived
+  // part-supplier relation (no partsupp in the fixture). Same BIGINT
+  // re-CAST discipline.
+  private val tpch2: Map[String, String] = Map(
+    "sql_tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000
+        |             // CAST(l_quantity AS BIGINT)) AS BIGINT) AS unit_e6
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+        |       s_name, n_name, p_partkey, unit_e6
+        |FROM part
+        |JOIN ps ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size <= 5 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+        |  AND unit_e6 = (
+        |    SELECT MIN(ps2.unit_e6)
+        |    FROM ps ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY acctbal_cents DESC, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "sql_tpch_q11" ->
+      """WITH val AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, v AS value_e2q
+        |FROM val
+        |WHERE v * 10000 > (SELECT CAST(SUM(v) AS BIGINT) FROM val)
+        |ORDER BY value_e2q DESC, l_partkey""".stripMargin,
+
+    "sql_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 5, 9, 15, 25, 35, 44, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "sql_tpch_q20" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_9'
+        |  AND s_suppkey IN (
+        |    SELECT li.l_suppkey
+        |    FROM lineitem li
+        |    JOIN part ON p_partkey = li.l_partkey
+        |    WHERE p_name LIKE '%red%'
+        |      AND li.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND li.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    GROUP BY li.l_suppkey, li.l_partkey
+        |    HAVING SUM(CAST(li.l_quantity AS BIGINT)) * 2 > (
+        |      SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+        |      WHERE l2.l_partkey = li.l_partkey
+        |        AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+        |ORDER BY s_suppkey""".stripMargin,
+  )
+
   val sql: Map[String, String] =
     relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++
       llm ++ streaming ++ llm2 ++ curation ++ statsLayout ++ analytics ++
       analytics2 ++ graph ++ round8 ++ infoTheory ++ bpe ++ bipartite ++
-      insights ++ embeddings ++ tpch
+      insights ++ embeddings ++ tpch ++ tpch2
 }

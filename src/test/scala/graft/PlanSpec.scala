@@ -699,6 +699,29 @@ class PlanSpec extends SparkSpec {
       l.contains("HashAggregate(keys=[l_partkey")) >= 2, p.take(3000))
   }
 
+  test("sql_tpch_q2: correlated MIN decorrelates to a partkey aggregate join; no nested loop") {
+    val p = plan(ops.Tpch.sqlTpchQ2)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate(keys=[l_partkey") &&
+      l.contains("min(unit_e6")), "the region-min must be an aggregate, not a per-part re-scan")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+  }
+
+  test("sql_tpch_q16: NOT IN plans a null-aware anti join; no per-row subquery") {
+    val p = plan(ops.Tpch.sqlTpchQ16)
+    val anti = p.linesIterator.find(_.contains("LeftAnti")).getOrElse("")
+    assert(anti.nonEmpty, s"no anti join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("sql_tpch_q20: nested IN(HAVING > correlated scalar) decorrelates to semi over aggregate joins") {
+    val p = plan(ops.Tpch.sqlTpchQ20)
+    assert(p.contains("LeftSemi"), s"IN must become a semi join:\n${p.take(2000)}")
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("* 2) >")),
+      "the half-share threshold must ride an aggregate join condition")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("sql_tpch_q21: EXISTS and NOT EXISTS become semi + anti joins; top-10 is TakeOrdered") {
     val p = plan(ops.Tpch.sqlTpchQ21)
     assert(p.contains("LeftSemi"), "other-supplier EXISTS must be a semi join")

@@ -18,6 +18,8 @@ class TpchSpec extends SparkSpec {
   private def cust = spark.read.parquet(s"$dir/customer.parquet")
   private val cents = (c: String) =>
     (col(c).cast("decimal(18,2)") * 100).cast("long")
+  private def num(r: org.apache.spark.sql.Row, i: Int): Long =
+    r.get(i).asInstanceOf[Number].longValue
 
   test("sql_tpch_q4: order_count conservation vs a fluent-API late-order replay") {
     val res = ops.Tpch.sqlTpchQ4(spark, dir).collect()
@@ -129,6 +131,67 @@ class TpchSpec extends SparkSpec {
       .collect().map(r => (r.get(0).toString.toLong, (r.getLong(1), r.getLong(2)))).toMap
     val gotM = rows.map(r => (r.get(0).toString.toLong, (r.getLong(1), r.getLong(2)))).toMap
     assert(gotM === exp)
+  }
+
+  test("sql_tpch_q2: every emitted supplier attains the exact region minimum for its part") {
+    val li2 = li.select(col("l_partkey"), col("l_suppkey"),
+        ((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") * 10000)
+          .as("pe"), col("l_quantity").cast("long").as("q"))
+      .withColumn("unit_e6", expr("pe div q"))
+      .groupBy("l_partkey", "l_suppkey").agg(min("unit_e6").as("unit_e6"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      .collect().map(r => num(r, 0) -> num(r, 2)).toMap // suppkey -> nationkey
+    val nat = spark.read.parquet(s"$dir/nation.parquet")
+      .collect().map(r => num(r, 0) -> num(r, 2)).toMap // nationkey -> regionkey
+    val eur = spark.read.parquet(s"$dir/region.parquet")
+      .collect().collectFirst { case r if r.getString(1) == "EUROPE" => num(r, 0) }.get
+    val inEur = (sk: Long) => nat(supp(sk)) == eur
+    val minByPart = li2.toSeq.filter { case ((_, sk), _) => inEur(sk) }
+      .groupBy(_._1._1).view.mapValues(_.map(_._2).min).toMap
+    ops.Tpch.sqlTpchQ2(spark, dir).collect().foreach { r =>
+      val (pk, u) = (r.getLong(3), r.getLong(4))
+      assert(u === minByPart(pk), s"part $pk")
+    }
+  }
+
+  test("sql_tpch_q11: every emitted part clears the exact cross-multiplied threshold; none missed") {
+    val rows = ops.Tpch.sqlTpchQ11(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nat3 = num(spark.read.parquet(s"$dir/nation.parquet")
+      .where(col("n_name") === "NATION_3").head(), 0)
+    val supp3 = spark.read.parquet(s"$dir/supplier.parquet")
+      .where(col("s_nationkey") === nat3).select("s_suppkey")
+      .collect().map(num(_, 0)).toSet
+    val v = li.where(col("l_suppkey").isin(supp3.toSeq: _*))
+      .groupBy("l_partkey")
+      .agg(sum(cents("l_extendedprice") * col("l_quantity").cast("long")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tot = v.values.sum
+    val want = v.filter { case (_, vv) => vv * 10000 > tot }
+    assert(rows === want)
+  }
+
+  test("sql_tpch_q20: emitted suppliers exactly those dominating a red part's 1996 supply") {
+    val red = spark.read.parquet(s"$dir/part.parquet")
+      .where(col("p_name").like("%red%")).select("p_partkey")
+      .collect().map(num(_, 0)).toSet
+    val y96 = li.where(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perPart = y96.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val dominators = y96.filter(t => red(t._1))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum)
+      .collect { case ((pk, sk), sq) if sq * 2 > perPart(pk) => sk }.toSet
+    val nat9 = num(spark.read.parquet(s"$dir/nation.parquet")
+      .where(col("n_name") === "NATION_9").head(), 0)
+    val supp9 = spark.read.parquet(s"$dir/supplier.parquet")
+      .where(col("s_nationkey") === nat9).select("s_suppkey")
+      .collect().map(num(_, 0)).toSet
+    val want = (dominators intersect supp9).toSeq.sorted
+    val got = ops.Tpch.sqlTpchQ20(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(got === want)
   }
 
   test("sql_tpch_q9: per-cell profit replays through the fluent API") {
