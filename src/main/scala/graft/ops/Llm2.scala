@@ -754,7 +754,50 @@ object Llm2 {
       .orderBy("epoch", "rn")
   }
 
+  /** Language-ID CONFUSION MATRIX — the eval harness for
+    * [[textLangId]]'s heuristic scorer against the corpus ground
+    * truth (`lang`): the FULL actual × predicted grid over the
+    * scorer's fixed label domain (the 5 languages + 'und'), zero
+    * cells kept (the chi2-grid discipline — a class the scorer never
+    * confuses is a claim, not an absence), with the row marginal
+    * riding every cell so per-class recall reads off as n/n_actual
+    * and precision as n over the column sum. The first-class
+    * model-eval op every curation pipeline needs before TRUSTING a
+    * classifier gate: `text_lang_partition_stats` partitions BY the
+    * prediction; this key says how often that partition lies.
+    *
+    * Scale: the scorer is row-local column math; one map-side rollup
+    * to ≤|langs|·6 cells; the grid is a dimension-bounded cross join
+    * of two tiny distinct relations.
+    *
+    * MEASURED FINDING on this corpus (the key's own demonstration):
+    * every document lands in en/und regardless of its `lang` label —
+    * the fixture's text is one shared pseudo-English vocabulary and
+    * the label is metadata-only, so the stopword scorer has NO signal
+    * here. That is exactly the failure mode this op exists to surface
+    * BEFORE a pipeline gates on `pred_lang`
+    * (`text_lang_partition_stats` would partition garbage silently).
+    */
+  val textLangConfusion: Q = (s, dir) => {
+    val preds = textLangId(s, dir).select(col("doc_id"), col("pred_lang"))
+    val truth = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val counts = truth.join(preds, "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val actuals = truth.select(col("lang")).distinct()
+    val domain = s.createDataFrame(
+      Seq("de", "en", "es", "fr", "zh", "und").map(Tuple1(_))).toDF("pred_lang")
+    val marg = counts.groupBy(col("lang")).agg(sum(col("n")).as("n_actual"))
+    actuals.crossJoin(broadcast(domain))
+      .join(counts, Seq("lang", "pred_lang"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .join(broadcast(marg), "lang")
+      .select(col("lang"), col("pred_lang"), col("n"), col("n_actual"))
+      .orderBy("lang", "pred_lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_lang_confusion" -> textLangConfusion,
     "sample_epoch_shuffle" -> sampleEpochShuffle,
     "pack_sequences" -> packSequencesQ,
     "text_feature_hash" -> textFeatureHash,

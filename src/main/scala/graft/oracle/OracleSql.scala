@@ -4918,6 +4918,47 @@ object OracleSql {
         |ORDER BY c_nationkey""".stripMargin,
   )
 
+  // ops.Llm2.textLangConfusion: the lang-id scorer replayed (same CTEs
+  // as text_lang_id) into the full actual x predicted-domain grid
+  private val langConfusion: Map[String, String] = Map(
+    "text_lang_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks,
+        |         text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','und','ist','das','nicht','ein'))) AS INT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','with','that','this'))) AS INT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','una'))) AS INT) AS s_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','les','et','est','une','dans','pour'))) AS INT) AS s_fr,
+        |    CAST(len(regexp_extract_all(text, '[一-鿿]')) AS INT) AS s_zh
+        |  FROM t),
+        |pred AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN s_zh > 0 THEN 'zh'
+        |              WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |              ELSE 'fr' END AS pred_lang
+        |  FROM s),
+        |counts AS (
+        |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM pred GROUP BY 1, 2),
+        |actuals AS (SELECT DISTINCT lang FROM documents),
+        |domain AS (SELECT unnest(['de','en','es','fr','zh','und']) AS pred_lang),
+        |marg AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_actual FROM counts GROUP BY 1)
+        |SELECT a.lang, d.pred_lang,
+        |       CAST(COALESCE(c.n, 0) AS BIGINT) AS n, m.n_actual
+        |FROM actuals a
+        |CROSS JOIN domain d
+        |LEFT JOIN counts c ON c.lang = a.lang AND c.pred_lang = d.pred_lang
+        |JOIN marg m ON m.lang = a.lang
+        |ORDER BY a.lang, d.pred_lang""".stripMargin,
+  )
+
   // ops.Tpch wave 2 — Q2/Q11/Q16/Q20 adapted over the lineitem-derived
   // part-supplier relation (no partsupp in the fixture). Same BIGINT
   // re-CAST discipline.
@@ -4998,5 +5039,5 @@ object OracleSql {
     relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++
       llm ++ streaming ++ llm2 ++ curation ++ statsLayout ++ analytics ++
       analytics2 ++ graph ++ round8 ++ infoTheory ++ bpe ++ bipartite ++
-      insights ++ embeddings ++ tpch ++ tpch2
+      insights ++ embeddings ++ tpch ++ tpch2 ++ langConfusion
 }

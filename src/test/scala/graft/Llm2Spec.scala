@@ -335,4 +335,28 @@ class Llm2Spec extends SparkSpec {
       assert(got === want.toSeq, s"epoch $e head must be the md5-order minimum")
     }
   }
+
+  test("text_lang_confusion: full grid, conservation, and agreement with the scorer key") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = ops.Llm2.textLangConfusion(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    val langs = rows.map(_._1._1).distinct
+    assert(rows.length === langs.length * 6, "full actual x domain grid, zero cells kept")
+    val nDocs = io.Readers.table(spark, dir, "documents").count()
+    assert(rows.map(_._2._1).sum === nDocs, "cells partition the corpus")
+    rows.groupBy(_._1._1).foreach { case (l, g) =>
+      assert(g.map(_._2._1).sum === g.head._2._2, s"marginal $l")
+    }
+    // cell counts equal a direct join of the scorer key with the truth
+    val preds = ops.Llm2.textLangId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    val truth = io.Readers.table(spark, dir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = truth.groupBy { case (id, l) => (l, preds(id)) }
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { case ((l, p), (n, _)) =>
+      assert(n === want.getOrElse((l, p), 0L), s"cell $l/$p")
+    }
+  }
 }
