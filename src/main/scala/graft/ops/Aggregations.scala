@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Determinism._
@@ -468,6 +469,48 @@ object Aggregations {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** INTERPOLATED percentile (PERCENTILE_CONT semantics) per
+    * priority — the continuous sibling of [[aggPercentileExact]]
+    * (type-1 picks a data point; CONT interpolates between the two
+    * bracketing points), closing the last percentile-surface hole —
+    * WITH ZERO FLOATS: at rank h = (n−1)·p the bracketing offsets
+    * are lo = ⌊h⌋ and lo+1 and the fraction is exact in ppm
+    * (f = ((n−1)·p_ppm) mod 10⁶), so the interpolated value is the
+    * exact integer `v_lo·(10⁶−f) + v_hi·f` in MICRO-CENTS — the
+    * rounding the built-in `percentile()`'s double arithmetic leaves
+    * engine-dependent never happens (this is why the exact key
+    * rounds to 4 places and this one doesn't have to). v_hi for the
+    * n−1-th row interpolates with itself (f = 0 there by
+    * construction).
+    *
+    * Scale: one rank window per priority (winsorize-family caveat,
+    * same documented KLL swap) + lead(1); the two bracketing rows
+    * per (group, p) survive a filter computed from broadcast group
+    * sizes.
+    */
+  val aggPercentileCont: Q = (s, dir) => {
+    val pPpm = Seq(500000L, 900000L, 990000L)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val ranked = table(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w).cast("long") - 1)
+      .withColumn("nxt", lead(col("cents"), 1).over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+    ranked
+      .select(col("o_orderpriority"), col("rn"), col("cents"),
+        coalesce(col("nxt"), col("cents")).as("hi"), col("n"),
+        explode(array(pPpm.map(lit): _*)).as("p_ppm"))
+      .withColumn("h_ppm", (col("n") - 1) * col("p_ppm"))
+      .filter(col("rn") === expr("h_ppm div 1000000"))
+      .withColumn("f", col("h_ppm") % 1000000L)
+      .select(col("o_orderpriority"), col("p_ppm"),
+        (col("cents") * (lit(1000000L) - col("f")) + col("hi") * col("f"))
+          .as("value_micro_cents"), col("n"))
+      .orderBy("o_orderpriority", "p_ppm")
+  }
+
   /** Fixed-width histogram of order totals (round 6): bin id is an
     * integer floor-division of the value — a pure map expression, so
     * the whole histogram is one map-side-combined aggregation (the
@@ -515,6 +558,7 @@ object Aggregations {
   }
 
   val queries: Map[String, Q] = Map(
+    "agg_percentile_cont" -> aggPercentileCont,
     "agg_count_distinct" -> aggCountDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_approx_percentile" -> aggApproxPercentile,

@@ -4918,6 +4918,31 @@ object OracleSql {
         |ORDER BY c_nationkey""".stripMargin,
   )
 
+  // ops.Aggregations.aggPercentileCont: PERCENTILE_CONT replayed with
+  // the same ppm rank arithmetic — zero floats, exact micro-cents
+  private val percentileCont: Map[String, String] = Map(
+    "agg_percentile_cont" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         CAST(ROW_NUMBER() OVER w AS BIGINT) - 1 AS rn,
+        |         LEAD(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w AS nxt,
+        |         CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |                        o_orderkey)),
+        |e AS (
+        |  SELECT r.*, p.p_ppm, (n - 1) * p.p_ppm AS h_ppm
+        |  FROM r CROSS JOIN (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT) AS p_ppm) p)
+        |SELECT o_orderpriority, p_ppm,
+        |       CAST(cents * (1000000 - h_ppm % 1000000)
+        |            + COALESCE(nxt, cents) * (h_ppm % 1000000) AS BIGINT) AS value_micro_cents,
+        |       n
+        |FROM e WHERE rn = h_ppm // 1000000
+        |ORDER BY o_orderpriority, p_ppm""".stripMargin,
+  )
+
   // ops.Llm2.textLangConfusion: the lang-id scorer replayed (same CTEs
   // as text_lang_id) into the full actual x predicted-domain grid
   private val langConfusion: Map[String, String] = Map(
@@ -5039,5 +5064,6 @@ object OracleSql {
     relational ++ asof ++ scalarFns ++ aggregations ++ windows ++ setSort ++
       llm ++ streaming ++ llm2 ++ curation ++ statsLayout ++ analytics ++
       analytics2 ++ graph ++ round8 ++ infoTheory ++ bpe ++ bipartite ++
-      insights ++ embeddings ++ tpch ++ tpch2 ++ langConfusion
+      insights ++ embeddings ++ tpch ++ tpch2 ++ langConfusion ++
+      percentileCont
 }

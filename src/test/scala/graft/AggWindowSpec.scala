@@ -181,6 +181,25 @@ class AggWindowSpec extends SparkSpec {
     assert(BigDecimal(last) === BigDecimal("15.33"))
   }
 
+  test("agg_percentile_cont tracks the built-in interpolating percentile()") {
+    val dir = "/root/testdata/sf0.001"
+    val builtin = graft.io.Readers.table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val got = ops.Aggregations.aggPercentileCont(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    val pIdx = Map(500000L -> 0, 900000L -> 1, 990000L -> 2)
+    got.foreach { case ((prio, ppm), micro) =>
+      val ours = micro.toDouble / 1e6 / 100.0 // micro-cents -> currency
+      val ref = builtin(prio)(pIdx(ppm))
+      // the built-in interpolates in double; ours is exact integer —
+      // they agree to float tolerance, and ours is the exact value
+      assert(math.abs(ours - ref) <= 1e-6 * math.max(1.0, ref.abs),
+        s"$prio p$ppm: $ours vs $ref")
+    }
+  }
+
   test("win_time_range_frame: brute-force trailing-hour replay per user") {
     val dir = "/root/testdata/sf0.001"
     val raw = graft.io.Readers.table(spark, dir, "events")
