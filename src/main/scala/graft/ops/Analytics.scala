@@ -1008,7 +1008,55 @@ object Analytics {
       .orderBy("event_type", "epoch_day")
   }
 
+  /** Seasonal-adjusted anomaly days per event type — the composition
+    * that completes the anomaly family (z-score and MAD flag raw
+    * outliers; burst flags level shifts vs a trailing window; CUSUM
+    * flags rate changes; THIS flags days that are anomalous AFTER
+    * trend and day-of-week are removed — the Monday-is-always-big
+    * false positive the raw detectors can't avoid): a day is
+    * anomalous when its [[timeSeriesStlCells]] residual exceeds
+    * 5× the type's residual MAD.
+    *
+    * EXACT where it decides: residuals are the rationals
+    * r_num/(7·n_dow) and dow-group sizes DIFFER (24 interior days
+    * over 7 dows → sizes 3 and 4), so |r| values are ranked by the
+    * deterministic-IEEE double |r_num|/n_dow with an integer
+    * tiebreak (the Theil–Sen sort-key discipline — collisions in
+    * double fall to the tiebreak identically in both engines), the
+    * median row's EXACT rational (mad_num, mad_den) is carried, and
+    * the anomaly gate is the pure-integer cross-multiplication
+    * |r_num|·mad_den > 5·mad_num·n_dow (the 7s cancel). Output keeps
+    * every interior (type, day) with its flag — the monitor
+    * relation, not just hits (the burst-key discipline).
+    *
+    * Scale: everything downstream of the |types|·|days| rollup; the
+    * MAD rank window is per type over ≤|days| rows.
+    */
+  val eventsAnomalyStl: Q = (s, dir) => {
+    val cells = timeSeriesStlCells(s, dir)
+      .select(col("event_type"), col("epoch_day"), col("cnt"),
+        col("r_num"), col("n_dow"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy((abs(col("r_num")).cast("double") / col("n_dow").cast("double")).asc,
+        col("epoch_day"))
+    val wN = Window.partitionBy(col("event_type"))
+    val mad = cells
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), abs(col("r_num")).as("mad_num"),
+        col("n_dow").as("mad_den"))
+    cells.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("epoch_day"), col("cnt"), col("r_num"),
+        col("n_dow"), col("mad_num"), col("mad_den"),
+        when(abs(col("r_num")) * col("mad_den") >
+          lit(5) * col("mad_num") * col("n_dow"), 1L).otherwise(0L)
+          .as("is_anomaly"))
+      .orderBy("event_type", "epoch_day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_anomaly_stl" -> eventsAnomalyStl,
     "time_series_stl_cells" -> timeSeriesStlCells,
     "orders_market_basket" -> ordersMarketBasket,
     "orders_association_rules" -> ordersAssociationRules,

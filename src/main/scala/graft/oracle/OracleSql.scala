@@ -3740,6 +3740,51 @@ object OracleSql {
         |JOIN seasonal se ON se.event_type = i.event_type AND se.dow = i.dow
         |ORDER BY i.event_type, i.epoch_day""".stripMargin,
 
+    // ops.Analytics.eventsAnomalyStl: the STL chain + denominator-aware
+    // MAD median + cross-multiplied anomaly gate
+    "events_anomaly_stl" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, epoch_day, cnt,
+        |         CAST(SUM(cnt) OVER w AS BIGINT) AS tsum,
+        |         CAST(COUNT(*) OVER w AS BIGINT) AS fdays
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+        |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |interior AS (
+        |  SELECT event_type, epoch_day, cnt, tsum,
+        |         epoch_day % 7 AS dow, 7 * cnt - tsum AS det7
+        |  FROM tr WHERE fdays = 7),
+        |seasonal AS (
+        |  SELECT event_type, dow, CAST(SUM(det7) AS BIGINT) AS s_num,
+        |         CAST(COUNT(*) AS BIGINT) AS n_dow
+        |  FROM interior GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT i.event_type, i.epoch_day, i.cnt,
+        |         CAST(se.n_dow * i.det7 - se.s_num AS BIGINT) AS r_num, se.n_dow
+        |  FROM interior i
+        |  JOIN seasonal se ON se.event_type = i.event_type AND se.dow = i.dow),
+        |ranked AS (
+        |  SELECT *,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |             ORDER BY CAST(ABS(r_num) AS DOUBLE) / CAST(n_dow AS DOUBLE),
+        |                      epoch_day) AS BIGINT) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM cells),
+        |mad AS (
+        |  SELECT event_type, ABS(r_num) AS mad_num, n_dow AS mad_den
+        |  FROM ranked WHERE rn = (n + 1) // 2)
+        |SELECT c.event_type, c.epoch_day, c.cnt, c.r_num, c.n_dow,
+        |       m.mad_num, m.mad_den,
+        |       CAST(CASE WHEN ABS(c.r_num) * m.mad_den > 5 * m.mad_num * c.n_dow
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM cells c JOIN mad m ON m.event_type = c.event_type
+        |ORDER BY c.event_type, c.epoch_day""".stripMargin,
+
     // ops.Insights.statMannWhitney: tie-adjusted doubled ranks
     // (2·avgrank = 2·lo + cnt − 1, pure integer) — RANK gives the tie
     // group's low position, the value-partition COUNT its size

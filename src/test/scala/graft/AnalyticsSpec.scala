@@ -502,4 +502,29 @@ class AnalyticsSpec extends SparkSpec {
       assert(tsum === win.sum, s"trend $t/$d")
     }
   }
+
+  test("events_anomaly_stl: denominator-aware MAD replay; gate decides by cross-multiplication") {
+    val dir = "/root/testdata/sf0.001"
+    val cells = ops.Analytics.timeSeriesStlCells(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(7), r.getLong(6)))
+    // (type, day, r_num, n_dow)
+    val got = ops.Analytics.eventsAnomalyStl(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(got.size === cells.length)
+    cells.groupBy(_._1).foreach { case (t, g) =>
+      val sorted = g.sortBy { case (_, d, r, n) =>
+        (math.abs(r).toDouble / n.toDouble, d) }
+      val med = sorted((sorted.length + 1) / 2 - 1)
+      val (madNum, madDen) = (math.abs(med._3), med._4)
+      g.foreach { case (_, d, r, n) =>
+        val (rG, nG, mN, mD, flag) = got((t, d))
+        assert(rG === r && nG === n)
+        assert(mN === madNum && mD === madDen, s"MAD $t")
+        val want = if (math.abs(r) * madDen > 5 * madNum * n) 1L else 0L
+        assert(flag === want, s"gate $t/$d")
+      }
+    }
+  }
 }
