@@ -796,7 +796,41 @@ object Llm2 {
       .orderBy("lang", "pred_lang")
   }
 
+  /** Cohen's kappa cells for the lang-id scorer — chance-corrected
+    * agreement, the single-number companion of [[textLangConfusion]]
+    * (raw accuracy flatters a classifier that just predicts the
+    * majority class; κ subtracts the agreement its marginals would
+    * produce by luck): κ = (p_o − p_e)/(1 − p_e) emitted as the
+    * EXACT integer cells n, agree, pe_num = Σ_c rowMarg(c)·colMarg(c)
+    * — κ = (agree·n − pe_num)/(n² − pe_num) is one IEEE division of
+    * exact longs, also emitted. On this corpus κ ≈ 0 is the expected
+    * reading (the confusion key's no-signal finding, now as one
+    * number a gate can threshold).
+    *
+    * Scale: the scorer rollup + two ≤6-row marginals; pe_num
+    * int64-safe to n ≈ 3·10⁹ docs.
+    */
+  val statCohensKappa: Q = (s, dir) => {
+    val preds = textLangId(s, dir).select(col("doc_id"), col("pred_lang"))
+    val joined = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(preds, "doc_id")
+    val counts = joined.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("c"))
+    val rm = counts.groupBy(col("lang").as("lbl")).agg(sum(col("c")).as("rmarg"))
+    val cm = counts.groupBy(col("pred_lang").as("lbl")).agg(sum(col("c")).as("cmarg"))
+    val pe = rm.join(cm, "lbl")
+      .agg(coalesce(sum(col("rmarg") * col("cmarg")), lit(0L)).as("pe_num"))
+    val agree = counts.filter(col("lang") === col("pred_lang"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("agree"))
+    val n = counts.agg(sum(col("c")).as("n"))
+    n.crossJoin(broadcast(agree)).crossJoin(broadcast(pe))
+      .select(col("n"), col("agree"), col("pe_num"),
+        ((col("agree") * col("n") - col("pe_num")).cast("double") /
+          (col("n") * col("n") - col("pe_num")).cast("double")).as("kappa"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stat_cohens_kappa" -> statCohensKappa,
     "text_lang_confusion" -> textLangConfusion,
     "sample_epoch_shuffle" -> sampleEpochShuffle,
     "pack_sequences" -> packSequencesQ,

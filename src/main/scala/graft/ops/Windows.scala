@@ -272,7 +272,44 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Daily session/bounce-rate board cells — the consumer rollup of
+    * [[eventsSessionize]]'s session relation (a "bounce" is the
+    * classic single-event session): per session-start day the session
+    * count, bounce count, total session events, and the exact
+    * integer-microsecond duration mass of multi-event sessions
+    * (single-event sessions have zero duration BY DEFINITION — kept
+    * out of the duration mass so the consumer's mean-duration
+    * division isn't dragged by structural zeros; documented, and the
+    * bounce count is right there to reconstruct either convention).
+    * Bounce rate and mean duration read off as divisions the
+    * consumer performs.
+    *
+    * Scale: the sessionize shape (user-partitioned windows) + one
+    * map-side rollup to ≤|days| cells.
+    */
+  val eventsBounceRate: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+    table(s, dir, "events")
+      .withColumn("brk",
+        when(gapUs.isNull.or(gapUs > lit(30L * 60L * 1000000L)), 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("brk")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("us_start"),
+        max(unix_micros(col("ts"))).as("us_end"))
+      .select(expr("CAST(us_start div 86400000000 AS BIGINT)").as("epoch_day"),
+        col("n_events"), (col("us_end") - col("us_start")).as("dur_us"))
+      .groupBy(col("epoch_day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("n_events")).as("n_events"),
+        sum(when(col("n_events") > 1L, col("dur_us")).otherwise(0L)).as("dur_us_multi"))
+      .orderBy("epoch_day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_bounce_rate" -> eventsBounceRate,
     "win_time_range_frame" -> winTimeRangeFrame,
     "win_streak_islands" -> winStreakIslands,
     "win_row_number_topk" -> winRowNumberTopk,

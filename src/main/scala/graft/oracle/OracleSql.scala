@@ -4963,6 +4963,75 @@ object OracleSql {
         |ORDER BY c_nationkey""".stripMargin,
   )
 
+  // ops.Windows.eventsBounceRate: the sessionize chain rolled up to
+  // daily session/bounce/duration cells
+  private val bounce: Map[String, String] = Map(
+    "events_bounce_rate" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+        |           AS session_seq
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(min(epoch_us(ts)) AS BIGINT) AS us_start,
+        |         CAST(max(epoch_us(ts)) AS BIGINT) AS us_end
+        |  FROM s GROUP BY 1, 2)
+        |SELECT us_start // 86400000000 AS epoch_day,
+        |       count(*) AS n_sessions,
+        |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |       CAST(SUM(CASE WHEN n_events > 1 THEN us_end - us_start ELSE 0 END) AS BIGINT)
+        |         AS dur_us_multi
+        |FROM sess
+        |GROUP BY 1
+        |ORDER BY epoch_day""".stripMargin,
+
+    // ops.Llm2.statCohensKappa: the confusion rollup reduced to the
+    // exact kappa cells + one IEEE division
+    "stat_cohens_kappa" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks,
+        |         text
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','und','ist','das','nicht','ein'))) AS INT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','with','that','this'))) AS INT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','una'))) AS INT) AS s_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','les','et','est','une','dans','pour'))) AS INT) AS s_fr,
+        |    CAST(len(regexp_extract_all(text, '[一-鿿]')) AS INT) AS s_zh
+        |  FROM t),
+        |pred AS (
+        |  SELECT lang,
+        |         CASE WHEN s_zh > 0 THEN 'zh'
+        |              WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |              ELSE 'fr' END AS pred_lang
+        |  FROM sc),
+        |counts AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS c FROM pred GROUP BY 1, 2),
+        |rm AS (SELECT lang AS lbl, CAST(SUM(c) AS BIGINT) AS rmarg FROM counts GROUP BY 1),
+        |cm AS (SELECT pred_lang AS lbl, CAST(SUM(c) AS BIGINT) AS cmarg FROM counts GROUP BY 1),
+        |pe AS (SELECT CAST(COALESCE(SUM(rmarg * cmarg), 0) AS BIGINT) AS pe_num
+        |       FROM rm JOIN cm USING (lbl)),
+        |ag AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS agree
+        |       FROM counts WHERE lang = pred_lang),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts)
+        |SELECT n, agree, pe_num,
+        |       CAST(agree * n - pe_num AS DOUBLE) / CAST(n * n - pe_num AS DOUBLE) AS kappa
+        |FROM nt CROSS JOIN ag CROSS JOIN pe""".stripMargin,
+  )
+
   // ops.Aggregations.aggPercentileCont: PERCENTILE_CONT replayed with
   // the same ppm rank arithmetic — zero floats, exact micro-cents
   private val percentileCont: Map[String, String] = Map(
@@ -5110,5 +5179,5 @@ object OracleSql {
       llm ++ streaming ++ llm2 ++ curation ++ statsLayout ++ analytics ++
       analytics2 ++ graph ++ round8 ++ infoTheory ++ bpe ++ bipartite ++
       insights ++ embeddings ++ tpch ++ tpch2 ++ langConfusion ++
-      percentileCont
+      percentileCont ++ bounce
 }

@@ -200,6 +200,23 @@ class AggWindowSpec extends SparkSpec {
     }
   }
 
+  test("events_bounce_rate: conserves the sessionize relation exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val sessions = ops.Windows.eventsSessionize(spark, dir).collect()
+      .map(r => (r.getLong(2), r.getTimestamp(3), r.getTimestamp(4)))
+    val got = ops.Windows.eventsBounceRate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._2).sum === sessions.length.toLong, "session conservation")
+    assert(got.map(_._3).sum === sessions.count(_._1 == 1L).toLong, "bounce conservation")
+    assert(got.map(_._4).sum === sessions.map(_._1).sum, "event conservation")
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val durExp = sessions.filter(_._1 > 1)
+      .map(s => us(s._3) - us(s._2)).sum
+    assert(got.map(_._5).sum === durExp, "multi-session duration mass (micros)")
+    got.foreach { case (_, ns, nb, _, _) => assert(nb <= ns) }
+  }
+
   test("win_time_range_frame: brute-force trailing-hour replay per user") {
     val dir = "/root/testdata/sf0.001"
     val raw = graft.io.Readers.table(spark, dir, "events")

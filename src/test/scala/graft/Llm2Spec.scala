@@ -359,4 +359,22 @@ class Llm2Spec extends SparkSpec {
       assert(n === want.getOrElse((l, p), 0L), s"cell $l/$p")
     }
   }
+
+  test("stat_cohens_kappa: cells replay from the confusion matrix; kappa identity; near-zero here") {
+    val dir = "/root/testdata/sf0.001"
+    val conf = ops.Llm2.textLangConfusion(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val n = conf.map(_._2).sum
+    val agree = conf.collect { case ((l, p), c) if l == p => c }.sum
+    val rm = conf.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val cm = conf.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val pe = rm.collect { case (l, r) if cm.contains(l) => r * cm(l) }.sum
+    val row = ops.Llm2.statCohensKappa(spark, dir).head()
+    assert(row.getLong(0) === n && row.getLong(1) === agree && row.getLong(2) === pe)
+    assert(row.getDouble(3) ===
+      (agree * n - pe).toDouble / (n * n - pe).toDouble, "kappa identity")
+    // the documented reading of the confusion key's no-signal finding:
+    // chance-corrected agreement sits at ~0 on this corpus
+    assert(math.abs(row.getDouble(3)) < 0.1, s"kappa = ${row.getDouble(3)}")
+  }
 }
