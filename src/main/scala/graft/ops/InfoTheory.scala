@@ -825,7 +825,79 @@ object InfoTheory {
       .orderBy("doc_id")
   }
 
+  /** Pairwise Jensen–Shannon divergence between the languages'
+    * unigram distributions — the SYMMETRIC corpus-similarity matrix
+    * [[textKlDivergence]] can't be (KL is asymmetric and infinite on
+    * disjoint support; JS is bounded in [0, 1] bit and defined
+    * everywhere — the "which corpus slices share a vocabulary"
+    * mixing/contamination diagnostic):
+    *
+    *   JS(P,Q) = ½·Σᵢ pᵢ·log₂(2pᵢ/(pᵢ+qᵢ)) + ½·Σᵢ qᵢ·log₂(…)
+    *
+    * With P = aᵢ/A, Q = bᵢ/B every log argument is the integer
+    * rational 2aᵢB/(aᵢB + bᵢA), so each side's numerator is the
+    * exact integer Σ aᵢ·(L(2aᵢB) − L(aᵢB + bᵢA)) on the fixed-point
+    * chain — JS reads off as (num_a/A + num_b/B)/2²¹. Zero-count
+    * terms need no guard: a token absent from P contributes 0 to
+    * P's sum by aᵢ = 0, and its Q-side term's argument degenerates
+    * to 2bᵢA/(bᵢA) — the full-outer join with coalesce(0) realizes
+    * both. Products int64-safe while aᵢ·B < 2⁶² (≈ 10⁹-token
+    * corpora per lang; DECIMAL swap documented).
+    *
+    * Scale: one unigram rollup, a dimension-bounded pair fan-out of
+    * the TYPE relation (vocab-sized, never the token stream), the
+    * log chain in codegen per (pair, type) row, map-side rollup to
+    * ≤|langs|² cells.
+    */
+  val textJsDivergence: Q = (s, dir) => {
+    val uni = table(s, dir, "documents")
+      .select(col("lang"), explode(tokens).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = uni.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    // the log-rank merged-pair-spine idiom: expand the TYPE relation
+    // per unordered pair FIRST, then full-outer within the pair — a
+    // bare full-outer on tok alone drops one-sided tokens of a pair
+    // whenever a third language also carries them
+    val pairs = tot.select(col("lang").as("lang_a"))
+      .crossJoin(broadcast(tot.select(col("lang").as("lang_b"))))
+      .filter(col("lang_a") < col("lang_b"))
+    val left = broadcast(pairs).join(uni, col("lang") === col("lang_a"))
+      .select(col("lang_a"), col("lang_b"), col("tok"), col("c").as("ca"))
+    val right = broadcast(pairs).join(uni, col("lang") === col("lang_b"))
+      .select(col("lang_a").as("lang_a2"), col("lang_b").as("lang_b2"),
+        col("tok").as("tok2"), col("c").as("cb"))
+    left.join(right,
+        col("lang_a") === col("lang_a2") && col("lang_b") === col("lang_b2") &&
+          col("tok") === col("tok2"), "full_outer")
+      .select(
+        coalesce(col("lang_a"), col("lang_a2")).as("lang_a"),
+        coalesce(col("lang_b"), col("lang_b2")).as("lang_b"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .join(broadcast(tot.select(col("lang").as("lang_a"), col("n").as("na"))), "lang_a")
+      .join(broadcast(tot.select(col("lang").as("lang_b"), col("n").as("nb"))), "lang_b")
+      .withColumn("mix", col("ca") * col("nb") + col("cb") * col("na"))
+      .withColumn("ta",
+        when(col("ca") > 0,
+          col("ca") * (log2Fixed(lit(2) * col("ca") * col("nb")) - log2Fixed(col("mix"))))
+          .otherwise(0L))
+      .withColumn("tb",
+        when(col("cb") > 0,
+          col("cb") * (log2Fixed(lit(2) * col("cb") * col("na")) - log2Fixed(col("mix"))))
+          .otherwise(0L))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_types"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("ta")).as("num_a"), sum(col("tb")).as("num_b"))
+      .withColumn("js_bits",
+        (col("num_a").cast("double") / col("n_a").cast("double")
+          + col("num_b").cast("double") / col("n_b").cast("double")) / 2097152.0)
+      .orderBy("lang_a", "lang_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_js_divergence" -> textJsDivergence,
     "text_bigram_lm_perplexity" -> textBigramLmPerplexity,
     "text_pmi_collocations" -> textPmiCollocations,
     "text_heaps_curve" -> textHeapsCurve,

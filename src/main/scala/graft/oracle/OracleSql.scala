@@ -3483,6 +3483,55 @@ object OracleSql {
       |JOIN lgd ON lgd.v = j.pd
       |ORDER BY j.segment, j.priority""".stripMargin,
 
+    // ops.InfoTheory.textJsDivergence: pair-spine JS with one shared
+    // log chain over all needed integer arguments
+    "text_js_divergence" -> s"""WITH tok AS (
+      |  SELECT lang,
+      |         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+      |  FROM documents),
+      |uni AS (
+      |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok WHERE tok <> '' GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM uni GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.lang AS lang_a, b.lang AS lang_b
+      |  FROM tot a CROSS JOIN tot b WHERE a.lang < b.lang),
+      |lft AS (
+      |  SELECT p.lang_a, p.lang_b, u.tok, u.c AS ca
+      |  FROM pairs p JOIN uni u ON u.lang = p.lang_a),
+      |rgt AS (
+      |  SELECT p.lang_a, p.lang_b, u.tok, u.c AS cb
+      |  FROM pairs p JOIN uni u ON u.lang = p.lang_b),
+      |merged AS (
+      |  SELECT COALESCE(lft.lang_a, rgt.lang_a) AS lang_a,
+      |         COALESCE(lft.lang_b, rgt.lang_b) AS lang_b,
+      |         COALESCE(lft.ca, 0) AS ca, COALESCE(rgt.cb, 0) AS cb
+      |  FROM lft FULL OUTER JOIN rgt
+      |    ON rgt.lang_a = lft.lang_a AND rgt.lang_b = lft.lang_b AND rgt.tok = lft.tok),
+      |m2 AS (
+      |  SELECT merged.*, ta.n AS na, tb.n AS nb,
+      |         merged.ca * tb.n + merged.cb * ta.n AS mix
+      |  FROM merged
+      |  JOIN tot ta ON ta.lang = merged.lang_a
+      |  JOIN tot tb ON tb.lang = merged.lang_b),
+      |${Log2Sql.chain("lgv",
+        "SELECT DISTINCT v FROM (SELECT 2 * ca * nb AS v FROM m2 WHERE ca > 0 " +
+        "UNION SELECT 2 * cb * na FROM m2 WHERE cb > 0 UNION SELECT mix FROM m2)")}
+      |SELECT lang_a, lang_b, count(*) AS n_types,
+      |       CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+      |       CAST(SUM(CASE WHEN ca > 0 THEN ca * (la.l20 - lm.l20) ELSE 0 END) AS BIGINT) AS num_a,
+      |       CAST(SUM(CASE WHEN cb > 0 THEN cb * (lb.l20 - lm.l20) ELSE 0 END) AS BIGINT) AS num_b,
+      |       (CAST(SUM(CASE WHEN ca > 0 THEN ca * (la.l20 - lm.l20) ELSE 0 END) AS DOUBLE)
+      |          / CAST(MAX(na) AS DOUBLE)
+      |        + CAST(SUM(CASE WHEN cb > 0 THEN cb * (lb.l20 - lm.l20) ELSE 0 END) AS DOUBLE)
+      |          / CAST(MAX(nb) AS DOUBLE)) / 2097152.0 AS js_bits
+      |FROM m2
+      |LEFT JOIN lgv la ON la.v = 2 * ca * nb
+      |LEFT JOIN lgv lb ON lb.v = 2 * cb * na
+      |JOIN lgv lm ON lm.v = mix
+      |GROUP BY lang_a, lang_b
+      |ORDER BY lang_a, lang_b""".stripMargin,
+
     // ops.InfoTheory.textBigramLmPerplexity: JM-smoothed bigram
     // surprisal, chains over the distinct per-TYPE num/den products
     "text_bigram_lm_perplexity" -> s"""WITH tokarr AS (

@@ -351,6 +351,44 @@ class InfoTheorySpec extends SparkSpec {
     assert(got.map(_._2).sum === nl.values.sum)
   }
 
+  test("text_js_divergence: JVM replay; bounded in [0,1] bit; one-sided tokens kept per pair") {
+    val dir = "/root/testdata/sf0.001"
+    val uni = io.Readers.table(spark, dir, "documents")
+      .select(col("lang"), explode(split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val tot = uni.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    import functions.NumericExpressions.log2FixedJ
+    val langs = tot.keys.toSeq.sorted
+    val want = (for {
+      i <- langs.indices; j <- (i + 1) until langs.length
+    } yield {
+      val (la, lb) = (langs(i), langs(j))
+      val (na, nb) = (tot(la), tot(lb))
+      val toks = uni.keys.collect { case (l, t) if l == la || l == lb => t }.toSet
+      var (numA, numB, nTypes) = (0L, 0L, 0L)
+      toks.foreach { t =>
+        val ca = uni.getOrElse((la, t), 0L)
+        val cb = uni.getOrElse((lb, t), 0L)
+        val mix = ca * nb + cb * na
+        if (ca > 0) numA += ca * (log2FixedJ(2 * ca * nb) - log2FixedJ(mix))
+        if (cb > 0) numB += cb * (log2FixedJ(2 * cb * na) - log2FixedJ(mix))
+        nTypes += 1
+      }
+      (la, lb) -> (nTypes, na, nb, numA, numB)
+    }).toMap
+    val got = ops.InfoTheory.textJsDivergence(spark, dir).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+        === want(k), s"pair $k")
+      val js = r.getDouble(7)
+      assert(js >= 0.0 && js <= 1.0 + 1e-6, s"JS out of bounds: $k $js")
+    }
+  }
+
   test("text_zipf_slope tracks the double-precision OLS over log-log ranks") {
     val dir = "/root/testdata/sf0.001"
     val fixed = ops.InfoTheory.textZipfSlope(spark, dir)
