@@ -450,24 +450,32 @@ class PlanSpec extends SparkSpec {
     * pack_sequences bucket offsets → super-bucket level + theta
     * prefix, win_moving_range / text_ngram_freq → join forms).
     */
-  test("no query plans an unpartitioned window operator (global-sort gate)") {
+  test("no query plans an unpartitioned window operator or a CartesianProduct (global scale gate)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-    def unpartitioned(p: SparkPlan): Seq[String] = p.collect {
-      case a: AdaptiveSparkPlanExec => unpartitioned(a.inputPlan)
+    // one plan-construction pass, two standing invariants: the
+    // single-task global sort (unpartitioned window) and the
+    // all-pairs blowup (CartesianProduct — every crossJoin in the
+    // repo must stay a BROADCAST nested loop over a tiny side; a
+    // cartesian means both sides were too big to broadcast, which at
+    // 100 TB is the |A|·|B| catastrophe)
+    def offendersOf(p: SparkPlan): Seq[String] = p.collect {
+      case a: AdaptiveSparkPlanExec => offendersOf(a.inputPlan)
       case w: WindowExec if w.partitionSpec.isEmpty =>
         Seq(s"Window[${w.windowExpression.mkString(", ").take(80)}]")
       case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
         Seq("WindowGroupLimit")
+      case _: CartesianProductExec => Seq("CartesianProduct")
     }.flatten
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, q) =>
-        unpartitioned(q(spark, dir).queryExecution.executedPlan)
+        offendersOf(q(spark, dir).queryExecution.executedPlan)
           .map(w => s"$name: $w")
       }
     assert(offenders.isEmpty,
-      s"unpartitioned window operators (single-task global sorts):\n${offenders.mkString("\n")}")
+      s"scale-gate offenders (single-task sorts / all-pairs joins):\n${offenders.mkString("\n")}")
   }
 
   test("sim_profile_allpairs: skinny sig-equi-join, pair dedup before arrays attach") {
