@@ -118,6 +118,124 @@ object Multimodal {
     }.toDF("media_id", "embedding", "ok")
   }
 
+  /** REAL box-downsample resize for `raw`-format media (round 12,
+    * fifth session — the honest upgrade of the codec carry: raw
+    * row-major w·h·c bitmaps need NO image library, so their pixel
+    * math runs as pure JVM integer arithmetic; only COMPRESSED
+    * formats — the jpeg/png tags — still take the stub path, since
+    * parsing those genuinely needs the codec the container lacks):
+    * each output pixel is the floor-mean of its covering source
+    * block (the PIL BOX / OpenCV INTER_AREA kernel), blocks
+    * [x·W div tW, (x+1)·W div tW) × same for rows — integer
+    * boundaries, exact floor-division means, deterministic
+    * bit-for-bit. Payloads whose length disagrees with the header
+    * take the quarantine path like corrupt headers.
+    *
+    * Same executor-side per-partition shape as the stubs; at 100 TB
+    * the only data movement is the shrunken payload.
+    */
+  def resizeRaw(media: Dataset[(Long, Array[Byte])], targetW: Int, targetH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        decodeMeta(bytes) match {
+          case Some(m) if m.format == "raw" && m.width > 0 && m.height > 0 &&
+              bytes.length - 12 == m.width * m.height * m.channels =>
+            val (w, h, c) = (m.width, m.height, m.channels)
+            val body = bytes.drop(12)
+            val out = new Array[Byte](targetW * targetH * c)
+            var y = 0
+            while (y < targetH) {
+              val sy0 = y * h / targetH
+              val sy1 = math.max(sy0 + 1, (y + 1) * h / targetH)
+              var x = 0
+              while (x < targetW) {
+                val sx0 = x * w / targetW
+                val sx1 = math.max(sx0 + 1, (x + 1) * w / targetW)
+                var ch = 0
+                while (ch < c) {
+                  var sum = 0L
+                  var cnt = 0L
+                  var sy = sy0
+                  while (sy < sy1) {
+                    var sx = sx0
+                    while (sx < sx1) {
+                      sum += body((sy * w + sx) * c + ch) & 0xff
+                      cnt += 1
+                      sx += 1
+                    }
+                    sy += 1
+                  }
+                  out((y * targetW + x) * c + ch) = (sum / cnt).toByte
+                  ch += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            (id, encodeHeader(targetW, targetH, c, 0, out), true)
+          case _ => (id, null: Array[Byte], false)
+        }
+      }
+    }.toDF("media_id", "resized", "ok")
+  }
+
+  /** REAL feature extraction for `raw`-format media: per-channel
+    * means plus a 4×4 grid of block luminance means (each cell the
+    * exact floor-mean of its pixel block via [[resizeRaw]]'s kernel),
+    * scaled to [0, 1] and unit-normalized — shape-compatible with
+    * `embeddings.embedding`, so raw media flow straight into the
+    * cosine/ANN/centroid operators. Deterministic integer pixel
+    * math; the one float step (normalization) is fixed-order IEEE.
+    */
+  def extractFeaturesRaw(media: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        decodeMeta(bytes) match {
+          case Some(m) if m.format == "raw" && m.width >= 4 && m.height >= 4 &&
+              bytes.length - 12 == m.width * m.height * m.channels =>
+            val (w, h, c) = (m.width, m.height, m.channels)
+            val body = bytes.drop(12)
+            val chMean = Array.tabulate(c) { ch =>
+              var s = 0L; var i = ch
+              while (i < body.length) { s += body(i) & 0xff; i += c }
+              (s / (w.toLong * h)).toFloat / 255.0f
+            }
+            val grid = new Array[Float](16)
+            var gy = 0
+            while (gy < 4) {
+              val sy0 = gy * h / 4; val sy1 = math.max(sy0 + 1, (gy + 1) * h / 4)
+              var gx = 0
+              while (gx < 4) {
+                val sx0 = gx * w / 4; val sx1 = math.max(sx0 + 1, (gx + 1) * w / 4)
+                var sum = 0L; var cnt = 0L
+                var sy = sy0
+                while (sy < sy1) {
+                  var sx = sx0
+                  while (sx < sx1) {
+                    var ch = 0
+                    val base = (sy * w + sx) * c
+                    while (ch < c) { sum += body(base + ch) & 0xff; ch += 1 }
+                    cnt += c
+                    sx += 1
+                  }
+                  sy += 1
+                }
+                grid(gy * 4 + gx) = (sum / cnt).toFloat / 255.0f
+                gx += 1
+              }
+              gy += 1
+            }
+            val raw = chMean ++ grid
+            val n = math.sqrt(raw.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+            (id, if (n == 0.0) raw else raw.map(x => (x / n).toFloat), true)
+          case _ => (id, null: Array[Float], false)
+        }
+      }
+    }.toDF("media_id", "embedding", "ok")
+  }
+
   /** Frame-sample stub for video-like payloads: every `stride`-th
     * fixed-size chunk of the payload becomes a "frame" row (generator
     * shape: one input row → N output rows, flatMap not collect).

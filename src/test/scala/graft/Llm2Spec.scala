@@ -237,6 +237,54 @@ class Llm2Spec extends SparkSpec {
     assert(frames.select(max("frame_idx")).as[Int].collect().head === 8)
   }
 
+  test("multimodal: REAL raw-format box downsample — exact block means on crafted bitmaps") {
+    // 2x2 grayscale checkerboard 0/255 -> 1x1: floor((0+255+255+0)/4) = 127
+    val checker = ops.Multimodal.encodeHeader(2, 2, 1, 0,
+      Array[Byte](0, -1, -1, 0)) // -1 = 0xff
+    // 4x4 grayscale with distinct quadrant constants -> 2x2 exact
+    val quad = ops.Multimodal.encodeHeader(4, 4, 1, 0, Array.tabulate[Byte](16) { i =>
+      val (y, x) = (i / 4, i % 4)
+      (if (y < 2 && x < 2) 10 else if (y < 2) 20 else if (x < 2) 30 else 40).toByte
+    })
+    val media = Seq((1L, checker), (2L, quad),
+      (3L, ops.Multimodal.encodeHeader(2, 2, 1, 0, Array[Byte](1))), // length mismatch
+      (4L, ops.Multimodal.encodeHeader(2, 2, 1, 1, Array[Byte](0, 0, 0, 0))) // jpeg tag → not raw
+    ).toDS()
+    val out1 = ops.Multimodal.resizeRaw(media, 1, 1).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Array[Byte]](1), r.getBoolean(2))).toMap
+    assert(out1(1L)._2 && out1(1L)._1.drop(12).toSeq === Seq(127.toByte))
+    assert(!out1(3L)._2 && !out1(4L)._2, "length mismatch and compressed tags quarantine")
+    val out2 = ops.Multimodal.resizeRaw(media.filter(_._1 == 2L), 2, 2).collect().head
+    assert(out2.getAs[Array[Byte]](1).drop(12).toSeq ===
+      Seq[Byte](10, 20, 30, 40), "quadrant means exact")
+    // identity resize reproduces the payload bit-for-bit
+    val idm = ops.Multimodal.resizeRaw(media.filter(_._1 == 2L), 4, 4).collect().head
+    assert(idm.getAs[Array[Byte]](1).toSeq === quad.toSeq)
+  }
+
+  test("multimodal: REAL raw-format features — channel means + 4x4 luminance grid, unit-norm") {
+    // 8x8 grayscale: left half 0, right half 200 -> grid columns split exactly
+    val split = ops.Multimodal.encodeHeader(8, 8, 1, 0, Array.tabulate[Byte](64) { i =>
+      (if (i % 8 < 4) 0 else 200.toByte).toByte
+    })
+    val uniform = ops.Multimodal.encodeHeader(8, 8, 1, 0, Array.fill[Byte](64)(100))
+    val media = Seq((1L, split), (2L, uniform)).toDS()
+    val out = ops.Multimodal.extractFeaturesRaw(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f1 = out(1L); val f2 = out(2L)
+    assert(f1.length === 17 && f2.length === 17) // 1 channel mean + 16 grid
+    // unit norm
+    assert(math.abs(f1.map(x => x * x).sum - 1.0) < 1e-5)
+    // split image: grid columns 0-1 are zero, 2-3 positive and equal, per row
+    val grid1 = f1.drop(1)
+    (0 until 4).foreach { gy =>
+      assert(grid1(gy * 4) === 0.0f && grid1(gy * 4 + 1) === 0.0f)
+      assert(grid1(gy * 4 + 2) > 0 && grid1(gy * 4 + 2) === grid1(gy * 4 + 3))
+    }
+    // uniform image: all grid cells equal
+    assert(f2.drop(1).distinct.length === 1)
+  }
+
   test("PII scrub redacts planted emails and phone runs, leaves clean text untouched") {
     val rows = Seq(
       "contact me at jane.doe+work@example.org or +1 (412) 555-0199 please",
