@@ -1055,7 +1055,40 @@ object Analytics {
       .orderBy("event_type", "epoch_day")
   }
 
+  /** Trailing 7-day ROLLING MEDIAN of the daily count per event type —
+    * the robust smoother beside the mean-based trailing baselines
+    * (`events_burst_days` averages the trailing week, so one spike
+    * day poisons the next week's baseline; the median shrugs it
+    * off). Median is not frame-decomposable, but the frame is
+    * CALENDAR-BOUNDED (≤7 values), so the exact form is the sorted
+    * in-frame list indexed at the lower median — element_at(
+    * sort_array(collect_list(cnt) over frame), (n+1) div 2) — pure
+    * integers, deterministic in both engines regardless of frame
+    * arrival order. Calendar RANGE frame (gaps SHRINK the frame —
+    * the burst-key discipline), n carried as the audit cell.
+    *
+    * Scale: the list state is bounded by the FRAME (7), not data —
+    * this is exactly when collect_list-over-window is legitimate;
+    * the window partitions by type over the |types|·|days| rollup.
+    */
+  val timeSeriesRollingMedian: Q = (s, dir) => {
+    val daily = table(s, dir, "events")
+      .select(col("event_type"),
+        unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("frame", sort_array(collect_list(col("cnt")).over(w)))
+      .withColumn("n_frame", size(col("frame")).cast("long"))
+      .select(col("event_type"), col("epoch_day"), col("cnt"), col("n_frame"),
+        element_at(col("frame"), expr("CAST((n_frame + 1) div 2 AS INT)")).as("med7"))
+      .orderBy("event_type", "epoch_day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "time_series_rolling_median" -> timeSeriesRollingMedian,
     "events_anomaly_stl" -> eventsAnomalyStl,
     "time_series_stl_cells" -> timeSeriesStlCells,
     "orders_market_basket" -> ordersMarketBasket,

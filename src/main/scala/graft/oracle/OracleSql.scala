@@ -3789,6 +3789,26 @@ object OracleSql {
         |JOIN seasonal se ON se.event_type = i.event_type AND se.dow = i.dow
         |ORDER BY i.event_type, i.epoch_day""".stripMargin,
 
+    // ops.Analytics.timeSeriesRollingMedian: exact lower median of the
+    // trailing 7-day calendar frame via sorted-list indexing
+    "time_series_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, epoch_day, cnt,
+        |         list_sort(list(cnt) OVER w) AS frame
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+        |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, epoch_day, cnt,
+        |       CAST(len(frame) AS BIGINT) AS n_frame,
+        |       CAST(frame[CAST((len(frame) + 1) // 2 AS INT)] AS BIGINT) AS med7
+        |FROM f
+        |ORDER BY event_type, epoch_day""".stripMargin,
+
     // ops.Analytics.eventsAnomalyStl: the STL chain + denominator-aware
     // MAD median + cross-multiplied anomaly gate
     "events_anomaly_stl" ->

@@ -503,6 +503,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("time_series_rolling_median: literal-frame replay; spike-robustness vs the mean") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val daily = io.Readers.table(spark, dir, "events")
+      .groupBy(col("event_type"), unix_date(to_date(col("ts"))).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val got = ops.Analytics.timeSeriesRollingMedian(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.length === daily.size)
+    got.foreach { case ((t, d), (c, nF, med)) =>
+      assert(c === daily((t, d)))
+      val frame = (d - 6 to d).flatMap(dd => daily.get((t, dd))).sorted
+      assert(nF === frame.length.toLong, s"frame size $t/$d")
+      assert(med === frame((frame.length + 1) / 2 - 1), s"median $t/$d")
+    }
+  }
+
   test("events_anomaly_stl: denominator-aware MAD replay; gate decides by cross-multiplication") {
     val dir = "/root/testdata/sf0.001"
     val cells = ops.Analytics.timeSeriesStlCells(spark, dir).collect()
