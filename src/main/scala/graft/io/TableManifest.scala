@@ -49,7 +49,16 @@ object TableManifest {
 
   val PointerFile = "CURRENT"
 
-  final case class Pointer(version: Long, schemaVersion: Int)
+  /** `appliedBatch` is the streaming sinks' replay ledger (r12
+    * ADVICE): the highest ENGINE batch id folded into this table,
+    * recorded explicitly in the same atomic pointer rename as the
+    * version — version-number inference (`version >= batchId + 1`)
+    * silently drops live batches once a manual build/merge/compact
+    * inflates the version past the stream's. None on tables no
+    * stream has ever written (manual-only) and on legacy pointers.
+    */
+  final case class Pointer(version: Long, schemaVersion: Int,
+      appliedBatch: Option[Long] = None)
 
   /** Physical table of logical index `name` at `version`. Catalog
     * identifiers are lowercase; normalize here so pointer, catalog and
@@ -75,9 +84,10 @@ object TableManifest {
     else {
       val in = fs.open(pf)
       try {
-        val Array(v, s) = scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().next().split("\t", 2)
-        Some(Pointer(v.toLong, s.toInt))
+        val parts = scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next().split("\t", 3)
+        Some(Pointer(parts(0).toLong, parts(1).toInt,
+          if (parts.length > 2) Some(parts(2).toLong) else None))
       } finally in.close()
     }
   }
@@ -86,16 +96,25 @@ object TableManifest {
     * attempt-unique tmp file (two crashed attempts can never collide
     * on a fixed tmp name — the [[Manifest.write]] discipline), then
     * renamed over [[PointerFile]]: the rename IS the commit point.
+    *
+    * `appliedBatch` (a streaming sink folding engine batch N passes
+    * Some(N)) rides the SAME rename — the applied marker and the data
+    * version can never disagree. When None (every manual path), the
+    * CURRENT pointer's marker carries forward: a manual merge or
+    * compaction between stream batches must not erase the stream's
+    * replay ledger.
     */
   def commit(spark: SparkSession, name: String, version: Long,
-      schemaVersion: Int): Unit = {
+      schemaVersion: Int, appliedBatch: Option[Long] = None): Unit = {
     val root = metaRoot(spark, name)
     val fs = fsOf(spark, root)
     fs.mkdirs(root)
+    val applied = appliedBatch.orElse(readPointer(spark, name).flatMap(_.appliedBatch))
     val tmp = new Path(root, s"$PointerFile.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try {
-      out.write(s"$version\t$schemaVersion\n".getBytes("UTF-8"))
+      val tail = applied.map(b => s"\t$b").getOrElse("")
+      out.write(s"$version\t$schemaVersion$tail\n".getBytes("UTF-8"))
       out.hsync()
     } finally out.close()
     val fc = FileContext.getFileContext(root.toUri, fs.getConf)

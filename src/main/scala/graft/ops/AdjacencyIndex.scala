@@ -49,7 +49,8 @@ object AdjacencyIndex {
 
   private def publish(spark: SparkSession, name: String, rows: DataFrame,
       buckets: Int, version: Option[Long], beforeCommit: () => Unit,
-      afterCommit: () => Unit): Unit = {
+      afterCommit: () => Unit,
+      appliedBatch: Option[Long] = None): Unit = {
     val v = version.getOrElse(TableManifest.nextVersion(spark, name))
     val t = TableManifest.physicalName(name, v)
     spark.sql(s"DROP TABLE IF EXISTS $t") // unreferenced leftover staging only
@@ -57,7 +58,7 @@ object AdjacencyIndex {
       .bucketBy(buckets, "src").sortBy("src")
       .saveAsTable(t)
     beforeCommit()
-    TableManifest.commit(spark, name, v, SchemaVersion) // THE commit point
+    TableManifest.commit(spark, name, v, SchemaVersion, appliedBatch) // THE commit point
     afterCommit()
     TableManifest.vacuum(spark, name)
   }
@@ -66,9 +67,10 @@ object AdjacencyIndex {
   def build(spark: SparkSession, name: String, edges: DataFrame,
       buckets: Int = 32, version: Option[Long] = None,
       beforeCommit: () => Unit = () => (),
-      afterCommit: () => Unit = () => ()): Unit =
+      afterCommit: () => Unit = () => (),
+      appliedBatch: Option[Long] = None): Unit =
     publish(spark, name, normalized(edges), buckets, version,
-      beforeCommit, afterCommit)
+      beforeCommit, afterCommit, appliedBatch)
 
   /** The stored bucket count (from the catalog, not a sidecar — the
     * table IS the layout record here).
@@ -85,11 +87,12 @@ object AdjacencyIndex {
   def appendEdges(spark: SparkSession, name: String, edges: DataFrame,
       version: Option[Long] = None,
       beforeCommit: () => Unit = () => (),
-      afterCommit: () => Unit = () => ()): Unit = {
+      afterCommit: () => Unit = () => (),
+      appliedBatch: Option[Long] = None): Unit = {
     val cur = TableManifest.resolve(spark, name, SchemaVersion)
     val merged = spark.table(cur).unionByName(normalized(edges)).distinct()
     publish(spark, name, merged, bucketsOf(spark, cur), version,
-      beforeCommit, afterCommit)
+      beforeCommit, afterCommit, appliedBatch)
   }
 
   /** The stored undirected edge relation (both orientations). */

@@ -62,13 +62,14 @@ object CardinalityService {
 
   private def publish(spark: SparkSession, name: String, rows: DataFrame,
       version: Option[Long], beforeCommit: () => Unit,
-      afterCommit: () => Unit, schemaVersion: Int = SchemaVersion): Unit = {
+      afterCommit: () => Unit, schemaVersion: Int = SchemaVersion,
+      appliedBatch: Option[Long] = None): Unit = {
     val v = version.getOrElse(TableManifest.nextVersion(spark, name))
     val t = TableManifest.physicalName(name, v)
     spark.sql(s"DROP TABLE IF EXISTS $t") // unreferenced leftover staging only
     rows.write.mode("overwrite").format("parquet").saveAsTable(t)
     beforeCommit()
-    TableManifest.commit(spark, name, v, schemaVersion) // THE commit point
+    TableManifest.commit(spark, name, v, schemaVersion, appliedBatch) // THE commit point
     afterCommit()
     TableManifest.vacuum(spark, name)
   }
@@ -77,9 +78,10 @@ object CardinalityService {
   def build(spark: SparkSession, name: String, events: DataFrame,
       keyCol: String = "user_id", version: Option[Long] = None,
       beforeCommit: () => Unit = () => (),
-      afterCommit: () => Unit = () => ()): Unit =
+      afterCommit: () => Unit = () => (),
+      appliedBatch: Option[Long] = None): Unit =
     publish(spark, name, daySketches(events, keyCol), version,
-      beforeCommit, afterCommit)
+      beforeCommit, afterCommit, appliedBatch = appliedBatch)
 
   /** Append newly-arrived days: existing rows carry over verbatim
     * (immutable facts about closed days); a day present on BOTH sides
@@ -111,7 +113,8 @@ object CardinalityService {
   def mergeDays(spark: SparkSession, name: String, events: DataFrame,
       keyCol: String = "user_id", version: Option[Long] = None,
       beforeCommit: () => Unit = () => (),
-      afterCommit: () => Unit = () => ()): Unit = {
+      afterCommit: () => Unit = () => (),
+      appliedBatch: Option[Long] = None): Unit = {
     val cur = TableManifest.resolve(spark, name, SchemaVersion)
     val incoming = daySketches(events, keyCol)
     val merged = spark.table(cur)
@@ -124,7 +127,8 @@ object CardinalityService {
         when(col("sk_old").isNull, col("sk_new"))
           .when(col("sk_new").isNull, col("sk_old"))
           .otherwise(hll_union(col("sk_old"), col("sk_new"))).as("sk"))
-    publish(spark, name, merged, version, beforeCommit, afterCommit)
+    publish(spark, name, merged, version, beforeCommit, afterCommit,
+      appliedBatch = appliedBatch)
   }
 
   /** Stored sketch rows restricted to an inclusive day range. */
@@ -171,9 +175,10 @@ object CardinalityService {
       dimCol: String = "event_type", keyCol: String = "user_id",
       version: Option[Long] = None,
       beforeCommit: () => Unit = () => (),
-      afterCommit: () => Unit = () => ()): Unit =
+      afterCommit: () => Unit = () => (),
+      appliedBatch: Option[Long] = None): Unit =
     publish(spark, name, keyedDaySketches(events, dimCol, keyCol), version,
-      beforeCommit, afterCommit, KeyedSchemaVersion)
+      beforeCommit, afterCommit, KeyedSchemaVersion, appliedBatch)
 
   /** Incremental merge of possibly-partial (dim, day) data — the
     * keyed [[mergeDays]]: stored and incoming sketches combine via
@@ -184,7 +189,8 @@ object CardinalityService {
       dimCol: String = "event_type", keyCol: String = "user_id",
       version: Option[Long] = None,
       beforeCommit: () => Unit = () => (),
-      afterCommit: () => Unit = () => ()): Unit = {
+      afterCommit: () => Unit = () => (),
+      appliedBatch: Option[Long] = None): Unit = {
     val cur = TableManifest.resolve(spark, name, KeyedSchemaVersion)
     val incoming = keyedDaySketches(events, dimCol, keyCol)
     val merged = spark.table(cur)
@@ -199,7 +205,7 @@ object CardinalityService {
           .when(col("sk_new").isNull, col("sk_old"))
           .otherwise(hll_union(col("sk_old"), col("sk_new"))).as("sk"))
     publish(spark, name, merged, version, beforeCommit, afterCommit,
-      KeyedSchemaVersion)
+      KeyedSchemaVersion, appliedBatch)
   }
 
   /** Stored keyed sketch rows restricted to an inclusive day range. */

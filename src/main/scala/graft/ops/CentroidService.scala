@@ -93,16 +93,19 @@ object CentroidService {
   }
 
   /** Manual append (additive; descending manual ids keep repeated
-    * same-content appends distinct — the [[GramService]] contract).
+    * same-content appends distinct — the [[GramService]] contract,
+    * with the id reserved durably before partials land via
+    * [[ManualIds]]; `afterPartialsAppend` is the crash-injection
+    * seam).
     */
-  def appendVecs(emb: DataFrame, name: String): Unit = {
+  def appendVecs(emb: DataFrame, name: String,
+      afterPartialsAppend: () => Unit = () => ()): Unit = {
     val spark = emb.sparkSession
     val t = resolveTable(spark, name)
     spark.catalog.refreshTable(statsTable(t))
-    val manualId = spark.table(statsTable(t))
-      .agg(least(coalesce(min(col("batch_id")), lit(-1L)), lit(-1L)))
-      .head().getLong(0) - 1L
+    val manualId = ManualIds.reserve(spark, t, statsTable(t))
     partial(emb, manualId).write.mode("append").format("parquet").saveAsTable(t)
+    afterPartialsAppend()
     ledgerRow(spark, emb, manualId).write.mode("append")
       .format("parquet").saveAsTable(statsTable(t))
   }

@@ -194,8 +194,15 @@ object Embeddings {
     val withQ = emb
       .withColumn("scale",
         array_max(transform(col("embedding"), x => abs(x.cast("double")))))
-      .withColumn("q", transform(col("embedding"),
-        x => floor(x.cast("double") / col("scale") * lit(127.0)).cast("long")))
+      // zero-vector guard (r12 ADVICE): scale = 0 would put NaN→null
+      // through every component and silently null the label's
+      // aggregates downstream — an all-zero embedding quantizes to
+      // the all-zero array instead (its true quantization under any
+      // scale), counted in n_zero like any other zero component
+      .withColumn("q", when(col("scale") === 0.0,
+          transform(col("embedding"), _ => lit(0L)))
+        .otherwise(transform(col("embedding"),
+          x => floor(x.cast("double") / col("scale") * lit(127.0)).cast("long"))))
     withQ
       .select(col("label"),
         aggregate(col("q"), lit(0L), (a, v) => a + v * v).as("q2"),

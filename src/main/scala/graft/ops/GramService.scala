@@ -92,16 +92,20 @@ object GramService {
   /** Manual append of new vectors (additive — the same vector
     * appended twice counts twice, as corpus concatenation would).
     * Descending manual ids keep repeated same-content appends
-    * distinct.
+    * distinct; the id is reserved durably BEFORE partials land
+    * ([[ManualIds]] — the r12 ADVICE crash-window fix: a colliding
+    * reuse after a crashed append would make the max-collapse merge
+    * two unrelated partials' pos cells). `afterPartialsAppend` is
+    * the spec's crash-injection seam.
     */
-  def appendVecs(emb: DataFrame, name: String): Unit = {
+  def appendVecs(emb: DataFrame, name: String,
+      afterPartialsAppend: () => Unit = () => ()): Unit = {
     val spark = emb.sparkSession
     val t = resolveTable(spark, name)
     spark.catalog.refreshTable(statsTable(t))
-    val manualId = spark.table(statsTable(t))
-      .agg(least(coalesce(min(col("batch_id")), lit(-1L)), lit(-1L)))
-      .head().getLong(0) - 1L
+    val manualId = ManualIds.reserve(spark, t, statsTable(t))
     partial(emb, manualId).write.mode("append").format("parquet").saveAsTable(t)
+    afterPartialsAppend()
     ledgerRow(spark, emb, manualId).write.mode("append")
       .format("parquet").saveAsTable(statsTable(t))
   }

@@ -438,15 +438,21 @@ object Insights {
     * The consumer divides by 2 and normalizes; no float ever forms
     * here.
     *
-    * Scale: the pair join fans each row out ×(|segments|−1) — bounded
-    * by DIMENSION cardinality, not data. The rank window runs
-    * partitioned per pair; a pair's partition is two segments'
-    * customers through one sort — the winsorize-family caveat, with
-    * the same documented 100 TB swap: two KLL sketches per segment
-    * give every value's rank estimate within the certified bound
-    * ([[SketchVariants]]), keeping the U statistic sketch-sized.
-    * Overflow: R2 ≤ 2·(n_a+n_b)² < 2⁶³ below ~2·10⁹ rows per pair;
-    * widen to DECIMAL(38,0) beyond.
+    * Scale: the pair join fans each VALUE out ×(|segments|−1) —
+    * bounded by DIMENSION cardinality, not data. Round 13 (r12
+    * verdict item 4) moved the rank math off raw rows onto the
+    * DISTINCT-VALUE SPINE — the [[statKsTest]] shape: one map-side-
+    * combined rollup to per-(pair, value) counts (ca, cb), then the
+    * tie group at value v contributes ca·(2·cumt − cnt + 1) to R2_a
+    * (cumt = inclusive cumulative pair count, cnt = ca + cb: the
+    * group spans ranks [cumt−cnt+1, cumt], so each member's doubled
+    * midrank is 2·(cumt−cnt+1) + cnt − 1). The only window runs on
+    * the spine — ≤ |distinct values| rows per pair (value-domain-
+    * bounded: cents in a fixed range), never a data-sized partition.
+    * The KLL sketch swap ([[SketchVariants]]) remains the certified-
+    * error path where even the value domain is unbounded. Overflow:
+    * R2 ≤ 2·(n_a+n_b)² < 2⁶³ below ~2·10⁹ rows per pair; widen to
+    * DECIMAL(38,0) beyond.
     */
   val statMannWhitney: Q = (s, dir) => {
     val c = table(s, dir, "customer")
@@ -456,23 +462,35 @@ object Insights {
     val pairs = segs.select(col("segment").as("seg_a"))
       .crossJoin(segs.select(col("segment").as("seg_b")))
       .filter(col("seg_a") < col("seg_b"))
-    val member = c.join(broadcast(pairs),
-      col("segment") === col("seg_a") || col("segment") === col("seg_b"))
-    val w = Window.partitionBy(col("seg_a"), col("seg_b")).orderBy(col("bal_cents"))
-    val wt = Window.partitionBy(col("seg_a"), col("seg_b"), col("bal_cents"))
-    member
-      .withColumn("lo", rank().over(w).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(wt))
-      .withColumn("r2", lit(2L) * col("lo") + col("cnt") - 1)
-      .groupBy(col("seg_a"), col("seg_b"))
-      .agg(
-        count(when(col("segment") === col("seg_a"), 1)).as("n_a"),
-        count(when(col("segment") === col("seg_b"), 1)).as("n_b"),
-        sum(when(col("segment") === col("seg_a"), col("r2"))).as("r2_a"))
-      .withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + 1))
-      .withColumn("u2_b", lit(2L) * col("n_a") * col("n_b") - col("u2_a"))
+    mannWhitneyCells(c, pairs)
       .select("seg_a", "seg_b", "n_a", "n_b", "r2_a", "u2_a", "u2_b")
       .orderBy("seg_a", "seg_b")
+  }
+
+  /** The shared Mann–Whitney cell relation on the distinct-value
+    * spine (see [[statMannWhitney]] for the algebra; also feeds
+    * [[statKruskalWallis]]' pairwise decomposition): per unordered
+    * pair the sizes, the tie-adjusted doubled rank sum of side a,
+    * and both doubled U statistics.
+    */
+  private def mannWhitneyCells(c: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val perVal = c.join(broadcast(pairs),
+        col("segment") === col("seg_a") || col("segment") === col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"), col("bal_cents"))
+      .agg(count(when(col("segment") === col("seg_a"), 1)).as("ca"),
+        count(when(col("segment") === col("seg_b"), 1)).as("cb"))
+    val wCum = Window.partitionBy(col("seg_a"), col("seg_b"))
+      .orderBy(col("bal_cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perVal
+      .withColumn("cnt", col("ca") + col("cb"))
+      .withColumn("cumt", sum(col("cnt")).over(wCum))
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ca") * (lit(2L) * col("cumt") - col("cnt") + 1)).as("r2_a"))
+      .withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + 1))
+      .withColumn("u2_b", lit(2L) * col("n_a") * col("n_b") - col("u2_a"))
   }
 
   /** Two-sample Kolmogorov–Smirnov cells for every unordered segment
@@ -712,14 +730,16 @@ object Insights {
     * other element lives in; the own-group term telescopes to
     * n_g(n_g+1) − n_g and the cross terms are exactly the doubled-U
     * cells [[statMannWhitney]] already computes — spec'd equal to a
-    * brute-force pooled-midrank replay). Every window is partitioned
-    * per PAIR; the tie sum is one map-side-combined value rollup with
-    * no window at all.
+    * brute-force pooled-midrank replay). The shared
+    * `mannWhitneyCells` runs on the distinct-value spine (round 13),
+    * so every window partition is ≤ |distinct values| rows — never
+    * data-sized; the tie sum is one map-side-combined value rollup
+    * with no window at all.
     *
     * Scale: pair fan-out bounded by dimension cardinality (k segments
-    * → k(k−1)/2 pair partitions); per-pair windows carry the
-    * winsorize-family caveat with the same KLL swap
-    * ([[SketchVariants]]). Overflow: r2_g ≤ 2N² < 2⁶³ below ~2·10⁹
+    * → k(k−1)/2 pair partitions); the value spine is value-domain-
+    * bounded, with the KLL swap ([[SketchVariants]]) where even that
+    * is unbounded. Overflow: r2_g ≤ 2N² < 2⁶³ below ~2·10⁹
     * pooled rows; widen to DECIMAL(38,0) beyond.
     */
   val statKruskalWallis: Q = (s, dir) => {
@@ -730,20 +750,7 @@ object Insights {
     val pairs = segs.select(col("segment").as("seg_a"))
       .crossJoin(segs.select(col("segment").as("seg_b")))
       .filter(col("seg_a") < col("seg_b"))
-    val w = Window.partitionBy(col("seg_a"), col("seg_b")).orderBy(col("bal_cents"))
-    val wt = Window.partitionBy(col("seg_a"), col("seg_b"), col("bal_cents"))
-    val cells = c.join(broadcast(pairs),
-        col("segment") === col("seg_a") || col("segment") === col("seg_b"))
-      .withColumn("lo", rank().over(w).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(wt))
-      .withColumn("r2", lit(2L) * col("lo") + col("cnt") - 1)
-      .groupBy(col("seg_a"), col("seg_b"))
-      .agg(
-        count(when(col("segment") === col("seg_a"), 1)).as("n_a"),
-        count(when(col("segment") === col("seg_b"), 1)).as("n_b"),
-        sum(when(col("segment") === col("seg_a"), col("r2"))).as("r2_a"))
-      .withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + 1))
-      .withColumn("u2_b", lit(2L) * col("n_a") * col("n_b") - col("u2_a"))
+    val cells = mannWhitneyCells(c, pairs)
     val directed = cells
       .select(col("seg_a").as("segment"), col("u2_a").as("u2"))
       .union(cells.select(col("seg_b"), col("u2_b")))
@@ -779,10 +786,18 @@ object Insights {
     * identity anyway.
     *
     * Scale: one shuffle to per-customer revenue, a broadcast dim
-    * join, and two rank windows PARTITIONED by segment (winsorize
-    * caveat + KLL swap, as the whole family). Overflow:
-    * s_xy ≤ 4n³ < 2⁶³ below ~1.3·10⁶ rows per segment; widen to
-    * DECIMAL(38,0) beyond (same plan shape).
+    * join, then — round 13 (r12 verdict item 4) — each axis's
+    * doubled midranks come from a DISTINCT-VALUE SPINE (per
+    * (segment, value) counts, cumulative over the spine window,
+    * 2·mr(v) = 2·cumt − cnt + 1 for every row at v) joined back to
+    * the rows on the fine-grained (segment, value) key. No window
+    * ever sees raw rows: spine partitions are ≤ |distinct values|
+    * per segment (value-domain-bounded), and the join-back shuffles
+    * on composite keys — well-distributed, no single-task sort. The
+    * KLL swap ([[SketchVariants]]) remains the certified path for
+    * unbounded value domains. Overflow: s_xy ≤ 4n³ < 2⁶³ below
+    * ~1.3·10⁶ rows per segment; widen to DECIMAL(38,0) beyond (same
+    * plan shape).
     */
   val statSpearmanCells: Q = (s, dir) => {
     val rev = table(s, dir, "orders")
@@ -793,14 +808,19 @@ object Insights {
         (dec(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
       .join(rev, col("o_custkey") === col("c_custkey"), "left_outer")
       .withColumn("rev_cents", coalesce(col("rev_cents"), lit(0L)))
-    val wx = Window.partitionBy(col("segment")).orderBy(col("bal_cents"))
-    val wxt = Window.partitionBy(col("segment"), col("bal_cents"))
-    val wy = Window.partitionBy(col("segment")).orderBy(col("rev_cents"))
-    val wyt = Window.partitionBy(col("segment"), col("rev_cents"))
-    c.withColumn("r2x", lit(2L) * rank().over(wx).cast("long")
-        + count(lit(1)).over(wxt) - 1)
-      .withColumn("r2y", lit(2L) * rank().over(wy).cast("long")
-        + count(lit(1)).over(wyt) - 1)
+    // doubled-midrank spine for one axis: every row holding value v
+    // in `segment` has 2·midrank = 2·cumt(v) − cnt(v) + 1
+    def spineRanks(valueCol: String, out: String): org.apache.spark.sql.DataFrame = {
+      val wCum = Window.partitionBy(col("segment")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.groupBy(col("segment"), col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cumt", sum(col("cnt")).over(wCum))
+        .select(col("segment"), col(valueCol),
+          (lit(2L) * col("cumt") - col("cnt") + 1).as(out))
+    }
+    c.join(spineRanks("bal_cents", "r2x"), Seq("segment", "bal_cents"))
+      .join(spineRanks("rev_cents", "r2y"), Seq("segment", "rev_cents"))
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n"),
         sum(col("r2x") * col("r2y")).as("s_xy"),
@@ -1411,10 +1431,22 @@ object Insights {
     // alphabetical bit rank WITHOUT a window (the global-sort gate
     // bans unpartitioned windows even over a ≤5-row dim): bit(t) =
     // count of channels strictly below t — a tiny theta self-join
+    val nCh = 4 // |C| on this corpus; the ×24 = 4! scale is pinned to it
+    // the lattice, factorial weights, and popS CASE below are all
+    // pinned to nCh — a corpus with a different non-purchase type
+    // count would be SILENTLY wrong (bits ≥ nCh fall outside the
+    // subset range; fewer types skew the weights), so the pin is
+    // asserted IN-PLAN (r12 ADVICE): assert_true returns null when
+    // the count matches and raises before any wrong row can form
     val channels = chTypes
       .join(chTypes.select(col("t").as("t2")), col("t2") < col("t"), "left")
       .groupBy(col("t")).agg(count(col("t2")).as("bit"))
-    val nCh = 4 // |C| on this corpus; the ×24 = 4! scale is pinned to it
+      .crossJoin(broadcast(chTypes.agg(count(lit(1)).as("n_ch"))))
+      .filter(assert_true(col("n_ch") === nCh,
+        concat(lit("eventsShapleyAttribution: subset lattice pinned to nCh=4 "),
+          lit("but the corpus has "), col("n_ch"),
+          lit(" non-purchase event types — re-derive nCh"))).isNull)
+      .drop("n_ch")
     val firstBuy = e.filter(col("event_type") === "purchase")
       .groupBy(col("user_id")).agg(min(col("ts")).as("buy_ts"))
     val masks = e

@@ -355,6 +355,21 @@ object PostingIndex {
     * (an equality guard would forget compacted batches and re-apply
     * them). Manual batches' −1 rows can never satisfy the guard for an
     * engine id (those start at 0).
+    *
+    * HARD CONTRACT — single-stream ownership (r12 ADVICE made this
+    * explicit): exactly ONE streaming query may feed an index, and a
+    * rebased checkpoint (restarting the stream from an id below the
+    * recorded high water) is out of contract — the monotone `>=`
+    * guard is only sound when engine ids arrive in order from one
+    * writer. Two concurrent streams, or a re-based restart, can have
+    * a later-id commit mask an earlier UNCOMMITTED batch, which is
+    * then skipped as a replay. If multi-writer ingest is ever
+    * needed, the guard must become per-batch exact-id ledger rows
+    * with compaction preserving the full committed-id set (cost:
+    * ledger rows grow with batch count between compactions). The
+    * same contract binds the sibling services' appendBatch guards
+    * ([[VocabService]], [[GramService]], [[CentroidService]],
+    * [[BigramService]]).
     */
   private[graft] def appendBatch(docs: DataFrame, batchId: Long,
       tableName: String,

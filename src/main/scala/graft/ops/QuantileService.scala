@@ -70,14 +70,15 @@ object QuantileService {
   def build(spark: SparkSession, name: String, events: DataFrame,
       version: Option[Long] = None,
       beforeCommit: () => Unit = () => (),
-      afterCommit: () => Unit = () => ()): Unit = {
+      afterCommit: () => Unit = () => (),
+      appliedBatch: Option[Long] = None): Unit = {
     val v = version.getOrElse(TableManifest.nextVersion(spark, name))
     val t = TableManifest.physicalName(name, v)
     spark.sql(s"DROP TABLE IF EXISTS $t") // unreferenced leftover staging only
     daySketches(spark, events)
       .write.mode("overwrite").format("parquet").saveAsTable(t)
     beforeCommit()
-    TableManifest.commit(spark, name, v, SchemaVersion) // THE commit point
+    TableManifest.commit(spark, name, v, SchemaVersion, appliedBatch) // THE commit point
     afterCommit()
     TableManifest.vacuum(spark, name)
   }
@@ -121,7 +122,8 @@ object QuantileService {
   def mergeDays(spark: SparkSession, name: String, events: DataFrame,
       version: Option[Long] = None,
       beforeCommit: () => Unit = () => (),
-      afterCommit: () => Unit = () => ()): Unit = {
+      afterCommit: () => Unit = () => (),
+      appliedBatch: Option[Long] = None): Unit = {
     val cur = TableManifest.resolve(spark, name, SchemaVersion)
     val incoming = daySketches(spark, events)
     val mergeU = udf { (a: Array[Byte], b: Array[Byte]) =>
@@ -144,7 +146,7 @@ object QuantileService {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     merged.write.mode("overwrite").format("parquet").saveAsTable(t)
     beforeCommit()
-    TableManifest.commit(spark, name, v, SchemaVersion) // THE commit point
+    TableManifest.commit(spark, name, v, SchemaVersion, appliedBatch) // THE commit point
     afterCommit()
     TableManifest.vacuum(spark, name)
   }

@@ -128,30 +128,39 @@ object Stats {
     * k-th order statistic). All money math on DECIMAL(18,2) with one
     * final correctly-rounded double cast (graft.Determinism).
     *
-    * Scale: the segment window is ONE exchange; the bounds aggregate
-    * rides the same clustering and broadcasts back (≤ |segments|
-    * rows), and the clamp+mean pass is algebraic. Honest caveat, same
-    * as `text_zipf_slope`'s: a 5-value partition key serializes the
-    * per-group sort at 5 tasks — for warehouse-scale groups swap the
-    * exact bounds for KLL quantiles ([[graft.ops.QuantileService]],
-    * mergeable, fully parallel) and keep the clamp+mean pass
-    * unchanged; the exact form is the oracle-able reference.
+    * Scale (round 13, r12 verdict item 4 — the family archetype
+    * rewritten): the order statistics come off the DISTINCT-VALUE
+    * SPINE, never a raw-row rank window. One map-side-combined
+    * rollup to per-(segment, bal) counts, a cumulative window over
+    * the spine (≤ |distinct balances| rows per segment —
+    * value-domain-bounded), and the value at integer rank k is the
+    * unique spine row with cum − cnt < k ≤ cum (ties share a value,
+    * so the k-th order statistic is tiebreak-independent by
+    * construction — the same value the old (bal, custkey) row_number
+    * landed on). Bounds broadcast back (≤ |segments| rows); the
+    * clamp+mean pass is algebraic with no window at all. For
+    * unbounded value domains swap the exact bounds for KLL quantiles
+    * ([[graft.ops.QuantileService]], mergeable, fully parallel) and
+    * keep the clamp+mean pass unchanged; the exact form is the
+    * oracle-able reference.
     */
   val statWinsorize: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val c = table(s, dir, "customer")
-      .select(col("c_mktsegment").as("segment"), dec(col("c_acctbal")).as("bal"),
-        col("c_custkey"))
-    val ranked = c
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("segment")).orderBy(col("bal"), col("c_custkey"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
-    val bounds = ranked.groupBy(col("segment")).agg(
+      .select(col("c_mktsegment").as("segment"), dec(col("c_acctbal")).as("bal"))
+    val wCum = Window.partitionBy(col("segment")).orderBy(col("bal"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spine = c.groupBy(col("segment"), col("bal"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("segment"))))
+    val bounds = spine.groupBy(col("segment")).agg(
       max(col("n")).as("n"),
-      max(when(col("rn") === expr("(n - 1) * 5 div 100 + 1"), col("bal"))).as("lo"),
-      max(when(col("rn") === expr("(n - 1) * 95 div 100 + 1"), col("bal"))).as("hi"))
-    ranked
-      .join(broadcast(bounds.select(col("segment"), col("lo"), col("hi"))), "segment")
+      max(when(expr("cum - cnt < (n - 1) * 5 div 100 + 1")
+        && expr("(n - 1) * 5 div 100 + 1 <= cum"), col("bal"))).as("lo"),
+      max(when(expr("cum - cnt < (n - 1) * 95 div 100 + 1")
+        && expr("(n - 1) * 95 div 100 + 1 <= cum"), col("bal"))).as("hi"))
+    c.join(broadcast(bounds.select(col("segment"), col("lo"), col("hi"))), "segment")
       .withColumn("clamped", greatest(col("lo"), least(col("hi"), col("bal"))))
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n"),

@@ -247,15 +247,33 @@ object Streaming {
     * keep arriving for an open day, so replace semantics would drop
     * the day's earlier batches).
     */
+  /** True iff engine batch `batchId` is already folded into `name`.
+    * Primary: the pointer's EXPLICIT appliedBatch marker (written in
+    * the same atomic rename as the data version — r12 ADVICE fix:
+    * version-number inference breaks once a manual build/merge/
+    * compact inflates the version past the stream's, silently
+    * dropping live batches as phantom replays). Legacy pointers
+    * (pre-marker) fall back to the version inference, which is
+    * correct exactly when the sink owned the table from version 0.
+    */
+  private def batchApplied(spark: org.apache.spark.sql.SparkSession,
+      name: String, batchId: Long): Boolean =
+    graft.io.TableManifest.readPointer(spark, name).exists { p =>
+      p.appliedBatch match {
+        case Some(b) => b >= batchId
+        case None => p.version >= batchId + 1
+      }
+    }
+
   def applyQuantileBatch(name: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val applied = graft.io.TableManifest.readPointer(spark, name)
-      .exists(_.version >= batchId + 1)
-    if (!applied && !batch.isEmpty) {
+    if (!batchApplied(spark, name, batchId) && !batch.isEmpty) {
       if (graft.io.TableManifest.readPointer(spark, name).isEmpty)
-        QuantileService.build(spark, name, batch, version = Some(batchId + 1))
+        QuantileService.build(spark, name, batch,
+          appliedBatch = Some(batchId))
       else
-        QuantileService.mergeDays(spark, name, batch, version = Some(batchId + 1))
+        QuantileService.mergeDays(spark, name, batch,
+          appliedBatch = Some(batchId))
     }
   }
 
@@ -285,13 +303,13 @@ object Streaming {
     */
   def applyCardinalityBatch(name: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val applied = graft.io.TableManifest.readPointer(spark, name)
-      .exists(_.version >= batchId + 1)
-    if (!applied && !batch.isEmpty) {
+    if (!batchApplied(spark, name, batchId) && !batch.isEmpty) {
       if (graft.io.TableManifest.readPointer(spark, name).isEmpty)
-        CardinalityService.build(spark, name, batch, version = Some(batchId + 1))
+        CardinalityService.build(spark, name, batch,
+          appliedBatch = Some(batchId))
       else
-        CardinalityService.mergeDays(spark, name, batch, version = Some(batchId + 1))
+        CardinalityService.mergeDays(spark, name, batch,
+          appliedBatch = Some(batchId))
     }
   }
 
@@ -321,13 +339,13 @@ object Streaming {
     */
   def applyCardinalityKeyedBatch(name: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val applied = graft.io.TableManifest.readPointer(spark, name)
-      .exists(_.version >= batchId + 1)
-    if (!applied && !batch.isEmpty) {
+    if (!batchApplied(spark, name, batchId) && !batch.isEmpty) {
       if (graft.io.TableManifest.readPointer(spark, name).isEmpty)
-        CardinalityService.buildKeyed(spark, name, batch, version = Some(batchId + 1))
+        CardinalityService.buildKeyed(spark, name, batch,
+          appliedBatch = Some(batchId))
       else
-        CardinalityService.mergeDaysKeyed(spark, name, batch, version = Some(batchId + 1))
+        CardinalityService.mergeDaysKeyed(spark, name, batch,
+          appliedBatch = Some(batchId))
     }
   }
 
@@ -467,14 +485,13 @@ object Streaming {
     */
   def applyAdjacencyBatch(name: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val applied = graft.io.TableManifest.readPointer(spark, name)
-      .exists(_.version >= batchId + 1)
-    if (!applied && !batch.isEmpty) {
+    if (!batchApplied(spark, name, batchId) && !batch.isEmpty) {
       if (graft.io.TableManifest.readPointer(spark, name).isEmpty)
-        AdjacencyIndex.build(spark, name, batch, version = Some(batchId + 1))
+        AdjacencyIndex.build(spark, name, batch,
+          appliedBatch = Some(batchId))
       else
         AdjacencyIndex.appendEdges(spark, name, batch,
-          version = Some(batchId + 1))
+          appliedBatch = Some(batchId))
     }
   }
 

@@ -113,19 +113,33 @@ object VocabService {
     * twice counts twice, as a corpus concatenation would). Gets the
     * next DESCENDING manual id so repeated same-content appends stay
     * distinct batches.
+    *
+    * The id is RESERVED DURABLY (one row in the `_resv` sidecar)
+    * before any partial row exists (r12 ADVICE): without the
+    * reservation, a crash after the partial write but before the
+    * ledger row would let the NEXT manual append — possibly of
+    * DIFFERENT docs — recompute the same id from the unchanged
+    * ledger, commit it, and the max-collapse in [[effective]] would
+    * silently merge the two unrelated partials. With it, orphan
+    * rows of a crashed append sit under an id that is reserved but
+    * never committed: invisible to every reader (the ledger
+    * semi-join), never reused, reclaimed by [[compact]]. The `_resv`
+    * sidecar rides the version-table lifecycle ([[TableManifest
+    * .vacuum]] drops `_`-suffixed sidecars with their version).
+    * `afterPartialsAppend` is the spec's crash-injection seam.
     */
-  def appendDocs(docs: DataFrame, name: String): Unit = {
+  def appendDocs(docs: DataFrame, name: String,
+      afterPartialsAppend: () => Unit = () => ()): Unit = {
     val spark = docs.sparkSession
     val t = resolveTable(spark, name)
     spark.catalog.refreshTable(statsTable(t))
-    val manualId = spark.table(statsTable(t))
-      .agg(least(coalesce(min(col("batch_id")), lit(-1L)), lit(-1L)))
-      .head().getLong(0) - 1L
+    val manualId = ManualIds.reserve(spark, t, statsTable(t))
     val (key, buckets) = bucketLayout(spark, t)
     val rows = partial(docs, manualId).localCheckpoint()
     rows.write.mode("append")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(t)
+    afterPartialsAppend()
     ledgerRow(rows, docs.count(), manualId).write.mode("append")
       .format("parquet").saveAsTable(statsTable(t))
   }

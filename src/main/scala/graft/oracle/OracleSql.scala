@@ -4839,7 +4839,9 @@ object OracleSql {
         |sc AS (SELECT vec_id, MAX(abs(x)) AS s FROM flat GROUP BY vec_id),
         |qv AS (
         |  SELECT flat.vec_id, flat.label,
-        |         CAST(floor((flat.x / sc.s) * 127.0) AS BIGINT) AS qk
+        |         CASE WHEN sc.s = 0 THEN 0
+        |              ELSE CAST(floor((flat.x / sc.s) * 127.0) AS BIGINT)
+        |         END AS qk
         |  FROM flat JOIN sc ON sc.vec_id = flat.vec_id),
         |pv AS (
         |  SELECT vec_id, label,

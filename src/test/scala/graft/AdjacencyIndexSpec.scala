@@ -105,7 +105,8 @@ class AdjacencyIndexSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val expect = Set(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 3L -> 4L, 4L -> 3L)
       assert(edgeSet === expect)
-      // post-commit replay: version pin makes it a no-op (pointer static)
+      // post-commit replay: the pointer's appliedBatch marker makes
+      // it a no-op (pointer static)
       val vBefore = io.TableManifest.readPointer(spark, name).get.version
       ops.Streaming.applyAdjacencyBatch(name)(
         Seq(3L -> 4L).toDF("src", "dst"), 1L)

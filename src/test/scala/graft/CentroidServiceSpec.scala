@@ -57,6 +57,26 @@ class CentroidServiceSpec extends SparkSpec {
     } finally io.TableManifest.drop(spark, "ctr_b")
   }
 
+  test("crashed MANUAL append never shares its id with the next append (r12 ADVICE)") {
+    val t0 = emb.filter(col("vec_id") % 3 === 0)
+    val tCrash = emb.filter(col("vec_id") % 3 === 1)
+    val tNext = emb.filter(col("vec_id") % 3 === 2)
+    ops.CentroidService.build(spark, "ctr_mc", t0)
+    try {
+      intercept[RuntimeException] {
+        ops.CentroidService.appendVecs(tCrash, "ctr_mc",
+          afterPartialsAppend = () => throw new RuntimeException("boom"))
+      }
+      ops.CentroidService.appendVecs(tNext, "ctr_mc")
+      assert(cells(ops.CentroidService.centroidOver(spark, "ctr_mc"))
+        === cells(ops.Embeddings.centroidCellsOf(t0.unionByName(tNext))),
+        "crashed partials must stay invisible and unmerged")
+      ops.CentroidService.appendVecs(tCrash, "ctr_mc")
+      assert(cells(ops.CentroidService.centroidOver(spark, "ctr_mc"))
+        === cells(ops.Embeddings.centroidCellsOf(emb)), "retry completes")
+    } finally io.TableManifest.drop(spark, "ctr_mc")
+  }
+
   test("crash between partials and ledger: replay converges exactly, orphans invisible") {
     val half1 = emb.filter(col("vec_id") % 2 === 0)
     val half2 = emb.filter(col("vec_id") % 2 === 1)

@@ -48,6 +48,29 @@ class GramServiceSpec extends SparkSpec {
     } finally io.TableManifest.drop(spark, "gsvc_b")
   }
 
+  test("crashed MANUAL append never shares its id with the next append (r12 ADVICE)") {
+    // without the ManualIds reservation, a crashed manual append's
+    // orphan pos cells would collide with the NEXT manual id and the
+    // max() collapse would merge unrelated partials' cells
+    val t0 = emb.filter(col("vec_id") % 3 === 0)
+    val tCrash = emb.filter(col("vec_id") % 3 === 1)
+    val tNext = emb.filter(col("vec_id") % 3 === 2)
+    ops.GramService.build(spark, "gsvc_mc", t0)
+    try {
+      intercept[RuntimeException] {
+        ops.GramService.appendVecs(tCrash, "gsvc_mc",
+          afterPartialsAppend = () => throw new RuntimeException("boom"))
+      }
+      ops.GramService.appendVecs(tNext, "gsvc_mc")
+      assert(cells(ops.GramService.cellsOver(spark, "gsvc_mc"))
+        === cells(ops.Embeddings.gramCellsDeclarative(t0.unionByName(tNext))),
+        "crashed partials must stay invisible and unmerged")
+      ops.GramService.appendVecs(tCrash, "gsvc_mc")
+      assert(cells(ops.GramService.cellsOver(spark, "gsvc_mc"))
+        === cells(ops.Embeddings.gramCellsDeclarative(emb)), "retry completes")
+    } finally io.TableManifest.drop(spark, "gsvc_mc")
+  }
+
   test("crash between partials and ledger: replay converges exactly, orphan rows invisible") {
     val half1 = emb.filter(col("vec_id") % 2 === 0)
     val half2 = emb.filter(col("vec_id") % 2 === 1)

@@ -223,11 +223,12 @@ class GraphBfsSpec extends SparkSpec {
         exact(h) += dist.size
       }
     }
-    // lgK=12 → rse ≈ 1.04/√2¹² ≈ 1.6 %; per-node errors are not
-    // independent but 8 % (5σ) on the SUM is a conservative gate
+    // lgK=10 (the r13 suite-headroom setting — r12 verdict item 1b)
+    // → rse ≈ 1.04/√2¹⁰ ≈ 3.25 %; per-node errors are not
+    // independent but 16 % (5σ) on the SUM is a conservative gate
     rows.foreach { case (h, _, sumEst, _, _) =>
       val ex = exact(h.toInt)
-      assert(math.abs(sumEst - ex).toDouble <= math.max(3.0, 0.08 * ex),
+      assert(math.abs(sumEst - ex).toDouble <= math.max(3.0, 0.16 * ex),
         s"hop $h: est $sumEst vs exact $ex")
     }
   }

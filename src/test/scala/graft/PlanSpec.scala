@@ -525,6 +525,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("rank-window stat family: every window runs on an aggregated value spine, never raw rows") {
+    // r12 verdict item 4: the four keys graded `weak` for data-sized
+    // window partitions (mann_whitney / kruskal / spearman /
+    // winsorize) were rewritten onto the distinct-value spine — the
+    // machine form of that guarantee: every WindowExec's input
+    // subtree contains an Aggregate (the per-value rollup), so the
+    // sorted partition is ≤ |distinct values|, never ~|rows|
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def hasAgg(p: SparkPlan): Boolean = p.collectFirst {
+      case _: HashAggregateExec => true
+      case _: ObjectHashAggregateExec => true
+      case _: SortAggregateExec => true
+    }.isDefined
+    def offenders(p: SparkPlan): Seq[String] = p.collect {
+      case a: AdaptiveSparkPlanExec => offenders(a.inputPlan)
+      case w: WindowExec if !w.children.forall(hasAgg) =>
+        Seq(s"Window over raw rows: ${w.windowExpression.mkString(",").take(80)}")
+    }.flatten
+    for ((n, q) <- Seq(
+        "stat_mann_whitney" -> ops.Insights.statMannWhitney,
+        "stat_kruskal_wallis" -> ops.Insights.statKruskalWallis,
+        "stat_spearman_cells" -> ops.Insights.statSpearmanCells,
+        "stat_winsorize" -> ops.Stats.statWinsorize)) {
+      val bad = offenders(q(spark, dir).queryExecution.executedPlan)
+      assert(bad.isEmpty, s"$n: ${bad.mkString("; ")}")
+    }
+  }
+
   test("events_cusum_changepoint: windows run on the daily rollup, raw scan pruned and partial-agg'd") {
     val p = plan(ops.Insights.eventsCusumChangepoint)
     val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString

@@ -167,6 +167,33 @@ class QuantileServiceSpec extends SparkSpec {
     }
   }
 
+  test("manual merge between stream batches must not mask the next live batch (r12 ADVICE)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val name = "qsvc_manual_mix"
+    try {
+      ops.Streaming.applyQuantileBatch(name)(
+        Seq((ts("2024-03-01 10:00:00"), 1.0)).toDF("ts", "value"), 0L)
+      assert(ops.QuantileService.mergedSketch(spark, name).n == 1)
+      // a MANUAL merge lands between stream batches: the version
+      // inflates past batchId+1 — the old version-inference guard
+      // would then read every later live batch as a phantom replay
+      ops.QuantileService.mergeDays(spark, name,
+        Seq((ts("2024-03-01 11:00:00"), 2.0)).toDF("ts", "value"))
+      val p = io.TableManifest.readPointer(spark, name).get
+      assert(p.appliedBatch === Some(0L),
+        "manual commits must carry the applied marker forward")
+      ops.Streaming.applyQuantileBatch(name)(
+        Seq((ts("2024-03-02 09:00:00"), 3.0)).toDF("ts", "value"), 1L)
+      assert(ops.QuantileService.mergedSketch(spark, name).n == 3,
+        "live batch after a manual merge must still fold in")
+      // and batch 1's replay is still a no-op
+      ops.Streaming.applyQuantileBatch(name)(
+        Seq((ts("2024-03-02 09:00:00"), 3.0)).toDF("ts", "value"), 1L)
+      assert(ops.QuantileService.mergedSketch(spark, name).n == 3,
+        "replay stays a no-op under the explicit marker")
+    } finally io.TableManifest.drop(spark, name)
+  }
+
   test("per-key streaming KLL state accumulates across batches with a valid certificate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

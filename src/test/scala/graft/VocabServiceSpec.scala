@@ -57,6 +57,31 @@ class VocabServiceSpec extends SparkSpec {
     } finally io.TableManifest.drop(spark, "vsvc_b")
   }
 
+  test("crashed MANUAL append never shares its id with the next append (r12 ADVICE)") {
+    // the corruption scenario the reservation sidecar closes: append A
+    // crashes after partials, append B (DIFFERENT docs) runs next —
+    // without the durable reservation B would recompute A's id and the
+    // max-collapse would merge the two unrelated partials
+    val half1 = docs.filter(col("doc_id") % 3 === 0)
+    val crashDocs = docs.filter(col("doc_id") % 3 === 1)
+    val nextDocs = docs.filter(col("doc_id") % 3 === 2)
+    ops.VocabService.build(spark, "vsvc_mc", half1)
+    try {
+      intercept[RuntimeException] {
+        ops.VocabService.appendDocs(crashDocs, "vsvc_mc",
+          afterPartialsAppend = () => throw new RuntimeException("boom"))
+      }
+      ops.VocabService.appendDocs(nextDocs, "vsvc_mc")
+      val got = counts(ops.VocabService.countsOver(spark, "vsvc_mc"))
+      val want = counts(ops.InfoTheory.vocabCounts(half1.unionByName(nextDocs)))
+      assert(got === want, "crashed partials must stay invisible and unmerged")
+      // the crashed append retried lands under a FRESH id and completes
+      ops.VocabService.appendDocs(crashDocs, "vsvc_mc")
+      val all = counts(ops.VocabService.countsOver(spark, "vsvc_mc"))
+      assert(all === counts(ops.InfoTheory.vocabCounts(docs)), "retry completes")
+    } finally io.TableManifest.drop(spark, "vsvc_mc")
+  }
+
   test("crash between partials and ledger: replay converges exactly, orphan rows invisible") {
     val half1 = docs.filter(col("doc_id") % 2 === 0)
     val half2 = docs.filter(col("doc_id") % 2 === 1)
