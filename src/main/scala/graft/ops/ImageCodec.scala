@@ -1,0 +1,307 @@
+package graft.ops
+
+/** Pure-JVM baseline image codecs (round 13 — r12 verdict item 6:
+  * make the COMPRESSED-codec multimodal path real without external
+  * libraries).
+  *
+  * PNG (ISO/IEC 15948): the container is chunked (IHDR/IDAT/IEND),
+  * the pixel stream is zlib/DEFLATE — which `java.util.zip.Inflater`
+  * decodes natively — and each scanline is prefixed with one of five
+  * filter bytes (None/Sub/Up/Average/Paeth) that this object undoes
+  * in exact integer arithmetic. Supported profile: bit depth 8,
+  * color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+  * non-interlaced — the baseline every encoder can emit. Anything
+  * else (16-bit, palette, Adam7) returns None → the quarantine path,
+  * same as corrupt input. Ancillary chunks are skipped; chunk CRCs
+  * are not verified (robust-reader stance: the deflate stream is
+  * self-checking via its adler32, which Inflater enforces).
+  *
+  * BMP (Windows BITMAPINFOHEADER): uncompressed 24-bit only —
+  * bottom-up (positive height) and top-down (negative height) row
+  * order, 4-byte row padding, BGR→RGB reorder. Other depths /
+  * compressions → None.
+  *
+  * Both decoders return row-major w·h·c byte bodies — exactly the
+  * `raw` layout [[Multimodal.resizeRaw]] / `extractFeaturesRaw`
+  * consume, so compressed media flow into the real pixel math and
+  * from there into the embedding/ANN family. JPEG remains the one
+  * stubbed format (DCT+Huffman needs a real codec library —
+  * documented seam in [[Multimodal]]).
+  *
+  * Encoders exist for fixtures/tests (round-trip + crafted-filter
+  * exactness specs); the PNG encoder takes the filter type per row
+  * so every decode path is exercised against hand-computed pixels.
+  */
+object ImageCodec {
+
+  val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
+  }
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 8 &&
+      (0 until 8).forall(i => bytes(i) == PngSignature(i))
+
+  def isBmp(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M'
+
+  /** Header-only PNG metadata: (width, height, channels). None unless
+    * the supported profile (depth 8, color 0/2/4/6, deflate,
+    * adaptive filtering, non-interlaced).
+    */
+  def pngMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (!isPng(bytes) || bytes.length < 33) return None
+    // first chunk must be IHDR: len(4) type(4) data(13) crc(4)
+    if (be32(bytes, 8) != 13) return None
+    if (!(bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R'))
+      return None
+    val w = be32(bytes, 16)
+    val h = be32(bytes, 20)
+    val depth = bytes(24) & 0xff
+    val color = bytes(25) & 0xff
+    val (compression, filterMethod, interlace) =
+      (bytes(26) & 0xff, bytes(27) & 0xff, bytes(28) & 0xff)
+    val c = channelsOf(color)
+    if (w <= 0 || h <= 0 || depth != 8 || c < 0 ||
+      compression != 0 || filterMethod != 0 || interlace != 0) None
+    else Some((w, h, c))
+  }
+
+  /** Full PNG decode → (width, height, channels, row-major w·h·c
+    * body). None on unsupported profile, truncated stream, or any
+    * inflate error.
+    */
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    pngMeta(bytes).flatMap { case (w, h, c) =>
+      // walk chunks, concatenate IDAT payloads
+      val idat = new java.io.ByteArrayOutputStream()
+      var off = 8
+      var sawEnd = false
+      while (!sawEnd && off + 8 <= bytes.length) {
+        val len = be32(bytes, off)
+        if (len < 0 || off + 12 + len > bytes.length) return None
+        val typ = new String(bytes, off + 4, 4, "US-ASCII")
+        if (typ == "IDAT") idat.write(bytes, off + 8, len)
+        if (typ == "IEND") sawEnd = true
+        off += 12 + len
+      }
+      if (!sawEnd || idat.size() == 0) return None
+      val stride = w * c
+      val filtered = new Array[Byte](h * (1 + stride))
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var got = 0
+        while (got < filtered.length && !inf.finished()) {
+          val n = inf.inflate(filtered, got, filtered.length - got)
+          if (n == 0 && inf.needsInput()) return None // truncated
+          got += n
+        }
+        if (got < filtered.length) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      Some((w, h, c, unfilter(filtered, h, stride, c)))
+    }
+
+  /** Undo PNG adaptive per-scanline filtering (spec §9: Sub/Up/
+    * Average/Paeth over bytes-per-pixel offsets, mod-256 integer
+    * math). `filtered` is h scanlines of (filterByte ++ stride
+    * bytes); returns the h·stride raw body.
+    */
+  private def unfilter(filtered: Array[Byte], h: Int, stride: Int,
+      bpp: Int): Array[Byte] = {
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = filtered(y * (1 + stride)) & 0xff
+      val in = y * (1 + stride) + 1
+      val o = y * stride
+      var x = 0
+      while (x < stride) {
+        val raw = filtered(in + x) & 0xff
+        val a = if (x >= bpp) out(o + x - bpp) & 0xff else 0 // left
+        val b = if (y > 0) out(o - stride + x) & 0xff else 0 // up
+        val cc = if (y > 0 && x >= bpp) out(o - stride + x - bpp) & 0xff else 0 // up-left
+        val rec = ft match {
+          case 0 => raw
+          case 1 => raw + a
+          case 2 => raw + b
+          case 3 => raw + ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - cc
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - cc))
+            raw + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc)
+          case _ => return null // unreachable under pngMeta's gate; defensive
+        }
+        out(o + x) = (rec & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Test/fixture PNG encoder: applies `filterOf(row)` (0–4) to each
+    * scanline, deflates, wraps in IHDR/IDAT/IEND with correct CRCs
+    * (other decoders must accept our fixtures). colorType from the
+    * channel count (1/2/3/4 → 0/4/2/6).
+    */
+  def encodePng(w: Int, h: Int, c: Int, body: Array[Byte],
+      filterOf: Int => Int = _ => 0): Array[Byte] = {
+    require(body.length == w * h * c, s"body ${body.length} != $w*$h*$c")
+    val colorType = c match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case other => throw new IllegalArgumentException(s"channels $other")
+    }
+    val stride = w * c
+    val filtered = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val ft = filterOf(y)
+      filtered(y * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val raw = body(y * stride + x) & 0xff
+        val a = if (x >= c) body(y * stride + x - c) & 0xff else 0
+        val b = if (y > 0) body((y - 1) * stride + x) & 0xff else 0
+        val cc = if (y > 0 && x >= c) body((y - 1) * stride + x - c) & 0xff else 0
+        val enc = ft match {
+          case 0 => raw
+          case 1 => raw - a
+          case 2 => raw - b
+          case 3 => raw - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - cc
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - cc))
+            raw - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc)
+          case other => throw new IllegalArgumentException(s"filter $other")
+        }
+        filtered(y * (1 + stride) + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(filtered); d.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      buf.toByteArray
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w32(v: Int): Unit =
+        out.write(Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte))
+      w32(data.length)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      w32(crc.getValue.toInt)
+      out.toByteArray
+    }
+    val ihdr = new Array[Byte](13)
+    def put32(arr: Array[Byte], off: Int, v: Int): Unit = {
+      arr(off) = ((v >> 24) & 0xff).toByte; arr(off + 1) = ((v >> 16) & 0xff).toByte
+      arr(off + 2) = ((v >> 8) & 0xff).toByte; arr(off + 3) = (v & 0xff).toByte
+    }
+    put32(ihdr, 0, w); put32(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    PngSignature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Header-only BMP metadata: (width, height, 3). Uncompressed
+    * 24-bit BITMAPINFOHEADER only.
+    */
+  def bmpMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (!isBmp(bytes)) return None
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    val dibSize = le32(14)
+    if (dibSize < 40) return None // BITMAPINFOHEADER or later
+    val w = le32(18)
+    val hRaw = le32(22)
+    val planes = le16(26)
+    val depth = le16(28)
+    val compression = le32(30)
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0 || planes != 1 || depth != 24 || compression != 0) None
+    else Some((w, h, 3))
+  }
+
+  /** Full BMP decode → (w, h, 3, row-major RGB body): padding
+    * stripped, bottom-up flipped, BGR reordered.
+    */
+  def decodeBmp(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    bmpMeta(bytes).flatMap { case (w, h, _) =>
+      def le32(off: Int): Int =
+        (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+          ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+      val dataOff = le32(10)
+      val topDown = le32(22) < 0
+      val rowBytes = ((w * 3 + 3) / 4) * 4
+      if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * h > bytes.length)
+        return None
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val srcRow = dataOff + (if (topDown) y else h - 1 - y) * rowBytes
+        var x = 0
+        while (x < w) {
+          // BGR → RGB
+          out((y * w + x) * 3) = bytes(srcRow + x * 3 + 2)
+          out((y * w + x) * 3 + 1) = bytes(srcRow + x * 3 + 1)
+          out((y * w + x) * 3 + 2) = bytes(srcRow + x * 3)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, 3, out))
+    }
+
+  /** Test/fixture BMP encoder (bottom-up, padded, 24-bit). */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"body ${rgb.length} != $w*$h*3")
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowBytes * h
+    val out = new Array[Byte](54 + dataSize)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, 54 + dataSize); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h)
+    le16(26, 1); le16(28, 24); le32(30, 0); le32(34, dataSize)
+    var y = 0
+    while (y < h) {
+      val dstRow = 54 + (h - 1 - y) * rowBytes
+      var x = 0
+      while (x < w) {
+        out(dstRow + x * 3) = rgb((y * w + x) * 3 + 2)
+        out(dstRow + x * 3 + 1) = rgb((y * w + x) * 3 + 1)
+        out(dstRow + x * 3 + 2) = rgb((y * w + x) * 3)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}

@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * BASELINE.json:6).
   *
   * Media are carried as opaque `binary` columns plus typed metadata
-  * structs. The actual codec step is STUBBED — the container has no
-  * image/audio libraries (builder-prompt environment note) — behind a
-  * deterministic header parser, so every Spark-side concern the
-  * operator has at 100 TB is real and tested: schema, per-partition
-  * batch iteration (one decoder instantiation per partition, the same
-  * shape a Pandas-UDF/mapInPandas pipeline has), null/corrupt-input
-  * handling, and partition-count preservation.
+  * structs. Decoding status (round 13): RAW bitmaps, PNG, and BMP
+  * decode for REAL in pure JVM ([[ImageCodec]] — PNG's deflate is
+  * `java.util.zip`, the filter/chunk/padding math is exact integer
+  * code here), feeding [[resizeRaw]]/[[extractFeaturesRaw]]'s exact
+  * pixel kernels. Only JPEG remains STUBBED — DCT+Huffman genuinely
+  * needs a codec library the container lacks — behind the same
+  * swap-one-function seam ([[decodeToRaw]]). Every Spark-side
+  * concern the operator has at 100 TB is real and tested: schema,
+  * per-partition batch iteration (one decoder instantiation per
+  * partition, the same shape a Pandas-UDF/mapInPandas pipeline has),
+  * null/corrupt-input handling, and partition-count preservation.
   *
   * Header format for the fake codec (12 bytes, big-endian):
   * magic "GFTI" | uint16 width | uint16 height | uint8 channels |
@@ -24,12 +28,20 @@ object Multimodal {
 
   case class MediaMeta(width: Int, height: Int, channels: Int, format: String)
 
-  /** STUB decoder — deterministic header parse, no codec. A real
-    * deployment swaps only this function body for an actual library
-    * call; the pipeline around it is unchanged.
+  /** Metadata decoder: the GFTI container header, plus REAL
+    * header parses for the two pure-JVM codecs ([[ImageCodec]],
+    * round 13) — PNG (signature + IHDR) and BMP (BITMAPINFOHEADER).
+    * Only jpeg remains a tag without a decoder (the documented
+    * library-blocked seam). Anything unrecognized/truncated decodes
+    * to null metadata (the quarantine path).
     */
   def decodeMeta(bytes: Array[Byte]): Option[MediaMeta] = {
-    if (bytes == null || bytes.length < 12) return None
+    if (bytes == null) return None
+    if (ImageCodec.isPng(bytes))
+      return ImageCodec.pngMeta(bytes).map { case (w, h, c) => MediaMeta(w, h, c, "png") }
+    if (ImageCodec.isBmp(bytes))
+      return ImageCodec.bmpMeta(bytes).map { case (w, h, c) => MediaMeta(w, h, c, "bmp") }
+    if (bytes.length < 12) return None
     if (!(bytes(0) == 'G' && bytes(1) == 'F' && bytes(2) == 'T' && bytes(3) == 'I')) return None
     val w = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
     val h = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
@@ -38,6 +50,23 @@ object Multimodal {
       case 0 => "raw"; case 1 => "jpeg-like"; case 2 => "png-like"; case _ => "unknown"
     }
     Some(MediaMeta(w, h, c, fmt))
+  }
+
+  /** Decode any supported container to the row-major w·h·c raw body
+    * the pixel kernels consume: GFTI `raw` (length-validated), PNG,
+    * BMP. None for jpeg tags (decoder genuinely needs a codec
+    * library — the one remaining stub seam) and corrupt input.
+    */
+  def decodeToRaw(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (bytes == null) return None
+    if (ImageCodec.isPng(bytes)) return ImageCodec.decodePng(bytes)
+    if (ImageCodec.isBmp(bytes)) return ImageCodec.decodeBmp(bytes)
+    decodeMeta(bytes) match {
+      case Some(m) if m.format == "raw" && m.width > 0 && m.height > 0 &&
+          bytes.length - 12 == m.width * m.height * m.channels =>
+        Some((m.width, m.height, m.channels, bytes.drop(12)))
+      case _ => None
+    }
   }
 
   /** Encode a header for tests / synthetic fixtures. */
@@ -118,18 +147,16 @@ object Multimodal {
     }.toDF("media_id", "embedding", "ok")
   }
 
-  /** REAL box-downsample resize for `raw`-format media (round 12,
-    * fifth session — the honest upgrade of the codec carry: raw
-    * row-major w·h·c bitmaps need NO image library, so their pixel
-    * math runs as pure JVM integer arithmetic; only COMPRESSED
-    * formats — the jpeg/png tags — still take the stub path, since
-    * parsing those genuinely needs the codec the container lacks):
+  /** REAL box-downsample resize (round 12 fifth session for `raw`
+    * bitmaps; round 13 extends it to PNG and BMP via the pure-JVM
+    * [[ImageCodec]] — the compressed-codec carry shrinks to jpeg):
     * each output pixel is the floor-mean of its covering source
     * block (the PIL BOX / OpenCV INTER_AREA kernel), blocks
     * [x·W div tW, (x+1)·W div tW) × same for rows — integer
     * boundaries, exact floor-division means, deterministic
-    * bit-for-bit. Payloads whose length disagrees with the header
-    * take the quarantine path like corrupt headers.
+    * bit-for-bit. Payloads whose length disagrees with the header,
+    * corrupt/truncated streams, and jpeg tags take the quarantine
+    * path.
     *
     * Same executor-side per-partition shape as the stubs; at 100 TB
     * the only data movement is the shrunken payload.
@@ -138,11 +165,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        decodeMeta(bytes) match {
-          case Some(m) if m.format == "raw" && m.width > 0 && m.height > 0 &&
-              bytes.length - 12 == m.width * m.height * m.channels =>
-            val (w, h, c) = (m.width, m.height, m.channels)
-            val body = bytes.drop(12)
+        decodeToRaw(bytes) match {
+          case Some((w, h, c, body)) if w > 0 && h > 0 =>
             val out = new Array[Byte](targetW * targetH * c)
             var y = 0
             while (y < targetH) {
@@ -180,23 +204,21 @@ object Multimodal {
     }.toDF("media_id", "resized", "ok")
   }
 
-  /** REAL feature extraction for `raw`-format media: per-channel
-    * means plus a 4×4 grid of block luminance means (each cell the
-    * exact floor-mean of its pixel block via [[resizeRaw]]'s kernel),
-    * scaled to [0, 1] and unit-normalized — shape-compatible with
-    * `embeddings.embedding`, so raw media flow straight into the
-    * cosine/ANN/centroid operators. Deterministic integer pixel
-    * math; the one float step (normalization) is fixed-order IEEE.
+  /** REAL feature extraction for raw/PNG/BMP media (the [[decodeToRaw]]
+    * family): per-channel means plus a 4×4 grid of block luminance
+    * means (each cell the exact floor-mean of its pixel block via
+    * [[resizeRaw]]'s kernel), scaled to [0, 1] and unit-normalized —
+    * shape-compatible with `embeddings.embedding`, so decoded media
+    * flow straight into the cosine/ANN/centroid operators.
+    * Deterministic integer pixel math; the one float step
+    * (normalization) is fixed-order IEEE.
     */
   def extractFeaturesRaw(media: Dataset[(Long, Array[Byte])]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        decodeMeta(bytes) match {
-          case Some(m) if m.format == "raw" && m.width >= 4 && m.height >= 4 &&
-              bytes.length - 12 == m.width * m.height * m.channels =>
-            val (w, h, c) = (m.width, m.height, m.channels)
-            val body = bytes.drop(12)
+        decodeToRaw(bytes) match {
+          case Some((w, h, c, body)) if w >= 4 && h >= 4 =>
             val chMean = Array.tabulate(c) { ch =>
               var s = 0L; var i = ch
               while (i < body.length) { s += body(i) & 0xff; i += c }

@@ -1,0 +1,197 @@
+package graft
+
+/** ops.ImageCodec + its Multimodal wiring: the pure-JVM PNG/BMP
+  * decoders (round 13 — compressed-codec carry reduced to jpeg).
+  * Decode correctness is pinned two independent ways: (1) a
+  * HAND-BUILT PNG whose filtered scanlines and expected pixels are
+  * computed by hand (catches symmetric encoder/decoder bugs that a
+  * round-trip alone would hide), (2) round-trips across every filter
+  * type and channel count. BMP gets the padding/bottom-up/BGR cases.
+  * Integration: PNG/BMP media produce BIT-IDENTICAL resize/feature
+  * output to the equivalent GFTI raw container.
+  */
+class MultimodalCodecSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def crc32(parts: Array[Byte]*): Int = {
+    val c = new java.util.zip.CRC32()
+    parts.foreach(c.update)
+    c.getValue.toInt
+  }
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val tb = typ.getBytes("US-ASCII")
+    be32(data.length) ++ tb ++ data ++ be32(crc32(tb, data))
+  }
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    out.toByteArray
+  }
+
+  private def ihdr(w: Int, h: Int, depth: Int, color: Int,
+      interlace: Int = 0): Array[Byte] =
+    be32(w) ++ be32(h) ++ Array(depth.toByte, color.toByte, 0.toByte,
+      0.toByte, interlace.toByte)
+
+  test("PNG decode of a HAND-BUILT container: filter bytes undone to hand-computed pixels") {
+    // 2x2 gray, pixels [[100, 200], [50, 25]]
+    // row 0 filtered with Average(3): 100-((0+0)>>1)=100, 200-((100+0)>>1)=150
+    // row 1 filtered with Paeth(4):
+    //   x0: a=0 b=100 c=0 -> p=100, pred=b=100, 50-100 = -50 -> 206
+    //   x1: a=50 b=200 c=100 -> p=150, pa=100 pb=50 pc=50 -> pred=b=200,
+    //       25-200 = -175 -> 81
+    val filtered = Array[Byte](3, 100, 150.toByte, 4, 206.toByte, 81)
+    val png = ops.ImageCodec.PngSignature ++
+      chunk("IHDR", ihdr(2, 2, 8, 0)) ++
+      chunk("IDAT", deflate(filtered)) ++
+      chunk("IEND", Array.empty[Byte])
+    val Some((w, h, c, body)) = ops.ImageCodec.decodePng(png)
+    assert((w, h, c) === ((2, 2, 1)))
+    assert(body.map(_ & 0xff).toSeq === Seq(100, 200, 50, 25))
+    // and Sub/Up on a 3x2: row0 Sub [10,10,10] -> [10,20,30];
+    // row1 Up [30,30,30] -> [40,50,60]
+    val f2 = Array[Byte](1, 10, 10, 10, 2, 30, 30, 30)
+    val png2 = ops.ImageCodec.PngSignature ++
+      chunk("IHDR", ihdr(3, 2, 8, 0)) ++
+      chunk("IDAT", deflate(f2)) ++ chunk("IEND", Array.empty[Byte])
+    val Some((_, _, _, b2)) = ops.ImageCodec.decodePng(png2)
+    assert(b2.map(_ & 0xff).toSeq === Seq(10, 20, 30, 40, 50, 60))
+  }
+
+  test("PNG round-trip: every filter type x every channel count, exact bytes") {
+    val rnd = new scala.util.Random(42)
+    for (c <- Seq(1, 2, 3, 4); ft <- 0 to 4) {
+      val (w, h) = (7, 5) // odd sizes exercise bpp offsets
+      val body = Array.fill[Byte](w * h * c)(rnd.nextInt(256).toByte)
+      val png = ops.ImageCodec.encodePng(w, h, c, body, _ => ft)
+      val got = ops.ImageCodec.decodePng(png)
+      assert(got.isDefined, s"c=$c ft=$ft")
+      val (gw, gh, gc, gb) = got.get
+      assert((gw, gh, gc) === ((w, h, c)), s"c=$c ft=$ft")
+      assert(gb.toSeq === body.toSeq, s"c=$c ft=$ft")
+    }
+    // mixed filters per row + multiple IDAT consumers: cycle 0..4
+    val body = Array.tabulate[Byte](16 * 9 * 3)(i => ((i * 31 + 7) % 251).toByte)
+    val png = ops.ImageCodec.encodePng(16, 9, 3, body, y => y % 5)
+    assert(ops.ImageCodec.decodePng(png).get._4.toSeq === body.toSeq)
+  }
+
+  test("PNG unsupported profiles and corrupt streams quarantine (None), never throw") {
+    val body = Array.fill[Byte](4 * 4)(9)
+    val good = ops.ImageCodec.encodePng(4, 4, 1, body)
+    assert(ops.ImageCodec.decodePng(good).isDefined)
+    // 16-bit depth
+    val deep = ops.ImageCodec.PngSignature ++ chunk("IHDR", ihdr(4, 4, 16, 0)) ++
+      chunk("IDAT", deflate(Array.fill[Byte](4 * (1 + 8))(0))) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(ops.ImageCodec.decodePng(deep).isEmpty, "16-bit")
+    // palette color type
+    val pal = ops.ImageCodec.PngSignature ++ chunk("IHDR", ihdr(4, 4, 8, 3)) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(ops.ImageCodec.decodePng(pal).isEmpty, "palette")
+    // Adam7 interlace
+    val il = ops.ImageCodec.PngSignature ++
+      chunk("IHDR", ihdr(4, 4, 8, 0, interlace = 1)) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(ops.ImageCodec.decodePng(il).isEmpty, "interlaced")
+    // truncated IDAT (cut the deflate stream short)
+    val idat = deflate(Array.fill[Byte](4 * (1 + 4))(0))
+    val cut = ops.ImageCodec.PngSignature ++ chunk("IHDR", ihdr(4, 4, 8, 0)) ++
+      chunk("IDAT", idat.take(idat.length / 2)) ++ chunk("IEND", Array.empty[Byte])
+    assert(ops.ImageCodec.decodePng(cut).isEmpty, "truncated deflate")
+    // missing IEND / bytes chopped mid-chunk
+    assert(ops.ImageCodec.decodePng(good.take(good.length - 4)).isEmpty, "chopped")
+    // garbage deflate payload
+    val junk = ops.ImageCodec.PngSignature ++ chunk("IHDR", ihdr(4, 4, 8, 0)) ++
+      chunk("IDAT", Array.fill[Byte](10)(77)) ++ chunk("IEND", Array.empty[Byte])
+    assert(ops.ImageCodec.decodePng(junk).isEmpty, "bad deflate")
+  }
+
+  test("BMP: hand-built bottom-up padded file decodes; round-trip exact; top-down honored") {
+    // 3x2 RGB — rowBytes = 12 (3 padding bytes per row), bottom-up
+    val rgb = Array[Byte](
+      10, 20, 30, 40, 50, 60, 70, 80, 90, // row 0 (top)
+      1, 2, 3, 4, 5, 6, 7, 8, 9) // row 1 (bottom)
+    val bmp = ops.ImageCodec.encodeBmp(3, 2, rgb)
+    assert(bmp.length === 54 + 2 * 12)
+    val Some((w, h, c, body)) = ops.ImageCodec.decodeBmp(bmp)
+    assert((w, h, c) === ((3, 2, 3)))
+    assert(body.toSeq === rgb.toSeq)
+    // hand-check the file layout: bottom row stored FIRST, BGR order
+    assert(bmp(54) === 3 && bmp(55) === 2 && bmp(56) === 1,
+      "bottom-left pixel stored first as BGR")
+    // top-down variant: negate height in place, reorder rows
+    val td = bmp.clone()
+    val hNeg = -2
+    td(22) = (hNeg & 0xff).toByte; td(23) = ((hNeg >> 8) & 0xff).toByte
+    td(24) = ((hNeg >> 16) & 0xff).toByte; td(25) = ((hNeg >> 24) & 0xff).toByte
+    val Some((_, _, _, tdBody)) = ops.ImageCodec.decodeBmp(td)
+    assert(tdBody.toSeq === (rgb.slice(9, 18) ++ rgb.slice(0, 9)).toSeq,
+      "top-down reads rows in file order")
+    // 8-bit / compressed headers quarantine
+    val bad = bmp.clone(); bad(28) = 8
+    assert(ops.ImageCodec.decodeBmp(bad).isEmpty)
+  }
+
+  test("Multimodal: PNG and BMP media produce BIT-IDENTICAL pixel-kernel output to raw") {
+    val (w, h) = (8, 8)
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 13 + 5) % 256).toByte)
+    val rawC = ops.Multimodal.encodeHeader(w, h, 3, 0, rgb)
+    val png = ops.ImageCodec.encodePng(w, h, 3, rgb, y => y % 5)
+    val bmp = ops.ImageCodec.encodeBmp(w, h, rgb)
+    val media = Seq((1L, rawC), (2L, png), (3L, bmp)).toDS()
+    val resized = ops.Multimodal.resizeRaw(media, 4, 4).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Array[Byte]](1), r.getBoolean(2))).toMap
+    assert(resized(1L)._2 && resized(2L)._2 && resized(3L)._2)
+    assert(resized(2L)._1.toSeq === resized(1L)._1.toSeq, "png == raw resize")
+    assert(resized(3L)._1.toSeq === resized(1L)._1.toSeq, "bmp == raw resize")
+    val feats = ops.Multimodal.extractFeaturesRaw(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(2L) === feats(1L), "png == raw features")
+    assert(feats(3L) === feats(1L), "bmp == raw features")
+    // metadata surfaces the real formats; corrupt png quarantines
+    val cut = png.take(png.length / 2)
+    val meta = ops.Multimodal.withDecodedMeta(Seq((2L, png), (3L, bmp),
+        (4L, cut)).toDS())
+      .select("media_id", "width", "channels", "format")
+      .as[(Long, Option[Int], Option[Int], Option[String])].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(meta(2L) === ((Some(8), Some(3), Some("png"))))
+    assert(meta(3L) === ((Some(8), Some(3), Some("bmp"))))
+    val cutResize = ops.Multimodal.resizeRaw(Seq((4L, cut)).toDS(), 4, 4)
+      .collect().head
+    assert(!cutResize.getBoolean(2), "truncated png quarantines in the kernel")
+  }
+
+  test("decoded media flow into the similarity family: nearest neighbor by pixel content") {
+    // three images: two near-identical gradients, one inverted —
+    // cosine over extracted features must pair the gradients
+    val (w, h) = (8, 8)
+    def grad(flip: Boolean, noise: Int): Array[Byte] =
+      Array.tabulate[Byte](w * h) { i =>
+        val v = (i * 255 / (w * h - 1)) min 255
+        (((if (flip) 255 - v else v) + noise) min 255 max 0).toByte
+      }
+    val media = Seq(
+      (1L, ops.ImageCodec.encodePng(w, h, 1, grad(flip = false, 0))),
+      (2L, ops.ImageCodec.encodePng(w, h, 1, grad(flip = false, 3), y => y % 5)),
+      (3L, ops.ImageCodec.encodePng(w, h, 1, grad(flip = true, 0)))).toDS()
+    val f = ops.Multimodal.extractFeaturesRaw(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(cos(f(1L), f(2L)) > cos(f(1L), f(3L)),
+      "near-duplicate gradient closer than the inverted one")
+  }
+}
