@@ -896,7 +896,45 @@ object InfoTheory {
       .orderBy("lang_a", "lang_b")
   }
 
+  /** Hill maximum-likelihood tail-exponent cells per event type
+    * (round 13) — the MLE companion of [[textZipfSlope]]'s
+    * least-squares fit, over a different domain (user ACTIVITY
+    * rather than token frequency): for the tail cnt ≥ cmin = 5,
+    * α̂ = 1 + n_tail / Σ ln(cntᵢ/cmin) — the standard Hill (1975)
+    * estimator a heavy-tail screen runs before trusting any
+    * mean-based engagement statistic. Emitted as EXACT INTEGER
+    * sufficient statistics on the fixed-point log chain: n_users,
+    * n_tail, cmin, and sum_log2_fp = Σ (L(cnt) − L(cmin)) over the
+    * tail — the consumer forms α̂ = 1 + n_tail·2²⁰/(ln 2 ·
+    * sum_log2_fp) in its own float regime; nothing float crosses
+    * the boundary. cmin is the estimator's standard xmin knob,
+    * fixed at 5 (the PMI min-count discipline) — degenerate tails
+    * (all values at cmin → sum 0) ship as raw cells rather than a
+    * hidden division.
+    *
+    * Scale: one map-side-combined (type, user) rollup — the only
+    * full shuffle — then a per-type rollup whose log runs once per
+    * tail ROW (codegen'd long ops, no libm). Overflow: sum_log2_fp
+    * < n_tail·63·2²⁰ < 2⁶³ below ~10¹⁴ tail users per type.
+    */
+  val eventsPowerLawAlpha: Q = (s, dir) => {
+    val cmin = 5L
+    table(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        count(when(col("cnt") >= cmin, 1)).as("n_tail"),
+        coalesce(sum(when(col("cnt") >= cmin,
+          log2Fixed(col("cnt")) - log2Fixed(lit(cmin)))), lit(0L))
+          .as("sum_log2_fp"))
+      .withColumn("cmin", lit(cmin))
+      .select("event_type", "n_users", "n_tail", "cmin", "sum_log2_fp")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_power_law_alpha" -> eventsPowerLawAlpha,
     "text_js_divergence" -> textJsDivergence,
     "text_bigram_lm_perplexity" -> textBigramLmPerplexity,
     "text_pmi_collocations" -> textPmiCollocations,

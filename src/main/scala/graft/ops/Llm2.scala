@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 
 import graft.io.Readers.table
@@ -511,6 +512,55 @@ object Llm2 {
         md5(col("text").cast("binary")).as("digest"))
       .orderBy("doc_id")
 
+  /** End-to-end COMPRESSED-codec pipeline as a registry key
+    * (round 13): per embedding vector, synthesize a deterministic
+    * 8×8 grayscale bitmap (the 64 components quantized to bytes),
+    * PNG-ENCODE it (real deflate + per-row filter cycling all five
+    * filter types), PNG-DECODE it back through [[Multimodal
+    * .decodeToRaw]] (chunk walk, inflate, unfiltering — the
+    * [[ImageCodec]] path), extract the 17-dim pixel features, and
+    * roll per-label cells: vector count, decode-ok count, and the
+    * fixed-point sums of the channel-mean feature and the grid
+    * energy. NO ORACLE BY DESIGN (SURVEY §7.4: DuckDB cannot run a
+    * PNG codec); the spec pins the cells to a driver-side JVM replay
+    * and the codec itself is hand-verified in MultimodalCodecSpec.
+    *
+    * Scale: everything is row-local executor work (encode + decode +
+    * features inside one mapPartitions — the per-partition-decoder
+    * shape), then ONE map-side-combined rollup to |labels| cells.
+    */
+  val multimodalCodecFeatures: Q = (s, dir) => {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val enc: Encoder[(Int, Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong)
+    implicit val rowEnc: Encoder[(Int, Array[Float])] =
+      Encoders.tuple(Encoders.scalaInt, ExpressionEncoder[Array[Float]]())
+    val cells = table(s, dir, "embeddings")
+      .select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (label, emb) =>
+          val body = emb.map(x =>
+            math.max(0, math.min(255, ((x + 1.0f) * 127.5f).toInt)).toByte)
+          val png = ImageCodec.encodePng(8, 8, 1, body, y => y % 5)
+          Multimodal.featuresOf(png) match {
+            case Some(f) =>
+              val gridFp = f.drop(1).foldLeft(0L)((a, v) =>
+                a + math.floor(v.toDouble * 1048576.0).toLong)
+              (label, 1L, math.floor(f(0).toDouble * 1048576.0).toLong, gridFp)
+            case None => (label, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("label", "ok", "mean_fp", "grid_fp")
+    cells.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("ok")).as("n_ok"),
+        sum(col("mean_fp")).as("sum_mean_fp"),
+        sum(col("grid_fp")).as("sum_grid_fp"))
+      .orderBy("label")
+  }
+
   /** Corpus-level n-gram document frequency — the vocabulary-building
     * pass of a training-data pipeline. Per-doc DISTINCT bigrams (so a
     * gram repeated inside one doc counts once — document frequency,
@@ -847,5 +897,6 @@ object Llm2 {
     "sim_ann_ivf" -> simAnnIvf,
     "sim_lsh_hyperplane" -> simLshHyperplane,
     "multimodal_binary_meta" -> multimodalBinaryMeta,
+    "multimodal_codec_features" -> multimodalCodecFeatures,
   )
 }

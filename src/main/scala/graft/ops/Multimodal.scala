@@ -217,46 +217,57 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        decodeToRaw(bytes) match {
-          case Some((w, h, c, body)) if w >= 4 && h >= 4 =>
-            val chMean = Array.tabulate(c) { ch =>
-              var s = 0L; var i = ch
-              while (i < body.length) { s += body(i) & 0xff; i += c }
-              (s / (w.toLong * h)).toFloat / 255.0f
-            }
-            val grid = new Array[Float](16)
-            var gy = 0
-            while (gy < 4) {
-              val sy0 = gy * h / 4; val sy1 = math.max(sy0 + 1, (gy + 1) * h / 4)
-              var gx = 0
-              while (gx < 4) {
-                val sx0 = gx * w / 4; val sx1 = math.max(sx0 + 1, (gx + 1) * w / 4)
-                var sum = 0L; var cnt = 0L
-                var sy = sy0
-                while (sy < sy1) {
-                  var sx = sx0
-                  while (sx < sx1) {
-                    var ch = 0
-                    val base = (sy * w + sx) * c
-                    while (ch < c) { sum += body(base + ch) & 0xff; ch += 1 }
-                    cnt += c
-                    sx += 1
-                  }
-                  sy += 1
-                }
-                grid(gy * 4 + gx) = (sum / cnt).toFloat / 255.0f
-                gx += 1
-              }
-              gy += 1
-            }
-            val raw = chMean ++ grid
-            val n = math.sqrt(raw.foldLeft(0.0)((s, x) => s + x.toDouble * x))
-            (id, if (n == 0.0) raw else raw.map(x => (x / n).toFloat), true)
-          case _ => (id, null: Array[Float], false)
+        featuresOf(bytes) match {
+          case Some(f) => (id, f, true)
+          case None => (id, null: Array[Float], false)
         }
       }
     }.toDF("media_id", "embedding", "ok")
   }
+
+  /** The row-local feature kernel behind [[extractFeaturesRaw]] —
+    * decode ([[decodeToRaw]]) then c channel means + the 4×4
+    * luminance grid, unit-normalized. Exposed so registry keys can
+    * run the codec path without re-stating the pixel math.
+    */
+  private[graft] def featuresOf(bytes: Array[Byte]): Option[Array[Float]] =
+    decodeToRaw(bytes) match {
+      case Some((w, h, c, body)) if w >= 4 && h >= 4 =>
+        val chMean = Array.tabulate(c) { ch =>
+          var s = 0L; var i = ch
+          while (i < body.length) { s += body(i) & 0xff; i += c }
+          (s / (w.toLong * h)).toFloat / 255.0f
+        }
+        val grid = new Array[Float](16)
+        var gy = 0
+        while (gy < 4) {
+          val sy0 = gy * h / 4; val sy1 = math.max(sy0 + 1, (gy + 1) * h / 4)
+          var gx = 0
+          while (gx < 4) {
+            val sx0 = gx * w / 4; val sx1 = math.max(sx0 + 1, (gx + 1) * w / 4)
+            var sum = 0L; var cnt = 0L
+            var sy = sy0
+            while (sy < sy1) {
+              var sx = sx0
+              while (sx < sx1) {
+                var ch = 0
+                val base = (sy * w + sx) * c
+                while (ch < c) { sum += body(base + ch) & 0xff; ch += 1 }
+                cnt += c
+                sx += 1
+              }
+              sy += 1
+            }
+            grid(gy * 4 + gx) = (sum / cnt).toFloat / 255.0f
+            gx += 1
+          }
+          gy += 1
+        }
+        val raw = chMean ++ grid
+        val n = math.sqrt(raw.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+        Some(if (n == 0.0) raw else raw.map(x => (x / n).toFloat))
+      case _ => None
+    }
 
   /** Frame-sample stub for video-like payloads: every `stride`-th
     * fixed-size chunk of the payload becomes a "frame" row (generator

@@ -2552,6 +2552,28 @@ object OracleSql {
     * exact by construction (SURVEY §8.r9.5).
     */
   private val infoTheory: Map[String, String] = Map(
+    // ops.InfoTheory.eventsPowerLawAlpha: Hill tail-exponent cells —
+    // the logarithm is the Log2Sql integer chain over DISTINCT tail
+    // counts (plus the cmin=5 anchor), bit-replaying log2_fixed.
+    "events_power_law_alpha" ->
+      s"""WITH cnts AS (
+         |  SELECT event_type, user_id, count(*) AS cnt
+         |  FROM events GROUP BY event_type, user_id),
+         |${Log2Sql.chain("lg",
+            "SELECT DISTINCT cnt AS v FROM cnts WHERE cnt >= 5 " +
+              "UNION SELECT CAST(5 AS BIGINT) AS v")},
+         |anchor AS (SELECT l20 AS l5 FROM lg WHERE v = 5)
+         |SELECT event_type,
+         |       count(*) AS n_users,
+         |       CAST(SUM(CASE WHEN cnt >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+         |       CAST(5 AS BIGINT) AS cmin,
+         |       CAST(COALESCE(SUM(CASE WHEN cnt >= 5 THEN lg.l20 - anchor.l5 END), 0) AS BIGINT) AS sum_log2_fp
+         |FROM cnts
+         |LEFT JOIN lg ON lg.v = cnts.cnt
+         |CROSS JOIN anchor
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
+
     "text_entropy_exact" ->
       s"""WITH tok AS (
          |  SELECT doc_id,

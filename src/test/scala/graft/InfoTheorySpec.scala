@@ -496,6 +496,36 @@ class InfoTheorySpec extends SparkSpec {
     }
   }
 
+  test("events_power_law_alpha: cells replay brute-force; alpha tracks the double-precision Hill estimate") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = ops.InfoTheory.eventsPowerLawAlpha(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // driver-side replay from raw events
+    val raw = io.Readers.table(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = raw.groupBy(_._1).map { case (t, g) =>
+      t -> g.groupBy(_._2).map(_._2.length.toLong).toSeq
+    }
+    assert(rows.keySet === byType.keySet)
+    val l5 = NumericExpressions.log2FixedJ(5L)
+    byType.foreach { case (t, cnts) =>
+      val tail = cnts.filter(_ >= 5L)
+      val want = (cnts.size.toLong, tail.size.toLong, 5L,
+        tail.map(c => NumericExpressions.log2FixedJ(c) - l5).sum)
+      assert(rows(t) === want, s"type $t")
+      // semantic guard: the fixed-point alpha tracks the libm Hill MLE
+      if (want._4 > 0) {
+        val alphaFp = 1.0 + tail.size * F /
+          (math.log(2.0) * rows(t)._4)
+        val alphaRef = 1.0 + tail.size /
+          tail.map(c => math.log(c.toDouble / 5.0)).sum
+        assert(math.abs(alphaFp - alphaRef) < 1e-3, s"type $t alpha")
+      }
+    }
+  }
+
   test("graph_adamic_adar matches a brute-force reference on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = ops.Graph.graphAdamicAdar(spark, dir)

@@ -174,6 +174,31 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(!cutResize.getBoolean(2), "truncated png quarantines in the kernel")
   }
 
+  test("multimodal_codec_features: per-label cells replay from a driver-side codec loop; every decode ok") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val got = ops.Llm2.multimodalCodecFeatures(spark, dir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val emb = io.Readers.table(spark, dir, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val want = emb.groupBy(_._1).map { case (l, g) =>
+      val cells = g.map { case (_, e) =>
+        val body = e.map(x =>
+          math.max(0, math.min(255, ((x + 1.0f) * 127.5f).toInt)).toByte)
+        val png = ops.ImageCodec.encodePng(8, 8, 1, body, y => y % 5)
+        val f = ops.Multimodal.featuresOf(png).get
+        (math.floor(f(0).toDouble * 1048576.0).toLong,
+          f.drop(1).foldLeft(0L)((a, v) =>
+            a + math.floor(v.toDouble * 1048576.0).toLong))
+      }
+      l -> ((g.length.toLong, g.length.toLong,
+        cells.map(_._1).sum, cells.map(_._2).sum))
+    }
+    assert(got === want, "cells == driver replay; n_ok == n_vecs (every PNG decodes)")
+  }
+
   test("decoded media flow into the similarity family: nearest neighbor by pixel content") {
     // three images: two near-identical gradients, one inverted —
     // cosine over extracted features must pair the gradients
