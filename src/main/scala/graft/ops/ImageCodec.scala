@@ -273,6 +273,101 @@ object ImageCodec {
       Some((w, h, 3, out))
     }
 
+  def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 3 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+
+  /** JPEG decode via `javax.imageio` — the JDK's OWN baseline codec
+    * (public Java SE API, present in every JDK 17, works headless;
+    * probed in this container: read+write both available). This
+    * closes the last multimodal codec carry: earlier rounds recorded
+    * jpeg as environment-blocked on the assumption that decoding
+    * needed an external library — the JDK ships one. Gray images
+    * decode to c=1 from the raster; everything else normalizes to
+    * c=3 RGB via getRGB. Returns None on corrupt/truncated streams
+    * (ImageIO returns null or throws IIOException — both mapped to
+    * the quarantine path).
+    *
+    * Determinism note: a given JVM decodes a given stream
+    * deterministically, but JPEG decode is NOT specified bit-exactly
+    * across decoder implementations — so jpeg stays out of the
+    * oracle'd registry tier (unit/prop only), unlike PNG/BMP whose
+    * decoders here are exact by construction.
+    */
+  def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (!isJpeg(bytes)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w <= 0 || h <= 0) return None
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+        val out = new Array[Byte](w * h)
+        img.getRaster.getDataElements(0, 0, w, h, out)
+        Some((w, h, 1, out))
+      } else {
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < px.length) {
+          out(i * 3) = ((px(i) >> 16) & 0xff).toByte
+          out(i * 3 + 1) = ((px(i) >> 8) & 0xff).toByte
+          out(i * 3 + 2) = (px(i) & 0xff).toByte
+          i += 1
+        }
+        Some((w, h, 3, out))
+      }
+    } catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException => None
+    }
+  }
+
+  /** Header-only JPEG metadata via an ImageIO reader (dimensions from
+    * the SOF marker without a full decode).
+    */
+  def jpegMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (!isJpeg(bytes)) return None
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+    if (!readers.hasNext) return None
+    val r = readers.next()
+    try {
+      r.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val (w, h) = (r.getWidth(0), r.getHeight(0))
+      val c = if (r.getRawImageType(0) != null &&
+        r.getRawImageType(0).getNumComponents == 1) 1 else 3
+      if (w <= 0 || h <= 0) None else Some((w, h, c))
+    } catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException => None
+    } finally r.dispose()
+  }
+
+  /** Test/fixture JPEG encoder via the JDK writer (c = 1 or 3). */
+  def encodeJpeg(w: Int, h: Int, c: Int, body: Array[Byte]): Array[Byte] = {
+    require(body.length == w * h * c, s"body ${body.length} != $w*$h*$c")
+    val img = c match {
+      case 1 =>
+        val b = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        b.getRaster.setDataElements(0, 0, w, h, body)
+        b
+      case 3 =>
+        val b = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val px = Array.tabulate(w * h)(i =>
+          ((body(i * 3) & 0xff) << 16) | ((body(i * 3 + 1) & 0xff) << 8) |
+            (body(i * 3 + 2) & 0xff))
+        b.setRGB(0, 0, w, h, px, 0, w)
+        b
+      case other => throw new IllegalArgumentException(s"channels $other")
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
   /** Test/fixture BMP encoder (bottom-up, padded, 24-bit). */
   def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
     require(rgb.length == w * h * 3, s"body ${rgb.length} != $w*$h*3")

@@ -7,17 +7,21 @@ import org.apache.spark.sql.functions._
   * BASELINE.json:6).
   *
   * Media are carried as opaque `binary` columns plus typed metadata
-  * structs. Decoding status (round 13): RAW bitmaps, PNG, and BMP
-  * decode for REAL in pure JVM ([[ImageCodec]] — PNG's deflate is
-  * `java.util.zip`, the filter/chunk/padding math is exact integer
-  * code here), feeding [[resizeRaw]]/[[extractFeaturesRaw]]'s exact
-  * pixel kernels. Only JPEG remains STUBBED — DCT+Huffman genuinely
-  * needs a codec library the container lacks — behind the same
-  * swap-one-function seam ([[decodeToRaw]]). Every Spark-side
-  * concern the operator has at 100 TB is real and tested: schema,
-  * per-partition batch iteration (one decoder instantiation per
-  * partition, the same shape a Pandas-UDF/mapInPandas pipeline has),
-  * null/corrupt-input handling, and partition-count preservation.
+  * structs. Decoding status (round 13): RAW bitmaps, PNG, BMP, and
+  * JPEG all decode for REAL — PNG/BMP in exact pure-JVM code
+  * ([[ImageCodec]]: PNG's deflate is `java.util.zip`, the
+  * filter/chunk/padding math is exact integer code here), JPEG via
+  * the JDK's OWN `javax.imageio` baseline codec (public Java SE
+  * API; the earlier rounds' environment-blocked premise was wrong —
+  * probed working headless in this container). All feed
+  * [[resizeRaw]]/[[extractFeaturesRaw]]'s exact pixel kernels.
+  * JPEG's decode is deterministic per JVM but not bit-specified
+  * across decoder implementations, so jpeg stays unit/prop tier
+  * while png/bmp/raw are exact. Every Spark-side concern the
+  * operator has at 100 TB is real and tested: schema, per-partition
+  * batch iteration (one decoder instantiation per partition, the
+  * same shape a Pandas-UDF/mapInPandas pipeline has), null/corrupt-
+  * input handling, and partition-count preservation.
   *
   * Header format for the fake codec (12 bytes, big-endian):
   * magic "GFTI" | uint16 width | uint16 height | uint8 channels |
@@ -28,12 +32,12 @@ object Multimodal {
 
   case class MediaMeta(width: Int, height: Int, channels: Int, format: String)
 
-  /** Metadata decoder: the GFTI container header, plus REAL
-    * header parses for the two pure-JVM codecs ([[ImageCodec]],
-    * round 13) — PNG (signature + IHDR) and BMP (BITMAPINFOHEADER).
-    * Only jpeg remains a tag without a decoder (the documented
-    * library-blocked seam). Anything unrecognized/truncated decodes
-    * to null metadata (the quarantine path).
+  /** Metadata decoder: the GFTI container header, plus REAL header
+    * parses for all three codecs ([[ImageCodec]], round 13) — PNG
+    * (signature + IHDR), BMP (BITMAPINFOHEADER), and JPEG (SOF
+    * dimensions via the JDK's own ImageIO reader). Anything
+    * unrecognized/truncated decodes to null metadata (the quarantine
+    * path).
     */
   def decodeMeta(bytes: Array[Byte]): Option[MediaMeta] = {
     if (bytes == null) return None
@@ -41,6 +45,8 @@ object Multimodal {
       return ImageCodec.pngMeta(bytes).map { case (w, h, c) => MediaMeta(w, h, c, "png") }
     if (ImageCodec.isBmp(bytes))
       return ImageCodec.bmpMeta(bytes).map { case (w, h, c) => MediaMeta(w, h, c, "bmp") }
+    if (ImageCodec.isJpeg(bytes))
+      return ImageCodec.jpegMeta(bytes).map { case (w, h, c) => MediaMeta(w, h, c, "jpeg") }
     if (bytes.length < 12) return None
     if (!(bytes(0) == 'G' && bytes(1) == 'F' && bytes(2) == 'T' && bytes(3) == 'I')) return None
     val w = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
@@ -54,13 +60,16 @@ object Multimodal {
 
   /** Decode any supported container to the row-major w·h·c raw body
     * the pixel kernels consume: GFTI `raw` (length-validated), PNG,
-    * BMP. None for jpeg tags (decoder genuinely needs a codec
-    * library — the one remaining stub seam) and corrupt input.
+    * BMP (both exact pure-JVM decoders), JPEG (the JDK's own ImageIO
+    * codec — deterministic per JVM but not bit-specified across
+    * decoder implementations, so jpeg media stay in the unit/prop
+    * tier). None for GFTI compressed tags and corrupt input.
     */
   def decodeToRaw(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (bytes == null) return None
     if (ImageCodec.isPng(bytes)) return ImageCodec.decodePng(bytes)
     if (ImageCodec.isBmp(bytes)) return ImageCodec.decodeBmp(bytes)
+    if (ImageCodec.isJpeg(bytes)) return ImageCodec.decodeJpeg(bytes)
     decodeMeta(bytes) match {
       case Some(m) if m.format == "raw" && m.width > 0 && m.height > 0 &&
           bytes.length - 12 == m.width * m.height * m.channels =>

@@ -174,6 +174,40 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(!cutResize.getBoolean(2), "truncated png quarantines in the kernel")
   }
 
+  test("JPEG via the JDK codec: dims/channels exact, pixels near-lossless on smooth content, corrupt quarantines") {
+    // uniform gray: JPEG is near-exact on constant blocks
+    val flat = Array.fill[Byte](16 * 16)(100)
+    val jf = ops.ImageCodec.encodeJpeg(16, 16, 1, flat)
+    assert(ops.ImageCodec.isJpeg(jf))
+    assert(ops.ImageCodec.jpegMeta(jf) === Some((16, 16, 1)))
+    val Some((w1, h1, c1, b1)) = ops.ImageCodec.decodeJpeg(jf)
+    assert((w1, h1, c1) === ((16, 16, 1)))
+    assert(b1.forall(b => math.abs((b & 0xff) - 100) <= 2), "uniform gray ±2")
+    // smooth RGB gradient: every channel within the codec's loss band
+    val grad = Array.tabulate[Byte](16 * 16 * 3) { i =>
+      val p = i / 3
+      (((p % 16) * 8 + (p / 16) * 8) & 0xff).toByte
+    }
+    val jc = ops.ImageCodec.encodeJpeg(16, 16, 3, grad)
+    val Some((w2, h2, c2, b2)) = ops.ImageCodec.decodeJpeg(jc)
+    assert((w2, h2, c2) === ((16, 16, 3)))
+    val maxErr = b2.indices.map(i => math.abs((b2(i) & 0xff) - (grad(i) & 0xff))).max
+    assert(maxErr <= 32, s"smooth-gradient loss band, maxErr=$maxErr")
+    // the decoded jpeg flows through the pixel kernels like any media
+    val media = Seq((1L, jc), (2L, ops.Multimodal.encodeHeader(16, 16, 3, 0, grad))).toDS()
+    val f = ops.Multimodal.extractFeaturesRaw(media).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Float](1), r.getBoolean(2))).toMap
+    assert(f(1L)._2 && f(2L)._2)
+    val cosSim = f(1L)._1.zip(f(2L)._1).map { case (a, b) => a.toDouble * b }.sum
+    assert(cosSim > 0.999, s"jpeg features track raw features, cos=$cosSim")
+    val meta = ops.Multimodal.withDecodedMeta(Seq((1L, jc)).toDS())
+      .select("format").collect().head.getString(0)
+    assert(meta === "jpeg")
+    // corrupt: truncated stream and bare-marker junk both quarantine
+    assert(ops.ImageCodec.decodeJpeg(jc.take(jc.length / 4)).isEmpty)
+    assert(ops.ImageCodec.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2, 3)).isEmpty)
+  }
+
   test("multimodal_codec_features: per-label cells replay from a driver-side codec loop; every decode ok") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
