@@ -116,6 +116,13 @@ object BigramService {
     * docs twice is a NO-OP for every served statistic, the exact
     * opposite of [[VocabService.appendDocs]]' additive contract (both
     * documented; pick the service that matches the statistic).
+    *
+    * This service does NOT need the [[ManualIds]] reservation its
+    * additive siblings gained (r12 ADVICE): its data rows carry no
+    * batch collapse — content merges by DISTINCT, which is
+    * idempotent — so a crashed append's orphan rows are repaired (not
+    * corrupted) by retrying the append, and an id collision cannot
+    * merge unrelated counts because nothing here is a count.
     */
   def appendDocs(docs: DataFrame, name: String): Unit = {
     val spark = docs.sparkSession
