@@ -1484,6 +1484,77 @@ object Insights {
       .orderBy("channel")
   }
 
+  /** SAMPLED-permutation Shapley attribution (round 13 — §8.r13
+    * item 15 executed): the estimator that serves channel
+    * vocabularies beyond [[eventsShapleyAttribution]]'s 2^|C|
+    * power-set cap (~20 channels). φ_c = E_π[v(pred_π(c) ∪ {c}) −
+    * v(pred_π(c))] over uniformly random permutations π; here the
+    * permutations are HASH-SEEDED (channel order within permutation
+    * p = md5 rank under a fixed salt) — deterministic, engine-
+    * independent, and therefore ORACLE-ABLE even though the method
+    * is Monte Carlo: both engines sample the identical permutation
+    * set, so the integer cells hash-match (the sample_hash_split
+    * discipline applied to permutation sampling; the STATISTICAL
+    * error vs the true Shapley value is what the spec bounds against
+    * the exact key).
+    *
+    * Emits per channel the bit rank, n_perms, and the INTEGER
+    * marginal sum Σ_π (v(prefix_π(c)) − v(prefix_π(c)∖{c})) — the
+    * consumer divides by n_perms. v(S) = converted users whose
+    * pre-purchase touchset ⊆ S, computed on the ≤min(users, 2^|C|)
+    * mask-count relation exactly as the exact key does.
+    *
+    * Scale: the mask rollup is the only corpus-sized pass. The
+    * permutation lattice is P·|C| rows (windows partitioned per
+    * permutation — |C|-row partitions); the containment evaluation
+    * is masks × (P·|C|) via a broadcast nested loop — P is the
+    * accuracy dial (stderr ∝ 1/√P), and at |C| where this key is
+    * the only option the exact key's 2^|C| state does not exist at
+    * all. No dimension pin: |C| is derived from the corpus, unlike
+    * the exact key's asserted nCh = 4.
+    */
+  val eventsShapleySampled: Q = (s, dir) => {
+    val nPerms = 240
+    val e = table(s, dir, "events")
+    val chTypes = e.select(col("event_type").as("t")).distinct()
+      .filter(col("t") =!= "purchase")
+    val channels = chTypes
+      .join(chTypes.select(col("t").as("t2")), col("t2") < col("t"), "left")
+      .groupBy(col("t")).agg(count(col("t2")).as("bit"))
+    val firstBuy = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("buy_ts"))
+    val masks = e
+      .join(broadcast(channels), col("event_type") === col("t"))
+      .join(firstBuy, "user_id")
+      .filter(col("ts") < col("buy_ts"))
+      .groupBy(col("user_id"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(bit AS INT))")).as("mask"))
+    val maskCounts = firstBuy.join(masks, Seq("user_id"), "left")
+      .select(coalesce(col("mask"), lit(0L)).as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("m"))
+    // hash-seeded permutation lattice: P·|C| rows, windows per perm
+    val wPerm = Window.partitionBy(col("p")).orderBy(col("h"), col("t"))
+    val prefixes = s.range(nPerms.toLong).select(col("id").as("p"))
+      .crossJoin(broadcast(channels))
+      .withColumn("h", md5(concat_ws("|", lit("graft-shapley-perm"),
+        col("p").cast("string"), col("t"))))
+      .withColumn("pmask", bit_or(expr("shiftleft(1L, CAST(bit AS INT))"))
+        .over(wPerm.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prevmask", col("pmask") - expr("shiftleft(1L, CAST(bit AS INT))"))
+      .select(col("p"), col("t"), col("bit"), col("pmask"), col("prevmask"))
+    maskCounts.crossJoin(broadcast(prefixes))
+      .withColumn("marginal",
+        when(col("mask").bitwiseAND(col("pmask")) === col("mask"), col("m"))
+          .otherwise(lit(0L)) -
+        when(col("mask").bitwiseAND(col("prevmask")) === col("mask"), col("m"))
+          .otherwise(lit(0L)))
+      .groupBy(col("t").as("channel"), col("bit"))
+      .agg(sum(col("marginal")).as("phi_sum"))
+      .withColumn("n_perms", lit(nPerms.toLong))
+      .select("channel", "bit", "n_perms", "phi_sum")
+      .orderBy("channel")
+  }
+
   /** Mutual-information cells for segment × priority — the
     * INFORMATION-THEORETIC sibling of [[statChi2Cells]] on the same
     * kind of contingency grid (χ² asks "how far from independence in
@@ -1770,6 +1841,7 @@ object Insights {
     "events_lifecycle_states" -> eventsLifecycleStates,
     "stat_mutual_info_cells" -> statMutualInfoCells,
     "events_shapley_attribution" -> eventsShapleyAttribution,
+    "events_shapley_sampled" -> eventsShapleySampled,
     "events_peak_concurrency" -> eventsPeakConcurrency,
     "events_snaive_backtest" -> eventsSnaiveBacktest,
     "events_hhi_concentration" -> eventsHhiConcentration,

@@ -3479,6 +3479,49 @@ object OracleSql {
         |FROM terms GROUP BY 1, 2
         |ORDER BY channel""".stripMargin,
 
+    // ops.Insights.eventsShapleySampled: hash-seeded permutation
+    // sampling — both engines derive the IDENTICAL permutation set
+    // from md5 ranks, so the Monte Carlo cells are exact integers
+    "events_shapley_sampled" ->
+      """WITH ch0 AS (
+        |  SELECT DISTINCT event_type AS t FROM events WHERE event_type <> 'purchase'),
+        |channels AS (
+        |  SELECT a.t, CAST(count(b.t) AS BIGINT) AS bit
+        |  FROM ch0 a LEFT JOIN ch0 b ON b.t < a.t GROUP BY a.t),
+        |firstbuy AS (
+        |  SELECT user_id, min(ts) AS buy_ts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |masks AS (
+        |  SELECT e.user_id, CAST(bit_or(CAST(1 AS BIGINT) << CAST(c.bit AS INT)) AS BIGINT) AS mask
+        |  FROM events e
+        |  JOIN channels c ON c.t = e.event_type
+        |  JOIN firstbuy f ON f.user_id = e.user_id
+        |  WHERE e.ts < f.buy_ts GROUP BY e.user_id),
+        |convmask AS (
+        |  SELECT COALESCE(m.mask, 0) AS mask, CAST(count(*) AS BIGINT) AS m
+        |  FROM firstbuy f LEFT JOIN masks m ON m.user_id = f.user_id GROUP BY 1),
+        |perms AS (SELECT CAST(range AS BIGINT) AS p FROM range(240)),
+        |lattice AS (
+        |  SELECT p, t, bit,
+        |         md5('graft-shapley-perm' || '|' || CAST(p AS VARCHAR) || '|' || t) AS h
+        |  FROM perms CROSS JOIN channels),
+        |pref AS (
+        |  SELECT p, t, bit,
+        |         CAST(bit_or(CAST(1 AS BIGINT) << CAST(bit AS INT)) OVER (
+        |           PARTITION BY p ORDER BY h, t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pmask
+        |  FROM lattice),
+        |pref2 AS (
+        |  SELECT p, t, bit, pmask,
+        |         pmask - (CAST(1 AS BIGINT) << CAST(bit AS INT)) AS prevmask
+        |  FROM pref)
+        |SELECT t AS channel, bit, CAST(240 AS BIGINT) AS n_perms,
+        |       CAST(SUM((CASE WHEN (mask & pmask) = mask THEN m ELSE 0 END)
+        |              - (CASE WHEN (mask & prevmask) = mask THEN m ELSE 0 END)) AS BIGINT) AS phi_sum
+        |FROM convmask CROSS JOIN pref2
+        |GROUP BY 1, 2
+        |ORDER BY channel""".stripMargin,
+
     // ops.Insights.statMutualInfoCells: per-cell exact MI terms on the
     // fixed-point chain over the two integer products
     "stat_mutual_info_cells" -> s"""WITH cells AS (

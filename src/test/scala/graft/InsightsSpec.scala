@@ -998,5 +998,22 @@ class InsightsSpec extends SparkSpec {
     assert(got === want)
     // efficiency: Σφ·24⁻¹ = v(C) − v(∅)
     assert(got.values.sum === 24L * (v(15L) - v(0L)), "efficiency axiom")
+
+    // ---- the SAMPLED estimator against the same game (round 13,
+    // §8.r13 item 15): efficiency is EXACT for any permutation set
+    // (per-permutation marginals telescope), and each channel's
+    // estimate converges on the exact value
+    val sampled = ops.Insights.eventsShapleySampled(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nP = sampled.head._3
+    assert(sampled.map(_._4).sum === nP * (v(15L) - v(0L)),
+      "sampled efficiency telescopes exactly")
+    val total = (v(15L) - v(0L)).toDouble
+    sampled.foreach { case (c, _, np, phiSum) =>
+      val est = phiSum.toDouble / np
+      val exact = want(c).toDouble / 24.0
+      assert(math.abs(est - exact) <= math.max(1.0, 0.10 * total),
+        s"channel $c: sampled $est vs exact $exact (total $total)")
+    }
   }
 }
