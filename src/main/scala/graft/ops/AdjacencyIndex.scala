@@ -138,4 +138,22 @@ object AdjacencyIndex {
       edges(spark, name).filter(col("src") < col("dst"))
         .select(col("src").as("u"), col("dst").as("v"))
         .localCheckpoint())
+
+  /** PageRank of the stored (undirected) graph (round 13) —
+    * [[Graph]]'s scaled-integer Pregel loop driven off the persisted
+    * adjacency: top-20 nodes by rank without re-deriving edges from
+    * raw facts. The per-iteration degree join reads the bucketed
+    * table's own clustering (the [[degrees]] zero-exchange
+    * property), and the loop's only per-round exchange is the
+    * contribution aggregate — the [[Graph.graphPagerank]] economics
+    * over the service relation. Spec: row-identical to the in-plan
+    * loop over the same normalized edge set.
+    */
+  def pagerankOver(spark: SparkSession, name: String): DataFrame = {
+    val e = edges(spark, name)
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val n = nodes.count()
+    if (n == 0) nodes.select(col("node"), lit(0.0).as("rank"))
+    else Graph.pagerankLoop(nodes, e, n)
+  }
 }

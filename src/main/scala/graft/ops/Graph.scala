@@ -145,7 +145,7 @@ object Graph {
     else pagerankLoop(nodes, edges, n)
   }
 
-  private def pagerankLoop(nodes: DataFrame, edges: DataFrame, n: Long): DataFrame = {
+  private[graft] def pagerankLoop(nodes: DataFrame, edges: DataFrame, n: Long): DataFrame = {
     // (src, dst, deg) in ONE relation, checkpointed: the out-degree
     // join happens once, not once per iteration.
     val edgesD = edges

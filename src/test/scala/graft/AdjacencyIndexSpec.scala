@@ -153,4 +153,24 @@ class AdjacencyIndexSpec extends SparkSpec {
         "stored-graph cells must equal the in-plan form")
     } finally io.TableManifest.drop(spark, "adj_mod")
   }
+
+  test("pagerankOver == the in-plan loop over the same stored relation") {
+    ops.AdjacencyIndex.build(spark, "adj_pr", corpusEdges)
+    try {
+      val got = ops.AdjacencyIndex.pagerankOver(spark, "adj_pr")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // independent reference: the same Pregel loop over the
+      // normalized both-orientation relation built straight from the
+      // raw edges (never reading the index)
+      val e0 = corpusEdges
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val both = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      val nodes = both.select(col("src").as("node")).distinct().localCheckpoint()
+      val ref = ops.Graph.pagerankLoop(nodes, both, nodes.count())
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === ref, "service pagerank must equal the in-plan loop")
+    } finally io.TableManifest.drop(spark, "adj_pr")
+  }
 }
