@@ -1398,6 +1398,57 @@ object Insights {
       .orderBy("month")
   }
 
+  /** Log-log price elasticity of demand per brand (round 13) — the
+    * retail-economics regression beside [[Stats.statLinregGroup]]'s
+    * plain OLS: per (brand, ship-month) cell the realized unit price
+    * is rev/qty and demand is qty, and the elasticity is the
+    * least-squares slope of ln(qty) on ln(price) across the brand's
+    * months. On the fixed-point chain the log of the RATIO is the
+    * exact integer difference L(rev_cents) − L(q_units), so both
+    * regression coordinates are integers:
+    *
+    *   x = (L(rev_cents) − L(q_units)) >> 10,  y = L(q_units) >> 10
+    *
+    * and the slope ships as the EXACT integer rational
+    * slope_num = n·Σxy − Σx·Σy, slope_den = n·Σx² − (Σx)² — the
+    * consumer divides (elasticity ≈ slope; a negative value is the
+    * economically expected sign). The >>10 keeps all products far
+    * inside int64 (x, y < 2⁶·2¹⁰; n ≤ months). Degenerate brands
+    * (single month or constant price → den 0) are dropped like
+    * `text_zipf_slope`'s one-token slices — both engines share the
+    * predicate.
+    *
+    * Scale: one broadcast part-dim join on the fact scan, one
+    * map-side-combined (brand, month) rollup (dimension×calendar-
+    * bounded cells), logs evaluated once per CELL, then a |brands|
+    * rollup. Nothing corpus-sized past the first aggregation.
+    */
+  val ordersPriceElasticity: Q = (s, dir) => {
+    import graft.functions.NumericExpressions.log2Fixed
+    val cells = table(s, dir, "lineitem")
+      .join(broadcast(table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        date_format(to_date(col("l_shipdate")), "yyyy-MM").as("month"))
+      .agg(sum(dec(col("l_quantity"))).cast("long").as("q_units"),
+        (sum(dec(col("l_extendedprice"))) * 100).cast("long").as("rev_cents"))
+      .filter(col("q_units") > 0 && col("rev_cents") > 0)
+      .select(col("brand"),
+        shiftright(log2Fixed(col("rev_cents")) - log2Fixed(col("q_units")), 10).as("x"),
+        shiftright(log2Fixed(col("q_units")), 10).as("y"))
+    cells.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_num", col("n_months") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope_den", col("n_months") * col("sxx") - col("sx") * col("sx"))
+      .filter(col("slope_den") =!= 0)
+      .select("brand", "n_months", "slope_num", "slope_den")
+      .orderBy("brand")
+  }
+
   /** Exact Shapley-value attribution over the event-type channels —
     * the game-theoretic answer to "which channels actually drive
     * purchases?" that last-touch (`events_attribution`) structurally
@@ -1842,6 +1893,7 @@ object Insights {
     "stat_mutual_info_cells" -> statMutualInfoCells,
     "events_shapley_attribution" -> eventsShapleyAttribution,
     "events_shapley_sampled" -> eventsShapleySampled,
+    "orders_price_elasticity" -> ordersPriceElasticity,
     "events_peak_concurrency" -> eventsPeakConcurrency,
     "events_snaive_backtest" -> eventsSnaiveBacktest,
     "events_hhi_concentration" -> eventsHhiConcentration,

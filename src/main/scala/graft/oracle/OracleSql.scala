@@ -3479,6 +3479,38 @@ object OracleSql {
         |FROM terms GROUP BY 1, 2
         |ORDER BY channel""".stripMargin,
 
+    // ops.Insights.ordersPriceElasticity: log-log slope cells on the
+    // Log2Sql chain over the distinct cell values (rev and qty)
+    "orders_price_elasticity" ->
+      s"""WITH cells AS (
+         |  SELECT p.p_brand AS brand, strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+         |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS q_units,
+         |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
+         |  FROM lineitem JOIN part p ON p.p_partkey = l_partkey
+         |  GROUP BY 1, 2),
+         |pos AS (SELECT * FROM cells WHERE q_units > 0 AND rev_cents > 0),
+         |${Log2Sql.chain("lg",
+            "SELECT DISTINCT q_units AS v FROM pos " +
+              "UNION SELECT DISTINCT rev_cents AS v FROM pos")},
+         |xy AS (
+         |  SELECT brand,
+         |         (lr.l20 - lq.l20) // 1024 AS x,
+         |         lq.l20 // 1024 AS y
+         |  FROM pos
+         |  JOIN lg lr ON lr.v = pos.rev_cents
+         |  JOIN lg lq ON lq.v = pos.q_units),
+         |agg AS (
+         |  SELECT brand, CAST(count(*) AS BIGINT) AS n_months,
+         |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM xy GROUP BY brand)
+         |SELECT brand, n_months,
+         |       CAST(n_months * sxy - sx * sy AS BIGINT) AS slope_num,
+         |       CAST(n_months * sxx - sx * sx AS BIGINT) AS slope_den
+         |FROM agg
+         |WHERE n_months * sxx - sx * sx <> 0
+         |ORDER BY brand""".stripMargin,
+
     // ops.Insights.eventsShapleySampled: hash-seeded permutation
     // sampling — both engines derive the IDENTICAL permutation set
     // from md5 ranks, so the Monte Carlo cells are exact integers

@@ -967,6 +967,59 @@ class InsightsSpec extends SparkSpec {
     assert(miBits >= -1e-4, s"MI = $miBits")
   }
 
+  test("orders_price_elasticity: cells replay brute-force; fixed-point slope tracks libm OLS") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = ops.Insights.ordersPriceElasticity(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val brandOf = io.Readers.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = io.Readers.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), substring(col("l_shipdate"), 1, 7).as("month"),
+        graft.Determinism.dec(col("l_quantity")).as("q"),
+        graft.Determinism.dec(col("l_extendedprice")).as("p"))
+      .collect()
+      .map(r => (brandOf(r.getLong(0)), r.getString(1),
+        r.getDecimal(2), r.getDecimal(3)))
+    val cells = rows.groupBy(t => (t._1, t._2)).map { case ((b, _), g) =>
+      (b, g.map(_._3.longValueExact()).sum,
+        g.map(t => t._4.movePointRight(2).longValueExact()).sum)
+    }.filter(t => t._2 > 0 && t._3 > 0)
+    import graft.functions.NumericExpressions.log2FixedJ
+    val want = cells.groupBy(_._1).flatMap { case (b, g) =>
+      val xy = g.map { case (_, q, rev) =>
+        ((log2FixedJ(rev) - log2FixedJ(q)) >> 10, log2FixedJ(q) >> 10)
+      }.toSeq
+      val n = xy.size.toLong
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val (sxy, sxx) = (xy.map(t => t._1 * t._2).sum, xy.map(t => t._1 * t._1).sum)
+      val den = n * sxx - sx * sx
+      if (den == 0) None else Some(b -> ((n, n * sxy - sx * sy, den)))
+    }
+    assert(got === want, "cells == brute-force replay")
+    // semantic guard: the fixed-point slope tracks the double OLS on
+    // the true logs (the >>10 quantization noise stays small)
+    cells.groupBy(_._1).foreach { case (b, g) =>
+      val pts = g.map { case (_, q, rev) =>
+        (math.log(rev.toDouble / q), math.log(q.toDouble))
+      }.toSeq
+      val n = pts.size
+      if (n >= 3 && got.contains(b)) {
+        val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+        val (sxy, sxx) = (pts.map(t => t._1 * t._2).sum, pts.map(t => t._1 * t._1).sum)
+        val den = n * sxx - sx * sx
+        if (math.abs(den) > 1e-6) {
+          val ref = (n * sxy - sx * sy) / den
+          val (nn, num, dd) = got(b)
+          val fp = num.toDouble / dd
+          assert(math.abs(fp - ref) < 0.05 + 0.02 * math.abs(ref),
+            s"brand $b: fp slope $fp vs libm $ref")
+        }
+      }
+    }
+  }
+
   test("events_shapley_attribution: driver-side power-set replay; efficiency axiom holds x24") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
