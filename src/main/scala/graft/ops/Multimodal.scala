@@ -278,6 +278,20 @@ object Multimodal {
       case _ => None
     }
 
+  /** Media bytes → the `(vec_id, v)` relation the vector indexes
+    * consume (round 13 — the "find media like this one" bridge):
+    * decode + feature-extract each payload and keep the decodable
+    * rows. Feeds [[IvfIndex.buildIndex]]/[[IvfIndex.probe]] directly
+    * (cell-partitioned persisted ANN over media features) or any of
+    * the cosine/LSH operators. Spec: an end-to-end planted-motif
+    * retrieval over PNG/BMP/JPEG corpora (MultimodalCodecSpec).
+    */
+  def mediaFeatureRows(media: Dataset[(Long, Array[Byte])]): DataFrame =
+    extractFeaturesRaw(media)
+      .filter(col("ok"))
+      .select(col("media_id").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+
   /** Frame-sample stub for video-like payloads: every `stride`-th
     * fixed-size chunk of the payload becomes a "frame" row (generator
     * shape: one input row → N output rows, flatMap not collect).

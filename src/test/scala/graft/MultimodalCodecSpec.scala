@@ -233,6 +233,57 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(got === want, "cells == driver replay; n_ok == n_vecs (every PNG decodes)")
   }
 
+  test("end-to-end media retrieval: PNG/BMP/JPEG corpus -> features -> persisted IVF -> motif neighbors") {
+    import org.apache.spark.sql.functions._
+    // planted-motif corpus: 3 base patterns x 20 noisy variants each,
+    // encoded in a MIX of containers (the retrieval path must be
+    // container-blind once decodeToRaw normalizes)
+    val (w, h) = (16, 16)
+    def motif(kind: Int, variant: Int): Array[Byte] = Array.tabulate[Byte](w * h) { i =>
+      val (y, x) = (i / w, i % w)
+      val base = kind match {
+        case 0 => x * 16 // horizontal gradient
+        case 1 => y * 16 // vertical gradient
+        case 2 => if ((x / 4 + y / 4) % 2 == 0) 30 else 220 // checker
+      }
+      val noise = ((i * 31 + variant * 17) % 7) - 3
+      math.max(0, math.min(255, base + noise)).toByte
+    }
+    // all three containers carry the SAME RGB content (gray tripled:
+    // BMP is always 24-bit, so RGB everywhere keeps feature dims equal)
+    val corpus = (for (kind <- 0 until 3; v <- 0 until 20) yield {
+      val id = (kind * 100 + v).toLong
+      val body3 = motif(kind, v).flatMap(b => Array(b, b, b))
+      val bytes = v % 3 match {
+        case 0 => ops.ImageCodec.encodePng(w, h, 3, body3, y => y % 5)
+        case 1 => ops.ImageCodec.encodeBmp(w, h, body3)
+        case 2 => ops.ImageCodec.encodeJpeg(w, h, 3, body3)
+      }
+      (id, bytes)
+    }).toDS()
+    val rows = ops.Multimodal.mediaFeatureRows(corpus)
+    assert(rows.count() === 60, "every container decodes")
+    ops.IvfIndex.buildIndex(spark, rows, "ivf_media", nlist = 4)
+    try {
+      // fresh unseen variants of each motif, as jpeg probes
+      val probes = (0 until 3).map { kind =>
+        (1000L + kind, ops.ImageCodec.encodeJpeg(w, h, 3,
+          motif(kind, 99).flatMap(b => Array(b, b, b))))
+      }.toDS()
+      val pv = ops.Multimodal.mediaFeatureRows(probes)
+        .select(col("vec_id").as("p_id"), col("v").as("pv"))
+      val got = ops.IvfIndex.probe(spark, pv, "ivf_media", nprobe = 2, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      // every retrieved neighbor of probe 100k must be from motif k
+      (0 until 3).foreach { kind =>
+        val nbrs = got.filter(_._1 == 1000L + kind).map(_._2)
+        assert(nbrs.nonEmpty, s"motif $kind retrieves")
+        assert(nbrs.forall(id => id / 100 == kind),
+          s"motif $kind neighbors pure: ${nbrs.mkString(",")}")
+      }
+    } finally io.TableManifest.drop(spark, "ivf_media")
+  }
+
   test("decoded media flow into the similarity family: nearest neighbor by pixel content") {
     // three images: two near-identical gradients, one inverted —
     // cosine over extracted features must pair the gradients
