@@ -647,6 +647,57 @@ object Streaming {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** `transformWithState` per-user running spend (round 13) — the
+    * SPARK 4 arbitrary-state API (StatefulProcessor + typed state
+    * handles + timers; the successor surface to
+    * `mapGroupsWithState`, RocksDB-backed by contract): a
+    * ValueState[(n, cents)] per user folds each micro-batch and
+    * re-emits the user's refreshed exact totals. Money stays integer
+    * cents end to end, so the state is the sufficient statistic and
+    * the final emitted row after ANY batch split is bit-identical to
+    * the batch groupBy over the concatenated input — the equivalence
+    * StreamingSpec asserts (the `stream_custom_state` discipline on
+    * the new API). Unit-only by contract (streaming-runtime-only,
+    * like the rest of the §2 streaming-unit family).
+    *
+    * Scale: state is O(users) fixed-width rows in the RocksDB store
+    * (spillable, TTL-evictable via TTLConfig where the key domain is
+    * unbounded); each batch touches only its own keys.
+    */
+  class UserSpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("spend",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, s) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { case (_, cents) => n += 1; s += cents }
+      st.update((n, s))
+      Iterator.single((user, n, s))
+    }
+  }
+
+  /** The transformWithState pipeline over an (event) relation —
+    * works identically on a stream and on a batch Dataset (empty
+    * initial state), which is the spec's equivalence lever.
+    */
+  def twsUserSpend(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("user_id"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserSpendProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "spend_cents")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling_counts" -> streamTumblingCounts,
     "stream_sliding_avg" -> streamSlidingAvg,

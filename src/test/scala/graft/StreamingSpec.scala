@@ -200,6 +200,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState (Spark 4 API): RocksDB-backed state converges to the batch groupBy for any split") {
+    // the new arbitrary-state surface requires the RocksDB provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rows = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.50), ev(2, "2024-01-01 10:01:00", 1, "view", 2.25),
+      ev(3, "2024-01-01 10:02:00", 2, "click", 10.00), ev(4, "2024-01-01 10:03:00", 1, "view", 0.25),
+      ev(5, "2024-01-01 10:04:00", 3, "view", 7.75), ev(6, "2024-01-01 10:05:00", 2, "click", 0.01))
+    val stream = MemoryStream[Ev]
+    val q = ops.Streaming.twsUserSpend(stream.toDF())
+      .writeStream.format("memory").queryName("tws").outputMode("update").start()
+    try {
+      stream.addData(rows.take(2)); q.processAllAvailable()
+      stream.addData(rows.slice(2, 5)); q.processAllAvailable()
+      stream.addData(rows.drop(5)); q.processAllAvailable()
+      val streamed = spark.table("tws").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSeq.sortBy(_._1)
+      // batch reference: the same exact-cents groupBy over everything
+      import org.apache.spark.sql.functions._
+      val batch = rows.toDF()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          (sum(graft.Determinism.dec(col("value"))) * 100).cast("long").as("cents"))
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(streamed === batch,
+        "final per-user transformWithState rows == batch groupBy, exact cents")
+      // and the batch-mode run of the SAME pipeline agrees (empty
+      // initial state — the stream/batch duality the API guarantees)
+      val asBatch = ops.Streaming.twsUserSpend(rows.toDF())
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(asBatch === batch)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch upsert: snapshot holds latest row per key across batches") {
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString
     val snap = s"$dir/snapshot"
