@@ -698,6 +698,75 @@ object Streaming {
       .toDF("user_id", "n_events", "spend_cents")
   }
 
+  /** `transformWithState` TIMER surface (round 13, completing the
+    * Spark 4 state API adoption beside [[UserSpendProcessor]]'s
+    * value-state fold): event-time session tracking where the
+    * SESSION CLOSE is detected by a registered timer rather than by
+    * the next event — the idle-user case the built-in session window
+    * also handles, but with arbitrary per-session state and an
+    * arbitrary close action available (the API's distinguishing
+    * power). Per user the state is (start, last, n); each batch
+    * extends it and re-arms a timer at last + gap; when the
+    * WATERMARK passes the timer the session emits (user, start,
+    * last, n) and the state clears. Unit-only by contract.
+    *
+    * Scale: O(active users) fixed-width state + one timer each in
+    * the RocksDB store; expired sessions leave the store — the
+    * bounded-state discipline watermarks give every streaming op.
+    */
+  class SessionGapProcessor(gapMs: Long) extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("session",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      var (start, last, n) =
+        if (st.exists()) st.get() else (Long.MaxValue, Long.MinValue, 0L)
+      rows.foreach { case (_, ts) =>
+        start = math.min(start, ts); last = math.max(last, ts); n += 1
+      }
+      // re-arm: drop any earlier-armed close and push it past the
+      // newest event (timers are keyed per user in the store)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(last + gapMs)
+      st.update((start, last, n))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(user: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      val out =
+        if (st.exists()) { val (s0, l0, n0) = st.get(); Iterator.single((user, s0, l0, n0)) }
+        else Iterator.empty
+      st.clear()
+      out
+    }
+  }
+
+  /** Event-time sessionization via the timer surface: sessions close
+    * when the WATERMARK passes last-event + gap.
+    */
+  def twsSessions(events: DataFrame, gap: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val ms = gapMs.days * 86400000L + gapMs.months * 2592000000L +
+      gapMs.microseconds / 1000L
+    events.withWatermark("ts", "0 seconds")
+      .select(col("user_id"), (col("ts").cast("double") * 1000).cast("long").as("tms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionGapProcessor(ms),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "session_start_ms", "session_end_ms", "n_events")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling_counts" -> streamTumblingCounts,
     "stream_sliding_avg" -> streamSlidingAvg,

@@ -241,6 +241,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState timers: sessions close when the watermark passes last-event + gap") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Ev]
+    val q = ops.Streaming.twsSessions(stream.toDF(), gap = "10 minutes")
+      .writeStream.format("memory").queryName("twssess").outputMode("append").start()
+    try {
+      // user 1: a two-event burst; user 2: one event much later keeps
+      // the stream alive and pushes the watermark past 1's gap
+      stream.addData(Seq(ev(1, "2024-01-01 10:00:00", 1, "click"),
+        ev(2, "2024-01-01 10:05:00", 1, "view")))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(3, "2024-01-01 11:00:00", 2, "click")))
+      q.processAllAvailable()
+      // one more batch so the engine evaluates timers against the
+      // advanced watermark
+      stream.addData(Seq(ev(4, "2024-01-01 12:00:00", 2, "view")))
+      q.processAllAvailable()
+      import org.apache.spark.sql.functions.col
+      val sessions = spark.table("twssess")
+        .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      def ms(s: String) = java.sql.Timestamp.valueOf(s).getTime
+      assert(sessions.contains(
+        (1L, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:05:00"), 2L)),
+        s"user 1's idle session must close via the timer: $sessions")
+      // user 2's latest session is still open (no watermark past it)
+      assert(!sessions.exists(s => s._1 == 2L && s._3 == ms("2024-01-01 12:00:00")),
+        "an active session must not close early")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch upsert: snapshot holds latest row per key across batches") {
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString
     val snap = s"$dir/snapshot"
