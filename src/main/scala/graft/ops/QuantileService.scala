@@ -173,4 +173,110 @@ object QuantileService {
     val sk = mergedSketch(spark, name, fromDay, toDay)
     qs.map(q => (q, sk.quantile(q), sk.n, sk.errBound.toDouble / sk.n))
   }
+
+  // ------------------------------------------------ keyed layout (r13)
+
+  /** KEYED layout (round 13): one sketch per (dim, day) — the
+    * per-event-type percentile service (p50/p99 per endpoint is THE
+    * latency-SLO shape) mirroring [[CardinalityService]]'s keyed
+    * precedent, under its OWN schema version so keyed and unkeyed
+    * layouts fail fast instead of silently mixing (spec-asserted).
+    * Serving stays sketch-only: a per-dim day-range query merges that
+    * dim's stored day sketches (bounded: |dims|·|days| rows) and
+    * answers with the accumulated worst-case certificate.
+    */
+  val KeyedSchemaVersion = 2
+
+  private def keyedDaySketches(spark: SparkSession, events: DataFrame,
+      dimCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val udafKll = udaf(new Udx.KllQuantiles(K), Encoders.scalaDouble)
+    val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING,
+      Encoders.kryo[Udx.KllBuf])
+    val rowEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.BINARY)
+    events
+      .groupBy(col(dimCol).cast("string").as("dim"),
+        to_date(col("ts")).cast("string").as("day"))
+      .agg(udafKll(col("value")).as("sk"))
+      .select(col("dim"), col("day"), col("sk"))
+      .as[(String, String, Udx.KllBuf)](pairEnc)
+      .map { case (dim, d, buf) => (dim, d, buf.n, buf.errBound, buf.toBytes) }(rowEnc)
+      .toDF("dim", "day", "n", "err_bound", "sk")
+  }
+
+  private def publishKeyed(spark: SparkSession, name: String, rows: DataFrame,
+      version: Option[Long], beforeCommit: () => Unit, afterCommit: () => Unit,
+      appliedBatch: Option[Long]): Unit = {
+    val v = version.getOrElse(TableManifest.nextVersion(spark, name))
+    val t = TableManifest.physicalName(name, v)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    rows.write.mode("overwrite").format("parquet").saveAsTable(t)
+    beforeCommit()
+    TableManifest.commit(spark, name, v, KeyedSchemaVersion, appliedBatch)
+    afterCommit()
+    TableManifest.vacuum(spark, name)
+  }
+
+  /** Build (or rebuild) a keyed service table from scratch. */
+  def buildKeyed(spark: SparkSession, name: String, events: DataFrame,
+      dimCol: String = "event_type", version: Option[Long] = None,
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => (),
+      appliedBatch: Option[Long] = None): Unit =
+    publishKeyed(spark, name, keyedDaySketches(spark, events, dimCol),
+      version, beforeCommit, afterCommit, appliedBatch)
+
+  /** Incremental MERGE of possibly-partial (dim, day) data — the
+    * keyed [[mergeDays]]: stored and incoming sketches combine
+    * row-locally over a full-outer (dim, day) join.
+    */
+  def mergeDaysKeyed(spark: SparkSession, name: String, events: DataFrame,
+      dimCol: String = "event_type", version: Option[Long] = None,
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => (),
+      appliedBatch: Option[Long] = None): Unit = {
+    val cur = TableManifest.resolve(spark, name, KeyedSchemaVersion)
+    val incoming = keyedDaySketches(spark, events, dimCol)
+    val mergeU = udf { (a: Array[Byte], b: Array[Byte]) =>
+      val m = (Option(a), Option(b)) match {
+        case (Some(x), Some(y)) => Udx.kllFromBytes(x).mergeWith(Udx.kllFromBytes(y))
+        case (Some(x), None) => Udx.kllFromBytes(x)
+        case (None, Some(y)) => Udx.kllFromBytes(y)
+        case _ => throw new IllegalStateException("full-outer join emitted a null pair")
+      }
+      (m.n, m.errBound, m.toBytes)
+    }
+    val merged = spark.table(cur)
+      .select(col("dim"), col("day"), col("sk").as("sk_old"))
+      .join(incoming.select(col("dim"), col("day"), col("sk").as("sk_new")),
+        Seq("dim", "day"), "full_outer")
+      .withColumn("m", mergeU(col("sk_old"), col("sk_new")))
+      .select(col("dim"), col("day"), col("m._1").as("n"),
+        col("m._2").as("err_bound"), col("m._3").as("sk"))
+    publishKeyed(spark, name, merged, version, beforeCommit, afterCommit,
+      appliedBatch)
+  }
+
+  /** Per-dim merged sketch over an inclusive day range; answers
+    * every requested q per dim with the accumulated certificate:
+    * (dim, q, estimate, n, err fraction). Driver-side merge is
+    * bounded by |dims|·|days| stored rows — the same discipline as
+    * [[mergedSketch]].
+    */
+  def quantilesByDim(spark: SparkSession, name: String, qs: Seq[Double],
+      fromDay: Option[String] = None,
+      toDay: Option[String] = None): Seq[(String, Double, Double, Long, Double)] = {
+    val cur = TableManifest.resolve(spark, name, KeyedSchemaVersion)
+    val rows = Seq(
+      fromDay.map(d => col("day") >= d), toDay.map(d => col("day") <= d)
+    ).flatten.foldLeft(spark.table(cur))(_ filter _)
+    rows.select(col("dim"), col("sk")).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (dim, payloads) =>
+        val sk = payloads.map(p => Udx.kllFromBytes(p._2)).reduce(_ mergeWith _)
+        qs.map(q => (dim, q, sk.quantile(q), sk.n, sk.errBound.toDouble / sk.n))
+      }
+  }
 }

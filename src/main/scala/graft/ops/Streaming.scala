@@ -365,6 +365,36 @@ object Streaming {
       .outputMode("append")
       .start()
 
+  /** Keyed twin of [[applyQuantileBatch]] — per-(dim, day) KLL
+    * sketches under the same explicit appliedBatch replay ledger.
+    */
+  def applyQuantileKeyedBatch(name: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (!batchApplied(spark, name, batchId) && !batch.isEmpty) {
+      if (graft.io.TableManifest.readPointer(spark, name).isEmpty)
+        QuantileService.buildKeyed(spark, name, batch,
+          appliedBatch = Some(batchId))
+      else
+        QuantileService.mergeDaysKeyed(spark, name, batch,
+          appliedBatch = Some(batchId))
+    }
+  }
+
+  /** Streaming ingest for the KEYED [[QuantileService]] — per-type
+    * value percentiles (the latency-SLO curve) fed straight from the
+    * event stream: after any batch, per-dim quantile queries over any
+    * day range serve from stored sketches alone.
+    */
+  def foreachBatchQuantilesKeyed(stream: DataFrame, name: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyQuantileKeyedBatch(name)(batch.toDF(), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming ingest for the [[VocabService]] — the vocabulary
     * member of the foreachBatch-sink family: document micro-batches
     * tokenize ONCE into additive partials under the service's

@@ -167,6 +167,87 @@ class QuantileServiceSpec extends SparkSpec {
     }
   }
 
+  test("keyed build: per-dim quantiles within certificate; layouts cannot silently mix") {
+    val ev = io.Readers.table(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("value"))
+    ops.QuantileService.buildKeyed(spark, "qsvc_k", ev)
+    try {
+      val byDim = ev.select(col("event_type"), col("value"))
+        .as[(String, Double)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      val served = ops.QuantileService.quantilesByDim(spark, "qsvc_k",
+        Seq(0.1, 0.5, 0.9, 0.99))
+      assert(served.map(_._1).distinct.sorted === byDim.keySet.toSeq.sorted)
+      served.foreach { case (dim, q, est, n, errFrac) =>
+        val vals = byDim(dim)
+        assert(n === vals.length.toLong, s"$dim: n conserved")
+        // certificate: est's exact rank within errBound of q·n
+        val r = exactRank(vals, est)
+        val target = q * n
+        val slack = errFrac * n + 1.0 // +1: rank vs strict-below convention
+        assert(math.abs(r - target) <= slack + vals.count(_ == est),
+          s"$dim q=$q: rank $r target $target slack $slack")
+      }
+      // an unkeyed reader against the keyed table must fail fast
+      val ex = intercept[IllegalStateException] {
+        ops.QuantileService.quantiles(spark, "qsvc_k", Seq(0.5))
+      }
+      assert(ex.getMessage.contains("schema"), ex.getMessage)
+    } finally io.TableManifest.drop(spark, "qsvc_k")
+  }
+
+  test("keyed merge: half-streams conserve n per (dim, day); served answers stay certified") {
+    val ev = io.Readers.table(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("value"), col("event_id"))
+    val h1 = ev.filter(col("event_id") % 2 === 0)
+    val h2 = ev.filter(col("event_id") % 2 === 1)
+    ops.QuantileService.buildKeyed(spark, "qsvc_km", h1)
+    try {
+      ops.QuantileService.mergeDaysKeyed(spark, "qsvc_km", h2)
+      val byDim = ev.select(col("event_type"), col("value"))
+        .as[(String, Double)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      ops.QuantileService.quantilesByDim(spark, "qsvc_km", Seq(0.5, 0.9))
+        .foreach { case (dim, q, est, n, errFrac) =>
+          val vals = byDim(dim)
+          assert(n === vals.length.toLong, s"$dim: merged n == corpus n")
+          val r = exactRank(vals, est)
+          assert(math.abs(r - q * n) <= errFrac * n + 1.0 + vals.count(_ == est),
+            s"$dim q=$q after merge")
+        }
+    } finally io.TableManifest.drop(spark, "qsvc_km")
+  }
+
+  test("keyed streaming ingest: batches merge per dim; replay and manual-merge interleave stay exactly-once") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val name = "qsvc_kstream"
+    def batchDf(rows: (String, String, Double)*) =
+      rows.map { case (t, s, v) => (t, ts(s), v) }.toDF("event_type", "ts", "value")
+    try {
+      ops.Streaming.applyQuantileKeyedBatch(name)(
+        batchDf(("a", "2024-03-01 10:00:00", 1.0), ("b", "2024-03-01 10:01:00", 5.0)), 0L)
+      ops.Streaming.applyQuantileKeyedBatch(name)(
+        batchDf(("a", "2024-03-01 12:00:00", 3.0)), 1L)
+      // replay of batch 1 is a no-op
+      ops.Streaming.applyQuantileKeyedBatch(name)(
+        batchDf(("a", "2024-03-01 12:00:00", 3.0)), 1L)
+      val served = ops.QuantileService.quantilesByDim(spark, name, Seq(0.5))
+        .map(t => t._1 -> t._4).toMap
+      assert(served === Map("a" -> 2L, "b" -> 1L),
+        "per-dim n exact under replay")
+      // a manual keyed merge inflates the version; the next live batch
+      // must still apply (the explicit appliedBatch ledger)
+      ops.QuantileService.mergeDaysKeyed(spark, name,
+        batchDf(("b", "2024-03-02 09:00:00", 6.0)))
+      ops.Streaming.applyQuantileKeyedBatch(name)(
+        batchDf(("a", "2024-03-02 10:00:00", 9.0)), 2L)
+      val after = ops.QuantileService.quantilesByDim(spark, name, Seq(0.5))
+        .map(t => t._1 -> t._4).toMap
+      assert(after === Map("a" -> 3L, "b" -> 2L),
+        "live batch after manual merge folds in")
+    } finally io.TableManifest.drop(spark, name)
+  }
+
   test("manual merge between stream batches must not mask the next live batch (r12 ADVICE)") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val name = "qsvc_manual_mix"
