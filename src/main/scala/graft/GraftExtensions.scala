@@ -89,6 +89,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_might_contain_long(key, filterBytes) expects a long column and a binary literal")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("image_meta"),
+      new ExpressionInfo(
+        classOf[graft.functions.ImageExpr.ImageMeta].getName, "image_meta"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b) => graft.functions.ImageExpr.ImageMeta(b)
+        case _ => throw new IllegalArgumentException(
+          "image_meta(bytes) expects one binary column")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("log2_fixed"),
       new ExpressionInfo(
         classOf[graft.functions.NumericExpressions.Log2Fixed].getName, "log2_fixed"),

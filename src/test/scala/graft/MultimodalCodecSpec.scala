@@ -284,6 +284,41 @@ class MultimodalCodecSpec extends SparkSpec {
     } finally io.TableManifest.drop(spark, "ivf_media")
   }
 
+  test("image_meta SQL expression: header parses from SQL, codegen'd, quarantine -> NULL") {
+    import org.apache.spark.sql.functions.col
+    val body = Array.tabulate[Byte](6 * 4 * 3)(i => (i * 7).toByte)
+    val media = Seq(
+      (1L, ops.ImageCodec.encodePng(6, 4, 3, body, y => y % 5)),
+      (2L, ops.ImageCodec.encodeBmp(6, 4, body)),
+      (3L, ops.ImageCodec.encodeJpeg(6, 4, 3, body)),
+      (4L, ops.Multimodal.encodeHeader(6, 4, 3, 0, body)),
+      (5L, "not an image".getBytes("UTF-8"))).toDF("id", "b")
+    media.createOrReplaceTempView("media_sql")
+    val got = spark.sql(
+      """SELECT id, image_meta(b).width AS w, image_meta(b).height AS h,
+        |       image_meta(b).channels AS c, image_meta(b).format AS f
+        |FROM media_sql ORDER BY id""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))))
+      .toMap
+    assert(got(1L) === Some((6, 4, 3, "png")))
+    assert(got(2L) === Some((6, 4, 3, "bmp")))
+    assert(got(3L) === Some((6, 4, 3, "jpeg")))
+    assert(got(4L) === Some((6, 4, 3, "raw")))
+    assert(got(5L) === None, "undecodable bytes -> NULL (quarantine)")
+    // the expression rides whole-stage codegen (no interpreted
+    // fallback): evaluate over a parquet-backed relation so the
+    // optimizer cannot constant-fold a LocalTableScan away, then
+    // look for the '*(n)' codegen-stage marker on its project line
+    val over = io.Readers.table(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("image_meta(CAST(text AS BINARY)) AS m")
+      .filter(col("m").isNull)
+    over.collect()
+    val line = over.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("image_meta(")).getOrElse("")
+    assert(line.contains("*("), s"image_meta not in a codegen stage: $line")
+  }
+
   test("decoded media flow into the similarity family: nearest neighbor by pixel content") {
     // three images: two near-identical gradients, one inverted —
     // cosine over extracted features must pair the gradients
