@@ -986,11 +986,7 @@ object Analytics {
     * agg is calendar-bounded.
     */
   val timeSeriesStlCells: Q = (s, dir) => {
-    val daily = table(s, dir, "events")
-      .select(col("event_type"),
-        unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
-      .groupBy(col("event_type"), col("epoch_day"))
-      .agg(count(lit(1)).as("cnt"))
+    val daily = EventsBase.dailyCounts(s, dir)
     val wTrend = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
       .rangeBetween(-3, 3)
     val interior = daily
@@ -1072,11 +1068,7 @@ object Analytics {
     * the window partitions by type over the |types|·|days| rollup.
     */
   val timeSeriesRollingMedian: Q = (s, dir) => {
-    val daily = table(s, dir, "events")
-      .select(col("event_type"),
-        unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
-      .groupBy(col("event_type"), col("epoch_day"))
-      .agg(count(lit(1)).as("cnt"))
+    val daily = EventsBase.dailyCounts(s, dir)
     val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
       .rangeBetween(-6, 0)
     daily

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Readers.table
+
+/** Session-scoped cache of the per-(type, day) count rollup the
+  * daily time-series family re-derives from raw events (round 13 —
+  * the [[Graph]] shared-checkpoint pattern applied to its second-
+  * biggest recurrence: SEVEN keys — burst_days, theilsen_trend,
+  * mann_kendall, cusum_changepoint, snaive_backtest, stl_cells,
+  * rolling_median — build the IDENTICAL
+  * `(event_type, unix_date(to_date(ts)) :: long, count)` relation,
+  * measured ~0.5 s steady-state each at sf0.1). One
+  * `localCheckpoint` per (session, dir); results are identical
+  * relations (every consumer aggregates/windows over it — no row-
+  * order dependence). The 100 TB durable analogue is a daily-rollup
+  * table maintained by the streaming ingest; the in-session
+  * checkpoint is its local-mode stand-in, same as the graph family's
+  * edge relation. Entries are |types|·|days| rows — trivially small.
+  */
+object EventsBase {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** The shared (event_type, epoch_day, cnt) daily rollup. */
+  def dailyCounts(s: SparkSession, dir: String): DataFrame =
+    cache.computeIfAbsent((s, dir), _ =>
+      table(s, dir, "events")
+        .select(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
+        .groupBy(col("event_type"), col("epoch_day"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint())
+}

