@@ -19,6 +19,12 @@ import graft.io.Readers.table
   * table maintained by the streaming ingest; the in-session
   * checkpoint is its local-mode stand-in, same as the graph family's
   * edge relation. Entries are |types|·|days| rows — trivially small.
+  *
+  * The durable analogue ALREADY EXISTS in the service layer: the
+  * keyed [[CardinalityService]] table stores (dim, day, n_rows, sk)
+  * — its `n_rows` column IS this rollup, maintained exactly-once by
+  * the streaming ingest; a deployment that wants the daily counts
+  * durable reads them from there instead of re-scanning events.
   */
 object EventsBase {
 

@@ -1548,9 +1548,18 @@ object Insights {
     * all. No dimension pin: |C| is derived from the corpus, unlike
     * the exact key's asserted nCh = 4.
     */
-  val eventsShapleySampled: Q = (s, dir) => {
-    val nPerms = 240
-    val e = table(s, dir, "events")
+  val eventsShapleySampled: Q = (s, dir) =>
+    shapleySampledOver(table(s, dir, "events"), nPerms = 240)
+
+  /** The sampled estimator over an arbitrary events relation —
+    * exposed so consumers with wide channel vocabularies (the
+    * exact key's 2^|C| wall) can dial P themselves;
+    * ScratchShapleyWide runs it at 16 channels where the power-set
+    * method would need 65k subset states.
+    */
+  def shapleySampledOver(e: org.apache.spark.sql.DataFrame,
+      nPerms: Int): org.apache.spark.sql.DataFrame = {
+    val s = e.sparkSession
     val chTypes = e.select(col("event_type").as("t")).distinct()
       .filter(col("t") =!= "purchase")
     val channels = chTypes
