@@ -85,6 +85,15 @@ class MultimodalCodecSpec extends SparkSpec {
     val body = Array.tabulate[Byte](16 * 9 * 3)(i => ((i * 31 + 7) % 251).toByte)
     val png = ops.ImageCodec.encodePng(16, 9, 3, body, y => y % 5)
     assert(ops.ImageCodec.decodePng(png).get._4.toSeq === body.toSeq)
+    // EDGE DIMENSIONS: 1-pixel rows/columns exercise the x < bpp and
+    // y = 0 branches of every filter (Sub with no left, Paeth with no
+    // up-left) — exhaustive over small dims × channels × mixed filters
+    for (w <- Seq(1, 2, 3, 8); h <- Seq(1, 2, 5); c <- 1 to 4) {
+      val b = Array.tabulate[Byte](w * h * c)(i => ((i * 131 + 17) % 256).toByte)
+      val p2 = ops.ImageCodec.encodePng(w, h, c, b, y => (y + w + c) % 5)
+      assert(ops.ImageCodec.decodePng(p2).get._4.toSeq === b.toSeq,
+        s"w=$w h=$h c=$c")
+    }
   }
 
   test("PNG unsupported profiles and corrupt streams quarantine (None), never throw") {
