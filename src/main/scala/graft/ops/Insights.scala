@@ -829,25 +829,33 @@ object Insights {
     * consecutive weights), so both engines agree bit-exactly without
     * relying on tie luck.
     *
-    * Scale: one map-side-combined rollup to (type, user) counts; the
-    * one window is PARTITIONED by event type. A single type's user
-    * list is data-sized — the documented 100 TB swap is the KLL
-    * decile-boundary form ([[SketchVariants]]): Gini from a quantile
-    * sketch is the Lorenz-curve trapezoid sum over sketch boundaries,
-    * certified-error. Overflow: g_num < 2n·total — past
-    * n·total ≈ 4·10¹⁸ widen to DECIMAL(38,0).
+    * Scale (round 13 — the stat-spine discipline applied here too):
+    * one map-side-combined rollup to (type, user) counts, then the
+    * rank sum collapses EXACTLY onto the DISTINCT-COUNT spine — a
+    * tie block at activity value v with m users spanning ranks
+    * [cum−m+1, cum] contributes v·m·(2·cum−m+1)/2 to Σ rn·cnt
+    * (always an integer: m or 2·cum−m+1 is even), and the sorted
+    * partition is ≤ |distinct activity values| per type —
+    * value-domain-bounded, never the old data-sized user list. The
+    * KLL decile form ([[SketchVariants]]) remains the certified
+    * path where even the value domain is unbounded. Overflow:
+    * g_num < 2n·total — past n·total ≈ 4·10¹⁸ widen to
+    * DECIMAL(38,0).
     */
   val eventsGiniActivity: Q = (s, dir) => {
     val perUser = table(s, dir, "events")
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("cnt"), col("user_id"))
-    perUser
-      .withColumn("rn", row_number().over(w).cast("long"))
+    val spine = perUser.groupBy(col("event_type"), col("cnt"))
+      .agg(count(lit(1)).as("m"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cnt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .withColumn("cum", sum(col("m")).over(wCum))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("total_events"),
-        sum(col("rn") * col("cnt")).as("s_rc"))
+      .agg(sum(col("m")).as("n_users"),
+        sum(col("m") * col("cnt")).as("total_events"),
+        sum(col("cnt") * expr("(m * (2 * cum - m + 1)) div 2")).as("s_rc"))
       // Σ(2rn − n − 1)·cnt = 2·Σrn·cnt − (n+1)·Σcnt — the window never
       // nests inside the aggregate
       .withColumn("g_num",

@@ -550,7 +550,8 @@ class PlanSpec extends SparkSpec {
         "stat_mann_whitney" -> ops.Insights.statMannWhitney,
         "stat_kruskal_wallis" -> ops.Insights.statKruskalWallis,
         "stat_spearman_cells" -> ops.Insights.statSpearmanCells,
-        "stat_winsorize" -> ops.Stats.statWinsorize)) {
+        "stat_winsorize" -> ops.Stats.statWinsorize,
+        "events_gini_activity" -> ops.Insights.eventsGiniActivity)) {
       val bad = offenders(q(spark, dir).queryExecution.executedPlan)
       assert(bad.isEmpty, s"$n: ${bad.mkString("; ")}")
     }
