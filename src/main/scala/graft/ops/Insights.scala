@@ -1845,7 +1845,12 @@ object Insights {
     *
     * Scale: the lineitem close-date rollup + one orderkey join (the
     * backlog exchange); the rank window partitions by priority
-    * (winsorize caveat + KLL swap); cells are map-side.
+    * — and lag is measured in DAYS, so the rank math runs on the
+    * DISTINCT-LAG spine (round 13, the stat-spine discipline: the
+    * value at integer rank k is the spine row with cum−m < k ≤ cum;
+    * ties share a value, so the order statistic is tiebreak-
+    * independent), a calendar-bounded partition per priority rather
+    * than the old order-count-sized sort; cells are map-side.
     */
   val ordersFulfillmentLag: Q = (s, dir) => {
     val li = table(s, dir, "lineitem")
@@ -1857,19 +1862,21 @@ object Insights {
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("priority"), col("o_orderkey"),
         (greatest(col("close0"), col("open_d")) - col("open_d")).as("lag_d"))
-    val wRank = Window.partitionBy(col("priority")).orderBy(col("lag_d"), col("o_orderkey"))
-    val ranked = o
-      .withColumn("rk", row_number().over(wRank).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("priority"))))
-    val med = ranked.filter(col("rk") === expr("(n + 1) div 2"))
-      .select(col("priority"), col("lag_d").as("med_lag_days"))
-    val p90 = ranked.filter(col("rk") === expr("(9 * n + 9) div 10"))
-      .select(col("priority"), col("lag_d").as("p90_lag_days"))
+    val wCum = Window.partitionBy(col("priority")).orderBy(col("lag_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spine = o.groupBy(col("priority"), col("lag_d"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("cum", sum(col("m")).over(wCum))
+      .withColumn("n", sum(col("m")).over(Window.partitionBy(col("priority"))))
+    val bounds = spine.groupBy(col("priority")).agg(
+      max(when(expr("cum - m < (n + 1) div 2")
+        && expr("(n + 1) div 2 <= cum"), col("lag_d"))).as("med_lag_days"),
+      max(when(expr("cum - m < (9 * n + 9) div 10")
+        && expr("(9 * n + 9) div 10 <= cum"), col("lag_d"))).as("p90_lag_days"))
     o.groupBy(col("priority"))
       .agg(count(lit(1)).as("n"), sum(col("lag_d")).as("sum_lag_days"),
         max(col("lag_d")).as("max_lag_days"))
-      .join(broadcast(med), Seq("priority"))
-      .join(broadcast(p90), Seq("priority"))
+      .join(broadcast(bounds), Seq("priority"))
       .select(col("priority"), col("n"), col("sum_lag_days"),
         col("med_lag_days"), col("p90_lag_days"), col("max_lag_days"))
       .orderBy("priority")
