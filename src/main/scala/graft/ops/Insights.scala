@@ -1015,16 +1015,18 @@ object Insights {
     * (o_orderdate, o_orderkey) total order. The consumer forms
     * Z = (R − μ)/σ with μ = 2n₊n₋/n + 1.
     *
-    * The median is the EXACT lower median (value at rank
-    * ⌈n/2⌉ = (n+1) div 2 in value order, custkey-free tie-break by
-    * orderkey) — a rank window partitioned by segment, joined back
-    * as a ≤|segments|-row broadcast.
+    * The median is the EXACT lower median (the value at rank
+    * ⌈n/2⌉ = (n+1) div 2 in value order — tiebreak-independent, so
+    * since round 13 it comes off the DISTINCT-VALUE spine (cents are
+    * value-domain-bounded; the spine row with cum−m < k ≤ cum holds
+    * the k-th order statistic), joined back as a ≤|segments|-row
+    * broadcast.
     *
-    * Scale: three segment-partitioned windows (median rank, the
-    * median pick, the lag), all on the orders relation — the
-    * winsorize-family caveat + KLL swap applies to the median;
-    * the lag window is the sessionize shape (sort within segment by
-    * time). Nothing global, nothing quadratic.
+    * Scale: the median spine window is value-domain-bounded; the lag
+    * window is the sessionize shape (sort within segment by time) —
+    * that one IS the key's semantics (runs are a property of the
+    * sequence) and carries the sessionize family's posture. Nothing
+    * global, nothing quadratic.
     */
   val ordersRunsTest: Q = (s, dir) => {
     val o = table(s, dir, "orders")
@@ -1034,11 +1036,13 @@ object Insights {
       .select(col("segment"), col("o_orderkey"),
         unix_date(to_date(col("o_orderdate"))).cast("long").as("d"),
         (dec(col("o_totalprice")) * 100).cast("long").as("v"))
-    val wVal = Window.partitionBy(col("segment")).orderBy(col("v"), col("o_orderkey"))
-    val medians = o
-      .withColumn("rv", row_number().over(wVal).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
-      .filter(col("rv") === expr("(n + 1) div 2"))
+    val wCum = Window.partitionBy(col("segment")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val medians = o.groupBy(col("segment"), col("v"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("cum", sum(col("m")).over(wCum))
+      .withColumn("n", sum(col("m")).over(Window.partitionBy(col("segment"))))
+      .filter(expr("cum - m < (n + 1) div 2") && expr("(n + 1) div 2 <= cum"))
       .select(col("segment"), col("v").as("med"))
     val wSeq = Window.partitionBy(col("segment")).orderBy(col("d"), col("o_orderkey"))
     o.join(broadcast(medians), Seq("segment"))
