@@ -69,12 +69,18 @@ object Bipartite {
   }
 
   /** Per-customer profile: sorted distinct brand array (total order —
-    * collect_set is order-unstable, sort_array pins it).
+    * collect_set is order-unstable, sort_array pins it). Cached via
+    * [[SessionCache]] (round 14 — r13 verdict item 1): all five keys
+    * of this object start from this relation, and before sharing,
+    * each rebuilt the lineitem⋈part⋈orders distinct + collect_set
+    * independently. |customers| rows — tiny against its source.
     */
   private def profiles(s: SparkSession, dir: String): DataFrame =
-    brandSets(s, dir)
-      .groupBy(col("c"))
-      .agg(sort_array(collect_set(col("e"))).as("brands"))
+    SessionCache.of(s, dir, "brand-profiles") {
+      brandSets(s, dir)
+        .groupBy(col("c"))
+        .agg(sort_array(collect_set(col("e"))).as("brands"))
+    }
 
   /** The projection as an oracle'd key: (custkey, n_brands, profile).
     */
@@ -282,16 +288,28 @@ object Bipartite {
     * identical profiles always qualify (J = 1) — while an identical
     * block of g customers contributes g−1 edges instead of C(g,2).
     * gid = min member id, so min-label components are unchanged.
+    *
+    * Cached via [[SessionCache]] (round 14 — r13 verdict item 1: the
+    * trio of consumers each re-derived the full signature join +
+    * star-contraction closure in-suite, ~16 s; the first caller now
+    * pays it once, exactly the [[Graph]]/[[EventsBase]] pattern).
+    * The label relation is (id, comp) over paired customers only —
+    * far smaller than anything upstream. The durable analogue is the
+    * continuously-maintained label table
+    * ([[ClusterMaintenance.bootstrapLabels]]/`ingestCommitted`),
+    * which the `histogramOver`/`inverseSampleOver` consumers already
+    * accept directly.
     */
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val (groups, members) = collapsedParts(profiles(s, dir))
-    val repPairs = deletionPairs(
-      groups.select(col("gid").as("c"), col("brands")), 19, 20, 1)
-      .select("a_id", "b_id")
-    val stars = members.filter(col("c") =!= col("gid"))
-      .select(col("gid").as("a_id"), col("c").as("b_id"))
-    Llm.connectedComponents(repPairs.unionAll(stars))
-  }
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    SessionCache.of(s, dir, "cluster-labels") {
+      val (groups, members) = collapsedParts(profiles(s, dir))
+      val repPairs = deletionPairs(
+        groups.select(col("gid").as("c"), col("brands")), 19, 20, 1)
+        .select("a_id", "b_id")
+      val stars = members.filter(col("c") =!= col("gid"))
+        .select(col("gid").as("a_id"), col("c").as("b_id"))
+      Llm.connectedComponents(repPairs.unionAll(stars))
+    }
 
   /** Cluster-SIZE histogram of the near-duplicate segments — THE
     * dedup-planning summary: how much of the corpus sits in how-large

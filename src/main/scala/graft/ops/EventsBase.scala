@@ -28,16 +28,16 @@ import graft.io.Readers.table
   */
 object EventsBase {
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
-
-  /** The shared (event_type, epoch_day, cnt) daily rollup. */
+  /** The shared (event_type, epoch_day, cnt) daily rollup. Cached via
+    * [[SessionCache]] — see its contract for the immutable-input
+    * assumption and the invalidation hook (r13 ADVICE item 5).
+    */
   def dailyCounts(s: SparkSession, dir: String): DataFrame =
-    cache.computeIfAbsent((s, dir), _ =>
+    SessionCache.of(s, dir, "events-daily") {
       table(s, dir, "events")
         .select(col("event_type"),
           unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
         .groupBy(col("event_type"), col("epoch_day"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint())
+    }
 }

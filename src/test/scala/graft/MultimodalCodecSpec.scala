@@ -127,6 +127,69 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(ops.ImageCodec.decodePng(junk).isEmpty, "bad deflate")
   }
 
+  test("PNG/BMP crafted-input hardening: bad filter bytes, FDICT stall, bomb dims, trailer checks (r13 ADVICE)") {
+    // (1) out-of-range scanline filter byte — comes from the INFLATED
+    // stream, so pngMeta's profile gate never sees it; must
+    // quarantine, not NPE downstream (ADVICE item 1).
+    val badFilter = Array[Byte](5, 1, 2, 3, 0, 4, 5, 6) // ft=5 on row 0
+    val pBad = ops.ImageCodec.PngSignature ++ chunk("IHDR", ihdr(3, 2, 8, 0)) ++
+      chunk("IDAT", deflate(badFilter)) ++ chunk("IEND", Array.empty[Byte])
+    assert(ops.ImageCodec.decodePng(pBad).isEmpty, "filter byte 5")
+    // (2) zlib header with the FDICT bit set: Inflater stalls with
+    // n=0, needsDictionary=true, needsInput=FALSE — the old
+    // needsInput-only check spun forever (ADVICE item 2). 0x78 0x20
+    // is a valid header ((0x78*256+0x20) % 31 == 0) with FDICT set.
+    val fdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4) ++ // header + DICTID
+      deflate(Array.fill[Byte](2 * (1 + 2))(0)).drop(2)
+    val pDict = ops.ImageCodec.PngSignature ++ chunk("IHDR", ihdr(2, 2, 8, 0)) ++
+      chunk("IDAT", fdict) ++ chunk("IEND", Array.empty[Byte])
+    assert(ops.ImageCodec.decodePng(pDict).isEmpty, "FDICT stall")
+    // (3) decompression-bomb / Int-overflow dimensions: a ~150-byte
+    // file claiming 2^30 x 2^30 (overflows to a negative Int size)
+    // and a 10^10-byte honest claim — both quarantine BEFORE any
+    // allocation (ADVICE item 3).
+    for ((w, h) <- Seq((1 << 30, 1 << 30), (100000, 100000))) {
+      val bomb = ops.ImageCodec.PngSignature ++ chunk("IHDR", ihdr(w, h, 8, 0)) ++
+        chunk("IDAT", deflate(Array.fill[Byte](16)(0))) ++
+        chunk("IEND", Array.empty[Byte])
+      assert(ops.ImageCodec.decodePng(bomb).isEmpty, s"bomb dims $w x $h")
+      assert(ops.ImageCodec.pngMeta(bomb).isDefined,
+        "meta itself allocates nothing and may report the claim")
+    }
+    // (4) the zlib trailer is now actually verified (ADVICE item 4):
+    // a corrupted adler32 and a chopped trailer both quarantine, and
+    // excess decompressed data (stream longer than the declared body)
+    // is corrupt too.
+    val okFiltered = Array[Byte](0, 10, 20, 0, 30, 40)
+    def container(idat: Array[Byte]) =
+      ops.ImageCodec.PngSignature ++ chunk("IHDR", ihdr(2, 2, 8, 0)) ++
+        chunk("IDAT", idat) ++ chunk("IEND", Array.empty[Byte])
+    val goodZ = deflate(okFiltered)
+    assert(ops.ImageCodec.decodePng(container(goodZ)).isDefined, "control")
+    val flipped = goodZ.clone()
+    flipped(flipped.length - 1) = (flipped.last ^ 0x5a).toByte
+    assert(ops.ImageCodec.decodePng(container(flipped)).isEmpty, "bad adler32")
+    assert(ops.ImageCodec.decodePng(container(goodZ.dropRight(2))).isEmpty,
+      "chopped trailer")
+    assert(ops.ImageCodec.decodePng(
+      container(deflate(okFiltered ++ Array[Byte](1, 2, 3)))).isEmpty,
+      "excess decompressed data")
+    // (5) BMP sibling: 31-bit dims overflowed rowBytes/body products —
+    // long-math gate quarantines (same class as item 3).
+    val bigBmp = {
+      val o = new Array[Byte](64)
+      o(0) = 'B'; o(1) = 'M'
+      def le32(off: Int, v: Int): Unit = {
+        o(off) = (v & 0xff).toByte; o(off + 1) = ((v >> 8) & 0xff).toByte
+        o(off + 2) = ((v >> 16) & 0xff).toByte; o(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      le32(10, 54); le32(14, 40); le32(18, 1 << 29); le32(22, 4)
+      o(26) = 1; o(28) = 24
+      o
+    }
+    assert(ops.ImageCodec.decodeBmp(bigBmp).isEmpty, "BMP bomb dims")
+  }
+
   test("BMP: hand-built bottom-up padded file decodes; round-trip exact; top-down honored") {
     // 3x2 RGB — rowBytes = 12 (3 padding bytes per row), bottom-up
     val rgb = Array[Byte](
