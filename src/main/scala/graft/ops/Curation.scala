@@ -95,19 +95,12 @@ object Curation {
       .select(col("doc_id"), col("lang"), grams.as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), col("lang"), size(col("grams")).as("gsz"), col("grams"))
-    // localCheckpoint: the df-profile probe below is EAGER (it decides
-    // the join shape), so without this the narrow exploded relation is
-    // computed once for the probe and again for the chosen join —
-    // anything that merely builds the plan paid a full scan+shuffle
-    // twice (r7 ADVICE). Checkpointing inv lets the probe job and the
-    // join share one materialization; unlike the wide gram arrays in
-    // `d` (whose materialization measured SLOWER — see the jaccard
-    // twin), inv is three narrow columns.
-    val inv = d
-      .select(col("doc_id"), col("gsz"), col("lang"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), col("gsz"), xxhash64(col("lang"), col("gram")).as("gh"))
-      .localCheckpoint()
-    val dfreq = inv.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    // session-shared inverted index (round 14): identical to the
+    // jaccard twin's relation — one SessionCache checkpoint serves
+    // both keys and the eager df probe (the per-key localCheckpoint
+    // this replaces was the r7 ADVICE fix; sharing subsumes it)
+    val inv = PairJoins.bigramInv(s, dir)
+    val dfreq = PairJoins.bigramDfreq(s, dir)
     val candidates = if (PairJoins.hotGramShare(dfreq) <= 1.0) {
       // shared-count shape. The pair join emits BARE packed keys:
       // Σ df² rows is the join's irreducible volume, so every byte on

@@ -205,14 +205,11 @@ object Llm2 {
       .select(col("doc_id"), col("lang"), grams.as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), col("lang"), size(col("grams")).as("gsz"), col("grams"))
-    // localCheckpoint: the eager df-profile probe + the chosen join
-    // would otherwise each re-run the explode (r7 ADVICE) — inv is
-    // narrow, so one materialization wins where materializing the
-    // wide gram arrays in `d` measured slower (comment above)
-    val inv = d
-      .select(col("doc_id"), col("gsz"), col("lang"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), col("gsz"), xxhash64(col("lang"), col("gram")).as("gh"))
-      .localCheckpoint()
+    // session-shared inverted index (round 14): the containment twin
+    // builds the IDENTICAL narrow relation — one SessionCache
+    // checkpoint serves both (and the eager df probe), replacing the
+    // per-key localCheckpoint that answered the r7 ADVICE
+    val inv = PairJoins.bigramInv(s, dir)
     // Adaptive pair-join shape (round 7, same probe as
     // [[Curation.dedupNgramContainment]]): the hot-gram share
     // maxDf²/Σdf decides between the shared-count join (wins on
@@ -223,7 +220,7 @@ object Llm2 {
     // τ = 0.5, so indexing each doc's ⌊gsz/3⌋+1 RAREST grams
     // guarantees every true pair collides inside a prefix; both
     // shapes feed the same exact verify, so results are identical.
-    val dfreq = inv.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val dfreq = PairJoins.bigramDfreq(s, dir)
     val counted = if (PairJoins.hotGramShare(dfreq) <= 1.0) {
       val a = inv.select(col("gh"), col("doc_id").as("a_id"), col("gsz").as("a_sz"))
       // shuffle_hash, not broadcast: partitioning both sides on the gram
@@ -614,6 +611,60 @@ object Llm2 {
       .orderBy("label")
   }
 
+  /** The MULTI-FRAME sibling of [[multimodalCodecFeatures]] (round 14
+    * — GIF/LZW closes the §8.r14 frame-sampling carry): per embedding
+    * vector, synthesize a deterministic TWO-FRAME 8×8 GIF (components
+    * quantized to a 4-color palette; frame 2 is frame 1 rolled by one
+    * row — real inter-frame change), encode it through the REAL LZW
+    * compressor into a RIFF... GIF89a container, decode it back
+    * through [[GifCodec.decodeGif]] (chunk walk, variable-width LZW,
+    * compositing), and roll per-label cells: vector count, decode-ok
+    * count, frame count, and the exact integer sum of per-frame pixel
+    * totals (frame 2's total equals frame 1's under the roll — an
+    * internal consistency the spec asserts). NO ORACLE BY DESIGN
+    * (DuckDB cannot run an LZW codec — §7.4); GifCodecSpec pins the
+    * codec against a hand-traced bitstream and this key's cells
+    * against a driver-side replay.
+    *
+    * Scale: encode + decode row-local in one mapPartitions, ONE
+    * map-side rollup to |labels| cells — the per-partition-decoder
+    * shape all media keys share.
+    */
+  val multimodalGifFrames: Q = (s, dir) => {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val enc: Encoder[(Int, Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong)
+    implicit val rowEnc: Encoder[(Int, Array[Float])] =
+      Encoders.tuple(Encoders.scalaInt, ExpressionEncoder[Array[Float]]())
+    val cells = table(s, dir, "embeddings")
+      .select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (label, emb) =>
+          val idx = emb.map(x =>
+            (math.max(0, math.min(3, ((x + 1.0f) * 2.0f).toInt))).toByte)
+          val f2 = idx.drop(8) ++ idx.take(8) // roll one 8-px row
+          val pal = Array[Byte](0, 0, 0, 85, 85, 85, -86, -86, -86, -1, -1, -1)
+          val gif = GifCodec.encodeGif(8, 8, pal, 0, Seq(
+            GifCodec.FrameSpec(0, 0, 8, 8, idx),
+            GifCodec.FrameSpec(0, 0, 8, 8, f2)))
+          GifCodec.decodeGif(gif) match {
+            case Some((_, _, frames)) =>
+              val pxSum = frames.map(_.foldLeft(0L)((a, b) => a + (b & 0xff))).sum
+              (label, 1L, frames.size.toLong, pxSum)
+            case None => (label, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("label", "ok", "n_frames", "px_sum")
+    cells.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("ok")).as("n_ok"),
+        sum(col("n_frames")).as("sum_frames"),
+        sum(col("px_sum")).as("sum_px"))
+      .orderBy("label")
+  }
+
   /** Corpus-level n-gram document frequency — the vocabulary-building
     * pass of a training-data pipeline. Per-doc DISTINCT bigrams (so a
     * gram repeated inside one doc counts once — document frequency,
@@ -952,5 +1003,6 @@ object Llm2 {
     "multimodal_binary_meta" -> multimodalBinaryMeta,
     "multimodal_codec_features" -> multimodalCodecFeatures,
     "multimodal_audio_features" -> multimodalAudioFeatures,
+    "multimodal_gif_frames" -> multimodalGifFrames,
   )
 }

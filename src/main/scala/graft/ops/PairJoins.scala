@@ -15,6 +15,39 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object PairJoins {
 
+  /** The shared token-bigram inverted index (round 14): BOTH
+    * set-similarity dedup keys (jaccard τ=0.5, containment τ=0.8)
+    * build the IDENTICAL (doc_id, gsz, gh = xxhash64(lang, bigram))
+    * relation and its df rollup — before sharing, each paid the
+    * tokenize + explode + checkpoint and the df aggregate twice per
+    * suite. One [[SessionCache]] checkpoint now serves every
+    * consumer, which is also the honest deployment shape: ONE
+    * inverted index serves every dedup policy over it (the durable
+    * analogue being [[GramService]]/[[PostingIndex]]). Narrow three
+    * columns — the wide gram arrays stay out (materializing them
+    * measured slower; see the jaccard key's comment).
+    */
+  def bigramInv(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    SessionCache.of(s, dir, "ngram-inv2") {
+      val grams = graft.functions.TextExpressions.wordShingles(col("text"), 2)
+      graft.io.Readers.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), grams.as("grams"))
+        .filter(size(col("grams")) > 0)
+        .select(col("doc_id"), size(col("grams")).as("gsz"),
+          explode(col("grams")).as("gram"), col("lang"))
+        .select(col("doc_id"), col("gsz"),
+          xxhash64(col("lang"), col("gram")).as("gh"))
+    }
+
+  /** The (gh, df) gram-frequency rollup of [[bigramInv]], shared the
+    * same way (the adaptive-shape probe reads it eagerly in both
+    * keys).
+    */
+  def bigramDfreq(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    SessionCache.of(s, dir, "ngram-df2") {
+      bigramInv(s, dir).groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    }
+
   /** Hot-gram share `maxDf²/Σdf` of a (gh, df) gram-frequency
     * relation — the pair rows the single hottest gram generates per
     * gram row of input. Measured (ScratchDfProfile, BASELINE.md r7):

@@ -177,4 +177,37 @@ class GifCodecSpec extends SparkSpec {
     assert(ops.Multimodal.decodeMeta(wav) ===
       Some(ops.Multimodal.MediaMeta(32, 1, 2, "wav")))
   }
+
+  test("multimodal_gif_frames: per-label cells replay from a driver-side codec loop; frame roll conserves pixel mass") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val got = ops.Llm2.multimodalGifFrames(spark, dir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val emb = io.Readers.table(spark, dir, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val want = emb.groupBy(_._1).map { case (l, g) =>
+      val cells = g.map { case (_, e) =>
+        val idx = e.map(x =>
+          (math.max(0, math.min(3, ((x + 1.0f) * 2.0f).toInt))).toByte)
+        val f2 = idx.drop(8) ++ idx.take(8)
+        val pal = Array[Byte](0, 0, 0, 85, 85, 85, -86, -86, -86, -1, -1, -1)
+        val gif = ops.GifCodec.encodeGif(8, 8, pal, 0, Seq(
+          ops.GifCodec.FrameSpec(0, 0, 8, 8, idx),
+          ops.GifCodec.FrameSpec(0, 0, 8, 8, f2)))
+        val Some((_, _, frames)) = ops.GifCodec.decodeGif(gif)
+        // pixel-mass conservation: frame 2 is a row roll of frame 1
+        assert(frames(0).foldLeft(0L)((a, b) => a + (b & 0xff)) ===
+          frames(1).foldLeft(0L)((a, b) => a + (b & 0xff)))
+        (frames.size.toLong,
+          frames.map(_.foldLeft(0L)((a, b) => a + (b & 0xff))).sum)
+      }
+      l -> ((g.length.toLong, g.length.toLong,
+        cells.map(_._1).sum, cells.map(_._2).sum))
+    }
+    assert(got === want, "cells must replay exactly")
+    assert(got.values.forall { case (n, ok, _, _) => n === ok },
+      "every synthesized GIF must decode")
+  }
 }
