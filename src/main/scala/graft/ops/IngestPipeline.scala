@@ -66,22 +66,29 @@ object IngestPipeline {
     * quarantine column); the snapshot upsert keys on
     * (user_id, event_type) latest-wins by (ts, event_id) — the
     * [[Streaming.upsertLatest]] contract — so `schema` must carry
-    * those columns. `beforeCommit`/`afterCommit` are the spec's
-    * crash-injection seams (no-ops in production).
+    * those columns. `format` is "csv" (header files) or "json"
+    * (JSON-lines) — the two arrival formats the reference-class
+    * pipeline ingests, identical quarantine/upsert semantics.
+    * `beforeCommit`/`afterCommit` are the spec's crash-injection
+    * seams (no-ops in production).
     */
   def start(spark: SparkSession, watchDir: String, schema: StructType,
       snapshotPath: String, quarantinePath: String, checkpointDir: String,
       nBuckets: Int = 16, maxFilesPerTrigger: Int = 16,
+      format: String = "csv",
       beforeCommit: () => Unit = () => (),
       afterCommit: () => Unit = () => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(format == "csv" || format == "json", s"format $format")
     val withCorrupt = schema.add("_corrupt_record", "string")
-    val stream = spark.readStream
+    val reader = spark.readStream
       .schema(withCorrupt)
-      .option("header", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .csv(watchDir)
+    val parsed =
+      if (format == "csv") reader.option("header", "true").csv(watchDir)
+      else reader.json(watchDir)
+    val stream = parsed
       // provenance must be captured ON the source relation — the
       // _metadata struct does not survive into foreachBatch
       .select(col("*"), col("_metadata.file_path").as("_src_file"))

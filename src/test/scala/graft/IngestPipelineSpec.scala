@@ -129,4 +129,28 @@ class IngestPipelineSpec extends SparkSpec {
       assert(fs.exists(new org.apache.hadoop.fs.Path(root, rel)), s"missing $rel")
     }
   }
+
+  test("JSON-lines arrival format: same quarantine + upsert semantics through the json file source") {
+    val dir = java.nio.file.Files.createTempDirectory("ingestj").toString
+    val watch = s"$dir/incoming"; val snap = s"$dir/snapshot"
+    val quar = s"$dir/quarantine"; val ckpt = s"$dir/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+    val stage = java.nio.file.Paths.get(watch, ".stage")
+    java.nio.file.Files.write(stage, Seq(
+      """{"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "click", "value": 1.5}""",
+      """{"event_id": 2, "ts": "2024-01-01T10:00:00", "user_id": 2, "event_type": "view", "value": 2.0}""",
+      """{"event_id": 3, "ts": "2024-01-01T10:05:00", "user_id": 3, "event_type": "click", "value": "nope"}""",
+      """not json at all""").mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(stage, java.nio.file.Paths.get(watch, "a.jsonl"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val q = ops.IngestPipeline.start(spark, watch, schema, snap, quar, ckpt,
+      nBuckets = 8, format = "json")
+    try q.processAllAvailable() finally q.stop()
+    val s1 = snapshotRows(snap)
+    assert(s1.size === 2 && s1((1L, "click")) === (1L, 1.5))
+    val quar1 = ops.IngestPipeline.readQuarantine(spark, quar)
+      .select("raw").as[String].collect()
+    assert(quar1.length === 2)
+    assert(quar1.exists(_.contains("nope")) && quar1.exists(_.contains("not json")))
+  }
 }
