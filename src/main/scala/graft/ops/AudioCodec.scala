@@ -63,24 +63,92 @@ object AudioCodec {
     for ((fo, fl) <- fmt; (do_, dl) <- data) yield (fo, fl, do_, dl)
   }
 
+  /** Format tag of the container: 1 (integer PCM), 6 (G.711 A-law),
+    * 7 (G.711 μ-law). Companded tags require 8-bit samples.
+    */
+  private def fmtTag(bytes: Array[Byte], fo: Int): Int = le16(bytes, fo)
+
   /** Header-only metadata: (sampleRate, channels, bitsPerSample,
-    * nFrames). None unless the supported PCM profile.
+    * nFrames). None unless the supported profile — integer PCM
+    * (8/16-bit) or G.711 companded (tags 6/7, 8-bit by definition;
+    * round 14 — the telephony-corpus surface, §8.r15 item 5 pulled
+    * in).
     */
   def wavMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     if (!isWav(bytes)) return None
     chunks(bytes).flatMap { case (fo, fl, _, dl) =>
       if (fl < 16) return None
-      val tag = le16(bytes, fo)
+      val tag = fmtTag(bytes, fo)
       val nCh = le16(bytes, fo + 2)
       val rate = le32(bytes, fo + 4)
       val bits = le16(bytes, fo + 14)
-      if (tag != 1 || nCh < 1 || nCh > 8 || rate <= 0 || rate > 1000000 ||
-        (bits != 8 && bits != 16)) return None
+      val okProfile = tag match {
+        case 1 => bits == 8 || bits == 16
+        case 6 | 7 => bits == 8
+        case _ => false
+      }
+      if (!okProfile || nCh < 1 || nCh > 8 || rate <= 0 || rate > 1000000)
+        return None
       val frameBytes = nCh.toLong * (bits / 8)
       if (dl % frameBytes != 0) return None
       Some((rate.toInt, nCh, bits, dl / frameBytes))
     }
   }
+
+  // ----------------------------------------------- G.711 companding
+
+  /** G.711 μ-law expansion (the public formula: invert, bias 0x84,
+    * shift by the 3-bit exponent). Output on the signed-16-bit scale,
+    * exact integers. The two zero codes (0xFF, 0x7F) both map to 0 —
+    * the standard's ±0 collision.
+    */
+  def ulawToLinear(b: Byte): Int = {
+    val u = (~b) & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law expansion (toggle 0x55, segment shift). Output on
+    * the signed-16-bit scale (±8 … ±32256), exact integers.
+    */
+  def alawToLinear(b: Byte): Int = {
+    val a = (b ^ 0x55) & 0xff
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= (seg - 1) }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Nearest-decode-level companding encoders, correct BY
+    * CONSTRUCTION: each maps a linear sample to the byte whose
+    * expansion is nearest (ties to the lower level). This pins the
+    * encoder to OUR decoder rather than to an independently
+    * remembered segment table — enc(dec(b)) == b is then a theorem
+    * wherever decode is injective (everywhere but μ-law's ±0 pair),
+    * and the spec asserts it over all 256 bytes.
+    */
+  private def nearestTable(dec: Byte => Int): (Array[Int], Array[Byte]) = {
+    val pairs = (0 until 256).map(i => (dec(i.toByte), i.toByte)).sortBy(_._1)
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+  private lazy val ulawTable = nearestTable(ulawToLinear)
+  private lazy val alawTable = nearestTable(alawToLinear)
+
+  private def nearest(table: (Array[Int], Array[Byte]), s: Int): Byte = {
+    val (levels, codes) = table
+    var lo = 0; var hi = levels.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (levels(mid) < s) lo = mid + 1 else hi = mid
+    }
+    // levels(lo) is the first level >= s; compare with the one below
+    if (lo > 0 && (s - levels(lo - 1)) <= (levels(lo) - s)) codes(lo - 1)
+    else codes(lo)
+  }
+
+  def linearToUlaw(s: Int): Byte = nearest(ulawTable, s)
+  def linearToAlaw(s: Int): Byte = nearest(alawTable, s)
 
   /** Full decode → (sampleRate, channels, interleaved samples in
     * signed-16-bit range). None on unsupported profile, truncated
@@ -95,6 +163,7 @@ object AudioCodec {
       // before allocating (the ImageCodec bomb gate).
       if nFrames * nCh * 4 <= ImageCodec.MaxDecodedBytes
     } yield {
+      val tag = fmtTag(bytes, fo)
       val n = (nFrames * nCh).toInt
       val out = new Array[Int](n)
       var i = 0
@@ -105,6 +174,10 @@ object AudioCodec {
           out(i) = (hi << 8) | lo // sign comes from hi
           i += 1
         }
+      } else if (tag == 7) { // G.711 μ-law
+        while (i < n) { out(i) = ulawToLinear(bytes(dOff + i)); i += 1 }
+      } else if (tag == 6) { // G.711 A-law
+        while (i < n) { out(i) = alawToLinear(bytes(dOff + i)); i += 1 }
       } else {
         while (i < n) {
           out(i) = ((bytes(dOff + i) & 0xff) - 128) * 256
@@ -113,6 +186,25 @@ object AudioCodec {
       }
       (rate, nCh, out)
     }
+  }
+
+  /** Fixture encoder for G.711 containers: tag 6 (A-law) or 7
+    * (μ-law), samples on the signed-16-bit scale companded via the
+    * nearest-level maps.
+    */
+  def encodeWavCompanded(sampleRate: Int, nCh: Int, tag: Int,
+      samples: Array[Int]): Array[Byte] = {
+    require(tag == 6 || tag == 7, s"tag $tag")
+    require(nCh >= 1 && samples.length % nCh == 0, s"channels $nCh")
+    val base = encodeWav(sampleRate, nCh, 8, new Array[Int](samples.length))
+    // rewrite the fmt tag and the data bytes of the 8-bit container
+    base(20) = tag.toByte
+    var i = 0
+    while (i < samples.length) {
+      base(44 + i) = if (tag == 7) linearToUlaw(samples(i)) else linearToAlaw(samples(i))
+      i += 1
+    }
+    base
   }
 
   /** Test/fixture WAV encoder: samples in signed-16-bit range,

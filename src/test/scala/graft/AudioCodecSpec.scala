@@ -147,6 +147,56 @@ class AudioCodecSpec extends SparkSpec {
       ops.AudioCodec.encodeWav(8000, 1, 16, Array(1, 2))).isEmpty)
   }
 
+  test("G.711 companding: hand-checked expansions, enc(dec) identity, quantization bound, features track linear") {
+    // hand-checked decode values: μ-law zero codes 0xFF / 0x7F → 0;
+    // μ-law 0x00 decodes to the most-negative level
+    assert(ops.AudioCodec.ulawToLinear(0xFF.toByte) === 0)
+    assert(ops.AudioCodec.ulawToLinear(0x7F.toByte) === 0)
+    assert(ops.AudioCodec.ulawToLinear(0x00.toByte) ===
+      -(((0x0f << 3) + 0x84) << 7) + 0x84) // = -32124
+    // A-law: 0x55 toggles to 0 → seg 0, mantissa 0, sign 0 → −8;
+    // 0xD5 is its positive twin
+    assert(ops.AudioCodec.alawToLinear(0x55.toByte) === -8)
+    assert(ops.AudioCodec.alawToLinear(0xD5.toByte) === 8)
+    // enc(dec(b)) == b wherever decode is injective: all 256 A-law
+    // codes; all μ-law codes except one of the ±0 twins (the
+    // nearest-level map resolves 0 to 0x7F, so 0xFF round-trips to
+    // 0x7F — same level, standard collision)
+    (0 until 256).foreach { b =>
+      assert(ops.AudioCodec.linearToAlaw(
+        ops.AudioCodec.alawToLinear(b.toByte)) === b.toByte, s"alaw $b")
+      if (b != 0xFF)
+        assert(ops.AudioCodec.linearToUlaw(
+          ops.AudioCodec.ulawToLinear(b.toByte)) === b.toByte, s"ulaw $b")
+    }
+    assert(ops.AudioCodec.linearToUlaw(0) === 0x7F.toByte)
+    // nearest-level quantization error bound (top-segment step ~1024)
+    val rnd = new scala.util.Random(11)
+    (0 until 2000).foreach { _ =>
+      val s = rnd.nextInt(60001) - 30000
+      val du = ops.AudioCodec.ulawToLinear(ops.AudioCodec.linearToUlaw(s))
+      val da = ops.AudioCodec.alawToLinear(ops.AudioCodec.linearToAlaw(s))
+      assert(math.abs(du - s) <= 600, s"ulaw err at $s: $du")
+      assert(math.abs(da - s) <= 600, s"alaw err at $s: $da")
+    }
+    // a companded container decodes through the same surface and its
+    // features track the 16-bit original
+    val tone = Array.tabulate(256)(i => if ((i / 16) % 2 == 0) 8000 else -8000)
+    val lin = ops.AudioCodec.encodeWav(8000, 1, 16, tone)
+    val mu = ops.AudioCodec.encodeWavCompanded(8000, 1, 7, tone)
+    val al = ops.AudioCodec.encodeWavCompanded(8000, 1, 6, tone)
+    assert(ops.AudioCodec.wavMeta(mu) === Some((8000, 1, 8, 256L)))
+    val fLin = ops.AudioCodec.audioFeaturesOf(lin).get
+    for ((nm, c) <- Seq("ulaw" -> mu, "alaw" -> al)) {
+      val f = ops.AudioCodec.audioFeaturesOf(c).get
+      val cos = f.zip(fLin).map { case (a, b) => a.toDouble * b }.sum
+      assert(cos > 0.9999, s"$nm features must track linear, cos=$cos")
+    }
+    // 16-bit claims with companded tags (and vice versa) quarantine
+    val bad = mu.clone(); bad(34) = 16 // bits field
+    assert(ops.AudioCodec.decodeWav(bad).isEmpty, "companded 16-bit claim")
+  }
+
   test("multimodal_audio_features: per-label cells replay from a driver-side codec loop; every decode ok") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
