@@ -193,6 +193,18 @@ object Llm2 {
     * vocabulary, layer the prefix filter on top of the hashed count
     * join: both compose — prefix bounds which rows enter the index,
     * the hash keeps them narrow.)
+    *
+    * DENSE-vocabulary 100 TB escape (round 14, MEASURED — BASELINE.md
+    * MinHash-front-end row): on a uniform tiny vocabulary neither
+    * shape survives corpus growth — Σ df² is corpus-quadratic
+    * (containment DNF'd at 50 k docs on a 1.5·10⁹-row shuffle) and
+    * the prefix filter selects nothing (nothing is rare). The
+    * measured fix is a MinHash-LSH front-end (12 bands × 2 rows over
+    * the same bigram sets) feeding THIS key's exact verify: recall
+    * 1.0000 at sf0.1/sf0.3/sf1 with 500× less pair traffic and 3.7×
+    * wall at 50 k docs. Not swapped in here — minhash is seeded-
+    * probabilistic and this key carries the oracle contract; the
+    * promotable form is `ScratchNgramBanded`.
     */
   val dedupNgramJaccard: Q = (s, dir) => {
     val tau = 0.5
