@@ -224,6 +224,49 @@ class AudioCodecSpec extends SparkSpec {
       "every synthesized container must decode")
   }
 
+  test("end-to-end audio retrieval: WAV corpus (linear + G.711 mixed) -> features -> persisted IVF -> class-pure neighbors") {
+    import org.apache.spark.sql.functions.col
+    // three signal classes separated by the Haar band split: period 32
+    // (LL-dominant), period 4 (LH), period 1 (high band)
+    val periods = Array(32, 4, 1)
+    def wave(kind: Int, variant: Int): Array[Int] = {
+      val amp = 7000 + variant * 37
+      val phase = variant * 3
+      Array.tabulate(256)(i =>
+        if (((i + phase) / periods(kind)) % 2 == 0) amp else -amp)
+    }
+    // mixed containers: 16-bit linear, mu-law, A-law per variant
+    def container(kind: Int, variant: Int): Array[Byte] = {
+      val s = wave(kind, variant)
+      variant % 3 match {
+        case 0 => ops.AudioCodec.encodeWav(8000, 1, 16, s)
+        case 1 => ops.AudioCodec.encodeWavCompanded(8000, 1, 7, s)
+        case 2 => ops.AudioCodec.encodeWavCompanded(8000, 1, 6, s)
+      }
+    }
+    val corpus = (for (kind <- 0 until 3; v <- 0 until 20) yield {
+      val id = kind * 100L + v
+      (id, ops.AudioCodec.audioFeaturesOf(container(kind, v)).get
+        .map(_.toDouble))
+    }).toDF("vec_id", "v")
+    ops.IvfIndex.buildIndex(spark, corpus, "ivf_audio", nlist = 4)
+    try {
+      // fresh unseen variants probe the persisted index
+      val probes = (0 until 3).map { kind =>
+        (1000L + kind, ops.AudioCodec.audioFeaturesOf(container(kind, 99)).get
+          .map(_.toDouble))
+      }.toDF("p_id", "pv")
+      val got = ops.IvfIndex.probe(spark, probes, "ivf_audio", nprobe = 2, k = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      (0 until 3).foreach { kind =>
+        val nbrs = got.filter(_._1 == 1000L + kind).map(_._2)
+        assert(nbrs.nonEmpty, s"class $kind retrieves")
+        assert(nbrs.forall(id => id / 100 == kind),
+          s"class $kind neighbors pure: ${nbrs.mkString(",")}")
+      }
+    } finally io.TableManifest.drop(spark, "ivf_audio")
+  }
+
   test("audio features flow into the vector family: nearest neighbor by signal content") {
     def wave(period: Int, amp: Int, n: Int = 128): Array[Byte] =
       ops.AudioCodec.encodeWav(8000, 1, 16,
