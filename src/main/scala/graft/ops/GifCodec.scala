@@ -16,13 +16,14 @@ package graft.ops
   *
   * Supported profile: any frame count, global/local palettes,
   * interlaced or sequential rows, transparency (transparent pixels
-  * keep the canvas — the standard compositing), disposal methods
-  * 0/1 (leave canvas) and 2 (restore region to background). Disposal
-  * 3 (restore-previous) quarantines — it needs a canvas history the
-  * frame-sample semantics don't want to pay for, and it is rare in
-  * the wild. Frames composite onto the logical screen; each decoded
-  * frame is the FULL-CANVAS RGB snapshot after drawing, which is
-  * exactly what a frame-sampling training pipeline consumes.
+  * keep the canvas — the standard compositing), and ALL disposal
+  * methods — 0/1 (leave canvas), 2 (restore region to background),
+  * 3 (restore-previous: the pre-frame pixels of the region are
+  * saved before drawing and restored after the snapshot — one
+  * region-sized copy, the bounded canvas history the spec requires).
+  * Frames composite onto the logical screen; each decoded frame is
+  * the FULL-CANVAS RGB snapshot after drawing, which is exactly
+  * what a frame-sampling training pipeline consumes.
   *
   * Hardening, same stance as [[ImageCodec]] (the r13 ADVICE class):
   * every dimension/length field is untrusted — canvas and frame
@@ -275,7 +276,6 @@ object GifCodec {
             val flags = bytes(off + 1) & 0xff
             disposal = (flags >> 2) & 7
             transparentIdx = if ((flags & 1) != 0) bytes(off + 4) & 0xff else -1
-            if (disposal == 3) return None // restore-previous: out of profile
             off += 6 // size byte + 4 data + terminator
           } else {
             while (off < bytes.length && bytes(off) != 0) {
@@ -319,6 +319,19 @@ object GifCodec {
             case Some(px) => px
             case None => return None
           }
+          // disposal 3 (restore-previous): save the region's pre-frame
+          // pixels — one fw·fh·3 copy, restored after the snapshot
+          val savedRegion: Array[Byte] =
+            if (disposal == 3) {
+              val sv = new Array[Byte](fw * fh * 3)
+              var sy = 0
+              while (sy < fh) {
+                System.arraycopy(canvas, ((fy + sy) * w + fx) * 3,
+                  sv, sy * fw * 3, fw * 3)
+                sy += 1
+              }
+              sv
+            } else null
           val rows = if ((ip & 0x40) != 0) interlaceRows(fh)
             else Array.tabulate(fh)(identity)
           var ry = 0
@@ -341,7 +354,16 @@ object GifCodec {
           frames += canvas.clone()
           nFrames += 1
           if (nFrames >= maxFrames) return Some((w, h, frames.result()))
-          // disposal AFTER snapshot: 2 = restore region to background
+          // disposal AFTER snapshot: 3 = restore the region's
+          // pre-frame pixels, 2 = restore region to background
+          if (disposal == 3) {
+            var sy = 0
+            while (sy < fh) {
+              System.arraycopy(savedRegion, sy * fw * 3,
+                canvas, ((fy + sy) * w + fx) * 3, fw * 3)
+              sy += 1
+            }
+          }
           if (disposal == 2) {
             val (br, bg, bb) = globalPal match {
               case Some(p) if bgIndex * 3 + 2 < p.length =>

@@ -94,6 +94,26 @@ class GifCodecSpec extends SparkSpec {
     assert(ops.GifCodec.decodeGif(gif, maxFrames = 2).get._3.size === 2)
   }
 
+  test("disposal 3 (restore-previous): the frame region reverts to its pre-frame pixels after the snapshot") {
+    // f1 fills 3x2 with color 1; f2 draws a 1x2 column at x=1 in
+    // color 2 WITH disposal 3; f3 is transparent except (0,0)=color 3
+    val f1 = ops.GifCodec.FrameSpec(0, 0, 3, 2, Array.fill[Byte](6)(1))
+    val f2 = ops.GifCodec.FrameSpec(1, 0, 1, 2, Array[Byte](2, 2), disposal = 3)
+    val f3 = ops.GifCodec.FrameSpec(0, 0, 3, 2,
+      Array[Byte](3, 0, 0, 0, 0, 0), transparent = 0)
+    val gif = ops.GifCodec.encodeGif(3, 2, pal4, 0, Seq(f1, f2, f3))
+    val Some((_, _, fs)) = ops.GifCodec.decodeGif(gif)
+    def px(frame: Array[Byte], x: Int, y: Int): Seq[Byte] =
+      frame.slice((y * 3 + x) * 3, (y * 3 + x) * 3 + 3).toSeq
+    def col(i: Int): Seq[Byte] = pal4.slice(i * 3, i * 3 + 3).toSeq
+    assert(px(fs(1), 1, 0) === col(2) && px(fs(1), 1, 1) === col(2),
+      "frame-2 snapshot shows its own paint")
+    assert(px(fs(2), 1, 0) === col(1) && px(fs(2), 1, 1) === col(1),
+      "disposal 3 restored the pre-frame pixels (color 1), not background")
+    assert(px(fs(2), 0, 0) === col(3), "frame-3 opaque pixel draws")
+    assert(px(fs(2), 2, 1) === col(1), "untouched canvas keeps frame-1 paint")
+  }
+
   test("interlaced frames decode to the same pixels as sequential") {
     val rnd = new scala.util.Random(7)
     val (w, h) = (9, 13) // odd dims exercise all four interlace passes
@@ -130,10 +150,11 @@ class GifCodecSpec extends SparkSpec {
     val badIdx = ops.GifCodec.encodeGif(2, 1, smallPal, 0,
       Seq(ops.GifCodec.FrameSpec(0, 0, 2, 1, Array[Byte](1, 3))))
     assert(ops.GifCodec.decodeGif(badIdx).isEmpty, "index beyond palette")
-    // disposal 3 (restore previous) is out of profile
-    val d3 = ops.GifCodec.encodeGif(2, 1, pal4, 0,
-      Seq(ops.GifCodec.FrameSpec(0, 0, 2, 1, Array[Byte](0, 1), disposal = 3)))
-    assert(ops.GifCodec.decodeGif(d3).isEmpty, "disposal 3")
+    // truncated GCE (extension header cut mid-block)
+    val gceCut = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](2, 0, 1, 0, 0x81.toByte, 0, 0) ++ pal4 ++
+      Array[Byte](0x21, 0xf9.toByte, 4, 0)
+    assert(ops.GifCodec.decodeGif(gceCut).isEmpty, "chopped GCE")
     // LZW garbage inside a valid container shell
     val shell = "GIF89a".getBytes("US-ASCII") ++
       Array[Byte](2, 0, 1, 0, 0x81.toByte, 0, 0) ++ pal4 ++
