@@ -191,7 +191,10 @@ object Bpe {
   private val TrainMinCount = 1500L
 
   val textBpeTrain: Q = (s, dir) =>
-    mergeRounds(table(s, dir, "documents"), TrainRounds, TrainMinCount)
+    trainedStateShared(s, dir)
+      .select(col("w"), concat_ws(" ", col("syms")).as("merged"),
+        size(col("syms")).cast("long").as("n_syms"), col("cnt").as("n_occ"))
+      .orderBy("w")
 
   /** The INFERENCE half of tokenizer training: segment every
     * document with the [[textBpeTrain]] tokenizer and report
@@ -208,7 +211,7 @@ object Bpe {
     */
   val textBpeTokenize: Q = (s, dir) => {
     val docs = table(s, dir, "documents")
-    val model = trainedVocab(docs, TrainRounds, TrainMinCount)
+    val model = trainedStateShared(s, dir)
       .select(col("w"), size(col("syms")).cast("long").as("n_syms"))
     docs
       .filter(trim(col("text")) =!= "")
@@ -276,6 +279,47 @@ object Bpe {
       .orderBy("round")
   }
 
+  /** Session-shared trained tokenizer (round 15): FIVE keys consume
+    * the identical (TrainRounds, TrainMinCount) model — the rule
+    * table ([[textBpeRules]], [[textBpeApply]]) and the trained
+    * final state ([[textBpeTrain]], [[textBpeTokenize]],
+    * [[textBpeFertility]]) — and before sharing each re-ran the
+    * whole k-round training chain per key (~10.7 s for the family
+    * at sf0.1, isolated). One [[SessionCache]] entry per artifact
+    * now holds them, which is also the deployment truth: a
+    * tokenizer is TRAINED ONCE and served everywhere; no consumer
+    * retrains per query. The rules build runs the driver loop once;
+    * the state entry replays the collected rules over the initial
+    * vocabulary with row-local folds ([[applyRules]] — no pair
+    * counting, no per-round checkpoints), which is exactly the
+    * trained state by the left-greedy replay argument
+    * ([[textBpeApply]]'s serving path, spec-pinned equal to the
+    * in-plan chain in BpeMergeSpec).
+    */
+  private[graft] def trainedRulesShared(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    SessionCache.of(s, dir, "bpe-rules-k8") {
+      rulesTableDriver(table(s, dir, "documents"), TrainRounds, TrainMinCount)
+    }
+
+  /** The collected (pa, pb) rule list of [[trainedRulesShared]] in
+    * training order — k-bounded driver data (the model artifact).
+    */
+  private def trainedRuleList(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] =
+    trainedRulesShared(s, dir).orderBy("round")
+      .select(col("pa"), col("pb")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Session-shared trained vocabulary state (w, cnt, syms) under the
+    * training parameters — see [[trainedRulesShared]].
+    */
+  private[graft] def trainedStateShared(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    SessionCache.of(s, dir, "bpe-state-k8") {
+      applyRules(vocab(table(s, dir, "documents")), trainedRuleList(s, dir))
+    }
+
   /** Ships the DRIVER form: the collected per-round rule rows are the
     * key's own k-bounded output (the IVF-centroid class of permitted
     * driver data), and the loop measured faster even with every round
@@ -284,7 +328,7 @@ object Bpe {
     * stays as the all-lazy alternative and the A/B control.
     */
   val textBpeRules: Q = (s, dir) =>
-    rulesTableDriver(table(s, dir, "documents"), TrainRounds, TrainMinCount)
+    trainedRulesShared(s, dir).orderBy("round")
 
   /** Apply an ORDERED rule list (round, pa, pb) to an arbitrary word
     * relation — the serving-side half of tokenizer training: rules
@@ -315,10 +359,7 @@ object Bpe {
     * no join between the corpora at all.
     */
   val textBpeApply: Q = (s, dir) => {
-    val rules = rulesTableDriver(
-      table(s, dir, "documents"), TrainRounds, TrainMinCount)
-      .select(col("pa"), col("pb")).collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val rules = trainedRuleList(s, dir)
     val target = vocab(table(s, dir, "part").select(col("p_name").as("text")))
     applyRules(target, rules)
       .select(col("w"), concat_ws(" ", col("syms")).as("merged"),
@@ -348,7 +389,7 @@ object Bpe {
     */
   val textBpeFertility: Q = (s, dir) => {
     val docs = table(s, dir, "documents")
-    val model = trainedVocab(docs, TrainRounds, TrainMinCount)
+    val model = trainedStateShared(s, dir)
       .select(col("w"), size(col("syms")).cast("long").as("n_syms"))
     docs
       .filter(trim(col("text")) =!= "")

@@ -37,6 +37,66 @@ object InfoTheory {
   private def tokens = split(
     lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
 
+  // ---------------------------------- session-shared token relations
+  //
+  // Round 15: TEN keys in this file re-tokenized the corpus per query
+  // (posexplode + regex normalization each time), and four of them
+  // additionally re-ran the identical per-doc lead() window to form
+  // bigrams (~10 s for the family at sf0.1, isolated). The four
+  // relations below are built once per (session, dir) and serve every
+  // consumer — the [[SessionCache]] discipline the graph edges, the
+  // events daily rollup, and the ngram inverted index already ride.
+  // Deployment analogue: a tokenized corpus is materialized once
+  // (the durable tier being [[VocabService]]'s persisted counts),
+  // not re-derived per query. Each relation is EXACTLY the
+  // subexpression the consumers previously inlined, so results are
+  // unchanged (the oracle gate re-verifies every consumer).
+
+  /** Exploded token spine (doc_id, lang, pos, tok), empties dropped —
+    * the canonical-tokenizer stream every text key starts from.
+    */
+  private[graft] def tokSpine(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    SessionCache.of(s, dir, "tok-spine") {
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          posexplode(tokens).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+    }
+
+  /** Adjacent-token bigrams (doc_id, lang, tok, nxt): the spine under
+    * ONE per-doc lead() window, shared by the four bigram LM keys.
+    */
+  private[graft] def tokBigrams(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    SessionCache.of(s, dir, "tok-bigram") {
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      tokSpine(s, dir)
+        .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), col("lang"), col("tok"), col("nxt"))
+    }
+
+  /** Per-(lang, tok) occurrence counts — [[vocabCounts]]'s shape, the
+    * relation the corpus-level divergence/curve keys share.
+    */
+  private[graft] def tokLangCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    SessionCache.of(s, dir, "tok-unicnt") {
+      tokSpine(s, dir).groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+
+  /** Per-(doc, tok) occurrence counts — the entropy/perplexity keys'
+    * first exchange, done once.
+    */
+  private[graft] def tokDocCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    SessionCache.of(s, dir, "tok-doccnt") {
+      tokSpine(s, dir).groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+
   /** Per-document Shannon entropy (bits/token) of the word-unigram
     * distribution — the vocabulary-diversity quality signal (low
     * entropy ⇒ boilerplate/repetition; pairs with
@@ -72,12 +132,7 @@ object InfoTheory {
     * repartition and let (doc,tok) hashing spread the hot doc.
     */
   val textEntropyExact: Q = (s, dir) => {
-    table(s, dir, "documents")
-      .select(col("doc_id"), explode(tokens).as("tok"))
-      .filter(col("tok") =!= "")
-      .repartition(col("doc_id"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+    tokDocCounts(s, dir)
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
@@ -142,7 +197,7 @@ object InfoTheory {
     * (map-side combinable sums).
     */
   val textZipfSlope: Q = (s, dir) =>
-    zipfFromCounts(vocabCounts(table(s, dir, "documents")))
+    zipfFromCounts(tokLangCounts(s, dir))
 
   /** The (lang, tok, cnt) vocabulary rollup of a documents table —
     * the relation the count-based text keys and [[VocabService]]
@@ -210,11 +265,8 @@ object InfoTheory {
     * scalars — the grand total rides a 1-row broadcast join.
     */
   val textKlDivergence: Q = (s, dir) => {
-    val counts = table(s, dir, "documents")
-      .select(col("lang"), explode(tokens).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("lang"), col("tok"))
-      .agg(count(lit(1)).as("c"))
+    val counts = tokLangCounts(s, dir).select(
+      col("lang"), col("tok"), col("cnt").as("c"))
     val corpus = counts.groupBy(col("tok")).agg(sum(col("c")).as("ctot"))
     val langTot = counts.groupBy(col("lang")).agg(sum(col("c")).as("n"))
     val grand = langTot.agg(sum(col("n")).as("ntot"))
@@ -254,13 +306,7 @@ object InfoTheory {
     * strictly smaller — and the per-lang rollups are trivial.
     */
   val textCondEntropyBigram: Q = (s, dir) => {
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val big = table(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        posexplode(tokens).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-      .filter(col("nxt").isNotNull)
+    val big = tokBigrams(s, dir)
     val c2 = big.groupBy(col("lang"), col("tok").as("prev"), col("nxt"))
       .agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("lang"), col("prev")).agg(sum(col("c2")).as("c1"))
@@ -326,12 +372,7 @@ object InfoTheory {
     * entropy key.
     */
   val textPerplexityExact: Q = (s, dir) => {
-    table(s, dir, "documents")
-      .select(col("doc_id"), explode(tokens).as("tok"))
-      .filter(col("tok") =!= "")
-      .repartition(col("doc_id"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+    tokDocCounts(s, dir)
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
@@ -364,12 +405,7 @@ object InfoTheory {
     * combined).
     */
   val samplePerplexityTemperature: Q = (s, dir) => {
-    val h = table(s, dir, "documents")
-      .select(col("doc_id"), explode(tokens).as("tok"))
-      .filter(col("tok") =!= "")
-      .repartition(col("doc_id"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+    val h = tokDocCounts(s, dir)
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tokens"),
         sum(col("cnt") * log2Fixed(col("cnt"))).as("scl"))
@@ -584,7 +620,7 @@ object InfoTheory {
     * rows.
     */
   val textVocabCoverage: Q = (s, dir) =>
-    coverageFromCounts(vocabCounts(table(s, dir, "documents")))
+    coverageFromCounts(tokLangCounts(s, dir))
 
   /** [[textVocabCoverage]]'s pipeline from a (lang, tok, cnt) relation. */
   private[graft] def coverageFromCounts(counts: DataFrame): DataFrame = {
@@ -623,16 +659,11 @@ object InfoTheory {
     * bucketed two-level top-k) applies.
     */
   val textKnContinuation: Q = (s, dir) => {
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toksP = table(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        posexplode(tokens).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-    val big = toksP
-      .withColumn("prev", lag(col("tok"), 1).over(wDoc))
-      .filter(col("prev").isNotNull)
-      .select(col("lang"), col("prev"), col("tok"))
-    val uni = toksP.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+    // (prev = tok_i, tok = tok_{i+1}) is exactly the shared bigram
+    // relation's (tok, nxt) — the lag() formulation re-keyed
+    val big = tokBigrams(s, dir)
+      .select(col("lang"), col("tok").as("prev"), col("nxt").as("tok"))
+    val uni = tokLangCounts(s, dir)
     val cont = big.groupBy(col("lang"), col("tok"))
       .agg(countDistinct(col("prev")).as("cont_types"))
     val fert = big.groupBy(col("lang"), col("prev"))
@@ -683,9 +714,8 @@ object InfoTheory {
     val docSeq = table(s, dir, "documents")
       .select(col("doc_id"), col("lang"))
       .withColumn("seq", row_number().over(wDocSeq).cast("long"))
-    val docToks = table(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), explode(tokens).as("tok"))
-      .filter(col("tok") =!= "")
+    val docToks = tokSpine(s, dir)
+      .select(col("doc_id"), col("lang"), col("tok"))
     val dl = docToks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val firstSeen = docToks.join(docSeq, Seq("doc_id", "lang"))
       .groupBy(col("lang"), col("tok")).agg(min(col("seq")).as("seq"))
@@ -737,13 +767,7 @@ object InfoTheory {
     * bucketed-top-k swap applies past ~10⁸ surviving pairs/lang.
     */
   val textPmiCollocations: Q = (s, dir) => {
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val big = table(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        posexplode(tokens).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-      .filter(col("nxt").isNotNull)
+    val big = tokBigrams(s, dir)
     val c2 = big.groupBy(col("lang"), col("tok").as("w1"), col("nxt").as("w2"))
       .agg(count(lit(1)).as("c_pair"))
     val cl = c2.groupBy(col("lang"), col("w1")).agg(sum(col("c_pair")).as("c_left"))
@@ -796,13 +820,7 @@ object InfoTheory {
     * grain.
     */
   val textBigramLmPerplexity: Q = (s, dir) => {
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val big = table(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        posexplode(tokens).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-      .filter(col("nxt").isNotNull)
+    val big = tokBigrams(s, dir)
       .select(col("doc_id"), col("lang"), col("tok").as("p"), col("nxt").as("w"))
     val c2 = big.groupBy(col("lang"), col("p"), col("w")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("lang"), col("p")).agg(sum(col("c2")).as("c1"))
@@ -850,10 +868,8 @@ object InfoTheory {
     * ≤|langs|² cells.
     */
   val textJsDivergence: Q = (s, dir) => {
-    val uni = table(s, dir, "documents")
-      .select(col("lang"), explode(tokens).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val uni = tokLangCounts(s, dir).select(
+      col("lang"), col("tok"), col("cnt").as("c"))
     val tot = uni.groupBy(col("lang")).agg(sum(col("c")).as("n"))
     // the log-rank merged-pair-spine idiom: expand the TYPE relation
     // per unordered pair FIRST, then full-outer within the pair — a
