@@ -101,7 +101,32 @@ object Curation {
     // this replaces was the r7 ADVICE fix; sharing subsumes it)
     val inv = PairJoins.bigramInv(s, dir)
     val dfreq = PairJoins.bigramDfreq(s, dir)
-    val candidates = if (PairJoins.hotGramShare(dfreq) <= 1.0) {
+    // Round 15: third dispatch branch (see [[Llm2.dedupNgramJaccard]]
+    // — same measured rationale): above [[PairJoins.BandedPairVolume]]
+    // on a uniform vocabulary the Σ df² join cannot run (sf1 DNF,
+    // BASELINE.md r14 scaling row) and the MinHash-banded front-end
+    // generates candidates for the SAME exact verify. Containment
+    // banding is 64 bands × 2 rows, NO size-ratio bound (tiny-inside-
+    // huge is the signal). Parameter reasoning, because containment
+    // is NOT what minhash natively approximates: a τ = 0.8-contained
+    // pair at size ratio k has Jaccard J = 0.8/(k + 0.2), so the
+    // collision curve P = 1−(1−J²)⁶⁴ reads ≈ 1.0 at k ≤ 2, 0.98 at
+    // k = 3, 0.87 at k = 4, 0.71 at k = 5, then degrades — while a
+    // 1-row band (whose curve stays high at low J) was MEASURED
+    // unusable here: at this corpus's background J ≈ 0.006 it admits
+    // ~13 % of ALL in-lang pairs (28.8 s vs 18.8 s exact at sf0.3 —
+    // slower than the join it replaces), where 2-row bands admit
+    // ~0.2 %. So the banded branch certifies recall for moderate
+    // asymmetry (ratio ≲ 4) and the gate SFs keep the exact branches;
+    // EXTREME tiny-inside-huge at 100 TB is the substring family's
+    // job ([[SubstringIndex]]/`dedup_substring_span`), whose index
+    // scales linearly and catches verbatim quotes at any ratio.
+    // Measured recall per corpus is pinned in the BASELINE.md r15 row.
+    val candidates = if (PairJoins.hotGramShare(dfreq) <= 1.0 &&
+        PairJoins.pairVolume(dfreq) > PairJoins.BandedPairVolume) {
+      PairJoins.bandedCandidates(d, nPerm = 128, bands = 64, sizeRatio = None)
+        .select(col("a_id"), col("b_id"))
+    } else if (PairJoins.hotGramShare(dfreq) <= 1.0) {
       // shared-count shape. The pair join emits BARE packed keys:
       // Σ df² rows is the join's irreducible volume, so every byte on
       // those rows is paid Σ df² times. Doc sizes re-attach AFTER the

@@ -233,7 +233,27 @@ object Llm2 {
     // guarantees every true pair collides inside a prefix; both
     // shapes feed the same exact verify, so results are identical.
     val dfreq = PairJoins.bigramDfreq(s, dir)
-    val counted = if (PairJoins.hotGramShare(dfreq) <= 1.0) {
+    // Round 15: the measured dense-vocabulary escape is now the THIRD
+    // dispatch branch (r14 verdict item 2 / §8.r15 item 3): when the
+    // predicted shared-count volume Σ df² crosses
+    // [[PairJoins.BandedPairVolume]] on a uniform vocabulary (where
+    // the prefix filter selects nothing), the MinHash-banded
+    // front-end generates candidates instead — 12 bands × 2 rows,
+    // P[candidate | J = τ] = 0.968, measured recall 1.0000 at
+    // sf0.1/sf0.3/sf1 with ~500× less pair traffic (BASELINE.md r14
+    // row) — and the SAME exact verify below restores precision 1.
+    // The oracle-gate corpora sit 1–2 orders under the switch, so
+    // this key stays hash-exact where the contract demands it and
+    // seeded-probabilistic only where the exact join cannot run.
+    val counted = if (PairJoins.hotGramShare(dfreq) > 1.0) {
+      // τ = 0.5 pigeonhole with the size-ratio bound 2·min ≥ max:
+      // the smaller doc's unshared grams number ≤ gsz·(1−τ)/(1+τ)
+      // = gsz/3
+      PairJoins.prefixCandidates(inv, dfreq, prefixDivisor = 3,
+        sizeRatio = Some(2))
+    } else if (PairJoins.pairVolume(dfreq) > PairJoins.BandedPairVolume) {
+      PairJoins.bandedCandidates(d, nPerm = 24, bands = 12, sizeRatio = Some(2))
+    } else {
       val a = inv.select(col("gh"), col("doc_id").as("a_id"), col("gsz").as("a_sz"))
       // shuffle_hash, not broadcast: partitioning both sides on the gram
       // hash gives each task a small local map (measured 1.8× faster
@@ -263,12 +283,6 @@ object Llm2 {
         .select(shiftright(col("pk"), 32).cast("int").as("a_id"),
           col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b_id"),
           col("a_sz"), col("b_sz"))
-    } else {
-      // τ = 0.5 pigeonhole with the size-ratio bound 2·min ≥ max:
-      // the smaller doc's unshared grams number ≤ gsz·(1−τ)/(1+τ)
-      // = gsz/3
-      PairJoins.prefixCandidates(inv, dfreq, prefixDivisor = 3,
-        sizeRatio = Some(2))
     }
     counted
       .join(d.select(col("doc_id").as("a_id"), col("lang"),

@@ -66,6 +66,90 @@ private[graft] object PairJoins {
       prof.getLong(0).max(1L).toDouble
   }
 
+  /** Predicted pair-row volume Σ df² of the shared-count join — the
+    * rows its gram self-join must shuffle. Corpus-QUADRATIC on a
+    * dense uniform vocabulary (measured, BASELINE.md r14 scaling row:
+    * 1.5·10⁹ rows / disk-full DNF at 50 k docs), which neither the
+    * hot-gram probe (uniform df ⇒ no hot gram) nor the prefix filter
+    * (nothing is rare) escapes. 0.0 on an empty relation. Double
+    * math: per-gram df² stays exact to df ≈ 9·10⁷ and the switch
+    * needs one significant digit, not exactness.
+    */
+  def pairVolume(dfreq: DataFrame): Double = {
+    val r = dfreq.agg(
+      sum(col("df").cast("double") * col("df").cast("double")).as("v")).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Switch point for the MinHash-banded front-end (round 15,
+    * §8.r15 item 3 / the r14 verdict's promotion): above this
+    * predicted volume the exact pair join's shuffle dominates and
+    * the banded candidate generator feeds the same exact verify.
+    * Placement is measured (ScratchPairVolume + the r14
+    * ScratchNgramBanded A/B): the oracle-gate corpora sit 1–2 orders
+    * below (sf0.01 ≈ 2·10⁵, sf0.1 ≈ 2·10⁷ — both keys stay on the
+    * exact branches there, preserving the hash-exact contract),
+    * while the corpora where banding measurably wins sit above
+    * (sf0.3 ≈ 2·10⁸: banded 10.5 s vs exact 17.5 s; sf1 ≈ 1.9·10⁹:
+    * 19.1 s vs 71.4 s / containment DNF), with recall 1.0000 at
+    * every measured scale and the output a verified subset by
+    * construction.
+    */
+  val BandedPairVolume: Double = 1e8
+
+  /** MinHash-LSH candidate pairs over a (doc_id, lang, gsz, grams)
+    * relation — the dense-vocabulary 100 TB front-end (promoted from
+    * ScratchNgramBanded, measured r14): `nPerm` seeded minhashes over
+    * each doc's gram set → `bands` hashed band keys → lang-blocked
+    * band equi-join → distinct pairs. Every emitted pair flows into
+    * the caller's EXACT verify (array_intersect on the true gram
+    * sets), so precision is 1 by construction; the probabilistic
+    * side is recall only — P[candidate | J] = 1−(1−J^(nPerm/bands))^bands,
+    * 0.968 at J = 0.5 under the jaccard key's 12×2 parameters;
+    * the containment key runs 64×2 (see its scaladoc for the
+    * containment-to-Jaccard curve and why 1-row bands were measured
+    * unusable at this corpus's background J). Candidate volume is
+    * Σ over (lang, band, bandHash) buckets of C(bucket, 2) — bounded
+    * by band-key dispersion instead of gram df², measured ~500× under
+    * Σ df² at sf1. `sizeRatio = Some(r)` applies the Jaccard size
+    * bound r·min ≥ max inside the band join. Output: one row per
+    * candidate pair (a_id < b_id) with both doc sizes.
+    */
+  def bandedCandidates(d: DataFrame, nPerm: Int, bands: Int,
+      sizeRatio: Option[Int]): DataFrame = {
+    val rpb = nPerm / bands
+    require(rpb * bands == nPerm, s"bands=$bands must divide nPerm=$nPerm")
+    val sigs = d.select(col("doc_id"), col("lang"), col("gsz"),
+      graft.functions.TextExpressions.minHashSigs(col("grams"), nPerm).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rpb until (b + 1) * rpb)
+          .map(i => element_at(col("sig"), i + 1)): _*).as("bh")).as(s"b$b")
+    }
+    // The banded relation is consumed by BOTH sides of the self-join;
+    // localCheckpoint (not SessionCache — the band parameters differ
+    // per caller) computes the signatures once.
+    val banded = sigs.select(col("doc_id"), col("lang"), col("gsz"),
+        explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("lang"), col("gsz"),
+        col("e.band").as("band"), col("e.bh").as("bh"))
+      .localCheckpoint()
+    val ratioCond = sizeRatio match {
+      case Some(r) =>
+        lit(r) * col("a.gsz") >= col("b.gsz") &&
+          lit(r) * col("b.gsz") >= col("a.gsz")
+      case None => lit(true)
+    }
+    banded.as("a").join(banded.as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+        col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id") &&
+        ratioCond)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.gsz").as("a_sz"), col("b.gsz").as("b_sz"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("a_sz")).as("a_sz"), max(col("b_sz")).as("b_sz"))
+  }
+
   /** PPJoin prefix-filter candidate pairs over a
     * (doc_id, gsz, gh) inverted relation: index only each doc's
     * ⌊gsz/prefixDivisor⌋+1 RAREST grams (rarity from `dfreq`, ties
