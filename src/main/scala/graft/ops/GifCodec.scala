@@ -60,7 +60,10 @@ object GifCodec {
     var frames = 0
     while (off < bytes.length) {
       (bytes(off) & 0xff) match {
-        case 0x3b => return Some((w, h, frames)) // trailer
+        case 0x3b => // trailer: a zero-frame stream is quarantined to
+          // match decodeGif's contract (r14 ADVICE — meta must not
+          // report ok for media the decode path rejects structurally)
+          return if (frames > 0) Some((w, h, frames)) else None
         case 0x21 => // extension: label + sub-blocks
           off += 2
           var ok = true
@@ -223,15 +226,27 @@ object GifCodec {
     out
   }
 
-  /** Full decode → (canvasW, canvasH, frames), each frame the
-    * full-canvas RGB snapshot after compositing that image block.
-    * `maxFrames` bounds work for frame SAMPLING (decode stops early —
-    * a sampler that wants every k-th frame still decodes prefixes,
-    * which LZW forces, but never pays for frames past its last
-    * sample). None on unsupported profile or any corruption.
+  /** Full decode → (canvasW, canvasH, frames), each RETAINED frame
+    * the full-canvas RGB snapshot after compositing that image block.
+    * `keepEvery` retains every k-th composited frame (indices 0, k,
+    * 2k, … — skipped frames are composited into the canvas but never
+    * copied out, so a sampler's memory is bounded by what it keeps,
+    * not by what LZW forces it to decode); `maxFrames` bounds the
+    * RETAINED count and stops the decode right after the last kept
+    * frame. None on unsupported profile or any corruption.
+    *
+    * Bomb gate (round 15, the r14 ADVICE item): the per-canvas and
+    * per-frame-rect gates bound any SINGLE allocation, and the
+    * CUMULATIVE retained output is gated too — a few-KB file
+    * declaring a large canvas plus thousands of 1×1 frame rects
+    * would otherwise clone tens of GB of snapshots. Total retained
+    * bytes above [[ImageCodec.MaxDecodedBytes]] ⇒ None (the
+    * quarantine row, like every other hostile shape).
     */
   def decodeGif(bytes: Array[Byte],
-      maxFrames: Int = Int.MaxValue): Option[(Int, Int, Vector[Array[Byte]])] = {
+      maxFrames: Int = Int.MaxValue,
+      keepEvery: Int = 1): Option[(Int, Int, Vector[Array[Byte]])] = {
+    require(keepEvery >= 1, s"keepEvery=$keepEvery")
     if (!isGif(bytes)) return None
     val w = u16(bytes, 6); val h = u16(bytes, 8)
     if (w <= 0 || h <= 0) return None
@@ -260,13 +275,14 @@ object GifCodec {
       }
     }
     val frames = Vector.newBuilder[Array[Byte]]
-    var nFrames = 0
+    var nComposited = 0
+    var nRetained = 0
     var transparentIdx = -1
     var disposal = 0
     while (off < bytes.length) {
       (bytes(off) & 0xff) match {
         case 0x3b =>
-          return if (nFrames > 0) Some((w, h, frames.result())) else None
+          return if (nRetained > 0) Some((w, h, frames.result())) else None
         case 0x21 =>
           if (off + 2 > bytes.length) return None
           val label = bytes(off + 1) & 0xff
@@ -351,9 +367,15 @@ object GifCodec {
             }
             ry += 1
           }
-          frames += canvas.clone()
-          nFrames += 1
-          if (nFrames >= maxFrames) return Some((w, h, frames.result()))
+          if (nComposited % keepEvery == 0) {
+            // cumulative bomb gate: retained snapshots, not file bytes
+            if ((nRetained + 1).toLong * w * h * 3 > ImageCodec.MaxDecodedBytes)
+              return None
+            frames += canvas.clone()
+            nRetained += 1
+            if (nRetained >= maxFrames) return Some((w, h, frames.result()))
+          }
+          nComposited += 1
           // disposal AFTER snapshot: 3 = restore the region's
           // pre-frame pixels, 2 = restore region to background
           if (disposal == 3) {

@@ -123,7 +123,27 @@ object IngestPipeline {
       batchId, Streaming.upsertLatest, beforeCommit, afterCommit)
   }
 
-  /** Read the accumulated quarantine (all batches). */
-  def readQuarantine(spark: SparkSession, quarantinePath: String): DataFrame =
-    spark.read.parquet(quarantinePath)
+  /** Read the accumulated quarantine (all batches). Before the first
+    * micro-batch commits, the root path does not exist yet — a
+    * monitoring caller polling early gets an EMPTY relation with the
+    * [[QuarantineColumns]] schema instead of an AnalysisException
+    * (round 15, the r14 ADVICE item). `batch` is IntegerType to match
+    * what partition discovery infers from the `batch=<id>` dirs.
+    */
+  def readQuarantine(spark: SparkSession, quarantinePath: String): DataFrame = {
+    // Hadoop FS API, not java.io: the quarantine root is wherever the
+    // pipeline writes (HDFS/object store at scale, local in tests)
+    val root = new org.apache.hadoop.fs.Path(quarantinePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch="))
+    if (hasBatches)
+      spark.read.parquet(quarantinePath)
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("raw", StringType), StructField("src_file", StringType),
+          StructField("batch", IntegerType))))
+    }
+  }
 }

@@ -335,15 +335,16 @@ object Multimodal {
       maxSampled: Int = Int.MaxValue): DataFrame = {
     require(every >= 1 && maxSampled >= 1, s"every=$every maxSampled=$maxSampled")
     import media.sparkSession.implicits._
-    val decodeBound =
-      if (maxSampled == Int.MaxValue || maxSampled > Int.MaxValue / every) Int.MaxValue
-      else (maxSampled - 1) * every + 1
+    // The stride lives INSIDE the decoder (round 15, the r14 ADVICE
+    // item): skipped frames are composited but never copied out, so
+    // per-row memory is the ≤ maxSampled retained canvases — not the
+    // every×maxSampled the retain-then-filter form held. Retained
+    // frame j is composited index j·every by the decoder's contract.
     media.flatMap { case (id, bytes) =>
-      GifCodec.decodeGif(bytes, decodeBound) match {
+      GifCodec.decodeGif(bytes, maxFrames = maxSampled, keepEvery = every) match {
         case Some((w, h, frames)) =>
-          frames.zipWithIndex.collect {
-            case (f, i) if i % every == 0 =>
-              (id, i, encodeHeader(w, h, 3, 0, f), true)
+          frames.zipWithIndex.map { case (f, j) =>
+            (id, j * every, encodeHeader(w, h, 3, 0, f), true)
           }
         case None => Seq((id, -1, null: Array[Byte], false))
       }

@@ -165,6 +165,56 @@ class GifCodecSpec extends SparkSpec {
     assert(ops.GifCodec.decodeGif("NOTAGIF".getBytes).isEmpty)
   }
 
+  test("frame-count bomb: cumulative retained bytes are gated, not just the single canvas (r14 ADVICE)") {
+    // A 4096x4096 canvas passes the single-canvas gate (~50 MB < 1 GiB)
+    // and each 1x1 frame rect is trivially under the rect gate — but
+    // the per-frame snapshot CLONES the canvas, so a few-KB file with
+    // enough frames would allocate unbounded memory. 22 frames cross
+    // the 1 GiB cumulative budget at frame 21 -> the whole GIF
+    // quarantines (None), like every other hostile shape.
+    val smallPal = Array[Byte](0, 0, 0, 9, 9, 9)
+    val manyTiny = ops.GifCodec.encodeGif(4096, 4096, smallPal, 0,
+      Seq.fill(22)(ops.GifCodec.FrameSpec(0, 0, 1, 1, Array[Byte](1))))
+    assert(manyTiny.length < 4096, "the bomb is a few-KB file")
+    assert(ops.GifCodec.decodeGif(manyTiny).isEmpty, "cumulative gate trips")
+    // the same stream under a finite retention cap decodes fine: the
+    // gate counts RETAINED snapshots, and maxFrames stops the decode
+    assert(ops.GifCodec.decodeGif(manyTiny, maxFrames = 3).get._3.size === 3)
+    // and a sampler that keeps every 8th retains only 3 of 22 frames
+    assert(ops.GifCodec.decodeGif(manyTiny, keepEvery = 8).get._3.size === 3)
+  }
+
+  test("keepEvery composites skipped frames but retains only every k-th (r14 ADVICE)") {
+    // 5 full-canvas frames painting colors 0..3,0; retained frame j
+    // under keepEvery=2 must equal composited frame 2j of the full
+    // decode — including frame 4, whose canvas state depends on the
+    // SKIPPED frame 3 having been composited
+    val frames5 = (0 until 4).map { k =>
+      ops.GifCodec.FrameSpec(0, 0, 2, 2, Array.fill[Byte](4)(k.toByte))
+    } :+ ops.GifCodec.FrameSpec(0, 0, 1, 1, Array[Byte](0)) // partial 5th
+    val gif = ops.GifCodec.encodeGif(2, 2, pal4, 0, frames5)
+    val full = ops.GifCodec.decodeGif(gif).get._3
+    assert(full.size === 5)
+    val sampled = ops.GifCodec.decodeGif(gif, keepEvery = 2).get._3
+    assert(sampled.size === 3)
+    Seq(0, 1, 2).foreach { j =>
+      assert(sampled(j).toSeq === full(2 * j).toSeq, s"retained $j = composited ${2 * j}")
+    }
+    val capped = ops.GifCodec.decodeGif(gif, maxFrames = 2, keepEvery = 2).get._3
+    assert(capped.size === 2 && capped(1).toSeq === full(2).toSeq,
+      "maxFrames bounds RETAINED frames")
+  }
+
+  test("zero-frame GIF: gifMeta matches decodeGif's rejection (r14 ADVICE)") {
+    // header + trailer, no image block: decodeGif has always returned
+    // None; gifMeta used to report Some((w,h,0)) — an ok=true meta row
+    // for media the decode path quarantines
+    val noFrames = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](2, 0, 2, 0, 0x81.toByte, 0, 0) ++ pal4 ++ Array[Byte](0x3b)
+    assert(ops.GifCodec.decodeGif(noFrames).isEmpty)
+    assert(ops.GifCodec.gifMeta(noFrames).isEmpty, "meta agrees with decode")
+  }
+
   test("image_meta / decodeToRaw / sampleGifFrames integration: frames flow into the feature family") {
     val rnd = new scala.util.Random(13)
     val frames = (0 until 5).map { k =>

@@ -153,4 +153,20 @@ class IngestPipelineSpec extends SparkSpec {
     assert(quar1.length === 2)
     assert(quar1.exists(_.contains("nope")) && quar1.exists(_.contains("not json")))
   }
+
+  test("readQuarantine before the first batch: empty relation, not an error (r14 ADVICE)") {
+    // a monitoring caller polls the quarantine root before any
+    // micro-batch has written it — the path does not exist yet
+    val missing = java.nio.file.Files.createTempDirectory("quar-missing")
+      .toString + "/never-written"
+    val early = ops.IngestPipeline.readQuarantine(spark, missing)
+    assert(early.columns.toSeq === ops.IngestPipeline.QuarantineColumns,
+      "the declared quarantine schema")
+    assert(early.count() === 0L)
+    // an existing but batch-less dir (e.g. user-created) is the same
+    val emptyDir = java.nio.file.Files.createTempDirectory("quar-empty").toString
+    val early2 = ops.IngestPipeline.readQuarantine(spark, emptyDir)
+    assert(early2.columns.toSeq === ops.IngestPipeline.QuarantineColumns)
+    assert(early2.count() === 0L)
+  }
 }
