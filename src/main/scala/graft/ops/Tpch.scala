@@ -4,15 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.io.Readers.table
 
-/** TPC-H completion wave (round 12, fifth session): the ten remaining
-  * queries expressible over the fixture schema, each over SQL TEXT —
-  * parse → analyze → the same Catalyst pipeline as the fluent API
-  * (SURVEY §3.4). With Q1/Q3/Q5/Q6/Q10/Q14/Q18/Q19 already shipped
-  * (ops/Relational.scala), this closes every TPC-H shape the fixture
-  * can host: Q2/Q11/Q20 need the `partsupp` relation (absent from the
-  * driver's star schema) and are recorded as out-of-fixture in
-  * SURVEY §2; Q16's supplier-part relationship is likewise
-  * partsupp-rooted. Where a stock column is missing the query is
+/** TPC-H over SQL TEXT — parse → analyze → the same Catalyst pipeline
+  * as the fluent API (SURVEY §3.4). With Q1/Q3/Q5/Q6/Q10/Q14/Q18/Q19
+  * shipped in ops/Relational.scala, this file holds the rest: the
+  * round-12 completion wave (Q4/Q7/Q8/Q9/Q12/Q13/Q15/Q17/Q21/Q22)
+  * plus the round-13 ADAPTED forms of the four partsupp-rooted
+  * queries (Q2/Q11/Q16/Q20 — the fixture's star schema has no
+  * `partsupp`, so their supplier-part relationship is re-rooted on
+  * lineitem's (supplier, part) history; see each key's scaladoc for
+  * the exact substitution). ALL 22 TPC-H shapes are registered and
+  * oracle-green. Where a stock column is missing the query is
   * ADAPTED — the SHAPE (the planner obstacle the query exists to
   * pose) is preserved and the substitution documented per key:
   * lateness is `l_shipdate > o_orderdate + 60 days` (the fixture has

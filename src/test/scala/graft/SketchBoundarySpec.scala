@@ -13,6 +13,33 @@ class SketchBoundarySpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.01"
   private val deciles = (1 to 9).map(_ / 10.0)
 
+  /** The boundary certificates for a group's sketch at quantiles qs,
+    * against EXACT ranks computed from `df`. For each q:
+    * b = sketch.quantile(q), t = max(1, ⌈q·n⌉), and the KLL contract
+    * is  rank_<(b) ≤ t − 1 + errBound  and  rank_≤(b) ≥ t − errBound
+    * (true weight strictly below b cannot overshoot the target by
+    * more than the certificate, and weight at-or-below cannot
+    * undershoot it). Test scope (round 15): the exact ranks need a
+    * full per-group collect — a spec's privilege, not a library
+    * operator's.
+    */
+  private def boundaryCertificates(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, valueCol: String,
+      sketches: Map[String, ops.Udx.KllBuf], qs: Seq[Double])
+      : Seq[(String, Double, Boolean)] =
+    sketches.toSeq.flatMap { case (g, sk) =>
+      val vals = df.filter(col(groupCol) === g)
+        .select(col(valueCol).cast("double")).collect().map(_.getDouble(0))
+      qs.map { q =>
+        val b = sk.quantile(q)
+        val t = math.max(1L, math.ceil(q * sk.n).toLong)
+        val rankLt = vals.count(_ < b).toLong
+        val rankLe = vals.count(_ <= b).toLong
+        val ok = rankLt <= t - 1 + sk.errBound && rankLe >= t - sk.errBound
+        (g, q, ok)
+      }
+    }
+
   test("boundary certificates hold at compacting k (errBound > 0 exercised)") {
     val k = 64
     val revSk = ops.SketchVariants.revenueSketches(spark, dir, k)
@@ -23,8 +50,8 @@ class SketchBoundarySpec extends SparkSpec {
     val rev = ops.SketchVariants.customerRevenue(spark, dir)
     val bal = ops.SketchVariants.customerBalance(spark, dir)
     val certs =
-      ops.SketchVariants.boundaryCertificates(rev, "segment", "rev_cents", revSk, deciles) ++
-      ops.SketchVariants.boundaryCertificates(bal, "segment", "bal_cents", balSk, Seq(0.05, 0.95))
+      boundaryCertificates(rev, "segment", "rev_cents", revSk, deciles) ++
+      boundaryCertificates(bal, "segment", "bal_cents", balSk, Seq(0.05, 0.95))
     val bad = certs.filterNot(_._3)
     assert(bad.isEmpty, s"certificate violated at: $bad")
   }
