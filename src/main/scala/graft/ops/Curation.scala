@@ -304,11 +304,13 @@ object Curation {
     * the same exposure `text_tfidf_topterms` has carried green since
     * round 1.
     */
-  private def docAvgNll(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val toks = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
-    val tok = table(s, dir, "documents")
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .filter(col("tok") =!= "")
+  private def docAvgNll(s: org.apache.spark.sql.SparkSession, dir: String) =
+      SessionCache.of(s, dir, "tok-avgnll") {
+    // the canonical token spine (round 15 sharing) — this tokenizer
+    // is byte-identical to InfoTheory's; the cached OUTPUT is one
+    // tiny (doc, n_toks, avg_nll) row per doc serving both the
+    // logprob key and the perplexity band
+    val tok = InfoTheory.tokSpine(s, dir).select(col("doc_id"), col("tok"))
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = freq.agg(sum(col("c")).as("n_total"))
     val nll = round(-log(col("c").cast("double") / col("n_total").cast("double")), 6)

@@ -271,14 +271,17 @@ object Llm {
 
   private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
-  /** Tokenize → stopword-filter → top-5 terms per language. */
+  /** Tokenize → stopword-filter → top-5 terms per language. The
+    * (lang, token) counts are the shared [[InfoTheory.tokLangCounts]]
+    * rollup (round 15 — identical tokenizer); the stopword filter
+    * runs on the group KEY, so filtering the aggregated relation is
+    * exactly filtering before aggregation.
+    */
   val textTokenizeStats: Q = (s, dir) => {
     val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token").asc)
-    table(s, dir, "documents")
-      .select(col("lang"), explode(split(normText(col("text")), " ")).as("token"))
-      .filter(!col("token").isin(stopwords: _*) && col("token") =!= "")
-      .groupBy("lang", "token")
-      .agg(count(lit(1)).as("n"))
+    InfoTheory.tokLangCounts(s, dir)
+      .select(col("lang"), col("tok").as("token"), col("cnt").as("n"))
+      .filter(!col("token").isin(stopwords: _*))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("lang", "rank", "token", "n")
@@ -291,10 +294,10 @@ object Llm {
     */
   val textTfidfTopterms: Q = (s, dir) => {
     val docs = table(s, dir, "documents")
-    val terms = docs
-      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("term"))
-      .filter(col("term") =!= "")
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf = the shared per-(doc, tok) rollup (round 15 — identical
+    // tokenizer to InfoTheory's canonical one)
+    val tf = InfoTheory.tokDocCounts(s, dir)
+      .select(col("doc_id"), col("tok").as("term"), col("cnt").as("tf"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // df as a window count over the SAME tf relation — the former
     // groupBy+broadcast-join formulation re-evaluated the whole
