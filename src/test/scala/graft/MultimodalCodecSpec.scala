@@ -280,6 +280,56 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(ops.ImageCodec.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2, 3)).isEmpty)
   }
 
+  test("JPEG boundary fixtures: PROGRESSIVE decodes, 4-component (CMYK-class) quarantines (r14 verdict item)") {
+    // --- progressive JFIF: the JDK reader supports SOF2 scans, so a
+    // progressive re-encode of the gradient must decode with the same
+    // dims/channels and stay inside the loss band of the baseline form
+    val grad = Array.tabulate[Byte](16 * 16 * 3) { i =>
+      val p = i / 3
+      (((p % 16) * 8 + (p / 16) * 8) & 0xff).toByte
+    }
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 16, 16, Array.tabulate(16 * 16)(p =>
+      ((grad(p * 3) & 0xff) << 16) | ((grad(p * 3 + 1) & 0xff) << 8) |
+        (grad(p * 3 + 2) & 0xff)), 0, 16)
+    val wj = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val prm = wj.getDefaultWriteParam
+    prm.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wj.setOutput(ios)
+    wj.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+    ios.close(); wj.dispose()
+    val prog = bos.toByteArray
+    def findMarker(b: Array[Byte], m: Int): Int =
+      (0 until b.length - 1).find(i =>
+        (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == m).getOrElse(-1)
+    assert(findMarker(prog, 0xc2) >= 0, "fixture is genuinely SOF2/progressive")
+    assert(findMarker(prog, 0xc0) < 0, "no baseline SOF0 frame")
+    assert(ops.ImageCodec.jpegMeta(prog) === Some((16, 16, 3)))
+    val Some((pw, ph, pc, pb)) = ops.ImageCodec.decodeJpeg(prog)
+    assert((pw, ph, pc) === ((16, 16, 3)))
+    val maxErr = pb.indices.map(i => math.abs((pb(i) & 0xff) - (grad(i) & 0xff))).max
+    assert(maxErr <= 32, s"progressive decode inside the loss band, maxErr=$maxErr")
+    // a truncated progressive stream quarantines like any corruption
+    assert(ops.ImageCodec.decodeJpeg(prog.take(prog.length / 3)).isEmpty)
+    // --- 4-component frame (the CMYK class): the JDK tier rejects
+    // streams it cannot color-convert; pin that the rejection is a
+    // quarantine (None), never a throw. Crafted by patching the
+    // baseline fixture's SOF0 component count 3 -> 4 (the cheapest
+    // stream whose frame header declares four components).
+    val base = ops.ImageCodec.encodeJpeg(16, 16, 3, grad)
+    val sof = findMarker(base, 0xc0)
+    assert(sof >= 0)
+    val cmyk4 = base.clone()
+    assert((cmyk4(sof + 9) & 0xff) == 3, "SOF0 Nf byte located")
+    cmyk4(sof + 9) = 4
+    assert(ops.ImageCodec.decodeJpeg(cmyk4).isEmpty, "4-component frame quarantines")
+    // meta stays header-only: whatever it reports, the decode path's
+    // quarantine is what gates the pipeline (the documented split)
+  }
+
   test("multimodal_codec_features: per-label cells replay from a driver-side codec loop; every decode ok") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
