@@ -22,10 +22,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SparkSession. A `SparkListener` registered per session drops that
   * session's entries on application end, so a long-lived JVM that
   * cycles sessions (tests, notebook restarts) does not accumulate
-  * dead references. Entries are small by design (edge sets, daily
-  * rollups, label relations — orders of magnitude under their source
-  * tables); anything corpus-sized belongs in a durable index/service
-  * table, not here.
+  * dead references.
+  *
+  * Two entry classes live here (round 15 clarification — the second
+  * predates it via the r14 ngram inverted index):
+  *  - SMALL derived rollups (edge sets, daily counts, label
+  *    relations, the trained BPE model) — orders of magnitude under
+  *    their source tables; cacheable at any scale.
+  *  - TOKENIZED-CORPUS intermediates (the ngram inverted index, the
+  *    token spine and its bigram/count rollups) — corpus-sized. At
+  *    100 TB these are NOT session-cache material: they are the
+  *    relations a deployment materializes ONCE as durable tables
+  *    (the [[VocabService]]/[[GramService]]/[[PostingIndex]] tier)
+  *    and every query reads. The session cache is the single-JVM
+  *    bench/verify analogue of that materialization — build once,
+  *    serve every consumer — not a claim that executors hold the
+  *    corpus in block-manager memory at scale.
   */
 object SessionCache {
 
