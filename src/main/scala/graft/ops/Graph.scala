@@ -206,20 +206,46 @@ object Graph {
     * corpus says simple. Both joins are equi-joins on node ids
     * (shuffle_hash-able, never nested-loop).
     */
-  val graphTriangleCount: Q = (s, dir) => {
-    val und = canonicalUndirectedEdges(s, dir) // scanned 3x by the wedge closure
+  /** Ordered triangle triples (u < v < w, all three edges present) of
+    * a canonical undirected edge relation — the Σ deg² wedge closure,
+    * extracted so the shared build and the spec-injectable
+    * [[clusteringProfile]] run the identical plan.
+    */
+  private def trisOf(und: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val wedges = und.join(und.select(col("u").as("v2"), col("v").as("w")),
         col("v") === col("v2"))
       .select(col("u"), col("v"), col("w"))
-    val tris = wedges.join(und.select(col("u").as("u3"), col("v").as("w3")),
+    wedges.join(und.select(col("u").as("u3"), col("v").as("w3")),
         col("u") === col("u3") && col("w") === col("w3"))
       .select(col("u"), col("v"), col("w"))
-    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+  }
+
+  /** Session-shared ordered triangle triples (round 15): FOUR keys
+    * enumerate the identical Σ deg² wedge closure — triangle corners
+    * ([[graphTriangleCount]]), the clustering-coefficient profile
+    * ([[graphClusteringLocal]]), and the per-edge common-neighbor
+    * relations ([[graphJaccardNeighbors]], [[graphAdamicAdar]]: a
+    * triangle u<v<w IS the three (edge, common-neighbor) incidences
+    * (u,v)·w, (u,w)·v, (v,w)·u, so both keys' wedge-probe streams are
+    * row-local explodes of this relation). One build pays the wedge
+    * join; the cached output is |triangles| three-column rows — the
+    * SMALL entry class, orders of magnitude under the edge relation.
+    */
+  private[graft] def triangleTriples(s: org.apache.spark.sql.SparkSession,
+      dir: String)
+      : org.apache.spark.sql.DataFrame =
+    SessionCache.of(s, dir, "graph-tris") {
+      trisOf(canonicalUndirectedEdges(s, dir))
+    }
+
+  val graphTriangleCount: Q = (s, dir) =>
+    triangleTriples(s, dir)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("node"))
       .limit(20)
-  }
 
   /** Synchronous label propagation (3 fixed iterations of min-label
     * flooding over the undirected part graph) — the community/cluster
@@ -464,15 +490,20 @@ object Graph {
     * is a partial TakeOrdered, no global sort materializes.
     */
   val graphJaccardNeighbors: Q = (s, dir) => {
-    val und = canonicalUndirectedEdges(s, dir) // adj (2x), edge probe, deg
+    val und = canonicalUndirectedEdges(s, dir) // deg only; wedges are shared
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val common = adj.select(col("node").as("a"), col("nbr"))
-      .join(adj.select(col("node").as("b"), col("nbr")), Seq("nbr"))
-      .filter(col("a") < col("b"))
-      .join(broadcast(und.select(col("u").as("a"), col("v").as("b"))),
-        Seq("a", "b"))
+    // (edge, common-neighbor) incidences are a row-local explode of
+    // the shared triangle relation (round 15) — the Σ deg² wedge
+    // stream is paid once per session, not once per key; a triangle
+    // u<v<w yields pairs (u,v), (u,w), (v,w), already a < b
+    val common = triangleTriples(s, dir)
+      .select(explode(array(
+        struct(col("u").as("a"), col("v").as("b")),
+        struct(col("u").as("a"), col("w").as("b")),
+        struct(col("v").as("a"), col("w").as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -512,19 +543,24 @@ object Graph {
     * shuffle joins.
     */
   val graphAdamicAdar: Q = (s, dir) => {
-    val und = canonicalUndirectedEdges(s, dir) // adj (2x), edge probe, deg
+    val und = canonicalUndirectedEdges(s, dir) // degree weights only
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
     val centerWeight = adj.groupBy(col("nbr")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2)
       .withColumn("l20", graft.functions.NumericExpressions.log2Fixed(col("deg")))
       .select(col("nbr"), expr("1099511627776L div l20").as("r"))
-    adj.select(col("node").as("a"), col("nbr"))
+    // round 15: the (edge, center) incidences explode row-locally off
+    // the shared triangle relation (see [[triangleTriples]]); a wedge
+    // center inside a triangle has deg ≥ 2 by construction, so the
+    // weight join drops nothing the old probe kept
+    triangleTriples(s, dir)
+      .select(explode(array(
+        struct(col("u").as("a"), col("v").as("b"), col("w").as("nbr")),
+        struct(col("u").as("a"), col("w").as("b"), col("v").as("nbr")),
+        struct(col("v").as("a"), col("w").as("b"), col("u").as("nbr")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.nbr").as("nbr"))
       .join(broadcast(centerWeight), Seq("nbr"))
-      .join(adj.select(col("node").as("b"), col("nbr")), Seq("nbr"))
-      .filter(col("a") < col("b"))
-      .join(broadcast(und.select(col("u").as("a"), col("v").as("b"))),
-        Seq("a", "b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"), sum(col("r")).as("sr"))
       .select(col("a"), col("b"), col("common"),
@@ -679,26 +715,24 @@ object Graph {
     * LEFT join keeps degree-only nodes; at 100 TB it's a shuffle
     * join on the node key like the assortativity attach.
     */
-  val graphClusteringLocal: Q = (s, dir) => {
-    // scanned three times by the wedge closure
-    clusteringProfile(canonicalUndirectedEdges(s, dir))
-  }
+  val graphClusteringLocal: Q = (s, dir) =>
+    // round 15: the wedge closure reads the shared triangle relation
+    clusteringFromTris(canonicalUndirectedEdges(s, dir),
+      triangleTriples(s, dir))
 
   /** The per-node (deg, tri) → cbin rollup behind
     * [[graphClusteringLocal]], injectable for crafted-graph specs.
     * `und` must be the canonical (u<v, distinct) edge list.
     */
   private[graft] def clusteringProfile(
-      und: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      und: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    clusteringFromTris(und, trisOf(und))
+
+  private def clusteringFromTris(und: org.apache.spark.sql.DataFrame,
+      tris: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val wedges = und.join(und.select(col("u").as("v2"), col("v").as("w")),
-        col("v") === col("v2"))
-      .select(col("u"), col("v"), col("w"))
-    val tris = wedges.join(und.select(col("u").as("u3"), col("v").as("w3")),
-        col("u") === col("u3") && col("w") === col("w3"))
-      .select(col("u"), col("v"), col("w"))
     val triPerNode = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
