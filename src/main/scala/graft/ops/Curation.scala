@@ -21,6 +21,18 @@ object Curation {
 
   import Relational.Q
 
+  /** Small-side cap (in grams) for the containment key's
+    * asymmetry-aware supplement above the banded volume switch: docs
+    * at or under this gram count get the full lossless index
+    * ([[PairJoins.smallSideCandidates]]), so a contained pair's
+    * recall is exact at ANY size ratio whenever its smaller side is
+    * this small. 256 bigrams ≈ a 258-token document — comfortably
+    * past the quote/boilerplate sizes the tiny-inside-huge signal
+    * targets, while keeping the supplement's predicted volume
+    * Σ dfS·df linear-ish (small docs contribute few grams each).
+    */
+  val SmallSideGrams: Int = 256
+
   // ------------------------------------------- benchmark decontamination
 
   /** Docs sharing ≥1 word-4-gram with the eval set (`doc_id % 20 = 0`
@@ -87,6 +99,25 @@ object Curation {
     * SAME exact verify, so the result is identical whichever shape
     * runs (ScratchPrefixFilter asserts pair-set equality on both
     * corpora); the probe's driver-side state is one row.
+    *
+    * EXACTNESS CONTRACT, by corpus (r15 ADVICE — surfaced here, the
+    * key's primary doc, not just the dispatch comment): below
+    * [[PairJoins.BandedPairVolume]] — every oracle-gate corpus — the
+    * key is EXACT at any size asymmetry (no ratio prune anywhere).
+    * ABOVE the volume switch the candidate front-end is
+    * MinHash-banded, whose per-pair collision probability DEGRADES
+    * with size ratio (a τ = 0.8-contained pair at ratio k has
+    * J = 0.8/(k + 0.2): P ≈ 1.0 at k ≤ 2 under 64 × 2 bands, 0.87 at
+    * k = 4, 0.71 at k = 5, worse beyond) — yet tiny-inside-huge is
+    * precisely this key's signal. Round 16 closes most of that gap
+    * with an ASYMMETRY-AWARE supplement: docs whose gram set is
+    * ≤ [[SmallSideGrams]] get the full lossless index
+    * ([[PairJoins.smallSideCandidates]] — its own volume probe gates
+    * it), so a contained pair is missed only when BOTH sides exceed
+    * [[SmallSideGrams]] grams AND the ratio is high enough to
+    * degrade banding — the one residual, seeded-probabilistic with
+    * the stated per-pair bound. Output is a verified subset in every
+    * branch (precision 1 by construction).
     */
   val dedupNgramContainment: Q = (s, dir) => {
     val tau = 0.8 // integer form: 5·shared ≥ 4·min(|A|,|B|)
@@ -122,11 +153,24 @@ object Curation {
     // job ([[SubstringIndex]]/`dedup_substring_span`), whose index
     // scales linearly and catches verbatim quotes at any ratio.
     // Measured recall per corpus is pinned in the BASELINE.md r15 row.
-    val candidates = if (PairJoins.hotGramShare(dfreq) <= 1.0 &&
-        PairJoins.pairVolume(dfreq) > PairJoins.BandedPairVolume) {
-      PairJoins.bandedCandidates(d, nPerm = 128, bands = 64, sizeRatio = None)
-        .select(col("a_id"), col("b_id"))
-    } else if (PairJoins.hotGramShare(dfreq) <= 1.0) {
+    val (hotShare, predVolume) = PairJoins.dfProfile(dfreq)
+    val candidates = if (hotShare <= 1.0 &&
+        predVolume > PairJoins.BandedPairVolume) {
+      val banded = PairJoins.bandedCandidates(d, nPerm = 128, bands = 64,
+        sizeRatio = None).select(col("a_id"), col("b_id"))
+      // Asymmetry-aware supplement (round 16, r15 ADVICE — see the
+      // contract paragraph above): small docs get the full lossless
+      // index so high-ratio contained pairs with a small small-side
+      // are found exactly; gated on ITS OWN predicted volume so a
+      // mostly-small corpus cannot reopen the Σ df² door banding
+      // just closed.
+      if (PairJoins.smallSideVolume(inv, dfreq, Curation.SmallSideGrams)
+          <= PairJoins.BandedPairVolume) {
+        banded.union(
+          PairJoins.smallSideCandidates(inv, Curation.SmallSideGrams,
+            num = 4, den = 5)).distinct()
+      } else banded
+    } else if (hotShare <= 1.0) {
       // shared-count shape. The pair join emits BARE packed keys:
       // Σ df² rows is the join's irreducible volume, so every byte on
       // those rows is paid Σ df² times. Doc sizes re-attach AFTER the

@@ -110,26 +110,25 @@ object InfoTheory {
     * i.e. up to ≈ 2·10¹¹ tokens per document. Beyond that, widen
     * the sum to DECIMAL(38,0) (same plan shape, ~2× agg cost).
     *
-    * Scale — ONE exchange, by choice: partitioning the exploded
-    * token stream by doc_id alone satisfies BOTH aggregations
-    * (same-(doc,tok) rows are co-located a fortiori), so the
-    * explicit repartition collapses the free-planned two-exchange
-    * chain (hashpartitioning(doc,tok) then hashpartitioning(doc))
-    * into one — measured 0.43 vs 0.51 s warm at sf0.1
-    * (ScratchEntropyPlan) and one full token-stream shuffle cheaper
-    * at any scale. The trade is losing map-side combine on the raw
-    * token rows; that is the right trade exactly when the clustering
-    * key is high-cardinality and per-partition duplication is low
-    * (documents: ~2× token repetition). The mirror cases ship the
-    * OTHER shape on purpose: [[eventsEntropyUser]] keeps
-    * combine-first (5 event types ⇒ huge combine ratio), and
-    * [[textZipfSlope]] must not cluster by its 5-value lang key
-    * (parallelism collapse). Skew boundary, measured at 10⁸ tokens
-    * (ScratchEntropyScale, BASELINE.md r10): with a 10 % mega-doc
-    * the single-doc partition straggles and this shape runs
-    * 1.7–2.1× SLOWER than the free-planned two-exchange form —
-    * on corpora with pathological per-doc skew, drop the
-    * repartition and let (doc,tok) hashing spread the hot doc.
+    * Scale (round 16 rewrite — the r15 ADVICE stale-doc item; the
+    * paragraph previously here described an explicit
+    * repartition(doc_id) single-exchange plan that round 15's
+    * sharing RETIRED): the key now reads the shared
+    * [[tokDocCounts]] rollup — one (doc, tok) exchange with map-side
+    * combine, built once per session and serving the whole
+    * entropy/perplexity family — and adds only a second tiny
+    * exchange of the per-(doc, tok) partials down to doc_id. The
+    * old measured trade (one fat doc_id exchange, no combine:
+    * 0.43 vs 0.51 s warm at sf0.1, ScratchEntropyPlan) was a
+    * per-key optimum; once the rollup is SHARED, its build
+    * amortizes across every consumer and the combine-first shape
+    * wins outright — the family's marginal cost per key is the
+    * small second exchange. The old skew caveat inverts with it:
+    * (doc, tok) hashing SPREADS a mega-doc across tasks
+    * (ScratchEntropyScale's 10⁸-token straggler applied to the
+    * retired repartition shape, not this one); the residual skew
+    * unit is one (doc, tok) pair — a degenerate single-token
+    * mega-doc — which the combine absorbs map-side.
     */
   val textEntropyExact: Q = (s, dir) => {
     tokDocCounts(s, dir)
@@ -368,8 +367,10 @@ object InfoTheory {
     * whole chain integer-exact cross-engine — log AND exp both
     * replayed bit-for-bit by the DuckDB oracle (Log2Sql + Exp2Sql).
     * Domain: H ≤ log2(n_distinct) < 43 always, so exp2_fixed never
-    * hits its overflow null. Same one-exchange plan shape as the
-    * entropy key.
+    * hits its overflow null. Same plan shape as the entropy key:
+    * the shared [[tokDocCounts]] rollup plus one tiny per-doc
+    * exchange (the round-16 doc rewrite there explains the retired
+    * repartition trade).
     */
   val textPerplexityExact: Q = (s, dir) => {
     tokDocCounts(s, dir)
@@ -400,7 +401,8 @@ object InfoTheory {
     * Membership is a pure function of (doc_id, corpus max) — stable
     * across runs, engines, partitionings.
     *
-    * Scale: the entropy pipeline's one exchange + a 1-row broadcast +
+    * Scale: the shared [[tokDocCounts]] rollup + the tiny per-doc
+    * exchange (the entropy key's plan shape) + a 1-row broadcast +
     * a row-local gate. The max aggregate is algebraic (map-side
     * combined).
     */

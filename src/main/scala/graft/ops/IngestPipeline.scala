@@ -127,8 +127,11 @@ object IngestPipeline {
     * micro-batch commits, the root path does not exist yet — a
     * monitoring caller polling early gets an EMPTY relation with the
     * [[QuarantineColumns]] schema instead of an AnalysisException
-    * (round 15, the r14 ADVICE item). `batch` is IntegerType to match
-    * what partition discovery infers from the `batch=<id>` dirs.
+    * (round 15, the r14 ADVICE item). `batch` is LongType on BOTH
+    * branches (round 16, the r15 ADVICE item): ingestBatch's batchId
+    * is a Long, partition discovery infers Int for small ids and
+    * Long past 2³¹, so the read path casts the discovered column —
+    * the early-poll and post-write schemas now agree at any id.
     */
   def readQuarantine(spark: SparkSession, quarantinePath: String): DataFrame = {
     // Hadoop FS API, not java.io: the quarantine root is wherever the
@@ -139,11 +142,12 @@ object IngestPipeline {
       fs.listStatus(root).exists(_.getPath.getName.startsWith("batch="))
     if (hasBatches)
       spark.read.parquet(quarantinePath)
+        .withColumn("batch", col("batch").cast("long"))
     else {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("raw", StringType), StructField("src_file", StringType),
-          StructField("batch", IntegerType))))
+          StructField("batch", LongType))))
     }
   }
 }

@@ -471,12 +471,12 @@ object Insights {
       .groupBy(col("seg_a"), col("seg_b"), col("bal_cents"))
       .agg(count(when(col("segment") === col("seg_a"), 1)).as("ca"),
         count(when(col("segment") === col("seg_b"), 1)).as("cb"))
-    val wCum = Window.partitionBy(col("seg_a"), col("seg_b"))
-      .orderBy(col("bal_cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perVal
       .withColumn("cnt", col("ca") + col("cb"))
-      .withColumn("cumt", sum(col("cnt")).over(wCum))
+    // pooled cumulative over the pair's value spine — volume-gated
+    // (round 16, SpineRank): per-pair window at gate SFs, the exact
+    // bucketed two-level form above SpineRank.WindowSpineRows
+    SpineRank.cumSum(perVal, Seq("seg_a", "seg_b"), "bal_cents",
+        col("cnt"), "cumt")
       .groupBy(col("seg_a"), col("seg_b"))
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
         sum(col("ca") * (lit(2L) * col("cumt") - col("cnt") + 1)).as("r2_a"))
@@ -499,9 +499,14 @@ object Insights {
     *
     * Scale: pair fan-out bounded by dimension cardinality (like the
     * sibling tests); the per-value rollup is one map-side-combined
-    * aggregate, and the cumulative + argmax windows run on the
-    * DISTINCT-VALUE spine (≤ |values| rows per pair), not the raw
-    * rows. Overflow: n_b·cumA < n_a·n_b < 2⁶³ below ~3·10⁹ rows per
+    * aggregate, the cumulatives run on the DISTINCT-VALUE spine
+    * (≤ |values| rows per pair) through [[SpineRank.cumSums]]'s
+    * volume-gated dispatch (round 16 — per-pair window at gate SFs,
+    * the exact bucketed two-level form above the switch), and the
+    * argmax is a min_by AGGREGATE over the unique (−d_num, value)
+    * order — two-phase with map-side partials, so no rank window
+    * survives anywhere in the key. Overflow:
+    * n_b·cumA < n_a·n_b < 2⁶³ below ~3·10⁹ rows per
     * side; widen to DECIMAL(38,0) beyond. 100 TB swap shared with
     * the family: two KLL sketches per segment bound D within the
     * certified rank error ([[SketchVariants]]).
@@ -519,24 +524,23 @@ object Insights {
       .groupBy(col("seg_a"), col("seg_b"), col("bal_cents"))
       .agg(count(when(col("segment") === col("seg_a"), 1)).as("ca"),
         count(when(col("segment") === col("seg_b"), 1)).as("cb"))
-    val wCum = Window.partitionBy(col("seg_a"), col("seg_b"))
-      .orderBy(col("bal_cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("seg_a"), col("seg_b"))
-    perVal
-      .withColumn("cum_a", sum(col("ca")).over(wCum))
-      .withColumn("cum_b", sum(col("cb")).over(wCum))
-      .withColumn("n_a", sum(col("ca")).over(wAll))
-      .withColumn("n_b", sum(col("cb")).over(wAll))
+    // both ECDF cumulatives + pair totals in ONE volume-gated pass
+    // (round 16, SpineRank); the argmax is a min_by aggregate over
+    // the unique-per-pair (−d_num, value) order — two-phase agg with
+    // map-side partials, no rank window at all
+    SpineRank.cumSums(perVal, Seq("seg_a", "seg_b"), "bal_cents",
+        Seq((col("ca"), "cum_a"), (col("cb"), "cum_b")), withTotals = true)
+      .withColumnRenamed("cum_a_tot", "n_a")
+      .withColumnRenamed("cum_b_tot", "n_b")
       .withColumn("d_num",
         abs(col("n_b") * col("cum_a") - col("n_a") * col("cum_b")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("seg_a"), col("seg_b"))
-          .orderBy(col("d_num").desc, col("bal_cents"))))
-      .filter(col("rk") === 1)
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("d_num")).as("d_num"),
+        min_by(col("bal_cents"),
+          struct((col("d_num") * -1).as("nd"), col("bal_cents"))).as("ks_at"))
       .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
-        col("d_num"), (col("n_a") * col("n_b")).as("d_den"),
-        col("bal_cents").as("ks_at"))
+        col("d_num"), (col("n_a") * col("n_b")).as("d_den"), col("ks_at"))
       .orderBy("seg_a", "seg_b")
   }
 
@@ -626,9 +630,11 @@ object Insights {
     val spine = life.groupBy(col("cohort"), col("t"))
       .agg(sum(lit(1) - col("censored")).as("d_event"),
         sum(col("censored")).as("c_censor"))
-    val wRisk = Window.partitionBy(col("cohort")).orderBy(col("t").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.withColumn("n_risk", sum(col("d_event") + col("c_censor")).over(wRisk))
+    // reverse cumulative risk set over the lifetime spine —
+    // volume-gated (round 16): per-cohort window at gate SFs, the
+    // exact bucketed two-level form above SpineRank.WindowSpineRows
+    SpineRank.cumSum(spine, Seq("cohort"), "t",
+      col("d_event") + col("c_censor"), "n_risk", desc = true)
   }
 
   val ordersSurvivalKm: Q = (s, dir) =>
@@ -775,14 +781,18 @@ object Insights {
     * Scale: one shuffle to per-customer revenue, a broadcast dim
     * join, then — round 13 (r12 verdict item 4) — each axis's
     * doubled midranks come from a DISTINCT-VALUE SPINE (per
-    * (segment, value) counts, cumulative over the spine window,
+    * (segment, value) counts, cumulative over the spine,
     * 2·mr(v) = 2·cumt − cnt + 1 for every row at v) joined back to
     * the rows on the fine-grained (segment, value) key. No window
     * ever sees raw rows: spine partitions are ≤ |distinct values|
-    * per segment (value-domain-bounded), and the join-back shuffles
-    * on composite keys — well-distributed, no single-task sort. The
-    * KLL swap ([[SketchVariants]]) remains the certified path for
-    * unbounded value domains. Overflow: s_xy ≤ 4n³ < 2⁶³ below
+    * per segment, the join-back shuffles on composite keys — and
+    * since round 16 the spine cumulative itself is volume-gated
+    * ([[SpineRank.cumSum]]): the per-segment window at gate SFs, the
+    * exact bucketed two-level form once a spine outgrows
+    * [[SpineRank.WindowSpineRows]], so even an unbounded value
+    * domain never caps parallelism at |segments|. The KLL swap
+    * ([[SketchVariants]]) remains the certified approximate path.
+    * Overflow: s_xy ≤ 4n³ < 2⁶³ below
     * ~1.3·10⁶ rows per segment; widen to DECIMAL(38,0) beyond (same
     * plan shape).
     */
@@ -796,16 +806,17 @@ object Insights {
       .join(rev, col("o_custkey") === col("c_custkey"), "left_outer")
       .withColumn("rev_cents", coalesce(col("rev_cents"), lit(0L)))
     // doubled-midrank spine for one axis: every row holding value v
-    // in `segment` has 2·midrank = 2·cumt(v) − cnt(v) + 1
-    def spineRanks(valueCol: String, out: String): org.apache.spark.sql.DataFrame = {
-      val wCum = Window.partitionBy(col("segment")).orderBy(col(valueCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      c.groupBy(col("segment"), col(valueCol))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("cumt", sum(col("cnt")).over(wCum))
+    // in `segment` has 2·midrank = 2·cumt(v) − cnt(v) + 1. Round 16:
+    // the spine cumulative dispatches through SpineRank (per-segment
+    // window at gate SFs, the bucketed two-level form above the
+    // volume switch — exact either way), so an unbounded value
+    // domain no longer caps this key at |segments| tasks.
+    def spineRanks(valueCol: String, out: String): org.apache.spark.sql.DataFrame =
+      SpineRank.cumSum(
+        c.groupBy(col("segment"), col(valueCol)).agg(count(lit(1)).as("cnt")),
+        Seq("segment"), valueCol, col("cnt"), "cumt")
         .select(col("segment"), col(valueCol),
           (lit(2L) * col("cumt") - col("cnt") + 1).as(out))
-    }
     c.join(spineRanks("bal_cents", "r2x"), Seq("segment", "bal_cents"))
       .join(spineRanks("rev_cents", "r2y"), Seq("segment", "rev_cents"))
       .groupBy(col("segment"))
@@ -848,10 +859,10 @@ object Insights {
       .agg(count(lit(1)).as("cnt"))
     val spine = perUser.groupBy(col("event_type"), col("cnt"))
       .agg(count(lit(1)).as("m"))
-    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cnt"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine
-      .withColumn("cum", sum(col("m")).over(wCum))
+    // cumulative over the distinct-count spine — volume-gated
+    // (round 16, SpineRank): per-type window at gate SFs, the exact
+    // bucketed two-level form above SpineRank.WindowSpineRows
+    SpineRank.cumSum(spine, Seq("event_type"), "cnt", col("m"), "cum")
       .groupBy(col("event_type"))
       .agg(sum(col("m")).as("n_users"),
         sum(col("m") * col("cnt")).as("total_events"),
@@ -1666,8 +1677,15 @@ object Insights {
     * and what reuses the median machinery this family already
     * carries.
     *
-    * Scale: one rank window per segment for the median (winsorize
-    * caveat + KLL swap), a broadcast join back, one map-side rollup.
+    * Scale (round 16 — volume-gated like the SpineRank family): the
+    * per-segment median dispatches on measured group volume between
+    * the rank window (gate SFs — cheapest constant) and
+    * [[Analytics.exactQuantile]]'s count-balanced bucketed form
+    * (count-bounded phases, parallelism |segments|·nB) above
+    * [[SpineRank.WindowSpineRows]] — both exact: the value at rank
+    * ⌈n/2⌉ is an order statistic, tiebreak-independent, and the
+    * bucketed rank test `100·cum ≥ 50·tot` lands on the same rank.
+    * Then a broadcast join back and one map-side rollup.
     */
   val statLeveneCells: Q = (s, dir) => {
     val o = table(s, dir, "orders")
@@ -1676,12 +1694,20 @@ object Insights {
         col("o_custkey") === col("c_custkey"))
       .select(col("segment"), col("o_orderkey"),
         (dec(col("o_totalprice")) * 100).cast("long").as("v"))
-    val wVal = Window.partitionBy(col("segment")).orderBy(col("v"), col("o_orderkey"))
-    val med = o
-      .withColumn("rv", row_number().over(wVal).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
-      .filter(col("rv") === expr("(n + 1) div 2"))
-      .select(col("segment"), col("v").as("med"))
+      .localCheckpoint() // probe + median + final rollup all read it
+    val med =
+      if (SpineRank.maxGroupRows(o, Seq("segment")) <= SpineRank.WindowSpineRows) {
+        val wVal = Window.partitionBy(col("segment"))
+          .orderBy(col("v"), col("o_orderkey"))
+        o.withColumn("rv", row_number().over(wVal).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
+          .filter(col("rv") === expr("(n + 1) div 2"))
+          .select(col("segment"), col("v").as("med"))
+      } else {
+        Analytics.exactQuantile(o.select(col("segment"), col("v")),
+            "segment", "v", 50, reuseInput = true)
+          .select(col("segment"), col("qv").as("med"))
+      }
     o.join(broadcast(med), Seq("segment"))
       .withColumn("d", abs(col("v") - col("med")))
       .groupBy(col("segment"))
@@ -1711,10 +1737,14 @@ object Insights {
     * user, raw n_events, score₂₀ (consumer divides by 2²⁰).
     *
     * Scale: one (type, user) rollup (map-side combined) with the
-    * scalar decay chain inside codegen; the top-10 rank window runs
-    * per type over USER aggregates (the winsorize caveat; at 10⁹
-    * users/type swap for the two-level top-k). The 1-row "now"
-    * rides a broadcast.
+    * scalar decay chain inside codegen; the top-10 runs through
+    * [[SpineRank.topK]]'s volume-gated dispatch (round 16 — the
+    * per-type rank window at gate SFs, the salted two-level top-k
+    * above [[SpineRank.WindowSpineRows]]: per-(type, salt) top-10
+    * first, then the final window over ≤ |types|·salts·10 survivors
+    * — exact for any salt assignment, since each salt partition's
+    * top-10 contains its members of the global top-10). The 1-row
+    * "now" rides a broadcast.
     */
   val eventsDecayEngagement: Q = (s, dir) => {
     import graft.functions.NumericExpressions.exp2Fixed
@@ -1722,19 +1752,17 @@ object Insights {
       .select(col("event_type").as("t"), col("user_id").as("u"),
         unix_micros(col("ts")).as("us"))
     val now = e.agg(max(col("us")).as("now_us"))
-    val wTop = Window.partitionBy(col("t"))
-      .orderBy(col("score20").desc, col("u"))
-    e.crossJoin(broadcast(now))
+    val scored = e.crossJoin(broadcast(now))
       .withColumn("age_d", expr("(now_us - us) div 86400000000"))
       .withColumn("h", least(expr("age_d * 1048576 div 7"), lit(42L * 1048576L)))
       .withColumn("e2", exp2Fixed(col("h")))
       .withColumn("w20", expr("1099511627776 div e2"))
       .groupBy(col("t"), col("u"))
       .agg(count(lit(1)).as("n_events"), sum(col("w20")).as("score20"))
-      .withColumn("rn", row_number().over(wTop).cast("long"))
-      .filter(col("rn") <= 10)
-      .select(col("t").as("event_type"), col("rn"), col("u").as("user_id"),
-        col("n_events"), col("score20"))
+    SpineRank.topK(scored, Seq("t"),
+        Seq(col("score20").desc, col("u")), 10, xxhash64(col("u")))
+      .select(col("t").as("event_type"), col("rk").cast("long").as("rn"),
+        col("u").as("user_id"), col("n_events"), col("score20"))
       .orderBy("event_type", "rn")
   }
 

@@ -195,16 +195,25 @@ object Llm2 {
     * the hash keeps them narrow.)
     *
     * DENSE-vocabulary 100 TB escape (round 14, MEASURED — BASELINE.md
-    * MinHash-front-end row): on a uniform tiny vocabulary neither
-    * shape survives corpus growth — Σ df² is corpus-quadratic
-    * (containment DNF'd at 50 k docs on a 1.5·10⁹-row shuffle) and
-    * the prefix filter selects nothing (nothing is rare). The
-    * measured fix is a MinHash-LSH front-end (12 bands × 2 rows over
-    * the same bigram sets) feeding THIS key's exact verify: recall
-    * 1.0000 at sf0.1/sf0.3/sf1 with 500× less pair traffic and 3.7×
-    * wall at 50 k docs. Not swapped in here — minhash is seeded-
-    * probabilistic and this key carries the oracle contract; the
-    * promotable form is `ScratchNgramBanded`.
+    * MinHash-front-end row; PROMOTED round 15 as the third dispatch
+    * branch below): on a uniform tiny vocabulary neither shape
+    * survives corpus growth — Σ df² is corpus-quadratic (containment
+    * DNF'd at 50 k docs on a 1.5·10⁹-row shuffle) and the prefix
+    * filter selects nothing (nothing is rare). The fix is a
+    * MinHash-LSH front-end feeding THIS key's exact verify.
+    *
+    * EXACTNESS CONTRACT, by corpus (r15 ADVICE — the bound consumers
+    * must know): below [[PairJoins.BandedPairVolume]] (every oracle
+    * gate corpus: sf0.01 ≈ 2·10⁵, sf0.1 ≈ 2·10⁷ vs the 10⁸ switch)
+    * the key is EXACT — candidates come from a lossless join and the
+    * verify is exact. Above the switch the result is a verified
+    * SUBSET (precision 1 by construction) whose recall is
+    * seeded-probabilistic with per-pair bound
+    * P[candidate | J = τ] = 1 − (1 − τ^r)^b = 0.990 at the 16 × 2
+    * parameters (raised from 12 × 2's 0.968, round 16) and → 1
+    * rapidly above τ; measured recall on the real corpora above the
+    * switch is 1.0000 (sf0.3, sf1 — ScratchNgramPromoted, BASELINE.md
+    * r15/r16 rows). The SURVEY §2 row carries the same bound.
     */
   val dedupNgramJaccard: Q = (s, dir) => {
     val tau = 0.5
@@ -245,14 +254,19 @@ object Llm2 {
     // The oracle-gate corpora sit 1–2 orders under the switch, so
     // this key stays hash-exact where the contract demands it and
     // seeded-probabilistic only where the exact join cannot run.
-    val counted = if (PairJoins.hotGramShare(dfreq) > 1.0) {
+    val (hotShare, predVolume) = PairJoins.dfProfile(dfreq)
+    val counted = if (hotShare > 1.0) {
       // τ = 0.5 pigeonhole with the size-ratio bound 2·min ≥ max:
       // the smaller doc's unshared grams number ≤ gsz·(1−τ)/(1+τ)
       // = gsz/3
       PairJoins.prefixCandidates(inv, dfreq, prefixDivisor = 3,
         sizeRatio = Some(2))
-    } else if (PairJoins.pairVolume(dfreq) > PairJoins.BandedPairVolume) {
-      PairJoins.bandedCandidates(d, nPerm = 24, bands = 12, sizeRatio = Some(2))
+    } else if (predVolume > PairJoins.BandedPairVolume) {
+      // 16 bands × 2 rows (round 16, r15 ADVICE): boundary recall
+      // P[candidate | J = τ = 0.5] = 1 − (1 − 0.25)¹⁶ = 0.990 (was
+      // 0.968 at 12×2) for +8 minhashes/doc; measured recall on the
+      // real corpora stays 1.0000 (ScratchNgramPromoted r16 rerun)
+      PairJoins.bandedCandidates(d, nPerm = 32, bands = 16, sizeRatio = Some(2))
     } else {
       val a = inv.select(col("gh"), col("doc_id").as("a_id"), col("gsz").as("a_sz"))
       // shuffle_hash, not broadcast: partitioning both sides on the gram

@@ -81,6 +81,20 @@ private[graft] object PairJoins {
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 
+  /** Both dispatch scalars of a (gh, df) relation in ONE eager
+    * aggregation — (hotGramShare, pairVolume) — so a dispatch that
+    * consults both (and may read the share twice while falling
+    * through its branches) runs one driver job instead of three
+    * (r15 ADVICE). Same empty-relation guard as the single probes.
+    */
+  def dfProfile(dfreq: DataFrame): (Double, Double) = {
+    val r = dfreq.agg(sum(col("df")).as("n"), max(col("df")).as("maxdf"),
+      sum(col("df").cast("double") * col("df").cast("double")).as("v")).head()
+    if (r.isNullAt(0) || r.isNullAt(1)) (0.0, 0.0)
+    else (r.getLong(1).toDouble * r.getLong(1).toDouble /
+      r.getLong(0).max(1L).toDouble, r.getDouble(2))
+  }
+
   /** Switch point for the MinHash-banded front-end (round 15,
     * §8.r15 item 3 / the r14 verdict's promotion): above this
     * predicted volume the exact pair join's shuffle dominates and
@@ -148,6 +162,60 @@ private[graft] object PairJoins {
         col("a.gsz").as("a_sz"), col("b.gsz").as("b_sz"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(max(col("a_sz")).as("a_sz"), max(col("b_sz")).as("b_sz"))
+  }
+
+  /** Predicted pair-row volume of [[smallSideCandidates]] —
+    * Σ_g dfS(g)·df(g) where dfS counts only docs with
+    * gsz ≤ `smallCap` — evaluated eagerly from the two tiny df
+    * rollups (one equi-join of gram-count-bounded relations, no
+    * corpus pass). 0.0 when no small docs exist.
+    */
+  def smallSideVolume(inv: DataFrame, dfreq: DataFrame, smallCap: Int): Double = {
+    val dfs = inv.filter(col("gsz") <= smallCap)
+      .groupBy(col("gh")).agg(count(lit(1)).as("dfs"))
+    val r = dfs.join(dfreq, "gh")
+      .agg(sum(col("dfs").cast("double") * col("df").cast("double")).as("v"))
+      .head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Small-side exhaustive candidate pairs — the ASYMMETRY
+    * complement to [[bandedCandidates]] for the containment key
+    * (round 16, r15 ADVICE): banded collision probability degrades
+    * with size ratio (J = τ/(k + 1 − τ) at ratio k), yet
+    * tiny-inside-huge is precisely the containment signal. A pair at
+    * high ratio has a SMALL small side, and a small doc can afford
+    * the full lossless index: join the grams of docs with
+    * gsz ≤ `smallCap` against the whole inverted index, count shared
+    * hashes per pair, and prefilter on the integer containment bound
+    * `den·shared ≥ num·min(sz)` (collisions only inflate — no false
+    * negatives; the caller's exact verify restores precision). Every
+    * contained pair whose small side is ≤ `smallCap` grams is found
+    * EXACTLY at ANY ratio; the residual (both sides > `smallCap` AND
+    * ratio high enough to degrade banding) is the caller's documented
+    * gap. Cost is [[smallSideVolume]] rows — gate on it.
+    */
+  def smallSideCandidates(inv: DataFrame, smallCap: Int,
+      num: Int, den: Int): DataFrame = {
+    val sa = inv.filter(col("gsz") <= smallCap)
+      .select(col("gh"), col("doc_id").as("s_id"), col("gsz").as("s_sz"))
+    val fb = inv.select(col("gh").as("f_gh"), col("doc_id").as("f_id"),
+      col("gsz").as("f_sz")).hint("shuffle_hash")
+    // canonicalize: the indexed side is the strictly-smaller one
+    // (ties break on id), so a both-small pair joins exactly once and
+    // shared_h counts each shared gram once
+    sa.join(fb, col("gh") === col("f_gh") &&
+        (col("s_sz") < col("f_sz") ||
+          (col("s_sz") === col("f_sz") && col("s_id") < col("f_id"))))
+      .select(
+        shiftleft(least(col("s_id"), col("f_id")).cast("long"), 32)
+          .bitwiseOR(greatest(col("s_id"), col("f_id")).cast("long")).as("pk"),
+        least(col("s_sz"), col("f_sz")).as("min_sz"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("shared_h"), min(col("min_sz")).as("min_sz"))
+      .filter(lit(den) * col("shared_h") >= lit(num) * col("min_sz"))
+      .select(shiftright(col("pk"), 32).cast("int").as("a_id"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b_id"))
   }
 
   /** PPJoin prefix-filter candidate pairs over a

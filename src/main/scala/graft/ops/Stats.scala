@@ -131,29 +131,29 @@ object Stats {
     * Scale (round 13, r12 verdict item 4 — the family archetype
     * rewritten): the order statistics come off the DISTINCT-VALUE
     * SPINE, never a raw-row rank window. One map-side-combined
-    * rollup to per-(segment, bal) counts, a cumulative window over
-    * the spine (≤ |distinct balances| rows per segment —
-    * value-domain-bounded), and the value at integer rank k is the
-    * unique spine row with cum − cnt < k ≤ cum (ties share a value,
-    * so the k-th order statistic is tiebreak-independent by
-    * construction — the same value the old (bal, custkey) row_number
-    * landed on). Bounds broadcast back (≤ |segments| rows); the
-    * clamp+mean pass is algebraic with no window at all. For
-    * unbounded value domains swap the exact bounds for KLL quantiles
-    * ([[graft.ops.QuantileService]], mergeable, fully parallel) and
-    * keep the clamp+mean pass unchanged; the exact form is the
-    * oracle-able reference.
+    * rollup to per-(segment, bal) counts, a cumulative over the spine
+    * (≤ |distinct balances| rows per segment), and the value at
+    * integer rank k is the unique spine row with cum − cnt < k ≤ cum
+    * (ties share a value, so the k-th order statistic is
+    * tiebreak-independent by construction — the same value the old
+    * (bal, custkey) row_number landed on). Bounds broadcast back
+    * (≤ |segments| rows); the clamp+mean pass is algebraic with no
+    * window at all. Round 16: the spine cumulative runs through
+    * [[SpineRank.cumSum]]'s volume-gated dispatch — the per-segment
+    * window below [[SpineRank.WindowSpineRows]] (all oracle-gate
+    * corpora), the count-balanced bucketed two-level form above it
+    * (exact either way), so even an unbounded value domain no longer
+    * caps parallelism at |segments|. The KLL form
+    * ([[SketchVariants.winsorizeSketch]]) remains the certified
+    * approximate path where even the bucketed spine is too wide.
     */
   val statWinsorize: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val c = table(s, dir, "customer")
       .select(col("c_mktsegment").as("segment"), dec(col("c_acctbal")).as("bal"))
-    val wCum = Window.partitionBy(col("segment")).orderBy(col("bal"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val spine = c.groupBy(col("segment"), col("bal"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(wCum))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("segment"))))
+    val spine = SpineRank.cumSum(
+      c.groupBy(col("segment"), col("bal")).agg(count(lit(1)).as("cnt")),
+      Seq("segment"), "bal", col("cnt"), "cum", withTotals = true)
+      .withColumnRenamed("cum_tot", "n")
     val bounds = spine.groupBy(col("segment")).agg(
       max(col("n")).as("n"),
       max(when(expr("cum - cnt < (n - 1) * 5 div 100 + 1")
