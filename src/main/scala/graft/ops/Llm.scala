@@ -674,9 +674,15 @@ object Llm {
     * and partitionings. One tiny domain-count aggregate + a broadcast
     * join + a row-local gate: no wide shuffle at any scale.
     */
-  val sampleTemperature: Q = (s, dir) => {
+  /** Temperature admission over an arbitrary (doc_id, lang, …)
+    * frame — the α = 0.5 gate of [[sampleTemperature]] factored out
+    * (round 16) so [[CurationPipeline]]'s mixing stage and the
+    * registry key share one definition. Keeps the frame's other
+    * columns; adds (lang_total, thr).
+    */
+  private[graft] def temperatureKeep(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val c = 2.0 // cap constant: domain i keeps ≈ C·√n_i docs
-    val d = table(s, dir, "documents").select(col("doc_id"), col("lang"))
     val n = d.groupBy(col("lang")).agg(count(lit(1)).as("lang_total"))
       .withColumn("thr",
         floor(least(lit(1.0), lit(c) / sqrt(col("lang_total").cast("double")))
@@ -685,9 +691,12 @@ object Llm {
       col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000000
     d.join(broadcast(n), "lang")
       .filter(ppm < col("thr"))
+  }
+
+  val sampleTemperature: Q = (s, dir) =>
+    temperatureKeep(table(s, dir, "documents").select(col("doc_id"), col("lang")))
       .select(col("doc_id"), col("lang"), col("lang_total"), col("thr"))
       .orderBy("doc_id")
-  }
 
   /** Rational-α temperature sampling (round 8 — generalizes
     * [[sampleTemperature]], which pins α = 0.5 because a general

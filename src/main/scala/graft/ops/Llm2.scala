@@ -314,6 +314,54 @@ object Llm2 {
       .orderBy("lang", "a_id", "b_id")
   }
 
+  /** Exact Jaccard ≥ τ near-dup pairs over an arbitrary documents
+    * frame — the shared-count join + exact verify of
+    * [[dedupNgramJaccard]]'s gate branch, factored over a frame
+    * (round 16) for [[CurationPipeline]]'s survivor-set dedup stage,
+    * where the pair semantics must hold on the FILTERED corpus (a
+    * near-dup whose canonical copy died upstream must still dedup
+    * against the surviving copies, so pairs cannot be precomputed on
+    * the raw corpus). Groups on the (a_id, b_id) pair directly
+    * rather than the packed-long key — the composite makes no
+    * id-width assumption; the registry key keeps the measured-faster
+    * packed form. Not volume-dispatched: the composite's own spec
+    * pins pair-set equality against the registry key on the
+    * unfiltered corpus, so the two constructions cannot drift.
+    */
+  private[graft] def jaccardPairsOf(docs: org.apache.spark.sql.DataFrame,
+      tau: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val grams = graft.functions.TextExpressions.wordShingles(col("text"), 2)
+    val d = docs
+      .select(col("doc_id"), col("lang"), grams.as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), col("lang"), size(col("grams")).as("gsz"), col("grams"))
+    val inv = d.select(col("doc_id"), col("gsz"),
+      explode(col("grams")).as("gram"), col("lang"))
+      .select(col("doc_id"), col("gsz"), xxhash64(col("lang"), col("gram")).as("gh"))
+    val a = inv.select(col("gh"), col("doc_id").as("a_id"), col("gsz").as("a_sz"))
+    val b = inv.select(col("gh").as("b_gh"), col("doc_id").as("b_id"),
+      col("gsz").as("b_sz")).hint("shuffle_hash")
+    // integer τ = 0.5 bounds, as in the registry key's gate branch
+    a.join(b,
+        col("gh") === col("b_gh") && col("a_id") < col("b_id") &&
+        lit(2) * col("a_sz") >= col("b_sz") &&
+        lit(2) * col("b_sz") >= col("a_sz"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_h"),
+        max(col("a_sz")).as("a_sz"), max(col("b_sz")).as("b_sz"))
+      .filter(lit(3) * col("shared_h") >= col("a_sz") + col("b_sz"))
+      .join(d.select(col("doc_id").as("a_id"), col("lang"),
+        col("grams").as("a_grams")), "a_id")
+      .join(d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("grams").as("b_grams")), "b_id")
+      .filter(col("lang") === col("b_lang"))
+      .withColumn("shared", size(array_intersect(col("a_grams"), col("b_grams"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("lang"), col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   // ---------------------------------------------------------- SimHash
 
   /** 64-bit SimHash near-dup pairs over word-bigram features:

@@ -95,6 +95,56 @@ private[graft] object PairJoins {
       r.getLong(0).max(1L).toDouble, r.getDouble(2))
   }
 
+  /** Positional word-4-gram frequency rollup of the documents table
+    * — the span/novelty text families' probe relation (round 16, the
+    * r15 verdict's item 2), shared via [[SessionCache]] across the
+    * `dedup_substring_span` / `dedup_substring_remove` /
+    * `text_ngram_novelty` dispatches. df counts OCCURRENCES
+    * (positions), not docs: the span detector joins every position,
+    * so Σ df² predicts its pair-hit volume exactly the way
+    * [[bigramDfreq]]'s does for the set-similarity family.
+    */
+  def quadgramDfreq(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    SessionCache.of(s, dir, "ngram-df4pos") {
+      val toks = split(trim(col("text")), "\\s+")
+      graft.io.Readers.table(s, dir, "documents")
+        .filter(trim(col("text")) =!= "")
+        .select(col("lang"), toks.as("toks"))
+        .filter(size(col("toks")) >= 4)
+        .select(explode(transform(sequence(lit(0), size(col("toks")) - 4),
+          i => xxhash64(col("lang"),
+            concat_ws(" ", slice(col("toks"), i + 1, lit(4)))))).as("gh"))
+        .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    }
+
+  /** (Σ df, Σ df²) of [[quadgramDfreq]] in ONE eager aggregation —
+    * the two dispatch scalars of the positional text families: Σ df
+    * (total gram positions) gates the LINEAR keys' hash-key swap
+    * ([[HashKeyGramVolume]]), Σ df² the span detector's join-key
+    * shape ([[BandedPairVolume]] — same switch point as the bigram
+    * family; the shuffle economics are identical). (0, 0) on an
+    * empty or all-short corpus, where every consumer emits nothing
+    * on either branch anyway.
+    */
+  def quadgramProfile(s: org.apache.spark.sql.SparkSession, dir: String): (Double, Double) = {
+    val r = quadgramDfreq(s, dir).agg(sum(col("df")).as("n"),
+      sum(col("df").cast("double") * col("df").cast("double")).as("v")).head()
+    if (r.isNullAt(0)) (0.0, 0.0)
+    else (r.getLong(0).toDouble, r.getDouble(1))
+  }
+
+  /** Switch point for the linear text keys' hash-key swap (round
+    * 16): above ~10⁸ gram positions the distinct/aggregate/join
+    * shuffles of the Σ df–linear keys move gigabytes of gram STRINGS
+    * that an 8-byte xxhash64 key carries at roughly a third of the
+    * width; below it the string key is exact-by-construction and
+    * oracle-able. Counts above the switch tolerate the ~2⁻⁶⁴
+    * collision rate (stated per key). The gate corpora sit 2–3
+    * orders of magnitude below (sf0.01 ≈ 2·10⁴ positions,
+    * sf0.1 ≈ 3·10⁵), so every oracle run stays on the exact branch.
+    */
+  val HashKeyGramVolume: Double = 1e8
+
   /** Switch point for the MinHash-banded front-end (round 15,
     * §8.r15 item 3 / the r14 verdict's promotion): above this
     * predicted volume the exact pair join's shuffle dominates and

@@ -52,6 +52,82 @@ class Curation2Spec extends SparkSpec {
     }
   }
 
+  test("sharedSpans: hashed branch equals the exact branch on corpus and fixtures") {
+    // round 16 — the volume-gated join-key dispatch: both branches
+    // must emit the identical span set (the hashed branch's slice
+    // verify restores exactness; collisions at 2^-64 cannot occur at
+    // this scale)
+    def docsOf(df: org.apache.spark.sql.DataFrame) = df
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), col("lang"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 4)
+    def w(tag: String, n: Int): Seq[String] = (1 to n).map(i => s"$tag$i")
+    val shared = w("dup", 8)
+    val fixture = Seq(
+      (1L, "en", (w("a", 4) ++ shared ++ w("b", 4)).mkString(" ")),
+      (2L, "en", (w("c", 6) ++ shared ++ w("d", 2)).mkString(" ")),
+      (3L, "de", (w("e", 3) ++ shared ++ w("f", 5) ++ shared ++ w("g", 2)).mkString(" ")), // other lang: no cross-lang span
+      (4L, "en", (shared.take(4) ++ w("h", 7)).mkString(" ")), // exactly-4-token span at pos 0
+      (5L, "en", w("solo", 9).mkString(" ")),
+      (6L, "en", w("tiny", 3).mkString(" "))) // under the 4-token floor
+      .toDF("doc_id", "lang", "text")
+    val corpus = io.Readers.table(spark, "/root/testdata/sf0.01", "documents")
+    Seq(fixture -> "fixture", corpus -> "sf0.01").foreach { case (df, label) =>
+      val d = docsOf(df)
+      val exact = ops.Curation2.sharedSpans(d, hashed = false)
+        .as[(String, Long, Long, Int, Int, Long)].collect().toSet
+      val hashed = ops.Curation2.sharedSpans(d, hashed = true)
+        .as[(String, Long, Long, Int, Int, Long)].collect().toSet
+      assert(exact === hashed, s"branch outputs must be identical on $label")
+      if (label == "fixture") {
+        // en-block spans only: 1-2 (8 toks), 1-4/2-4 (4-tok prefix)
+        assert(exact.contains(("en", 1L, 2L, 4, 6, 8L)))
+        assert(exact.exists(r => r._2 == 1L && r._3 == 4L && r._6 == 4L))
+        assert(!exact.exists(r => r._2 == 3L || r._3 == 3L), "cross-lang span leaked")
+        assert(!exact.exists(r => r._2 == 6L || r._3 == 6L))
+      }
+    }
+  }
+
+  test("dedup_substring_span 4-gram spine replays the r15 3-gram form exactly") {
+    // round 16 spine swap: maximal runs of >=2 shared 3-grams and
+    // >=1 shared 4-grams are the SAME maximal >=4-token spans — the
+    // old form, rebuilt verbatim here, must emit the identical set
+    import org.apache.spark.sql.expressions.Window
+    val big = "/root/testdata/sf0.01"
+    val toks = split(trim(col("text")), "\\s+")
+    val d = io.Readers.table(spark, big, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val g = d.select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 3),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("toks"), i + 1, lit(3))).as("gram")))).as("pg"))
+      .select(col("doc_id"), col("lang"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val b = g.select(col("lang").as("b_lang"), col("gram").as("b_gram"),
+      col("doc_id").as("b_id"), col("pos").as("b_pos"))
+    val pairs = g.join(b,
+        col("lang") === col("b_lang") && col("gram") === col("b_gram") &&
+          col("doc_id") < col("b_id"))
+      .select(col("lang"), col("doc_id").as("a_id"), col("b_id"),
+        col("pos").as("a_pos"), (col("pos") - col("b_pos")).as("diag"))
+    val wi = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+      .orderBy(col("a_pos"))
+    val old = pairs.withColumn("isl", col("a_pos") - row_number().over(wi))
+      .groupBy(col("lang"), col("a_id"), col("b_id"), col("diag"), col("isl"))
+      .agg(min(col("a_pos")).as("a_start"), count(lit(1)).as("run"))
+      .filter(col("run") >= 2)
+      .select(col("lang"), col("a_id"), col("b_id"), col("a_start"),
+        (col("a_start") - col("diag")).as("b_start"),
+        (col("run") + 2).as("span_toks"))
+      .as[(String, Long, Long, Int, Int, Long)].collect().toSet
+    val now = ops.Curation2.dedupSubstringSpan(spark, big)
+      .as[(String, Long, Long, Int, Int, Long)].collect().toSet
+    assert(now === old)
+    assert(now.nonEmpty)
+  }
+
   // ------------------------------------------ substring-span removal
 
   test("dedup_substring_remove cuts exactly the planted span from the larger doc, merging overlaps") {
@@ -420,5 +496,18 @@ class Curation2Spec extends SparkSpec {
     assert(out.find(_._1 == firstId).get._4 == 1.0)
     // boilerplate exists: someone repeats an earlier doc's gram
     assert(out.exists(_._3 > 0))
+  }
+
+  test("text_ngram_novelty: hash-key branch equals the string-key branch") {
+    // round 16 — the volume-gated hash-key swap: counts over
+    // xxhash64(gram) equal counts over the gram string unless a
+    // 64-bit collision lands inside one corpus's vocabulary
+    val docs = io.Readers.table(spark, "/root/testdata/sf0.01", "documents")
+    val str = ops.Curation2.noveltyOf(docs, hashKey = false)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val hsh = ops.Curation2.noveltyOf(docs, hashKey = true)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(str === hsh)
+    assert(str.nonEmpty)
   }
 }
