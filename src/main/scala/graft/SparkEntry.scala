@@ -15,7 +15,8 @@ object SparkEntry {
       ops.Curation2.queries ++ ops.Graph.queries ++
       ops.InfoTheory.queries ++ ops.Bpe.queries ++ ops.Bipartite.queries ++
       ops.Quality.queries ++ ops.Insights.queries ++
-      ops.Embeddings.queries ++ ops.Tpch.queries
+      ops.Embeddings.queries ++ ops.Tpch.queries ++
+      ops.CurationPipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = oracle.OracleSql.sql

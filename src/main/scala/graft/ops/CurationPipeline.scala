@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.Readers.table
+
+/** The end-to-end curation composite over the CURRENT operator era
+  * (round 16 — the r15 verdict's item 6): [[TrainingPipeline]] (round
+  * 2) predates the gopher/decontaminate/mixture/pack/BPE operators;
+  * this is the chain a training-data user actually runs today, each
+  * stage the SHARED frame-level form of a shipped registry operator,
+  * so the composite and the per-key contracts cannot drift:
+  *
+  *   quality gate ([[Curation2.gopherScored]])
+  *   → exact dedup (normalized-hash min-id, `dedup_exact_hash`'s rule)
+  *   → n-gram near-dedup ([[Llm2.jaccardPairsOf]] τ = 0.5 +
+  *     [[Llm.connectedComponents]] closure, min id per cluster)
+  *   → substring-span removal ([[Curation2.removeSpans]])
+  *   → benchmark decontamination ([[Curation.contaminationOf]], eval
+  *     docs themselves excluded from the training corpus)
+  *   → temperature mixing ([[Llm.temperatureKeep]], α = 0.5)
+  *   → deterministic split + train-split sequence packing
+  *     ([[Llm2.packSequences]])
+  *   → BPE token accounting under the session-trained tokenizer
+  *     ([[Bpe.trainedStateShared]], the fertility rollup shape).
+  *
+  * ORDERING is the pipeline's scale argument: row-local gates first
+  * (quality — embarrassingly parallel), then the one-exchange hash
+  * dedup, and only then the pair-join dedups run — on the smallest
+  * surviving corpus. Detection runs ON THE SURVIVOR SET, not the raw
+  * corpus: a near-dup cluster whose canonical copy died at the
+  * quality gate must still collapse among the survivors, which is why
+  * the stages compose frame-level forms instead of filtering the
+  * registry keys' raw-corpus outputs.
+  *
+  * Each stage's survivor frame is localCheckpoint'd: the narrow
+  * (doc_id, lang, text) relations are consumed by the next stage AND
+  * the stage-summary aggregates, and at 100 TB a real pipeline
+  * materializes stage outputs as durable tables anyway (the
+  * [[IngestPipeline]] discipline) — the checkpoint is the single-JVM
+  * stand-in.
+  *
+  * The registry surface is [[pipelineCurationStages]]: one row per
+  * stage with surviving doc and whitespace-token counts (plus the
+  * pack-manifest and BPE-token accounting rows) — the conservation
+  * ledger a curation run reports. No DuckDB oracle (the chain
+  * composes engine-seeded xxhash64 dedup internals); the conservation
+  * invariants between stages are spec'd in CurationPipelineSpec:
+  * monotone doc/token decrease, survivor-set containment, no
+  * surviving near-dup pair, exact token accounting through the span
+  * cuts, zero eval contamination among survivors, pack-manifest token
+  * conservation, and BPE coverage of the curated vocabulary.
+  */
+object CurationPipeline {
+
+  import Relational.Q
+
+  final case class Stages(
+      raw: DataFrame,      // (doc_id, lang, text) non-empty docs
+      quality: DataFrame,  // gopher-pass survivors
+      exact: DataFrame,    // after exact-hash dedup (min id per norm hash)
+      neardup: DataFrame,  // after jaccard-cluster dedup (min id per cluster)
+      cleaned: DataFrame,  // (doc_id, lang, text, n_spans_cut, toks_removed)
+      decontam: DataFrame, // eval + contaminated docs dropped
+      mixed: DataFrame,    // temperature admission (+ lang_total, thr)
+      curated: DataFrame,  // + (bucket, split)
+      packs: DataFrame,    // train-split pack manifest
+      bpe: DataFrame)      // per-lang BPE token accounting
+
+  /** Run the chain over `dir`'s documents table at the given pack
+    * budget. Every frame is deterministic given the corpus (hash
+    * gates are the house salted-md5 discipline; the xxhash64 dedup
+    * internals are engine-seeded, hence no oracle).
+    */
+  private[graft] def stages(s: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Int = 256): Stages = {
+    val raw = table(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .localCheckpoint()
+
+    // 1. quality gate — row-local, runs before anything that shuffles
+    val quality = raw.join(
+        Curation2.gopherScored(raw).filter(col("pass")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+
+    // 2. exact dedup — dedup_exact_hash's rule on the survivor set:
+    //    smallest doc_id per normalized-text sha2 keeps
+    val keepExact = quality
+      .select(col("doc_id"), sha2(Llm.normText(col("text")), 256).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exact = quality.join(keepExact, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+
+    // 3. n-gram near-dedup — exact τ = 0.5 jaccard pairs on the
+    //    survivors, transitive closure, min id per cluster keeps
+    //    (single-link semantics; per-pair drops over-keep local
+    //    minima — see TrainingPipeline's stage-5 note)
+    val dupIds = Llm.connectedComponents(
+        Llm2.jaccardPairsOf(exact).select(col("a_id"), col("b_id")))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    val neardup = exact.join(dupIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+
+    // 4. substring-span removal — cut shared >= 4-token runs from the
+    //    larger doc; a doc whose text was entirely duplicated content
+    //    leaves the corpus (empty clean_text)
+    val cleaned = Curation2.removeSpans(neardup)
+      .filter(col("clean_text") =!= "")
+      .select(col("doc_id"), col("lang"), col("clean_text").as("text"),
+        col("n_spans_cut"), col("toks_removed"))
+      .localCheckpoint()
+
+    // 5. decontamination — drop docs sharing a word-4-gram with the
+    //    eval set, and the eval docs themselves (they are the
+    //    benchmark, not training data). The gate runs on the CLEANED
+    //    text — what would actually ship.
+    val contam = Curation.contaminationOf(cleaned.select(col("doc_id"), col("text")))
+      .select("doc_id")
+    val decontam = cleaned
+      .filter(col("doc_id") % 20 =!= 0)
+      .join(contam, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+
+    // 6. temperature mixing — α = 0.5 per-language flattening
+    val mixed = Llm.temperatureKeep(decontam).localCheckpoint()
+
+    // 7. deterministic split; the train split packs into fixed-budget
+    //    sequences (per split — packing across splits would leak
+    //    holdout tokens into train packs at the boundaries)
+    val curated = mixed
+      .withColumn("bucket", Llm.splitBucket(col("doc_id")))
+      .withColumn("split", Llm.splitName(col("bucket")))
+      .localCheckpoint()
+    val packs = Llm2.packSequences(
+      curated.filter(col("split") === "train").select("doc_id", "text"), budget)
+
+    // 8. BPE token accounting under the session-trained tokenizer —
+    //    the fertility rollup shape (aggregate word occurrences FIRST,
+    //    join the |vocab|-row model after). The curated vocabulary is
+    //    a subset of the training vocabulary by construction (span
+    //    cuts remove whole tokens, never mint words), so the inner
+    //    join is total — spec-asserted.
+    val model = Bpe.trainedStateShared(s, dir)
+      .select(col("w"), size(col("syms")).cast("long").as("n_syms"))
+    val bpe = curated
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      .join(model, "w")
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_syms")).as("n_bpe_tokens"))
+
+    Stages(raw, quality, exact, neardup, cleaned, decontam, mixed,
+      curated, packs, bpe)
+  }
+
+  /** One row per stage: (stage, n_docs, n_tokens) — whitespace tokens
+    * for the corpus stages, (n_packs, manifest tokens) for the pack
+    * stage, and (n_words, BPE tokens) for the tokenizer stage, whose
+    * ratio is the corpus fertility. The conservation ledger of a
+    * curation run.
+    */
+  val pipelineCurationStages: Q = (s, dir) => {
+    val st = stages(s, dir)
+    val nToks = sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+    def row(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), nToks.as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    row("0_raw", st.raw)
+      .unionAll(row("1_quality", st.quality))
+      .unionAll(row("2_exact_dedup", st.exact))
+      .unionAll(row("3_near_dedup", st.neardup))
+      .unionAll(row("4_substring_remove", st.cleaned))
+      .unionAll(row("5_decontaminate", st.decontam))
+      .unionAll(row("6_temperature", st.mixed))
+      .unionAll(st.packs.agg(countDistinct(col("pack_id")).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"))
+        .select(lit("7_pack_train").as("stage"), col("n_docs"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens")))
+      .unionAll(st.bpe.agg(sum(col("n_words")).as("nw"),
+          sum(col("n_bpe_tokens")).as("nt"))
+        .select(lit("8_bpe_tokens").as("stage"),
+          coalesce(col("nw"), lit(0L)).as("n_docs"),
+          coalesce(col("nt"), lit(0L)).as("n_tokens")))
+      .orderBy("stage")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_curation_stages" -> pipelineCurationStages,
+  )
+}

@@ -29,7 +29,7 @@ object Llm {
   // ------------------------------------------------------------- helpers
 
   /** Canonical text: trim, collapse whitespace, lower. */
-  private def normText(c: Column): Column =
+  private[graft] def normText(c: Column): Column =
     lower(regexp_replace(trim(c), "\\s+", " "))
 
   /** Widen float vector to double (exact). */
