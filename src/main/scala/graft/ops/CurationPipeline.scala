@@ -108,8 +108,13 @@ object CurationPipeline {
 
     // 4. substring-span removal — cut shared >= 4-token runs from the
     //    larger doc; a doc whose text was entirely duplicated content
-    //    leaves the corpus (empty clean_text)
-    val cleaned = Curation2.removeSpans(neardup)
+    //    leaves the corpus (empty clean_text). The survivor frame
+    //    carries its own volume probe (round 16): above the switch
+    //    the detector joins on hashed keys + slice re-verify, the
+    //    same dispatch the registry keys run on the raw corpus.
+    val spanHashed =
+      PairJoins.quadgramProfileOf(neardup)._2 > PairJoins.BandedPairVolume
+    val cleaned = Curation2.removeSpans(neardup, spanHashed)
       .filter(col("clean_text") =!= "")
       .select(col("doc_id"), col("lang"), col("clean_text").as("text"),
         col("n_spans_cut"), col("toks_removed"))

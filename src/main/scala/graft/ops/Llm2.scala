@@ -324,9 +324,15 @@ object Llm2 {
     * the raw corpus). Groups on the (a_id, b_id) pair directly
     * rather than the packed-long key — the composite makes no
     * id-width assumption; the registry key keeps the measured-faster
-    * packed form. Not volume-dispatched: the composite's own spec
-    * pins pair-set equality against the registry key on the
-    * unfiltered corpus, so the two constructions cannot drift.
+    * packed form. VOLUME-DISPATCHED like the registry key (round 16:
+    * the survivor set at 100 TB carries the same dense-vocabulary
+    * Σ df² exposure as the raw corpus — the composite must not DNF
+    * where the per-key form escapes): the same eager (hot-share,
+    * pair-volume) probe picks prefix-filter / banded / shared-count
+    * candidate generation, every branch feeding the same exact
+    * verify. The composite's own spec pins pair-set equality against
+    * the registry key on the unfiltered corpus, so the two
+    * constructions cannot drift.
     */
   private[graft] def jaccardPairsOf(docs: org.apache.spark.sql.DataFrame,
       tau: Double = 0.5): org.apache.spark.sql.DataFrame = {
@@ -338,22 +344,34 @@ object Llm2 {
     val inv = d.select(col("doc_id"), col("gsz"),
       explode(col("grams")).as("gram"), col("lang"))
       .select(col("doc_id"), col("gsz"), xxhash64(col("lang"), col("gram")).as("gh"))
-    val a = inv.select(col("gh"), col("doc_id").as("a_id"), col("gsz").as("a_sz"))
-    val b = inv.select(col("gh").as("b_gh"), col("doc_id").as("b_id"),
-      col("gsz").as("b_sz")).hint("shuffle_hash")
-    // integer τ = 0.5 bounds, as in the registry key's gate branch
-    a.join(b,
-        col("gh") === col("b_gh") && col("a_id") < col("b_id") &&
-        lit(2) * col("a_sz") >= col("b_sz") &&
-        lit(2) * col("b_sz") >= col("a_sz"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("shared_h"),
-        max(col("a_sz")).as("a_sz"), max(col("b_sz")).as("b_sz"))
-      .filter(lit(3) * col("shared_h") >= col("a_sz") + col("b_sz"))
+    val dfreq = inv.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val (hotShare, predVolume) = PairJoins.dfProfile(dfreq)
+    val counted0 = if (hotShare > 1.0) {
+      PairJoins.prefixCandidates(inv, dfreq, prefixDivisor = 3, sizeRatio = Some(2))
+        .select(col("a_id"), col("b_id"))
+    } else if (predVolume > PairJoins.BandedPairVolume) {
+      PairJoins.bandedCandidates(d, nPerm = 32, bands = 16, sizeRatio = Some(2))
+        .select(col("a_id"), col("b_id"))
+    } else {
+      val a = inv.select(col("gh"), col("doc_id").as("a_id"), col("gsz").as("a_sz"))
+      val b = inv.select(col("gh").as("b_gh"), col("doc_id").as("b_id"),
+        col("gsz").as("b_sz")).hint("shuffle_hash")
+      // integer τ = 0.5 bounds, as in the registry key's gate branch
+      a.join(b,
+          col("gh") === col("b_gh") && col("a_id") < col("b_id") &&
+          lit(2) * col("a_sz") >= col("b_sz") &&
+          lit(2) * col("b_sz") >= col("a_sz"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("shared_h"),
+          max(col("a_sz")).as("a_sz"), max(col("b_sz")).as("b_sz"))
+        .filter(lit(3) * col("shared_h") >= col("a_sz") + col("b_sz"))
+        .select(col("a_id"), col("b_id"))
+    }
+    counted0
       .join(d.select(col("doc_id").as("a_id"), col("lang"),
-        col("grams").as("a_grams")), "a_id")
+        col("grams").as("a_grams"), col("gsz").as("a_sz")), "a_id")
       .join(d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-        col("grams").as("b_grams")), "b_id")
+        col("grams").as("b_grams"), col("gsz").as("b_sz")), "b_id")
       .filter(col("lang") === col("b_lang"))
       .withColumn("shared", size(array_intersect(col("a_grams"), col("b_grams"))))
       .withColumn("jaccard",

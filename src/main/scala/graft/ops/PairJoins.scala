@@ -133,6 +133,29 @@ private[graft] object PairJoins {
     else (r.getLong(0).toDouble, r.getDouble(1))
   }
 
+  /** [[quadgramProfile]] over an arbitrary documents frame (round 16
+    * — the curation composite's survivor-set stages need the same
+    * dispatch scalars as the registry keys, but their input is a
+    * filtered frame, not `dir`'s table, so the SessionCache'd rollup
+    * does not apply). One eager aggregation; (0, 0) on an empty or
+    * all-short frame.
+    */
+  def quadgramProfileOf(docs: DataFrame): (Double, Double) = {
+    val toks = split(trim(col("text")), "\\s+")
+    val r = docs
+      .filter(trim(col("text")) =!= "")
+      .select(col("lang"), toks.as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .select(explode(transform(sequence(lit(0), size(col("toks")) - 4),
+        i => xxhash64(col("lang"),
+          concat_ws(" ", slice(col("toks"), i + 1, lit(4)))))).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df")).as("n"),
+        sum(col("df").cast("double") * col("df").cast("double")).as("v")).head()
+    if (r.isNullAt(0)) (0.0, 0.0)
+    else (r.getLong(0).toDouble, r.getDouble(1))
+  }
+
   /** Switch point for the linear text keys' hash-key swap (round
     * 16): above ~10⁸ gram positions the distinct/aggregate/join
     * shuffles of the Σ df–linear keys move gigabytes of gram STRINGS

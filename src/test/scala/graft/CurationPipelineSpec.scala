@@ -38,6 +38,23 @@ class CurationPipelineSpec extends SparkSpec {
     assert(ids(st.curated) == sets(6)._2)
   }
 
+  test("jaccardPairsOf equals the registry key on the unfiltered corpus") {
+    // the anti-drift pin the frame-level form's scaladoc promises: on
+    // the raw documents table both constructions must emit the same
+    // verified pair set
+    val reg = ops.Llm2.dedupNgramJaccard(spark, dir)
+      .select(col("lang"), col("a_id").cast("long"), col("b_id").cast("long"),
+        col("jaccard"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    val frm = ops.Llm2.jaccardPairsOf(
+        io.Readers.table(spark, dir, "documents"))
+      .select(col("lang"), col("a_id").cast("long"), col("b_id").cast("long"),
+        col("jaccard"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(frm == reg)
+    assert(reg.nonEmpty)
+  }
+
   test("quality stage keeps exactly the gopher passes") {
     val pass = ops.Curation2.gopherScored(st.raw).filter(col("pass"))
       .select(col("doc_id").cast("long")).as[Long].collect().toSet
