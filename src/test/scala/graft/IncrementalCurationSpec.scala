@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round 16 — incremental curation against persisted indexes (the
+  * operational twin of CurationPipelineSpec's batch chain): ledger
+  * statuses per planted case, idempotent re-presentation, cross-batch
+  * near-dedup, and the duplicate-band-append crash window.
+  */
+class IncrementalCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A gopher-passing doc over a tag-disjoint vocabulary: 20 words,
+    * 2 stopwords, alpha-heavy, mean word length in band.
+    */
+  private def text(tag: String): String =
+    (Seq("the", "of") ++ (1 to 18).map(i => s"w${tag}x$i")).mkString(" ")
+
+  /** The same doc with one content word swapped — shingle Jaccard
+    * ≈ 0.85, far above the 0.5 agreement gate.
+    */
+  private def nearOf(tag: String): String =
+    (Seq("the", "of") ++ (1 to 17).map(i => s"w${tag}x$i") :+ "changed")
+      .mkString(" ")
+
+  private def docs(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+    rows.map { case (id, t) => (id, "en", t) }.toDF("doc_id", "lang", "text")
+
+  private def ledgerMap(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.select(col("doc_id").cast("long"), col("status"))
+      .as[(Long, String)].collect().toMap
+
+  private def hashCount(name: String): Long =
+    spark.table(ops.IncrementalCuration.resolveHashTable(spark, name)).count()
+
+  test("admission ledger: quality / exact / near drops, fresh admits; re-presentation idempotent; cross-batch near-dedup") {
+    val seed = docs(1L -> text("s1"), 2L -> text("s2"), 3L -> text("s3"))
+    ops.IncrementalCuration.buildHashIndex(seed, "ic1_hash")
+    ops.IncrementalDedup.buildIndex(seed, "ic1_band")
+    val h0 = hashCount("ic1_hash")
+    assert(h0 === 3L)
+
+    val batch = docs(
+      10L -> "too short",                  // fails the gopher gate
+      11L -> ("  " + text("s1").replace(" ", "   ") + " "), // exact dup of seed 1 (normalization collapses whitespace)
+      12L -> nearOf("s2"),                 // near dup of seed 2
+      13L -> text("b13"),                  // fresh
+      14L -> text("b13"),                  // exact dup of 13 WITHIN the batch
+      15L -> nearOf("b13"),                // near dup of 13 WITHIN the batch
+      16L -> text("b16"))                  // fresh
+    val led = ledgerMap(ops.IncrementalCuration.curateBatch(
+      spark, batch, "ic1_hash", "ic1_band"))
+    assert(led === Map(
+      10L -> "drop_quality",
+      11L -> "drop_exact_index",
+      12L -> "drop_near_index",
+      13L -> "admitted",
+      14L -> "drop_exact_batch",
+      15L -> "drop_near_batch",
+      16L -> "admitted"), led.toString)
+    assert(hashCount("ic1_hash") === h0 + 2, "exactly the admitted docs append")
+
+    // re-presentation: admitted docs read back as no-op successes,
+    // every drop stays a drop (batch-local drops become index drops —
+    // their partners are IN the corpus now), nothing appends
+    val led2 = ledgerMap(ops.IncrementalCuration.curateBatch(
+      spark, batch, "ic1_hash", "ic1_band"))
+    assert(led2(13L) === "readmitted" && led2(16L) === "readmitted", led2.toString)
+    assert(led2(10L) === "drop_quality")
+    assert(led2(11L) === "drop_exact_index")
+    assert(led2(12L) === "drop_near_index")
+    assert(led2(14L) === "drop_exact_index", "13 is in the corpus now")
+    assert(led2(15L) === "drop_near_index", "13 is in the corpus now")
+    assert(hashCount("ic1_hash") === h0 + 2, "re-presentation must append nothing")
+
+    // cross-batch: a near dup of batch-1's admission drops against the
+    // index; genuinely new content admits
+    val led3 = ledgerMap(ops.IncrementalCuration.curateBatch(
+      spark, docs(20L -> nearOf("b16"), 21L -> text("b21")),
+      "ic1_hash", "ic1_band"))
+    assert(led3 === Map(20L -> "drop_near_index", 21L -> "admitted"), led3.toString)
+    assert(hashCount("ic1_hash") === h0 + 3)
+  }
+
+  test("crash window: a duplicate band append cannot evict or re-admit") {
+    val seed = docs(1L -> text("c1"))
+    ops.IncrementalCuration.buildHashIndex(seed, "ic2_hash")
+    ops.IncrementalDedup.buildIndex(seed, "ic2_band")
+    val batch = docs(30L -> text("c30"))
+    val led = ledgerMap(ops.IncrementalCuration.curateBatch(
+      spark, batch, "ic2_hash", "ic2_band"))
+    assert(led === Map(30L -> "admitted"))
+    // simulate the replayed half-write: the band append runs AGAIN for
+    // the already-admitted doc (crash after hash append + band append,
+    // replay re-appends bands)
+    ops.IncrementalDedup.appendToIndex(batch, "ic2_band")
+    val led2 = ledgerMap(ops.IncrementalCuration.curateBatch(
+      spark, batch, "ic2_hash", "ic2_band"))
+    assert(led2 === Map(30L -> "readmitted"),
+      "duplicate band rows must not change the admission read")
+    // and a near dup still drops against the duplicated bands
+    val led3 = ledgerMap(ops.IncrementalCuration.curateBatch(
+      spark, docs(31L -> nearOf("c30")), "ic2_hash", "ic2_band"))
+    assert(led3 === Map(31L -> "drop_near_index"))
+  }
+}
