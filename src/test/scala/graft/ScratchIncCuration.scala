@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round 16 — incremental-curation scale measurement: delta-batch
+  * admission cost against a standing sf1-sized index (50 k docs),
+  * vs the batch composite's full-corpus pass (~17.5 s at sf1,
+  * BASELINE r16 row). The claim under test is O(batch): admission
+  * cost tracks the batch, not the corpus.
+  *
+  * Run: sbt "Test/runMain graft.ScratchIncCuration [dir]".
+  */
+object ScratchIncCuration {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-inc").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val corpus = graft.io.Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    timed("build hash index (one-time, corpus pass)") {
+      ops.IncrementalCuration.buildHashIndex(corpus, "sc_hash")
+    }
+    timed("build band index (one-time, corpus pass)") {
+      ops.IncrementalDedup.buildIndex(corpus, "sc_band")
+    }
+
+    // delta: 250 verbatim copies of corpus texts (exact dups) + 250
+    // fresh gopher-passing docs over a disjoint vocabulary
+    val copies = corpus.filter(col("doc_id") < 250)
+      .select((col("doc_id") + 9000000L).as("doc_id"), col("lang"), col("text"))
+    val fresh = (0 until 250).map { i =>
+      (9100000L + i, "en",
+        (Seq("the", "of") ++ (1 to 18).map(j => s"fresh${i}w$j")).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val batch = copies.unionByName(fresh).localCheckpoint()
+    println(s"batch size: ${batch.count()}")
+
+    val led1 = timed("curateBatch (500-doc delta vs 50k-doc index)") {
+      ops.IncrementalCuration.curateBatch(spark, batch, "sc_hash", "sc_band")
+        .groupBy("status").count().as[(String, Long)].collect().toMap
+    }
+    println(s"ledger 1: $led1")
+    require(led1.getOrElse("admitted", 0L) == 250L, "all fresh docs admit")
+    require(!led1.contains("drop_near_index") || led1("drop_near_index") == 0L)
+    require(led1.getOrElse("drop_exact_index", 0L) +
+      led1.getOrElse("drop_quality", 0L) == 250L,
+      "every copy drops at quality or the exact probe")
+
+    val led2 = timed("curateBatch re-presentation (idempotent read)") {
+      ops.IncrementalCuration.curateBatch(spark, batch, "sc_hash", "sc_band")
+        .groupBy("status").count().as[(String, Long)].collect().toMap
+    }
+    println(s"ledger 2: $led2")
+    require(led2.getOrElse("readmitted", 0L) == 250L, "re-presentation is a no-op")
+    spark.stop()
+  }
+}
