@@ -82,6 +82,31 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(hashCount("ic1_hash") === h0 + 3)
   }
 
+  test("hash-index probe joins the index side without a shuffle (bucketed layout IS the join layout)") {
+    val seed = docs((1L to 200L).map(i => i -> text(s"p$i")): _*)
+    ops.IncrementalCuration.buildHashIndex(seed, "ic3_hash")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = docs(400L -> text("p7"))
+        .withColumn("text_hash",
+          sha2(lower(regexp_replace(trim(col("text")), "\\s+", " ")), 256))
+        .join(spark.table(
+          ops.IncrementalCuration.resolveHashTable(spark, "ic3_hash")),
+          Seq("text_hash"), "left")
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan must be bucketed:\n$plan")
+      val finalPlan = plan.split("== Initial Plan ==").head
+      val hashExchanges =
+        "Exchange hashpartitioning\\(text_hash".r.findAllIn(finalPlan).length
+      assert(hashExchanges == 1,
+        s"only the delta side may exchange on text_hash, got $hashExchanges:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      io.TableManifest.drop(spark, "ic3_hash")
+    }
+  }
+
   test("crash window: a duplicate band append cannot evict or re-admit") {
     val seed = docs(1L -> text("c1"))
     ops.IncrementalCuration.buildHashIndex(seed, "ic2_hash")
