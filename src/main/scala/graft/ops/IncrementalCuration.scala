@@ -101,6 +101,63 @@ object IncrementalCuration {
       .format("parquet").saveAsTable(t)
   }
 
+  /** The CONTINUOUS front-end (round 16): a real file-source stream
+    * watches `watchDir` for CSV document drops (declared `schema`,
+    * header row, one doc per line) and every micro-batch runs
+    * [[curateBatch]] against the standing indexes, writing the
+    * admission ledger to the batch-keyed partition
+    * `ledgerPath/batch=<id>` — overwrite of the batch partition makes
+    * the ledger exactly-once under the source's at-least-once replay
+    * with zero coordination (the [[IngestPipeline]] quarantine
+    * discipline). Replay safety COMPOSES: the ledger overwrite is
+    * idempotent by layout, and re-running [[curateBatch]] itself is
+    * idempotent by the readmission contract — a crash anywhere inside
+    * the batch window converges on restart (an admitted doc replays
+    * as `readmitted`, which the re-written ledger then records; a
+    * consumer that must see the ORIGINAL status reads the admitted
+    * states as the union {admitted, readmitted}, exactly what the
+    * idempotence contract means).
+    */
+  def curateStream(spark: SparkSession, watchDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      hashIndex: String, bandIndex: String,
+      ledgerPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(watchDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        curateBatch(spark, batch.toDF(), hashIndex, bandIndex)
+          .write.mode("overwrite").parquet(s"$ledgerPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Read the accumulated admission ledger (all batches). Before the
+    * first micro-batch commits the root does not exist — an early
+    * poll gets an EMPTY relation with the ledger schema instead of an
+    * AnalysisException, and `batch` is LongType on both branches
+    * (the [[IngestPipeline.readQuarantine]] contract).
+    */
+  def readLedger(spark: SparkSession, ledgerPath: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq())
+          .add("doc_id", "long").add("status", "string").add("batch", "long"))
+    else
+      spark.read.parquet(ledgerPath)
+        .withColumn("batch", col("batch").cast("long"))
+  }
+
   /** Admit one delta batch against the standing indexes. Returns the
     * admission ledger — one row per non-empty delta doc:
     * (doc_id, status) with status ∈ {admitted, readmitted,
@@ -112,6 +169,16 @@ object IncrementalCuration {
   def curateBatch(spark: SparkSession, delta: DataFrame,
       hashIndex: String, bandIndex: String,
       minAgree: Double = 0.5): DataFrame = {
+    // Reads and writes ride the DELTA's session, not the caller's
+    // handle: inside a streaming foreachBatch the delta belongs to
+    // the query's CLONED session, and a write through one session
+    // invalidates only that session's relation cache — mixing the two
+    // made batch N+1 read batch N's index through a stale file list
+    // (caught by the streaming spec). The refreshes guard the same
+    // staleness for any session the tables were previously read in.
+    val sess = delta.sparkSession
+    sess.catalog.refreshTable(resolveHashTable(sess, hashIndex))
+    sess.catalog.refreshTable(IncrementalDedup.resolveTable(sess, bandIndex))
     val d0 = delta.filter(trim(col("text")) =!= "")
       .select(col("doc_id"), col("lang"), col("text"))
     val withQ = d0.join(
@@ -121,7 +188,7 @@ object IncrementalCuration {
     // exact probe: bucketed index side joins without shuffle; only
     // the (small) delta side exchanges into the index's buckets
     val probed = q.withColumn("text_hash", hashOf(col("text")))
-      .join(spark.table(resolveHashTable(spark, hashIndex))
+      .join(sess.table(resolveHashTable(sess, hashIndex))
         .select(col("text_hash"), col("keep_id")), Seq("text_hash"), "left")
     val fresh = probed.filter(col("keep_id").isNull)
     val keepB = fresh.groupBy(col("text_hash")).agg(min(col("doc_id")).as("kid"))
@@ -131,7 +198,7 @@ object IncrementalCuration {
 
     // near probe against the band index, then within-batch closure
     val idxMatched = IncrementalDedup
-      .matchAgainstIndex(spark, exactSurv, bandIndex, minAgree)
+      .matchAgainstIndex(sess, exactSurv, bandIndex, minAgree)
       .select(col("new_id").as("doc_id")).distinct()
     val nearSurv = exactSurv.join(idxMatched, Seq("doc_id"), "left_anti")
     val nb = IncrementalDedup.bandRows(nearSurv)

@@ -107,6 +107,49 @@ class IncrementalCurationSpec extends SparkSpec {
     }
   }
 
+  test("streaming front-end: file drops curate continuously, ledger batch-keyed; early poll is empty") {
+    val dir = java.nio.file.Files.createTempDirectory("inccur").toString
+    val watch = s"$dir/incoming"; val ledger = s"$dir/ledger"; val ckpt = s"$dir/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+    val schema = org.apache.spark.sql.types.StructType(Seq())
+      .add("doc_id", "long").add("lang", "string").add("text", "string")
+    def drop(name: String, rows: (Long, String)*): Unit = {
+      val stage = java.nio.file.Paths.get(watch, s".stage-$name")
+      java.nio.file.Files.write(stage,
+        ("doc_id,lang,text" +: rows.map { case (id, t) => s"$id,en,$t" })
+          .mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(stage, java.nio.file.Paths.get(watch, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // early poll before anything exists: empty, with the full schema
+    val early = ops.IncrementalCuration.readLedger(spark, ledger)
+    assert(early.isEmpty && early.columns.toSet === Set("doc_id", "status", "batch"))
+
+    val seed = docs(1L -> text("st1"), 2L -> text("st2"))
+    ops.IncrementalCuration.buildHashIndex(seed, "ic4_hash")
+    ops.IncrementalDedup.buildIndex(seed, "ic4_band")
+
+    drop("f1.csv", 100L -> text("f100"), 101L -> text("st1"))
+    val q = ops.IncrementalCuration.curateStream(spark, watch, schema,
+      "ic4_hash", "ic4_band", ledger, ckpt)
+    try {
+      q.processAllAvailable()
+      val l1 = ops.IncrementalCuration.readLedger(spark, ledger)
+        .select(col("doc_id").cast("long"), col("status"), col("batch").cast("long"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(l1 === Set((100L, "admitted", 0L), (101L, "drop_exact_index", 0L)), l1)
+      // second drop: cross-batch near-dedup THROUGH the stream — the
+      // batch-0 admission is in the indexes by the time batch 1 runs
+      drop("f2.csv", 110L -> nearOf("f100"), 111L -> text("f111"))
+      q.processAllAvailable()
+      val l2 = ops.IncrementalCuration.readLedger(spark, ledger)
+        .filter(col("batch") === 1)
+        .select(col("doc_id").cast("long"), col("status"))
+        .as[(Long, String)].collect().toSet
+      assert(l2 === Set((110L, "drop_near_index"), (111L, "admitted")), l2)
+    } finally q.stop()
+  }
+
   test("crash window: a duplicate band append cannot evict or re-admit") {
     val seed = docs(1L -> text("c1"))
     ops.IncrementalCuration.buildHashIndex(seed, "ic2_hash")
