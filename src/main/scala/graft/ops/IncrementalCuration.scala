@@ -101,6 +101,17 @@ object IncrementalCuration {
       .format("parquet").saveAsTable(t)
   }
 
+  /** Collapse hash-index append growth into a fresh manifest version
+    * — atomic publish; probes racing it serve the old snapshot (the
+    * [[IncrementalDedup.compact]] discipline via
+    * [[graft.io.TableManifest.compactBucketed]]).
+    */
+  def compactHashIndex(spark: SparkSession, tableName: String,
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => ()): Unit =
+    graft.io.TableManifest.compactBucketed(
+      spark, tableName, HashSchemaVersion, beforeCommit, afterCommit)
+
   /** The CONTINUOUS front-end (round 16): a real file-source stream
     * watches `watchDir` for CSV document drops (declared `schema`,
     * header row, one doc per line) and every micro-batch runs

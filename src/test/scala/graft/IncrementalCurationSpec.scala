@@ -170,5 +170,15 @@ class IncrementalCurationSpec extends SparkSpec {
     val led3 = ledgerMap(ops.IncrementalCuration.curateBatch(
       spark, docs(31L -> nearOf("c30")), "ic2_hash", "ic2_band"))
     assert(led3 === Map(31L -> "drop_near_index"))
+
+    // compaction collapses append growth into a fresh version; every
+    // admission read is unchanged and the probe layout stays bucketed
+    val before = hashCount("ic2_hash")
+    ops.IncrementalCuration.compactHashIndex(spark, "ic2_hash")
+    assert(hashCount("ic2_hash") === before, "compaction must not lose rows")
+    val led4 = ledgerMap(ops.IncrementalCuration.curateBatch(
+      spark, batch, "ic2_hash", "ic2_band"))
+    assert(led4 === Map(30L -> "readmitted"),
+      "admission reads identically through the compacted version")
   }
 }

@@ -29,6 +29,7 @@ object ScratchSpineTier {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     // one N-row group (the straggler) + 4 small groups
     val spine = spark.range(n + 4000)
@@ -63,6 +64,30 @@ object ScratchSpineTier {
     println(s"[spinetier] window=(rows ${w._1}, ck ${w._2}) bucketed=(rows ${b._1}, ck ${b._2})")
     require(w == b, "branches must be row-identical")
     println("[spinetier] EQUAL")
+
+    // topK: one N-row leaderboard group, k = 10, both branches forced
+    val lead = spark.range(n)
+      .select(lit("g").as("grp"), col("id").as("uid"),
+        pmod(xxhash64(col("id")), lit(1000000000L)).as("score"))
+      .localCheckpoint()
+    def runTop(label: String, threshold: Long): Set[(Long, Long, Int)] = {
+      var out: Set[(Long, Long, Int)] = Set.empty
+      (1 to 2).foreach { rep =>
+        System.gc()
+        val t0 = System.nanoTime()
+        out = graft.ops.SpineRank.topK(lead, Seq("grp"),
+            Seq(col("score").desc, col("uid")), 10, saltCol = col("uid"),
+            thresholdRows = threshold)
+          .select(col("uid"), col("score"), col("rk").cast("int"))
+          .as[(Long, Long, Int)].collect().toSet
+        println(f"[spinetier] topK $label rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      out
+    }
+    val tw = runTop("window", Long.MaxValue)
+    val ts = runTop("salted", 0L)
+    require(tw == ts && tw.size == 10, "topK branches must be row-identical")
+    println("[spinetier] topK EQUAL")
     spark.stop()
   }
 }
