@@ -640,6 +640,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("span-detector branches: pair join is shuffle-hash on the gram key, never broadcast/cartesian") {
+    // round 16: both sharedSpans branches must keep the Σ df² pair
+    // join partitioned on the gram key — a broadcast would ship a
+    // corpus-sized gram relation, a cartesian means the key was lost
+    import org.apache.spark.sql.functions._
+    val d = io.Readers.table(spark, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), col("lang"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 4)
+    for (hashed <- Seq(false, true)) {
+      val p = ops.Curation2.sharedSpans(d, hashed)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin"), s"hashed=$hashed:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), s"hashed=$hashed")
+      // the hashed branch carries the 8-byte key, never the gram string
+      if (hashed) {
+        val joins = p.linesIterator.filter(_.contains("ShuffledHashJoin")).mkString
+        assert(joins.contains("gh"), joins)
+      }
+    }
+  }
+
+  test("pipeline_curation_stages: the composed key plans stay join-clean") {
+    val p = plan(ops.CurationPipeline.pipelineCurationStages)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("text_bpe_merge: argmax is TakeOrdered(1), pair counts partial-agg") {
     val df = ops.Bpe.textBpeMerge(spark, dir)
     val p = df.queryExecution.executedPlan.toString
