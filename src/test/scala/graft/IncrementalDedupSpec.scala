@@ -15,6 +15,46 @@ class IncrementalDedupSpec extends SparkSpec {
     (1 to 40).map(i => s"${stem}a$i ${stem}b$i ${stem}c$i").mkString(" ") +
       " " + extra
 
+  test("layout v2: partitioned probe equals v1, prunes to the batch's partitions, appends and compacts") {
+    val corpus = (1L to 120L).map(i => (i, doc("", stem = s"s$i")))
+      .toDF("doc_id", "text")
+    ops.IncrementalDedup.buildIndex(corpus, "idx_v1")
+    ops.IncrementalDedup.buildIndexPartitioned(corpus, "idx_v2")
+    try {
+      val batch = Seq(
+        (500L, doc("tail change only", stem = "s7")),   // near-dup of doc 7
+        (501L, doc("", stem = "novel")))
+        .toDF("doc_id", "text")
+      val v1 = ops.IncrementalDedup.matchAgainstIndex(spark, batch, "idx_v1")
+        .as[(Long, Long, Double)].collect().toSet
+      val q2 = ops.IncrementalDedup
+        .matchAgainstIndexPartitioned(spark, batch, "idx_v2")
+      val v2 = q2.as[(Long, Long, Double)].collect().toSet
+      assert(v1 === v2, "both layouts must report the identical matches")
+      assert(v1.map(r => (r._1, r._2)) === Set((500L, 7L)))
+      // the probe prunes the index scan to the batch's bp directories
+      val plan = q2.queryExecution.executedPlan.toString
+      val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+      assert(pf.contains("bp"), s"probe must prune on bp:\n${plan.take(1500)}")
+      // append lands under the touched partitions; later probes see it
+      ops.IncrementalDedup.appendToIndexPartitioned(
+        Seq((600L, doc("", stem = "fresh"))).toDF("doc_id", "text"), "idx_v2")
+      val m2 = ops.IncrementalDedup.matchAgainstIndexPartitioned(spark,
+          Seq((700L, doc("tail changed", stem = "fresh"))).toDF("doc_id", "text"),
+          "idx_v2")
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+      assert(m2 === Set((700L, 600L)), m2.toString)
+      // compaction publishes a fresh version with identical reads
+      ops.IncrementalDedup.compactPartitionedIndex(spark, "idx_v2")
+      val m3 = ops.IncrementalDedup.matchAgainstIndexPartitioned(spark,
+          batch, "idx_v2").as[(Long, Long, Double)].collect().toSet
+      assert(m3 === v2, "compaction must not change probe results")
+    } finally {
+      io.TableManifest.drop(spark, "idx_v1")
+      io.TableManifest.drop(spark, "idx_v2")
+    }
+  }
+
   test("new batch matches its indexed near-dup, novel docs pass clean") {
     val corpus = Seq(
       (1L, doc("")), (2L, doc("", stem = "beta")), (3L, doc("", stem = "gamma")))
