@@ -188,8 +188,20 @@ object IncrementalCuration {
     // (caught by the streaming spec). The refreshes guard the same
     // staleness for any session the tables were previously read in.
     val sess = delta.sparkSession
+    // the band index serves in EITHER layout (round 16): v1 bucketed
+    // (zero-shuffle join, whole-index scan — the small-index default)
+    // or v2 partitioned (directory-pruned O(touched) probe — the
+    // index-scale form); the committed pointer's schema version
+    // dispatches probe and append together, so admission semantics
+    // are layout-independent (spec'd on both)
+    val bandV2 = graft.io.TableManifest.readPointer(sess, bandIndex)
+      .map(_.schemaVersion == IncrementalDedup.PartitionedSchemaVersion)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed index at '$bandIndex' — build it first"))
     sess.catalog.refreshTable(resolveHashTable(sess, hashIndex))
-    sess.catalog.refreshTable(IncrementalDedup.resolveTable(sess, bandIndex))
+    sess.catalog.refreshTable(
+      if (bandV2) IncrementalDedup.resolvePartitionedTable(sess, bandIndex)
+      else IncrementalDedup.resolveTable(sess, bandIndex))
     val d0 = delta.filter(trim(col("text")) =!= "")
       .select(col("doc_id"), col("lang"), col("text"))
     val withQ = d0.join(
@@ -208,8 +220,11 @@ object IncrementalCuration {
       .select(col("doc_id"), col("lang"), col("text"))
 
     // near probe against the band index, then within-batch closure
-    val idxMatched = IncrementalDedup
-      .matchAgainstIndex(sess, exactSurv, bandIndex, minAgree)
+    val idxMatched = (if (bandV2)
+        IncrementalDedup.matchAgainstIndexPartitioned(sess, exactSurv,
+          bandIndex, minAgree)
+      else
+        IncrementalDedup.matchAgainstIndex(sess, exactSurv, bandIndex, minAgree))
       .select(col("new_id").as("doc_id")).distinct()
     val nearSurv = exactSurv.join(idxMatched, Seq("doc_id"), "left_anti")
     val nb = IncrementalDedup.bandRows(nearSurv)
@@ -249,7 +264,8 @@ object IncrementalCuration {
       .localCheckpoint() // lineage must not re-read the indexes post-append
     if (!admitted.isEmpty) {
       appendToHashIndex(admitted, hashIndex)
-      IncrementalDedup.appendToIndex(admitted, bandIndex)
+      if (bandV2) IncrementalDedup.appendToIndexPartitioned(admitted, bandIndex)
+      else IncrementalDedup.appendToIndex(admitted, bandIndex)
     }
     ledger
   }

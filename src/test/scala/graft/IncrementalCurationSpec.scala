@@ -33,11 +33,18 @@ class IncrementalCurationSpec extends SparkSpec {
   private def hashCount(name: String): Long =
     spark.table(ops.IncrementalCuration.resolveHashTable(spark, name)).count()
 
-  test("admission ledger: quality / exact / near drops, fresh admits; re-presentation idempotent; cross-batch near-dedup") {
+  // the whole admission contract runs against BOTH band-index
+  // layouts: v1 bucketed (zero-shuffle probe) and v2 partitioned
+  // (directory-pruned probe) — curateBatch dispatches on the
+  // committed pointer's schema version and must behave identically
+  for (layout <- Seq(1, 2))
+  test(s"admission ledger (band layout v$layout): quality / exact / near drops, fresh admits; re-presentation idempotent; cross-batch near-dedup") {
+    val hashIdx = s"ic1v${layout}_hash"; val bandIdx = s"ic1v${layout}_band"
     val seed = docs(1L -> text("s1"), 2L -> text("s2"), 3L -> text("s3"))
-    ops.IncrementalCuration.buildHashIndex(seed, "ic1_hash")
-    ops.IncrementalDedup.buildIndex(seed, "ic1_band")
-    val h0 = hashCount("ic1_hash")
+    ops.IncrementalCuration.buildHashIndex(seed, hashIdx)
+    if (layout == 1) ops.IncrementalDedup.buildIndex(seed, bandIdx)
+    else ops.IncrementalDedup.buildIndexPartitioned(seed, bandIdx)
+    val h0 = hashCount(hashIdx)
     assert(h0 === 3L)
 
     val batch = docs(
@@ -49,7 +56,7 @@ class IncrementalCurationSpec extends SparkSpec {
       15L -> nearOf("b13"),                // near dup of 13 WITHIN the batch
       16L -> text("b16"))                  // fresh
     val led = ledgerMap(ops.IncrementalCuration.curateBatch(
-      spark, batch, "ic1_hash", "ic1_band"))
+      spark, batch, hashIdx, bandIdx))
     assert(led === Map(
       10L -> "drop_quality",
       11L -> "drop_exact_index",
@@ -58,28 +65,28 @@ class IncrementalCurationSpec extends SparkSpec {
       14L -> "drop_exact_batch",
       15L -> "drop_near_batch",
       16L -> "admitted"), led.toString)
-    assert(hashCount("ic1_hash") === h0 + 2, "exactly the admitted docs append")
+    assert(hashCount(hashIdx) === h0 + 2, "exactly the admitted docs append")
 
     // re-presentation: admitted docs read back as no-op successes,
     // every drop stays a drop (batch-local drops become index drops —
     // their partners are IN the corpus now), nothing appends
     val led2 = ledgerMap(ops.IncrementalCuration.curateBatch(
-      spark, batch, "ic1_hash", "ic1_band"))
+      spark, batch, hashIdx, bandIdx))
     assert(led2(13L) === "readmitted" && led2(16L) === "readmitted", led2.toString)
     assert(led2(10L) === "drop_quality")
     assert(led2(11L) === "drop_exact_index")
     assert(led2(12L) === "drop_near_index")
     assert(led2(14L) === "drop_exact_index", "13 is in the corpus now")
     assert(led2(15L) === "drop_near_index", "13 is in the corpus now")
-    assert(hashCount("ic1_hash") === h0 + 2, "re-presentation must append nothing")
+    assert(hashCount(hashIdx) === h0 + 2, "re-presentation must append nothing")
 
     // cross-batch: a near dup of batch-1's admission drops against the
     // index; genuinely new content admits
     val led3 = ledgerMap(ops.IncrementalCuration.curateBatch(
       spark, docs(20L -> nearOf("b16"), 21L -> text("b21")),
-      "ic1_hash", "ic1_band"))
+      hashIdx, bandIdx))
     assert(led3 === Map(20L -> "drop_near_index", 21L -> "admitted"), led3.toString)
-    assert(hashCount("ic1_hash") === h0 + 3)
+    assert(hashCount(hashIdx) === h0 + 3)
   }
 
   test("hash-index probe joins the index side without a shuffle (bucketed layout IS the join layout)") {
