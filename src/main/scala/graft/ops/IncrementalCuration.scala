@@ -28,12 +28,17 @@ import org.apache.spark.sql.functions._
   * success that bypasses the near stage entirely (it is already in
   * the corpus; being matched by docs admitted AFTER it must not evict
   * it) and appends nothing. A doc whose hash maps to a DIFFERENT
-  * keep_id is an exact duplicate of corpus content and drops. Replay
-  * after a crash between the two appends converges: the hash row
-  * already present routes the doc to `readmitted`, and its duplicate
-  * band rows (if the band append also ran) are harmless — the probe
-  * aggregates per pair and filters self-matches; [[IncrementalDedup
-  * .compact]] collapses the growth.
+  * keep_id is an exact duplicate of corpus content and drops. APPEND
+  * ORDER is load-bearing (round 17): band rows append BEFORE hash
+  * rows, so a crash between the two appends leaves
+  * band-present/hash-absent, which replays as FRESH — the near probe
+  * filters self-matches (`indexed_id =!= new_id`), the doc re-admits,
+  * and both appends re-run; its duplicate band rows are harmless (the
+  * probe aggregates per pair; [[IncrementalDedup.compact]] collapses
+  * the growth). The opposite order would leave the fatal window:
+  * hash-present/band-absent reads back as `readmitted` and appends
+  * nothing, so the doc's bands would be PERMANENTLY absent and its
+  * future near-dups undetectable (spec'd in both directions).
   *
   * The admission ledger (doc_id, status) is localCheckpoint'd BEFORE
   * any append (and so is the admitted slice): the appends mutate the
@@ -44,11 +49,17 @@ import org.apache.spark.sql.functions._
   *
   * Near-dup semantics match [[IncrementalDedup]]: the MinHash
   * signature-agreement estimator (E[agreement] = J), seeded and
-  * corpus-access-free — the batch composite's exact-verify jaccard is
-  * the one-shot form; the incremental path trades the exact verify
-  * for never touching the corpus store (the standard production
-  * trade; compose an exact verify downstream by joining the few
-  * matches to the document table if the policy demands it).
+  * corpus-access-free — the default path never touches the corpus
+  * store (the standard production trade). A policy that needs the
+  * batch composite's PRECISION passes `verifyCorpus` (round 17 — the
+  * r16 verdict's item 2): every estimator match then joins back to
+  * the admitted document store and must survive the exact word-bigram
+  * Jaccard at `tau` ([[Llm2.jaccardPairsOf]]'s verify semantics)
+  * before it may drop a doc — still O(candidates), never a
+  * corpus-sized pass, because only the probe's few matches join. An
+  * estimator false positive (band agreement ≥ `minAgree`, true
+  * jaccard < `tau`) is silent data loss on the default path and
+  * admitted on the verified path (planted-case spec'd).
   */
 object IncrementalCuration {
 
@@ -143,7 +154,7 @@ object IncrementalCuration {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        curateBatch(spark, batch.toDF(), hashIndex, bandIndex)
+        curateBatch(batch.toDF(), hashIndex, bandIndex)
           .write.mode("overwrite").parquet(s"$ledgerPath/batch=$batchId")
         ()
       }
@@ -169,6 +180,30 @@ object IncrementalCuration {
         .withColumn("batch", col("batch").cast("long"))
   }
 
+  /** Exact word-bigram Jaccard verdict over candidate pairs — the
+    * batch composite's precision ([[Llm2.jaccardPairsOf]]'s verify
+    * tail: same `word_shingles(text, 2)` sets, same `jaccard >= tau`
+    * gate) applied to the probe's FEW candidates: O(candidates)
+    * joins, never a corpus-sized pass. Left joins on the text
+    * sources so a candidate whose doc is MISSING from the supplied
+    * store falls back to the estimator's verdict (the match stands —
+    * verification can only ever rescue, with evidence in hand).
+    */
+  private def verifiedPairs(cand: DataFrame, aId: String, aDocs: DataFrame,
+      bId: String, bDocs: DataFrame, tau: Double): DataFrame = {
+    def grams(d: DataFrame, id: String, out: String) = d.select(
+      col("doc_id").as(id),
+      graft.functions.TextExpressions.wordShingles(col("text"), 2).as(out))
+    cand.select(col(aId), col(bId))
+      .join(grams(aDocs, aId, "a_g"), Seq(aId), "left")
+      .join(grams(bDocs, bId, "b_g"), Seq(bId), "left")
+      .withColumn("shared", size(array_intersect(col("a_g"), col("b_g"))))
+      .filter(col("a_g").isNull || col("b_g").isNull ||
+        col("shared").cast("double") >= lit(tau) *
+          (size(col("a_g")) + size(col("b_g")) - col("shared")).cast("double"))
+      .select(col(aId), col(bId))
+  }
+
   /** Admit one delta batch against the standing indexes. Returns the
     * admission ledger — one row per non-empty delta doc:
     * (doc_id, status) with status ∈ {admitted, readmitted,
@@ -176,17 +211,26 @@ object IncrementalCuration {
     * drop_near_index, drop_near_batch} — materialized before the
     * index appends run. Statuses are a pure function of (index state,
     * batch): deterministic, and stable under re-presentation.
+    *
+    * `verifyCorpus` (round 17): when supplied — a (doc_id, text)
+    * frame covering the admitted document store — every near-stage
+    * estimator match is exact-verified at `tau` before it may drop a
+    * doc (scaladoc above; both the index probe and the within-batch
+    * pairs verify, so the two near tiers keep one semantics).
     */
-  def curateBatch(spark: SparkSession, delta: DataFrame,
+  def curateBatch(delta: DataFrame,
       hashIndex: String, bandIndex: String,
-      minAgree: Double = 0.5): DataFrame = {
-    // Reads and writes ride the DELTA's session, not the caller's
-    // handle: inside a streaming foreachBatch the delta belongs to
-    // the query's CLONED session, and a write through one session
-    // invalidates only that session's relation cache — mixing the two
-    // made batch N+1 read batch N's index through a stale file list
-    // (caught by the streaming spec). The refreshes guard the same
-    // staleness for any session the tables were previously read in.
+      minAgree: Double = 0.5,
+      verifyCorpus: Option[DataFrame] = None,
+      tau: Double = 0.5): DataFrame = {
+    // Reads and writes ride the DELTA's session: inside a streaming
+    // foreachBatch the delta belongs to the query's CLONED session,
+    // and a write through one session invalidates only that
+    // session's relation cache — mixing a caller handle with the
+    // delta's made batch N+1 read batch N's index through a stale
+    // file list (caught by the streaming spec). The refreshes guard
+    // the same staleness for any session the tables were previously
+    // read in.
     val sess = delta.sparkSession
     // the band index serves in EITHER layout (round 16): v1 bucketed
     // (zero-shuffle join, whole-index scan — the small-index default)
@@ -220,16 +264,18 @@ object IncrementalCuration {
       .select(col("doc_id"), col("lang"), col("text"))
 
     // near probe against the band index, then within-batch closure
-    val idxMatched = (if (bandV2)
+    val idxCand = if (bandV2)
         IncrementalDedup.matchAgainstIndexPartitioned(sess, exactSurv,
           bandIndex, minAgree)
       else
-        IncrementalDedup.matchAgainstIndex(sess, exactSurv, bandIndex, minAgree))
+        IncrementalDedup.matchAgainstIndex(sess, exactSurv, bandIndex, minAgree)
+    val idxMatched = verifyCorpus.fold(idxCand)(corpus =>
+        verifiedPairs(idxCand, "new_id", exactSurv, "indexed_id", corpus, tau))
       .select(col("new_id").as("doc_id")).distinct()
     val nearSurv = exactSurv.join(idxMatched, Seq("doc_id"), "left_anti")
     val nb = IncrementalDedup.bandRows(nearSurv)
       .select(col("bk"), col("doc_id"), col("sig"))
-    val batchPairs = nb.as("a").join(nb.as("b"),
+    val batchPairs0 = nb.as("a").join(nb.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .withColumn("agree",
         aggregate(zip_with(col("a.sig"), col("b.sig"),
@@ -238,6 +284,8 @@ object IncrementalCuration {
       .filter(col("agree") >= minAgree)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+    val batchPairs = verifyCorpus.fold(batchPairs0)(_ =>
+      verifiedPairs(batchPairs0, "a_id", nearSurv, "b_id", nearSurv, tau))
     val batchLosers = Llm.connectedComponents(batchPairs)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
@@ -263,9 +311,14 @@ object IncrementalCuration {
         Seq("doc_id"), "left_semi")
       .localCheckpoint() // lineage must not re-read the indexes post-append
     if (!admitted.isEmpty) {
-      appendToHashIndex(admitted, hashIndex)
+      // band rows FIRST — the crash-window direction the replay
+      // contract relies on (see the object scaladoc): a crash between
+      // the appends leaves band-present/hash-absent, which replays as
+      // fresh and converges; hash-first would leave a `readmitted`
+      // read with permanently missing bands.
       if (bandV2) IncrementalDedup.appendToIndexPartitioned(admitted, bandIndex)
       else IncrementalDedup.appendToIndex(admitted, bandIndex)
+      appendToHashIndex(admitted, hashIndex)
     }
     ledger
   }

@@ -56,7 +56,7 @@ class IncrementalCurationSpec extends SparkSpec {
       15L -> nearOf("b13"),                // near dup of 13 WITHIN the batch
       16L -> text("b16"))                  // fresh
     val led = ledgerMap(ops.IncrementalCuration.curateBatch(
-      spark, batch, hashIdx, bandIdx))
+      batch, hashIdx, bandIdx))
     assert(led === Map(
       10L -> "drop_quality",
       11L -> "drop_exact_index",
@@ -71,7 +71,7 @@ class IncrementalCurationSpec extends SparkSpec {
     // every drop stays a drop (batch-local drops become index drops —
     // their partners are IN the corpus now), nothing appends
     val led2 = ledgerMap(ops.IncrementalCuration.curateBatch(
-      spark, batch, hashIdx, bandIdx))
+      batch, hashIdx, bandIdx))
     assert(led2(13L) === "readmitted" && led2(16L) === "readmitted", led2.toString)
     assert(led2(10L) === "drop_quality")
     assert(led2(11L) === "drop_exact_index")
@@ -83,7 +83,7 @@ class IncrementalCurationSpec extends SparkSpec {
     // cross-batch: a near dup of batch-1's admission drops against the
     // index; genuinely new content admits
     val led3 = ledgerMap(ops.IncrementalCuration.curateBatch(
-      spark, docs(20L -> nearOf("b16"), 21L -> text("b21")),
+      docs(20L -> nearOf("b16"), 21L -> text("b21")),
       hashIdx, bandIdx))
     assert(led3 === Map(20L -> "drop_near_index", 21L -> "admitted"), led3.toString)
     assert(hashCount(hashIdx) === h0 + 3)
@@ -163,19 +163,19 @@ class IncrementalCurationSpec extends SparkSpec {
     ops.IncrementalDedup.buildIndex(seed, "ic2_band")
     val batch = docs(30L -> text("c30"))
     val led = ledgerMap(ops.IncrementalCuration.curateBatch(
-      spark, batch, "ic2_hash", "ic2_band"))
+      batch, "ic2_hash", "ic2_band"))
     assert(led === Map(30L -> "admitted"))
     // simulate the replayed half-write: the band append runs AGAIN for
     // the already-admitted doc (crash after hash append + band append,
     // replay re-appends bands)
     ops.IncrementalDedup.appendToIndex(batch, "ic2_band")
     val led2 = ledgerMap(ops.IncrementalCuration.curateBatch(
-      spark, batch, "ic2_hash", "ic2_band"))
+      batch, "ic2_hash", "ic2_band"))
     assert(led2 === Map(30L -> "readmitted"),
       "duplicate band rows must not change the admission read")
     // and a near dup still drops against the duplicated bands
     val led3 = ledgerMap(ops.IncrementalCuration.curateBatch(
-      spark, docs(31L -> nearOf("c30")), "ic2_hash", "ic2_band"))
+      docs(31L -> nearOf("c30")), "ic2_hash", "ic2_band"))
     assert(led3 === Map(31L -> "drop_near_index"))
 
     // compaction collapses append growth into a fresh version; every
@@ -184,8 +184,160 @@ class IncrementalCurationSpec extends SparkSpec {
     ops.IncrementalCuration.compactHashIndex(spark, "ic2_hash")
     assert(hashCount("ic2_hash") === before, "compaction must not lose rows")
     val led4 = ledgerMap(ops.IncrementalCuration.curateBatch(
-      spark, batch, "ic2_hash", "ic2_band"))
+      batch, "ic2_hash", "ic2_band"))
     assert(led4 === Map(30L -> "readmitted"),
       "admission reads identically through the compacted version")
+  }
+
+  test("crash window: band-appended/hash-missing replays as FRESH and converges (the append-order contract)") {
+    // round 17 (r16 ADVICE item 1): curateBatch appends band rows
+    // BEFORE hash rows, so the only possible half-write is
+    // band-present/hash-absent — which must replay as a fresh
+    // admission (self-matches filtered on indexed_id =!= new_id), not
+    // as the fatal `readmitted` no-op the old hash-first order
+    // produced (that doc's bands would have been permanently absent)
+    val seed = docs(1L -> text("d1"))
+    ops.IncrementalCuration.buildHashIndex(seed, "ic5_hash")
+    ops.IncrementalDedup.buildIndex(seed, "ic5_band")
+    val batch = docs(40L -> text("d40"))
+    // simulate the crash inside the admission window: bands landed,
+    // the hash append never ran
+    ops.IncrementalDedup.appendToIndex(batch, "ic5_band")
+    val before = hashCount("ic5_hash")
+    val led = ledgerMap(ops.IncrementalCuration.curateBatch(
+      batch, "ic5_hash", "ic5_band"))
+    assert(led === Map(40L -> "admitted"),
+      s"stranded bands must not read back as already-admitted: $led")
+    assert(hashCount("ic5_hash") === before + 1, "the replay completes the hash append")
+    // converged: re-presentation is now the no-op, and the doc's
+    // (duplicated) bands detect future near-dups
+    val led2 = ledgerMap(ops.IncrementalCuration.curateBatch(
+      batch, "ic5_hash", "ic5_band"))
+    assert(led2 === Map(40L -> "readmitted"))
+    val led3 = ledgerMap(ops.IncrementalCuration.curateBatch(
+      docs(41L -> nearOf("d40")), "ic5_hash", "ic5_band"))
+    assert(led3 === Map(41L -> "drop_near_index"))
+  }
+
+  /** In-Scala word-bigram Jaccard mirroring `word_shingles(text, 2)`:
+    * lowercase, whitespace split, distinct shingles.
+    */
+  private def bigramJ(a: String, b: String): Double = {
+    def g(t: String) = t.trim.toLowerCase.split("\\s+").sliding(2)
+      .filter(_.length == 2).map(_.mkString(" ")).toSet
+    val (sa, sb) = (g(a), g(b))
+    (sa & sb).size.toDouble / (sa | sb).size.toDouble
+  }
+
+  /** Collected (band keys, signature) per doc for planted-case
+    * searches over the engine-seeded hash.
+    */
+  private def bandView(rows: (Long, String)*)
+      : Map[Long, (Set[Long], Seq[Long])] = {
+    val br = ops.IncrementalDedup.bandRows(docs(rows: _*))
+      .select(col("doc_id").cast("long"), col("bk"), col("sig"))
+      .as[(Long, Long, Seq[Long])].collect()
+    br.groupBy(_._1).view.mapValues(rs =>
+      (rs.map(_._2).toSet, rs.head._3)).toMap
+  }
+
+  private def agreeOf(v: Map[Long, (Set[Long], Seq[Long])],
+      x: Long, y: Long): Double =
+    v(x)._2.zip(v(y)._2).count { case (p, q) => p == q }.toDouble / 16
+
+  private def collide(v: Map[Long, (Set[Long], Seq[Long])],
+      x: Long, y: Long): Boolean = v(x)._1.intersect(v(y)._1).nonEmpty
+
+  test("verifyCorpus knob: an estimator false positive drops unverified, admits verified") {
+    // round 17 (r16 verdict item 2). Planted geometry: 20-word docs
+    // whose last 7 content words are swapped — true bigram jaccard
+    // 12/26 ≈ 0.46 (below the τ = 0.5 drop gate) and 3-gram minhash
+    // jaccard ≈ 0.44, close enough to the 0.5 agreement gate that the
+    // 16-perm estimator's per-pair variance pushes some tags over it.
+    // The tag search is deterministic: the shingle hash is
+    // engine-seeded, so whichever tag first reads (band collision ∧
+    // agreement ≥ 0.5) does so on every run.
+    def fpA(k: Int) = (Seq("the", "of") ++ (1 to 18).map(i => s"fp${k}x$i"))
+      .mkString(" ")
+    def fpB(k: Int) = (Seq("the", "of") ++ (1 to 11).map(i => s"fp${k}x$i") ++
+      (12 to 18).map(i => s"fp${k}y$i")).mkString(" ")
+    val tags = 1 to 300
+    val v = bandView(tags.flatMap(k =>
+      Seq(k * 2L -> fpA(k), k * 2L + 1L -> fpB(k))): _*)
+    val hit = tags.find(k =>
+      collide(v, k * 2L, k * 2L + 1L) && agreeOf(v, k * 2L, k * 2L + 1L) >= 0.5)
+    assert(hit.isDefined, "no estimator false positive found in 300 tags")
+    val k = hit.get
+    assert(bigramJ(fpA(k), fpB(k)) < 0.5, "planted pair must be a TRUE negative")
+
+    ops.IncrementalCuration.buildHashIndex(docs(k * 2L -> fpA(k)), "ic6_hash")
+    ops.IncrementalDedup.buildIndex(docs(k * 2L -> fpA(k)), "ic6_band")
+    val unverified = ledgerMap(ops.IncrementalCuration.curateBatch(
+      docs(k * 2L + 1L -> fpB(k)), "ic6_hash", "ic6_band"))
+    assert(unverified === Map(k * 2L + 1L -> "drop_near_index"),
+      s"the estimator false positive must drop on the default path: $unverified")
+    // the drop appended nothing, so the same indexes serve the
+    // verified run: the exact τ = 0.5 bigram jaccard rescues the doc
+    val verified = ledgerMap(ops.IncrementalCuration.curateBatch(
+      docs(k * 2L + 1L -> fpB(k)), "ic6_hash", "ic6_band",
+      verifyCorpus = Some(docs(k * 2L -> fpA(k)).select(col("doc_id"), col("text")))))
+    assert(verified === Map(k * 2L + 1L -> "admitted"),
+      s"exact verification must admit the estimator's false positive: $verified")
+  }
+
+  test("single-link divergence: a near-dup chain through a dropped doc is the documented batch/incremental difference") {
+    // round 17 (r16 verdict item 3's planted half): A–B and B–C are
+    // true near pairs (bigram J = 46/72 ≈ 0.64) but A–C is not
+    // (34/84 ≈ 0.40). The one-shot composite's transitive closure
+    // keeps only A; the incremental path indexes ADMITTED docs only,
+    // so C — whose sole true partner B was dropped — admits. With
+    // verifyCorpus set, C's admission is deterministic even if A–C
+    // happens to band-collide (the exact jaccard kills the match).
+    def base(tag: Int) = (Seq("the", "of") ++ (1 to 58).map(i => s"ch${tag}x$i"))
+    def swap(ws: Seq[String], tag: Int, from: Int, to: Int, m: String) =
+      ws.zipWithIndex.map { case (w, i) =>
+        if (i >= from && i <= to) s"ch$tag$m$i" else w }
+    def chA(tag: Int) = base(tag).mkString(" ")
+    def chB(tag: Int) = swap(base(tag), tag, 40, 51, "b").mkString(" ")
+    def chC(tag: Int) = swap(swap(base(tag), tag, 40, 51, "b"), tag, 28, 39, "c")
+      .mkString(" ")
+    val tags = 1 to 300
+    val v = bandView(tags.flatMap(k =>
+      Seq(k * 4L -> chA(k), k * 4L + 1L -> chB(k), k * 4L + 2L -> chC(k))): _*)
+    val hit = tags.find { k =>
+      val (a, b, c) = (k * 4L, k * 4L + 1L, k * 4L + 2L)
+      collide(v, a, b) && agreeOf(v, a, b) >= 0.5 &&
+        collide(v, b, c) && agreeOf(v, b, c) >= 0.5
+    }
+    assert(hit.isDefined, "no chain with both true pairs estimator-visible in 300 tags")
+    val k = hit.get
+    val (idA, idB, idC) = (k * 4L, k * 4L + 1L, k * 4L + 2L)
+    assert(bigramJ(chA(k), chB(k)) >= 0.5 && bigramJ(chB(k), chC(k)) >= 0.5 &&
+      bigramJ(chA(k), chC(k)) < 0.5, "planted chain geometry")
+
+    // the composite form: exact pairs + transitive closure keep A only
+    val pairs = ops.Llm2.jaccardPairsOf(
+        docs(idA -> chA(k), idB -> chB(k), idC -> chC(k)))
+      .select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((idA, idB), (idB, idC)), s"exact pair set: $pairs")
+
+    // the incremental form, batches in ascending id order
+    val seed = docs(1L -> text("chseed"))
+    ops.IncrementalCuration.buildHashIndex(seed, "ic7_hash")
+    ops.IncrementalDedup.buildIndex(seed, "ic7_band")
+    var store = seed.select(col("doc_id"), col("text"))
+    def admitOne(id: Long, t: String): String = {
+      val led = ledgerMap(ops.IncrementalCuration.curateBatch(
+        docs(id -> t), "ic7_hash", "ic7_band", verifyCorpus = Some(store)))
+      if (led(id) == "admitted")
+        store = store.unionByName(docs(id -> t).select(col("doc_id"), col("text")))
+      led(id)
+    }
+    assert(admitOne(idA, chA(k)) === "admitted")
+    assert(admitOne(idB, chB(k)) === "drop_near_index", "the true pair A-B must drop B")
+    assert(admitOne(idC, chC(k)) === "admitted",
+      "C's only true partner was dropped, so its bands were never indexed — " +
+        "the incremental path admits C where the composite's closure drops it")
   }
 }

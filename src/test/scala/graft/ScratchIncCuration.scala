@@ -55,7 +55,7 @@ object ScratchIncCuration {
     println(s"batch size: ${batch.count()}")
 
     val led1 = timed("curateBatch (500-doc delta vs 50k-doc index)") {
-      ops.IncrementalCuration.curateBatch(spark, batch, "sc_hash", "sc_band")
+      ops.IncrementalCuration.curateBatch(batch, "sc_hash", "sc_band")
         .groupBy("status").count().as[(String, Long)].collect().toMap
     }
     println(s"ledger 1: $led1")
@@ -66,7 +66,7 @@ object ScratchIncCuration {
       "every copy drops at quality or the exact probe")
 
     val led2 = timed("curateBatch re-presentation (idempotent read)") {
-      ops.IncrementalCuration.curateBatch(spark, batch, "sc_hash", "sc_band")
+      ops.IncrementalCuration.curateBatch(batch, "sc_hash", "sc_band")
         .groupBy("status").count().as[(String, Long)].collect().toMap
     }
     println(s"ledger 2: $led2")
