@@ -49,6 +49,27 @@ object Curation {
     * (not a hash) keeps the check exact — no collision can flag a
     * clean document.
     */
+  /** The two-frame contamination relation (round 17 — the r16 ADVICE
+    * decontamination finding): (doc_id, n_shared_grams) for every
+    * `training` doc sharing ≥ 1 word-4-gram with `evalDocs`. Taking
+    * the eval side as its OWN frame is what lets
+    * [[CurationPipeline]]'s stage gate survivors' cleaned text
+    * against the FULL raw eval set — an eval doc dropped upstream
+    * (gopher-fail, or near-dup of a lower-id training doc: exactly
+    * the contamination case) must still contribute its grams.
+    */
+  private[graft] def contaminationBetween(
+      training: org.apache.spark.sql.DataFrame,
+      evalDocs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val grams = graft.functions.TextExpressions.wordShingles(col("text"), 4)
+    val evalGrams = evalDocs.select(explode(grams).as("gram")).distinct()
+    training.select(col("doc_id"), explode(grams).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+  }
+
   /** The contamination relation over an arbitrary documents frame —
     * (doc_id, n_shared_grams) for every NON-eval doc sharing ≥ 1
     * word-4-gram with the eval set (`doc_id % 20 = 0`). Shared by the
@@ -56,15 +77,10 @@ object Curation {
     * (round 16) so the gate's definition cannot drift between them.
     */
   private[graft] def contaminationOf(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val grams = graft.functions.TextExpressions.wordShingles(col("text"), 4)
-    val g = docs.select(col("doc_id"), explode(grams).as("gram"))
-    val evalGrams = g.filter(col("doc_id") % 20 === 0).select("gram").distinct()
-    g.filter(col("doc_id") % 20 =!= 0)
-      .join(broadcast(evalGrams), "gram")
-      .groupBy("doc_id")
-      .agg(countDistinct(col("gram")).as("n_shared_grams"))
-  }
+      : org.apache.spark.sql.DataFrame =
+    contaminationBetween(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
 
   val decontaminateNgram: Q = (s, dir) =>
     contaminationOf(table(s, dir, "documents")).orderBy("doc_id")

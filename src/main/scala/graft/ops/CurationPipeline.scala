@@ -17,8 +17,9 @@ import graft.io.Readers.table
   *   → n-gram near-dedup ([[Llm2.jaccardPairsOf]] τ = 0.5 +
   *     [[Llm.connectedComponents]] closure, min id per cluster)
   *   → substring-span removal ([[Curation2.removeSpans]])
-  *   → benchmark decontamination ([[Curation.contaminationOf]], eval
-  *     docs themselves excluded from the training corpus)
+  *   → benchmark decontamination ([[Curation.contaminationBetween]]:
+  *     survivors' cleaned text vs the FULL raw eval set, eval docs
+  *     themselves excluded from the training corpus)
   *   → temperature mixing ([[Llm.temperatureKeep]], α = 0.5)
   *   → deterministic split + train-split sequence packing
   *     ([[Llm2.packSequences]])
@@ -122,9 +123,16 @@ object CurationPipeline {
 
     // 5. decontamination — drop docs sharing a word-4-gram with the
     //    eval set, and the eval docs themselves (they are the
-    //    benchmark, not training data). The gate runs on the CLEANED
-    //    text — what would actually ship.
-    val contam = Curation.contaminationOf(cleaned.select(col("doc_id"), col("text")))
+    //    benchmark, not training data). The TRAINING side gates on
+    //    its CLEANED text — what would actually ship; the EVAL side
+    //    is the FULL raw eval set (round 17, the r16 ADVICE leak): an
+    //    eval doc dropped upstream — gopher-fail, or near-dup of a
+    //    lower-id training doc, exactly the contamination case —
+    //    must still contribute its grams, or training docs sharing
+    //    its content would slip through the gate.
+    val contam = Curation.contaminationBetween(
+        cleaned.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"), col("text")),
+        raw.filter(col("doc_id") % 20 === 0).select(col("text")))
       .select("doc_id")
     val decontam = cleaned
       .filter(col("doc_id") % 20 =!= 0)

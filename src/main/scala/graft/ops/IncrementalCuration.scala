@@ -54,12 +54,15 @@ import org.apache.spark.sql.functions._
   * batch composite's PRECISION passes `verifyCorpus` (round 17 — the
   * r16 verdict's item 2): every estimator match then joins back to
   * the admitted document store and must survive the exact word-bigram
-  * Jaccard at `tau` ([[Llm2.jaccardPairsOf]]'s verify semantics)
-  * before it may drop a doc — still O(candidates), never a
+  * Jaccard at `tau` within its language block
+  * ([[Llm2.jaccardPairsOf]]'s verify semantics, lang re-check
+  * included) before it may drop a doc — still O(candidates), never a
   * corpus-sized pass, because only the probe's few matches join. An
   * estimator false positive (band agreement ≥ `minAgree`, true
-  * jaccard < `tau`) is silent data loss on the default path and
-  * admitted on the verified path (planted-case spec'd).
+  * jaccard < `tau` — or a cross-lang text collision, which the
+  * lang-free band index cannot see) is silent data loss on the
+  * default path and admitted on the verified path (planted-case and
+  * reconciliation spec'd).
   */
 object IncrementalCuration {
 
@@ -180,27 +183,30 @@ object IncrementalCuration {
         .withColumn("batch", col("batch").cast("long"))
   }
 
-  /** Exact word-bigram Jaccard verdict over candidate pairs — the
-    * batch composite's precision ([[Llm2.jaccardPairsOf]]'s verify
-    * tail: same `word_shingles(text, 2)` sets, same `jaccard >= tau`
-    * gate) applied to the probe's FEW candidates: O(candidates)
-    * joins, never a corpus-sized pass. Left joins on the text
-    * sources so a candidate whose doc is MISSING from the supplied
-    * store falls back to the estimator's verdict (the match stands —
-    * verification can only ever rescue, with evidence in hand).
+  /** Exact verdict over candidate pairs — the batch composite's
+    * precision ([[Llm2.jaccardPairsOf]]'s verify tail: same
+    * `word_shingles(text, 2)` sets, same `jaccard >= tau` gate, same
+    * LANG BLOCKING — near-dedup is defined within a language, so a
+    * cross-lang estimator collision must not drop a doc) applied to
+    * the probe's FEW candidates: O(candidates) joins, never a
+    * corpus-sized pass. Left joins on the text sources so a candidate
+    * whose doc is MISSING from the supplied store falls back to the
+    * estimator's verdict (the match stands — verification can only
+    * ever rescue, with evidence in hand).
     */
   private def verifiedPairs(cand: DataFrame, aId: String, aDocs: DataFrame,
       bId: String, bDocs: DataFrame, tau: Double): DataFrame = {
-    def grams(d: DataFrame, id: String, out: String) = d.select(
-      col("doc_id").as(id),
-      graft.functions.TextExpressions.wordShingles(col("text"), 2).as(out))
+    def side(d: DataFrame, id: String, pre: String) = d.select(
+      col("doc_id").as(id), col("lang").as(s"${pre}_lang"),
+      graft.functions.TextExpressions.wordShingles(col("text"), 2).as(s"${pre}_g"))
     cand.select(col(aId), col(bId))
-      .join(grams(aDocs, aId, "a_g"), Seq(aId), "left")
-      .join(grams(bDocs, bId, "b_g"), Seq(bId), "left")
+      .join(side(aDocs, aId, "a"), Seq(aId), "left")
+      .join(side(bDocs, bId, "b"), Seq(bId), "left")
       .withColumn("shared", size(array_intersect(col("a_g"), col("b_g"))))
       .filter(col("a_g").isNull || col("b_g").isNull ||
-        col("shared").cast("double") >= lit(tau) *
-          (size(col("a_g")) + size(col("b_g")) - col("shared")).cast("double"))
+        (col("a_lang") === col("b_lang") &&
+          col("shared").cast("double") >= lit(tau) *
+            (size(col("a_g")) + size(col("b_g")) - col("shared")).cast("double")))
       .select(col(aId), col(bId))
   }
 
@@ -212,11 +218,12 @@ object IncrementalCuration {
     * index appends run. Statuses are a pure function of (index state,
     * batch): deterministic, and stable under re-presentation.
     *
-    * `verifyCorpus` (round 17): when supplied — a (doc_id, text)
-    * frame covering the admitted document store — every near-stage
-    * estimator match is exact-verified at `tau` before it may drop a
-    * doc (scaladoc above; both the index probe and the within-batch
-    * pairs verify, so the two near tiers keep one semantics).
+    * `verifyCorpus` (round 17): when supplied — a (doc_id, lang,
+    * text) frame covering the admitted document store — every
+    * near-stage estimator match is exact-verified at `tau` within its
+    * language block before it may drop a doc (scaladoc above; both
+    * the index probe and the within-batch pairs verify, so the two
+    * near tiers keep one semantics).
     */
   def curateBatch(delta: DataFrame,
       hashIndex: String, bandIndex: String,

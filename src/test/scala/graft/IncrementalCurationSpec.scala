@@ -280,7 +280,7 @@ class IncrementalCurationSpec extends SparkSpec {
     // verified run: the exact τ = 0.5 bigram jaccard rescues the doc
     val verified = ledgerMap(ops.IncrementalCuration.curateBatch(
       docs(k * 2L + 1L -> fpB(k)), "ic6_hash", "ic6_band",
-      verifyCorpus = Some(docs(k * 2L -> fpA(k)).select(col("doc_id"), col("text")))))
+      verifyCorpus = Some(docs(k * 2L -> fpA(k)))))
     assert(verified === Map(k * 2L + 1L -> "admitted"),
       s"exact verification must admit the estimator's false positive: $verified")
   }
@@ -326,12 +326,12 @@ class IncrementalCurationSpec extends SparkSpec {
     val seed = docs(1L -> text("chseed"))
     ops.IncrementalCuration.buildHashIndex(seed, "ic7_hash")
     ops.IncrementalDedup.buildIndex(seed, "ic7_band")
-    var store = seed.select(col("doc_id"), col("text"))
+    var store = seed
     def admitOne(id: Long, t: String): String = {
       val led = ledgerMap(ops.IncrementalCuration.curateBatch(
         docs(id -> t), "ic7_hash", "ic7_band", verifyCorpus = Some(store)))
       if (led(id) == "admitted")
-        store = store.unionByName(docs(id -> t).select(col("doc_id"), col("text")))
+        store = store.unionByName(docs(id -> t))
       led(id)
     }
     assert(admitOne(idA, chA(k)) === "admitted")

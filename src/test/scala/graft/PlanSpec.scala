@@ -562,12 +562,17 @@ class PlanSpec extends SparkSpec {
     // window's input can also be the checkpointed spine (RDDScan) —
     // aggregated-by-construction BEFORE the checkpoint (the rollup
     // lives in the builder plan; SpineRankSpec pins branch equality
-    // and the spine precondition)
+    // and the spine precondition). Round 17 (r16 ADVICE): the escape
+    // hatch accepts ONLY SpineRank's own materializations — an
+    // RDDScan carrying the `_w<i>` weight columns cumSums appends
+    // before checkpointing (or the bucketed branch's `_bw<i>` partial
+    // rollup) — so an UNAGGREGATED checkpoint upstream of a window
+    // still fails the invariant instead of silently passing.
     def hasAgg(p: SparkPlan): Boolean = p.collectFirst {
       case _: HashAggregateExec => true
       case _: ObjectHashAggregateExec => true
       case _: SortAggregateExec => true
-      case _: RDDScanExec => true
+      case r: RDDScanExec if r.output.exists(_.name.matches("_b?w\\d+")) => true
     }.isDefined
     def offenders(p: SparkPlan): Seq[String] = p.collect {
       case a: AdaptiveSparkPlanExec => offenders(a.inputPlan)
