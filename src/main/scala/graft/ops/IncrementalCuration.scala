@@ -142,12 +142,19 @@ object IncrementalCuration {
     * consumer that must see the ORIGINAL status reads the admitted
     * states as the union {admitted, readmitted}, exactly what the
     * idempotence contract means).
+    *
+    * `verifyCorpus` (round 17) is a THUNK, re-evaluated per
+    * micro-batch: a verified streaming policy maintains a document
+    * store that grows as batches admit (e.g. the parquet table it
+    * appends admitted docs to), and a frame captured once at stream
+    * start would verify batch N against the store as of batch 0.
     */
   def curateStream(spark: SparkSession, watchDir: String,
       schema: org.apache.spark.sql.types.StructType,
       hashIndex: String, bandIndex: String,
       ledgerPath: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1)
+      maxFilesPerTrigger: Int = 1,
+      verifyCorpus: Option[() => DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val stream = spark.readStream
       .schema(schema)
@@ -157,7 +164,8 @@ object IncrementalCuration {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        curateBatch(batch.toDF(), hashIndex, bandIndex)
+        curateBatch(batch.toDF(), hashIndex, bandIndex,
+            verifyCorpus = verifyCorpus.map(_()))
           .write.mode("overwrite").parquet(s"$ledgerPath/batch=$batchId")
         ()
       }
@@ -188,18 +196,29 @@ object IncrementalCuration {
     * `word_shingles(text, 2)` sets, same `jaccard >= tau` gate, same
     * LANG BLOCKING — near-dedup is defined within a language, so a
     * cross-lang estimator collision must not drop a doc) applied to
-    * the probe's FEW candidates: O(candidates) joins, never a
-    * corpus-sized pass. Left joins on the text sources so a candidate
-    * whose doc is MISSING from the supplied store falls back to the
-    * estimator's verdict (the match stands — verification can only
-    * ever rescue, with evidence in hand).
+    * the probe's FEW candidates. Left joins on the text sources so a
+    * candidate whose doc is MISSING from the supplied store falls
+    * back to the estimator's verdict (the match stands — verification
+    * can only ever rescue, with evidence in hand).
+    *
+    * Scale shape: the candidate pairs are localCheckpoint'd (tiny by
+    * the banding design) and each text side is first REDUCED to the
+    * candidate ids by a broadcast semi join — the corpus store is
+    * scanned map-only (partition-/file-prunable when the caller's
+    * store is keyed on doc_id) and NOTHING corpus-sized shuffles or
+    * computes shingles; the shingle work and the verify join are
+    * O(candidates). Plan-audited in IncrementalCurationSpec.
     */
-  private def verifiedPairs(cand: DataFrame, aId: String, aDocs: DataFrame,
-      bId: String, bDocs: DataFrame, tau: Double): DataFrame = {
-    def side(d: DataFrame, id: String, pre: String) = d.select(
-      col("doc_id").as(id), col("lang").as(s"${pre}_lang"),
-      graft.functions.TextExpressions.wordShingles(col("text"), 2).as(s"${pre}_g"))
-    cand.select(col(aId), col(bId))
+  private[graft] def verifiedPairs(cand0: DataFrame, aId: String,
+      aDocs: DataFrame, bId: String, bDocs: DataFrame,
+      tau: Double): DataFrame = {
+    val cand = cand0.select(col(aId), col(bId)).localCheckpoint()
+    def side(d: DataFrame, id: String, pre: String) = d
+      .join(broadcast(cand.select(col(id).as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as(id), col("lang").as(s"${pre}_lang"),
+        graft.functions.TextExpressions.wordShingles(col("text"), 2).as(s"${pre}_g"))
+    cand
       .join(side(aDocs, aId, "a"), Seq(aId), "left")
       .join(side(bDocs, bId, "b"), Seq(bId), "left")
       .withColumn("shared", size(array_intersect(col("a_g"), col("b_g"))))

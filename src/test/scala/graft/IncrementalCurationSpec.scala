@@ -285,6 +285,45 @@ class IncrementalCurationSpec extends SparkSpec {
       s"exact verification must admit the estimator's false positive: $verified")
   }
 
+  test("exact verify reduces the store to candidate ids before shingle work: broadcast semi joins, zero shuffles") {
+    // the O(candidates) claim as a machine check: with a 500-doc
+    // store and two candidate pairs, the executed plan must reduce
+    // BOTH text sides via broadcast LeftSemi joins on the
+    // (checkpointed, tiny) candidate ids — no hash-partition exchange
+    // anywhere, no sort-merge join, and in particular the store never
+    // shuffles and never computes shingles outside the reduction
+    val store = docs((1L to 500L).map(i => i -> text(s"vs$i")): _*)
+    val probe = docs(900L -> nearOf("vs7"), 901L -> text("vsFresh"))
+    // candidate pairs: a true near-dup (900, 7) and an estimator
+    // false positive stand-in (901, 8) — disjoint vocab
+    val cand = Seq((900L, 7L), (901L, 8L)).toDF("new_id", "indexed_id")
+    val out = ops.IncrementalCuration.verifiedPairs(
+      cand, "new_id", probe, "indexed_id", store, 0.5)
+    val surviving = out.select(col("new_id").cast("long"),
+        col("indexed_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(surviving === Set((900L, 7L)),
+      s"only the true pair may survive the exact verify: $surviving")
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("LeftSemi".r.findAllIn(plan).length >= 2,
+      s"both text sides must semi-reduce to candidate ids:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    // the only permitted exchanges are the candidate-id distincts'
+    // own (candidates-sized) dedup before they broadcast — the store
+    // itself must never hash-repartition
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2,
+      s"only the tiny candidate-id dedups may exchange:\n$plan")
+    // and every shingle projection sits ABOVE its semi reduction —
+    // shingles compute on candidate rows only, never on the store
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("word_shingles")).foreach {
+      case (_, i) =>
+        assert(i + 1 < lines.length && lines(i + 1).contains("LeftSemi"),
+          s"shingles must project directly over the semi reduction:\n$plan")
+    }
+  }
+
   test("single-link divergence: a near-dup chain through a dropped doc is the documented batch/incremental difference") {
     // round 17 (r16 verdict item 3's planted half): A–B and B–C are
     // true near pairs (bigram J = 46/72 ≈ 0.64) but A–C is not
