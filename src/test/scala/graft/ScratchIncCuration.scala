@@ -71,6 +71,45 @@ object ScratchIncCuration {
     }
     println(s"ledger 2: $led2")
     require(led2.getOrElse("readmitted", 0L) == 250L, "re-presentation is a no-op")
+
+    // round 17: the VERIFIED path at index scale — a second delta
+    // (fresh tags + a different copy slice) admitted with the full
+    // corpus as the verify store. The claim under test: verification
+    // adds ~one map-only semi-reduced store pass, not a corpus-sized
+    // shuffle — admission stays O(batch).
+    val copies2 = corpus.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+      .select((col("doc_id") + 9200000L).as("doc_id"), col("lang"), col("text"))
+    val fresh2 = (0 until 250).map { i =>
+      (9300000L + i, "en",
+        (Seq("the", "of") ++ (1 to 18).map(j => s"vf${i}w$j")).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val batch2 = copies2.unionByName(fresh2).localCheckpoint()
+    val led3 = timed("curateBatch VERIFIED (500-doc delta, 50k-doc verify store)") {
+      ops.IncrementalCuration.curateBatch(batch2, "sc_hash", "sc_band",
+          verifyCorpus = Some(corpus))
+        .groupBy("status").count().as[(String, Long)].collect().toMap
+    }
+    println(s"ledger 3: $led3")
+    require(led3.getOrElse("admitted", 0L) == 250L, "all fresh docs admit verified")
+    require(led3.getOrElse("drop_exact_index", 0L) +
+      led3.getOrElse("drop_quality", 0L) == 250L,
+      "every copy drops at quality or the exact probe")
+
+    // warm UNVERIFIED control on a third equally-shaped delta — the
+    // number led3 compares against (led1 pays first-run JIT)
+    val copies3 = corpus.filter(col("doc_id") >= 500 && col("doc_id") < 750)
+      .select((col("doc_id") + 9400000L).as("doc_id"), col("lang"), col("text"))
+    val fresh3 = (0 until 250).map { i =>
+      (9500000L + i, "en",
+        (Seq("the", "of") ++ (1 to 18).map(j => s"uf${i}w$j")).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val batch3 = copies3.unionByName(fresh3).localCheckpoint()
+    val led4 = timed("curateBatch unverified warm control (500-doc delta)") {
+      ops.IncrementalCuration.curateBatch(batch3, "sc_hash", "sc_band")
+        .groupBy("status").count().as[(String, Long)].collect().toMap
+    }
+    println(s"ledger 4: $led4")
+    require(led4.getOrElse("admitted", 0L) == 250L, "all fresh docs admit")
     spark.stop()
   }
 }
