@@ -248,26 +248,35 @@ class IncrementalCurationSpec extends SparkSpec {
   private def collide(v: Map[Long, (Set[Long], Seq[Long])],
       x: Long, y: Long): Boolean = v(x)._1.intersect(v(y)._1).nonEmpty
 
-  test("verifyCorpus knob: an estimator false positive drops unverified, admits verified") {
-    // round 17 (r16 verdict item 2). Planted geometry: 20-word docs
-    // whose last 7 content words are swapped — true bigram jaccard
-    // 12/26 ≈ 0.46 (below the τ = 0.5 drop gate) and 3-gram minhash
-    // jaccard ≈ 0.44, close enough to the 0.5 agreement gate that the
-    // 16-perm estimator's per-pair variance pushes some tags over it.
-    // The tag search is deterministic: the shingle hash is
-    // engine-seeded, so whichever tag first reads (band collision ∧
-    // agreement ≥ 0.5) does so on every run.
-    def fpA(k: Int) = (Seq("the", "of") ++ (1 to 18).map(i => s"fp${k}x$i"))
-      .mkString(" ")
-    def fpB(k: Int) = (Seq("the", "of") ++ (1 to 11).map(i => s"fp${k}x$i") ++
-      (12 to 18).map(i => s"fp${k}y$i")).mkString(" ")
+  /** Planted estimator-false-positive geometry: 20-word docs whose
+    * last 7 content words are swapped — true bigram jaccard 12/26
+    * ≈ 0.46 (below the τ = 0.5 drop gate) and 3-gram minhash jaccard
+    * ≈ 0.44, close enough to the 0.5 agreement gate that the 16-perm
+    * estimator's per-pair variance pushes some tags over it.
+    */
+  private def fpA(k: Int) = (Seq("the", "of") ++ (1 to 18).map(i => s"fp${k}x$i"))
+    .mkString(" ")
+  private def fpB(k: Int) = (Seq("the", "of") ++ (1 to 11).map(i => s"fp${k}x$i") ++
+    (12 to 18).map(i => s"fp${k}y$i")).mkString(" ")
+
+  /** First tag whose (fpA, fpB) pair the estimator actually flags —
+    * deterministic: the shingle hash is engine-seeded, so whichever
+    * tag first reads (band collision ∧ agreement ≥ 0.5) does so on
+    * every run.
+    */
+  private lazy val fpTag: Int = {
     val tags = 1 to 300
     val v = bandView(tags.flatMap(k =>
       Seq(k * 2L -> fpA(k), k * 2L + 1L -> fpB(k))): _*)
     val hit = tags.find(k =>
       collide(v, k * 2L, k * 2L + 1L) && agreeOf(v, k * 2L, k * 2L + 1L) >= 0.5)
     assert(hit.isDefined, "no estimator false positive found in 300 tags")
-    val k = hit.get
+    hit.get
+  }
+
+  test("verifyCorpus knob: an estimator false positive drops unverified, admits verified") {
+    // round 17 (r16 verdict item 2); geometry and tag search above
+    val k = fpTag
     assert(bigramJ(fpA(k), fpB(k)) < 0.5, "planted pair must be a TRUE negative")
 
     ops.IncrementalCuration.buildHashIndex(docs(k * 2L -> fpA(k)), "ic6_hash")
@@ -378,5 +387,63 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(admitOne(idC, chC(k)) === "admitted",
       "C's only true partner was dropped, so its bands were never indexed — " +
         "the incremental path admits C where the composite's closure drops it")
+  }
+
+  test("verified streaming: the store thunk is re-read per micro-batch; FPs rescued, true positives still drop") {
+    // round 17: curateStream's verifyCorpus is a THUNK because the
+    // policy's document store GROWS as batches admit — this drives a
+    // real stream where batch 1's verification depends on a store row
+    // appended after batch 0 ran
+    val k = fpTag
+    val dir = java.nio.file.Files.createTempDirectory("inccurv").toString
+    val watch = s"$dir/incoming"; val ledger = s"$dir/ledger"
+    val ckpt = s"$dir/ckpt"; val storeDir = s"$dir/store"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+    val schema = org.apache.spark.sql.types.StructType(Seq())
+      .add("doc_id", "long").add("lang", "string").add("text", "string")
+    def drop(name: String, rows: (Long, String)*): Unit = {
+      val stage = java.nio.file.Paths.get(watch, s".stage-$name")
+      java.nio.file.Files.write(stage,
+        ("doc_id,lang,text" +: rows.map { case (id, t) => s"$id,en,$t" })
+          .mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(stage, java.nio.file.Paths.get(watch, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def appendStore(rows: (Long, String)*): Unit =
+      docs(rows: _*).write.mode("append").parquet(storeDir)
+
+    val seedRows = Seq(1L -> fpA(k), 2L -> text("sv2"))
+    val seed = docs(seedRows: _*)
+    ops.IncrementalCuration.buildHashIndex(seed, "ic8_hash")
+    ops.IncrementalDedup.buildIndex(seed, "ic8_band")
+    appendStore(seedRows: _*)
+
+    // batch 0: the planted FP (vs seed 1) must be rescued by the
+    // verified stream; a fresh doc admits alongside it
+    drop("f1.csv", 100L -> fpB(k), 101L -> text("sv101"))
+    val q = ops.IncrementalCuration.curateStream(spark, watch, schema,
+      "ic8_hash", "ic8_band", ledger, ckpt,
+      verifyCorpus = Some(() => spark.read.parquet(storeDir)))
+    try {
+      q.processAllAvailable()
+      val l0 = ops.IncrementalCuration.readLedger(spark, ledger)
+        .filter(col("batch") === 0)
+        .select(col("doc_id").cast("long"), col("status"))
+        .as[(Long, String)].collect().toMap
+      assert(l0 === Map(100L -> "admitted", 101L -> "admitted"),
+        s"the verified stream must rescue the estimator false positive: $l0")
+      // the policy appends its admissions; batch 1's verification
+      // reads THIS state of the store — a true near-dup of the
+      // batch-0 admission must still drop (the verify confirms it
+      // against text that did not exist at stream start)
+      appendStore(100L -> fpB(k), 101L -> text("sv101"))
+      drop("f2.csv", 110L -> nearOf("sv101"), 111L -> text("sv111"))
+      q.processAllAvailable()
+      val l1 = ops.IncrementalCuration.readLedger(spark, ledger)
+        .filter(col("batch") === 1)
+        .select(col("doc_id").cast("long"), col("status"))
+        .as[(Long, String)].collect().toMap
+      assert(l1 === Map(110L -> "drop_near_index", 111L -> "admitted"), l1.toString)
+    } finally q.stop()
   }
 }
