@@ -126,6 +126,98 @@ object IncrementalCuration {
     graft.io.TableManifest.compactBucketed(
       spark, tableName, HashSchemaVersion, beforeCommit, afterCommit)
 
+  // ------------------------------------------- hash-index layout v2
+
+  /** Layout v2 — the PARTITIONED hash index (round 17, completing
+    * the [[IncrementalDedup.PartitionedSchemaVersion]] symmetry): the
+    * v1 bucketed layout gives a zero-shuffle probe join but READS the
+    * whole index per delta — O(corpus) I/O, and uniform sha2 keys
+    * defeat row-group pruning for exactly the reason the band index's
+    * IN-pushdown experiment failed (uniform keys collapse parquet's
+    * IN filter to a full-range min/max). v2 partitions on the hash's
+    * first hex byte (`hp`: 256 directories, uniform under sha2), so a
+    * batch's hashes touch a bounded partition set the probe prunes
+    * EXACTLY via partition filters; the pruned slice then shuffles
+    * for the join — O(touched) I/O traded for v1's zero-shuffle, the
+    * right trade as soon as the index dwarfs a batch. Same row
+    * semantics, same manifest discipline; [[curateBatch]] dispatches
+    * probe AND append on the committed pointer's schema version, so
+    * admission is layout-independent (ledger spec'd identical across
+    * layout combinations).
+    */
+  val HashPartitionedSchemaVersion = 2
+
+  private def withHp(rows: DataFrame): DataFrame =
+    rows.withColumn("hp", substring(col("text_hash"), 1, 2))
+
+  /** Current physical table of a logical v2 hash-index name. */
+  def resolveHashTablePartitioned(spark: SparkSession, tableName: String): String =
+    graft.io.TableManifest.resolve(spark, tableName, HashPartitionedSchemaVersion)
+
+  /** Create the v2 (partitioned) hash index as a fresh manifest
+    * version.
+    */
+  def buildHashIndexPartitioned(docs: DataFrame, tableName: String): Unit = {
+    val spark = docs.sparkSession
+    val v = graft.io.TableManifest.nextVersion(spark, tableName)
+    val t = graft.io.TableManifest.physicalName(tableName, v)
+    spark.sql(s"DROP TABLE IF EXISTS $t") // unreferenced leftover staging only
+    val rows = docs.filter(trim(col("text")) =!= "")
+      .select(hashOf(col("text")).as("text_hash"), col("doc_id"))
+      .groupBy(col("text_hash")).agg(min(col("doc_id")).as("keep_id"))
+    withHp(rows)
+      .repartition(col("hp"))
+      .write.mode("overwrite").format("parquet").partitionBy("hp")
+      .saveAsTable(t)
+    graft.io.TableManifest.commit(spark, tableName, v, HashPartitionedSchemaVersion)
+    graft.io.TableManifest.vacuum(spark, tableName)
+  }
+
+  /** Append admitted docs' hash rows to the current v2 version —
+    * parquet append adds files under the touched `hp=` directories
+    * only.
+    */
+  def appendToHashIndexPartitioned(admitted: DataFrame, tableName: String): Unit = {
+    val spark = admitted.sparkSession
+    val t = resolveHashTablePartitioned(spark, tableName)
+    withHp(admitted
+        .select(hashOf(col("text")).as("text_hash"), col("doc_id").as("keep_id")))
+      .write.mode("append").format("parquet").partitionBy("hp")
+      .saveAsTable(t)
+  }
+
+  /** Collapse v2 append growth into a fresh manifest version. */
+  def compactHashIndexPartitioned(spark: SparkSession, tableName: String,
+      beforeCommit: () => Unit = () => (),
+      afterCommit: () => Unit = () => ()): Unit =
+    graft.io.TableManifest.compactPartitioned(
+      spark, tableName, "hp", HashPartitionedSchemaVersion, Nil,
+      beforeCommit, afterCommit)
+
+  /** Left-probe a hashed delta against the index in whichever layout
+    * the committed pointer names: v1 joins the bucketed table as the
+    * files lie (zero shuffle, whole-index read); v2 collects the
+    * delta's `hp` byte set (≤ 256 values, driver-bounded) and prunes
+    * the index scan to the touched directories before the join.
+    * `withHash` must be materialized when `v2` (the partition probe
+    * and the join both read it).
+    */
+  private[graft] def hashProbe(withHash: DataFrame, hashIndex: String,
+      v2: Boolean): DataFrame = {
+    val sess = withHash.sparkSession
+    val idx =
+      if (v2) {
+        val hps = withHash.select(substring(col("text_hash"), 1, 2).as("hp"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        sess.table(resolveHashTablePartitioned(sess, hashIndex))
+          .filter(col("hp").isin(hps: _*))
+          .select(col("text_hash"), col("keep_id"))
+      } else
+        sess.table(resolveHashTable(sess, hashIndex))
+          .select(col("text_hash"), col("keep_id"))
+    withHash.join(idx, Seq("text_hash"), "left")
+  }
+
   /** The CONTINUOUS front-end (round 16): a real file-source stream
     * watches `watchDir` for CSV document drops (declared `schema`,
     * header row, one doc per line) and every micro-batch runs
@@ -268,7 +360,15 @@ object IncrementalCuration {
       .map(_.schemaVersion == IncrementalDedup.PartitionedSchemaVersion)
       .getOrElse(throw new IllegalStateException(
         s"no committed index at '$bandIndex' — build it first"))
-    sess.catalog.refreshTable(resolveHashTable(sess, hashIndex))
+    // the hash index likewise serves in either layout (round 17):
+    // v1 bucketed or v2 hp-partitioned, pointer-dispatched
+    val hashV2 = graft.io.TableManifest.readPointer(sess, hashIndex)
+      .map(_.schemaVersion == HashPartitionedSchemaVersion)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed index at '$hashIndex' — build it first"))
+    sess.catalog.refreshTable(
+      if (hashV2) resolveHashTablePartitioned(sess, hashIndex)
+      else resolveHashTable(sess, hashIndex))
     sess.catalog.refreshTable(
       if (bandV2) IncrementalDedup.resolvePartitionedTable(sess, bandIndex)
       else IncrementalDedup.resolveTable(sess, bandIndex))
@@ -278,11 +378,13 @@ object IncrementalCuration {
       Curation2.gopherScored(d0).select(col("doc_id"), col("pass")), "doc_id")
     val q = withQ.filter(col("pass")).drop("pass")
 
-    // exact probe: bucketed index side joins without shuffle; only
-    // the (small) delta side exchanges into the index's buckets
-    val probed = q.withColumn("text_hash", hashOf(col("text")))
-      .join(sess.table(resolveHashTable(sess, hashIndex))
-        .select(col("text_hash"), col("keep_id")), Seq("text_hash"), "left")
+    // exact probe, layout-dispatched: v1 bucketed (index side joins
+    // without shuffle; only the small delta side exchanges into the
+    // index's buckets), v2 partitioned (directory-pruned O(touched)
+    // read — the delta is materialized once for the partition probe)
+    val withHash0 = q.withColumn("text_hash", hashOf(col("text")))
+    val withHash = if (hashV2) withHash0.localCheckpoint() else withHash0
+    val probed = hashProbe(withHash, hashIndex, hashV2)
     val fresh = probed.filter(col("keep_id").isNull)
     val keepB = fresh.groupBy(col("text_hash")).agg(min(col("doc_id")).as("kid"))
     val exactSurv = fresh.join(keepB, "text_hash")
@@ -344,7 +446,8 @@ object IncrementalCuration {
       // read with permanently missing bands.
       if (bandV2) IncrementalDedup.appendToIndexPartitioned(admitted, bandIndex)
       else IncrementalDedup.appendToIndex(admitted, bandIndex)
-      appendToHashIndex(admitted, hashIndex)
+      if (hashV2) appendToHashIndexPartitioned(admitted, hashIndex)
+      else appendToHashIndex(admitted, hashIndex)
     }
     ledger
   }

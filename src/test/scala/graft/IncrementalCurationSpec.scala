@@ -30,21 +30,27 @@ class IncrementalCurationSpec extends SparkSpec {
     df.select(col("doc_id").cast("long"), col("status"))
       .as[(Long, String)].collect().toMap
 
-  private def hashCount(name: String): Long =
-    spark.table(ops.IncrementalCuration.resolveHashTable(spark, name)).count()
+  private def hashCount(name: String, v2: Boolean = false): Long =
+    spark.table(
+      if (v2) ops.IncrementalCuration.resolveHashTablePartitioned(spark, name)
+      else ops.IncrementalCuration.resolveHashTable(spark, name)).count()
 
-  // the whole admission contract runs against BOTH band-index
-  // layouts: v1 bucketed (zero-shuffle probe) and v2 partitioned
-  // (directory-pruned probe) — curateBatch dispatches on the
-  // committed pointer's schema version and must behave identically
-  for (layout <- Seq(1, 2))
-  test(s"admission ledger (band layout v$layout): quality / exact / near drops, fresh admits; re-presentation idempotent; cross-batch near-dedup") {
-    val hashIdx = s"ic1v${layout}_hash"; val bandIdx = s"ic1v${layout}_band"
+  // the whole admission contract runs against the layout matrix:
+  // band v1 bucketed / v2 partitioned × hash v1 bucketed / v2
+  // partitioned (round 17 adds the hash side) — curateBatch
+  // dispatches each probe and append on its committed pointer's
+  // schema version and must behave identically, including MIXED
+  // layouts (a production pair migrates one index at a time)
+  for ((bl, hl) <- Seq((1, 1), (2, 2), (1, 2)))
+  test(s"admission ledger (band v$bl, hash v$hl): quality / exact / near drops, fresh admits; re-presentation idempotent; cross-batch near-dedup") {
+    val hashIdx = s"ic1b${bl}h${hl}_hash"; val bandIdx = s"ic1b${bl}h${hl}_band"
+    val hv2 = hl == 2
     val seed = docs(1L -> text("s1"), 2L -> text("s2"), 3L -> text("s3"))
-    ops.IncrementalCuration.buildHashIndex(seed, hashIdx)
-    if (layout == 1) ops.IncrementalDedup.buildIndex(seed, bandIdx)
+    if (hv2) ops.IncrementalCuration.buildHashIndexPartitioned(seed, hashIdx)
+    else ops.IncrementalCuration.buildHashIndex(seed, hashIdx)
+    if (bl == 1) ops.IncrementalDedup.buildIndex(seed, bandIdx)
     else ops.IncrementalDedup.buildIndexPartitioned(seed, bandIdx)
-    val h0 = hashCount(hashIdx)
+    val h0 = hashCount(hashIdx, hv2)
     assert(h0 === 3L)
 
     val batch = docs(
@@ -65,7 +71,7 @@ class IncrementalCurationSpec extends SparkSpec {
       14L -> "drop_exact_batch",
       15L -> "drop_near_batch",
       16L -> "admitted"), led.toString)
-    assert(hashCount(hashIdx) === h0 + 2, "exactly the admitted docs append")
+    assert(hashCount(hashIdx, hv2) === h0 + 2, "exactly the admitted docs append")
 
     // re-presentation: admitted docs read back as no-op successes,
     // every drop stays a drop (batch-local drops become index drops —
@@ -78,7 +84,7 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(led2(12L) === "drop_near_index")
     assert(led2(14L) === "drop_exact_index", "13 is in the corpus now")
     assert(led2(15L) === "drop_near_index", "13 is in the corpus now")
-    assert(hashCount(hashIdx) === h0 + 2, "re-presentation must append nothing")
+    assert(hashCount(hashIdx, hv2) === h0 + 2, "re-presentation must append nothing")
 
     // cross-batch: a near dup of batch-1's admission drops against the
     // index; genuinely new content admits
@@ -86,7 +92,7 @@ class IncrementalCurationSpec extends SparkSpec {
       docs(20L -> nearOf("b16"), 21L -> text("b21")),
       hashIdx, bandIdx))
     assert(led3 === Map(20L -> "drop_near_index", 21L -> "admitted"), led3.toString)
-    assert(hashCount(hashIdx) === h0 + 3)
+    assert(hashCount(hashIdx, hv2) === h0 + 3)
   }
 
   test("hash-index probe joins the index side without a shuffle (bucketed layout IS the join layout)") {
@@ -111,6 +117,57 @@ class IncrementalCurationSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       io.TableManifest.drop(spark, "ic3_hash")
+    }
+  }
+
+  test("hash layout v2: probe equals v1, prunes to the batch's hp directories, appends and compacts") {
+    // the IncrementalDedupSpec layout-v2 contract, hash-index side
+    // (round 17): identical probe results, exact directory pruning,
+    // append under touched partitions, compaction invisible to reads
+    val seed = docs((1L to 200L).map(i => i -> text(s"hv$i")): _*)
+    ops.IncrementalCuration.buildHashIndex(seed, "ic9v1_hash")
+    ops.IncrementalCuration.buildHashIndexPartitioned(seed, "ic9v2_hash")
+    try {
+      val delta = docs(900L -> text("hv7"), 901L -> text("hvNovel"))
+        .withColumn("text_hash",
+          sha2(lower(regexp_replace(trim(col("text")), "\\s+", " ")), 256))
+        .localCheckpoint()
+      def probeSet(name: String, v2: Boolean) =
+        ops.IncrementalCuration.hashProbe(delta, name, v2)
+          .select(col("doc_id").cast("long"), col("keep_id").cast("long"))
+          .as[(Long, Option[Long])].collect().toSet
+      val v1 = probeSet("ic9v1_hash", v2 = false)
+      val q2 = ops.IncrementalCuration.hashProbe(delta, "ic9v2_hash", v2 = true)
+      val v2r = q2.select(col("doc_id").cast("long"), col("keep_id").cast("long"))
+        .as[(Long, Option[Long])].collect().toSet
+      assert(v1 === v2r, "both layouts must report identical probe results")
+      assert(v1 === Set((900L, Some(7L)), (901L, None)))
+      // the probe prunes the index scan to the delta's hp directories
+      val plan = q2.queryExecution.executedPlan.toString
+      val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+      assert(pf.contains("hp"), s"probe must prune on hp:\n${plan.take(1500)}")
+      // append lands under the touched partitions; later probes see it
+      ops.IncrementalCuration.appendToHashIndexPartitioned(
+        docs(950L -> text("hvAppended")), "ic9v2_hash")
+      val probe2 = docs(960L -> text("hvAppended"))
+        .withColumn("text_hash",
+          sha2(lower(regexp_replace(trim(col("text")), "\\s+", " ")), 256))
+        .localCheckpoint()
+      val m2 = ops.IncrementalCuration.hashProbe(probe2, "ic9v2_hash", v2 = true)
+        .select(col("doc_id").cast("long"), col("keep_id").cast("long"))
+        .as[(Long, Option[Long])].collect().toSet
+      assert(m2 === Set((960L, Some(950L))), m2.toString)
+      // compaction publishes a fresh version with identical reads
+      val before = hashCount("ic9v2_hash", v2 = true)
+      ops.IncrementalCuration.compactHashIndexPartitioned(spark, "ic9v2_hash")
+      assert(hashCount("ic9v2_hash", v2 = true) === before)
+      val m3 = ops.IncrementalCuration.hashProbe(delta, "ic9v2_hash", v2 = true)
+        .select(col("doc_id").cast("long"), col("keep_id").cast("long"))
+        .as[(Long, Option[Long])].collect().toSet
+      assert(m3 === v1, "compaction must not change probe results")
+    } finally {
+      io.TableManifest.drop(spark, "ic9v1_hash")
+      io.TableManifest.drop(spark, "ic9v2_hash")
     }
   }
 
