@@ -110,6 +110,44 @@ object ScratchIncCuration {
     }
     println(s"ledger 4: $led4")
     require(led4.getOrElse("admitted", 0L) == 250L, "all fresh docs admit")
+
+    // round 17: the layout-v2 O(touched) claim on a SMALL delta — a
+    // 500-doc batch's hashes cover most of the 256 hp/bp directories
+    // (pruning saves little), but a 10-doc trickle touches ≤ 10 hash
+    // and ≤ 40 band directories; compare admission + re-presentation
+    // against the v1 whole-index-read pair at the same corpus scale.
+    timed("build hash index v2 (one-time, partitioned)") {
+      ops.IncrementalCuration.buildHashIndexPartitioned(corpus, "sc_hash2")
+    }
+    timed("build band index v2 (one-time, partitioned)") {
+      ops.IncrementalDedup.buildIndexPartitioned(corpus, "sc_band2")
+    }
+    def small(base: Long, tag: String) = (0 until 10).map { i =>
+      (base + i, "en",
+        (Seq("the", "of") ++ (1 to 18).map(j => s"$tag${i}w$j")).mkString(" "))
+    }.toDF("doc_id", "lang", "text").localCheckpoint()
+    val sm1 = small(9600000L, "sma")
+    val sm2 = small(9700000L, "smb")
+    val led5 = timed("curateBatch 10-doc delta, v1 layouts (whole-index reads)") {
+      ops.IncrementalCuration.curateBatch(sm1, "sc_hash", "sc_band")
+        .groupBy("status").count().as[(String, Long)].collect().toMap
+    }
+    require(led5.getOrElse("admitted", 0L) == 10L, s"v1 small delta: $led5")
+    val led6 = timed("curateBatch 10-doc delta, v2 layouts (directory-pruned)") {
+      ops.IncrementalCuration.curateBatch(sm2, "sc_hash2", "sc_band2")
+        .groupBy("status").count().as[(String, Long)].collect().toMap
+    }
+    require(led6.getOrElse("admitted", 0L) == 10L, s"v2 small delta: $led6")
+    val led7 = timed("re-presentation 10-doc delta, v1 (pure probe read)") {
+      ops.IncrementalCuration.curateBatch(sm1, "sc_hash", "sc_band")
+        .groupBy("status").count().as[(String, Long)].collect().toMap
+    }
+    require(led7.getOrElse("readmitted", 0L) == 10L, s"v1 re-present: $led7")
+    val led8 = timed("re-presentation 10-doc delta, v2 (pure probe read)") {
+      ops.IncrementalCuration.curateBatch(sm2, "sc_hash2", "sc_band2")
+        .groupBy("status").count().as[(String, Long)].collect().toMap
+    }
+    require(led8.getOrElse("readmitted", 0L) == 10L, s"v2 re-present: $led8")
     spark.stop()
   }
 }
