@@ -194,6 +194,28 @@ object IncrementalCuration {
       spark, tableName, "hp", HashPartitionedSchemaVersion, Nil,
       beforeCommit, afterCommit)
 
+  /** Migrate a v1 (bucketed) hash index to layout v2 IN PLACE, from
+    * the index rows alone — (text_hash, keep_id) carries everything
+    * v2 needs, so the corpus is never re-scanned. Publishes an
+    * hp-partitioned table as the next manifest version: probes racing
+    * the migration serve the v1 snapshot, the pointer flip is atomic,
+    * and from the next [[curateBatch]] the dispatch prunes
+    * directories with zero caller change. Fails fast (resolve's
+    * schema check) if the index is already v2.
+    */
+  def migrateHashIndexToPartitioned(spark: SparkSession, tableName: String): Unit = {
+    val cur = resolveHashTable(spark, tableName)
+    val v = graft.io.TableManifest.nextVersion(spark, tableName)
+    val t = graft.io.TableManifest.physicalName(tableName, v)
+    spark.sql(s"DROP TABLE IF EXISTS $t") // unreferenced leftover staging only
+    withHp(spark.table(cur))
+      .repartition(col("hp"))
+      .write.mode("overwrite").format("parquet").partitionBy("hp")
+      .saveAsTable(t)
+    graft.io.TableManifest.commit(spark, tableName, v, HashPartitionedSchemaVersion)
+    graft.io.TableManifest.vacuum(spark, tableName)
+  }
+
   /** Left-probe a hashed delta against the index in whichever layout
     * the committed pointer names: v1 joins the bucketed table as the
     * files lie (zero shuffle, whole-index read); v2 collects the

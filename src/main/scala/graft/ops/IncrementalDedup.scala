@@ -207,6 +207,28 @@ object IncrementalDedup {
       .saveAsTable(t)
   }
 
+  /** Migrate a v1 (bucketed) band index to layout v2 IN PLACE, from
+    * the index rows alone — (bk, doc_id, sig) carries everything v2
+    * needs, so the corpus is never re-scanned (no re-shingling, no
+    * re-hashing). Publishes a bp-partitioned table as the next
+    * manifest version: probes racing the migration serve the v1
+    * snapshot, the pointer flip is atomic, and pointer-dispatched
+    * callers ([[IncrementalCuration.curateBatch]]) start pruning with
+    * zero change. Fails fast if the index is already v2.
+    */
+  def migrateIndexToPartitioned(spark: SparkSession, tableName: String): Unit = {
+    val cur = resolveTable(spark, tableName)
+    val v = graft.io.TableManifest.nextVersion(spark, tableName)
+    val t = graft.io.TableManifest.physicalName(tableName, v)
+    spark.sql(s"DROP TABLE IF EXISTS $t") // unreferenced leftover staging only
+    withBp(spark.table(cur))
+      .repartition(col("bp"))
+      .write.mode("overwrite").format("parquet").partitionBy("bp")
+      .saveAsTable(t)
+    graft.io.TableManifest.commit(spark, tableName, v, PartitionedSchemaVersion)
+    graft.io.TableManifest.vacuum(spark, tableName)
+  }
+
   /** Collapse v2 append growth into a fresh manifest version. */
   def compactPartitionedIndex(spark: SparkSession, tableName: String,
       beforeCommit: () => Unit = () => (),

@@ -171,6 +171,39 @@ class IncrementalCurationSpec extends SparkSpec {
     }
   }
 
+  test("layout migration v1 -> v2: in place from index rows alone, admission reads identically across the flip") {
+    // round 17: a production pair migrates to the partitioned layouts
+    // WITHOUT re-scanning the corpus — the index rows carry everything
+    // v2 needs, and the manifest pointer flip re-routes curateBatch's
+    // dispatch with zero caller change
+    val seed = docs(1L -> text("m1"), 2L -> text("m2"))
+    ops.IncrementalCuration.buildHashIndex(seed, "icm_hash")
+    ops.IncrementalDedup.buildIndex(seed, "icm_band")
+    val batch = docs(50L -> text("m50"), 51L -> nearOf("m1"))
+    val led = ledgerMap(ops.IncrementalCuration.curateBatch(
+      batch, "icm_hash", "icm_band"))
+    assert(led === Map(50L -> "admitted", 51L -> "drop_near_index"), led.toString)
+
+    ops.IncrementalCuration.migrateHashIndexToPartitioned(spark, "icm_hash")
+    ops.IncrementalDedup.migrateIndexToPartitioned(spark, "icm_band")
+    // v1 resolvers now fail fast; v2 resolvers serve
+    intercept[Exception] {
+      ops.IncrementalCuration.resolveHashTable(spark, "icm_hash") }
+    assert(hashCount("icm_hash", v2 = true) === 3L,
+      "migration must carry every row, including post-build appends")
+
+    // identical admission semantics across the flip: re-presentation
+    // is a no-op, drops stay drops, and fresh content admits with the
+    // appends landing under the partitioned layout
+    val led2 = ledgerMap(ops.IncrementalCuration.curateBatch(
+      batch, "icm_hash", "icm_band"))
+    assert(led2 === Map(50L -> "readmitted", 51L -> "drop_near_index"), led2.toString)
+    val led3 = ledgerMap(ops.IncrementalCuration.curateBatch(
+      docs(60L -> nearOf("m50"), 61L -> text("m61")), "icm_hash", "icm_band"))
+    assert(led3 === Map(60L -> "drop_near_index", 61L -> "admitted"), led3.toString)
+    assert(hashCount("icm_hash", v2 = true) === 4L)
+  }
+
   test("streaming front-end: file drops curate continuously, ledger batch-keyed; early poll is empty") {
     val dir = java.nio.file.Files.createTempDirectory("inccur").toString
     val watch = s"$dir/incoming"; val ledger = s"$dir/ledger"; val ckpt = s"$dir/ckpt"
