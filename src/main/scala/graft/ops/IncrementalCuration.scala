@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * against two PERSISTED indexes in O(batch) work:
   *
   *   quality gate ([[Curation2.gopherScored]], row-local)
-  *   → exact-dedup probe of the bucketed (text_hash, keep_id) index
-  *     (index side joins as the files lie — no shuffle, the
-  *     [[IncrementalDedup]] layout discipline)
+  *   → exact-dedup probe of the (text_hash, keep_id) index — v1
+  *     bucketed (index side joins as the files lie, no shuffle) or
+  *     v2 hp-partitioned (directory-pruned O(touched) read, round
+  *     17), pointer-dispatched like the band index below
   *   → within-batch exact dedup (min doc_id per hash)
   *   → near-dedup probe of the MinHash band index
-  *     ([[IncrementalDedup.matchAgainstIndex]])
+  *     ([[IncrementalDedup.matchAgainstIndex]] /
+  *     [[IncrementalDedup.matchAgainstIndexPartitioned]])
   *   → within-batch near dedup (band self-join at batch size +
   *     connected-components closure, min id per cluster)
   *   → ADMISSION: append the survivors' hash rows and band rows to
