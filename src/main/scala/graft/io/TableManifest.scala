@@ -243,6 +243,11 @@ object TableManifest {
       beforeCommit: () => Unit = () => (),
       afterCommit: () => Unit = () => ()): Unit = {
     val cur = resolve(spark, name, expectSchema)
+    // appends from OTHER sessions (a streaming query's cloned session)
+    // invalidate only their own relation cache — refresh, or the
+    // compacted version silently misses stream-appended rows
+    // (compactBucketed is immune: it reads by path, not spark.table)
+    spark.catalog.refreshTable(cur)
     val next = nextVersion(spark, name)
     val nextT = physicalName(name, next)
     (nextT +: sidecarSuffixes.map(nextT + _))

@@ -207,6 +207,10 @@ object IncrementalCuration {
     */
   def migrateHashIndexToPartitioned(spark: SparkSession, tableName: String): Unit = {
     val cur = resolveHashTable(spark, tableName)
+    // appends from OTHER sessions (a streaming query's cloned session)
+    // invalidate only their own relation cache — refresh, or the
+    // migrated v2 silently misses stream-admitted rows
+    spark.catalog.refreshTable(cur)
     val v = graft.io.TableManifest.nextVersion(spark, tableName)
     val t = graft.io.TableManifest.physicalName(tableName, v)
     spark.sql(s"DROP TABLE IF EXISTS $t") // unreferenced leftover staging only
@@ -312,10 +316,18 @@ object IncrementalCuration {
     * `word_shingles(text, 2)` sets, same `jaccard >= tau` gate, same
     * LANG BLOCKING — near-dedup is defined within a language, so a
     * cross-lang estimator collision must not drop a doc) applied to
-    * the probe's FEW candidates. Left joins on the text sources so a
-    * candidate whose doc is MISSING from the supplied store falls
-    * back to the estimator's verdict (the match stands — verification
-    * can only ever rescue, with evidence in hand).
+    * the probe's FEW candidates. A candidate whose indexed doc is
+    * MISSING from the supplied store is DISCARDED, not trusted: under
+    * the verified contract the store covers the durably-admitted
+    * corpus, so a band row without a store row is a HALF-WRITTEN
+    * admission (the band-before-hash crash window — its doc was never
+    * recorded admitted) and must not drop anything. This is what
+    * makes the verified path's replay CONVERGE: a within-batch
+    * rescued pair whose bands landed before the crash would otherwise
+    * read back as mutual index matches with no store text and both
+    * docs would silently drop. The cost of a caller supplying a
+    * LAGGING store is over-keep — the same direction as the
+    * composite's own documented divergence — never data loss.
     *
     * Scale shape: the candidate pairs are localCheckpoint'd (tiny by
     * the banding design) and each text side is first REDUCED to the
@@ -338,10 +350,10 @@ object IncrementalCuration {
       .join(side(aDocs, aId, "a"), Seq(aId), "left")
       .join(side(bDocs, bId, "b"), Seq(bId), "left")
       .withColumn("shared", size(array_intersect(col("a_g"), col("b_g"))))
-      .filter(col("a_g").isNull || col("b_g").isNull ||
-        (col("a_lang") === col("b_lang") &&
-          col("shared").cast("double") >= lit(tau) *
-            (size(col("a_g")) + size(col("b_g")) - col("shared")).cast("double")))
+      .filter(col("a_g").isNotNull && col("b_g").isNotNull &&
+        col("a_lang") === col("b_lang") &&
+        col("shared").cast("double") >= lit(tau) *
+          (size(col("a_g")) + size(col("b_g")) - col("shared")).cast("double"))
       .select(col(aId), col(bId))
   }
 

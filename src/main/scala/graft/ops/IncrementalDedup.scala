@@ -218,6 +218,10 @@ object IncrementalDedup {
     */
   def migrateIndexToPartitioned(spark: SparkSession, tableName: String): Unit = {
     val cur = resolveTable(spark, tableName)
+    // appends from OTHER sessions (a streaming query's cloned session)
+    // invalidate only their own relation cache — refresh, or the
+    // migrated v2 silently misses stream-admitted rows
+    spark.catalog.refreshTable(cur)
     val v = graft.io.TableManifest.nextVersion(spark, tableName)
     val t = graft.io.TableManifest.physicalName(tableName, v)
     spark.sql(s"DROP TABLE IF EXISTS $t") // unreferenced leftover staging only

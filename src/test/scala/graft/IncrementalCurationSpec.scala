@@ -41,7 +41,7 @@ class IncrementalCurationSpec extends SparkSpec {
   // dispatches each probe and append on its committed pointer's
   // schema version and must behave identically, including MIXED
   // layouts (a production pair migrates one index at a time)
-  for ((bl, hl) <- Seq((1, 1), (2, 2), (1, 2)))
+  for ((bl, hl) <- Seq((1, 1), (2, 2), (1, 2), (2, 1)))
   test(s"admission ledger (band v$bl, hash v$hl): quality / exact / near drops, fresh admits; re-presentation idempotent; cross-batch near-dedup") {
     val hashIdx = s"ic1b${bl}h${hl}_hash"; val bandIdx = s"ic1b${bl}h${hl}_band"
     val hv2 = hl == 2
@@ -382,6 +382,40 @@ class IncrementalCurationSpec extends SparkSpec {
       verifyCorpus = Some(docs(k * 2L -> fpA(k)))))
     assert(verified === Map(k * 2L + 1L -> "admitted"),
       s"exact verification must admit the estimator's false positive: $verified")
+  }
+
+  test("verified crash window: a rescued pair's stranded bands cannot drop the pair on replay") {
+    // round 17 (found in this round's own adversarial review): two
+    // batch docs that band-collide but verify apart (the fpTag
+    // geometry) BOTH admit — so BOTH docs' bands land in the
+    // band-before-hash append. A crash before the hash append leaves
+    // their bands stranded with no store rows (the ledger never
+    // reached the policy's store). On replay each doc reads the
+    // OTHER's stranded bands as an index match; a match whose indexed
+    // doc is missing from the verify store must be DISCARDED as the
+    // half-written admission it is — trusting the estimator here
+    // would silently drop both previously-admitted docs forever.
+    val k = fpTag
+    val (idA, idB) = (k * 2L, k * 2L + 1L)
+    val seed = docs(1L -> text("vc1"))
+    val store = seed // the policy's store: the durably-admitted corpus only
+    val batch = docs(idA -> fpA(k), idB -> fpB(k))
+    ops.IncrementalCuration.buildHashIndex(seed, "icA_hash")
+    ops.IncrementalDedup.buildIndex(seed, "icA_band")
+    val led = ledgerMap(ops.IncrementalCuration.curateBatch(
+      batch, "icA_hash", "icA_band", verifyCorpus = Some(store)))
+    assert(led === Map(idA -> "admitted", idB -> "admitted"),
+      s"the rescued pair must co-admit: $led")
+
+    // the half-write, replayed: fresh index pair, bands landed for
+    // BOTH docs, hash append never ran
+    ops.IncrementalCuration.buildHashIndex(seed, "icB_hash")
+    ops.IncrementalDedup.buildIndex(seed, "icB_band")
+    ops.IncrementalDedup.appendToIndex(batch, "icB_band")
+    val led2 = ledgerMap(ops.IncrementalCuration.curateBatch(
+      batch, "icB_hash", "icB_band", verifyCorpus = Some(store)))
+    assert(led2 === Map(idA -> "admitted", idB -> "admitted"),
+      s"stranded bands of a rescued pair must not become mutual drops: $led2")
   }
 
   test("exact verify reduces the store to candidate ids before shingle work: broadcast semi joins, zero shuffles") {

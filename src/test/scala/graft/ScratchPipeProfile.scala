@@ -54,7 +54,11 @@ object ScratchPipeProfile {
         .select(col("doc_id"), col("lang"), col("clean_text").as("text"),
           col("n_spans_cut"), col("toks_removed")).localCheckpoint()
       mark("removeSpans", cleaned.count())
-      val contam = ops.Curation.contaminationOf(cleaned.select(col("doc_id"), col("text")))
+      // round 17: mirror the shipped stage — survivors' cleaned text
+      // vs the FULL raw eval set (contaminationBetween)
+      val contam = ops.Curation.contaminationBetween(
+          cleaned.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"), col("text")),
+          raw.filter(col("doc_id") % 20 === 0).select(col("text")))
         .select("doc_id")
       val decontam = cleaned.filter(col("doc_id") % 20 =!= 0)
         .join(contam, Seq("doc_id"), "left_anti").localCheckpoint()
