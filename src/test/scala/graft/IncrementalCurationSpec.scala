@@ -204,6 +204,37 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(hashCount("icm_hash", v2 = true) === 4L)
   }
 
+  test("migration survives cross-session appends: the stale relation cache cannot shrink the migrated index") {
+    // round 17 (review fix d78772b): appends from another session —
+    // the streaming foreachBatch model, where writes ride the query's
+    // CLONED session — invalidate only that session's relation cache.
+    // A main-session migration that read the table earlier would
+    // otherwise serve the pre-append file list and publish a v2 index
+    // silently missing the stream-admitted rows.
+    val seed = docs(1L -> text("x1"))
+    ops.IncrementalCuration.buildHashIndex(seed, "icx_hash")
+    ops.IncrementalDedup.buildIndex(seed, "icx_band")
+    // main session reads BOTH tables (populating its relation cache)
+    assert(hashCount("icx_hash") === 1L)
+    assert(spark.table(ops.IncrementalDedup.resolveTable(spark, "icx_band"))
+      .select("doc_id").distinct().count() === 1L)
+    // a different session appends an admission to both indexes
+    val other = spark.newSession()
+    val adm = other.range(1).select(lit(77L).as("doc_id"),
+      lit("en").as("lang"), lit(text("x77")).as("text"))
+    ops.IncrementalCuration.appendToHashIndex(adm, "icx_hash")
+    ops.IncrementalDedup.appendToIndex(adm, "icx_band")
+    // main-session migrations must carry the cross-session rows
+    ops.IncrementalCuration.migrateHashIndexToPartitioned(spark, "icx_hash")
+    ops.IncrementalDedup.migrateIndexToPartitioned(spark, "icx_band")
+    assert(hashCount("icx_hash", v2 = true) === 2L,
+      "hash migration served a stale file list")
+    assert(spark.table(
+        ops.IncrementalDedup.resolvePartitionedTable(spark, "icx_band"))
+      .select("doc_id").distinct().count() === 2L,
+      "band migration served a stale file list")
+  }
+
   test("streaming front-end: file drops curate continuously, ledger batch-keyed; early poll is empty") {
     val dir = java.nio.file.Files.createTempDirectory("inccur").toString
     val watch = s"$dir/incoming"; val ledger = s"$dir/ledger"; val ckpt = s"$dir/ckpt"
