@@ -127,6 +127,25 @@ class CurationPipelineSpec extends SparkSpec {
         }
       ledger
     }
+    // the TRUE contract (a round-17 sf0.1 scratch showed exact-stage
+    // EQUALITY is corpus-lucky): an exact duplicate of a near-DROPPED
+    // doc can re-enter in a later batch — its canonical's hash never
+    // indexed (only admitted docs append), and with no direct
+    // verified near-match among ADMITTED docs it admits: the
+    // chain-through-dropped-docs over-keep surfacing through the
+    // exact stage. So: quality agrees exactly; incremental exact
+    // drops are CONTAINED in the composite's; never over-drop; and
+    // every extra is attributable — near-type (in exact \ neardup)
+    // or exact-dup-of-near-dropped (its composite hash-keeper is
+    // itself a composite near-drop and was not admitted).
+    val keeperOf: Map[Long, Long] = {
+      val norm = st.quality
+        .select(col("doc_id").cast("long"),
+          lower(regexp_replace(trim(col("text")), "\\s+", " ")).as("n"))
+        .as[(Long, String)].collect()
+      val mins = norm.groupBy(_._2).map { case (nm, rs) => nm -> rs.map(_._1).min }
+      norm.map { case (id, nm) => id -> mins(nm) }.toMap
+    }
     for ((n, tag) <- Seq(1 -> "one", 5 -> "five")) {
       val led = run(n, s"rec${tag}_hash", s"rec${tag}_band")
       assert(led.keySet === ids(st.raw), s"$n-batch ledger covers the corpus")
@@ -135,14 +154,19 @@ class CurationPipelineSpec extends SparkSpec {
         s"$n-batch quality stage must agree exactly")
       val de = led.filter(kv =>
         kv._2 == "drop_exact_index" || kv._2 == "drop_exact_batch").keySet
-      assert(de === ids(st.quality) -- ids(st.exact),
-        s"$n-batch exact stage must agree exactly (ascending deltas keep min id)")
+      assert(de.subsetOf(ids(st.quality) -- ids(st.exact)),
+        s"$n-batch incremental exact drops must be composite exact drops")
       val admitted = led.filter(_._2 == "admitted").keySet
       assert(ids(st.neardup).subsetOf(admitted),
         s"$n-batch near stage may never over-drop: missing ${ids(st.neardup) -- admitted}")
       val extras = admitted -- ids(st.neardup)
-      assert(extras.subsetOf(ids(st.exact) -- ids(st.neardup)),
-        s"$n-batch divergence must be confined to the near stage: $extras")
+      assert(extras.subsetOf(ids(st.quality) -- ids(st.neardup)),
+        s"$n-batch extras must be composite near/exact drops: $extras")
+      (extras -- ids(st.exact)).foreach { y =>
+        val k = keeperOf(y)
+        assert(k != y && !admitted(k) && !ids(st.neardup)(k),
+          s"$n-batch exact-type extra $y: keeper $k must be a composite near-drop")
+      }
     }
   }
 
