@@ -157,7 +157,20 @@ object Bench {
       builds.map(_._2).sum
     val errs = if (errors.isEmpty) ""
       else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size}$errs,$fp,"queries":$qs,"all_order":"alpha","all_cs":"$allCs"$buildsJson,"sf":"$sfDir"}""")
+    // Per-stage attribution for the curation composite (round 18 —
+    // the r17 verdict's #1 item: the one key whose driver reads
+    // diverged from every in-tree measurement had no decomposition).
+    // Centiseconds in chain order: 0_raw, 1_quality, 2_exact_dedup,
+    // 3_near_dedup, 4_substring_remove, 5_decontaminate,
+    // 6_temperature, 7_split, 7_pack_train, 8_bpe_tokens — the last
+    // timed run in this JVM, i.e. the timed rep above.
+    val stageJson = {
+      val ss = graft.ops.CurationPipeline.lastStageSeconds
+      if (ss.isEmpty) ""
+      else ss.map(s => Math.round(s._2 * 100).toString)
+        .mkString(""","stage_cs":"""", ",", "\"")
+    }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size}$errs,$fp,"queries":$qs,"all_order":"alpha","all_cs":"$allCs"$buildsJson$stageJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

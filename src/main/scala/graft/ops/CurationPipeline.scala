@@ -40,7 +40,16 @@ import graft.io.Readers.table
   * the stage-summary aggregates, and at 100 TB a real pipeline
   * materializes stage outputs as durable tables anyway (the
   * [[IngestPipeline]] discipline) — the checkpoint is the single-JVM
-  * stand-in.
+  * stand-in. Materialization is a HOOK (round 18, the r17 verdict's
+  * checkpoint-hygiene item): [[stages]]' default keeps every stage
+  * frame alive (the spec/API surface needs them all), while the
+  * registry key [[pipelineCurationStages]] runs the RELEASE form —
+  * each stage's ledger row is aggregated eagerly at materialization
+  * and a stage's checkpoint blocks are freed ([[Checkpoints.free]])
+  * as soon as its last consumer has materialized, so the key leaves
+  * ZERO block-manager residue in a long bench suite, and its
+  * per-stage wall seconds land in [[lastStageSeconds]] for the bench
+  * artifact (the attribution the r17 driver anomaly lacked).
   *
   * The registry surface is [[pipelineCurationStages]]: one row per
   * stage with surviving doc and whitespace-token counts (plus the
@@ -73,19 +82,27 @@ object CurationPipeline {
     * budget. Every frame is deterministic given the corpus (hash
     * gates are the house salted-md5 discipline; the xxhash64 dedup
     * internals are engine-seeded, hence no oracle).
+    *
+    * `mat` materializes each stage frame (called with the ledger
+    * stage name, or "7_split" for the curated frame). The default
+    * localCheckpoints and RETAINS every frame — the returned [[
+    * Stages]] are all readable. A release-mode caller may free
+    * superseded checkpoints inside its hook, in which case the
+    * returned frames must not be read again (the hook owns the
+    * consumer schedule — see [[pipelineCurationStages]]).
     */
   private[graft] def stages(s: org.apache.spark.sql.SparkSession, dir: String,
-      budget: Int = 256): Stages = {
-    val raw = table(s, dir, "documents")
+      budget: Int = 256,
+      mat: (String, DataFrame) => DataFrame =
+        (_, df) => df.localCheckpoint()): Stages = {
+    val raw = mat("0_raw", table(s, dir, "documents")
       .filter(trim(col("text")) =!= "")
-      .select(col("doc_id"), col("lang"), col("text"))
-      .localCheckpoint()
+      .select(col("doc_id"), col("lang"), col("text")))
 
     // 1. quality gate — row-local, runs before anything that shuffles
-    val quality = raw.join(
+    val quality = mat("1_quality", raw.join(
         Curation2.gopherScored(raw).filter(col("pass")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+        Seq("doc_id"), "left_semi"))
 
     // 2. exact dedup — dedup_exact_hash's rule on the survivor set:
     //    smallest doc_id per normalized-text sha2 keeps
@@ -93,8 +110,8 @@ object CurationPipeline {
       .select(col("doc_id"), sha2(Llm.normText(col("text")), 256).as("h"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val exact = quality.join(keepExact, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+    val exact = mat("2_exact_dedup",
+      quality.join(keepExact, Seq("doc_id"), "left_semi"))
 
     // 3. n-gram near-dedup — exact τ = 0.5 jaccard pairs on the
     //    survivors, transitive closure, min id per cluster keeps
@@ -104,8 +121,8 @@ object CurationPipeline {
         Llm2.jaccardPairsOf(exact).select(col("a_id"), col("b_id")))
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
-    val neardup = exact.join(dupIds, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    val neardup = mat("3_near_dedup",
+      exact.join(dupIds, Seq("doc_id"), "left_anti"))
 
     // 4. substring-span removal — cut shared >= 4-token runs from the
     //    larger doc; a doc whose text was entirely duplicated content
@@ -115,11 +132,11 @@ object CurationPipeline {
     //    same dispatch the registry keys run on the raw corpus.
     val spanHashed =
       PairJoins.quadgramProfileOf(neardup)._2 > PairJoins.BandedPairVolume
-    val cleaned = Curation2.removeSpans(neardup, spanHashed)
-      .filter(col("clean_text") =!= "")
-      .select(col("doc_id"), col("lang"), col("clean_text").as("text"),
-        col("n_spans_cut"), col("toks_removed"))
-      .localCheckpoint()
+    val cleaned = mat("4_substring_remove",
+      Curation2.removeSpans(neardup, spanHashed)
+        .filter(col("clean_text") =!= "")
+        .select(col("doc_id"), col("lang"), col("clean_text").as("text"),
+          col("n_spans_cut"), col("toks_removed")))
 
     // 5. decontamination — drop docs sharing a word-4-gram with the
     //    eval set, and the eval docs themselves (they are the
@@ -134,21 +151,19 @@ object CurationPipeline {
         cleaned.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"), col("text")),
         raw.filter(col("doc_id") % 20 === 0).select(col("text")))
       .select("doc_id")
-    val decontam = cleaned
+    val decontam = mat("5_decontaminate", cleaned
       .filter(col("doc_id") % 20 =!= 0)
-      .join(contam, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .join(contam, Seq("doc_id"), "left_anti"))
 
     // 6. temperature mixing — α = 0.5 per-language flattening
-    val mixed = Llm.temperatureKeep(decontam).localCheckpoint()
+    val mixed = mat("6_temperature", Llm.temperatureKeep(decontam))
 
     // 7. deterministic split; the train split packs into fixed-budget
     //    sequences (per split — packing across splits would leak
     //    holdout tokens into train packs at the boundaries)
-    val curated = mixed
+    val curated = mat("7_split", mixed
       .withColumn("bucket", Llm.splitBucket(col("doc_id")))
-      .withColumn("split", Llm.splitName(col("bucket")))
-      .localCheckpoint()
+      .withColumn("split", Llm.splitName(col("bucket"))))
     val packs = Llm2.packSequences(
       curated.filter(col("split") === "train").select("doc_id", "text"), budget)
 
@@ -173,36 +188,114 @@ object CurationPipeline {
       curated, packs, bpe)
   }
 
+  private def stageRow(stage: String, df: DataFrame): DataFrame = {
+    val nToks = sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+    df.agg(count(lit(1)).as("n_docs"), nToks.as("n_tokens"))
+      .select(lit(stage).as("stage"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+  private def packRow(packs: DataFrame): DataFrame =
+    packs.agg(countDistinct(col("pack_id")).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"))
+      .select(lit("7_pack_train").as("stage"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  private def bpeRow(bpe: DataFrame): DataFrame =
+    bpe.agg(sum(col("n_words")).as("nw"), sum(col("n_bpe_tokens")).as("nt"))
+      .select(lit("8_bpe_tokens").as("stage"),
+        coalesce(col("nw"), lit(0L)).as("n_docs"),
+        coalesce(col("nt"), lit(0L)).as("n_tokens"))
+
+  /** The conservation ledger as ONE composed frame over retained
+    * [[Stages]] — the shape [[pipelineCurationStages]] ran as through
+    * round 17, kept as the plan-audit and cross-mode parity surface
+    * (PlanSpec's join-clean assert; CurationPipelineSpec pins the
+    * release-mode key to these rows).
+    */
+  private[graft] def ledgerOf(st: Stages): DataFrame =
+    stageRow("0_raw", st.raw)
+      .unionAll(stageRow("1_quality", st.quality))
+      .unionAll(stageRow("2_exact_dedup", st.exact))
+      .unionAll(stageRow("3_near_dedup", st.neardup))
+      .unionAll(stageRow("4_substring_remove", st.cleaned))
+      .unionAll(stageRow("5_decontaminate", st.decontam))
+      .unionAll(stageRow("6_temperature", st.mixed))
+      .unionAll(packRow(st.packs))
+      .unionAll(bpeRow(st.bpe))
+      .orderBy("stage")
+
+  /** (stage, wall-seconds) of the most recent [[pipelineCurationStages]]
+    * run in this JVM — 10 entries in chain order (the seven ledger
+    * stages, the "7_split" checkpoint, then the pack and BPE
+    * accounting scans). [[graft.Bench]] emits it as the `stage_cs`
+    * field (round 18, the r17 verdict's #1 item): when a driver
+    * artifact reads this key hot, the regression is attributable to a
+    * NAMED stage instead of adjudicated from whole-key reads.
+    */
+  @volatile private[graft] var lastStageSeconds: Seq[(String, Double)] = Nil
+
   /** One row per stage: (stage, n_docs, n_tokens) — whitespace tokens
     * for the corpus stages, (n_packs, manifest tokens) for the pack
     * stage, and (n_words, BPE tokens) for the tokenizer stage, whose
     * ratio is the corpus fertility. The conservation ledger of a
     * curation run.
+    *
+    * RELEASE execution (round 18): each stage's ledger row is
+    * collected eagerly at materialization (the same [[stageRow]]
+    * aggregate the retained frame form composes, so the modes cannot
+    * drift — spec-pinned), the stage's wall seconds are recorded, and
+    * a stage's checkpoint blocks are freed the moment its last
+    * consumer has materialized: quality..temperature free their
+    * predecessor; raw survives to the decontamination stage (its eval
+    * side reads the RAW corpus); the split frame is freed after the
+    * pack and BPE scans. The key therefore holds at most TWO stage
+    * checkpoints at any instant and leaves none behind — at 100 TB
+    * the analogous discipline is dropping each stage's staging table
+    * once the next is durable.
     */
   val pipelineCurationStages: Q = (s, dir) => {
-    val st = stages(s, dir)
-    val nToks = sum(size(split(trim(col("text")), "\\s+")).cast("long"))
-    def row(stage: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"), nToks.as("n_tokens"))
-        .select(lit(stage).as("stage"), col("n_docs"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
-    row("0_raw", st.raw)
-      .unionAll(row("1_quality", st.quality))
-      .unionAll(row("2_exact_dedup", st.exact))
-      .unionAll(row("3_near_dedup", st.neardup))
-      .unionAll(row("4_substring_remove", st.cleaned))
-      .unionAll(row("5_decontaminate", st.decontam))
-      .unionAll(row("6_temperature", st.mixed))
-      .unionAll(st.packs.agg(countDistinct(col("pack_id")).as("n_docs"),
-          sum(col("n_toks")).as("n_tokens"))
-        .select(lit("7_pack_train").as("stage"), col("n_docs"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens")))
-      .unionAll(st.bpe.agg(sum(col("n_words")).as("nw"),
-          sum(col("n_bpe_tokens")).as("nt"))
-        .select(lit("8_bpe_tokens").as("stage"),
-          coalesce(col("nw"), lit(0L)).as("n_docs"),
-          coalesce(col("nt"), lit(0L)).as("n_tokens")))
-      .orderBy("stage")
+    val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val ledger = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val live = scala.collection.mutable.Map.empty[String, DataFrame]
+    val freeAfter = Map(
+      "2_exact_dedup" -> Seq("1_quality"),
+      "3_near_dedup" -> Seq("2_exact_dedup"),
+      "4_substring_remove" -> Seq("3_near_dedup"),
+      "5_decontaminate" -> Seq("4_substring_remove", "0_raw"),
+      "6_temperature" -> Seq("5_decontaminate"),
+      "7_split" -> Seq("6_temperature"))
+    def collect1(row: DataFrame): Unit = {
+      val r = row.collect()(0)
+      ledger += ((r.getString(0), r.getLong(1), r.getLong(2)))
+    }
+    // stage seconds are CHECKPOINT-TO-CHECKPOINT deltas, not a wrap of
+    // the materialization call alone: eager stage-building work (the
+    // connected-components closure, the span volume probe) runs while
+    // the next stage's frame is being CONSTRUCTED, and wrapping only
+    // the checkpoint would leave it unattributed — the deltas tile the
+    // key's whole wall time, so the emitted ledger sums to the key
+    var tPrev = System.nanoTime()
+    def mark(stage: String): Unit = {
+      val now = System.nanoTime()
+      timings += stage -> (now - tPrev) / 1e9
+      tPrev = now
+    }
+    val st = stages(s, dir, mat = (stage, df) => {
+      val ck = df.localCheckpoint()
+      if (stage != "7_split") collect1(stageRow(stage, ck))
+      freeAfter.getOrElse(stage, Nil)
+        .foreach(n => live.remove(n).foreach(Checkpoints.free))
+      live(stage) = ck
+      mark(stage)
+      ck
+    })
+    collect1(packRow(st.packs))
+    mark("7_pack_train")
+    collect1(bpeRow(st.bpe))
+    mark("8_bpe_tokens")
+    live.remove("7_split").foreach(Checkpoints.free)
+    lastStageSeconds = timings.toList
+    import s.implicits._
+    ledger.toSeq.toDF("stage", "n_docs", "n_tokens").orderBy("stage")
   }
 
   val queries: Map[String, Q] = Map(

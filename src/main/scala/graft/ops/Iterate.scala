@@ -36,11 +36,24 @@ private[ops] object Iterate {
     * any non-final round where `checkpointAt(k)` holds.
     */
   def fixed(rounds: Range, checkpointAt: Int => Boolean)(init: DataFrame)(
-      step: (DataFrame, Int) => DataFrame): DataFrame =
+      step: (DataFrame, Int) => DataFrame): DataFrame = {
+    // checkpoint hygiene (round 18): a cadence checkpoint's only
+    // consumer is the chain up to the NEXT cadence checkpoint, so
+    // once that one materializes the older blocks are dead — free
+    // them deterministically instead of waiting on GC. The LAST
+    // checkpoint is never freed (the returned lazy tail reads it);
+    // the caller's init is never ours to free.
+    var lastCkpt: Option[DataFrame] = None
     rounds.foldLeft(init) { (state, k) =>
       val next = step(state, k)
-      if (checkpointAt(k) && k != rounds.last) next.localCheckpoint() else next
+      if (checkpointAt(k) && k != rounds.last) {
+        val ck = next.localCheckpoint()
+        lastCkpt.foreach(Checkpoints.free)
+        lastCkpt = Some(ck)
+        ck
+      } else next
     }
+  }
 
   /** Terminal state of [[untilFixpoint]]: the last state (always
     * localCheckpoint'd), its measure, rounds executed, and which exit
@@ -82,6 +95,11 @@ private[ops] object Iterate {
       val next = step(state).localCheckpoint()
       val m2 = measure(next)
       converged = test(m, next, m2)
+      // `state` is superseded: `next` is materialized and measured,
+      // and no caller ever sees an intermediate round — free its
+      // blocks now (round 18 checkpoint hygiene; init's checkpoint is
+      // OURS, the caller's frame is untouched)
+      Checkpoints.free(state)
       state = next
       m = m2
       round += 1

@@ -667,8 +667,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("pipeline_curation_stages: the composed key plans stay join-clean") {
-    val p = plan(ops.CurationPipeline.pipelineCurationStages)
+  test("pipeline_curation_stages: the composed ledger plans stay join-clean") {
+    // round 18: the registry key runs the RELEASE form (eager per-stage
+    // collection; its returned frame is 9 local rows) — the audit plans
+    // the retained frame form, whose ledger the release mode is
+    // spec-pinned to equal (CurationPipelineSpec)
+    val p = ops.CurationPipeline.ledgerOf(
+        ops.CurationPipeline.stages(spark, dir))
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
