@@ -21,8 +21,18 @@ import org.apache.spark.sql.functions._
   *     [[IncrementalDedup.matchAgainstIndexPartitioned]])
   *   → within-batch near dedup (band self-join at batch size +
   *     connected-components closure, min id per cluster)
-  *   → ADMISSION: append the survivors' hash rows and band rows to
-  *     both indexes.
+  *   → ADMISSION: append the survivors' band rows to the band index,
+  *     and ONE hash row per fresh normalized text to the hash index —
+  *     admitted docs map to themselves, near-DROPPED docs map to
+  *     their cluster keeper (TOMBSTONES, round 18: the smallest
+  *     verified index match, or the within-batch component root —
+  *     an admitted doc either way). Without tombstones an exact
+  *     duplicate of a near-dropped doc re-entered in a later batch:
+  *     its canonical's hash was never indexed, and its bands need not
+  *     reach the keeper when the near chain ran THROUGH the dropped
+  *     doc (the r17 ScratchReconcile finding). The trade is append
+  *     volume: hash rows grow per fresh quality-passing text, not per
+  *     admitted doc.
   *
   * IDEMPOTENT ADMISSION is the crash/replay contract: the hash index
   * stores (text_hash, keep_id), so a re-presented doc whose indexed
@@ -30,7 +40,13 @@ import org.apache.spark.sql.functions._
   * success that bypasses the near stage entirely (it is already in
   * the corpus; being matched by docs admitted AFTER it must not evict
   * it) and appends nothing. A doc whose hash maps to a DIFFERENT
-  * keep_id is an exact duplicate of corpus content and drops. APPEND
+  * keep_id is an exact duplicate of CANONICALIZED content — corpus
+  * content, or a tombstoned near-drop — and drops as
+  * `drop_exact_index`. Re-presented near-dropped docs therefore
+  * CONVERGE to `drop_exact_index` (they hit their own tombstone):
+  * drop ATTRIBUTION may shift class across re-presentation, the
+  * admitted/dropped partition never does, and a consumer reading
+  * admitted states as {admitted, readmitted} is unaffected. APPEND
   * ORDER is load-bearing (round 17): band rows append BEFORE hash
   * rows, so a crash between the two appends leaves
   * band-present/hash-absent, which replays as FRESH — the near probe
@@ -65,6 +81,17 @@ import org.apache.spark.sql.functions._
   * lang-free band index cannot see) is silent data loss on the
   * default path and admitted on the verified path (planted-case and
   * reconciliation spec'd).
+  *
+  * POLICY STABILITY is part of the replay contract (r18, the r17
+  * ADVICE): the same `verifyCorpus` policy (verified or default) must
+  * be used when a crashed batch replays. The crash-window convergence
+  * above assumes it — a VERIFIED run that co-admits a band-colliding
+  * rescued pair, crashes inside the band-before-hash window, and is
+  * replayed UNVERIFIED reads the pair's mutual stranded bands as
+  * `drop_near_index` and permanently drops both docs (the verified
+  * replay instead discards the store-missing candidates and
+  * re-admits). A streaming deployment pins the policy for the life of
+  * the checkpoint directory, exactly as it pins the indexes.
   */
 object IncrementalCuration {
 
@@ -98,24 +125,34 @@ object IncrementalCuration {
     graft.io.TableManifest.vacuum(spark, tableName)
   }
 
-  /** Append admitted docs' hash rows to the current index version —
-    * bucket spec read from the catalog, parquet append adds files per
-    * bucket, never rewrites (the [[IncrementalDedup.appendToIndex]]
-    * discipline).
+  /** Append prepared (text_hash, keep_id) rows to the current v1
+    * index version — bucket spec read from the catalog, parquet
+    * append adds files per bucket, never rewrites (the
+    * [[IncrementalDedup.appendToIndex]] discipline). [[curateBatch]]
+    * feeds this BOTH admitted docs' self-rows and near-drop
+    * TOMBSTONES (round 18 — see the object scaladoc).
     */
-  def appendToHashIndex(admitted: DataFrame, tableName: String): Unit = {
-    val spark = admitted.sparkSession
+  private[graft] def appendHashRows(rows: DataFrame, tableName: String): Unit = {
+    val spark = rows.sparkSession
     val t = resolveHashTable(spark, tableName)
     val buckets = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(t))
       .bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalStateException(
         s"$t has no bucket spec — appending would mix layouts; rebuild the index"))
-    admitted
-      .select(hashOf(col("text")).as("text_hash"), col("doc_id").as("keep_id"))
+    rows.select(col("text_hash"), col("keep_id"))
       .write.mode("append")
       .bucketBy(buckets, "text_hash").sortBy("text_hash")
       .format("parquet").saveAsTable(t)
   }
+
+  /** Append admitted docs' self-mapped hash rows to the current index
+    * version (the direct-caller surface; [[curateBatch]] goes through
+    * [[appendHashRows]] with keepers resolved).
+    */
+  def appendToHashIndex(admitted: DataFrame, tableName: String): Unit =
+    appendHashRows(admitted
+      .select(hashOf(col("text")).as("text_hash"), col("doc_id").as("keep_id")),
+      tableName)
 
   /** Collapse hash-index append growth into a fresh manifest version
     * — atomic publish; probes racing it serve the old snapshot (the
@@ -175,18 +212,25 @@ object IncrementalCuration {
     graft.io.TableManifest.vacuum(spark, tableName)
   }
 
-  /** Append admitted docs' hash rows to the current v2 version —
-    * parquet append adds files under the touched `hp=` directories
-    * only.
+  /** [[appendHashRows]] for the v2 layout — parquet append adds files
+    * under the touched `hp=` directories only.
     */
-  def appendToHashIndexPartitioned(admitted: DataFrame, tableName: String): Unit = {
-    val spark = admitted.sparkSession
+  private[graft] def appendHashRowsPartitioned(rows: DataFrame,
+      tableName: String): Unit = {
+    val spark = rows.sparkSession
     val t = resolveHashTablePartitioned(spark, tableName)
-    withHp(admitted
-        .select(hashOf(col("text")).as("text_hash"), col("doc_id").as("keep_id")))
+    withHp(rows.select(col("text_hash"), col("keep_id")))
       .write.mode("append").format("parquet").partitionBy("hp")
       .saveAsTable(t)
   }
+
+  /** Append admitted docs' self-mapped hash rows to the current v2
+    * version.
+    */
+  def appendToHashIndexPartitioned(admitted: DataFrame, tableName: String): Unit =
+    appendHashRowsPartitioned(admitted
+      .select(hashOf(col("text")).as("text_hash"), col("doc_id").as("keep_id")),
+      tableName)
 
   /** Collapse v2 append growth into a fresh manifest version. */
   def compactHashIndexPartitioned(spark: SparkSession, tableName: String,
@@ -227,12 +271,15 @@ object IncrementalCuration {
     * files lie (zero shuffle, whole-index read); v2 collects the
     * delta's `hp` byte set (≤ 256 values, driver-bounded) and prunes
     * the index scan to the touched directories before the join.
-    * `withHash` must be materialized when `v2` (the partition probe
-    * and the join both read it).
+    * When `v2` the delta is materialized HERE (r17 ADVICE: the
+    * precondition used to live as a caller note, and an unmaterialized
+    * nondeterministic frame would collect one `hp` set and join
+    * another, silently missing partitions and re-admitting duplicates).
     */
-  private[graft] def hashProbe(withHash: DataFrame, hashIndex: String,
+  private[graft] def hashProbe(withHash0: DataFrame, hashIndex: String,
       v2: Boolean): DataFrame = {
-    val sess = withHash.sparkSession
+    val sess = withHash0.sparkSession
+    val withHash = if (v2) withHash0.localCheckpoint() else withHash0
     val idx =
       if (v2) {
         val hps = withHash.select(substring(col("text_hash"), 1, 2).as("hp"))
@@ -268,6 +315,13 @@ object IncrementalCuration {
     * store that grows as batches admit (e.g. the parquet table it
     * appends admitted docs to), and a frame captured once at stream
     * start would verify batch N against the store as of batch 0.
+    * The thunk must read the store BY PATH (`spark.read.parquet`) or
+    * call `refreshTable` itself before reading (r18, the r17 ADVICE):
+    * a thunk that reads a catalog table through the OUTER session
+    * (`spark.table`) serves that session's relation cache, which
+    * writes through the stream's cloned session do not invalidate —
+    * the same staleness class [[curateBatch]]'s own index refreshes
+    * close. Re-evaluation alone does not re-list files.
     */
   def curateStream(spark: SparkSession, watchDir: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -311,6 +365,44 @@ object IncrementalCuration {
         .withColumn("batch", col("batch").cast("long"))
   }
 
+  /** Retention/GC for the admission ledger (round 18, the r17
+    * verdict's item 3): [[curateStream]] writes one `batch=<id>`
+    * partition per micro-batch FOREVER — drop all but the `retain`
+    * HIGHEST batch partitions. Retention is by RANK, not numeric
+    * distance (the [[graft.io.TableManifest.vacuum]] rule): batch ids
+    * are the engine's and a restarted stream may skip numbers, so
+    * `id < max − retain` could empty a sparse ledger.
+    *
+    * The retention CONTRACT: the ledger is an audit surface, not
+    * admission state — the indexes alone decide every future verdict,
+    * so vacuuming a batch loses its attribution rows and nothing
+    * else. A replay of an expired batch still converges (admitted
+    * docs read back `readmitted`, drops re-derive, appends no-op) and
+    * the overwrite recreates the expired partition (spec'd). Vacuum
+    * is a MAINTENANCE writer: safe beside the live stream (which only
+    * writes the current batch's partition) but not beside a replay of
+    * a batch old enough to be vacuumed — single maintenance writer,
+    * the index vacuum's contract. Default retain = 30: a month of
+    * daily batches, far past any replay window the streaming
+    * checkpoint can reach (the source replays only uncommitted
+    * batches).
+    */
+  def vacuumLedger(spark: SparkSession, ledgerPath: String,
+      retain: Int = 30): Unit = {
+    require(retain >= 1, s"retain must keep at least the live batch: $retain")
+    val root = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("batch=").toLong).toOption
+        .map(_ -> st.getPath))
+    val keep = parts.map(_._1).distinct
+      .sorted(Ordering[Long].reverse).take(retain).toSet
+    parts.foreach { case (b, p) => if (!keep(b)) fs.delete(p, true) }
+  }
+
   /** Exact verdict over candidate pairs — the batch composite's
     * precision ([[Llm2.jaccardPairsOf]]'s verify tail: same
     * `word_shingles(text, 2)` sets, same `jaccard >= tau` gate, same
@@ -350,7 +442,13 @@ object IncrementalCuration {
       .join(side(aDocs, aId, "a"), Seq(aId), "left")
       .join(side(bDocs, bId, "b"), Seq(bId), "left")
       .withColumn("shared", size(array_intersect(col("a_g"), col("b_g"))))
+      // the size > 0 guards mirror jaccardPairsOf's shingle filter
+      // (r17 ADVICE): two empty bigram sets read shared = 0 ≥ τ·0 and
+      // would verify as a match — unreachable from the band probe
+      // (candidates carry ≥ 2 bigrams) but a latent over-drop for any
+      // future caller feeding short docs
       .filter(col("a_g").isNotNull && col("b_g").isNotNull &&
+        size(col("a_g")) > 0 && size(col("b_g")) > 0 &&
         col("a_lang") === col("b_lang") &&
         col("shared").cast("double") >= lit(tau) *
           (size(col("a_g")) + size(col("b_g")) - col("shared")).cast("double"))
@@ -363,7 +461,12 @@ object IncrementalCuration {
     * drop_quality, drop_exact_index, drop_exact_batch,
     * drop_near_index, drop_near_batch} — materialized before the
     * index appends run. Statuses are a pure function of (index state,
-    * batch): deterministic, and stable under re-presentation.
+    * batch): deterministic, and stable under re-presentation up to
+    * the documented attribution shift (a near-dropped doc's tombstone
+    * makes its re-presentation read `drop_exact_index`; a replay
+    * after a partial band append may likewise resolve a keeper from
+    * the index instead of the batch closure — a DIFFERENT admitted
+    * keeper, never a different admitted/dropped verdict).
     *
     * `verifyCorpus` (round 17): when supplied — a (doc_id, lang,
     * text) frame covering the admitted document store — every
@@ -417,9 +520,9 @@ object IncrementalCuration {
     // exact probe, layout-dispatched: v1 bucketed (index side joins
     // without shuffle; only the small delta side exchanges into the
     // index's buckets), v2 partitioned (directory-pruned O(touched)
-    // read — the delta is materialized once for the partition probe)
-    val withHash0 = q.withColumn("text_hash", hashOf(col("text")))
-    val withHash = if (hashV2) withHash0.localCheckpoint() else withHash0
+    // read — hashProbe materializes the delta once for the partition
+    // probe)
+    val withHash = q.withColumn("text_hash", hashOf(col("text")))
     val probed = hashProbe(withHash, hashIndex, hashV2)
     val fresh = probed.filter(col("keep_id").isNull)
     val keepB = fresh.groupBy(col("text_hash")).agg(min(col("doc_id")).as("kid"))
@@ -433,9 +536,10 @@ object IncrementalCuration {
           bandIndex, minAgree)
       else
         IncrementalDedup.matchAgainstIndex(sess, exactSurv, bandIndex, minAgree)
-    val idxMatched = verifyCorpus.fold(idxCand)(corpus =>
+    val idxPairs = verifyCorpus.fold(idxCand)(corpus =>
         verifiedPairs(idxCand, "new_id", exactSurv, "indexed_id", corpus, tau))
-      .select(col("new_id").as("doc_id")).distinct()
+      .select(col("new_id"), col("indexed_id"))
+    val idxMatched = idxPairs.select(col("new_id").as("doc_id")).distinct()
     val nearSurv = exactSurv.join(idxMatched, Seq("doc_id"), "left_anti")
     val nb = IncrementalDedup.bandRows(nearSurv)
       .select(col("bk"), col("doc_id"), col("sig"))
@@ -450,8 +554,8 @@ object IncrementalCuration {
       .distinct()
     val batchPairs = verifyCorpus.fold(batchPairs0)(_ =>
       verifiedPairs(batchPairs0, "a_id", nearSurv, "b_id", nearSurv, tau))
-    val batchLosers = Llm.connectedComponents(batchPairs)
-      .filter(col("id") =!= col("comp"))
+    val cc = Llm.connectedComponents(batchPairs)
+    val batchLosers = cc.filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
 
     def tag(df: DataFrame, status: String): DataFrame =
@@ -470,6 +574,30 @@ object IncrementalCuration {
         "admitted"))
       .localCheckpoint() // BEFORE appends — see the scaladoc contract
 
+    // NEAR-DROP HASH TOMBSTONES (round 18, the r17 verdict's item 2 /
+    // the ScratchReconcile finding): every FRESH text_hash appends one
+    // row mapped to its resolved cluster keeper — not just the
+    // admitted docs' self-rows. A near-dropped doc's keeper is the
+    // smallest verified index match (an admitted doc by construction:
+    // only admitted docs band-index) or its within-batch component
+    // root (admitted: id = comp survives the closure). Without the
+    // tombstone, an exact duplicate of a near-dropped doc re-enters in
+    // a later batch — its canonical's hash was never indexed and its
+    // own bands need not reach the keeper (the chain ran THROUGH the
+    // dropped doc, whose bands are not indexed). With it, the dup
+    // reads back as drop_exact_index against the keeper.
+    val keeper = nearSurv.join(batchLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("keep_id"))
+      .unionAll(idxPairs.groupBy(col("new_id"))
+        .agg(min(col("indexed_id")).as("keep_id"))
+        .select(col("new_id").as("doc_id"), col("keep_id")))
+      .unionAll(cc.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"), col("comp").as("keep_id")))
+    val hashRows = keepB.select(col("text_hash"), col("kid").as("doc_id"))
+      .join(keeper, "doc_id")
+      .select(col("text_hash"), col("keep_id"))
+      .localCheckpoint() // BEFORE appends, like the ledger
+
     val admitted = q
       .join(ledger.filter(col("status") === "admitted").select("doc_id"),
         Seq("doc_id"), "left_semi")
@@ -482,8 +610,10 @@ object IncrementalCuration {
       // read with permanently missing bands.
       if (bandV2) IncrementalDedup.appendToIndexPartitioned(admitted, bandIndex)
       else IncrementalDedup.appendToIndex(admitted, bandIndex)
-      if (hashV2) appendToHashIndexPartitioned(admitted, hashIndex)
-      else appendToHashIndex(admitted, hashIndex)
+    }
+    if (!hashRows.isEmpty) {
+      if (hashV2) appendHashRowsPartitioned(hashRows, hashIndex)
+      else appendHashRows(hashRows, hashIndex)
     }
     ledger
   }

@@ -127,17 +127,16 @@ class CurationPipelineSpec extends SparkSpec {
         }
       ledger
     }
-    // the TRUE contract (a round-17 sf0.1 scratch showed exact-stage
-    // EQUALITY is corpus-lucky): an exact duplicate of a near-DROPPED
-    // doc can re-enter in a later batch — its canonical's hash never
-    // indexed (only admitted docs append), and with no direct
-    // verified near-match among ADMITTED docs it admits: the
-    // chain-through-dropped-docs over-keep surfacing through the
-    // exact stage. So: quality agrees exactly; incremental exact
-    // drops are CONTAINED in the composite's; never over-drop; and
-    // every extra is attributable — near-type (in exact \ neardup)
-    // or exact-dup-of-near-dropped (its composite hash-keeper is
-    // itself a composite near-drop and was not admitted).
+    // the contract, tightened in round 18 (near-drop hash
+    // TOMBSTONES): quality agrees exactly; incremental exact-type
+    // drops are CONTAINED in the composite's exact drops (ascending
+    // batches — a tombstone hit's same-text canonical has a smaller
+    // id, so the composite's exact stage already dropped the
+    // hitter); never over-drop; and every remaining extra is
+    // NEAR-type single-link residue (in exact \ neardup). The
+    // exact-dup-of-near-dropped re-entry class the r17 scratch found
+    // is CLOSED — dropped docs tombstone their hash to the cluster
+    // keeper, so those extras must be gone.
     val keeperOf: Map[Long, Long] = {
       val norm = st.quality
         .select(col("doc_id").cast("long"),
@@ -162,11 +161,10 @@ class CurationPipelineSpec extends SparkSpec {
       val extras = admitted -- ids(st.neardup)
       assert(extras.subsetOf(ids(st.quality) -- ids(st.neardup)),
         s"$n-batch extras must be composite near/exact drops: $extras")
-      (extras -- ids(st.exact)).foreach { y =>
-        val k = keeperOf(y)
-        assert(k != y && !admitted(k) && !ids(st.neardup)(k),
-          s"$n-batch exact-type extra $y: keeper $k must be a composite near-drop")
-      }
+      assert((extras -- ids(st.exact)).isEmpty,
+        s"$n-batch exact-dup-of-near-dropped re-entry must be tombstone-closed: " +
+          s"${extras -- ids(st.exact)} (keepers ${
+            (extras -- ids(st.exact)).map(keeperOf)})")
     }
   }
 
@@ -290,6 +288,21 @@ class CurationPipelineSpec extends SparkSpec {
     assert(l("0_raw") == docsToks(st.raw))
     assert(l("3_near_dedup") == docsToks(st.neardup))
     assert(l("6_temperature") == docsToks(st.mixed))
+    // cross-mode parity (round 18): the release-mode key — eager
+    // per-stage collection, superseded checkpoints freed — must equal
+    // the retained frame form row-for-row (at the key's own default
+    // pack budget; the suite chain `st` packs at 64), and its timing
+    // surface names every stage in chain order
+    val retained = ops.CurationPipeline.ledgerOf(
+        ops.CurationPipeline.stages(spark, dir))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(l == retained, s"release vs retained ledger:\n$l\n$retained")
+    val stagesTimed = ops.CurationPipeline.lastStageSeconds.map(_._1)
+    assert(stagesTimed == Seq("0_raw", "1_quality", "2_exact_dedup",
+      "3_near_dedup", "4_substring_remove", "5_decontaminate",
+      "6_temperature", "7_split", "7_pack_train", "8_bpe_tokens"),
+      stagesTimed.toString)
+    assert(ops.CurationPipeline.lastStageSeconds.forall(_._2 >= 0.0))
     // monotone token ledger through the corpus stages
     val stagesOrder = Seq("0_raw", "1_quality", "2_exact_dedup",
       "3_near_dedup", "4_substring_remove", "5_decontaminate", "6_temperature")

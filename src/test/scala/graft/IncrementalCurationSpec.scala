@@ -71,28 +71,46 @@ class IncrementalCurationSpec extends SparkSpec {
       14L -> "drop_exact_batch",
       15L -> "drop_near_batch",
       16L -> "admitted"), led.toString)
-    assert(hashCount(hashIdx, hv2) === h0 + 2, "exactly the admitted docs append")
+    // one hash row per FRESH text (round 18 tombstones): 13 and 16
+    // map to themselves, near-dropped 12 maps to its index keeper
+    // (seed 2), near-dropped 15 to its batch component root (13);
+    // 14 shares 13's hash, 11's hash is already indexed
+    assert(hashCount(hashIdx, hv2) === h0 + 4,
+      "admitted self-rows plus near-drop tombstones append")
 
     // re-presentation: admitted docs read back as no-op successes,
-    // every drop stays a drop (batch-local drops become index drops —
-    // their partners are IN the corpus now), nothing appends
+    // every drop stays a drop, nothing appends. Near drops CONVERGE to
+    // drop_exact_index — they hit their own tombstones (round 18; the
+    // admitted/dropped partition is what re-presentation preserves,
+    // attribution shifts to the exact tier by design)
     val led2 = ledgerMap(ops.IncrementalCuration.curateBatch(
       batch, hashIdx, bandIdx))
     assert(led2(13L) === "readmitted" && led2(16L) === "readmitted", led2.toString)
     assert(led2(10L) === "drop_quality")
     assert(led2(11L) === "drop_exact_index")
-    assert(led2(12L) === "drop_near_index")
+    assert(led2(12L) === "drop_exact_index", "12 hit its own tombstone")
     assert(led2(14L) === "drop_exact_index", "13 is in the corpus now")
-    assert(led2(15L) === "drop_near_index", "13 is in the corpus now")
-    assert(hashCount(hashIdx, hv2) === h0 + 2, "re-presentation must append nothing")
+    assert(led2(15L) === "drop_exact_index", "15 hit its own tombstone")
+    assert(hashCount(hashIdx, hv2) === h0 + 4, "re-presentation must append nothing")
 
     // cross-batch: a near dup of batch-1's admission drops against the
-    // index; genuinely new content admits
+    // index (and tombstones); genuinely new content admits
     val led3 = ledgerMap(ops.IncrementalCuration.curateBatch(
       docs(20L -> nearOf("b16"), 21L -> text("b21")),
       hashIdx, bandIdx))
     assert(led3 === Map(20L -> "drop_near_index", 21L -> "admitted"), led3.toString)
-    assert(hashCount(hashIdx, hv2) === h0 + 3)
+    assert(hashCount(hashIdx, hv2) === h0 + 6)
+
+    // the re-entry class the tombstones close (round 18, the r17
+    // ScratchReconcile finding): an EXACT duplicate of near-dropped 12
+    // presented in a later batch must drop against 12's tombstone —
+    // before tombstones its hash probe missed (12 never indexed) and
+    // its admission depended on banding against the keeper
+    val led4 = ledgerMap(ops.IncrementalCuration.curateBatch(
+      docs(30L -> nearOf("s2")), hashIdx, bandIdx))
+    assert(led4 === Map(30L -> "drop_exact_index"),
+      s"an exact dup of a near-dropped doc must hit the tombstone: $led4")
+    assert(hashCount(hashIdx, hv2) === h0 + 6, "a tombstone hit appends nothing")
   }
 
   test("hash-index probe joins the index side without a shuffle (bucketed layout IS the join layout)") {
@@ -189,19 +207,20 @@ class IncrementalCurationSpec extends SparkSpec {
     // v1 resolvers now fail fast; v2 resolvers serve
     intercept[Exception] {
       ops.IncrementalCuration.resolveHashTable(spark, "icm_hash") }
-    assert(hashCount("icm_hash", v2 = true) === 3L,
-      "migration must carry every row, including post-build appends")
+    assert(hashCount("icm_hash", v2 = true) === 4L,
+      "migration must carry every row — post-build appends AND tombstones")
 
     // identical admission semantics across the flip: re-presentation
-    // is a no-op, drops stay drops, and fresh content admits with the
-    // appends landing under the partitioned layout
+    // is a no-op, drops stay drops (the near drop reads through its
+    // migrated tombstone), and fresh content admits with the appends
+    // landing under the partitioned layout
     val led2 = ledgerMap(ops.IncrementalCuration.curateBatch(
       batch, "icm_hash", "icm_band"))
-    assert(led2 === Map(50L -> "readmitted", 51L -> "drop_near_index"), led2.toString)
+    assert(led2 === Map(50L -> "readmitted", 51L -> "drop_exact_index"), led2.toString)
     val led3 = ledgerMap(ops.IncrementalCuration.curateBatch(
       docs(60L -> nearOf("m50"), 61L -> text("m61")), "icm_hash", "icm_band"))
     assert(led3 === Map(60L -> "drop_near_index", 61L -> "admitted"), led3.toString)
-    assert(hashCount("icm_hash", v2 = true) === 4L)
+    assert(hashCount("icm_hash", v2 = true) === 6L)
   }
 
   test("migration survives cross-session appends: the stale relation cache cannot shrink the migrated index") {
@@ -406,10 +425,23 @@ class IncrementalCurationSpec extends SparkSpec {
       docs(k * 2L + 1L -> fpB(k)), "ic6_hash", "ic6_band"))
     assert(unverified === Map(k * 2L + 1L -> "drop_near_index"),
       s"the estimator false positive must drop on the default path: $unverified")
-    // the drop appended nothing, so the same indexes serve the
-    // verified run: the exact τ = 0.5 bigram jaccard rescues the doc
-    val verified = ledgerMap(ops.IncrementalCuration.curateBatch(
+    // round 18: the default-path drop TOMBSTONED the doc's hash — its
+    // re-presentation converges to drop_exact_index, and the verified
+    // policy can no longer rescue it on THESE indexes (tombstones
+    // encode the policy that wrote them — the policy-stability
+    // contract in the object scaladoc; a verified deployment uses
+    // verified indexes from the start)
+    val represented = ledgerMap(ops.IncrementalCuration.curateBatch(
       docs(k * 2L + 1L -> fpB(k)), "ic6_hash", "ic6_band",
+      verifyCorpus = Some(docs(k * 2L -> fpA(k)))))
+    assert(represented === Map(k * 2L + 1L -> "drop_exact_index"),
+      s"a default-path tombstone outlives the estimator decision: $represented")
+    // fresh indexes under the verified policy: the exact τ = 0.5
+    // bigram jaccard rescues the doc
+    ops.IncrementalCuration.buildHashIndex(docs(k * 2L -> fpA(k)), "ic6v_hash")
+    ops.IncrementalDedup.buildIndex(docs(k * 2L -> fpA(k)), "ic6v_band")
+    val verified = ledgerMap(ops.IncrementalCuration.curateBatch(
+      docs(k * 2L + 1L -> fpB(k)), "ic6v_hash", "ic6v_band",
       verifyCorpus = Some(docs(k * 2L -> fpA(k)))))
     assert(verified === Map(k * 2L + 1L -> "admitted"),
       s"exact verification must admit the estimator's false positive: $verified")
@@ -542,6 +574,12 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(admitOne(idC, chC(k)) === "admitted",
       "C's only true partner was dropped, so its bands were never indexed — " +
         "the incremental path admits C where the composite's closure drops it")
+    // round 18 (tombstones): the NEAR divergence above is the
+    // documented single-link residue, but the EXACT tier of the same
+    // chain is closed — an exact duplicate of dropped B presented
+    // later hits B's tombstone (keeper A) instead of re-entering
+    assert(admitOne(idB + 1000L, chB(k)) === "drop_exact_index",
+      "an exact dup of the dropped chain doc must hit the tombstone")
   }
 
   test("verified streaming: the store thunk is re-read per micro-batch; FPs rescued, true positives still drop") {
@@ -600,5 +638,103 @@ class IncrementalCurationSpec extends SparkSpec {
         .as[(Long, String)].collect().toMap
       assert(l1 === Map(110L -> "drop_near_index", 111L -> "admitted"), l1.toString)
     } finally q.stop()
+  }
+
+  test("ledger vacuum: rank-based retention; an expired batch's replay converges and recreates its partition") {
+    // round 18 (r17 verdict item 3): the admission ledger is an audit
+    // surface — the indexes alone decide future verdicts — so
+    // vacuuming loses attribution rows and nothing else
+    val dir = java.nio.file.Files.createTempDirectory("incvac").toString
+    val ledger = s"$dir/ledger"
+    val seed = docs(1L -> text("lv"))
+    ops.IncrementalCuration.buildHashIndex(seed, "icv_hash")
+    ops.IncrementalDedup.buildIndex(seed, "icv_band")
+    def runBatch(bid: Long, rows: (Long, String)*): Map[Long, String] = {
+      val led = ops.IncrementalCuration.curateBatch(
+        docs(rows: _*), "icv_hash", "icv_band")
+      led.write.mode("overwrite").parquet(s"$ledger/batch=$bid")
+      ledgerMap(led)
+    }
+    def batches(): Set[Long] = ops.IncrementalCuration
+      .readLedger(spark, ledger)
+      .select(col("batch").cast("long")).distinct().as[Long].collect().toSet
+    (0L to 4L).foreach(b => assert(
+      runBatch(b, (100L + b) -> text(s"lv$b")) === Map((100L + b) -> "admitted")))
+    assert(batches() === Set(0L, 1L, 2L, 3L, 4L))
+
+    ops.IncrementalCuration.vacuumLedger(spark, ledger, retain = 2)
+    assert(batches() === Set(3L, 4L), "only the 2 highest batches survive")
+
+    // replay of an EXPIRED batch: admission state lives in the
+    // indexes, so the verdict converges (readmitted) and the
+    // partition overwrite recreates the expired attribution rows
+    assert(runBatch(0L, 100L -> text("lv0")) === Map(100L -> "readmitted"))
+    assert(batches() === Set(0L, 3L, 4L))
+
+    // guard rails: retain must keep the live batch; a missing root is
+    // a no-op, not an error
+    intercept[IllegalArgumentException] {
+      ops.IncrementalCuration.vacuumLedger(spark, ledger, retain = 0) }
+    ops.IncrementalCuration.vacuumLedger(spark, s"$dir/nothere")
+  }
+
+  // the hash-index compaction↔append interleave (round 18, r17
+  // verdict item 4 — the band side's crash/interleave coverage
+  // mirrored to the hash side), on both hash layouts and the MIXED
+  // band/hash matrix cells: a compaction crash before the pointer
+  // rename is invisible to admission; an append RACING a compaction
+  // (landing between the stage read and the commit) loses its hash
+  // rows to the version flip — the single-maintenance-writer hazard —
+  // and must degrade to exactly the band-present/hash-absent
+  // half-write, which replays as fresh and converges
+  for ((hl, bl) <- Seq((1, 2), (2, 1)))
+  test(s"hash compaction interleave (hash v$hl, band v$bl): pre-commit crash invisible; racing append degrades to the half-write and converges") {
+    val hashIdx = s"ici$hl$bl" + "_hash"; val bandIdx = s"ici$hl$bl" + "_band"
+    val hv2 = hl == 2
+    val tg = s"i$hl$bl"
+    val seed = docs(1L -> text(s"${tg}s"))
+    if (hv2) ops.IncrementalCuration.buildHashIndexPartitioned(seed, hashIdx)
+    else ops.IncrementalCuration.buildHashIndex(seed, hashIdx)
+    if (bl == 2) ops.IncrementalDedup.buildIndexPartitioned(seed, bandIdx)
+    else ops.IncrementalDedup.buildIndex(seed, bandIdx)
+    def compact(beforeCommit: () => Unit = () => ()): Unit =
+      if (hv2) ops.IncrementalCuration.compactHashIndexPartitioned(
+        spark, hashIdx, beforeCommit)
+      else ops.IncrementalCuration.compactHashIndex(spark, hashIdx, beforeCommit)
+    def admit(rows: (Long, String)*): Map[Long, String] =
+      ledgerMap(ops.IncrementalCuration.curateBatch(
+        docs(rows: _*), hashIdx, bandIdx))
+
+    assert(admit(10L -> text(s"${tg}a")) === Map(10L -> "admitted"))
+    val h1 = hashCount(hashIdx, hv2)
+
+    // 1. compaction crash BEFORE the pointer rename: admission keeps
+    // reading the old snapshot — re-presentation is still the no-op
+    intercept[RuntimeException] {
+      compact(beforeCommit = () => throw new RuntimeException("injected")) }
+    assert(admit(10L -> text(s"${tg}a")) === Map(10L -> "readmitted"),
+      "a crashed compaction must be invisible to admission")
+    assert(hashCount(hashIdx, hv2) === h1)
+    compact() // clean recovery over the leftover staging
+    assert(admit(10L -> text(s"${tg}a")) === Map(10L -> "readmitted"))
+    assert(hashCount(hashIdx, hv2) === h1, "compaction must not change contents")
+
+    // 2. an admission RACING the compaction: its appends land on the
+    // version being superseded, so the flip LOSES its hash rows (and
+    // keeps its band rows — the band index is a different table)
+    compact(beforeCommit = () =>
+      assert(admit(20L -> text(s"${tg}b")) === Map(20L -> "admitted")))
+    assert(hashCount(hashIdx, hv2) === h1,
+      "the racing append's hash rows lose to the version flip")
+    // exactly the band-present/hash-absent half-write: the replay
+    // reads its own stranded bands as self-matches (filtered),
+    // re-admits, and completes the hash append
+    assert(admit(20L -> text(s"${tg}b")) === Map(20L -> "admitted"),
+      "the lost append must replay as FRESH, not readmitted")
+    assert(hashCount(hashIdx, hv2) === h1 + 1)
+    assert(admit(20L -> text(s"${tg}b")) === Map(20L -> "readmitted"),
+      "converged after the replay")
+    // and the recovered doc's bands still detect near-dups
+    assert(admit(21L -> nearOf(s"${tg}b")) === Map(21L -> "drop_near_index"))
   }
 }

@@ -84,14 +84,12 @@ object ScratchReconcile {
         kv._2 == "drop_exact_index" || kv._2 == "drop_exact_batch").keySet
       val admitted = ledger.filter(_._2 == "admitted").keySet
       val extras = admitted -- neardup
-      // the TRUE contract (this scratch found the sf0.01 spec's
-      // equality asserts were corpus-lucky): an exact duplicate of a
-      // near-DROPPED doc re-enters in a later batch — its canonical's
-      // hash never indexed (only admitted docs append) and it has no
-      // direct verified near-match among ADMITTED docs, so it admits:
-      // the chain-through-dropped-docs over-keep surfacing through
-      // the exact stage. Attribution: every exact-type extra's
-      // composite hash-keeper must itself be a composite near-drop.
+      // round 18 (near-drop hash tombstones): the
+      // exact-dup-of-near-dropped re-entry class this scratch found
+      // in round 17 (1 doc at 10-batch sf0.1) is CLOSED — dropped
+      // docs tombstone their hash to the cluster keeper, so
+      // extrasExact must be EMPTY; the remaining extras are the
+      // documented NEAR-type single-link residue (in exact \ neardup).
       val extrasNear = extras.intersect(exact -- neardup)
       val extrasExact = extras -- exact
       val keeperOf: Map[Long, Long] = {
@@ -103,24 +101,20 @@ object ScratchReconcile {
         val mins = norm.groupBy(_._2).map { case (n, rs) => n -> rs.map(_._1).min }
         norm.map { case (id, n) => id -> mins(n) }.toMap
       }
-      val exactTypeAttributed = extrasExact.forall { y =>
-        val keeper = keeperOf(y)
-        keeper != y && !admitted(keeper) && !neardup(keeper)
-      }
       println(s"$nBatches-batch: quality-agree ${dq == raw -- quality} " +
         s"exact-drops-contained ${de.subsetOf(quality -- exact)} " +
         s"over-drop ${(neardup -- admitted).size} " +
         s"over-keep ${extras.size} (near-type ${extrasNear.size}, " +
-        s"exact-dup-of-near-dropped ${extrasExact.size}, " +
-        s"attributed $exactTypeAttributed)")
+        s"exact-dup-of-near-dropped ${extrasExact.size})")
       require(dq == raw -- quality, "quality stage must agree exactly")
       require(de.subsetOf(quality -- exact),
         "incremental exact drops must be composite exact drops")
       require((neardup -- admitted).isEmpty, "must never over-drop")
       require(extras.subsetOf(quality -- neardup),
         "every extra passed quality and is a composite near/exact drop")
-      require(exactTypeAttributed,
-        "every exact-type extra's keeper must be a composite near-drop")
+      require(extrasExact.isEmpty, "tombstones must close the " +
+        s"exact-dup-of-near-dropped re-entry class: $extrasExact " +
+        s"(keepers ${extrasExact.map(keeperOf)})")
     }
     run(1, "one")
     run(10, "ten")
