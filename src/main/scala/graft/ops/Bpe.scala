@@ -156,10 +156,12 @@ object Bpe {
       if (best.isEmpty) live = false
       else {
         val (pa, pb) = (best(0).getString(0), best(0).getString(1))
+        val prev = st
         st = st.select(col("w"), col("cnt"),
           when(size(col("syms")) < 2, col("syms"))
             .otherwise(foldMerge(col("syms"), lit(pa), lit(pb))).as("syms"))
           .localCheckpoint()
+        Checkpoints.free(prev) // superseded round state (r18 hygiene)
         round += 1
       }
     }
@@ -241,9 +243,12 @@ object Bpe {
     var st = vocab(docs).localCheckpoint()
     val rules = (0 until k).map { r =>
       val best = bestRule(pairCounts(st), minCount).localCheckpoint()
+      val prev = st
       st = applyBest(st, best).localCheckpoint()
+      Checkpoints.free(prev) // superseded; `best` stays (the output reads it)
       best.select(lit(r).as("round"), col("pa"), col("pb"), col("pc"))
     }
+    Checkpoints.free(st) // the final state feeds nothing — rules are the output
     rules.reduce(_ unionAll _).orderBy("round")
   }
 
@@ -268,12 +273,15 @@ object Bpe {
       else {
         val (pa, pb) = (best(0).getString(0), best(0).getString(1))
         rules += ((rules.length, pa, pb, best(0).getLong(2)))
+        val prev = st
         st = st.select(col("w"), col("cnt"),
           when(size(col("syms")) < 2, col("syms"))
             .otherwise(foldMerge(col("syms"), lit(pa), lit(pb))).as("syms"))
           .localCheckpoint()
+        Checkpoints.free(prev) // superseded round state (r18 hygiene)
       }
     }
+    Checkpoints.free(st) // rules are driver data; the state feeds nothing
     import spark.implicits._
     spark.createDataset(rules.toSeq).toDF("round", "pa", "pb", "pc")
       .orderBy("round")
