@@ -26,14 +26,29 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Checkpoints {
 
-  /** Unpersist the checkpoint blocks behind `df` (non-blocking).
-    * No-op on frames that are not checkpoint handles (no LogicalRDD
-    * leaf), so a caller passing a lazily-derived frame by mistake
-    * loses nothing — but the discipline is to pass the checkpoint
-    * handle itself, whose plan is exactly one LogicalRDD.
+  /** Unpersist the checkpoint blocks behind EVERY `LogicalRDD` leaf
+    * in `df`'s analyzed plan (non-blocking). The semantic is
+    * leaf-set, not handle-only: passing a frame DERIVED from
+    * checkpoints frees all the checkpoints it reads — which is the
+    * point when a lazily-composed result's inputs are all dead, and a
+    * data-loss bug when any of them is still referenced elsewhere
+    * (r18 review: the earlier "derived frames are a safe no-op"
+    * claim here was wrong). Discipline: call only when every
+    * checkpoint leaf under `df` is dead. Non-checkpoint LogicalRDD
+    * leaves (`createDataFrame(rdd)` relations) are never persisted,
+    * so their unpersist is a true no-op.
     */
   def free(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  /** Is `df` itself a materialized checkpoint handle (its plan is a
+    * bare `LogicalRDD` leaf)? Lets an operator that must read a frame
+    * twice skip re-checkpointing an input the caller already
+    * materialized — the caller keeps the handle and the free.
+    */
+  def isHandle(df: DataFrame): Boolean =
+    df.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
 }

@@ -123,6 +123,10 @@ object CurationPipeline {
       .select(col("id").as("doc_id"))
     val neardup = mat("3_near_dedup",
       exact.join(dupIds, Seq("doc_id"), "left_anti"))
+    // the closure's terminal state is dead once neardup materialized —
+    // free its checkpoint leaves in BOTH modes (r18 review: it was the
+    // one stage-internal checkpoint the release mode left behind)
+    Checkpoints.free(dupIds)
 
     // 4. substring-span removal — cut shared >= 4-token runs from the
     //    larger doc; a doc whose text was entirely duplicated content
@@ -248,9 +252,11 @@ object CurationPipeline {
     * predecessor; raw survives to the decontamination stage (its eval
     * side reads the RAW corpus); the split frame is freed after the
     * pack and BPE scans. The key therefore holds at most TWO stage
-    * checkpoints at any instant and leaves none behind — at 100 TB
-    * the analogous discipline is dropping each stage's staging table
-    * once the next is durable.
+    * checkpoints at any instant and leaves no STAGE-frame residue —
+    * operator-internal checkpoints (pair-join candidate frames,
+    * shared-build relations) are O(candidates)/session-shared and
+    * stay GC-reclaimed. At 100 TB the analogous discipline is
+    * dropping each stage's staging table once the next is durable.
     */
   val pipelineCurationStages: Q = (s, dir) => {
     val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]

@@ -92,6 +92,15 @@ import org.apache.spark.sql.functions._
   * replay instead discards the store-missing candidates and
   * re-admits). A streaming deployment pins the policy for the life of
   * the checkpoint directory, exactly as it pins the indexes.
+  * Tombstones make the pin bite in the other direction too (r18): a
+  * DEFAULT-path near drop — estimator verdict, false positives
+  * included — tombstones its hash, so a later verified run cannot
+  * rescue the doc on the same indexes (it reads `drop_exact_index`
+  * before the verify stage is reached; spec'd). That is not new
+  * loss — the estimator re-drops the same doc deterministically on
+  * every unverified presentation anyway — but it makes the recovery
+  * path explicit: switching policy means rebuilding the indexes under
+  * the new policy, not flipping the knob mid-stream.
   */
 object IncrementalCuration {
 
@@ -279,7 +288,11 @@ object IncrementalCuration {
   private[graft] def hashProbe(withHash0: DataFrame, hashIndex: String,
       v2: Boolean): DataFrame = {
     val sess = withHash0.sparkSession
-    val withHash = if (v2) withHash0.localCheckpoint() else withHash0
+    // skip re-checkpointing an input the caller already materialized
+    // (the caller then owns the handle and its free — curateBatch does)
+    val withHash =
+      if (v2 && !Checkpoints.isHandle(withHash0)) withHash0.localCheckpoint()
+      else withHash0
     val idx =
       if (v2) {
         val hps = withHash.select(substring(col("text_hash"), 1, 2).as("hp"))
@@ -520,10 +533,15 @@ object IncrementalCuration {
     // exact probe, layout-dispatched: v1 bucketed (index side joins
     // without shuffle; only the small delta side exchanges into the
     // index's buckets), v2 partitioned (directory-pruned O(touched)
-    // read — hashProbe materializes the delta once for the partition
-    // probe)
-    val withHash = q.withColumn("text_hash", hashOf(col("text")))
-    val probed = hashProbe(withHash, hashIndex, hashV2)
+    // read). The probe result is materialized ONCE (r18 review): the
+    // ledger's branches, the near stage's inputs, and the hash-row
+    // keeper join all read `probed` — lazy, each consumer re-ran the
+    // index join (a whole-index scan per branch on v1); checkpointed,
+    // the index is scanned once per batch and every consumer reads
+    // the O(batch) result.
+    val withHash0 = q.withColumn("text_hash", hashOf(col("text")))
+    val withHash = if (hashV2) withHash0.localCheckpoint() else withHash0
+    val probed = hashProbe(withHash, hashIndex, hashV2).localCheckpoint()
     val fresh = probed.filter(col("keep_id").isNull)
     val keepB = fresh.groupBy(col("text_hash")).agg(min(col("doc_id")).as("kid"))
     val exactSurv = fresh.join(keepB, "text_hash")
@@ -539,6 +557,9 @@ object IncrementalCuration {
     val idxPairs = verifyCorpus.fold(idxCand)(corpus =>
         verifiedPairs(idxCand, "new_id", exactSurv, "indexed_id", corpus, tau))
       .select(col("new_id"), col("indexed_id"))
+      .localCheckpoint() // read by the near filter AND the keeper join —
+                         // on the verified path the exact-verify joins
+                         // must not run twice (r18 review)
     val idxMatched = idxPairs.select(col("new_id").as("doc_id")).distinct()
     val nearSurv = exactSurv.join(idxMatched, Seq("doc_id"), "left_anti")
     val nb = IncrementalDedup.bandRows(nearSurv)
@@ -615,6 +636,17 @@ object IncrementalCuration {
       if (hashV2) appendHashRowsPartitioned(hashRows, hashIndex)
       else appendHashRows(hashRows, hashIndex)
     }
+    // free the batch-scoped checkpoints THIS call created (r18 review:
+    // a stream runs curateBatch forever, and per-batch residue left to
+    // GC is the pressure class this round eliminated). The returned
+    // ledger keeps its checkpoint — the caller reads it. cc's terminal
+    // state and verifiedPairs' candidate frame are O(candidates) and
+    // stay GC-reclaimed.
+    if (hashV2) Checkpoints.free(withHash)
+    Checkpoints.free(probed)
+    Checkpoints.free(idxPairs)
+    Checkpoints.free(hashRows)
+    Checkpoints.free(admitted)
     ledger
   }
 }
