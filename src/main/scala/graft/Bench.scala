@@ -170,15 +170,17 @@ object Bench {
       else ss.map(s => Math.round(s._2 * 100).toString)
         .mkString(""","stage_cs":"""", ",", "\"")
     }
-    // stage_cs rides the SAME 2000-char tail budget as everything
-    // else (r18 review): if the assembled line would overflow — and
-    // truncate from the end, the r01 unparseable-artifact failure —
-    // drop stage_cs first (the per-key all_cs map is the one field a
-    // round artifact cannot lose).
-    def line(stages: String) =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size}$errs,$fp,"queries":$qs,"all_order":"alpha","all_cs":"$allCs"$buildsJson$stages,"sf":"$sfDir"}"""
-    val full = line(stageJson)
-    println(if (full.length <= 1990) full else line(""))
+    // stage_cs and builds ride the SAME 2000-char tail budget as
+    // everything else (r18 review): if the assembled line would
+    // overflow — and truncate from the end, the r01 unparseable-
+    // artifact failure — degrade field by field: drop stage_cs first,
+    // then builds (the per-key all_cs map is the one field a round
+    // artifact cannot lose).
+    def line(builds: String, stages: String) =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size}$errs,$fp,"queries":$qs,"all_order":"alpha","all_cs":"$allCs"$builds$stages,"sf":"$sfDir"}"""
+    val candidates = Seq(line(buildsJson, stageJson),
+      line(buildsJson, ""), line("", ""))
+    println(candidates.find(_.length <= 1990).getOrElse(candidates.last))
     spark.stop()
   }
 }

@@ -124,8 +124,10 @@ object CurationPipeline {
     val neardup = mat("3_near_dedup",
       exact.join(dupIds, Seq("doc_id"), "left_anti"))
     // the closure's terminal state is dead once neardup materialized —
-    // free its checkpoint leaves in BOTH modes (r18 review: it was the
-    // one stage-internal checkpoint the release mode left behind)
+    // free its checkpoint leaves in BOTH modes (r18 review). This
+    // catches the converged-star exit, whose output frame reads the
+    // terminal checkpoint; the driver-endgame exit returns a
+    // LocalRelation and frees its own terminal state internally.
     Checkpoints.free(dupIds)
 
     // 4. substring-span removal — cut shared >= 4-token runs from the

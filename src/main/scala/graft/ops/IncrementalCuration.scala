@@ -351,9 +351,12 @@ object IncrementalCuration {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        curateBatch(batch.toDF(), hashIndex, bandIndex,
-            verifyCorpus = verifyCorpus.map(_()))
-          .write.mode("overwrite").parquet(s"$ledgerPath/batch=$batchId")
+        val led = curateBatch(batch.toDF(), hashIndex, bandIndex,
+          verifyCorpus = verifyCorpus.map(_()))
+        led.write.mode("overwrite").parquet(s"$ledgerPath/batch=$batchId")
+        // durable now — free the per-batch checkpoint (r18 review: a
+        // forever-stream otherwise leaks one ledger frame per batch)
+        Checkpoints.free(led)
         ()
       }
       .start()
@@ -623,30 +626,41 @@ object IncrementalCuration {
       .join(ledger.filter(col("status") === "admitted").select("doc_id"),
         Seq("doc_id"), "left_semi")
       .localCheckpoint() // lineage must not re-read the indexes post-append
-    if (!admitted.isEmpty) {
-      // band rows FIRST — the crash-window direction the replay
-      // contract relies on (see the object scaladoc): a crash between
-      // the appends leaves band-present/hash-absent, which replays as
-      // fresh and converges; hash-first would leave a `readmitted`
-      // read with permanently missing bands.
-      if (bandV2) IncrementalDedup.appendToIndexPartitioned(admitted, bandIndex)
-      else IncrementalDedup.appendToIndex(admitted, bandIndex)
+    try {
+      if (!admitted.isEmpty) {
+        // band rows FIRST — the crash-window direction the replay
+        // contract relies on (see the object scaladoc): a crash between
+        // the appends leaves band-present/hash-absent, which replays as
+        // fresh and converges; hash-first would leave a `readmitted`
+        // read with permanently missing bands.
+        if (bandV2) IncrementalDedup.appendToIndexPartitioned(admitted, bandIndex)
+        else IncrementalDedup.appendToIndex(admitted, bandIndex)
+      }
+      if (!hashRows.isEmpty) {
+        if (hashV2) appendHashRowsPartitioned(hashRows, hashIndex)
+        else appendHashRows(hashRows, hashIndex)
+      }
+    } catch { case t: Throwable =>
+      // an aborted batch returns nothing — its ledger frame would
+      // otherwise leak alongside the five below (r18 review: repeated
+      // transient append failures must not accumulate residue)
+      Checkpoints.free(ledger)
+      throw t
+    } finally {
+      // free the batch-scoped checkpoints THIS call created whether
+      // the appends committed or aborted (r18 review: a stream runs
+      // curateBatch forever, and per-batch residue left to GC is the
+      // pressure class this round eliminated). The returned ledger
+      // keeps its checkpoint on success — the caller reads it. cc's
+      // terminal state frees inside connectedComponents' endgame;
+      // verifiedPairs' candidate frames are O(candidates) and stay
+      // GC-reclaimed.
+      if (hashV2) Checkpoints.free(withHash)
+      Checkpoints.free(probed)
+      Checkpoints.free(idxPairs)
+      Checkpoints.free(hashRows)
+      Checkpoints.free(admitted)
     }
-    if (!hashRows.isEmpty) {
-      if (hashV2) appendHashRowsPartitioned(hashRows, hashIndex)
-      else appendHashRows(hashRows, hashIndex)
-    }
-    // free the batch-scoped checkpoints THIS call created (r18 review:
-    // a stream runs curateBatch forever, and per-batch residue left to
-    // GC is the pressure class this round eliminated). The returned
-    // ledger keeps its checkpoint — the caller reads it. cc's terminal
-    // state and verifiedPairs' candidate frame are O(candidates) and
-    // stay GC-reclaimed.
-    if (hashV2) Checkpoints.free(withHash)
-    Checkpoints.free(probed)
-    Checkpoints.free(idxPairs)
-    Checkpoints.free(hashRows)
-    Checkpoints.free(admitted)
     ledger
   }
 }

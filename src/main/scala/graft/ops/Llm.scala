@@ -502,6 +502,10 @@ object Llm {
         val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
+      // the terminal star set is fully absorbed into driver state —
+      // free its checkpoint here (r18 hygiene; in this branch the
+      // returned frame is a LocalRelation, so no caller can free it)
+      Checkpoints.free(edges)
       val roots = parent.keys.map(k => (k, find(k))).toSeq
       spark.createDataFrame(roots).toDF("id", "comp")
     } else if (converged) {

@@ -67,23 +67,34 @@ object ScratchFanout {
       }
       val idx = spark.read.parquet(path)
       for (batch <- Seq(10L, 500L)) {
-        // deterministic delta: every 97th id hits, half the batch is
-        // fresh (misses) — the real probe's mixed shape
+        // deterministic MIXED delta (r18 review fix: the first cut's
+        // id*97 rows all landed inside [0, n) and probed as 100 %
+        // hits): even ids hit (their hash exists in the index), odd
+        // ids miss (shifted past n — fresh content), the real
+        // admission shape. The hp collect is part of every timed rep:
+        // the real hashProbe pays it per probe.
         val delta = spark.range(0, batch)
-          .select(sha2((col("id") * lit(97L)).cast("string"), 256).as("text_hash"))
+          .select(sha2(when(col("id") % 2 === 0, col("id") * 7)
+            .otherwise(col("id") + lit(10 * n)).cast("string"), 256)
+            .as("text_hash"))
           .localCheckpoint()
-        val hps = delta.select(substring(col("text_hash"), 1, nibbles).as("hp"))
-          .distinct().collect().map(_.getString(0)).toSeq
         val reps = 3
+        var dirsTouched = 0
         val pruned = (1 to reps).map { _ =>
-          timed(idx.filter(col("hp").isin(hps: _*))
-            .join(delta, "text_hash").count())._1
+          timed {
+            val hps = delta
+              .select(substring(col("text_hash"), 1, nibbles).as("hp"))
+              .distinct().collect().map(_.getString(0)).toSeq
+            dirsTouched = hps.size
+            idx.filter(col("hp").isin(hps: _*)).join(delta, "text_hash").count()
+          }._1
         }
         val full = (1 to reps).map { _ =>
           timed(idx.join(delta, "text_hash").count())._1
         }
-        println(f"n=$n%d fanout=$fanout%4d batch=$batch%3d " +
-          f"build=$buildS%6.1fs files=$files%5d dirsTouched=${hps.size}%4d " +
+        val hits = idx.join(delta, "text_hash").count()
+        println(f"n=$n%d fanout=$fanout%4d batch=$batch%3d hits=$hits%3d " +
+          f"build=$buildS%6.1fs files=$files%5d dirsTouched=$dirsTouched%4d " +
           f"pruned=${pruned.map(t => f"$t%.2f").mkString("/")}s " +
           f"full=${full.map(t => f"$t%.2f").mkString("/")}s")
         ops.Checkpoints.free(delta)
