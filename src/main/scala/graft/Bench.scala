@@ -134,7 +134,20 @@ object Bench {
     val load = try {
       scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ")(0)
     } catch { case _: Throwable => "-1" }
-    val fp = s""""fp":{"cpu":"$cpuModel","load":$load,"cal_ms":$calMs}"""
+    // GC/heap fingerprint (round 18): three consecutive rounds of
+    // driver-artifact anomalies were adjudicated as memory/GC
+    // pressure by inference (the 8 GiB reproduction row) — carry the
+    // evidence IN the artifact. gc_ms = cumulative collector time for
+    // the whole run (suite-wide allocation pressure), heap_mb = -Xmx
+    // actually in effect (the r17 anomaly hypothesis space included
+    // the driver running a smaller heap than the builder).
+    val gcMs = try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    } catch { case _: Throwable => -1L }
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val fp = s""""fp":{"cpu":"$cpuModel","load":$load,"cal_ms":$calMs,"gc_ms":$gcMs,"heap_mb":$heapMb}"""
     val top = results.toSeq.sortBy(-_._2).take(10)
     val qs = top.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
