@@ -826,57 +826,125 @@ object Graph {
     * Σ estimated reach (incl. self), and the minimum/maximum
     * per-node estimate — N(h)'s growth profile is the
     * effective-diameter / expansion diagnostic. NO ORACLE BY DESIGN
-    * (SURVEY §7.4 approx family): estimates are DETERMINISTIC for a
-    * given input (HLL registers have no RNG) but not replayable in
-    * DuckDB; the spec bounds them against an exact driver-side BFS
-    * replay (≤ 5σ of the lgK=10 register error) and pins hop-0
-    * exactness (singleton sketches estimate exactly 1).
+    * (SURVEY §7.4 approx family): there is no RNG anywhere, but
+    * DataSketches HLL union results are merge-ORDER-sensitive at
+    * mid-density (measured ~0.2 % between formulations and across
+    * shuffle-arrival orders at the 10⁷-edge scale), so estimates
+    * reproduce within register error, not bit-exactly — and are not
+    * replayable in DuckDB; the spec bounds them against an exact
+    * driver-side BFS replay (≤ 5σ of the lgK=10 register error) and
+    * pins hop-0 exactness (singleton sketches estimate exactly 1).
     *
-    * Scale: per round ONE edge⋈register shuffle + one union agg;
-    * state |nodes| registers (KBs each at lgK 10) regardless of
-    * reach — the whole point at 10⁹-node graphs where exact per-seed
-    * frontiers explode. Measured honestly at sf0.1: 11.1 / 9.1 /
-    * 7.7 s isolated at lgK 12/10/8 — the cost is the ~2.7 M register
-    * merges + round barriers, NOT register bytes. Ships at lgK 10
-    * from round 13 (r12 verdict item 1b: the lgK dial is the
-    * documented suite-headroom lever, and rse 1.04/√2¹⁰ ≈ 3.25 % —
-    * 5σ ≈ 16 % on the sum, the spec gate — is ample for a
-    * neighborhood-GROWTH diagnostic whose consumer reads N(h)'s
-    * shape, not absolute counts; lgK is the quality dial an analyst
-    * raises per run when absolutes matter). This is the
-    * suite's most expensive key AND its fastest formulation: the
-    * same semantics done exactly (per-node BFS from all 20 k nodes)
-    * carries |nodes|·|reach| ≈ 4·10⁸ state rows — the measured
-    * per-seed cost of [[graphHarmonicBounded]] extrapolates to
-    * ~100× this runtime.
+    * Scale: state is |nodes| registers (KBs each at lgK 10)
+    * regardless of reach — the whole point at 10⁹-node graphs where
+    * exact per-seed frontiers explode. The round structure is
+    * volume-dispatched on the register-table size (round 18,
+    * ScratchHyperballForms): below [[HyperballBroadcastNodes]] the
+    * register frame BROADCASTS to src-partitioned self-looped edges
+    * and the round is shuffle-free — the per-round exchange of
+    * partially-combined registers (the "~80 GB/round merge traffic"
+    * that DNF'd the r12 10⁷-edge scale run) disappears; measured at
+    * sf0.1: steady-state loop 1.9–2.1 s vs the shuffle form's ~15 s
+    * (~7×). Above the gate — registers outgrow a broadcast — the
+    * edge⋈register shuffle form runs, whose earlier lgK ladder
+    * (11.1 / 9.1 / 7.7 s at lgK 12/10/8) showed merges + barriers,
+    * not register bytes, dominate. Ships at lgK 10 from round 13
+    * (r12 verdict item 1b: rse 1.04/√2¹⁰ ≈ 3.25 % — 5σ ≈ 16 % on
+    * the sum, the spec gate — is ample for a neighborhood-GROWTH
+    * diagnostic whose consumer reads N(h)'s shape, not absolute
+    * counts; lgK is the quality dial an analyst raises per run when
+    * absolutes matter). The same semantics done exactly (per-node
+    * BFS from all 20 k nodes) carries |nodes|·|reach| ≈ 4·10⁸ state
+    * rows — the measured per-seed cost of [[graphHarmonicBounded]]
+    * extrapolates to ~100× this runtime.
     */
+  /** Register-table broadcast gate for [[graphHyperballReach]]:
+    * below this node count the whole register frame (~1 KB/node
+    * dense at lgK 10 ⟹ ≤ ~2 GiB here) rides a per-round broadcast
+    * and the round is shuffle-FREE; above it, registers must shuffle
+    * to meet the edges. The broadcast path is MEASURED through
+    * 1.25 M nodes / 2·10⁷ undirected edges (the r12
+    * ScratchHyperballScale graph whose hop-3 round the shuffle form
+    * never finished): 184 s steady-state local[32]
+    * (ScratchHyperballForms synthetic mode, BASELINE r18 row). The
+    * dial an analyst raises with driver/executor memory.
+    */
+  private val HyperballBroadcastNodes = 2000000L
+
   val graphHyperballReach: Q = (s, dir) => {
     val edges = undirectedBothEdges(s, dir)
     val nodes = edges.select(col("src").as("node")).distinct()
+    val est = hll_sketch_estimate(col("reg"))
+    // Per-hop stats are collected EAGERLY (4 rows of 5 scalars — the
+    // release-mode composite's ledger precedent), so each superseded
+    // register checkpoint frees deterministically instead of living
+    // until the final action; the returned frame is a LocalRelation.
+    def hopStats(h: Int, reg: DataFrame): org.apache.spark.sql.Row = {
+      val r = reg.agg(count(lit(1)), sum(est), min(est), max(est)).head()
+      def nz(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+      org.apache.spark.sql.Row(h.toLong, r.getLong(0), nz(1), nz(2), nz(3))
+    }
     var reg = nodes.groupBy(col("node"))
       .agg(hll_sketch_agg(col("node"), lit(10)).as("reg"))
       .localCheckpoint()
-    val perHop = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-    def hopRow(h: Int) = reg
-      .select(hll_sketch_estimate(col("reg")).as("est"))
-      .agg(count(lit(1)).as("n_nodes"), sum(col("est")).as("sum_reach_est"),
-        min(col("est")).as("min_est"), max(col("est")).as("max_est"))
-      .select(lit(h.toLong).as("hop"), col("n_nodes"), col("sum_reach_est"),
-        col("min_est"), col("max_est"))
-    perHop += hopRow(0)
-    for (h <- 1 to 3) {
-      val contrib = edges
-        .join(reg.select(col("node").as("dst"), col("reg").as("nreg")), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(hll_union_agg(col("nreg"), lit(false)).as("nbr"))
-      reg = reg.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          when(col("nbr").isNull, col("reg"))
-            .otherwise(hll_union(col("reg"), col("nbr"))).as("reg"))
-        .localCheckpoint()
-      perHop += hopRow(h)
+    val rows = scala.collection.mutable.ArrayBuffer(hopStats(0, reg))
+    val nNodes = rows.head.getLong(1)
+    if (nNodes <= HyperballBroadcastNodes) {
+      // broadcast form (round 18, measured ~7× at sf0.1: steady-state
+      // loop 1.9–2.1 s vs 15 s — ScratchHyperballForms / BASELINE):
+      // self-loops fold the node's own h−1 register into the neighbor
+      // union (the trailing left-join is gone), edges ∪ self-loops are
+      // src-repartitioned ONCE, and each round joins them against a
+      // BROADCAST of the register frame — the per-round partial-
+      // register exchange (the "80 GB/round merge traffic" that DNF'd
+      // the 10⁷-edge scale run at r12) disappears; only ≤ |nodes|
+      // already-combined partials move. Estimates perturb ~0.2 % vs
+      // the shuffle form (DataSketches HLL unions are merge-order-
+      // sensitive at mid-density; hop 0 stays exact) — inside the
+      // lgK-10 register error the spec gates.
+      val esSrc = edges
+        .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+        .repartition(col("src")).localCheckpoint()
+      for (h <- 1 to 3) {
+        val next = esSrc
+          .join(broadcast(reg.select(col("node").as("dst"), col("reg").as("nreg"))), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(hll_union_agg(col("nreg"), lit(false)).as("reg"))
+          .localCheckpoint()
+        Checkpoints.free(reg) // its hop row is already collected
+        reg = next
+        rows += hopStats(h, reg)
+      }
+      Checkpoints.free(esSrc)
+    } else {
+      // shuffle form — the 10⁹-node regime where the register table
+      // outgrows a broadcast: edges shuffle to the registers per
+      // round, partials exchange, the node's own register folds in
+      // via the trailing left-join.
+      for (h <- 1 to 3) {
+        val contrib = edges
+          .join(reg.select(col("node").as("dst"), col("reg").as("nreg")), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(hll_union_agg(col("nreg"), lit(false)).as("nbr"))
+        val next = reg.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            when(col("nbr").isNull, col("reg"))
+              .otherwise(hll_union(col("reg"), col("nbr"))).as("reg"))
+          .localCheckpoint()
+        Checkpoints.free(reg)
+        reg = next
+        rows += hopStats(h, reg)
+      }
     }
-    perHop.reduce(_ unionByName _).orderBy("hop")
+    Checkpoints.free(reg)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("hop", "long", nullable = false)
+      .add("n_nodes", "long", nullable = false)
+      .add("sum_reach_est", "long", nullable = false)
+      .add("min_est", "long", nullable = false)
+      .add("max_est", "long", nullable = false)
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), schema)
+      .orderBy("hop")
   }
 
   val queries: Map[String, Q] = Map(
