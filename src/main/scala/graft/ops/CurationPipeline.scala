@@ -301,6 +301,13 @@ object CurationPipeline {
     collect1(bpeRow(st.bpe))
     mark("8_bpe_tokens")
     live.remove("7_split").foreach(Checkpoints.free)
+    // the pack frame's leaf set holds packSequences' internal
+    // `counted` checkpoint (its two in-operator consumers are done
+    // once packRow collected) — the one operator-INTERNAL residue
+    // this key can free; the split checkpoint in the same leaf set
+    // is already freed above (double-free is a safe no-op). Ordered
+    // AFTER the bpe collect: bpe shares the split checkpoint.
+    Checkpoints.free(st.packs)
     lastStageSeconds = timings.toList
     import s.implicits._
     ledger.toSeq.toDF("stage", "n_docs", "n_tokens").orderBy("stage")
