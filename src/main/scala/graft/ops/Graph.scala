@@ -871,14 +871,21 @@ object Graph {
     */
   private val HyperballBroadcastNodes = 2000000L
 
-  val graphHyperballReach: Q = (s, dir) => {
-    val edges = undirectedBothEdges(s, dir)
-    val nodes = edges.select(col("src").as("node")).distinct()
+  /** The dispatched register loop behind [[graphHyperballReach]],
+    * factored so the spec can force EITHER branch on the small graph
+    * (`gate = 0` → shuffle form, `gate = Long.MaxValue` → broadcast
+    * form — the >2 M-node branch is otherwise unreachable below the
+    * gate and would be silently untestable). Returns the 4 per-hop
+    * stat rows (hop, n_nodes, sum_reach_est, min_est, max_est).
+    */
+  private[graft] def hyperballLoop(edges: DataFrame, nodes: DataFrame,
+      gate: Long): Seq[org.apache.spark.sql.Row] = {
     val est = hll_sketch_estimate(col("reg"))
     // Per-hop stats are collected EAGERLY (4 rows of 5 scalars — the
     // release-mode composite's ledger precedent), so each superseded
     // register checkpoint frees deterministically instead of living
-    // until the final action; the returned frame is a LocalRelation.
+    // until the final action; the key's returned frame is a
+    // LocalRelation.
     def hopStats(h: Int, reg: DataFrame): org.apache.spark.sql.Row = {
       val r = reg.agg(count(lit(1)), sum(est), min(est), max(est)).head()
       def nz(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
@@ -889,7 +896,7 @@ object Graph {
       .localCheckpoint()
     val rows = scala.collection.mutable.ArrayBuffer(hopStats(0, reg))
     val nNodes = rows.head.getLong(1)
-    if (nNodes <= HyperballBroadcastNodes) {
+    if (nNodes <= gate) {
       // broadcast form (round 18, measured ~7× at sf0.1: steady-state
       // loop 1.9–2.1 s vs 15 s — ScratchHyperballForms / BASELINE):
       // self-loops fold the node's own h−1 register into the neighbor
@@ -937,13 +944,20 @@ object Graph {
       }
     }
     Checkpoints.free(reg)
+    rows.toSeq
+  }
+
+  val graphHyperballReach: Q = (s, dir) => {
+    val edges = undirectedBothEdges(s, dir)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val rows = hyperballLoop(edges, nodes, HyperballBroadcastNodes)
     val schema = new org.apache.spark.sql.types.StructType()
       .add("hop", "long", nullable = false)
       .add("n_nodes", "long", nullable = false)
       .add("sum_reach_est", "long", nullable = false)
       .add("min_est", "long", nullable = false)
       .add("max_est", "long", nullable = false)
-    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), schema)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
       .orderBy("hop")
   }
 

@@ -197,6 +197,29 @@ class GraphBfsSpec extends SparkSpec {
     }
   }
 
+  test("hyperball dispatch parity: the broadcast and shuffle branches agree within register error") {
+    // The shipped key takes the broadcast branch below the 2M-node
+    // gate, leaving the shuffle branch (the 10⁹-node regime) spec-
+    // unreachable — force BOTH through the factored loop and pin
+    // parity. NOT exact equality: DataSketches HLL union results are
+    // merge-order-sensitive at mid-density (measured ~0.2 % between
+    // forms at sf0.1 — ScratchHyperballForms), so the gate is hop-0
+    // exact + every hop within 1 % (rse at lgK 10 is 3.25 %).
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val edges = ops.Graph.undirectedBothEdges(spark, dir)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val bc = ops.Graph.hyperballLoop(edges, nodes, Long.MaxValue)
+    val sh = ops.Graph.hyperballLoop(edges, nodes, 0L)
+    assert(bc.map(_.getLong(0)) === Seq(0L, 1L, 2L, 3L))
+    assert(bc.head === sh.head, "hop 0 is exact in both forms")
+    for ((b, s) <- bc.zip(sh); i <- 1 to 4) {
+      val (vb, vs) = (b.getLong(i), s.getLong(i))
+      assert(math.abs(vb - vs) <= math.max(1.0, 0.01 * vb),
+        s"hop ${b.getLong(0)} col $i: broadcast $vb vs shuffle $vs")
+    }
+  }
+
   test("graph_hyperball_reach: hop-0 exact, monotone, within 5σ of the exact BFS reach sums") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
