@@ -197,6 +197,17 @@ class GraphBfsSpec extends SparkSpec {
     }
   }
 
+  test("harmonic dispatch parity: broadcast and shuffle join forms are row-identical (exact BFS)") {
+    // the shipped key broadcasts the frontier below the row gate,
+    // leaving the shuffle form (the many-seeds regime) unreachable at
+    // spec scale — force both and pin EXACT equality (integer BFS,
+    // no sketch tolerance)
+    val edges = ops.Graph.undirectedBothEdges(spark, "/root/testdata/sf0.001")
+    val bc = ops.Graph.harmonicLoop(edges, Long.MaxValue).collect().toSeq
+    val sh = ops.Graph.harmonicLoop(edges, 0L).collect().toSeq
+    assert(bc.nonEmpty && bc === sh)
+  }
+
   test("hyperball dispatch parity: the broadcast and shuffle branches agree within register error") {
     // The shipped key takes the broadcast branch below the 2M-node
     // gate, leaving the shuffle branch (the 10⁹-node regime) spec-
