@@ -607,6 +607,11 @@ object Graph {
     * checkpoints, so no node is ever re-materialized after its
     * discovery round.
     */
+  // NOTE (r18 second session): the harmonicLoop frontier-broadcast
+  // dispatch was A/B'd here too and measured MARGINAL (2.87 → 2.66 s
+  // isolated, same cal — inside noise): this loop's global state is
+  // |nodes| rows, not |seeds|·|nodes|, so it is barrier-bound, not
+  // exchange-bound. Kept as the plain shuffle join (BASELINE row).
   private[graft] def bfsLayers(edges: org.apache.spark.sql.DataFrame,
       seeds: org.apache.spark.sql.DataFrame, maxHop: Int): org.apache.spark.sql.DataFrame = {
     var frontier = seeds.select(col("node"), lit(0L).as("hop")).localCheckpoint()
