@@ -77,12 +77,24 @@ object Bench {
         kind -> (System.nanoTime() - t0) / 1e9
       }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // Cumulative collector time NOW — sampled around each key's timed
+    // loop (round 19, r18 verdict item 2): the delta separates "this
+    // key is hot" from "this key absorbed the window's GC pressure"
+    // from the artifact alone, which three rounds of driver-read
+    // adjudication needed BASELINE cross-referencing for.
+    def gcNow(): Long = try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    } catch { case _: Throwable => 0L }
+    val gcByKey = scala.collection.mutable.Map.empty[String, Long]
     val results = selected.map { case (name, fn) =>
       var last = 0.0
       (1 to reps).foreach { _ =>
         // Collect other queries' garbage outside the timed region so a
         // query's number reflects its own allocation behavior.
         System.gc()
+        val g0 = gcNow()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
@@ -92,6 +104,23 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         last = (System.nanoTime() - t0) / 1e9
+        // collector centiseconds INSIDE this key's timed region (last
+        // rep, matching `last`); the System.gc() above is outside both
+        gcByKey(name) = (gcNow() - g0) / 10
+      }
+      // Per-key progress, opt-in (SPARK_GRAFT_VERBOSE=1 → stderr;
+      // SPARK_GRAFT_KEYLOG=path → timestamped file, append+flush per
+      // key, for correlating keys against an external monitor — sbt
+      // buffers stderr too coarsely for that). Local diagnosis only;
+      // stderr lines land BEFORE the final JSON println, so the
+      // driver's 2000-char output tail still ends with the artifact.
+      if (sys.env.get("SPARK_GRAFT_VERBOSE").contains("1"))
+        System.err.println(
+          f"[bench-key] $name $last%.2f s gc=${gcByKey(name)}cs")
+      sys.env.get("SPARK_GRAFT_KEYLOG").foreach { p =>
+        val w = new java.io.FileWriter(p, true)
+        try w.write(f"${System.currentTimeMillis()} $name $last%.3f ${gcByKey(name)}\n")
+        finally w.close()
       }
       name -> last
     }
@@ -183,16 +212,33 @@ object Bench {
       else ss.map(s => Math.round(s._2 * 100).toString)
         .mkString(""","stage_cs":"""", ",", "\"")
     }
-    // stage_cs and builds ride the SAME 2000-char tail budget as
+    // Per-key GC absorbers (round 19 — r18 verdict item 2). A full
+    // 286-key centisecond CSV like all_cs costs ~600-750 chars and the
+    // assembled line already runs 1700-1800 — it would ALWAYS fall to
+    // the degradation rule, i.e. never ship. Emit the signal that
+    // fits instead: the top absorbers as "alphaIndex:cs" pairs
+    // (index into the sorted key names — the same decode table all_cs
+    // already requires), entries >= 10 cs, at most 8. A clean run
+    // emits few or none; a storm run names exactly the keys that ate
+    // the window.
+    val gcTopJson = {
+      val keysAlpha = results.toSeq.sortBy(_._1).map(_._1).zipWithIndex.toMap
+      val hot = gcByKey.toSeq.filter(_._2 >= 10).sortBy(-_._2).take(8)
+      if (hot.isEmpty) ""
+      else hot.map { case (k, v) => s"${keysAlpha(k)}:$v" }
+        .mkString(""","gc_i":"""", ",", "\"")
+    }
+    // stage_cs, builds and gc_i ride the SAME 2000-char tail budget as
     // everything else (r18 review): if the assembled line would
     // overflow — and truncate from the end, the r01 unparseable-
-    // artifact failure — degrade field by field: drop stage_cs first,
-    // then builds (the per-key all_cs map is the one field a round
-    // artifact cannot lose).
-    def line(builds: String, stages: String) =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size}$errs,$fp,"queries":$qs,"all_order":"alpha","all_cs":"$allCs"$builds$stages,"sf":"$sfDir"}"""
-    val candidates = Seq(line(buildsJson, stageJson),
-      line(buildsJson, ""), line("", ""))
+    // artifact failure — degrade field by field: drop gc_i first
+    // (newest), then stage_cs, then builds (the per-key all_cs map is
+    // the one field a round artifact cannot lose).
+    def line(builds: String, stages: String, gcTop: String) =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size}$errs,$fp,"queries":$qs,"all_order":"alpha","all_cs":"$allCs"$builds$stages$gcTop,"sf":"$sfDir"}"""
+    val candidates = Seq(line(buildsJson, stageJson, gcTopJson),
+      line(buildsJson, stageJson, ""), line(buildsJson, "", ""),
+      line("", "", ""))
     println(candidates.find(_.length <= 1990).getOrElse(candidates.last))
     spark.stop()
   }
