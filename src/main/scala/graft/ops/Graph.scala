@@ -380,17 +380,42 @@ object Graph {
     val edges0 = canonicalUndirectedEdges(s, dir)
       .filter(Llm.hashBucket("graft-kcore")(
         concat_ws("|", col("u"), col("v"))) < 10)
-      .localCheckpoint() // static base; re-scanned by every round
+      .localCheckpoint() // static base; consumed by round 1 only
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("node")).union(e.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val edges = Iterate.fixed(1 to 3, Iterate.never)(edges0) { (e, _) =>
+    // Round 19 exchange-lens A/B (r18 verdict item 1; guide §2.4): the
+    // r13-r18 form ran the 3 rounds UNCHECKPOINTED (Iterate.never —
+    // the pagerank-measured cadence) but a peel round references its
+    // input FIVE times (degrees 2×, each inside the twice-used surv
+    // subtree, + the probe), so the lazy unroll compounds to a ~500-
+    // Exchange / 500-scan physical plan (plans/r19/graph_k_core_
+    // before.txt) that re-derives every prior round per reference —
+    // the one loop where the "short loop, no checkpoint" default is
+    // wrong. Materializing BOTH per-round frames (the tiny survivor
+    // set, read by two broadcast semis, and the round's edge set) cuts
+    // the plan to 3 exchanges per round (degree shuffle + 2 broadcast
+    // builds; the returned frame's lazy plan drops 390 KB → 1.6 KB)
+    // and measured 1.85 s → 1.35/1.40 s isolated (REPS=3, −26 %;
+    // parity via the DuckDB oracle gate — formulation-independent).
+    // Superseded checkpoints free deterministically; the final
+    // round's checkpoint backs the returned frame and must stay.
+    var e = edges0
+    var prev = edges0
+    for (_ <- 1 to 3) {
       val surv = degrees(e).filter(col("deg") >= k).select(col("node"))
-      e.join(broadcast(surv.withColumnRenamed("node", "u")), Seq("u"), "left_semi")
+        .localCheckpoint() // ≤ first-round node count — broadcast side
+      val next = e
+        .join(broadcast(surv.withColumnRenamed("node", "u")), Seq("u"), "left_semi")
         .join(broadcast(surv.withColumnRenamed("node", "v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
+        .localCheckpoint()
+      Checkpoints.free(surv) // baked into next
+      Checkpoints.free(prev) // superseded round state
+      prev = next
+      e = next
     }
-    degrees(edges).orderBy(col("node"))
+    degrees(e).orderBy(col("node"))
   }
 
   /** k-truss decomposition (k = 3) by 2 unrolled peel rounds — the
@@ -449,14 +474,34 @@ object Graph {
     */
   private[graft] def trussEdges(e0: DataFrame, minSupp: Long,
       rounds: Int): DataFrame = {
-    val edges = Iterate.fixed(1 to rounds, Iterate.never)(e0) { (e, _) =>
+    // Round 19 (the graphKCore lesson applied — guide §2.4): a truss
+    // round references its input FOUR times (adj 2×, the probe
+    // broadcast, the semi's left side), so the lazy unroll compounds
+    // to a 332-Exchange plan over 2 rounds (plans/r19/graph_k_truss_
+    // before.txt, 310 KB). Materializing each round's survivor edge
+    // set bounds every plan at one support pass (332 → 10 exchanges);
+    // isolated wall is NEUTRAL at this SF (1.29 s before; 1.25/1.72 s
+    // after, REPS=3 — runtime exchange reuse was already absorbing
+    // most of the lazy duplication when isolated) — kept for the
+    // in-suite planning-cost cut and the bounded plan at scale;
+    // parity via the oracle gate. Superseded round checkpoints free
+    // deterministically; the
+    // caller's e0 is never ours to free, and the last round's
+    // checkpoint backs the returned frame.
+    var e = e0
+    var prev: DataFrame = null
+    for (_ <- 1 to rounds) {
       // zero-triangle edges never reach the support relation, so the
       // single semi join both peels low-support edges AND drops them
-      e.join(trussSupport(e).filter(col("supp") >= minSupp)
+      val next = e.join(trussSupport(e).filter(col("supp") >= minSupp)
           .select(col("u"), col("v")),
         Seq("u", "v"), "left_semi")
+        .localCheckpoint()
+      if (prev != null) Checkpoints.free(prev)
+      prev = next
+      e = next
     }
-    edges.join(trussSupport(edges), Seq("u", "v"), "left_outer")
+    e.join(trussSupport(e), Seq("u", "v"), "left_outer")
       .select(col("u"), col("v"), coalesce(col("supp"), lit(0L)).as("supp"))
       .orderBy("u", "v")
   }
@@ -900,7 +945,13 @@ object Graph {
     * ScratchHyperballScale graph whose hop-3 round the shuffle form
     * never finished): 184 s steady-state local[32]
     * (ScratchHyperballForms synthetic mode, BASELINE r18 row). The
-    * dial an analyst raises with driver/executor memory.
+    * dial an analyst raises with driver/executor memory — at the gate
+    * the register frame is ~2 GiB dense, so the driver needs
+    * spark.driver.memory and spark.driver.maxResultSize sized above
+    * that (the measured 1.25 M-node run held a ~1.2 GiB broadcast);
+    * a BroadcastExchange failure inside the band no longer hard-fails
+    * the key — [[hyperballLoop]] catches it and degrades to the
+    * shuffle form from the seed (round 19, r18 ADVICE).
     */
   private val HyperballBroadcastNodes = 2000000L
 
@@ -924,11 +975,31 @@ object Graph {
       def nz(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
       org.apache.spark.sql.Row(h.toLong, r.getLong(0), nz(1), nz(2), nz(3))
     }
-    var reg = nodes.groupBy(col("node"))
+    def seedReg(): DataFrame = nodes.groupBy(col("node"))
       .agg(hll_sketch_agg(col("node"), lit(10)).as("reg"))
       .localCheckpoint()
+    var reg = seedReg()
     val rows = scala.collection.mutable.ArrayBuffer(hopStats(0, reg))
     val nNodes = rows.head.getLong(1)
+    // shuffle form — the 10⁹-node regime where the register table
+    // outgrows a broadcast: edges shuffle to the registers per
+    // round, partials exchange, the node's own register folds in
+    // via the trailing left-join.
+    def shuffleRounds(): Unit =
+      for (h <- 1 to 3) {
+        val contrib = edges
+          .join(reg.select(col("node").as("dst"), col("reg").as("nreg")), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(hll_union_agg(col("nreg"), lit(false)).as("nbr"))
+        val next = reg.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            when(col("nbr").isNull, col("reg"))
+              .otherwise(hll_union(col("reg"), col("nbr"))).as("reg"))
+          .localCheckpoint()
+        Checkpoints.free(reg)
+        reg = next
+        rows += hopStats(h, reg)
+      }
     if (nNodes <= gate) {
       // broadcast form (round 18, measured ~7× at sf0.1: steady-state
       // loop 1.9–2.1 s vs 15 s — ScratchHyperballForms / BASELINE):
@@ -945,37 +1016,38 @@ object Graph {
       val esSrc = edges
         .union(nodes.select(col("node").as("src"), col("node").as("dst")))
         .repartition(col("src")).localCheckpoint()
-      for (h <- 1 to 3) {
-        val next = esSrc
-          .join(broadcast(reg.select(col("node").as("dst"), col("reg").as("nreg"))), "dst")
-          .groupBy(col("src").as("node"))
-          .agg(hll_union_agg(col("nreg"), lit(false)).as("reg"))
-          .localCheckpoint()
-        Checkpoints.free(reg) // its hop row is already collected
-        reg = next
-        rows += hopStats(h, reg)
+      try {
+        for (h <- 1 to 3) {
+          val next = esSrc
+            .join(broadcast(reg.select(col("node").as("dst"), col("reg").as("nreg"))), "dst")
+            .groupBy(col("src").as("node"))
+            .agg(hll_union_agg(col("nreg"), lit(false)).as("reg"))
+            .localCheckpoint()
+          Checkpoints.free(reg) // its hop row is already collected
+          reg = next
+          rows += hopStats(h, reg)
+        }
+      } catch {
+        // r18 ADVICE: between the measured 1.25 M nodes and the 2 M-row
+        // gate, a default-configured driver (spark.driver.memory /
+        // maxResultSize 1g) can fail the per-round BroadcastExchange
+        // where the shuffle form would complete slowly — degrade to
+        // slow-but-safe instead of surfacing a hard failure. Broadcast
+        // build errors arrive as SparkException (OOM-wrapping included);
+        // register state may be mid-round, so restart from the seed —
+        // hop rows past 0 are dropped and recomputed exactly.
+        case e: org.apache.spark.SparkException =>
+          System.err.println(
+            s"[graph] hyperball register broadcast failed (${e.getMessage}); " +
+              "retrying via the shuffle form")
+          Checkpoints.free(esSrc)
+          Checkpoints.free(reg)
+          rows.trimEnd(rows.size - 1)
+          reg = seedReg()
+          shuffleRounds()
       }
       Checkpoints.free(esSrc)
-    } else {
-      // shuffle form — the 10⁹-node regime where the register table
-      // outgrows a broadcast: edges shuffle to the registers per
-      // round, partials exchange, the node's own register folds in
-      // via the trailing left-join.
-      for (h <- 1 to 3) {
-        val contrib = edges
-          .join(reg.select(col("node").as("dst"), col("reg").as("nreg")), "dst")
-          .groupBy(col("src").as("node"))
-          .agg(hll_union_agg(col("nreg"), lit(false)).as("nbr"))
-        val next = reg.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            when(col("nbr").isNull, col("reg"))
-              .otherwise(hll_union(col("reg"), col("nbr"))).as("reg"))
-          .localCheckpoint()
-        Checkpoints.free(reg)
-        reg = next
-        rows += hopStats(h, reg)
-      }
-    }
+    } else shuffleRounds()
     Checkpoints.free(reg)
     rows.toSeq
   }
@@ -990,8 +1062,11 @@ object Graph {
       .add("sum_reach_est", "long", nullable = false)
       .add("min_est", "long", nullable = false)
       .add("max_est", "long", nullable = false)
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
-      .orderBy("hop")
+    // a true LocalRelation (r18 ADVICE: the parallelize form is an
+    // RDD-backed LogicalRDD — every consumer action launched a
+    // 1-partition job; this one is driver-local)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema).orderBy("hop")
   }
 
   val queries: Map[String, Q] = Map(
