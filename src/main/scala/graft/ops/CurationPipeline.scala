@@ -301,12 +301,13 @@ object CurationPipeline {
     collect1(bpeRow(st.bpe))
     mark("8_bpe_tokens")
     live.remove("7_split").foreach(Checkpoints.free)
-    // the pack frame's leaf set holds packSequences' internal
-    // `counted` checkpoint (its two in-operator consumers are done
-    // once packRow collected) — the one operator-INTERNAL residue
-    // this key can free; the split checkpoint in the same leaf set
-    // is already freed above (double-free is a safe no-op). Ordered
-    // AFTER the bpe collect: bpe shares the split checkpoint.
+    // the pack frame's analyzed plan has exactly ONE checkpoint leaf:
+    // packSequences' internal `counted` checkpoint (the 7_split
+    // checkpoint is upstream OF that checkpoint, truncated behind it,
+    // and freed separately above). Its two in-operator consumers are
+    // done once packRow collected — the one operator-INTERNAL residue
+    // this key can free. Ordered AFTER the bpe collect only because
+    // bpe reads the split checkpoint freed in the same block above.
     Checkpoints.free(st.packs)
     lastStageSeconds = timings.toList
     import s.implicits._

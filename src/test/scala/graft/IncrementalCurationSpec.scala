@@ -582,6 +582,59 @@ class IncrementalCurationSpec extends SparkSpec {
       "an exact dup of the dropped chain doc must hit the tombstone")
   }
 
+  test("policy-switch recovery: rebuild from the admitted store under the new policy converges and releases default-path tombstones") {
+    // round 19 (r18 verdict item 5): the object scaladoc's recovery
+    // clause as a machine check — "switching policy means rebuilding
+    // the indexes under the new policy, not flipping the knob
+    // mid-stream". Protocol: run a default-policy stream that
+    // over-drops an estimator false positive (tombstoning its hash),
+    // then switch to the VERIFIED policy the documented way: rebuild
+    // BOTH indexes from the admitted document store, and continue.
+    val k = fpTag
+    val (idA, idB) = (k * 2L, k * 2L + 1L)
+    // default-policy stream: seed idA, then one batch with the FP doc
+    // idB (near-drops + tombstones) and a fresh doc 5
+    ops.IncrementalCuration.buildHashIndex(docs(idA -> fpA(k)), "ic8_hash")
+    ops.IncrementalDedup.buildIndex(docs(idA -> fpA(k)), "ic8_band")
+    val led1 = ledgerMap(ops.IncrementalCuration.curateBatch(
+      docs(idB -> fpB(k), 5L -> text("ps5")), "ic8_hash", "ic8_band"))
+    assert(led1 === Map(idB -> "drop_near_index", 5L -> "admitted"), led1.toString)
+
+    // the admitted store after the stream: seed + admitted batch docs
+    val store = docs(idA -> fpA(k), 5L -> text("ps5"))
+    // THE SWITCH: rebuild both indexes from the store. The rebuilt
+    // hash index carries one row per store doc and NO tombstones —
+    // tombstones encode the policy that wrote them and die with the
+    // index they annotated.
+    ops.IncrementalCuration.buildHashIndex(store, "ic8v_hash")
+    ops.IncrementalDedup.buildIndex(store, "ic8v_band")
+    val h0 = hashCount("ic8v_hash")
+    assert(h0 === 2L, "rebuilt hash index: one self-row per store doc")
+
+    // CONVERGENCE: re-presenting the whole admitted store against the
+    // rebuilt indexes is a no-op stream — every doc reads back
+    // readmitted, nothing appends, no drop appears
+    val led2 = ledgerMap(ops.IncrementalCuration.curateBatch(
+      store, "ic8v_hash", "ic8v_band", verifyCorpus = Some(store)))
+    assert(led2 === Map(idA -> "readmitted", 5L -> "readmitted"), led2.toString)
+    assert(hashCount("ic8v_hash") === h0, "re-presentation must not append")
+
+    // RECOVERY: the doc the default policy over-dropped re-enters —
+    // its old tombstone is gone, the estimator match vs idA reaches
+    // the verify stage, and the exact tau = 0.5 bigram jaccard admits
+    val led3 = ledgerMap(ops.IncrementalCuration.curateBatch(
+      docs(idB -> fpB(k)), "ic8v_hash", "ic8v_band",
+      verifyCorpus = Some(store)))
+    assert(led3 === Map(idB -> "admitted"),
+      s"the rebuilt verified indexes must rescue the FP drop: $led3")
+    // and the continued stream is stable: re-presenting the rescued
+    // doc converges to readmitted on its own appended row
+    val led4 = ledgerMap(ops.IncrementalCuration.curateBatch(
+      docs(idB -> fpB(k)), "ic8v_hash", "ic8v_band",
+      verifyCorpus = Some(store.unionByName(docs(idB -> fpB(k))))))
+    assert(led4 === Map(idB -> "readmitted"), led4.toString)
+  }
+
   test("verified streaming: the store thunk is re-read per micro-batch; FPs rescued, true positives still drop") {
     // round 17: curateStream's verifyCorpus is a THUNK because the
     // policy's document store GROWS as batches admit — this drives a

@@ -36,32 +36,13 @@ object ScratchHarmonicForms {
 
     val edges = ops.Graph.undirectedBothEdges(spark, dir)
 
-    def loop(bcastFrontier: Boolean): DataFrame = {
-      val seeds = edges.select(col("src").as("node")).distinct()
-        .filter(col("node") % 389 === 0)
-      var frontier = seeds.select(col("node").as("seed"), col("node"),
-        lit(0L).as("hop")).localCheckpoint()
-      var dist = frontier
-      for (h <- 1 to 3) {
-        val fSide = frontier.select(col("seed"), col("node").as("src"))
-        val nbrs = (if (bcastFrontier) broadcast(fSide) else fSide)
-          .join(edges, "src")
-          .select(col("seed"), col("dst").as("node")).distinct()
-        val freshLazy = nbrs.join(dist, Seq("seed", "node"), "left_anti")
-          .select(col("seed"), col("node"), lit(h.toLong).as("hop"))
-        val fresh = if (h < 3) freshLazy.localCheckpoint() else freshLazy
-        dist = dist.union(fresh)
-        frontier = fresh
-      }
-      dist.filter(col("hop") >= 1L)
-        .groupBy(col("seed"))
-        .agg(sum(when(col("hop") === 1L, 1L).otherwise(0L)).as("n1"),
-          sum(when(col("hop") === 2L, 1L).otherwise(0L)).as("n2"),
-          sum(when(col("hop") === 3L, 1L).otherwise(0L)).as("n3"))
-        .select(col("seed"), col("n1"), col("n2"), col("n3"),
-          (col("n1") * 6 + col("n2") * 3 + col("n3") * 2).as("harmonic_x6"))
-        .orderBy("seed")
-    }
+    // delegate to the SHIPPED loop (r18 ADVICE: re-implementing the
+    // body here let future Graph changes silently diverge from what
+    // this harness measures — the factored harmonicLoop exists
+    // precisely so the A/B exercises the production rounds)
+    def loop(bcastFrontier: Boolean): DataFrame =
+      ops.Graph.harmonicLoop(edges,
+        if (bcastFrontier) Long.MaxValue else 0L)
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()

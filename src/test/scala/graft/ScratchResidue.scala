@@ -12,8 +12,12 @@ import org.apache.spark.sql.SparkSession
   * composite's targeted frees measurably removed for ITS stages).
   *
   * Protocol: run every registry key (count() the result — the bench
-  * consumption), optionally [[ops.Checkpoints.freeConsumed]] after
-  * each (the harness-level reclamation under test), and report the
+  * consumption); in `free` mode, after each key unpersist every
+  * LogicalRDD checkpoint reachable from its result plan EXCEPT those
+  * protected by SessionCache.liveRddIds (the logic is inlined in
+  * main() below — the harness-level reclamation under test; it was
+  * measured unnecessary and deliberately NOT shipped as an ops
+  * helper), and report the
   * block manager's cached-RDD population + bytes after each letter
   * group and at the end. SessionCache relations are PROTECTED by the
   * free and expected to survive in both modes.
