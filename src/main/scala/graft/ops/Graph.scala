@@ -327,6 +327,13 @@ object Graph {
     * edge relation (crafted-graph specs call this directly).
     */
   private[graft] def modularityCells(und: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // round 19 exchange-lens A/B, measured NEGATIVE and reverted
+    // (guide §1.2 measure-first): checkpointing the flood labels for
+    // the three consumers (nodeCells + both eInt attach joins) read
+    // 1.85/1.87 s isolated vs 1.48/1.63 s lazy (REPS=3 ×2 runs) —
+    // runtime exchange reuse already dedupes the flood here, and the
+    // eager materialization + lost broadcast-size estimate on the
+    // label joins cost more than the re-planning saved.
     val labels = lpLabels(und)
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))

@@ -291,10 +291,17 @@ object Insights {
     */
   val ordersAbcXyz: Q = (s, dir) => {
     val li = table(s, dir, "lineitem")
+    // round 19 (guide §2.4): the per-part revenue rollup is consumed
+    // FOUR times (balancedBuckets' sample seeding, the bucketed
+    // assignment, the grand total, and — via bucketed — the cumulative
+    // join), and each consumer re-derived the full lineitem scan +
+    // partkey shuffle; one |parts|-row checkpoint serves them all
+    // (lineitem scans 5 → 2: this rollup + the monthly rollup)
     val rev = li.groupBy(col("l_partkey"))
       .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
         (lit(100) - (col("l_discount").cast("decimal(18,2)") * 100).cast("long")))
         .as("rev_e4"))
+      .localCheckpoint()
     val monthly = li
       .select(col("l_partkey"), trunc(col("l_shipdate"), "month").as("m"),
         col("l_quantity").cast("long").as("q"))
@@ -800,11 +807,16 @@ object Insights {
     val rev = table(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("rev_cents"))
+    // round 19 (guide §2.4): the joined (segment, bal, rev) relation
+    // is consumed THREE times (each axis's spine rollup + the
+    // join-back), and each consumer re-derived the orders rollup +
+    // customer join; one |customers|-row checkpoint serves all three
     val c = table(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment").as("segment"),
         (dec(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
       .join(rev, col("o_custkey") === col("c_custkey"), "left_outer")
       .withColumn("rev_cents", coalesce(col("rev_cents"), lit(0L)))
+      .localCheckpoint()
     // doubled-midrank spine for one axis: every row holding value v
     // in `segment` has 2·midrank = 2·cumt(v) − cnt(v) + 1. Round 16:
     // the spine cumulative dispatches through SpineRank (per-segment

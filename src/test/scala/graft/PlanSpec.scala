@@ -302,26 +302,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("orders_association_rules: brand dim broadcasts; self-join reuses the basket exchange") {
+  test("orders_association_rules: basket materialized once — no okey exchange, one lineitem scan") {
     val df = ops.Analytics.ordersAssociationRules(spark, dir)
     df.collect()
     // the adaptive string appends an "Initial Plan" section that
     // double-prints every exchange; audit the FINAL section only
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    // the part→brand attach must broadcast into the lineitem scan
-    assert(p.contains("BroadcastHashJoin"), p)
-    // the self-join's second side reuses the a-side basket exchange;
-    // the per-brand count branch's re-shuffle is the ONE accepted
-    // extra (scaladoc: ReuseExchange misses it) — so exactly two
-    // materialized okey repartitions and at least one okey reuse
-    val okeyEx = p.linesIterator.filter(l =>
-      l.contains("Exchange hashpartitioning(okey") &&
-        !l.contains("ReusedExchange")).toSeq
-    assert(okeyEx.size == 2,
-      s"expected two materialized okey exchanges:\n${okeyEx.mkString("\n")}")
-    assert(p.linesIterator.exists(l =>
-      l.contains("ReusedExchange") && l.contains("okey")), p)
-    // n_baskets comes off lineitem directly — no okey repartition there
+    // round 19: the deduped basket is checkpointed once — the
+    // self-join sides and both supp branches all read the checkpoint
+    // RDD, so the basket BUILD (lineitem scan + part broadcast + okey
+    // shuffle + dedup) runs once instead of four times. What remains
+    // okey-keyed are skinny re-exchanges of the |basket|-row
+    // checkpoint (AQE broadcasts the probe side at this SF; the
+    // LogicalRDD does not carry the clustering through AQE), which is
+    // the 16-bytes/row cost the old accepted-cost note described —
+    // now over basket rows, never over rebuilt lineitem subtrees.
+    // lineitem is scanned exactly once here (the n_baskets count):
+    assert(p.linesIterator.count(l =>
+      l.contains("parquet") && l.contains("lineitem")) == 1, p)
+    assert(p.linesIterator.exists(_.contains("Scan ExistingRDD")), p)
+    // and no basket rebuild: the part dim no longer appears at all
+    assert(!p.linesIterator.exists(l =>
+      l.contains("parquet") && l.contains("/part")), p)
+    // n_orders still rides the 1-row broadcast-scalar pattern only
     assert(!p.contains("NestedLoopJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
