@@ -70,6 +70,13 @@ object Curation2 {
       hashed: Boolean): org.apache.spark.sql.DataFrame = {
     val gramAt = (i: Column) => concat_ws(" ", slice(col("toks"), i + 1, lit(4)))
     val idx = sequence(lit(0), size(col("toks")) - 4)
+    // round 19 exchange-lens A/B, measured NEGATIVE and reverted
+    // (guide §1.2): checkpointing the positional-gram explode for the
+    // two self-join sides read dedup_substring_remove at 1.09-1.25 s
+    // vs 0.29 s lazy (span 1.27-1.54 vs 1.19) — ReuseExchange already
+    // recovers the aliased b-side at zero cost, and the detection +
+    // rebuild otherwise fuse into one DAG the checkpoint barrier
+    // breaks.
     val runs = if (hashed) {
       val g = d.select(col("doc_id"),
           explode(transform(idx, i => struct(i.as("pos"),

@@ -341,6 +341,16 @@ object Llm2 {
       .select(col("doc_id"), col("lang"), grams.as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), col("lang"), size(col("grams")).as("gsz"), col("grams"))
+    // round 19 exchange-lens A/B, measured NEGATIVE and reverted
+    // (guide §1.2): checkpointing this narrow inverted index for its
+    // three consumers (the eager df probe + both join sides) read
+    // composite stages 4/5 at 3.94/4.29 s vs 3.21/3.07 s lazy —
+    // within the main action ReuseExchange already recovers the
+    // aliased b-side, and the probe's one extra derivation is cheaper
+    // than the materialization barrier. Same lesson as
+    // modularityCells; localCheckpoint only wins here when a
+    // derivation compounds (k-core) or crosses actions un-reused
+    // (abc_xyz's sample seeding).
     val inv = d.select(col("doc_id"), col("gsz"),
       explode(col("grams")).as("gram"), col("lang"))
       .select(col("doc_id"), col("gsz"), xxhash64(col("lang"), col("gram")).as("gh"))
