@@ -33,4 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // heavier aggregation maps (ngram pair counting) were hitting GC
   // walls mid-query at 8g (measured 2.5x inflation in-suite vs isolated).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++
+  // A/B instrumentation (round 20): extra -D flags (e.g.
+  // -Dspark.sql.adaptive...=...) for config experiments without code
+  // churn; SparkSession picks spark.* system properties up itself.
+  // Unset in every driver run — local default behavior is unchanged.
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+    .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

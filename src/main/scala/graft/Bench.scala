@@ -88,6 +88,9 @@ object Bench {
         .asScala.map(_.getCollectionTime).filter(_ > 0).sum
     } catch { case _: Throwable => 0L }
     val gcByKey = scala.collection.mutable.Map.empty[String, Long]
+    // r19 ADVICE: an unwritable keylog path must never abort the
+    // measurement run mid-suite — warn once and disable the sink.
+    var keylogOk = true
     val results = selected.map { case (name, fn) =>
       var last = 0.0
       (1 to reps).foreach { _ =>
@@ -117,10 +120,15 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_VERBOSE").contains("1"))
         System.err.println(
           f"[bench-key] $name $last%.2f s gc=${gcByKey(name)}cs")
-      sys.env.get("SPARK_GRAFT_KEYLOG").foreach { p =>
-        val w = new java.io.FileWriter(p, true)
-        try w.write(f"${System.currentTimeMillis()} $name $last%.3f ${gcByKey(name)}\n")
-        finally w.close()
+      if (keylogOk) sys.env.get("SPARK_GRAFT_KEYLOG").foreach { p =>
+        try {
+          val w = new java.io.FileWriter(p, true)
+          try w.write(f"${System.currentTimeMillis()} $name $last%.3f ${gcByKey(name)}\n")
+          finally w.close()
+        } catch { case e: Throwable =>
+          keylogOk = false
+          System.err.println(s"[bench] keylog disabled (${e.getMessage})")
+        }
       }
       name -> last
     }

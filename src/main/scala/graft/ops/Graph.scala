@@ -970,7 +970,14 @@ object Graph {
     * stat rows (hop, n_nodes, sum_reach_est, min_est, max_est).
     */
   private[graft] def hyperballLoop(edges: DataFrame, nodes: DataFrame,
-      gate: Long): Seq[org.apache.spark.sql.Row] = {
+      gate: Long,
+      // injectable broadcast step (r19 verdict item 5): the fallback
+      // spec forces a deterministic broadcast failure here — under AQE
+      // spark.sql.broadcastTimeout=0 never fires (stages materialize
+      // on AQE's own future), so fault injection is the only reliable
+      // trigger. Production call sites use the default.
+      bcast: DataFrame => DataFrame = org.apache.spark.sql.functions.broadcast)
+      : Seq[org.apache.spark.sql.Row] = {
     val est = hll_sketch_estimate(col("reg"))
     // Per-hop stats are collected EAGERLY (4 rows of 5 scalars — the
     // release-mode composite's ledger precedent), so each superseded
@@ -1023,10 +1030,32 @@ object Graph {
       val esSrc = edges
         .union(nodes.select(col("node").as("src"), col("node").as("dst")))
         .repartition(col("src")).localCheckpoint()
+      // r19 ADVICE: only a BROADCAST failure may trigger the shuffle
+      // retry — a blanket SparkException catch would silently rerun
+      // (and mask) hopStats collect failures, data-corruption task
+      // failures, or maxResultSize on an unrelated collect. A real
+      // broadcast failure always carries the evidence somewhere in
+      // its chain: a BroadcastExchange/broadcast frame or message
+      // (timeout, "Not enough memory to build and broadcast"), or an
+      // OOM from the build.
+      def broadcastRelated(t: Throwable): Boolean = {
+        val seen = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+        var c: Throwable = t
+        while (c != null && seen.add(c)) {
+          if (c.isInstanceOf[OutOfMemoryError]) return true
+          if (Option(c.getMessage).getOrElse("").toLowerCase.contains("broadcast"))
+            return true
+          if (c.getStackTrace.exists(_.getClassName.toLowerCase.contains("broadcast")))
+            return true
+          c = c.getCause
+        }
+        false
+      }
       try {
         for (h <- 1 to 3) {
           val next = esSrc
-            .join(broadcast(reg.select(col("node").as("dst"), col("reg").as("nreg"))), "dst")
+            .join(bcast(reg.select(col("node").as("dst"), col("reg").as("nreg"))), "dst")
             .groupBy(col("src").as("node"))
             .agg(hll_union_agg(col("nreg"), lit(false)).as("reg"))
             .localCheckpoint()
@@ -1039,21 +1068,22 @@ object Graph {
         // gate, a default-configured driver (spark.driver.memory /
         // maxResultSize 1g) can fail the per-round BroadcastExchange
         // where the shuffle form would complete slowly — degrade to
-        // slow-but-safe instead of surfacing a hard failure. Broadcast
-        // build errors arrive as SparkException (OOM-wrapping included);
-        // register state may be mid-round, so restart from the seed —
-        // hop rows past 0 are dropped and recomputed exactly.
-        case e: org.apache.spark.SparkException =>
+        // slow-but-safe instead of surfacing a hard failure. Register
+        // state may be mid-round, so restart from the seed — hop rows
+        // past 0 are dropped and recomputed exactly. If the shuffle
+        // retry fails too, ITS error surfaces with the original
+        // broadcast failure attached (r19 ADVICE: never lose the
+        // first failure class).
+        case e: org.apache.spark.SparkException if broadcastRelated(e) =>
           System.err.println(
             s"[graph] hyperball register broadcast failed (${e.getMessage}); " +
               "retrying via the shuffle form")
-          Checkpoints.free(esSrc)
           Checkpoints.free(reg)
-          rows.trimEnd(rows.size - 1)
+          rows.dropRightInPlace(rows.size - 1)
           reg = seedReg()
-          shuffleRounds()
-      }
-      Checkpoints.free(esSrc)
+          try shuffleRounds()
+          catch { case retry: Throwable => retry.addSuppressed(e); throw retry }
+      } finally Checkpoints.free(esSrc) // exactly once on every path
     } else shuffleRounds()
     Checkpoints.free(reg)
     rows.toSeq

@@ -828,14 +828,30 @@ object InfoTheory {
     val c1 = c2.groupBy(col("lang"), col("p")).agg(sum(col("c2")).as("c1"))
     val cr = c2.groupBy(col("lang"), col("w")).agg(sum(col("c2")).as("cr"))
     val n = c2.groupBy(col("lang")).agg(sum(col("c2")).as("n"))
-    big
-      .join(c2, Seq("lang", "p", "w"))
+    // Round 20 (guide §2.3/§2.4 — shuffle the TYPE relation, not the
+    // stream): the r15-r19 form joined the token STREAM against c2,
+    // then c1, then cr — each marginal join re-shuffled every
+    // occurrence row (4 stream-grain exchanges, the widening join
+    // chain carrying string keys). The marginals are functions of the
+    // TYPE relation alone, so attach them to c2 FIRST (type-grain
+    // shuffles, strictly smaller than the stream) and score each
+    // bigram TYPE once; the stream then joins the scored types on
+    // (lang, p, w) — an exchange that canonicalizes equal to c2's own
+    // aggregation input, so runtime ReuseExchange leaves ONE
+    // stream-grain shuffle before the doc rollup (2 total, was 4).
+    // bits20 per occurrence is the identical integer (same operands,
+    // evaluated type-side), so every emitted row is bit-identical —
+    // oracle hash-gated at sf0.01 and sf0.1 this round.
+    val scored = c2
       .join(c1, Seq("lang", "p"))
       .join(cr, Seq("lang", "w"))
       .join(broadcast(n), "lang")
       .withColumn("bits20",
         log2Fixed(lit(2) * col("c1") * col("n"))
           - log2Fixed(col("c2") * col("n") + col("cr") * col("c1")))
+      .select(col("lang"), col("p"), col("w"), col("bits20"))
+    big
+      .join(scored, Seq("lang", "p", "w"))
       .groupBy(col("doc_id"))
       .agg(first(col("lang")).as("lang"), count(lit(1)).as("n_bigrams"),
         sum(col("bits20")).as("total_bits20"))

@@ -231,6 +231,48 @@ class GraphBfsSpec extends SparkSpec {
     }
   }
 
+  test("hyperball broadcast-failure fallback: restarts from the seed and equals the shuffle form exactly") {
+    // r19 verdict item 5: the catch path (Graph.hyperballLoop) is
+    // correctness-critical when it fires — a half-updated register
+    // frame must not leak into hop rows. The verdict's "injected
+    // throwing build": spark.sql.broadcastTimeout=0 does NOT fail
+    // under AQE (broadcast stages materialize on AQE's own future —
+    // measured this round, the conf-based form of this spec passed
+    // vacuously-inverted), so inject a broadcast wrapper that
+    // completes round 1 and throws on round 2 — rows/reg are then
+    // genuinely mid-state (hop-1 register live, two hop rows
+    // collected) when the catch fires. The message names "broadcast",
+    // matching the narrowed trigger. Expected rows are the PURE
+    // shuffle form (gate = 0): the restart drops every row past hop 0
+    // and recomputes hops 1-3 via the identical shuffleRounds code
+    // under the same confs, so equality is EXACT (no HLL merge-order
+    // tolerance — hop 0 is seed-deterministic in both legs).
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val edges = ops.Graph.undirectedBothEdges(spark, dir)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val expected = ops.Graph.hyperballLoop(edges, nodes, 0L)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failing: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df =>
+        if (calls.incrementAndGet() == 2)
+          throw new org.apache.spark.SparkException(
+            "injected: could not build and broadcast the register relation")
+        else broadcast(df)
+    val baos = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(baos, true))
+    val got = try ops.Graph.hyperballLoop(edges, nodes, Long.MaxValue, failing)
+      finally System.setErr(realErr)
+    // round 1 ran under the broadcast form, round 2 threw ...
+    assert(calls.get() === 2, s"broadcast wrapper called ${calls.get()} times")
+    // ... the fallback fired (not a vacuous pass) ...
+    assert(baos.toString.contains("retrying via the shuffle form"), baos.toString)
+    // ... and the restart recomputed every hop row exactly
+    assert(got === expected)
+    assert(got.map(_.getLong(0)) === Seq(0L, 1L, 2L, 3L))
+  }
+
   test("graph_hyperball_reach: hop-0 exact, monotone, within 5σ of the exact BFS reach sums") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"

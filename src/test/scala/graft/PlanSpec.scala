@@ -328,12 +328,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoopJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("graph_k_core and label propagation: loop joins never sort-merge (broadcast or hash)") {
-    Seq(ops.Graph.graphKCore, ops.Graph.graphLabelPropagation).foreach { q =>
-      val df = q(spark, dir)
-      df.collect()
-      assert(!df.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
-    }
+  test("label propagation: loop joins never sort-merge (broadcast or hash)") {
+    val df = ops.Graph.graphLabelPropagation(spark, dir)
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+  }
+
+  test("graph_k_core: returned plan is checkpoint-bounded (no lazy peel unroll)") {
+    // r19 ADVICE: with eager per-round localCheckpoints the peel joins
+    // execute during query CONSTRUCTION, so the old loop-join assert on
+    // the returned frame inspected no loop join (vacuous). Pin the
+    // round-19 win directly instead: the returned plan reads the final
+    // round's checkpoint RDD and contains NO parquet scan and NO join —
+    // i.e. the ~500-node lazy unroll (plans/r19/graph_k_core_before.txt)
+    // can never come back without this failing.
+    val df = ops.Graph.graphKCore(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("parquet"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("text_ngram_novelty: the gram join is a hash join, min-agg side skips the distinct") {
