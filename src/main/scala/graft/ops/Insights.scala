@@ -675,6 +675,15 @@ object Insights {
     * DECIMAL(38,0) (same plan shape).
     */
   val statLogrankCells: Q = (s, dir) => {
+    // round 20 exchange-lens A/B, measured NEGATIVE and reverted
+    // (guide §1.2): checkpointing the windowed spine for its three
+    // consumers (cohorts + both pair sides) read 1.52/1.52 s vs 1.16 s
+    // lazy, isolated 32c REPS=3. The spine's heavy lineage is already
+    // checkpoint-bounded inside SpineRank.cumSums, the per-consumer
+    // re-derivations (window + distinct over the tiny checkpointed
+    // relation) canonicalize equal and AQE stage reuse recovers them
+    // at runtime — the same ReuseExchange-covers-intra-action-aliases
+    // rule as jaccardPairsOf/modularityCells (r19).
     val spine = survivalSpine(s, dir)
     val cohorts = spine.select(col("cohort")).distinct()
     val pairs = cohorts.select(col("cohort").as("ca"))

@@ -255,18 +255,27 @@ object Llm2 {
     // this key stays hash-exact where the contract demands it and
     // seeded-probabilistic only where the exact join cannot run.
     val (hotShare, predVolume) = PairJoins.dfProfile(dfreq)
+    // Round 20 (guide §2.3 — narrower agg state on the hottest
+    // structure): downstream only ever uses a_sz + b_sz (the jaccard
+    // denominator is szsum − shared), and both sizes are functions of
+    // the pair key, so max(a_sz + b_sz) = max(a_sz) + max(b_sz)
+    // exactly — carry ONE int through the pair hash-agg instead of
+    // two (the 2.6 M-entry partial-agg map drops a max-aggregate per
+    // update and 4 bytes per entry; oracle hash-gated sf0.01/sf0.1).
     val counted = if (hotShare > 1.0) {
       // τ = 0.5 pigeonhole with the size-ratio bound 2·min ≥ max:
       // the smaller doc's unshared grams number ≤ gsz·(1−τ)/(1+τ)
       // = gsz/3
       PairJoins.prefixCandidates(inv, dfreq, prefixDivisor = 3,
         sizeRatio = Some(2))
+        .select(col("a_id"), col("b_id"), (col("a_sz") + col("b_sz")).as("szsum"))
     } else if (predVolume > PairJoins.BandedPairVolume) {
       // 16 bands × 2 rows (round 16, r15 ADVICE): boundary recall
       // P[candidate | J = τ = 0.5] = 1 − (1 − 0.25)¹⁶ = 0.990 (was
       // 0.968 at 12×2) for +8 minhashes/doc; measured recall on the
       // real corpora stays 1.0000 (ScratchNgramPromoted r16 rerun)
       PairJoins.bandedCandidates(d, nPerm = 32, bands = 16, sizeRatio = Some(2))
+        .select(col("a_id"), col("b_id"), (col("a_sz") + col("b_sz")).as("szsum"))
     } else {
       val a = inv.select(col("gh"), col("doc_id").as("a_id"), col("gsz").as("a_sz"))
       // shuffle_hash, not broadcast: partitioning both sides on the gram
@@ -289,14 +298,13 @@ object Llm2 {
           lit(2) * col("b_sz") >= col("a_sz"))
         .select(shiftleft(col("a_id").cast("long"), 32)
           .bitwiseOR(col("b_id").cast("long")).as("pk"),
-          col("a_sz"), col("b_sz"))
+          (col("a_sz") + col("b_sz")).as("szsum"))
         .groupBy(col("pk"))
-        .agg(count(lit(1)).as("shared_h"),
-          max(col("a_sz")).as("a_sz"), max(col("b_sz")).as("b_sz"))
-        .filter(lit(3) * col("shared_h") >= col("a_sz") + col("b_sz"))
+        .agg(count(lit(1)).as("shared_h"), max(col("szsum")).as("szsum"))
+        .filter(lit(3) * col("shared_h") >= col("szsum"))
         .select(shiftright(col("pk"), 32).cast("int").as("a_id"),
           col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b_id"),
-          col("a_sz"), col("b_sz"))
+          col("szsum"))
     }
     counted
       .join(d.select(col("doc_id").as("a_id"), col("lang"),
@@ -308,7 +316,7 @@ object Llm2 {
       .filter(col("lang") === col("b_lang"))
       .withColumn("shared", size(array_intersect(col("a_grams"), col("b_grams"))))
       .withColumn("jaccard",
-        col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")).cast("double"))
+        col("shared").cast("double") / (col("szsum") - col("shared")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select("lang", "a_id", "b_id", "jaccard")
       .orderBy("lang", "a_id", "b_id")
@@ -366,15 +374,20 @@ object Llm2 {
       val a = inv.select(col("gh"), col("doc_id").as("a_id"), col("gsz").as("a_sz"))
       val b = inv.select(col("gh").as("b_gh"), col("doc_id").as("b_id"),
         col("gsz").as("b_sz")).hint("shuffle_hash")
-      // integer τ = 0.5 bounds, as in the registry key's gate branch
+      // integer τ = 0.5 bounds, as in the registry key's gate branch.
+      // Round 20 (guide §2.3, as in the registry key): the sizes only
+      // feed the count filter as their SUM, and both are functions of
+      // the pair key — one max(szsum) aggregate replaces two, shrinking
+      // the pair hash-agg's per-entry state on the composite's hottest
+      // stage.
       a.join(b,
           col("gh") === col("b_gh") && col("a_id") < col("b_id") &&
           lit(2) * col("a_sz") >= col("b_sz") &&
           lit(2) * col("b_sz") >= col("a_sz"))
+        .select(col("a_id"), col("b_id"), (col("a_sz") + col("b_sz")).as("szsum"))
         .groupBy(col("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("shared_h"),
-          max(col("a_sz")).as("a_sz"), max(col("b_sz")).as("b_sz"))
-        .filter(lit(3) * col("shared_h") >= col("a_sz") + col("b_sz"))
+        .agg(count(lit(1)).as("shared_h"), max(col("szsum")).as("szsum"))
+        .filter(lit(3) * col("shared_h") >= col("szsum"))
         .select(col("a_id"), col("b_id"))
     }
     counted0
