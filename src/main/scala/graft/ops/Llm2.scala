@@ -257,11 +257,15 @@ object Llm2 {
     val (hotShare, predVolume) = PairJoins.dfProfile(dfreq)
     // Round 20 (guide §2.3 — narrower agg state on the hottest
     // structure): downstream only ever uses a_sz + b_sz (the jaccard
-    // denominator is szsum − shared), and both sizes are functions of
-    // the pair key, so max(a_sz + b_sz) = max(a_sz) + max(b_sz)
-    // exactly — carry ONE int through the pair hash-agg instead of
-    // two (the 2.6 M-entry partial-agg map drops a max-aggregate per
-    // update and 4 bytes per entry; oracle hash-gated sf0.01/sf0.1).
+    // denominator is szsum − shared), so the gate branch's pair
+    // hash-agg now carries the BARE packed key and a count — sizes
+    // stay on the JOIN rows (the ratio bound needs them) but are
+    // dropped before the agg and re-attached to the pair-distinct
+    // counted relation via two broadcast joins of the tiny
+    // (doc_id, gsz) dimension, the shape the containment twin already
+    // ships. Isolated 32c REPS=3 ladder: 2.82/3.26 s (count+2 maxes,
+    // r19) → 2.44/2.58 (count+max szsum) → 2.21/2.06 (bare count +
+    // re-attach). Oracle hash-gated sf0.01/sf0.1 at each step.
     val counted = if (hotShare > 1.0) {
       // τ = 0.5 pigeonhole with the size-ratio bound 2·min ≥ max:
       // the smaller doc's unshared grams number ≤ gsz·(1−τ)/(1+τ)
@@ -297,14 +301,19 @@ object Llm2 {
           lit(2) * col("a_sz") >= col("b_sz") &&
           lit(2) * col("b_sz") >= col("a_sz"))
         .select(shiftleft(col("a_id").cast("long"), 32)
-          .bitwiseOR(col("b_id").cast("long")).as("pk"),
-          (col("a_sz") + col("b_sz")).as("szsum"))
+          .bitwiseOR(col("b_id").cast("long")).as("pk"))
         .groupBy(col("pk"))
-        .agg(count(lit(1)).as("shared_h"), max(col("szsum")).as("szsum"))
-        .filter(lit(3) * col("shared_h") >= col("szsum"))
+        .agg(count(lit(1)).as("shared_h"))
         .select(shiftright(col("pk"), 32).cast("int").as("a_id"),
           col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b_id"),
-          col("szsum"))
+          col("shared_h"))
+        .join(broadcast(d.select(col("doc_id").cast("int").as("a_id"),
+          col("gsz").as("a_sz"))), "a_id")
+        .join(broadcast(d.select(col("doc_id").cast("int").as("b_id"),
+          col("gsz").as("b_sz"))), "b_id")
+        .filter(lit(3) * col("shared_h") >= col("a_sz") + col("b_sz"))
+        .select(col("a_id"), col("b_id"),
+          (col("a_sz") + col("b_sz")).as("szsum"))
     }
     counted
       .join(d.select(col("doc_id").as("a_id"), col("lang"),
@@ -375,19 +384,27 @@ object Llm2 {
       val b = inv.select(col("gh").as("b_gh"), col("doc_id").as("b_id"),
         col("gsz").as("b_sz")).hint("shuffle_hash")
       // integer τ = 0.5 bounds, as in the registry key's gate branch.
-      // Round 20 (guide §2.3, as in the registry key): the sizes only
-      // feed the count filter as their SUM, and both are functions of
-      // the pair key — one max(szsum) aggregate replaces two, shrinking
-      // the pair hash-agg's per-entry state on the composite's hottest
-      // stage.
+      // Round 20 (guide §2.3, as in the registry key): the pair
+      // hash-agg carries the BARE pair key and a count — the sizes
+      // (needed on the JOIN rows for the ratio bound anyway) are
+      // dropped before the agg and re-attached to the pair-distinct
+      // counted relation via two broadcast joins of the tiny
+      // (doc_id, gsz) dimension, the shape the containment twin
+      // already ships. Isolated registry-key A/B: 2.82/3.26 s
+      // (count+2 maxes) → 2.44/2.58 (count+max szsum) → 2.21/2.06
+      // (bare count + re-attach).
       a.join(b,
           col("gh") === col("b_gh") && col("a_id") < col("b_id") &&
           lit(2) * col("a_sz") >= col("b_sz") &&
           lit(2) * col("b_sz") >= col("a_sz"))
-        .select(col("a_id"), col("b_id"), (col("a_sz") + col("b_sz")).as("szsum"))
+        .select(col("a_id"), col("b_id"))
         .groupBy(col("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("shared_h"), max(col("szsum")).as("szsum"))
-        .filter(lit(3) * col("shared_h") >= col("szsum"))
+        .agg(count(lit(1)).as("shared_h"))
+        .join(broadcast(d.select(col("doc_id").as("a_id"), col("gsz").as("a_sz"))),
+          "a_id")
+        .join(broadcast(d.select(col("doc_id").as("b_id"), col("gsz").as("b_sz"))),
+          "b_id")
+        .filter(lit(3) * col("shared_h") >= col("a_sz") + col("b_sz"))
         .select(col("a_id"), col("b_id"))
     }
     counted0
