@@ -23,6 +23,19 @@ import org.apache.spark.sql.DataFrame
   * successor stage and summary row are both computed). Callers with
   * long-lived or externally-visible frames (spec surfaces, returned
   * results) must NOT free them.
+  *
+  * CLUSTER-MODE SWAP (r19 verdict item 4 — the engine-wide trade
+  * named in one place): `localCheckpoint` stores blocks in executor
+  * memory/disk with NO recompute path, so on a real cluster a lost
+  * executor fails the job instead of recomputing — acceptable in
+  * this single-JVM local harness, not at 100 TB. The distributed
+  * deployment sets `spark.sparkContext.setCheckpointDir(<HDFS/object
+  * store path>)` and swaps these call sites to RELIABLE
+  * `Dataset.checkpoint()` (same plan-truncation semantics, blocks on
+  * fault-tolerant storage, survives executor loss), or materializes
+  * stage outputs as durable tables (the [[IngestPipeline]]
+  * discipline). [[free]]'s analogue there is dropping the checkpoint
+  * directory/staging table once the last consumer has materialized.
   */
 private[graft] object Checkpoints {
 
